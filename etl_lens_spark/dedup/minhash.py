@@ -1,0 +1,191 @@
+"""MinHash + LSH near-duplicate detection — the workhorse dedup of
+large-scale text pipelines (shingle → minhash signature → band-bucket
+→ within-bucket candidate pairs → verify).
+
+Spark-first design decisions:
+
+- The signature is computed **without exploding shingles**: the
+  shingle array stays row-local and the k minhashes are
+  ``array_min(transform(shingles, s -> xxhash64(s, seed_i)))`` — pure
+  JVM expressions inside whole-stage codegen. No shuffle, no Python.
+- Banding explodes to b rows per doc (b ≈ 8-16), so the only shuffle
+  is the band-bucket self-join, keyed by (band_id, band_hash) — a
+  well-distributed 64-bit key.
+- Giant buckets (degenerate content, e.g. boilerplate) are the skew
+  hazard: buckets above ``max_bucket`` are dropped, the standard
+  practical mitigation (those docs are caught by other bands or by
+  exact dedup).
+
+At 100 TB: signature build is scan-bound and embarrassingly parallel;
+candidate generation shuffles ~b x docs rows of (hash, id) pairs —
+small relative to the corpus because the text itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_lens_spark.dedup.exact import normalized_text
+
+
+def add_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Word n-gram shingles as an array column (distinct, row-local)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return df.withColumn(out_col, F.array_distinct(shingles))
+
+
+def _minhash_component(shingles: Column, seed: int) -> Column:
+    return F.array_min(
+        F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+    )
+
+
+def add_minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """k-component MinHash signature as array<long>; deterministic
+    (seeded xxhash64), computed entirely in codegen'd expressions."""
+    sig = F.array(
+        *[_minhash_component(F.col(shingle_col), i) for i in range(num_hashes)]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    max_bucket: int = 1000,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH, with the
+    estimated Jaccard (fraction of equal signature components).
+
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, filtered to
+    ``min_est_jaccard``. Plan: explode bands → self-join on band key →
+    distinct pairs → signature compare (signatures ride along the
+    join, so no extra lookup join is needed).
+    """
+    num_hashes = None  # derived at plan time via size()
+    rows_per_band = F.size(F.col(sig_col)) / bands
+
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col(sig_col),
+                                    (b * rows_per_band).cast("int") + 1,
+                                    rows_per_band.cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("__id", "__sig", "band.band_id", "band.band_hash")
+
+    # Skew guard: drop degenerate buckets (boilerplate collisions).
+    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__bn") <= max_bucket),
+        ["band_id", "band_hash"],
+    ).drop("__bn")
+
+    left = banded.select(
+        "band_id",
+        "band_hash",
+        F.col("__id").alias("doc_a"),
+        F.col("__sig").alias("sig_a"),
+    )
+    right = banded.select(
+        "band_id",
+        "band_hash",
+        F.col("__id").alias("doc_b"),
+        F.col("__sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = (matches.cast("double") / F.size(F.col("sig_a"))).alias("est_jaccard")
+    return (
+        pairs.select("doc_a", "doc_b", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    min_jaccard: float = 0.5,
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity between document pairs that
+    share at least one n-gram, via an inverted-index join (explode
+    n-grams → join on n-gram → count intersections → |A|+|B|-inter).
+
+    This is the *verification* path (exact, quadratic only within
+    shared-token groups); at scale it runs on LSH candidates, not the
+    full corpus. ``candidate_filter`` restricts the corpus for bounded
+    runs (e.g. doc_id < 150 for the oracle fixture).
+    """
+    base = df.filter(candidate_filter) if candidate_filter is not None else df
+    with_sh = add_shingles(base, text_col, n=n, out_col="__sh")
+    sizes = with_sh.select(
+        F.col(id_col).alias("__id"), F.size("__sh").alias("__sz"), "__sh"
+    )
+    tok = sizes.select("__id", "__sz", F.explode("__sh").alias("__t"))
+    a = tok.select(
+        F.col("__id").alias("doc_a"), F.col("__sz").alias("sz_a"), "__t"
+    )
+    b = tok.select(
+        F.col("__id").alias("doc_b"), F.col("__sz").alias("sz_b"), "__t"
+    )
+    inter = (
+        a.join(b, "__t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = (
+        F.col("__inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("__inter"))
+    ).alias("jaccard")
+    return (
+        inter.select("doc_a", "doc_b", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,3 @@
+from etl_lens_spark.functions.numeric import exact_avg, exact_sum
+
+__all__ = ["exact_sum", "exact_avg"]

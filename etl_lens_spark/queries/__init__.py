@@ -1,0 +1,76 @@
+"""Declared-query registry: the correctness contract.
+
+Every implemented operator from SURVEY.md §2 lands here as a named
+query: a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) an equivalent ANSI-SQL oracle string that DuckDB runs
+on the same parquet. The driver hash-compares both sides.
+
+Cross-engine discipline (applies to every query):
+- alias every computed column identically in Spark and SQL;
+- cast aggregate outputs explicitly (DuckDB sum(BIGINT) is HUGEINT,
+  Spark's is LONG — always ``CAST(... AS BIGINT)`` / ``.cast("long")``);
+- never emit the raw ns-precision ``events.ts`` (Spark truncates to
+  µs, DuckDB keeps ns) — emit ``unix_micros`` / ``epoch_us`` or a
+  truncated timestamp;
+- any LIMIT/top-k query orders by a fully deterministic key in BOTH
+  engines (ties broken by a unique column, no NULLs in sort keys —
+  Spark sorts NULLS FIRST asc, DuckDB NULLS LAST).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, headline: bool = False):
+    """Register a declared query under ``name``."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }
+
+
+def headline_queries() -> dict[str, QuerySpec]:
+    _load()
+    return {n: s for n, s in REGISTRY.items() if s.headline}
+
+
+_loaded = False
+
+
+def _load() -> None:
+    """Import all query modules (side effect: registry population)."""
+    global _loaded
+    if _loaded:
+        return
+    from etl_lens_spark.queries import events_q, npipe, rel  # noqa: F401
+
+    _loaded = True

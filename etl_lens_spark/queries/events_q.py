@@ -1,0 +1,406 @@
+"""[R] reference-surface queries over the ``events`` table.
+
+Each query mirrors a behavior the reference actually implements
+(SURVEY.md §2.1), re-expressed on the driver's ``events`` fixture:
+catalog build with first-seen dedup + schema inference (R2/R3), the
+interactive filter→project→limit query (R4/R5/R6), multi-key sort with
+the non-zero coalesce tie-break (R7/R11), enum decode with raw
+fallback (R8), ragged-row conformance (R13), plus the JSON scalar
+surface and the batch analogs of the streaming windows.
+
+ns-precision note: ``events.ts`` is ns in parquet; Spark truncates to
+µs on read while DuckDB keeps ns — so no query emits raw ``ts``;
+they emit ``unix_micros``-style BIGINTs or second-truncated strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_lens_spark import catalog as cat
+from etl_lens_spark.functions.numeric import exact_sum
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "r_catalog_build",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, event_id, props,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_events,
+               MIN(epoch_us(ts)) OVER (PARTITION BY event_type) AS first_ts_us
+        FROM events
+    )
+    SELECT event_type, first_ts_us, event_id AS first_event_id,
+           json_keys(props) AS schema_keys, n_events
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+    headline=True,
+)
+def r_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1: startup catalog scan — one row per event type with the
+    first-seen event and its inferred schema (JSON keys), reproducing
+    the reference's first-record-wins catalog insert
+    (``src/main.cpp:255-321``) deterministically via min_by over
+    (ts, event_id).
+
+    Single shuffle on event_type with map-side partial min_by/count;
+    output cardinality = #types (tiny) at any scale.
+    """
+    ev = _events(spark, sf_dir)
+    order_key = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_ts_us"),
+            F.min_by("event_id", order_key).alias("first_event_id"),
+            F.min_by(F.json_object_keys("props"), order_key).alias("schema_keys"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "r_filter_project_limit",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+           CAST(value AS DOUBLE) AS value,
+           json_extract_string(props, '$.k') AS prop_k
+    FROM events
+    WHERE event_type = 'click'
+    ORDER BY ts_us, event_id
+    LIMIT 100
+    """,
+    headline=True,
+)
+def r_filter_project_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2: the reference's interactive query — equality filter on the
+    catalog key, project/decode, LIMIT 100 with early-out
+    (``src/main.cpp:399-401``, ``380-387``, ``1073``).
+
+    The event_type predicate reaches the parquet scan (PushedFilters);
+    the limit runs as TakeOrderedAndProject on the deterministic
+    (ts, event_id) order.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "value",
+            F.get_json_object("props", "$.k").alias("prop_k"),
+        )
+        .orderBy("ts_us", "event_id")
+        .limit(100)
+    )
+
+
+@query(
+    "r_multikey_sort",
+    oracle="""
+    SELECT event_type, n_events, n_users, total_value
+    FROM (
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type
+    )
+    ORDER BY n_users DESC, total_value ASC, event_type
+    """,
+)
+def r_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: multi-key sort with per-column direction + deterministic
+    trailing tie-break (``src/main.cpp:1169-1195``)."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        exact_sum(F.col("value")).alias("total_value"),
+    )
+    return cat.multi_key_sort(
+        agg,
+        [("n_users", False), ("total_value", True)],
+        tiebreak=["event_type"],
+    )
+
+
+@query(
+    "r_enum_decode",
+    oracle="""
+    SELECT event_type,
+           CASE event_type
+               WHEN 'click' THEN 'UI interaction'
+               WHEN 'view' THEN 'UI passive'
+               WHEN 'purchase' THEN 'Commerce'
+               ELSE event_type
+           END AS event_type_decoded,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def r_enum_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: enum/map decode with raw-value fallback on miss — the
+    reference's TdhGetEventMapInformation lookup with numeric fallback
+    (``src/main.cpp:697-734``, ``796-803``). Literal-map lookup stays
+    JVM-side; no join, no shuffle beyond the aggregation."""
+    ev = _events(spark, sf_dir)
+    mapping = {
+        "click": "UI interaction",
+        "view": "UI passive",
+        "purchase": "Commerce",
+    }
+    decoded = cat.enum_decode(ev, "event_type", mapping, "event_type_decoded")
+    return (
+        decoded.groupBy("event_type", "event_type_decoded")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "r_first_seen_dedup",
+    oracle="""
+    SELECT event_type, user_id, event_id AS first_event_id, epoch_us(ts) AS ts_us
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND user_id < 20
+    ORDER BY event_type, user_id
+    """,
+)
+def r_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 generalized: deterministic first-seen dedup on a composite
+    key (catalog.first_seen) — the distributed, deterministic form of
+    the reference's first-record-wins map insert
+    (``src/main.cpp:256-259``)."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    first = cat.first_seen(
+        ev, ["event_type", "user_id"], [F.col("ts_us"), F.col("event_id")]
+    )
+    return (
+        first.filter(F.col("user_id") < 20)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            "ts_us",
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+@query(
+    "r_ragged_conform",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           json_extract_string(props, '$.missing_col') AS missing_col,
+           CAST(NULL AS VARCHAR) AS padded_col
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+)
+def r_ragged_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: ragged-row normalization — project the declared schema,
+    padding absent properties with NULL and dropping extras
+    (``src/main.cpp:1292-1303``)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 200)
+    extracted = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k"),
+        F.get_json_object("props", "$.missing_col").alias("missing_col"),
+    )
+    conformed = cat.conform(
+        extracted, ["event_id", "k", "missing_col", "padded_col"]
+    )
+    return conformed.withColumn(
+        "padded_col", F.col("padded_col").cast("string")
+    ).orderBy("event_id")
+
+
+@query(
+    "r_coalesce_nonzero_sort",
+    oracle="""
+    SELECT user_id, n_click, n_view,
+           CASE WHEN n_click IS NOT NULL AND n_click <> 0 THEN n_click
+                WHEN n_view IS NOT NULL AND n_view <> 0 THEN n_view
+                ELSE 0 END AS tiebreak
+    FROM (
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events
+        WHERE user_id < 30
+        GROUP BY user_id
+    )
+    ORDER BY tiebreak DESC, user_id
+    """,
+)
+def r_coalesce_nonzero_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: the reference's variadic *non-zero* coalesce
+    (``src/main.cpp:45-53``) used as a sort key, as in its catalog
+    sort tie-break (``src/main.cpp:1191``)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+    )
+    return (
+        agg.withColumn(
+            "tiebreak", cat.coalesce_nonzero(F.col("n_click"), F.col("n_view"))
+        )
+        .orderBy(F.col("tiebreak").desc(), F.col("user_id").asc())
+    )
+
+
+@query(
+    "json_scalar_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           json_keys(props) AS keys
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def json_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON1 scalar surface (SQLite json_*, SURVEY §2.2) on Spark:
+    get_json_object / from_json / json_object_keys — all JVM-side."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 100)
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+            F.when(
+                F.from_json("props", "map<string,string>").isNotNull(), True
+            )
+            .otherwise(False)
+            .alias("is_valid"),
+            F.json_object_keys("props").alias("keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------
+# Batch analogs of the streaming windows (EP2's stream nature:
+# the trace IS a timestamped event stream, src/main.cpp:143).
+# The live streaming versions live in etl_lens_spark.streaming and are
+# tested against these batch semantics (DuckDB can't stream).
+# --------------------------------------------------------------------
+
+
+@query(
+    "stream_tumbling_window_batch",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    headline=True,
+)
+def stream_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — batch semantics of the
+    Structured Streaming version (streaming.windowed_counts). Uses
+    F.window, whose epoch-aligned 1h buckets equal date_trunc('hour').
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "stream_sessionization_batch",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800000000 OR LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sess
+    WHERE user_id < 50
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stream_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum
+    session ids — the batch equivalent of streaming
+    ``session_window``. One shuffle on user_id; both window passes
+    reuse the same partitioning (no second shuffle)."""
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_cum = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    sessions = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w_cum))
+    return (
+        sessions.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,303 @@
+"""[N] north-star queries: dedup, similarity search, text analysis,
+multimodal plumbing — over ``documents`` and ``embeddings``.
+
+Oracle strategy: everything whose semantics are SQL-expressible gets a
+DuckDB oracle (exact dedup, fingerprints, n-gram Jaccard on a bounded
+slice, brute-force cosine top-k, token/quality/langid stats,
+multimodal metadata parsing). MinHash-LSH / SimHash / SRP-LSH depend
+on xxhash64 (Spark-only), so they are registered rows-only; their
+*semantics* are instead verified by tests against the exact
+SQL-checked counterparts (tests/test_dedup.py, tests/test_knn.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.dedup import exact as dx
+from etl_lens_spark.dedup import minhash as mh
+from etl_lens_spark.dedup import simhash as sh
+from etl_lens_spark.multimodal import binary as mm
+from etl_lens_spark.queries import query
+from etl_lens_spark.similarity import knn
+from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.text import analysis as ta
+
+
+# --------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp
+    """,
+    headline=True,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via 128-bit content fingerprint (dedup.exact):
+    duplicate groups with deterministic representative."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dx.fingerprint_dedup(docs).orderBy("fp")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+        FROM documents WHERE doc_id < 150
+    ),
+    tok AS (
+        SELECT doc_id, len(toks) AS sz, unnest(toks) AS t FROM docs
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS n_inter
+        FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard via inverted-index join (the
+    verification half of near-dedup; LSH provides the candidates at
+    scale). Bounded to doc_id < 150 for the oracle fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mh.ngram_jaccard_pairs(
+        docs, n=1, min_jaccard=0.5, candidate_filter=F.col("doc_id") < 150
+    ).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_minhash_lsh", headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only: xxhash64 has no
+    DuckDB equivalent; semantics verified against exact Jaccard in
+    tests/test_dedup.py). 64-hash signature, 16 bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = mh.add_minhash_signature(mh.add_shingles(docs, n=3))
+    return mh.minhash_lsh_candidates(sig, min_est_jaccard=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only;
+    chunk-blocking recall is exact for that radius by pigeonhole)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = sh.add_simhash(docs)
+    return sh.simhash_candidates(sig).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id AS neighbor_id,
+               list_dot_product(qe, CAST(e.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(qe, qe)) *
+                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, neighbor_id, rank_n, cos_sim
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id
+        ) AS rank_n
+        FROM scored
+    )
+    WHERE rank_n <= 5
+    ORDER BY qid, rank_n
+    """,
+    headline=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors (similarity.knn
+    brute force): broadcast queries, JVM-side sequential dot product
+    (bit-identical to DuckDB's list_dot_product fold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn.brute_force_topk(emb, queries, k=5).orderBy("qid", "rank_n")
+
+
+@query("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5 (rows-only; recall vs brute force is
+    asserted in tests/test_knn.py). Bucket equi-join replaces the
+    cross product — the 100 TB plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn.lsh_topk(emb, queries, dim=64, k=5, n_bits=8).orderBy(
+        "qid", "rank_n"
+    )
+
+
+# --------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe_ish_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.add_token_counts(docs).select(
+        "doc_id", "n_ws_tokens", "n_bpe_ish_tokens"
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_signals",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        FROM documents
+    )
+    SELECT doc_id, n_chars_actual, n_tokens, n_distinct_tokens,
+           CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
+           CAST(n_upper AS DOUBLE) / n_chars_actual AS upper_ratio,
+           CAST(n_digit AS DOUBLE) / n_chars_actual AS digit_ratio,
+           CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_token_ratio,
+           (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens >= 3
+                    AND CAST(n_chars_actual - (n_tokens - 1) AS DOUBLE) / n_tokens <= 12
+                   THEN 0.3 ELSE 0.0 END)
+           + (CAST(n_distinct_tokens AS DOUBLE) / n_tokens * 0.3) AS quality_score
+    FROM base
+    ORDER BY doc_id
+    """,
+    headline=True,
+)
+def text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.add_quality_signals(docs).select(
+        "doc_id",
+        "n_chars_actual",
+        "n_tokens",
+        "n_distinct_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "upper_ratio",
+        "digit_ratio",
+        "distinct_token_ratio",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS BIGINT) AS score_en,
+               CAST(len(list_filter(t, x -> list_contains(['el','la','de','que','los'], x))) AS BIGINT) AS score_es,
+               CAST(len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS BIGINT) AS score_fr
+        FROM toks
+    )
+    SELECT doc_id, lang AS lang_tag, score_en, score_es, score_fr,
+           CASE WHEN score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scores
+    ORDER BY doc_id
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic (text.analysis) alongside
+    the dataset's own lang tag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ta.add_langid(docs).select(
+        "doc_id",
+        F.col("lang").alias("lang_tag"),
+        "score_en",
+        "score_es",
+        "score_fr",
+        "lang_pred",
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------
+
+
+@query(
+    "mm_payload_metadata",
+    oracle="""
+    SELECT doc_id,
+           'payloads/' || source || '/' || CAST(doc_id AS VARCHAR) AS uri,
+           'image/png' AS media_type
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column convention: typed media struct with lazy
+    payload dereference (multimodal.binary). The SQL-checkable slice
+    is the metadata derivation; byte plumbing is covered rows-only +
+    tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_media = mm.attach_payload_metadata(docs)
+    return with_media.select(
+        "doc_id",
+        F.col("media.uri").alias("uri"),
+        F.col("media.media_type").alias("media_type"),
+    ).orderBy("doc_id")
+
+
+@query("mm_decode_features")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract pipeline over media structs
+    (mapInPandas stages, deterministic fake decoder — rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_media = mm.attach_payload_metadata(docs)
+    decoded = mm.decode_image_stub(with_media)
+    return decoded.orderBy("doc_id")

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two plans, one semantic:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query set,
+  score every (query, corpus) pair with JVM-side array expressions,
+  per-query top-k via window group-limit. Exact; the baseline and the
+  oracle. Scales linearly in corpus x queries — right whenever
+  |queries| is small (the common batch-scoring shape).
+- ``lsh_topk`` — sign-random-projection LSH: bucket vectors by the
+  sign pattern of h fixed hyperplane projections, score only
+  within-bucket pairs. Sub-linear candidate set; recall tunable via
+  number of bits / multi-probe. The 100 TB path when both sides are
+  large.
+
+All dot products run as ``F.aggregate``/``F.zip_with`` over
+array<double> — sequential, deterministic, no Python. (A Pandas-UDF
+matrix-multiply variant is the next optimization when batch shapes
+justify Arrow transfer; at 64 dims the JVM expression path wins.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential (index-order) dot product — bit-identical across
+    engines that fold left-to-right, which makes it oracle-safe."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Plan: broadcast(queries) x corpus (no shuffle of the corpus), then
+    rank per query. The rank filter compiles to WindowGroupLimit —
+    each partition keeps only k rows per query before the final
+    exchange, so the shuffle is O(queries x k), not O(pairs).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+    scored = scored.withColumn(
+        "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_n") <= k)
+        .select(query_id_col, "neighbor_id", "rank_n", "cos_sim")
+    )
+
+
+def _srp_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane.
+    Planes are fixed literal arrays — broadcast by value into codegen,
+    no side channel."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(p) for p in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def make_planes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplanes (seeded numpy normal)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only pairs whose SRP bucket matches.
+
+    One equi-join shuffle on the bucket key instead of a cross
+    product; with n_bits=8 the candidate set is ~1/256 of the corpus
+    per query (expected). Recall improves with multi-probe (flip one
+    bit) — TODO(round 2); at small sf exact-bucket recall is already
+    measured by tests against brute force.
+    """
+    from pyspark.sql import Window
+
+    planes = make_planes(dim, n_bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+    ).withColumn("__bucket", _srp_bits(_as_double(F.col("__cvec")), planes))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+    ).withColumn("__bucket", _srp_bits(_as_double(F.col("__qvec")), planes))
+
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_n") <= k)
+        .select(query_id_col, "neighbor_id", "rank_n", "cos_sim")
+    )
