@@ -1,0 +1,58 @@
+"""Benchmark harness: timed runs of the headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec, ...}, "sf": ...}``.
+
+Each query is executed to completion (count() — full plan runs, no
+driver materialization of payloads). A warm-up pass on the first
+query amortizes JVM/codegen startup so timings reflect steady-state
+engine throughput, matching how a resident cluster runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_lens_spark import get_spark
+    from etl_lens_spark.queries import headline_queries
+
+    spark = get_spark(app_name="etl-lens-bench")
+
+    specs = headline_queries()
+    # warm-up: run the first headline query once (JVM + codegen warm)
+    first = next(iter(specs.values()))
+    first.fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ small relative to the corpus because the text itself never shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_lens_spark.dedup.exact import normalized_text
@@ -41,12 +41,6 @@ def add_shingles(
     return df.withColumn(out_col, F.array_distinct(shingles))
 
 
-def _minhash_component(shingles: Column, seed: int) -> Column:
-    return F.array_min(
-        F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
-    )
-
-
 def add_minhash_signature(
     df: DataFrame,
     shingle_col: str = "shingles",
@@ -54,9 +48,27 @@ def add_minhash_signature(
     out_col: str = "minhash",
 ) -> DataFrame:
     """k-component MinHash signature as array<long>; deterministic
-    (seeded xxhash64), computed entirely in codegen'd expressions."""
-    sig = F.array(
-        *[_minhash_component(F.col(shingle_col), i) for i in range(num_hashes)]
+    (seeded xxhash64), computed entirely in codegen'd expressions.
+
+    Cost structure matters at scale: each shingle *string* is hashed
+    exactly once (``xxhash64(s)``); the k components then re-hash that
+    8-byte base value (``xxhash64(base, i)``) — k cheap fixed-width
+    hashes instead of k string hashes. The k mins accumulate in a
+    single ``aggregate`` pass over the shingle array (one traversal,
+    not k)."""
+    base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit((1 << 63) - 1), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.xxhash64(h, i),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
     return df.withColumn(out_col, sig)
 
@@ -68,6 +80,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket: int = 1000,
     min_est_jaccard: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH, with the
     estimated Jaccard (fraction of equal signature components).
@@ -76,8 +89,14 @@ def minhash_lsh_candidates(
     ``min_est_jaccard``. Plan: explode bands → self-join on band key →
     distinct pairs → signature compare (signatures ride along the
     join, so no extra lookup join is needed).
+
+    ``cache=True`` persists the (id, sig, band) frame: the self-join
+    references it on both sides and the skew guard once more, and
+    without a persist each reference re-runs the whole shingle+
+    signature pipeline. Persisted size is ~(8*k + 16) bytes/doc/band —
+    negligible next to the corpus — and it's exactly what you'd
+    materialize as an intermediate table in a 100 TB run.
     """
-    num_hashes = None  # derived at plan time via size()
     rows_per_band = F.size(F.col(sig_col)) / bands
 
     banded = df.select(
@@ -105,14 +124,17 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("__id", "__sig", "band.band_id", "band.band_hash")
+    if cache:
+        banded = banded.persist()
 
     # Skew guard: drop degenerate buckets (boilerplate collisions).
-    bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("__bn")
+    # Window count shares the (band_id, band_hash) shuffle partitioning
+    # with the join below — one extra pass, no extra join.
+    bn = F.count(F.lit(1)).over(
+        Window.partitionBy("band_id", "band_hash")
     )
-    banded = banded.join(
-        bucket_sizes.filter(F.col("__bn") <= max_bucket),
-        ["band_id", "band_hash"],
+    banded = banded.withColumn("__bn", bn).filter(
+        F.col("__bn") <= max_bucket
     ).drop("__bn")
 
     left = banded.select(

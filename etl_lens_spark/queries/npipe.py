@@ -19,6 +19,7 @@ from etl_lens_spark.dedup import exact as dx
 from etl_lens_spark.dedup import minhash as mh
 from etl_lens_spark.dedup import simhash as sh
 from etl_lens_spark.multimodal import binary as mm
+from etl_lens_spark.operators.partitioning import parallelize_compute
 from etl_lens_spark.queries import query
 from etl_lens_spark.similarity import knn
 from etl_lens_spark.sources.tables import load_table
@@ -88,7 +89,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates (rows-only: xxhash64 has no
     DuckDB equivalent; semantics verified against exact Jaccard in
     tests/test_dedup.py). 64-hash signature, 16 bands."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
     sig = mh.add_minhash_signature(mh.add_shingles(docs, n=3))
     return mh.minhash_lsh_candidates(sig, min_est_jaccard=0.5).orderBy(
         "doc_a", "doc_b"
@@ -99,7 +100,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (rows-only;
     chunk-blocking recall is exact for that radius by pigeonhole)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
     sig = sh.add_simhash(docs)
     return sh.simhash_candidates(sig).orderBy("doc_a", "doc_b")
 
@@ -141,7 +142,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors (similarity.knn
     brute force): broadcast queries, JVM-side sequential dot product
     (bit-identical to DuckDB's list_dot_product fold)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = parallelize_compute(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return knn.brute_force_topk(emb, queries, k=5).orderBy("qid", "rank_n")
 
