@@ -1,0 +1,88 @@
+"""Dedup operator semantics: exact keeps min-id; MinHash estimates
+track exact Jaccard; SimHash finds planted near-dups; LSH candidate
+recall against exact pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lens_spark.dedup import exact as dx
+from etl_lens_spark.dedup import minhash as mh
+from etl_lens_spark.dedup import simhash as sh
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")  # one-token edit
+    far = "completely different content about spark engines " * 5
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, near),  # near dup of 1
+            (4, far),
+            (5, "  The  QUICK brown fox jumps over the lazy dog " * 5),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = dx.exact_dedup(_docs(spark))
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # doc 2 is an exact dup of 1 → dropped; 5 normalizes to the same
+    # text as 1 (case/whitespace) → dropped too
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    docs = _docs(spark)
+    sig = mh.add_minhash_signature(mh.add_shingles(docs, n=3))
+    cands = mh.minhash_lsh_candidates(
+        sig, min_est_jaccard=0.3, cache=False
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in cands}
+    # exact duplicates estimate 1.0
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 5)] == 1.0
+    # near-dup found with a high estimate
+    assert (1, 3) in got and got[(1, 3)] > 0.3
+    # unrelated docs never become candidates
+    assert not any(4 in pair for pair in got)
+
+
+def test_minhash_estimate_close_to_exact(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in mh.ngram_jaccard_pairs(docs, n=3, min_jaccard=0.0).collect()
+    }
+    sig = mh.add_minhash_signature(mh.add_shingles(docs, n=3))
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in mh.minhash_lsh_candidates(
+            sig, min_est_jaccard=0.0, cache=False
+        ).collect()
+    }
+    for pair, e in est.items():
+        assert abs(e - exact.get(pair, 0.0)) < 0.25, (pair, e, exact.get(pair))
+
+
+def test_simhash_identical_and_near(spark):
+    docs = _docs(spark)
+    sig = sh.add_simhash(docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming_dist"]
+        for r in sh.simhash_candidates(sig, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical → distance 0
+    assert pairs[(1, 5)] == 0  # normalization-equal → distance 0
+    assert (1, 3) in pairs  # near dup within radius
+    assert not any(4 in p for p in pairs)
+
+
+def test_fingerprint_dedup_counts(spark):
+    out = dx.fingerprint_dedup(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[1] == 3  # docs 1, 2, 5 share a fingerprint
+    assert by_keep[3] == 1 and by_keep[4] == 1
