@@ -71,6 +71,12 @@ def _load() -> None:
     global _loaded
     if _loaded:
         return
-    from etl_lens_spark.queries import events_q, npipe, rel  # noqa: F401
+    from etl_lens_spark.queries import (  # noqa: F401
+        events_q,
+        joins_q,
+        npipe,
+        rel,
+        streaming_q,
+    )
 
     _loaded = True

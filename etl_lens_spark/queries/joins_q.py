@@ -1,0 +1,119 @@
+"""As-of and range join queries (operators.joins) with DuckDB oracles
+(ASOF JOIN / theta join respectively) — the compositions SQLite users
+write with correlated subqueries, executed shuffle-efficiently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.operators import joins as oj
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+@query(
+    "asof_join_last_click",
+    oracle="""
+    WITH errors AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts_us,
+           c.event_id AS right_event_id,
+           c.ts_us AS right_ts_us
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts_us <= e.ts_us
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'error' event, the most recent 'click' by
+    the same user at or before it (union-trick window plan — one
+    shuffle on user_id, no pair explosion; operators.joins.as_of_join).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = oj.as_of_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_time="ts_us",
+        right_time="ts_us",
+        right_payload=["event_id", "ts_us"],
+    )
+    return out.orderBy("event_id")
+
+
+@query(
+    "range_join_clicks_before_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           COUNT(c.ts_us) AS n_clicks_1h
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range join: clicks within the hour before each
+    purchase, counted per purchase. Banded equi-join plan
+    (operators.joins.range_join_point) — hash join on
+    (user_id, hour-bucket) instead of a nested-loop theta join."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    hour_us = 3_600_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        (F.col("ts_us") - hour_us).alias("lo"),
+        F.col("ts_us").alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("c_ts")
+    )
+    joined = oj.range_join_point(
+        purchases,
+        clicks,
+        on=["user_id"],
+        lo="lo",
+        hi="hi",
+        point="c_ts",
+        bucket_width=float(hour_us),
+    )
+    # left-join semantics for the count: purchases with no clicks in
+    # range must appear with 0 — recover them with a left anti union
+    counts = joined.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h")
+    )
+    all_p = purchases.select("event_id", "user_id")
+    zeros = all_p.join(counts.select("event_id"), "event_id", "left_anti").withColumn(
+        "n_clicks_1h", F.lit(0).cast("long")
+    )
+    return counts.unionByName(zeros).orderBy("event_id")

@@ -1,0 +1,81 @@
+"""Declared queries that execute through the Structured Streaming
+engine (file-source replay → memory sink → batch result).
+
+These are genuinely oracle-checked streaming runs: in complete output
+mode a full replay must equal the batch computation, so the DuckDB
+oracle that validates the batch semantics validates the streaming
+engine too. (The driver just sees a DataFrame.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.streaming import stream_ops as so
+
+
+@query(
+    "streaming_tumbling_live",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts through the live streaming engine;
+    complete-mode replay == batch == oracle."""
+    stream = so.tumbling_window_counts(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_tumbling", output_mode="complete")
+    return out.orderBy("win_start", "event_type")
+
+
+@query(
+    "streaming_sessions_live",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                     OR LAG(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ),
+    sess AS (
+        SELECT user_id, ts_us, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts_us) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+)
+def streaming_sessions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows through the live streaming engine
+    (``F.session_window``), oracle = batch lag+cumsum sessionization.
+    Session identity is (user, first-event time); the oracle rebuilds
+    the same sessions relationally."""
+    stream = so.session_window_stats(
+        so.events_stream(spark, sf_dir), gap="30 minutes"
+    )
+    out = so.run_to_memory(stream, "q_stream_sessions", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start_us")

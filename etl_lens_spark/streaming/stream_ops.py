@@ -1,0 +1,155 @@
+"""Structured Streaming analog of the reference's query path.
+
+The reference's ETW trace is an append-only timestamped event stream
+(`EventData.timestamp`, ``/root/reference/src/main.cpp:143``) that it
+re-scans per query. The live-trace analog on Spark is a streaming
+DataFrame with the *same* transformations as the batch layer —
+Structured Streaming's core promise — plus watermarked state for
+late data.
+
+Local testing drives the parquet fixture through the file source
+(one-batch replay) into a memory sink; production would swap the
+source for kafka/eventhub without touching the operator code. Batch
+equivalence of every operator here is asserted in
+tests/test_streaming.py against the batch queries the DuckDB oracle
+already validates.
+
+Scale posture: watermarks bound state size (the 100 TB concern for
+streaming is unbounded state, not throughput); all aggregations are
+keyed so state shards across executors; ``dropDuplicatesWithinWatermark``
+keeps the dedup buffer watermark-bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.parquet carries ns timestamps -> read ts as raw ns LongType
+# (cf. sources.tables) and convert after read.
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (schema-locked; the
+    file source replays the parquet as micro-batches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data tolerance.
+    Identical semantics to the batch query
+    ``stream_tumbling_window_batch`` (oracle-checked there)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) windows — each event contributes to
+    window/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming-native
+    form of the batch lag+cumsum sessionization
+    (``stream_sessionization_batch``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming first-seen dedup with watermark-bounded state — the
+    live analog of the catalog's first-seen semantics (R2,
+    ``src/main.cpp:256-259``): the first event per key within the
+    watermark horizon survives; duplicates are dropped without
+    unbounded state."""
+    keys = keys or ["event_type", "user_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion into a memory sink
+    (local test harness: processAllAvailable = replay the fixture),
+    returning the materialized result as a batch DataFrame."""
+    import uuid
+
+    # checkpoint must be unique PER RUN: a reused checkpoint records
+    # file-source progress, and a replay against it sees "no new
+    # files" and emits nothing
+    ckpt = os.path.join("/tmp", f"etl_lens_ckpt_{name}_{uuid.uuid4().hex}")
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

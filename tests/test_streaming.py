@@ -1,0 +1,74 @@
+"""Streaming/batch equivalence: the same operator graph over the
+events fixture must produce identical results through the streaming
+engine (file-source replay → memory sink) and the batch engine
+(whose results the DuckDB oracle already validates).
+
+Aggregations run in 'complete' output mode: with a single-file
+replay the watermark never advances past the data, so 'append' would
+(correctly) hold all windows open and emit nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.streaming import stream_ops as so
+
+
+def _batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir):
+    stream = so.tumbling_window_counts(so.events_stream(spark, sf_dir))
+    got = so.run_to_memory(stream, "t_tumbling", output_mode="complete")
+    ev = _batch_events(spark, sf_dir)
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    g = {(r["win_start"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
+    w = {(r["win_start"], r["event_type"]): (r["n"], r["total_value"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_session_windows_match_batch_session_window(spark, sf_dir):
+    stream = so.session_window_stats(so.events_stream(spark, sf_dir), gap="30 minutes")
+    got = so.run_to_memory(stream, "t_sessions", output_mode="complete")
+    ev = _batch_events(spark, sf_dir)
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    g = {(r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()}
+    w = {(r["user_id"], r["session_start"]): r["n_events"] for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_sliding_windows_overlap_factor(spark, sf_dir):
+    stream = so.sliding_window_counts(
+        so.events_stream(spark, sf_dir), window="1 hour", slide="15 minutes"
+    )
+    got = so.run_to_memory(stream, "t_sliding", output_mode="complete")
+    ev = _batch_events(spark, sf_dir)
+    total_events = ev.count()
+    # every event lands in exactly window/slide = 4 sliding windows
+    assert got.agg(F.sum("n")).collect()[0][0] == 4 * total_events
+
+
+def test_stateful_dedup_first_seen(spark, sf_dir):
+    stream = so.stateful_dedup(so.events_stream(spark, sf_dir), keys=["event_type", "user_id"])
+    got = so.run_to_memory(stream, "t_dedup", output_mode="append")
+    ev = _batch_events(spark, sf_dir)
+    n_keys = ev.select("event_type", "user_id").distinct().count()
+    assert got.count() == n_keys
+    # one row per key
+    assert got.select("event_type", "user_id").distinct().count() == n_keys
