@@ -73,6 +73,7 @@ def _load() -> None:
         return
     from etl_lens_spark.queries import (  # noqa: F401
         events_q,
+        funcs_q,
         joins_q,
         npipe,
         rel,

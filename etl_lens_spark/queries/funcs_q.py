@@ -1,0 +1,310 @@
+"""Coverage queries: [R] decode scalars (GUID/FILETIME/hex), the
+UDF surface (pandas UDAF, applyInPandas), array/map functions,
+percentiles, grouping sets, and the remaining TPC-H-style shapes
+(Q13 distribution, Q18 big-order filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.functions import scalar as sc
+from etl_lens_spark.functions import udf_surface as us
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------
+# [R] decode scalars
+# --------------------------------------------------------------------
+
+
+@query(
+    "r_guid_filetime_decode",
+    oracle="""
+    SELECT event_id,
+           concat_ws('-',
+               substr(md5(CAST(event_id AS VARCHAR)), 1, 8),
+               substr(md5(CAST(event_id AS VARCHAR)), 9, 4),
+               substr(md5(CAST(event_id AS VARCHAR)), 13, 4),
+               substr(md5(CAST(event_id AS VARCHAR)), 17, 4),
+               substr(md5(CAST(event_id AS VARCHAR)), 21, 12)) AS guid,
+           (epoch_us(ts) + 11644473600000000) * 10 AS filetime_ticks,
+           epoch_us(ts) AS roundtrip_us,
+           '0x' || lpad(lower(hex(event_id)), 16, '0') AS event_id_hex
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def r_guid_filetime_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[R] decode-layer scalars (functions.scalar): GUID formatting
+    (``src/main.cpp:329-337``), FILETIME tick round-trip
+    (``src/main.cpp:143``), HEXINT display (``215-217``). The GUID
+    bytes are derived from md5 so the oracle can build the identical
+    16 bytes."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    guid_bytes = F.unhex(F.md5(F.col("event_id").cast("string")))
+    ticks = sc.timestamp_to_filetime(F.col("ts"))
+    return (
+        ev.select(
+            "event_id",
+            sc.guid_str(guid_bytes).alias("guid"),
+            ticks.alias("filetime_ticks"),
+            F.unix_micros(sc.filetime_to_timestamp(ticks)).alias("roundtrip_us"),
+            sc.hexint(F.col("event_id"), 16).alias("event_id_hex"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------
+# UDF surface
+# --------------------------------------------------------------------
+
+
+@query(
+    "udaf_weighted_mean",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_retailprice * p_size) / SUM(CAST(p_size AS DOUBLE)) AS DOUBLE)
+               AS weighted_price
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (UDAF surface,
+    ``sqlite3_create_function`` analog): size-weighted mean retail
+    price per brand, Arrow-batched per group."""
+    p = load_table(spark, sf_dir, "part")
+    # pandas UDAFs can't mix with JVM aggregates in one agg — run the
+    # two aggregations on the same shuffle key and broadcast-join the
+    # (tiny) results
+    counts = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+    weighted = p.groupBy("p_brand").agg(
+        us.weighted_mean_udaf(
+            F.col("p_retailprice"), F.col("p_size").cast("double")
+        ).alias("weighted_price")
+    )
+    return (
+        counts.join(F.broadcast(weighted), "p_brand")
+        .select("p_brand", "n_parts", "weighted_price")
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "udf_per_user_trend",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, value,
+               (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+                   / 3600000000.0 AS x
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           CAST(regr_slope(value, x) AS DOUBLE) AS slope_per_hour
+    FROM base
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def udf_per_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map UDF): per-user OLS slope of value
+    over time, vs DuckDB's regr_slope on identically re-centered x."""
+    ev = load_table(spark, sf_dir, "events")
+    return us.per_user_trend(ev).orderBy("user_id")
+
+
+@query("udf_per_user_zscore")
+def udf_per_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas row-preserving normalization (rows-only: float
+    std accumulation order differs from SQL's; semantics asserted in
+    tests/test_udf.py against a window-function equivalent)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return us.per_user_zscore(ev).orderBy("user_id", "event_id")
+
+
+# --------------------------------------------------------------------
+# Array / map functions ([L] JSON1/array analog surface)
+# --------------------------------------------------------------------
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           CAST(len(list_filter(words, w -> length(w) > 5)) AS BIGINT) AS n_long_words,
+           list_sort(list_distinct(list_transform(words, w -> lower(w))))[1:3] AS first3_sorted,
+           array_to_string(words[1:3], '_') AS first3_joined,
+           CAST(list_contains(words, 'data') AS BOOLEAN) AS has_data
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: transform/filter/sort/distinct/slice/
+    contains/join — all JVM-side (the Spark analog of SQLite's JSON1
+    array ops, SURVEY §2.2)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    words = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(words).cast("long").alias("n_words"),
+            F.size(F.filter(words, lambda w: F.length(w) > 5))
+            .cast("long")
+            .alias("n_long_words"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.transform(words, F.lower))),
+                1,
+                3,
+            ).alias("first3_sorted"),
+            F.array_join(F.slice(words, 1, 3), "_").alias("first3_joined"),
+            F.array_contains(words, "data").alias("has_data"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS median_price,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90_price,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQLite has none; Spark's
+    ``percentile`` matches DuckDB's quantile_cont definition). At
+    100 TB you'd switch to ``percentile_approx`` (t-digest, mergeable,
+    single pass) — kept exact here because the oracle must match."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (beyond rollup/cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# Remaining TPC-H-style shapes
+# --------------------------------------------------------------------
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: two-level aggregation over a left outer join
+    (count(col) skips nulls — customers with no orders count 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: IN-subquery on an aggregate (semi join after
+    Catalyst rewrite) feeding a star join + top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
