@@ -79,3 +79,56 @@ def streaming_sessions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_start_us")
+
+
+@query(
+    "streaming_stateful_totals_live",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           MIN(epoch_us(ts)) AS first_us,
+           MAX(epoch_us(ts)) AS last_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running totals held in the state store. Update-mode sink
+    emits one row per key per micro-batch; the final state per key
+    (selected with ``max_by`` on the monotone event count) must equal
+    the batch aggregate the oracle computes."""
+    stream = so.user_totals_stateful(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_stateful", output_mode="update")
+    final = F.max_by(
+        F.struct("total_value", "first_us", "last_us"), "n_events"
+    ).alias("s")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), final)
+        .select("user_id", "n_events", "s.total_value", "s.first_us", "s.last_us")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_dedup_live",
+    oracle="""
+    SELECT DISTINCT event_type, user_id
+    FROM events
+    ORDER BY event_type, user_id
+    """,
+)
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark``) — the live analog of the
+    catalog's first-seen semantics (R2, ``src/main.cpp:256-259``).
+    Which physical row survives per key is arrival-order-dependent, so
+    the declared result projects only the key columns (deterministic);
+    first-seen *row* semantics are batch-checked in
+    ``r_first_seen_dedup``."""
+    stream = so.stateful_dedup(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_dedup", output_mode="append")
+    return out.select("event_type", "user_id").orderBy("event_type", "user_id")

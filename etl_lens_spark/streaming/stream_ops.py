@@ -129,6 +129,70 @@ def stateful_dedup(
     )
 
 
+USER_TOTALS_OUTPUT = (
+    "user_id long, n_events long, total_value double, "
+    "first_us long, last_us long"
+)
+USER_TOTALS_STATE = "n long, total string, first_us long, last_us long"
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    ``sqlite3_create_window_function`` / custom-aggregate analog for
+    streams, SURVEY §2.2): per-user running totals that survive across
+    micro-batches in the state store.
+
+    Scale posture: state is keyed by ``user_id`` so it shards across
+    executors via hash partitioning; per-key state is O(1) (four
+    scalars). The running sum is carried as an exact ``Decimal``
+    string so replay order can't drift the float — the same
+    decimal-accumulation discipline as functions/numeric.py.
+    """
+    import pandas as pd
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cent = Decimal("0.01")
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            n, total_s, first_us, last_us = state.get
+            total = Decimal(total_s)
+        else:
+            n, total, first_us, last_us = 0, Decimal(0), None, None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # quantize each value like CAST(value AS DECIMAL(18,2)),
+            # then accumulate exactly
+            for v in pdf["value"]:
+                total += Decimal(repr(float(v))).quantize(
+                    cent, rounding=ROUND_HALF_UP
+                )
+            lo = int(pdf["ts_us"].min())
+            hi = int(pdf["ts_us"].max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, str(total), first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total)],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_OUTPUT,
+        stateStructType=USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
