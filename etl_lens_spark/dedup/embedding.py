@@ -1,0 +1,165 @@
+"""Embedding-cosine near-duplicate detection + duplicate clustering.
+
+Near-dup pairs: vectors whose cosine similarity clears a threshold.
+Two plans, one semantic (same split as similarity/knn.py):
+
+- ``cosine_pairs`` — exact: self-join on ``id_a < id_b``, score every
+  pair. Quadratic; the correctness baseline and the oracle at test sf.
+- ``cosine_pairs_lsh`` — the 100 TB path: SRP-bucket both sides and
+  score only within-bucket pairs (one equi-join shuffle on the bucket
+  key, candidate count ~ n²/2^bits per band; recall tunable by number
+  of bands).
+
+Duplicate clustering: connected components over the near-dup pair
+graph via iterative min-label propagation — each iteration is one
+shuffle (join on edge endpoints + min-aggregate), converging in
+O(diameter) ≤ O(log n) iterations for near-dup clusters (which are
+small and dense). Lineage is truncated per iteration with
+``localCheckpoint`` so the plan doesn't grow unboundedly — the classic
+Spark iterative-algorithm discipline. No driver-side collect except
+the O(1) convergence check.
+
+The reference has no similarity machinery; this is [N] north-star
+surface (SURVEY §2.3) built on the identity-key dedup idea of
+``src/main.cpp:256-259`` generalized from exact keys to metric
+neighborhoods.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_lens_spark.similarity.knn import (
+    _as_double,
+    _srp_bits,
+    cosine_similarity,
+    make_planes,
+)
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs: all (a, b) with a < b and cosine >= tau.
+
+    Returns (id_a, id_b, cos_sim). Quadratic — use at oracle scale or
+    after blocking; ``cosine_pairs_lsh`` is the scale path.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= tau)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    tau: float,
+    dim: int,
+    n_bits: int = 8,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: SRP-bucket with ``n_bands``
+    independent hash tables; a pair is scored iff it collides in at
+    least one band (union of bands, then exact-cosine rescoring).
+
+    Plan shape per band: add bucket column → self equi-join on
+    (band, bucket) — a hash-partitioned shuffle whose per-bucket
+    cardinality is n/2^bits expected, so the scored-pair count is
+    ~ n²·bands/2^bits instead of n²/2. Dedup across bands happens on
+    the (id_a, id_b) key before rescoring so each surviving pair's
+    cosine is computed once.
+    """
+    bands = []
+    for band in range(n_bands):
+        planes = make_planes(dim, n_bits, seed + band)
+        keyed = emb.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ).withColumn("__bucket", _srp_bits(_as_double(F.col("__v")), planes))
+        a = keyed.select(
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            "__bucket",
+        )
+        b = keyed.select(
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            "__bucket",
+        )
+        bands.append(
+            a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+        )
+    cands = bands[0]
+    for extra in bands[1:]:
+        cands = cands.unionByName(extra)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    return (
+        cands.withColumn(
+            "cos_sim", cosine_similarity(F.col("__va"), F.col("__vb"))
+        )
+        .filter(F.col("cos_sim") >= tau)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one column ``node``; ``edges``: columns (``src``,
+    ``dst``), undirected (either orientation). Returns (node,
+    component) where component = min node id in the component.
+
+    Each iteration: every node adopts min(own label, neighbors'
+    labels) — one join shuffle + one min-aggregate shuffle, both hash-
+    partitioned on node id. Converges in O(graph diameter); near-dup
+    clusters have tiny diameters. The only driver-side action is the
+    O(1) changed-count check per iteration.
+    """
+    sym = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
+
+    labels = nodes.select(
+        F.col("node"), F.col("node").alias("component")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels

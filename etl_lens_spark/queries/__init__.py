@@ -74,6 +74,7 @@ def _load() -> None:
     from etl_lens_spark.queries import (  # noqa: F401
         events_q,
         funcs_q,
+        graph_q,
         joins_q,
         npipe,
         rel,

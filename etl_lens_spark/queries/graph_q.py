@@ -1,0 +1,101 @@
+"""Coverage queries: embedding-cosine near-dup, LSH-blocked variant,
+and duplicate clustering via connected components (the Spark iterative
+answer to SQL's recursive CTE — SURVEY §2.2 names recursive CTE as the
+one [L] gap, emulated here with an iterative DataFrame loop; the
+DuckDB oracle uses WITH RECURSIVE directly, so the two different
+mechanisms must converge to identical components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.dedup import embedding as emb_dedup
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+COSINE_TAU = 0.35
+EMB_DIM = 64
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) AS DOUBLE)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] embedding-cosine near-dup pairs, exact plan (all pairs,
+    JVM-side zip_with/aggregate dot product). The LSH-blocked scale
+    plan is ``dedup_embedding_lsh``; this exact form is the oracle
+    anchor."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return emb_dedup.cosine_pairs(e, COSINE_TAU).orderBy("id_a", "id_b")
+
+
+@query("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] LSH-blocked near-dup pairs (rows-only: banding is an
+    approximation, so the contract is recall vs the exact plan —
+    asserted in tests/test_graph.py — not hash equality).
+
+    Band geometry note: SRP collision probability per bit is
+    1 - angle/pi, so at the test threshold tau=0.35 (69° — far looser
+    than a production near-dup threshold of >= 0.9 / 26°) recall needs
+    short bucket ids and many bands (4 bits x 16 bands -> ~0.91
+    expected recall). At tau=0.9 the same recall needs only ~8 bits x
+    4 bands with far stronger pruning — tighter thresholds are
+    *cheaper*, which is why this plan holds at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return emb_dedup.cosine_pairs_lsh(
+        e, COSINE_TAU, dim=EMB_DIM, n_bits=4, n_bands=16
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle="""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT src AS node, MIN(node) AS component
+    FROM reach
+    GROUP BY src
+    ORDER BY node
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] duplicate clustering: connected components of the near-dup
+    graph. Spark runs iterative min-label propagation (O(diameter)
+    shuffles, lineage truncated per iteration); the oracle runs the
+    equivalent WITH RECURSIVE transitive closure. Component id = min
+    vec_id in the component; singletons map to themselves."""
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = emb_dedup.cosine_pairs(e, COSINE_TAU).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = e.select(F.col("vec_id").alias("node"))
+    cc = emb_dedup.connected_components(nodes, edges)
+    return cc.orderBy("node")
