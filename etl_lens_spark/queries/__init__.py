@@ -75,6 +75,7 @@ def _load() -> None:
         events_q,
         funcs_q,
         graph_q,
+        io_q,
         joins_q,
         npipe,
         rel,

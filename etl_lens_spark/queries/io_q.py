@@ -1,0 +1,173 @@
+"""Coverage queries: Python UDTF (LATERAL table function) and the
+write-path round-trips (partitioned parquet, csv, json, orc). Each
+sink query writes to the repo-local .scratch dir, reads its own output
+back, and aggregates — the oracle aggregates the original table, so a
+lossy or mistyped round-trip fails the hash."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.functions.table_funcs import register_udtfs
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources import sinks
+from etl_lens_spark.sources.tables import load_table
+
+
+@query(
+    "udtf_split_parts",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(1, len(parts))) AS pos,
+           unnest(parts) AS part
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS parts
+        FROM documents WHERE doc_id < 20
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_split_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL join (SQLite virtual-table/TVF
+    analog, ``sqlite3.h:7586``): one row in, N (pos, part) rows out,
+    schema declared on the class. Fan-out is executor-side."""
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("docs_small")
+    return spark.sql(
+        """
+        SELECT doc_id, p.pos, p.part
+        FROM docs_small, LATERAL split_parts(text, ' ') AS p
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-parquet write + pruned read-back: orders written
+    ``partitionBy(o_orderpriority)``; the read-back filter on the
+    partition column prunes to 2 of 5 directories (PartitionFilters,
+    asserted in tests/test_io.py) — the mechanism that lets a 100 TB
+    table answer a partition-scoped query by touching only its slice."""
+    o = load_table(spark, sf_dir, "orders")
+    path = sinks.write_partitioned_parquet(
+        o, "orders_by_priority", ["o_orderpriority"]
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+           MAX(l_linestatus) AS max_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + schema-locked read-back (header on, explicit DDL —
+    no inference scan). Covers int/string/date fidelity through the
+    text format."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_shipdate", "l_linestatus"
+    )
+    path, ddl = sinks.write_csv(li, "lineitem_csv")
+    back = sinks.read_csv(spark, path, ddl)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
+            F.max("l_linestatus").alias("max_status"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sink_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(epoch_us(ts)) AS first_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write + schema-locked read-back over the event log
+    (timestamps carried as unix micros — json has no timestamp type)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    path, ddl = sinks.write_json(ev, "events_json")
+    back = sinks.read_json(spark, path, ddl)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_us").alias("first_us"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(p_size) AS BIGINT) AS sum_size
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back (the second columnar format; same
+    pushdown/pruning properties as parquet through DataSource V2)."""
+    p = load_table(spark, sf_dir, "part").select("p_brand", "p_size")
+    path = sinks.write_orc(p, "part_orc")
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_size").cast("long").alias("sum_size"),
+        )
+        .orderBy("p_brand")
+    )

@@ -159,6 +159,22 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5 (rows-only; recall vs brute force
+    asserted in tests/test_knn.py): spherical k-means coarse quantizer
+    (distributed Lloyd via Pandas-UDF matmul), corpus shuffled once on
+    cell id, queries probe their 6 nearest cells. The second [N] ANN
+    plan alongside SRP-LSH (similarity/ivf.py)."""
+    from etl_lens_spark.similarity import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf.ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=6, train_iters=3
+    ).orderBy("qid", "rank_n")
+
+
 # --------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------

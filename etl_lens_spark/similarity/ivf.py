@@ -1,0 +1,165 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-
+quantizer counterpart to the SRP-LSH plan in similarity/knn.py.
+
+Plan: (1) train k centroids (deterministic seed sample + a few Lloyd
+iterations, all distributed — assignment via a vectorized Pandas UDF
+doing one numpy matmul per Arrow batch, means via groupBy); (2) assign
+every corpus vector to its nearest centroid (its *cell*); (3) at query
+time, probe the ``nprobe`` nearest cells per query and rescore
+exact-cosine only within those cells.
+
+Scale posture: centroids are tiny (k × dim floats) and ride to
+executors as broadcast state inside the UDF closure; the corpus is
+shuffled ONCE on cell id (and at 100 TB you'd persist it bucketed by
+cell, making repeated query batches shuffle-free); per-query work
+drops from O(n) to O(n·nprobe/k) expected. Recall/latency tunes with
+(k, nprobe) exactly like FAISS IVF-Flat.
+
+[N] north-star surface (SURVEY §2.3); no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_lens_spark.similarity.knn import cosine_similarity
+
+
+def _normalized_matrix(series: pd.Series) -> np.ndarray:
+    m = np.asarray(series.tolist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def train_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means on the unit sphere (spherical k-means).
+
+    Init is the k smallest ids (deterministic); each iteration assigns
+    distributed (Pandas-UDF matmul) and recomputes means via groupBy —
+    only the k × dim centroid matrix ever returns to the driver.
+    """
+    init = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
+    centroids = _normalized_matrix(init)
+
+    for _ in range(iters):
+        assigned = assign_cells(emb, centroids, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(vec_col).alias("dim_i", "x")
+            )
+            .groupBy("cell", "dim_i")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim_i", "s"))).alias("dims"))
+            .select("cell", F.col("dims.s").alias("mean_vec"))
+            .toPandas()
+        )
+        new = centroids.copy()
+        for _, row in sums.iterrows():
+            v = np.asarray(row["mean_vec"], dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[int(row["cell"])] = v / n
+        centroids = new
+    return centroids
+
+
+def assign_cells(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Add a ``cell`` column (nearest centroid id by cosine); with
+    nprobe > 1, emit one row per probed cell (query-side fan-out).
+    One numpy matmul per Arrow batch — the vectorized scale path."""
+    cent = centroids  # captured; broadcast by closure serialization
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalized_matrix(pdf[vec_col])
+            sims = m @ cent.T  # (rows, k)
+            if nprobe == 1:
+                out = pdf.copy()
+                out["cell"] = np.argmax(sims, axis=1).astype(np.int32)
+                yield out
+            else:
+                top = np.argsort(-sims, axis=1)[:, :nprobe]
+                rep = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+                rep["cell"] = top.ravel().astype(np.int32)
+                yield rep
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
+    )
+    return emb.mapInPandas(probe, schema + ", cell int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, restricted to the nprobe most
+    promising cells per query. Join is a hash-partitioned equi-join on
+    ``cell`` (corpus side shuffles once; query side is broadcast)."""
+    from pyspark.sql import Window
+
+    centroids = train_centroids(
+        corpus, k=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
+    )
+    c = assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        "cell",
+    )
+    q = assign_cells(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+        )
+        # a (query, neighbor) pair can meet in several probed cells
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_n") <= k)
+        .select(query_id_col, "neighbor_id", "rank_n", "cos_sim")
+    )

@@ -75,3 +75,29 @@ def test_lsh_topk_similarities_are_exact(spark, sf_dir):
         assert bf[(r["qid"], r["neighbor_id"])] == pytest.approx(
             r["cos_sim"], abs=1e-12
         )
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from etl_lens_spark.similarity import ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r["qid"], r["neighbor_id"])
+        for r in knn.brute_force_topk(emb, queries, k=5).collect()
+    }
+    iv = ivf.ivf_topk(
+        emb, queries, k=5, n_cells=16, nprobe=6, train_iters=3
+    ).collect()
+    got = {(r["qid"], r["neighbor_id"]) for r in iv}
+    recall = len(got & bf) / len(bf)
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall}"
+    # similarities for reported pairs are exact
+    bf_all = {
+        (r["qid"], r["neighbor_id"]): r["cos_sim"]
+        for r in knn.brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    for r in iv:
+        assert bf_all[(r["qid"], r["neighbor_id"])] == pytest.approx(
+            r["cos_sim"], abs=1e-9
+        )
