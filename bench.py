@@ -33,11 +33,16 @@ def main() -> None:
     first = next(iter(specs.values()))
     first.fn(spark, sf_dir).count()
 
+    # min of 2 runs per query: steady-state throughput (what a
+    # resident cluster delivers), robust to one-off JIT/GC noise
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -33,8 +33,9 @@ from pyspark.sql import functions as F
 from etl_lens_spark.similarity.knn import (
     _as_double,
     _srp_bits,
-    cosine_similarity,
+    dot,
     make_planes,
+    norm,
 )
 
 
@@ -49,15 +50,20 @@ def cosine_pairs(
     Returns (id_a, id_b, cos_sim). Quadratic — use at oracle scale or
     after blocking; ``cosine_pairs_lsh`` is the scale path.
     """
+    # norms precomputed per side: the O(n²) stage does ONE dot product
+    # per pair (array HOFs are interpreted, so per-pair work dominates)
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
+    ).withColumn("__na", norm(F.col("__va")))
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
+    ).withColumn("__nb", norm(F.col("__vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine_similarity(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cos_sim") >= tau)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -84,20 +90,23 @@ def cosine_pairs_lsh(
     the (id_a, id_b) key before rescoring so each surviving pair's
     cosine is computed once.
     """
+    base = emb.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
     bands = []
     for band in range(n_bands):
         planes = make_planes(dim, n_bits, seed + band)
-        keyed = emb.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-        ).withColumn("__bucket", _srp_bits(_as_double(F.col("__v")), planes))
+        keyed = base.withColumn("__bucket", _srp_bits(F.col("__v"), planes))
         a = keyed.select(
             F.col("__id").alias("id_a"),
             F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
             "__bucket",
         )
         b = keyed.select(
             F.col("__id").alias("id_b"),
             F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
             "__bucket",
         )
         bands.append(
@@ -109,7 +118,8 @@ def cosine_pairs_lsh(
     cands = cands.dropDuplicates(["id_a", "id_b"])
     return (
         cands.withColumn(
-            "cos_sim", cosine_similarity(F.col("__va"), F.col("__vb"))
+            "cos_sim",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
         )
         .filter(F.col("cos_sim") >= tau)
         .select("id_a", "id_b", "cos_sim")

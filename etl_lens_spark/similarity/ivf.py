@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_lens_spark.similarity.knn import cosine_similarity
+from etl_lens_spark.similarity.knn import _as_double, dot, norm
 
 
 def _normalized_matrix(series: pd.Series) -> np.ndarray:
@@ -136,21 +136,23 @@ def ivf_topk(
     )
     c = assign_cells(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         "cell",
-    )
+    ).withColumn("__cnorm", norm(F.col("__cvec")))
     q = assign_cells(
         queries, centroids, id_col, vec_col, nprobe=nprobe
     ).select(
         F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         "cell",
-    )
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
-            "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+            "cos_sim",
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
         )
         # a (query, neighbor) pair can meet in several probed cells
         .dropDuplicates([query_id_col, "neighbor_id"])

@@ -62,18 +62,28 @@ def brute_force_topk(
     rank per query. The rank filter compiles to WindowGroupLimit —
     each partition keeps only k rows per query before the final
     exchange, so the shuffle is O(queries x k), not O(pairs).
+
+    Norms are precomputed per side BEFORE the join — same arithmetic
+    (so still oracle-exact), but the O(pairs) stage does one dot
+    product instead of three. Array HOF expressions are interpreted
+    (outside codegen), so per-pair work is the term that matters.
     """
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-    )
+        _as_double(F.col(vec_col)).alias("__qvec"),
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
     scored = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    ).join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
+    ).withColumn("__cnorm", norm(F.col("__cvec"))).join(
+        F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col)
+    )
     scored = scored.withColumn(
-        "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+        "cos_sim",
+        dot(F.col("__cvec"), F.col("__qvec"))
+        / (F.col("__cnorm") * F.col("__qnorm")),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -126,20 +136,30 @@ def lsh_topk(
     from pyspark.sql import Window
 
     planes = make_planes(dim, n_bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-    ).withColumn("__bucket", _srp_bits(_as_double(F.col("__cvec")), planes))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-    ).withColumn("__bucket", _srp_bits(_as_double(F.col("__qvec")), planes))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("__cvec"),
+        )
+        .withColumn("__bucket", _srp_bits(F.col("__cvec"), planes))
+        .withColumn("__cnorm", norm(F.col("__cvec")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            _as_double(F.col(vec_col)).alias("__qvec"),
+        )
+        .withColumn("__bucket", _srp_bits(F.col("__qvec"), planes))
+        .withColumn("__qnorm", norm(F.col("__qvec")))
+    )
 
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
-            "cos_sim", cosine_similarity(F.col("__cvec"), F.col("__qvec"))
+            "cos_sim",
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
