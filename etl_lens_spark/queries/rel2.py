@@ -1,0 +1,238 @@
+"""Second tranche of [L] relational-surface queries: UNION DISTINCT,
+LIMIT/OFFSET pagination, explicit NULLS FIRST/LAST ordering, and the
+remaining classic TPC-H query shapes adaptable to this schema (Q2-like
+correlated min, Q16-like excluded-set distinct count, Q22-like
+anti-join + scalar subquery), plus mergeable-sketch aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    ORDER BY nationkey
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup (vs the existing UNION ALL query):
+    ``union`` + ``distinct`` — Catalyst fuses to a hash-aggregate over
+    the union, one shuffle on the full row."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(
+            s.filter(F.col("s_acctbal") > 9000).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (SQLite surface). Spark's ``offset``
+    composes with ``limit`` into a single GlobalLimit — still a
+    top-(offset+limit) under the hood, so offset must stay bounded
+    (deep pagination at 100 TB should use keyset pagination instead —
+    WHERE key > last_seen ORDER BY key LIMIT n)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(50)
+        .limit(25)
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, t
+    FROM (
+        SELECT c.c_custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS t
+        FROM customer c LEFT JOIN orders o ON c_custkey = o_custkey
+        GROUP BY c.c_custkey
+    )
+    ORDER BY t DESC NULLS FIRST, c_custkey
+    LIMIT 30
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST/LAST ordering (SQLite 3.30+ surface).
+    The engines' defaults differ (Spark asc=NULLS FIRST, DuckDB
+    asc=NULLS LAST) so every cross-engine sort on a nullable key MUST
+    say which it wants — here desc_nulls_first on the outer-join
+    aggregate (customers with no orders sort first)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("t")
+        )
+    )
+    return (
+        per.orderBy(F.col("t").desc_nulls_first(), F.col("c_custkey").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    ORDER BY p.p_partkey, l.l_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: lineitem stands in for partsupp):
+    correlated scalar subquery on a per-part MIN. Catalyst rewrites
+    the correlation into an aggregate + join — same plan you'd write
+    by hand, declared relationally."""
+    for t in ("part", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, l.l_suppkey,
+               CAST(l.l_extendedprice AS DOUBLE) AS price
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 5
+          AND l.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+        ORDER BY p.p_partkey, l.l_suppkey
+        """
+    )
+
+
+@query(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 40
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN (→ null-aware anti join) + distinct
+    aggregate over a join."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p.filter(F.col("p_brand") != "Brand#1"), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(40)
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average,
+    computed once and broadcast) + NOT EXISTS on a filtered probe
+    (anti join against high-value orders) + aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal"))
+        .collect()[0][0]
+    )
+    big_orders = o.filter(F.col("o_totalprice") > 300000)
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(big_orders, c.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query("sketch_approx_aggs")
+def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates — the 100 TB substitutes for exact
+    DISTINCT/percentile (single pass, bounded memory, partial-merge
+    across partitions): HyperLogLog++ ``approx_count_distinct`` and
+    t-digest-style ``percentile_approx``. Rows-only (estimates are
+    engine-specific); error bounds vs exact values are asserted in
+    tests/test_queries.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
