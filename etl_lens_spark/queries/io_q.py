@@ -148,6 +148,85 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table join: both sides bucketed 8-ways on the order
+    key at write time, so the fact-fact join itself needs NO exchange
+    (shuffle-free-ness asserted in tests/test_io.py) — the amortize-
+    the-shuffle-once pattern for repeated joins on the same key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sinks.write_bucketed_table(o, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    sinks.write_bucketed_table(
+        li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "salted_join_skew",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(d.type_total) AS BIGINT) AS weight_sum
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE e.user_id < 50
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators.partitioning.salted_join): events
+    join a tiny per-type dimension on ``event_type`` — a 5-value key,
+    the worst-case skew shape (every row of a type lands on one
+    reducer in a plain shuffle join). Salting fans each hot key over 8
+    reducers; the result is hash-identical to the unsalted join the
+    oracle runs."""
+    from etl_lens_spark.operators.partitioning import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    joined = salted_join(
+        ev.filter(F.col("user_id") < 50), dim, on=["event_type"], salt=8
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("type_total").cast("long").alias("weight_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "sink_orc_roundtrip",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,

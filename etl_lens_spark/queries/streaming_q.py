@@ -114,6 +114,33 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "streaming_join_live",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ORDER BY purchase_id, click_id
+    """,
+)
+def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the live engine
+    (purchase↔click attribution with watermark-bounded state); full
+    replay must produce exactly the batch interval self-join the
+    oracle computes."""
+    stream = so.stream_stream_attribution_join(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_join", output_mode="append")
+    return out.orderBy("purchase_id", "click_id")
+
+
+@query(
     "streaming_dedup_live",
     oracle="""
     SELECT DISTINCT event_type, user_id

@@ -62,6 +62,47 @@ def write_orc(df: DataFrame, name: str) -> str:
     return path
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> str:
+    """Save as a bucketed (and optionally sort-bucketed) managed
+    parquet table.
+
+    Bucketing pre-shuffles the data ONCE at write time: every
+    subsequent join or aggregation on the bucket columns (with a
+    matching bucket count on the other side) runs with NO exchange —
+    the 100 TB pattern for fact tables that join on the same key every
+    day (asserted shuffle-free in tests/test_io.py). ``sortBy`` makes
+    sort-merge joins skip their sort too.
+    """
+    spark = df.sparkSession
+    # a prior session may have left the warehouse dir without the
+    # table being registered in this session's (in-memory) catalog —
+    # overwrite mode then refuses; clear both
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    leftover = os.path.join(warehouse, table_name)
+    if os.path.exists(leftover):
+        import shutil
+
+        shutil.rmtree(leftover)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    return table_name
+
+
 def read_csv(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     return spark.read.schema(ddl).option("header", "true").csv(path)
 

@@ -129,6 +129,55 @@ def stateful_dedup(
     )
 
 
+def stream_stream_attribution_join(
+    events: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's clicks within the preceding ``lookback``.
+
+    Both sides are watermarked so the join state is bounded: a click
+    can be dropped from state once the watermark passes its timestamp
+    + lookback (Spark derives this from the interval condition). The
+    join itself hash-partitions both streams on ``user_id`` — state
+    shards across executors like any keyed operator.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
 USER_TOTALS_OUTPUT = (
     "user_id long, n_events long, total_value double, "
     "first_us long, last_us long"

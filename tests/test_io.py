@@ -50,3 +50,52 @@ def test_udtf_null_and_empty(spark):
         (1, 3, "b"),
         (3, 1, ""),
     ]
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from etl_lens_spark.sources import sinks
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sinks.write_bucketed_table(o, "t_b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    sinks.write_bucketed_table(
+        li, "t_b_lineitem", ["l_orderkey"], 8, ["l_orderkey"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = spark.table("t_b_orders"), spark.table("t_b_lineitem")
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert j.count() > 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from etl_lens_spark.operators.partitioning import salted_join
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("w"))
+    plain = ev.join(dim, "event_type")
+    salted = salted_join(ev, dim, on=["event_type"], salt=4)
+    assert plain.count() == salted.count()
+    a = {tuple(r) for r in plain.select("event_id", "w").collect()}
+    b = {tuple(r) for r in salted.select("event_id", "w").collect()}
+    assert a == b
+
+    # left join keeps unmatched left rows exactly once
+    dim_partial = dim.filter(F.col("event_type") != "click")
+    pl = ev.join(dim_partial, "event_type", "left")
+    sl = salted_join(ev, dim_partial, on=["event_type"], how="left")
+    assert pl.count() == sl.count()
