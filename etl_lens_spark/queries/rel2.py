@@ -218,6 +218,113 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 200
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 200
+    ORDER BY p_partkey, metric
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (the inverse of the pivot query): wide metric
+    columns to (key, metric, value) rows — ``DataFrame.unpivot``,
+    which expands row-local (no shuffle), vs the oracle's UNION ALL
+    formulation."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot(
+            ["p_partkey"],
+            ["p_size", "p_retailprice"],
+            "metric",
+            "value",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents WHERE doc_id < 100
+    ),
+    tf AS (
+        SELECT doc_id, t.term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 100) t
+        GROUP BY doc_id, t.term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id < 100),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               CAST(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS DOUBLE)
+                   AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (SURVEY §2.3 text analysis):
+    explode terms → per-(doc,term) counts → document frequencies →
+    broadcast-join idf → per-doc top-k via WindowGroupLimit. The df
+    side is tiny relative to the corpus (vocabulary-sized), so the
+    only big shuffle is the (doc,term) count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf",
+        (
+            F.col("tf")
+            * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).cast("double"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
 @query("sketch_approx_aggs")
 def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the 100 TB substitutes for exact

@@ -1,0 +1,82 @@
+"""Property-based spot checks (SURVEY §5.4): hypothesis-generated
+small frames probing invariants that example tests can miss —
+first-seen dedup idempotence/first-wins, multi-key sort determinism
+with the non-zero coalesce tie-break, and pad/truncate conformance
+round-trips."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_lens_spark.catalog import conform, first_seen, multi_key_sort
+
+# one row: (key, seq, payload)
+row = st.tuples(
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=100),
+    st.integers(min_value=-10, max_value=10),
+)
+frames = st.lists(row, min_size=1, max_size=30)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, seq long, v long")
+
+
+@given(rows=frames)
+@SLOW
+def test_first_seen_dedup_idempotent_and_first_wins(spark, rows):
+    df = _df(spark, rows)
+    once = first_seen(df, ["k"], [F.col("seq").asc(), F.col("v").asc()])
+    twice = first_seen(once, ["k"], [F.col("seq").asc(), F.col("v").asc()])
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice  # idempotent
+    # exactly one row per key, and it's the minimal (seq, v) row
+    expected = {}
+    for k, seq, v in rows:
+        if k not in expected or (seq, v) < expected[k]:
+            expected[k] = (seq, v)
+    assert got_once == sorted(
+        (k, seq, v) for k, (seq, v) in expected.items()
+    )
+
+
+@given(rows=frames)
+@SLOW
+def test_multi_key_sort_is_total_and_deterministic(spark, rows):
+    df = _df(spark, rows)
+    specs = [("k", True), ("v", False)]
+    a = [tuple(r) for r in multi_key_sort(df, specs, tiebreak=["seq"]).collect()]
+    b = [tuple(r) for r in multi_key_sort(df, specs, tiebreak=["seq"]).collect()]
+    assert a == b  # deterministic across runs
+    # matches the reference comparator: k asc, v desc, then tiebreak
+    assert a == sorted(a, key=lambda t: (t[0], -t[2], t[1]))
+
+
+@given(
+    rows=frames,
+    extra=st.booleans(),
+)
+@SLOW
+def test_conform_pad_truncate_roundtrip(spark, rows, extra):
+    df = _df(spark, rows)
+    wide = df.withColumn("w", F.lit("x")) if extra else df
+    schema_cols = ["k", "seq", "v", "missing_col"]
+    out = conform(wide, schema_cols)
+    assert out.columns == schema_cols  # truncated extras, padded missing
+    assert out.count() == len(rows)
+    assert all(r["missing_col"] is None for r in out.collect())
+    # idempotent
+    again = conform(out, schema_cols)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, out.collect())
+    )
