@@ -285,6 +285,7 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
     """,
+    headline=True,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 analog: IN-subquery on an aggregate (semi join after

@@ -32,6 +32,7 @@ from etl_lens_spark.sources.tables import load_table
       ON e.user_id = c.user_id AND c.ts_us <= e.ts_us
     ORDER BY e.event_id
     """,
+    headline=True,
 )
 def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every 'error' event, the most recent 'click' by

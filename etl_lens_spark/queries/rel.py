@@ -490,6 +490,7 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 3 AND o_custkey < 100
     ORDER BY o_custkey, rn
     """,
+    headline=True,
 )
 def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K per group: row_number over (key, value desc). One shuffle

@@ -285,6 +285,7 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     ORDER BY doc_id, tfidf DESC, term
     """,
+    headline=True,
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (SURVEY §2.3 text analysis):

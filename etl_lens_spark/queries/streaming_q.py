@@ -27,6 +27,7 @@ from etl_lens_spark.streaming import stream_ops as so
     GROUP BY 1, 2
     ORDER BY win_start, event_type
     """,
+    headline=True,
 )
 def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window counts through the live streaming engine;
