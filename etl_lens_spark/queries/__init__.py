@@ -81,6 +81,7 @@ def _load() -> None:
         rel,
         rel2,
         streaming_q,
+        timeseries_q,
     )
 
     _loaded = True
