@@ -82,6 +82,7 @@ def _load() -> None:
         rel2,
         streaming_q,
         timeseries_q,
+        winx_q,
     )
 
     _loaded = True
