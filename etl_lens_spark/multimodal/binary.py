@@ -157,6 +157,50 @@ def extract_features_stub(
     return slim.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+    ]
+)
+
+
+def resize_image_stub(
+    decoded: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Resize stage stub: aspect-preserving downscale to ``max_side``
+    (no-op when already smaller) computed vectorized per Arrow batch —
+    the geometry logic is real, only the pixel resample is stubbed.
+    Consumes the decode stage's output (chained mapInPandas stages
+    stay in one python-worker pass when nothing reshuffles between
+    them)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["width"].to_numpy(dtype="int64")
+            h = pdf["height"].to_numpy(dtype="int64")
+            side = np.maximum(w, h)
+            scale = np.minimum(1.0, max_side / side)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": np.rint(w * scale).astype("int32"),
+                    "out_height": np.rint(h * scale).astype("int32"),
+                    "scale": scale,
+                }
+            )
+
+    slim = decoded.select("doc_id", "width", "height")
+    return slim.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def frame_sample_stub(
     df: DataFrame,
     media_col: str = "media",

@@ -318,3 +318,23 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_media = mm.attach_payload_metadata(docs)
     decoded = mm.decode_image_stub(with_media)
     return decoded.orderBy("doc_id")
+
+
+@query("mm_resize_frames")
+def mm_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal verb chain: attach → decode → resize (+ frame
+    sampling fan-out joined on, so all four north-star media verbs run
+    in one declared pipeline; rows-only — the fake decode has no SQL
+    counterpart, geometry/fan-out semantics are tested in
+    tests/test_multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    with_media = mm.attach_payload_metadata(docs)
+    resized = mm.resize_image_stub(mm.decode_image_stub(with_media))
+    frames = (
+        mm.frame_sample_stub(with_media)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return resized.join(frames, "doc_id").orderBy("doc_id")

@@ -326,6 +326,61 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sqlite_compat_aggs",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name)
+               FILTER (s_name GLOB 'Supplier#00000001*') AS glob_matches,
+           CAST(COALESCE(SUM(s_acctbal) FILTER (s_acctbal > 9000), 0.0)
+                AS DOUBLE) AS total_rich
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def sqlite_compat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite-dialect aggregate parity (SURVEY §2.2 agg list):
+    GROUP_CONCAT → ordered ``array_join(sort_array(collect_list))``,
+    TOTAL → ``coalesce(sum, 0.0)`` (TOTAL returns 0.0, not NULL, on
+    empty input — the SQLite quirk), GLOB → anchored ``rlike`` with
+    ``*``→``.*`` translation (vs DuckDB's native GLOB operator)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    glob_match = F.col("s_name").rlike("^Supplier#00000001.*$")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            # SQLite/DuckDB group_concat over an empty set is NULL,
+            # not '' — guard on the collected size
+            F.when(
+                F.size(
+                    F.sort_array(
+                        F.collect_list(F.when(glob_match, F.col("s_name")))
+                    )
+                )
+                > 0,
+                F.array_join(
+                    F.sort_array(
+                        F.collect_list(F.when(glob_match, F.col("s_name")))
+                    ),
+                    ",",
+                ),
+            ).alias("glob_matches"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("s_acctbal") > 9000, F.col("s_acctbal"))
+                ),
+                F.lit(0.0),
+            )
+            .cast("double")
+            .alias("total_rich"),
+        )
+        .orderBy("n_name")
+    )
+
+
 @query("sketch_approx_aggs")
 def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the 100 TB substitutes for exact

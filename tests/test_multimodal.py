@@ -55,3 +55,21 @@ def test_frame_sample_fanout(spark, sf_dir):
     out = mm.frame_sample_stub(media).collect()
     assert len(out) >= 5  # at least one frame per doc
     assert all(r["frame_uri"].endswith(f"#frame={r['frame_idx']}") for r in out)
+
+
+def test_resize_geometry(spark):
+    from etl_lens_spark.multimodal import binary as mm
+    from pyspark.sql import functions as F
+
+    decoded = spark.createDataFrame(
+        [(1, 1024, 512), (2, 100, 50), (3, 256, 256), (4, 300, 600)],
+        "doc_id long, width int, height int",
+    )
+    out = {r.doc_id: r for r in mm.resize_image_stub(decoded, 256).collect()}
+    # downscaled to max side 256, aspect preserved (within rounding)
+    assert (out[1].out_width, out[1].out_height) == (256, 128)
+    assert (out[4].out_width, out[4].out_height) == (128, 256)
+    # no-op when already within bounds
+    assert (out[2].out_width, out[2].out_height) == (100, 50)
+    assert out[2].scale == 1.0
+    assert (out[3].out_width, out[3].out_height) == (256, 256)
