@@ -227,6 +227,137 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(COUNT(o_totalprice_dbl) AS BIGINT) AS n_with_price
+    FROM (
+        SELECT o_orderpriority, NULL AS o_totalprice_dbl
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice_dbl
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 written without a
+    column, generation 2 with it; ``mergeSchema`` unifies the lake
+    (old rows NULL-padded — catalog.conform semantics, R13, applied
+    at the storage layer). The production shape for append-only lakes
+    whose schema widens over time."""
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice_dbl"),
+    )
+    path = sinks.scratch_path("orders_evolving")
+    gen1.coalesce(2).write.mode("overwrite").parquet(path)
+    gen2.coalesce(2).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_totalprice_dbl").cast("long").alias("n_with_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "streaming_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: the streaming escape hatch that reuses
+    any batch writer per micro-batch (idempotent by batch_id — the
+    exactly-once pattern when the writer is transactional). Here each
+    micro-batch appends to a parquet dir partitioned by batch id; the
+    replayed result re-read from disk must equal the batch aggregate."""
+    import uuid
+
+    from etl_lens_spark.streaming import stream_ops as so
+
+    out_path = sinks.scratch_path(f"febatch_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    stream = so.events_stream(spark, sf_dir).select(
+        "event_type", "value"
+    )
+    ckpt = sinks.scratch_path(f"febatch_ckpt_{uuid.uuid4().hex[:8]}")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "lax_typing_try_funcs",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER) AS lang_as_int,
+           CASE WHEN n_chars - 6000 = 0 THEN NULL
+                ELSE CAST(n_chars AS DOUBLE) / (n_chars - 6000) END AS risky_ratio,
+           TRY_CAST(source AS DOUBLE) AS src_num
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def lax_typing_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite's forgiving dynamic typing mapped to ANSI Spark via the
+    ``try_*`` family: failed casts and div-by-zero yield NULL instead
+    of erroring — per-row lax semantics without disabling ANSI mode
+    engine-wide."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.try_divide(
+            F.col("n_chars").cast("double"), F.col("n_chars") - 6000
+        ).alias("risky_ratio"),
+        F.col("source").try_cast("double").alias("src_num"),
+    ).orderBy("doc_id")
+
+
+@query(
     "sink_orc_roundtrip",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,

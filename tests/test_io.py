@@ -99,3 +99,22 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     pl = ev.join(dim_partial, "event_type", "left")
     sl = salted_join(ev, dim_partial, on=["event_type"], how="left")
     assert pl.count() == sl.count()
+
+
+def test_join_hints_steer_physical_strategy(spark, sf_dir):
+    # the [L] surface exposes optimizer control the way SQLite never
+    # could: per-join strategy hints, honored by Catalyst
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan_m = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan_m
+
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    plan_b = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    shj = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    plan_s = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_s
