@@ -131,22 +131,32 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by min-label propagation with pointer
+    jumping.
 
     ``nodes``: one column ``node``; ``edges``: columns (``src``,
     ``dst``), undirected (either orientation). Returns (node,
     component) where component = min node id in the component.
 
-    Each iteration: every node adopts min(own label, neighbors'
-    labels) — one join shuffle + one min-aggregate shuffle, both hash-
-    partitioned on node id. Converges in O(graph diameter); near-dup
-    clusters have tiny diameters. The only driver-side action is the
-    O(1) changed-count check per iteration.
+    Each iteration does two hash-partitioned joins: (1) every node
+    adopts min(own, neighbors') labels — one hop along edges; (2)
+    pointer jumping, label(u) := label(label(u)) — which doubles the
+    effective propagation distance, so convergence takes O(log
+    diameter) iterations instead of O(diameter). ``edges`` is
+    materialized ONCE up front (it is typically the expensive
+    similarity-pair computation; referencing it lazily from both join
+    orientations would run it twice). Lineage is truncated per
+    iteration; the only driver-side action is the O(1) changed check.
     """
-    sym = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-    sym = sym.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
+    )
 
     labels = nodes.select(
         F.col("node"), F.col("node").alias("component")
@@ -158,18 +168,34 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+        hop = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
+            (F.col("nbr_min") < F.col("component")).alias("__c1"),
+        )
+        ptr = hop.select(
+            F.col("node").alias("__pn"), F.col("component").alias("__pc")
+        )
+        jumped = (
+            hop.join(ptr, hop.component == ptr.__pn, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
+                    F.col("component"), F.coalesce("__pc", "component")
                 ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("__changed"),
+                (
+                    F.col("__c1")
+                    | (F.col("__pc") < F.col("component"))
+                ).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter(F.col("__changed")).limit(1).count()
+        labels = jumped.drop("__changed")
         if changed == 0:
             break
     return labels
