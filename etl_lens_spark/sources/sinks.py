@@ -103,6 +103,43 @@ def write_bucketed_table(
     return table_name
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files. Returns (files_before, files_after).
+
+    The 100 TB lake-maintenance primitive: streaming/foreachBatch
+    appends and per-task writes accumulate thousands of small files,
+    and every downstream scan then pays per-file open + planning cost.
+    Partition count is sized from actual on-disk bytes; the rewrite is
+    one round-robin shuffle, atomically swapped via a staging dir.
+    """
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(total / target_file_bytes))
+    staging = path.rstrip("/") + ".compacting"
+    spark.read.parquet(path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    backup = path.rstrip("/") + ".old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return len(files), after
+
+
 def read_csv(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     return spark.read.schema(ddl).option("header", "true").csv(path)
 

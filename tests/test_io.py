@@ -118,3 +118,19 @@ def test_join_hints_steer_physical_strategy(spark, sf_dir):
     shj = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
     plan_s = shj._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan_s
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
+    from etl_lens_spark.sources import sinks
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = sinks.scratch_path("orders_fragmented")
+    # simulate a fragmented append-heavy directory: 64 tiny files
+    o.repartition(64).write.mode("overwrite").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    n_before, n_after = sinks.compact_parquet(
+        spark, path, target_file_bytes=4 * 1024 * 1024
+    )
+    assert n_before == 64
+    assert n_after < n_before
+    assert spark.read.parquet(path).count() == before_rows
