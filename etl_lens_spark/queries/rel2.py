@@ -381,6 +381,76 @@ def sqlite_compat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(corr(o_totalprice, epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+                AS DOUBLE) AS price_date_corr,
+           CAST(covar_samp(o_totalprice, o_custkey) AS DOUBLE) AS price_cust_cov,
+           CAST(stddev_samp(o_totalprice) AS DOUBLE) AS price_sd,
+           CAST(var_samp(o_totalprice) AS DOUBLE) AS price_var
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: Pearson correlation, sample
+    covariance/stddev/variance — single-pass partial-mergeable
+    moments, the same co-moment formulation both engines use."""
+    o = load_table(spark, sf_dir, "orders")
+    date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.corr("o_totalprice", date_us).alias("price_date_corr"),
+            F.covar_samp("o_totalprice", F.col("o_custkey").cast("double")).alias(
+                "price_cust_cov"
+            ),
+            F.stddev_samp("o_totalprice").alias("price_sd"),
+            F.var_samp("o_totalprice").alias("price_var"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 21
+                ELSE 1 + CAST(FLOOR(o_totalprice * 20.0 / 500000) AS BIGINT)
+           END AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via ``width_bucket`` — the scalable
+    histogram shape (bucket assignment is row-local; one aggregation
+    shuffle on the bucket id)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20))
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @query("sketch_approx_aggs")
 def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the 100 TB substitutes for exact
