@@ -142,6 +142,48 @@ def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_static_enrich_live",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id AS d_user, COUNT(*) AS user_total
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(d.user_total) AS BIGINT) AS weight
+    FROM events e JOIN dim d ON e.user_id = d.d_user
+    WHERE e.user_id < 30
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def streaming_static_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming event flow enriched against a
+    static (batch) dimension — the broadcast-dimension pattern for
+    live pipelines (no state needed on the static side; each
+    micro-batch joins against the table as-of execution). Aggregated
+    in complete mode so full replay equals the batch join the oracle
+    runs."""
+    from etl_lens_spark.sources.tables import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("d_user"))
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    ev = so.events_stream(spark, sf_dir).filter(F.col("user_id") < 30)
+    enriched = ev.join(
+        F.broadcast(dim), ev.user_id == dim.d_user
+    )
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_total").cast("long").alias("weight"),
+    )
+    out = so.run_to_memory(agg, "q_stream_enrich", output_mode="complete")
+    return out.orderBy("event_type")
+
+
+@query(
     "streaming_dedup_live",
     oracle="""
     SELECT DISTINCT event_type, user_id

@@ -250,10 +250,12 @@ def run_to_memory(
     returning the materialized result as a batch DataFrame."""
     import uuid
 
+    from etl_lens_spark.sources.sinks import scratch_path
+
     # checkpoint must be unique PER RUN: a reused checkpoint records
     # file-source progress, and a replay against it sees "no new
     # files" and emits nothing
-    ckpt = os.path.join("/tmp", f"etl_lens_ckpt_{name}_{uuid.uuid4().hex}")
+    ckpt = scratch_path(f"ckpt_{name}_{uuid.uuid4().hex}")
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
