@@ -84,6 +84,45 @@ def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_rolling_time_sum",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_sum,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_1h_n
+    FROM events
+    WHERE user_id < 10
+    ORDER BY event_id
+    """,
+)
+def win_rolling_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-window aggregate: per-user trailing-1-hour sum and
+    count via a RANGE frame over the µs epoch — the sliding-window
+    shape that doesn't quantize to fixed buckets (vs the tumbling/
+    hopping ``F.window`` aggregates). One shuffle on user_id; frame
+    evaluation is a per-partition ordered scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("rolling_1h_n"),
+    ).orderBy("event_id")
+
+
+@query(
     "funnel_conversion",
     oracle="""
     WITH stages AS (
