@@ -39,13 +39,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema-locked; the
     file source replays the parquet as micro-batches)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    table_path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet")
+    if os.path.isdir(table_path):
+        # directory-of-part-files layout: monitor the table dir itself
+        raw = reader.load(table_path)
+    else:
+        # single-file layout: glob-filter it out of the sf dir (the
+        # file source wants a directory to monitor)
+        raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
+    ts_is_ns = dict(raw.dtypes).get("ts") == "bigint"
+    if ts_is_ns:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def tumbling_window_counts(
