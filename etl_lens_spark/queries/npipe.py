@@ -108,9 +108,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 3 (rows-only;
-    chunk-blocking recall is exact for that radius by pigeonhole)."""
+    chunk-blocking recall is exact for that radius by pigeonhole).
+    Runs after the exact-fingerprint collapse for the same reason as
+    dedup_minhash_lsh: identical texts share a simhash, so clone
+    groups would pair quadratically in every chunk block."""
     docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
-    sig = sh.add_simhash(docs)
+    reps = dx.exact_dedup(docs)
+    sig = sh.add_simhash(reps)
     return sh.simhash_candidates(sig).orderBy("doc_a", "doc_b")
 
 
