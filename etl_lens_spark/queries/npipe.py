@@ -124,6 +124,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_fuzzy_names",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+    WHERE a.p_partkey < 300 AND b.p_partkey < 300
+      AND a.p_name <> b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity resolution (the fuzzy tail of the dedup
+    family): blocking on the first name token (equi-join — hash
+    locality, no cross product) then Levenshtein verification within
+    blocks. The canonical blocking+verify shape: at 100 TB the block
+    key bounds candidate pairs the same way LSH bands do for minhash."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("__blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("__blk"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .select("id_a", "id_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "sim_bruteforce_topk",
     oracle="""
     WITH q AS (
