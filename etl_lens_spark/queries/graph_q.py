@@ -21,6 +21,83 @@ EMB_DIM = 64
 
 
 @query(
+    "dedup_pipeline_keep_list",
+    oracle="""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+        FROM documents
+    ),
+    exact_edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM norm a JOIN norm b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    tok AS (
+        SELECT doc_id, len(toks) AS sz, unnest(toks) AS t
+        FROM norm WHERE doc_id < 150
+    ),
+    near_edges AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.5
+    ),
+    edges AS (
+        SELECT u, v FROM exact_edges UNION SELECT u, v FROM near_edges
+        UNION SELECT v, u FROM exact_edges UNION SELECT v, u FROM near_edges
+    ),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM norm
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT src AS doc_id,
+           MIN(node) AS component,
+           src = MIN(node) AS keep
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
+    """,
+)
+def dedup_pipeline_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data dedup pipeline — the [N] deliverable
+    composed from the family's pieces: exact-fingerprint duplicate
+    edges (whole corpus) ∪ near-dup edges (exact token-Jaccard >= 0.5,
+    bounded to doc_id < 150 so the oracle's quadratic stays fixture-
+    sized; at scale this stage is the MinHash-LSH candidate set) →
+    connected components (pointer-jumping loop) → keep-list: one
+    representative (min doc_id) per component. The oracle rebuilds the
+    whole cascade relationally with a WITH RECURSIVE closure."""
+    from etl_lens_spark.dedup import minhash as mh
+    from etl_lens_spark.dedup.exact import fingerprint
+
+    docs = parallelize_compute(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    fp = docs.withColumn("fp", fingerprint(F.col("text")))
+    exact_edges = (
+        fp.select(F.col("doc_id").alias("u"), "fp")
+        .join(fp.select(F.col("doc_id").alias("v"), "fp"), "fp")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    near_edges = mh.ngram_jaccard_pairs(
+        docs, n=1, min_jaccard=0.5, candidate_filter=F.col("doc_id") < 150
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = exact_edges.unionByName(near_edges).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = emb_dedup.connected_components(nodes, edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
