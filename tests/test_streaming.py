@@ -72,3 +72,49 @@ def test_stateful_dedup_first_seen(spark, sf_dir):
     assert got.count() == n_keys
     # one row per key
     assert got.select("event_type", "user_id").distinct().count() == n_keys
+
+
+def test_stateful_totals_across_multiple_microbatches(spark, sf_dir):
+    """State must carry across micro-batch boundaries: split the
+    events fixture into 8 files and trigger 2 files per batch (4
+    micro-batches); the final per-user state must still equal the
+    batch aggregate. Guards the applyInPandasWithState merge logic —
+    a single-batch replay can't catch a broken state carry."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.sources.sinks import scratch_path
+    from etl_lens_spark.streaming import stream_ops as so
+
+    src = scratch_path(f"multibatch_events_{uuid.uuid4().hex[:8]}")
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_batch.repartition(8).write.mode("overwrite").parquet(src)
+
+    raw = (
+        spark.readStream.schema(so.EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    stream = so.user_totals_stateful(raw)
+    out = so.run_to_memory(stream, "t_multibatch", output_mode="update")
+    # >1 update row per user proves multiple micro-batches ran
+    n_updates = out.count()
+    n_users = out.select("user_id").distinct().count()
+    assert n_updates > n_users, "replay collapsed into a single micro-batch"
+
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n_events"] for r in final}
+    expected = {
+        r["user_id"]: r["n"]
+        for r in ev_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
