@@ -387,9 +387,10 @@ def sqlite_compat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(corr(o_totalprice, epoch_us(CAST(o_orderdate AS TIMESTAMP)))
                 AS DOUBLE) AS price_date_corr,
-           CAST(covar_samp(o_totalprice, o_custkey) AS DOUBLE) AS price_cust_cov,
-           CAST(stddev_samp(o_totalprice) AS DOUBLE) AS price_sd,
-           CAST(var_samp(o_totalprice) AS DOUBLE) AS price_var
+           CAST(covar_samp(o_totalprice, o_custkey) / 1e6 AS DOUBLE)
+               AS price_cust_cov_m,
+           CAST(stddev_samp(o_totalprice) / 1e3 AS DOUBLE) AS price_sd_k,
+           CAST(var_samp(o_totalprice) / 1e9 AS DOUBLE) AS price_var_b
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -398,18 +399,24 @@ def sqlite_compat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface: Pearson correlation, sample
     covariance/stddev/variance — single-pass partial-mergeable
-    moments, the same co-moment formulation both engines use."""
+    moments. Outputs are unit-scaled (cov in 1e6, sd in 1e3, var in
+    1e9) so the oracle's 6-decimal canonical rounding sits above the
+    engines' co-moment accumulation-order noise, which grows with the
+    magnitude of the raw second moments (caught at sf0.1: raw
+    variance ~1e10 differs across engines in the last few ulps,
+    i.e. by more than 1e-6 absolute)."""
     o = load_table(spark, sf_dir, "orders")
     date_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
     return (
         o.groupBy("o_orderpriority")
         .agg(
             F.corr("o_totalprice", date_us).alias("price_date_corr"),
-            F.covar_samp("o_totalprice", F.col("o_custkey").cast("double")).alias(
-                "price_cust_cov"
-            ),
-            F.stddev_samp("o_totalprice").alias("price_sd"),
-            F.var_samp("o_totalprice").alias("price_var"),
+            (
+                F.covar_samp("o_totalprice", F.col("o_custkey").cast("double"))
+                / 1e6
+            ).alias("price_cust_cov_m"),
+            (F.stddev_samp("o_totalprice") / 1e3).alias("price_sd_k"),
+            (F.var_samp("o_totalprice") / 1e9).alias("price_var_b"),
         )
         .orderBy("o_orderpriority")
     )
