@@ -382,6 +382,45 @@ def sqlite_compat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lateral_top_order",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS top_price
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 1
+    ) o
+    WHERE c.c_custkey < 300
+    ORDER BY c.c_custkey
+    """,
+)
+def lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-row dependent subquery with
+    ORDER BY + LIMIT — the 'top order per customer' shape): Spark SQL
+    supports LATERAL since 3.2, and Catalyst decorrelates it into the
+    same windowed plan you'd write by hand. Complements the window
+    top-k query with the other idiom users actually write."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS top_price
+        FROM customer c JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 1
+        ) o
+        WHERE c.c_custkey < 300
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@query(
     "agg_stats_moments",
     oracle="""
     SELECT o_orderpriority,

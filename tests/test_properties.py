@@ -80,3 +80,55 @@ def test_conform_pad_truncate_roundtrip(spark, rows, extra):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, out.collect())
     )
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=50),  # time
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(left=asof_rows, right=asof_rows)
+@SLOW
+def test_asof_join_invariants(spark, left, right):
+    from etl_lens_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(left, "k long, t long, lv long")
+    rdf = spark.createDataFrame(
+        [(k, t, p) for k, t, p in right], "k long, rt long, payload long"
+    )
+    out = as_of_join(
+        ldf,
+        rdf.withColumnRenamed("rt", "t2"),
+        on=["k"],
+        left_time="t",
+        right_time="t2",
+        right_payload=["payload"],
+    ).collect()
+    # row-count preservation: exactly one output row per left row
+    assert len(out) == len(left)
+    # oracle: for each left row, the max-time right row with rt <= t;
+    # ties on rt broken by... the operator guarantees SOME row at the
+    # max eligible rt — check the matched payload belongs to that set
+    for row in out:
+        eligible = [
+            p for k, t, p in right if k == row["k"] and t <= row["t"]
+        ]
+        best_t = max(
+            (t for k, t, p in right if k == row["k"] and t <= row["t"]),
+            default=None,
+        )
+        at_best = [
+            p
+            for k, t, p in right
+            if k == row["k"] and t == best_t
+        ]
+        if best_t is None:
+            assert row["right_payload"] is None
+        else:
+            assert row["right_payload"] in at_best
