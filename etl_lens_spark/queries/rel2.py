@@ -497,6 +497,79 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(epoch_us(CAST(MIN(o_orderdate) AS TIMESTAMP)) AS DOUBLE),
+           CAST(epoch_us(CAST(MAX(o_orderdate) AS TIMESTAMP)) AS DOUBLE)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE/data-quality primitive every
+    pipeline runs before trusting a new drop): per-column row/null/
+    distinct counts and min/max, computed in ONE pass over the table —
+    all profiles are aggregates of the same scan, so Spark reads the
+    parquet once regardless of column count (vs the oracle's
+    three-scan UNION formulation)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderdate"]
+
+    def as_num(c):
+        # temporal columns profile via their epoch micros
+        if dict(o.dtypes)[c] in ("date", "timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        return F.col(c)
+
+    profiled = o.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            a
+            for c in cols
+            for a in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nnull"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                F.min(as_num(c)).cast("double").alias(f"{c}__min"),
+                F.max(as_num(c)).cast("double").alias(f"{c}__max"),
+            )
+        ],
+    )
+    per_col = [
+        profiled.select(
+            F.lit(c).alias("col"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"{c}__nnull").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for extra in per_col[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("col")
+
+
 @query("sketch_approx_aggs")
 def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch aggregates — the 100 TB substitutes for exact
