@@ -498,6 +498,69 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           arg_min(o_orderkey, o_totalprice) AS bottom_orderkey,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS top_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min aggregates (``max_by``/``min_by``): the
+    "key of the extreme row" shape that otherwise costs a window +
+    filter — one aggregation shuffle, partial-mergeable. (o_totalprice
+    values are distinct within groups at fixture scale, so the picked
+    keys are deterministic across engines.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+            F.min_by("o_orderkey", "o_totalprice").alias("bottom_orderkey"),
+            F.max("o_totalprice").cast("double").alias("top_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sample_systematic",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sample_sum
+    FROM events
+    WHERE event_id % 20 = 7
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (deterministic) sampling — ``key % k = r`` — the
+    reproducible subsampling every large-scale pipeline needs for
+    dev slices and A/B splits (vs ``df.sample``, whose per-engine RNG
+    can't be oracle-compared; Bernoulli sampling at scale should key
+    off a hash of a stable id exactly like this, never off row
+    position)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") % 20 == 7)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sample_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "profile_columns",
     oracle="""
     SELECT 'o_custkey' AS col,
