@@ -123,6 +123,45 @@ def win_rolling_time_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix (what follows what, per
+    user): LEAD over the per-user ordered stream folded to
+    (from, to) counts — the first-order Markov view of the event log
+    (session-path analysis, anomaly baselines). One shuffle on
+    user_id for the window, one on the pair for the count; the
+    event_id tiebreak makes same-timestamp ordering deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+@query(
     "funnel_conversion",
     oracle="""
     WITH stages AS (
