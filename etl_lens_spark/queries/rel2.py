@@ -498,6 +498,37 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "regexp_extraction",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS BIGINT) AS brand_num,
+           regexp_extract(p_type, '^([a-z]+)', 1) AS type_head,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+)
+def regexp_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: capture-group extraction, extract-all
+    cardinality, global replace — all JVM-side (SQLite exposes these
+    only via its optional regexp extension; Spark has them built in)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1)
+        .cast("long")
+        .alias("brand_num"),
+        F.regexp_extract("p_type", "^([a-z]+)", 1).alias("type_head"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0))
+        .cast("long")
+        .alias("n_vowels"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    ).orderBy("p_partkey")
+
+
+@query(
     "agg_argmax",
     oracle="""
     SELECT o_orderpriority,
