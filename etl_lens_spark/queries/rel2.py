@@ -498,6 +498,34 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "date_arithmetic_extra",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def date_arithmetic_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic tranche 2: month-end, month offsets,
+    day-of-week (normalized to DuckDB's Sunday=0 convention — Spark's
+    ``dayofweek`` is Sunday=1), ISO week number."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(od).alias("month_end"),
+        F.add_months(od, 3).alias("plus_3m"),
+        (F.dayofweek(od) - 1).cast("long").alias("dow_sun0"),
+        F.weekofyear(od).cast("long").alias("iso_week"),
+    ).orderBy("o_orderkey")
+
+
+@query(
     "regexp_extraction",
     oracle="""
     SELECT p_partkey,
