@@ -5,10 +5,13 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``{"metric": ..., "value": total_sec, "unit": "sec", "queries":
 {name: sec, ...}, "sf": ...}``.
 
-Each query is executed to completion (count() — full plan runs, no
-driver materialization of payloads). A warm-up pass on the first
-query amortizes JVM/codegen startup so timings reflect steady-state
-engine throughput, matching how a resident cluster runs.
+Each query is executed via the noop sink
+(``df.write.format("noop").mode("overwrite").save()``) — every output
+column is computed and every top-level sort actually runs, unlike
+``count()`` where Catalyst prunes projections and elides final sorts.
+A warm-up pass on the first query amortizes JVM/codegen startup so
+timings reflect steady-state engine throughput, matching how a
+resident cluster runs.
 """
 
 from __future__ import annotations
@@ -28,10 +31,14 @@ def main() -> None:
 
     spark = get_spark(app_name="etl-lens-bench")
 
+    def run_full(df) -> None:
+        # noop sink: materializes all columns AND runs top-level sorts
+        df.write.format("noop").mode("overwrite").save()
+
     specs = headline_queries()
     # warm-up: run the first headline query once (JVM + codegen warm)
     first = next(iter(specs.values()))
-    first.fn(spark, sf_dir).count()
+    run_full(first.fn(spark, sf_dir))
 
     # min of 2 runs per query: steady-state throughput (what a
     # resident cluster delivers), robust to one-off JIT/GC noise
@@ -40,7 +47,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            run_full(spec.fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -41,7 +41,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type, first_ts_us, event_id AS first_event_id,
-           json_keys(props) AS schema_keys, n_events
+           array_to_string(json_keys(props), ',') AS schema_keys, n_events
     FROM ranked WHERE rn = 1
     ORDER BY event_type
     """,
@@ -64,7 +64,9 @@ def r_catalog_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min(F.unix_micros("ts")).alias("first_ts_us"),
             F.min_by("event_id", order_key).alias("first_event_id"),
-            F.min_by(F.json_object_keys("props"), order_key).alias("schema_keys"),
+            F.array_join(
+                F.min_by(F.json_object_keys("props"), order_key), ","
+            ).alias("schema_keys"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
@@ -282,7 +284,7 @@ def r_coalesce_nonzero_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
            CAST(json_valid(props) AS BOOLEAN) AS is_valid,
-           json_keys(props) AS keys
+           array_to_string(json_keys(props), ',') AS keys
     FROM events
     WHERE event_id < 100
     ORDER BY event_id
@@ -302,7 +304,7 @@ def json_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(False)
             .alias("is_valid"),
-            F.json_object_keys("props").alias("keys"),
+            F.array_join(F.json_object_keys("props"), ",").alias("keys"),
         )
         .orderBy("event_id")
     )

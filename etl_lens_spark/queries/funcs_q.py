@@ -145,7 +145,7 @@ def udf_per_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(words) AS n_words,
            CAST(len(list_filter(words, w -> length(w) > 5)) AS BIGINT) AS n_long_words,
-           list_sort(list_distinct(list_transform(words, w -> lower(w))))[1:3] AS first3_sorted,
+           array_to_string(list_sort(list_distinct(list_transform(words, w -> lower(w))))[1:3], ',') AS first3_sorted,
            array_to_string(words[1:3], '_') AS first3_joined,
            CAST(list_contains(words, 'data') AS BOOLEAN) AS has_data
     FROM toks
@@ -165,10 +165,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(words, lambda w: F.length(w) > 5))
             .cast("long")
             .alias("n_long_words"),
-            F.slice(
-                F.array_sort(F.array_distinct(F.transform(words, F.lower))),
-                1,
-                3,
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.transform(words, F.lower))),
+                    1,
+                    3,
+                ),
+                ",",
             ).alias("first3_sorted"),
             F.array_join(F.slice(words, 1, 3), "_").alias("first3_joined"),
             F.array_contains(words, "data").alias("has_data"),

@@ -40,8 +40,14 @@ def canon_value(v):
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        # The driver's canonicalizer (pandas sort_values) dies on
+        # unhashable values — mirror that strictly so any non-scalar
+        # output column fails HERE before it fails in CORRECTNESS_r{N}.
+        raise TypeError(
+            f"non-scalar output value {type(v).__name__} — serialize with "
+            "array_join/to_json in both engines (driver canon cannot hash it)"
+        )
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
