@@ -55,5 +55,10 @@ def timestamp_to_filetime(ts: Column) -> Column:
 
 def hexint(col: Column, width: int = 8) -> Column:
     """HEXINT32/64 display form: ``0x`` + zero-padded lowercase hex
-    (``src/main.cpp:215-217``)."""
-    return F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(col)), width, "0"))
+    (``src/main.cpp:215-217``). Values wider than ``width`` hex digits
+    keep their full representation (lpad alone would truncate them to
+    the leftmost chars, silently corrupting e.g. a >32-bit long at the
+    default width)."""
+    h = F.lower(F.hex(col))
+    padded = F.when(F.length(h) < width, F.lpad(h, width, "0")).otherwise(h)
+    return F.concat(F.lit("0x"), padded)

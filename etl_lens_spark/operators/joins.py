@@ -33,73 +33,102 @@ def as_of_join(
     direction: str = "backward",
     tolerance: Column | None = None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the most recent right
-    row with the same key and ``right_time <= left_time`` (backward;
-    ties included, right-at-equal-time wins — pandas ``merge_asof``
-    semantics, DuckDB ``ASOF JOIN`` semantics).
+    """For each left row, attach the payload of the matched right row
+    with the same key (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics; ties at equal time always match):
+
+    - ``backward``: most recent right row with ``right_time <= left_time``
+    - ``forward``: earliest right row with ``right_time >= left_time``
+    - ``nearest``: whichever of the two is closer in time
+      (tie → backward, matching pandas)
 
     Columns of ``left`` are preserved; ``right_payload`` columns are
-    appended (NULL when no match). ``tolerance``: optional max age of
-    the match as a Column of the same unit as the time columns.
-    """
-    if direction != "backward":
-        raise NotImplementedError("forward as-of: negate the time axis")
+    appended as ``right_<name>`` (NULL when no match). All payload
+    columns come from the ONE matched row — including that row's own
+    NULLs (carried as a single struct, never back-filled from older
+    rows). ``tolerance``: optional max |time distance| of the match,
+    as a Column in the time columns' unit (µs if they're timestamps).
 
-    lt = left.withColumn("__t", F.col(left_time)).withColumn(
-        "__is_left", F.lit(1)
-    )
-    rt = right.withColumn("__t", F.col(right_time)).withColumn(
-        "__is_left", F.lit(0)
-    )
-    # align schemas: left keeps its columns; right contributes key,
-    # time and payload; union with explicit null padding
-    payload_tagged = [f"__r_{c}" for c in right_payload]
-    rt = rt.select(
+    Plan: union trick — one shuffle on the key, ordered window pass,
+    no pair explosion; O(n log n) per partition at any scale.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+
+    # right contributes key + time + ONE struct holding (match time,
+    # payload...) so the carry is atomic per matched row
+    rt = right.select(
         *on,
-        "__t",
-        "__is_left",
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(
+            F.col(right_time).alias("__mt"),
+            *[F.col(c) for c in right_payload],
+        ).alias("__m"),
     )
-    lt = lt.select(
+    m_type = rt.schema["__m"].dataType
+    lt = left.select(
         *left.columns,
-        "__t",
-        "__is_left",
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_payload],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(m_type).alias("__m"),
     )
     for c in left.columns:
-        if c not in on and c not in ("__t", "__is_left"):
+        if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = lt.unionByName(rt.select(*lt.columns))
 
-    # right rows sort before left rows at equal time → <= semantics
-    w = (
+    def _us(col: Column) -> Column:
+        # numeric distance: timestamps → epoch µs, numerics as-is
+        if dict(left.dtypes)[left_time].startswith("timestamp"):
+            return F.unix_micros(col)
+        return col
+
+    right_m = F.when(F.col("__is_left") == 0, F.col("__m"))
+    # at equal __t, right rows (__is_left=0) precede left rows in both
+    # orders → ties always included (<= / >= semantics)
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumns(
-        {
-            c: F.last(F.col(c), ignorenulls=True).over(w)
-            for c in payload_tagged
-        }
-    ).withColumn(
-        "__match_t",
-        F.last(
-            F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
-        ).over(w),
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+    if direction == "backward":
+        carried = unioned.withColumn(
+            "__mf", F.last(right_m, ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        carried = unioned.withColumn(
+            "__mf", F.last(right_m, ignorenulls=True).over(w_fwd)
+        )
+    else:  # nearest: both passes share the one shuffle (same keys)
+        b = F.last(right_m, ignorenulls=True).over(w_back)
+        fw = F.last(right_m, ignorenulls=True).over(w_fwd)
+        carried = unioned.withColumn("__mb", b).withColumn("__mw", fw)
+        back_dist = _us(F.col("__t")) - _us(F.col("__mb.__mt"))
+        fwd_dist = _us(F.col("__mw.__mt")) - _us(F.col("__t"))
+        carried = carried.withColumn(
+            "__mf",
+            F.when(F.col("__mb").isNull(), F.col("__mw"))
+            .when(F.col("__mw").isNull(), F.col("__mb"))
+            .when(back_dist <= fwd_dist, F.col("__mb"))  # tie → backward
+            .otherwise(F.col("__mw")),
+        )
+
     out = carried.filter(F.col("__is_left") == 1)
     if tolerance is not None:
-        too_old = (F.col("__t") - F.col("__match_t")) > tolerance
-        out = out.withColumns(
-            {
-                c: F.when(too_old, F.lit(None)).otherwise(F.col(c))
-                for c in payload_tagged
-            }
+        dist = F.abs(_us(F.col("__t")) - _us(F.col("__mf.__mt")))
+        out = out.withColumn(
+            "__mf", F.when(dist <= tolerance, F.col("__mf"))
         )
     return out.select(
         *left.columns,
-        *[F.col(f"__r_{c}").alias(f"right_{c}") for c in right_payload],
+        *[F.col("__mf")[c].alias(f"right_{c}") for c in right_payload],
     )
 
 

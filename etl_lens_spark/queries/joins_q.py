@@ -60,6 +60,108 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_forward",
+    oracle="""
+    WITH errors AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts_us,
+           c.event_id AS right_event_id,
+           c.ts_us AS right_ts_us
+    FROM errors e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts_us >= e.ts_us
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every 'error' event, the EARLIEST
+    'click' by the same user at or after it (the attribution
+    direction: what did the user do next). Same union-trick window
+    plan as backward, with the time axis ordered descending."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = oj.as_of_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_time="ts_us",
+        right_time="ts_us",
+        right_payload=["event_id", "ts_us"],
+        direction="forward",
+    )
+    return out.orderBy("event_id")
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH errors AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT e.event_id,
+               c.event_id AS c_id, c.ts_us AS c_ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY abs(c.ts_us - e.ts_us),
+                            CASE WHEN c.ts_us <= e.ts_us THEN 0 ELSE 1 END
+               ) AS rn
+        FROM errors e JOIN clicks c ON c.user_id = e.user_id
+    )
+    SELECT e.event_id, e.user_id, e.ts_us,
+           cand.c_id AS right_event_id,
+           cand.c_ts AS right_ts_us
+    FROM errors e LEFT JOIN cand
+      ON e.event_id = cand.event_id AND cand.rn = 1
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: the click closest in time to each error,
+    either side; tie at equal distance → backward wins (pandas
+    merge_asof direction='nearest'). One shuffle, two in-partition
+    window sorts — the oracle's quadratic candidate join is exactly
+    what this plan avoids."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = oj.as_of_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_time="ts_us",
+        right_time="ts_us",
+        right_payload=["event_id", "ts_us"],
+        direction="nearest",
+    )
+    return out.orderBy("event_id")
+
+
+@query(
     "range_join_clicks_before_purchase",
     oracle="""
     WITH purchases AS (

@@ -748,7 +748,10 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > 9900)
         .select(F.col("c_nationkey").alias("nationkey"))
     )
-    return n.exceptAll(c).distinct().orderBy("nationkey")
+    # subtract = EXCEPT DISTINCT: removes a left row entirely if it
+    # appears on the right at all (exceptAll().distinct() would keep
+    # rows whose left multiplicity exceeds the right's)
+    return n.subtract(c).orderBy("nationkey")
 
 
 # --------------------------------------------------------------------

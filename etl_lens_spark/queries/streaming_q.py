@@ -125,8 +125,8 @@ def streaming_stateful_totals_live(spark: SparkSession, sf_dir: str) -> DataFram
     FROM events p
     JOIN events c
       ON c.user_id = p.user_id
-     AND c.ts <= p.ts
-     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+     AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     ORDER BY purchase_id, click_id
     """,

@@ -77,3 +77,19 @@ def test_build_catalog_one_row_per_type(spark, sf_dir):
     assert len(types) == len(set(types))
     assert all(r["n_events"] > 0 for r in rows)
     assert all(r["schema_keys"] for r in rows)
+
+
+def test_hexint_wide_value_not_truncated(spark):
+    """A value wider than `width` hex digits keeps its full hex form
+    (lpad alone would truncate to the leftmost chars — ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.functions.scalar import hexint
+
+    df = spark.range(1).select(
+        hexint(F.lit(0xDEADBEEF1), 8).alias("wide"),
+        hexint(F.lit(0x1F), 8).alias("narrow"),
+    )
+    row = df.collect()[0]
+    assert row["wide"] == "0xdeadbeef1"
+    assert row["narrow"] == "0x0000001f"

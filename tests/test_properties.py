@@ -132,3 +132,64 @@ def test_asof_join_invariants(spark, left, right):
             assert row["right_payload"] is None
         else:
             assert row["right_payload"] in at_best
+
+
+# ------------------------------------------------------------------
+# as-of directions vs pandas merge_asof (the semantics reference)
+# ------------------------------------------------------------------
+
+asof_uniq_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=40),  # time
+        st.integers(min_value=0, max_value=99),  # payload
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, time): determinism
+)
+
+
+@given(left=asof_uniq_rows, right=asof_uniq_rows, direction=st.sampled_from(
+    ["backward", "forward", "nearest"]))
+@SLOW
+def test_asof_directions_match_pandas(spark, left, right, direction):
+    import pandas as pd
+
+    from etl_lens_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(left, "k long, t long, lv long")
+    rdf = spark.createDataFrame(right, "k long, t2 long, payload long")
+    out = {
+        (r["k"], r["t"]): r["right_payload"]
+        for r in as_of_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t2",
+            right_payload=["payload"], direction=direction,
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "t", "lv"]).sort_values("t")
+    rp = pd.DataFrame(right, columns=["k", "t2", "payload"]).sort_values("t2")
+    exp = pd.merge_asof(
+        lp, rp, left_on="t", right_on="t2", by="k", direction=direction
+    )
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["payload"]) else int(row["payload"])
+        assert out[(row["k"], row["t"])] == want, (direction, dict(row))
+
+
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """The matched row's own NULL payload must be attached — not
+    back-filled from an older right row (ADVICE round 1)."""
+    from etl_lens_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame([(1, 10)], "k long, t long")
+    rdf = spark.createDataFrame(
+        [(1, 1, 77, "old"), (1, 9, None, None)],
+        "k long, t2 long, payload int, tag string",
+    )
+    row = as_of_join(
+        ldf, rdf, on=["k"], left_time="t", right_time="t2",
+        right_payload=["payload", "tag"],
+    ).collect()[0]
+    assert row["right_payload"] is None  # matched row (t2=9) has NULL
+    assert row["right_tag"] is None
