@@ -44,12 +44,23 @@ def cosine_pairs(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact near-dup pairs: all (a, b) with a < b and cosine >= tau.
 
-    Returns (id_a, id_b, cos_sim). Quadratic — use at oracle scale or
-    after blocking; ``cosine_pairs_lsh`` is the scale path.
+    Returns (id_a, id_b, cos_sim). Quadratic BY DESIGN — the exactness
+    oracle; ``cosine_pairs_lsh`` is the scale path. ``max_rows`` is a
+    hard guard: the call fails fast (one cheap count job) rather than
+    silently launching an O(n²) join on an oversized input. Raise it
+    explicitly if you truly mean all-pairs.
     """
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs is O(n²) and input has {n} rows > max_rows="
+            f"{max_rows}; use cosine_pairs_lsh (the blocked scale path) "
+            "or pass a larger max_rows explicitly"
+        )
     # norms precomputed per side: the O(n²) stage does ONE dot product
     # per pair (array HOFs are interpreted, so per-pair work dominates)
     a = emb.select(

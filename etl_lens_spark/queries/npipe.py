@@ -209,14 +209,16 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_lsh_topk")
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-5 (rows-only; recall vs brute force is
-    asserted in tests/test_knn.py). Bucket equi-join replaces the
-    cross product — the 100 TB plan."""
+    """SRP-LSH approximate top-5 with multi-probe (rows-only; recall
+    vs brute force is asserted in tests/test_knn.py, including the
+    equal-budget multi-probe uplift). Bucket equi-join replaces the
+    cross product; each query also probes its 3 nearest flip-1
+    buckets — the 100 TB plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return knn.lsh_topk(emb, queries, dim=64, k=5, n_bits=8).orderBy(
-        "qid", "rank_n"
-    )
+    return knn.lsh_topk(
+        emb, queries, dim=64, k=5, n_bits=8, probes=4
+    ).orderBy("qid", "rank_n")
 
 
 @query("sim_ivf_topk")

