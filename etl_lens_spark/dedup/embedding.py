@@ -159,6 +159,8 @@ def connected_components(
     orientations would run it twice). Lineage is truncated per
     iteration; the only driver-side action is the O(1) changed check.
     """
+    from etl_lens_spark.operators.fixpoint import CHANGED_COL, iterate_fixpoint
+
     edges = edges.localCheckpoint(eager=True)
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -169,11 +171,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    labels = nodes.select(
-        F.col("node"), F.col("node").alias("component")
-    ).localCheckpoint(eager=True)
+    labels0 = nodes.select(F.col("node"), F.col("node").alias("component"))
 
-    for _ in range(max_iter):
+    def step(labels: DataFrame) -> DataFrame:
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -191,22 +191,14 @@ def connected_components(
         ptr = hop.select(
             F.col("node").alias("__pn"), F.col("component").alias("__pc")
         )
-        jumped = (
-            hop.join(ptr, hop.component == ptr.__pn, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("__pc", "component")
-                ).alias("component"),
-                (
-                    F.col("__c1")
-                    | (F.col("__pc") < F.col("component"))
-                ).alias("__changed"),
-            )
-            .localCheckpoint(eager=True)
+        return hop.join(ptr, hop.component == ptr.__pn, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("__pc", "component")
+            ).alias("component"),
+            (F.col("__c1") | (F.col("__pc") < F.col("component"))).alias(
+                CHANGED_COL
+            ),
         )
-        changed = jumped.filter(F.col("__changed")).limit(1).count()
-        labels = jumped.drop("__changed")
-        if changed == 0:
-            break
-    return labels
+
+    return iterate_fixpoint(labels0, step, max_iter)

@@ -710,3 +710,55 @@ def sketch_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "recursive_cte_org_chart",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT s_suppkey AS emp,
+               CAST(FLOOR(s_suppkey / 2) AS BIGINT) AS mgr
+        FROM supplier WHERE s_suppkey >= 2
+    ),
+    chain AS (
+        SELECT emp, mgr AS anc, 1 AS depth FROM edges
+        UNION
+        SELECT c.emp, e.mgr, c.depth + 1
+        FROM chain c JOIN edges e ON c.anc = e.emp
+    )
+    SELECT emp, anc, CAST(depth AS BIGINT) AS depth
+    FROM chain
+    ORDER BY emp, depth
+    """,
+)
+def recursive_cte_org_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` transitive closure (management-chain
+    ancestors over the derived reports-to edge ``mgr = floor(emp/2)``)
+    via the generic semi-naive fixpoint operator
+    (operators/fixpoint.py:recursive_closure) — each round expands
+    only the frontier and joins against the (checkpointed, tiny)
+    edge table; the oracle runs DuckDB's native recursive CTE."""
+    from etl_lens_spark.operators.fixpoint import recursive_closure
+
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        s.filter(F.col("s_suppkey") >= 2)
+        .select(
+            F.col("s_suppkey").alias("emp"),
+            F.floor(F.col("s_suppkey") / 2).cast("long").alias("mgr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = edges.select(
+        "emp", F.col("mgr").alias("anc"), F.lit(1).cast("long").alias("depth")
+    )
+
+    def expand(frontier: DataFrame) -> DataFrame:
+        e = edges.select(
+            F.col("emp").alias("__e"), F.col("mgr").alias("__m")
+        )
+        return frontier.join(e, frontier.anc == F.col("__e")).select(
+            "emp", F.col("__m").alias("anc"), (F.col("depth") + 1).alias("depth")
+        )
+
+    return recursive_closure(base, expand).orderBy("emp", "depth")

@@ -22,15 +22,87 @@ dialect gap; these queries CLOSE it by emulation:
   offsets). The oracle reconstructs the same semantics by a
   mechanism-independent route: aggregate per peer group, window over
   the group-level rows, join back.
+
+- EXCLUDE over ROWS frames (``rows_frame_exclude``): the frame is a
+  row-offset slice of a TOTAL order, and the excluded peer set is the
+  intersection of the current row's peers with that slice. Emulated
+  with a row_number total order plus a second window partitioned by
+  the peer key and RANGE-framed on row_number (peers are contiguous
+  under any order that leads with the peer key, so the restriction IS
+  the intersection). Note the semantic fine print native SQL hides:
+  a deterministic ROWS frame needs a unique ORDER BY, but a unique
+  ORDER BY makes every peer group a singleton — so native EXCLUDE
+  GROUP/TIES on ROWS frames is only well-defined in the degenerate
+  case. The emulation therefore takes the peer key SEPARATELY from
+  the total order (strictly more general than the SQL syntax); the
+  declared query runs the degenerate-but-deterministic case against
+  DuckDB's native EXCLUDE, and the genuine-ties path is differential-
+  tested against an independent Python reference in tests.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
+
+
+def rows_frame_exclude(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    peer_cols: list[str],
+    value_col: str,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """SUM(value) over ``ROWS BETWEEN lo AND hi`` with all three
+    EXCLUDE variants, appended as ``ex_current`` / ``ex_group`` /
+    ``ex_ties`` (SQL empty-frame rule: excluded-to-empty → NULL).
+
+    ``order_cols`` must be a total order within partitions (unique
+    key last); ``peer_cols`` defines tie groups and must be a prefix
+    of the ordering semantics (peers contiguous under order_cols).
+    The frame must contain the current row (lo <= 0 <= hi).
+    """
+    if not (lo <= 0 <= hi):
+        raise ValueError("EXCLUDE frame must contain the current row")
+    w_rn = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    d = df.withColumn("__rn", F.row_number().over(w_rn))
+    w_frame = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__rn")
+        .rowsBetween(lo, hi)
+    )
+    # peers are contiguous in __rn, so RANGE-on-__rn within the peer
+    # partition = peers ∩ frame — no second shuffle shape: same keys,
+    # finer partitioning piggybacks on the first sort
+    w_pif = (
+        Window.partitionBy(*part_cols, *peer_cols)
+        .orderBy("__rn")
+        .rangeBetween(lo, hi)
+    )
+    v: Column = F.col(value_col)
+    d = d.withColumns(
+        {
+            "__fs": F.sum(v).over(w_frame),
+            "__fn": F.count(F.lit(1)).over(w_frame),
+            "__ps": F.sum(v).over(w_pif),
+            "__pn": F.count(F.lit(1)).over(w_pif),
+        }
+    )
+    return d.withColumns(
+        {
+            "ex_current": F.when(F.col("__fn") > 1, F.col("__fs") - v),
+            "ex_group": F.when(
+                F.col("__fn") > F.col("__pn"),
+                F.col("__fs") - F.col("__ps"),
+            ),
+            "ex_ties": F.col("__fs") - F.col("__ps") + v,
+        }
+    ).drop("__rn", "__fs", "__fn", "__ps", "__pn")
 
 
 @query(
@@ -96,6 +168,60 @@ def win_exclude_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex_ties.cast("double").alias("ex_ties"),
         ),
         "o_orderkey",
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "win_exclude_rows_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(price) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               EXCLUDE CURRENT ROW) AS DOUBLE) AS ex_current,
+           CAST(SUM(price) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               EXCLUDE GROUP) AS DOUBLE) AS ex_group,
+           CAST(SUM(price) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               EXCLUDE TIES) AS DOUBLE) AS ex_ties
+    FROM (
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_custkey < 20
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def win_exclude_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW / GROUP / TIES over a sliding ROWS frame
+    (``rows_frame_exclude``), checked against DuckDB's native EXCLUDE
+    on the deterministic unique-ordering case (module docstring
+    explains why native ROWS+EXCLUDE is only well-defined there; the
+    genuine-ties emulation path is covered in tests/test_queries)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    out = rows_frame_exclude(
+        base,
+        part_cols=["o_orderpriority"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        peer_cols=["o_orderdate", "o_orderkey"],
+        value_col="price",
+        lo=-3,
+        hi=0,
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("ex_current").cast("double").alias("ex_current"),
+        F.col("ex_group").cast("double").alias("ex_group"),
+        F.col("ex_ties").cast("double").alias("ex_ties"),
     ).orderBy("o_orderkey")
 
 

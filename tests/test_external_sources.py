@@ -1,0 +1,109 @@
+"""External connector surface (sources/external.py): JDBC + Kafka.
+
+No database server, JDBC driver jar, or Kafka broker ships in this
+container, so the integration paths skip cleanly; what CAN run
+in-container is tested for real — argument validation, the
+single-stream guard, plan construction up to the connector boundary,
+and the JVM-side Kafka JSON decode (which needs no broker).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lens_spark.sources import external
+
+
+def _has_jdbc_backend(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
+        return True
+    except Exception:
+        return False
+
+
+def _has_kafka_source(spark) -> bool:
+    try:
+        spark.read.format("kafka").option(
+            "kafka.bootstrap.servers", "localhost:1"
+        ).option("subscribe", "t").load()
+        return True
+    except Exception as e:
+        # "Failed to find data source: kafka" → connector jar absent
+        return "Failed to find" not in str(e)
+
+
+def test_read_jdbc_refuses_unpartitioned_single_stream(spark):
+    with pytest.raises(ValueError, match="one connection"):
+        external.read_jdbc(spark, "jdbc:sqlite:/tmp/x.db", "t")
+
+
+def test_read_jdbc_requires_bounds_with_partition_column(spark):
+    with pytest.raises(ValueError, match="lower_bound"):
+        external.read_jdbc(
+            spark,
+            "jdbc:sqlite:/tmp/x.db",
+            "t",
+            partition_column="id",
+        )
+
+
+def test_jdbc_roundtrip_if_driver_present(spark, tmp_path):
+    if not _has_jdbc_backend(spark):
+        pytest.skip("no JDBC driver jar in container")
+    url = f"jdbc:sqlite:{tmp_path}/t.db"
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    external.write_jdbc(df, url, "t", mode="overwrite")
+    back = external.read_jdbc(
+        spark, url, "t", partition_column="id", lower_bound=0,
+        upper_bound=10, num_partitions=2,
+    )
+    assert back.count() == 10
+
+
+def test_kafka_batch_read_if_connector_present(spark):
+    if not _has_kafka_source(spark):
+        pytest.skip("spark-sql-kafka connector jar not in container")
+    pytest.skip("no Kafka broker in container")
+
+
+def test_decode_kafka_json_shapes_records(spark):
+    """The decode path is pure DataFrame code — testable without a
+    broker by faking the Kafka record schema."""
+    import datetime
+
+    rows = [
+        (
+            b"k1",
+            b'{"user_id": 7, "value": 1.5}',
+            "events",
+            0,
+            42,
+            datetime.datetime(2024, 1, 1),
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = external.decode_kafka_json(
+        df, "user_id long, value double"
+    ).collect()[0]
+    assert out["key"] == "k1"
+    assert out["user_id"] == 7
+    assert out["value"] == 1.5
+    assert out["offset"] == 42
+
+
+def test_write_kafka_value_projection(spark):
+    """write_kafka's (key, value) projection — asserted up to the
+    connector boundary by reproducing its select."""
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, s string, x double")
+    out = df.select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct("s", "x")).alias("value"),
+    ).collect()[0]
+    assert out["key"] == "1"
+    assert out["value"] == '{"s":"a","x":2.0}'

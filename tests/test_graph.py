@@ -61,3 +61,29 @@ def test_lsh_pairs_recall(spark, sf_dir):
     assert approx <= exact
     # recall at the loose test threshold (see graph_q docstring)
     assert len(approx & exact) / len(exact) >= 0.8
+
+
+def test_recursive_closure_terminates_on_cycles(spark):
+    """UNION-distinct recursion must reach a fixpoint on cyclic
+    graphs (the subtract-before-frontier rule) — here the reachability
+    closure of a 3-cycle plus a tail."""
+    from etl_lens_spark.operators.fixpoint import recursive_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    ).localCheckpoint(eager=True)
+    base = edges.select("src", F.col("dst").alias("reach"))
+
+    def expand(frontier):
+        e = edges.select(F.col("src").alias("__s"), F.col("dst").alias("__d"))
+        return frontier.join(e, frontier.reach == F.col("__s")).select(
+            "src", F.col("__d").alias("reach")
+        )
+
+    got = {
+        (r["src"], r["reach"])
+        for r in recursive_closure(base, expand, max_iter=10).collect()
+    }
+    # every node in the cycle reaches all of {1,2,3,4}; node 4 reaches nothing
+    expected = {(s, r) for s in (1, 2, 3) for r in (1, 2, 3, 4)} | set()
+    assert got == expected

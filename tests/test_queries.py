@@ -59,3 +59,49 @@ def test_sketch_approx_aggs_error_bounds(spark, sf_dir):
         # absolute-quantile slack from the t-digest-style sketch
         spread = abs(e["median"]) + 1.0
         assert abs(a["approx_median"] - e["median"]) / spread < 0.05, et
+
+
+def test_rows_frame_exclude_with_genuine_ties(spark):
+    """ROWS-frame EXCLUDE with a peer key coarser than the total
+    order — the case native SQL syntax cannot express deterministically
+    (see winx_q docstring) — against an independent Python reference."""
+    from etl_lens_spark.queries.winx_q import rows_frame_exclude
+
+    rows = [
+        # (part, peer, uniq, value): peer groups of size 1..3 straddle
+        # the 2-PRECEDING frame boundary
+        ("a", 1, 1, 10.0), ("a", 1, 2, 20.0), ("a", 2, 3, 30.0),
+        ("a", 2, 4, 40.0), ("a", 2, 5, 50.0), ("a", 3, 6, 60.0),
+        ("b", 1, 1, 5.0),  ("b", 1, 2, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, peer int, uniq int, value double"
+    )
+    got = {
+        (r["part"], r["uniq"]): (r["ex_current"], r["ex_group"], r["ex_ties"])
+        for r in rows_frame_exclude(
+            df, ["part"], ["peer", "uniq"], ["peer"], "value", -2, 0
+        ).collect()
+    }
+
+    # independent reference: explicit frame/peer set arithmetic
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for p, peer, uniq, v in rows:
+        by_part[p].append((peer, uniq, v))
+    for p, items in by_part.items():
+        items.sort()
+        for i, (peer, uniq, v) in enumerate(items):
+            frame = items[max(0, i - 2): i + 1]
+            pif = [x for x in frame if x[0] == peer]
+            fs = sum(x[2] for x in frame)
+            exp_current = fs - v if len(frame) > 1 else None
+            exp_group = (
+                fs - sum(x[2] for x in pif) if len(frame) > len(pif) else None
+            )
+            exp_ties = fs - sum(x[2] for x in pif) + v
+            gc, gg, gt = got[(p, uniq)]
+            assert gc == exp_current, (p, uniq, "current")
+            assert gg == exp_group, (p, uniq, "group")
+            assert gt == exp_ties, (p, uniq, "ties")
