@@ -193,19 +193,21 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: uncorrelated scalar subquery (global average,
-    computed once and broadcast) + NOT EXISTS on a filtered probe
-    (anti join against high-value orders) + aggregate."""
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    as a broadcast single-row cross join — one plan, no driver
+    round-trip, AQE sees the whole query) + NOT EXISTS on a filtered
+    probe (anti join against high-value orders) + aggregate."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal"))
-        .collect()[0][0]
+        .agg(F.avg("c_acctbal").alias("__avg_bal"))
     )
     big_orders = o.filter(F.col("o_totalprice") > 300000)
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
         .join(big_orders, c.c_custkey == big_orders.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
