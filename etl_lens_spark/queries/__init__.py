@@ -82,6 +82,7 @@ def _load() -> None:
         rel2,
         streaming_q,
         timeseries_q,
+        tpch2,
         winx_q,
     )
 
