@@ -400,3 +400,111 @@ def mm_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
     return resized.join(frames, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        FROM documents WHERE doc_id < 40
+    ),
+    d2 AS (SELECT doc_id, norm FROM d WHERE length(norm) >= 8),
+    g0 AS (
+        SELECT doc_id, norm,
+               unnest(generate_series(1, length(norm) - 4)) AS p
+        FROM d2
+    ),
+    grams AS (
+        SELECT doc_id, p,
+               CAST((ascii(substring(norm, p, 1)) * 4362470401
+                   + ascii(substring(norm, p + 1, 1)) * 16974593
+                   + ascii(substring(norm, p + 2, 1)) * 66049
+                   + ascii(substring(norm, p + 3, 1)) * 257
+                   + ascii(substring(norm, p + 4, 1))) % 1000000007
+                   AS BIGINT) AS gh
+        FROM g0
+    ),
+    winnowed AS (
+        SELECT doc_id, p,
+               MIN(gh) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS fp
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, fp FROM winnowed WHERE p >= 4
+    ORDER BY doc_id, fp
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5, w=4) over the documents table
+    (text/fingerprint.py). The polynomial gram hash is plain integer
+    arithmetic, so the DuckDB oracle recomputes the IDENTICAL values
+    — a full cross-engine differential of normalize → k-gram hash →
+    sliding-window min → distinct."""
+    from etl_lens_spark.text.fingerprint import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return winnow_fingerprints(docs, k=5, w=4).orderBy("doc_id", "fp")
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+        FROM documents WHERE doc_id < 200
+    ),
+    d2 AS (SELECT doc_id, norm FROM d WHERE length(norm) >= 8),
+    g0 AS (
+        SELECT doc_id, norm,
+               unnest(generate_series(1, length(norm) - 4)) AS p
+        FROM d2
+    ),
+    grams AS (
+        SELECT doc_id, p,
+               CAST((ascii(substring(norm, p, 1)) * 4362470401
+                   + ascii(substring(norm, p + 1, 1)) * 16974593
+                   + ascii(substring(norm, p + 2, 1)) * 66049
+                   + ascii(substring(norm, p + 3, 1)) * 257
+                   + ascii(substring(norm, p + 4, 1))) % 1000000007
+                   AS BIGINT) AS gh
+        FROM g0
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, p,
+                   MIN(gh) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) AS fp
+            FROM grams
+        ) WHERE p >= 4
+    ),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 200),
+    fpp AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-overlap candidate pairs: docs sharing >= 5 winnowed
+    fingerprints (inverted-index equi-join on fingerprint value with
+    the hot-bucket guard — the blocked, never-all-pairs plan)."""
+    from etl_lens_spark.text.fingerprint import (
+        fingerprint_candidates,
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    return fingerprint_candidates(fps, min_shared=5, max_bucket=200).orderBy(
+        "id_a", "id_b"
+    )

@@ -42,3 +42,37 @@ def test_langid_markers(spark):
     assert out[1] == "en"
     assert out[2] == "es"
     assert out[3] == "und"
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing theorem: documents sharing a substring of length
+    >= k + w - 1 (= 8 for k=5, w=4) share at least one fingerprint;
+    and a doc has no fingerprint in common with unrelated text."""
+    from etl_lens_spark.text.fingerprint import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} BBB"),
+            (2, f"zzz totally different prefix {shared}"),
+            (3, "unrelated content with nothing in common at all xyzw"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring produced no shared fp"
+    assert not (by_doc[1] & by_doc[3]), "false positive vs unrelated text"
+
+
+def test_fingerprint_candidates_hot_bucket_guard(spark):
+    """A fingerprint present in more docs than max_bucket must not
+    generate pairs (boilerplate guard)."""
+    from etl_lens_spark.text.fingerprint import fingerprint_candidates
+
+    rows = [(i, 999) for i in range(10)] + [(1, 7), (2, 7)]
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+    out = fingerprint_candidates(fps, min_shared=1, max_bucket=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
