@@ -312,3 +312,91 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           printf('%s:%04d', p_brand, p_size) AS brand_tag,
+           chr(65 + (p_size % 26)) AS size_letter,
+           CAST(unicode(p_name) AS BIGINT) AS first_cp,
+           substring(p_name, -5, 3) AS tail_slice,
+           translate(p_brand, '#', '_') AS brand_us,
+           repeat('*', p_size % 5) AS stars,
+           left(p_type, 3) AS type3,
+           right(p_name, 4) AS name_tail,
+           md5(p_name) AS name_md5
+    FROM part
+    WHERE p_partkey < 100
+    ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second tranche of the SQLite scalar string library (printf,
+    char, unicode, negative-index substr, translate, repeat,
+    left/right, md5) — every one a JVM builtin with identical
+    semantics to the DuckDB oracle (probed: negative substr counts
+    from the end in both; printf is C-style in both)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return (
+        p.select(
+            "p_partkey",
+            F.format_string(
+                "%s:%04d", F.col("p_brand"), F.col("p_size")
+            ).alias("brand_tag"),
+            F.expr("char(65 + (p_size % 26))").alias("size_letter"),
+            F.ascii("p_name").cast("long").alias("first_cp"),
+            F.substring("p_name", -5, 3).alias("tail_slice"),
+            F.translate(F.col("p_brand"), "#", "_").alias("brand_us"),
+            F.expr("repeat('*', p_size % 5)").alias("stars"),
+            F.expr("left(p_type, 3)").alias("type3"),
+            F.expr("right(p_name, 4)").alias("name_tail"),
+            F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(julian(o_orderdate) AS DOUBLE) AS jd,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M') AS stamp,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           monthname(o_orderdate) AS mon_name
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQLite date-function tranche 2: julianday (computed
+    arithmetically from epoch micros — DuckDB's julian() is the
+    standard JDN + 0.5, midnight-aligned; probed), strftime via
+    date_format, Sunday-0 weekday, ISO week, quarter, last_day,
+    month name."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return (
+        o.select(
+            "o_orderkey",
+            (
+                F.unix_micros(
+                    F.col("o_orderdate").cast("timestamp")
+                ) / 86_400_000_000.0 + 2440588.0
+            ).alias("jd"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm").alias("stamp"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow_sun0"),
+            F.dayofyear("o_orderdate").cast("long").alias("doy"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.date_format("o_orderdate", "MMMM").alias("mon_name"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -279,3 +279,87 @@ def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum("price").over(w_groups).cast("double").alias("groups_sum"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "win_exclude_groups_frame",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_custkey < 20
+    ),
+    grp AS (
+        SELECT o_orderpriority, o_orderdate,
+               SUM(price) AS gsum, COUNT(*) AS gn,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_orderdate
+               ) AS gidx
+        FROM base GROUP BY o_orderpriority, o_orderdate
+    ),
+    gw AS (
+        SELECT o_orderpriority, o_orderdate, gsum, gn,
+               SUM(gsum) OVER (
+                   PARTITION BY o_orderpriority ORDER BY gidx
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW
+               ) AS fs,
+               SUM(gn) OVER (
+                   PARTITION BY o_orderpriority ORDER BY gidx
+                   ROWS BETWEEN 1 PRECEDING AND CURRENT ROW
+               ) AS fn
+        FROM grp
+    )
+    SELECT b.o_orderkey,
+           CASE WHEN g.fn > 1 THEN CAST(g.fs - b.price AS DOUBLE) END
+               AS ex_current,
+           CASE WHEN g.fn > g.gn THEN CAST(g.fs - g.gsum AS DOUBLE) END
+               AS ex_group,
+           CAST(g.fs - g.gsum + b.price AS DOUBLE) AS ex_ties
+    FROM base b JOIN gw g
+      ON b.o_orderpriority = g.o_orderpriority
+     AND b.o_orderdate = g.o_orderdate
+    ORDER BY b.o_orderkey
+    """,
+)
+def win_exclude_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW / GROUP / TIES over a ``GROUPS BETWEEN 1
+    PRECEDING AND CURRENT ROW`` frame — the last cell of the frame
+    dialect matrix (ROWS/RANGE/GROUPS × EXCLUDE). GROUPS frames hold
+    whole peer groups, so the RANGE-EXCLUDE formulas apply on the
+    dense_rank axis. DuckDB implements no GROUPS mode at all, so the
+    oracle reconstructs semantics mechanism-independently (per-group
+    aggregate → group-level window → join back), like
+    win_groups_frame."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    ranked = base.withColumn("g", F.dense_rank().over(w_rank))
+    w_frame = (
+        Window.partitionBy("o_orderpriority").orderBy("g").rangeBetween(-1, 0)
+    )
+    w_peers = Window.partitionBy("o_orderpriority", "o_orderdate")
+    d = ranked.withColumns(
+        {
+            "fs": F.sum("price").over(w_frame),
+            "fn": F.count(F.lit(1)).over(w_frame),
+            "ps": F.sum("price").over(w_peers),
+            "pn": F.count(F.lit(1)).over(w_peers),
+        }
+    )
+    return d.select(
+        "o_orderkey",
+        F.when(F.col("fn") > 1, F.col("fs") - F.col("price"))
+        .cast("double")
+        .alias("ex_current"),
+        F.when(F.col("fn") > F.col("pn"), F.col("fs") - F.col("ps"))
+        .cast("double")
+        .alias("ex_group"),
+        (F.col("fs") - F.col("ps") + F.col("price"))
+        .cast("double")
+        .alias("ex_ties"),
+    ).orderBy("o_orderkey")
