@@ -508,3 +508,125 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_candidates(fps, min_shared=5, max_bucket=200).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "mix_sources_weighted",
+    oracle="""
+    WITH sampled AS (
+        SELECT doc_id, source
+        FROM documents
+        WHERE ('0x' || substring(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 10000
+              < CASE source
+                    WHEN 'src0' THEN 8000
+                    WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500
+                    ELSE 1000
+                END
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS first_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing (operators/sampling.py): keep src0 at
+    80%, src1 at 50%, src2 at 25%, everything else at 10% — ONE
+    deterministic row-local scan (md5-bucket per doc_id, no RNG, no
+    shuffle), the data-mixture step of a training pipeline. The
+    oracle recomputes the identical hash arithmetic, so the exact
+    per-source kept-set (not just counts) is cross-checked via id_sum."""
+    from etl_lens_spark.operators.sampling import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mix_sources(
+        docs,
+        "source",
+        {"src0": 0.8, "src1": 0.5, "src2": 0.25},
+        key=F.col("doc_id"),
+        salt="mix1",
+        default_rate=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("doc_id").cast("long").alias("first_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pack_token_budget_bins",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars AS off
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(FLOOR(off / 4096.0) AS BIGINT) AS bin_id
+    FROM ordered
+    ORDER BY doc_id
+    """,
+)
+def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing, offset-binning semantics
+    (operators/sampling.py::pack_offset_bins): documents laid
+    end-to-end in doc_id order, chunked into 4096-char context
+    windows — one prefix-sum window pass."""
+    from etl_lens_spark.operators.sampling import pack_offset_bins
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    return (
+        pack_offset_bins(
+            docs.select("doc_id", "n_chars"),
+            order_cols=["doc_id"],
+            size_col="n_chars",
+            capacity=4096,
+        )
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "bin_id")
+        .orderBy("doc_id")
+    )
+
+
+@query("pack_greedy_sequences")
+def pack_greedy_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE greedy sequence packing (no straddling; bin resets at the
+    boundary — rows-only: the stateful reset is not prefix-sum-
+    expressible in SQL; semantics verified against a Python reference
+    in tests/test_queries.py). Sharded by source so bins are local to
+    a shard, the distributed-packer shape."""
+    from etl_lens_spark.operators.sampling import pack_greedy_bins
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    return (
+        pack_greedy_bins(
+            docs.select("doc_id", "source", "n_chars"),
+            order_cols=["doc_id"],
+            size_col="n_chars",
+            capacity=4096,
+            shard_col="source",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "bin_id",
+        )
+        .orderBy("doc_id")
+    )

@@ -152,3 +152,69 @@ def test_q8_star_broadcasts_dimensions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "dim join fell back to SMJ"
+
+
+def test_greedy_packing_matches_python_reference(spark, sf_dir):
+    """pack_greedy_bins invariants vs an independent reference: no
+    bin exceeds capacity (unless a single oversized item), no item
+    straddles, bins fill greedily in order within each shard."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators.sampling import pack_greedy_bins
+    from etl_lens_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "source", "n_chars")
+    )
+    got = pack_greedy_bins(
+        docs, order_cols=["doc_id"], size_col="n_chars",
+        capacity=4096, shard_col="source",
+    ).collect()
+
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in got:
+        by_shard[r["source"]].append((r["doc_id"], r["n_chars"], r["bin_id"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        # reference greedy pass
+        exp_bin, fill = 0, 0
+        for doc_id, sz, got_bin in items:
+            if fill > 0 and fill + sz > 4096:
+                exp_bin += 1
+                fill = 0
+            assert got_bin == exp_bin, (shard, doc_id)
+            fill += sz
+        # capacity invariant
+        fills = defaultdict(int)
+        counts = defaultdict(int)
+        for _, sz, b in items:
+            fills[b] += sz
+            counts[b] += 1
+        for b, tot in fills.items():
+            assert tot <= 4096 or counts[b] == 1, (shard, b, tot)
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    """hash_sample: identical keep-set on rerun and across
+    partitionings; fraction approximately honored."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators.sampling import hash_sample
+
+    df = spark.range(10_000)
+    a = {r["id"] for r in hash_sample(df, F.col("id"), 0.3, "s").collect()}
+    b = {
+        r["id"]
+        for r in hash_sample(
+            df.repartition(7), F.col("id"), 0.3, "s"
+        ).collect()
+    }
+    assert a == b  # partitioning-independent
+    assert 0.27 < len(a) / 10_000 < 0.33
+    # different salt → different (but still deterministic) choice
+    c = {r["id"] for r in hash_sample(df, F.col("id"), 0.3, "t").collect()}
+    assert c != a
