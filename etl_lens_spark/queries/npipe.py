@@ -630,3 +630,21 @@ def pack_greedy_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("sim_quantized_topk")
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-scoring top-5 over int8-QUANTIZED vectors
+    (similarity/quantize.py): 4× smaller storage/shuffle, cosine
+    within ~1-2% of float (error bound asserted in tests/test_knn).
+    Rows-only — the quantization rounding isn't bit-replicable in
+    DuckDB; semantics are pinned by the error-bound test instead."""
+    from etl_lens_spark.similarity.quantize import dequantize, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb).select(
+        "vec_id",
+        dequantize(F.col("qvec"), F.col("qscale")).alias("embedding"),
+    )
+    queries = q.filter(F.col("vec_id") < 10)
+    return knn.brute_force_topk(q, queries, k=5).orderBy("qid", "rank_n")

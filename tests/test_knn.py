@@ -171,3 +171,82 @@ def test_quadratic_anchor_guards_trip(spark):
     # under the cap both still run
     assert cosine_pairs(df, tau=0.999, max_rows=100).count() >= 0
     assert knn.brute_force_topk(df, df.limit(2), k=1, max_queries=5).count() == 2
+
+
+def test_int8_quantization_cosine_error_bound(spark, sf_dir):
+    """Cosine over dequantized int8 codes stays within 2% absolute of
+    exact cosine on the fixture embeddings (symmetric scalar
+    quantization bound), and the codes honor the int8 range."""
+    from etl_lens_spark.similarity.quantize import dequantize, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 60
+    )
+    q = quantize_int8(emb)
+    a = q.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        dequantize(F.col("qvec"), F.col("qscale")).alias("da"),
+    )
+    b = q.filter(F.col("vec_id") >= 30).select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        dequantize(F.col("qvec"), F.col("qscale")).alias("db"),
+    )
+    pairs = a.join(b, F.col("ida") == F.col("idb") - 30).select(
+        knn.cosine_similarity(F.col("ea"), F.col("eb")).alias("exact"),
+        knn.cosine_similarity(F.col("da"), F.col("db")).alias("approx"),
+    ).collect()
+    assert pairs
+    for r in pairs:
+        assert abs(r["exact"] - r["approx"]) < 0.02, r
+    codes = q.select(F.explode("qvec").alias("c")).agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()[0]
+    assert -127 <= codes["lo"] and codes["hi"] <= 127
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL check: 64→32 projection preserves pairwise squared
+    distances in expectation — per-pair relative error has std
+    ~sqrt(2/32)≈0.25, so individual pairs can stray (worst fixture
+    pair: ~0.6) while the MEAN error stays tight. Seeded, so the
+    measured values are deterministic."""
+    from etl_lens_spark.similarity.quantize import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 40
+    )
+    p = random_project(emb, dim=64, out_dim=32)
+
+    def sqdist(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = p.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("ida"),
+        _d(F.col("embedding")).alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    b = p.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("idb"),
+        _d(F.col("embedding")).alias("eb"),
+        F.col("proj").alias("pb"),
+    )
+    rows = a.join(b, F.col("ida") == F.col("idb") - 20).select(
+        sqdist(F.col("ea"), F.col("eb")).alias("d_orig"),
+        sqdist(F.col("pa"), F.col("pb")).alias("d_proj"),
+    ).collect()
+    assert rows
+    rel = [abs(r["d_proj"] - r["d_orig"]) / r["d_orig"] for r in rows]
+    sigma = (2 / 32) ** 0.5  # std of the per-pair JL estimator
+    assert max(rel) < 3 * sigma, max(rel)
+    # E|err| = sigma*sqrt(2/pi) ~= 0.20; allow 1.5x finite-sample slack
+    assert sum(rel) / len(rel) < 1.5 * sigma * (2 / 3.14159) ** 0.5
+
+
+def _d(col):
+    return F.transform(col, lambda x: x.cast("double"))
