@@ -54,12 +54,12 @@ def cosine_pairs(
     silently launching an O(n²) join on an oversized input. Raise it
     explicitly if you truly mean all-pairs.
     """
-    n = emb.count()
-    if n > max_rows:
+    # limit-probe: counts at most max_rows+1 rows (early-out scan)
+    if emb.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
-            f"cosine_pairs is O(n²) and input has {n} rows > max_rows="
-            f"{max_rows}; use cosine_pairs_lsh (the blocked scale path) "
-            "or pass a larger max_rows explicitly"
+            f"cosine_pairs is O(n²) and input has more than max_rows="
+            f"{max_rows} rows; use cosine_pairs_lsh (the blocked scale "
+            "path) or pass a larger max_rows explicitly"
         )
     # norms precomputed per side: the O(n²) stage does ONE dot product
     # per pair (array HOFs are interpreted, so per-pair work dominates)

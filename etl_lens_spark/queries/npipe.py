@@ -404,6 +404,7 @@ def mm_resize_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_winnow_fingerprints",
+    headline=True,
     oracle="""
     WITH d AS (
         SELECT doc_id,

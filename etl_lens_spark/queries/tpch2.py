@@ -5,8 +5,12 @@ the canonical decision-support query patterns).
 
 The fixture omits partsupp, l_shipmode and l_commitdate/l_receiptdate,
 so Q4/Q12/Q21 substitute the return flag for the late-delivery
-predicate and Q9/Q11/Q20 (partsupp-dependent) are out of fixture
-scope; every adaptation is noted on its query. Float discipline as
+predicate, and the partsupp-dependent Q9/Q11/Q20 substitute
+deterministic proxies (supply cost = 0.8×p_retailprice; inventory
+value = shipped retail value; excess stock = majority of a part's
+shipped volume) that preserve each query's plan shape; every
+adaptation is noted on its query. With those, all 22 classic TPC-H
+shapes are declared and oracle-checked. Float discipline as
 everywhere in the registry: money sums accumulate in DECIMAL and cast
 to DOUBLE at the output boundary (functions/numeric.py).
 """
@@ -559,4 +563,198 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name, l_year, CAST(SUM(amount) AS DOUBLE) AS profit
+    FROM (
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(18,2)) *
+               CAST(1 - l_discount AS DECIMAL(8,2)) -
+               CAST(p_retailprice AS DECIMAL(18,2)) *
+               CAST(0.8 AS DECIMAL(8,2)) *
+               CAST(l_quantity AS DECIMAL(8,2)) AS amount
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+    )
+    GROUP BY n_name, l_year
+    ORDER BY n_name, l_year DESC
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; 5-way
+    join with a name-pattern part filter). Adaptation: the fixture has
+    no partsupp, so supply cost becomes the deterministic proxy
+    ``0.8 * p_retailprice`` — the plan shape (filtered part dim
+    broadcast into the lineitem scan, then supplier/orders/nation
+    joins feeding a two-key agg) is the same. Profit accumulates in
+    DECIMAL end-to-end (functions/numeric.py discipline) so both
+    engines agree bit-exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit(0.8).cast("decimal(8,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("long").alias("l_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("n_name", "l_year")
+        .agg(F.sum("amount").cast("double").alias("profit"))
+        .orderBy(F.col("n_name").asc(), F.col("l_year").desc())
+    )
+
+
+@query(
+    "q11_important_inventory",
+    oracle="""
+    WITH inv AS (
+        SELECT l_partkey,
+               SUM(CAST(p_retailprice AS DECIMAL(18,2)) *
+                   CAST(l_quantity AS DECIMAL(8,2))) AS val
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS inv_value
+    FROM inv
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) * 2.0 FROM inv)
+    ORDER BY inv_value DESC, l_partkey
+    """,
+)
+def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group value > fraction-of-total scalar
+    subquery). Adaptation: no partsupp, so a part's "inventory value"
+    for NATION_3 suppliers is the retail value they shipped
+    (retailprice × quantity summed from lineitem) — same shape: one
+    grouped frame consumed twice, once per-key and once as a global
+    scalar threshold. Classic Q11 divides its fraction by SF because
+    the part count scales with data size; here the threshold is the
+    scale-invariant 2x the mean per-part value (selects ~9% at every
+    fixture scale). The threshold is a broadcast cross join (no
+    driver round-trip, whole plan stays in one AQE run); the compare
+    happens on the DECIMAL-exact doubles both engines derive
+    identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    inv = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                            .select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("p_retailprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(8,2)")
+            ).alias("val")
+        )
+    )
+    total = inv.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1)) * F.lit(2.0)).alias(
+            "thr"
+        )
+    )
+    return (
+        inv.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("thr"))
+        .select(
+            "l_partkey", F.col("val").cast("double").alias("inv_value")
+        )
+        .orderBy(F.col("inv_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sqty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red %'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    pt AS (
+        SELECT l_partkey, SUM(sqty) AS tqty FROM sp GROUP BY l_partkey
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT sp.l_suppkey FROM sp
+        JOIN pt ON sp.l_partkey = pt.l_partkey
+        WHERE sp.sqty * 2 > pt.tqty
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers qualified through a nested
+    per-part quantity threshold, surfaced via semi join). Adaptation:
+    no partsupp availqty, so "has excess stock" becomes "shipped more
+    than half of that part's 1996 volume" — still a grouped frame
+    reused at two granularities plus an IN-subquery semi join into the
+    supplier dim. Quantities accumulate in DECIMAL; the ×2 compare is
+    decimal-exact in both engines. The per-part total comes from a
+    window over the grouped frame — one pass over lineitem instead of
+    materializing the (suppkey, partkey) frame twice (the CTE form
+    cost 10 exchanges; this is 5)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red %"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sp = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sqty"))
+    )
+    qual = (
+        sp.withColumn(
+            "tqty", F.sum("sqty").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("sqty") * 2 > F.col("tqty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

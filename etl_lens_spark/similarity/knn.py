@@ -77,11 +77,12 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    nq = queries.count()
-    if nq > max_queries:
+    # limit-probe: counts at most max_queries+1 rows (early-out scan),
+    # so the guard costs O(max_queries) regardless of input size
+    if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
-            f"brute_force_topk scans corpus × queries and got {nq} "
-            f"queries > max_queries={max_queries}; use lsh_topk/ivf_topk "
+            f"brute_force_topk scans corpus × queries and got more than "
+            f"max_queries={max_queries} queries; use lsh_topk/ivf_topk "
             "(the blocked scale paths) or pass a larger max_queries "
             "explicitly"
         )

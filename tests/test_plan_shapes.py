@@ -35,6 +35,12 @@ EXPECTATIONS = {
     # means someone put a UDF on the hot path
     "text_quality_signals": (2, ["ArrowEval", "BatchEvalPython", "MapInPandas"]),
     "text_token_stats": (2, ["ArrowEval", "BatchEvalPython", "MapInPandas"]),
+    # Q9: filtered part dim + nation broadcast into the lineitem
+    # pipeline; fact-fact joins stay hash, never nested-loop
+    "q9_product_type_profit": (8, ["BroadcastNestedLoopJoin", "ArrowEval"]),
+    # Q20: grouped frame reused at two granularities + semi join;
+    # no nested-loop anywhere
+    "q20_dominant_suppliers": (8, ["BroadcastNestedLoopJoin", "ArrowEval"]),
 }
 
 
