@@ -78,6 +78,7 @@ def _load() -> None:
         io_q,
         joins_q,
         npipe,
+        npipe2,
         rel,
         rel2,
         streaming_q,
