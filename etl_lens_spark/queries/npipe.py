@@ -237,6 +237,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank_n")
 
 
+@query("sim_pq_topk")
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-5 (rows-only; recall and
+    compression asserted in tests/test_knn.py): per-subspace codebooks
+    trained via one partial-sums pass per Lloyd iteration, corpus
+    encoded to m=16 uint8 codes (16x smaller than the float vectors),
+    queries scored by ADC lookup tables inside a single codes-table
+    scan, shortlist re-ranked with exact cosine. The third [N] ANN
+    plan alongside SRP-LSH and IVF (similarity/pq.py)."""
+    from etl_lens_spark.similarity import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq.pq_topk(
+        emb, queries, dim=64, k=5, m=16, k_codes=32, train_iters=3
+    ).orderBy("qid", "rank_n")
+
+
 # --------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------
