@@ -400,3 +400,61 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               MAP{'type': event_type,
+                   'vbucket': CAST(value >= 50 AS VARCHAR)} AS m
+        FROM events
+    )
+    SELECT event_id,
+           to_json(m)::VARCHAR AS m_json,
+           to_json(map_keys(m))::VARCHAR AS keys_json,
+           to_json(map_values(m))::VARCHAR AS vals_json,
+           to_json(map_entries(m))::VARCHAR AS entries_json,
+           m['type'][1] AS type_val,
+           list_contains(map_keys(m), 'vbucket') AS has_vbucket,
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
+           to_json(map_concat(m, MAP{'src': 'ev'}))::VARCHAR AS concat_json,
+           to_json(map_from_entries(
+               list_filter(map_entries(m), e -> e.key != 'vbucket')
+           ))::VARCHAR AS filtered_json
+    FROM m
+    ORDER BY event_id
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface (create/keys/values/entries/element_at/
+    contains/size/concat/filter), serialized with to_json at the
+    output boundary per the driver-canonicalizer contract — Spark and
+    DuckDB agree on JSON map formatting byte-for-byte (probed:
+    insertion-order keys, {"k":v} shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("vbucket"), (F.col("value") >= 50).cast("string"),
+    )
+    return (
+        ev.select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.to_json("m").alias("m_json"),
+            F.to_json(F.map_keys("m")).alias("keys_json"),
+            F.to_json(F.map_values("m")).alias("vals_json"),
+            F.to_json(F.map_entries("m")).alias("entries_json"),
+            F.element_at("m", F.lit("type")).alias("type_val"),
+            F.map_contains_key("m", F.lit("vbucket")).alias("has_vbucket"),
+            F.size("m").cast("long").alias("n_keys"),
+            F.to_json(
+                F.map_concat("m", F.create_map(F.lit("src"), F.lit("ev")))
+            ).alias("concat_json"),
+            F.to_json(
+                F.map_filter("m", lambda k, v: k != F.lit("vbucket"))
+            ).alias("filtered_json"),
+        )
+        .orderBy("event_id")
+    )

@@ -381,3 +381,33 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS total_tokens
+    FROM documents
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source roundtrip: the corpus writes as one-doc-per-line
+    text (fixture docs contain no newlines) and reads back through
+    ``spark.read.text`` — the line-oriented source every web-scale
+    text pipeline starts from. Totals are recomputed from the raw
+    lines and must match the parquet-derived oracle exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = sinks.write_text(docs, "documents_txt")
+    back = sinks.read_text(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.sum(
+            F.size(F.split(F.regexp_replace(F.trim("value"), r"\s+", " "), " "))
+        )
+        .cast("long")
+        .alias("total_tokens"),
+    )

@@ -220,3 +220,50 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         "n_clicks_1h", F.lit(0).cast("long")
     )
     return counts.unionByName(zeros).orderBy("event_id")
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact join (operators/bloom.py): urgent orders'
+    key set reduces to its bloom positions (≤ m_bits rows, always
+    broadcast-able); lineitem drops ~4/5 of its rows via two
+    broadcast-semi position probes BEFORE the exact join ships
+    anything. False positives are cleaned up by the exact join, so
+    the result is identical to the plain join — which is exactly what
+    the oracle asserts."""
+    from etl_lens_spark.operators import bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pos = bloom.bloom_positions(o, "o_orderkey")
+    li_pruned = bloom.bloom_prefilter(li, pos, "l_orderkey")
+    return (
+        li_pruned.join(o, li_pruned.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

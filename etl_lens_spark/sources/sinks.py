@@ -146,3 +146,18 @@ def read_csv(spark: SparkSession, path: str, ddl: str) -> DataFrame:
 
 def read_json(spark: SparkSession, path: str, ddl: str) -> DataFrame:
     return spark.read.schema(ddl).json(path)
+
+
+def write_text(df: DataFrame, name: str) -> str:
+    """Overwrite-write a single string column as raw text lines (one
+    document per line — the interchange format of most web-scale text
+    corpora)."""
+    path = scratch_path(name)
+    df.coalesce(4).write.mode("overwrite").text(path)
+    return path
+
+
+def read_text(spark, path: str) -> DataFrame:
+    """Raw line source: one row per line, single ``value`` column —
+    schema-free by definition, so no inference scan exists to avoid."""
+    return spark.read.text(path)

@@ -134,3 +134,34 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
     assert n_before == 64
     assert n_after < n_before
     assert spark.read.parquet(path).count() == before_rows
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import bloom
+    from etl_lens_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pos = bloom.bloom_positions(o, "o_orderkey", m_bits=1 << 16, k_hashes=2)
+    pruned = bloom.bloom_prefilter(li, pos, "l_orderkey", 1 << 16, 2)
+    n_all, n_pruned = li.count(), pruned.count()
+    # pruning is real: urgent orders are ~20% of keys, so the bloom
+    # pass must drop well over half of lineitem (false positives only
+    # widen, never shrink, the survivor set)
+    assert n_pruned < 0.5 * n_all, (n_pruned, n_all)
+    # zero false negatives: every truly-matching row survives
+    true_keys = {r[0] for r in o.select("o_orderkey").collect()}
+    surviving = {r[0] for r in pruned.select("l_orderkey").distinct().collect()}
+    matching = {
+        r[0]
+        for r in li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    }
+    assert matching <= surviving
+    assert matching <= true_keys
