@@ -137,3 +137,33 @@ def pack_greedy_bins(
 
     packed = d.groupBy(shard).applyInPandas(pack, out_schema)
     return packed.drop("__shard") if not shard_col else packed
+
+
+def sample_stratified_n(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key: Column,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample: rank rows inside
+    each stratum by key hash (ties broken by the key itself) and keep
+    the first n. Unlike fraction sampling this guarantees quota
+    fulfillment for skewed strata — the 'n examples per source/
+    language' step of eval-set construction.
+
+    One shuffle on the stratum column; the rank is a window over the
+    hash order, so the choice is stable across partitionings and
+    reruns (no RNG). At 100 TB prefer a two-phase quantile cut for
+    very hot strata; the window form is exact and fine while each
+    stratum fits a reducer's spill budget."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket(key, salt).asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -458,3 +458,45 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "bitwise_functions",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor,
+           CAST(SUM(CAST(bit_count(user_id) AS BIGINT)) AS BIGINT)
+               AS popcount_sum,
+           CAST(MIN(user_id << 3) AS BIGINT) AS min_shl,
+           CAST(MAX(user_id >> 2) AS BIGINT) AS max_shr,
+           CAST(SUM(user_id & 255) AS BIGINT) AS low_byte_sum,
+           CAST(MIN(~user_id) AS BIGINT) AS min_not
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate surface (SQLite dialect &,|,<<,>>,~
+    plus bit_count and the bit_and/or/xor aggregates), all JVM
+    expressions inside one partial+final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bit_and(u).alias("band"),
+            F.bit_or(u).alias("bor"),
+            F.bit_xor(u).alias("bxor"),
+            F.sum(F.bit_count(u).cast("long")).cast("long").alias(
+                "popcount_sum"
+            ),
+            F.min(F.shiftleft(u, 3)).cast("long").alias("min_shl"),
+            F.max(F.shiftright(u, 2)).cast("long").alias("max_shr"),
+            F.sum(u.bitwiseAND(F.lit(255))).cast("long").alias("low_byte_sum"),
+            F.min(F.bitwise_not(u)).cast("long").alias("min_not"),
+        )
+        .orderBy("event_type")
+    )

@@ -290,3 +290,137 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nurl")
     )
+
+
+@query(
+    "sample_stratified_exact_n",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substring(md5('strat' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000 ASC,
+                            CAST(doc_id AS VARCHAR) ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM ranked
+    WHERE rk <= 7
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-7-docs-per-source deterministic sample
+    (operators/sampling.py sample_stratified_n): hash-ordered
+    row_number inside each stratum — quota-guaranteed, RNG-free, and
+    partitioning-independent, verified by summing the exact kept ids
+    against the oracle's identical rank."""
+    from etl_lens_spark.operators.sampling import sample_stratified_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_stratified_n(docs, "source", 7, F.col("doc_id"), "strat")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.min("doc_id").cast("long").alias("min_id"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "decontaminate_corpus_pipeline",
+    headline=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text, {_TOKS_SQL} AS t, md5(text) AS fp
+      FROM documents WHERE source <> 'src0'
+    ),
+    keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM corpus GROUP BY fp),
+    ev AS (
+      SELECT DISTINCT unnest([array_to_string(t[i:i+7], ' ')
+                              for i in range(1, len(t) - 6)]) AS g
+      FROM (SELECT {_TOKS_SQL} AS t FROM documents WHERE source = 'src0')
+    ),
+    contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest([array_to_string(t[i:i+7], ' ')
+                               for i in range(1, len(t) - 6)]) AS g
+        FROM corpus
+      ) WHERE g IN (SELECT g FROM ev)
+    ),
+    graded AS (
+      SELECT c.source,
+             CASE
+               WHEN c.doc_id <> k.keeper THEN 'dup'
+               WHEN len(c.t) < 20 THEN 'short'
+               WHEN len(list_distinct(c.t)) * 1.0 / len(c.t) < 0.35
+                 THEN 'lowdiv'
+               WHEN c.doc_id IN (SELECT doc_id FROM contam)
+                 THEN 'contaminated'
+               ELSE 'kept'
+             END AS status,
+             c.doc_id
+      FROM corpus c JOIN keepers k ON c.fp = k.fp
+    )
+    SELECT source, status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM graded
+    GROUP BY source, status
+    ORDER BY source, status
+    """,
+)
+def decontaminate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation as ONE declared query: exact
+    dedup (first-seen md5 representative) → length gate → lexical-
+    diversity gate → benchmark-decontamination (8-gram overlap with
+    the src0 eval corpus), with per-(source, status) counts and exact
+    id-sums so the oracle pins every document's fate, not just
+    aggregate counts. Precedence dup > short > lowdiv > contaminated.
+
+    Plan shape at scale: fingerprint window keyed on md5 (one
+    shuffle), token stats are row-local codegen, the contamination
+    probe is the distinct-gram broadcast semi join — no stage touches
+    text twice and nothing is quadratic. The 10x clone corpus
+    exercises the dup stage (zero byte-exact dups exist at sf0.01)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    evalset = docs.filter(F.col("source") == "src0")
+    t = tp.ws_tokens(F.col("text"))
+    w = Window.partitionBy("fp")
+    contam = tp.contamination_overlap(corpus, evalset, "doc_id", "text", k=8)
+    graded = (
+        corpus.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("n_tok", F.size(t))
+        .withColumn("div", F.size(F.array_distinct(t)) / F.size(t))
+        .join(contam, "doc_id", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("doc_id") != F.col("keeper"), "dup")
+            .when(F.col("n_tok") < 20, "short")
+            .when(F.col("div") < 0.35, "lowdiv")
+            .when(F.col("n_overlap_kgrams") >= 1, "contaminated")
+            .otherwise("kept"),
+        )
+    )
+    return (
+        graded.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source", "status")
+    )
