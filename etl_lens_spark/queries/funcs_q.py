@@ -500,3 +500,63 @@ def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sql_text_entrypoint",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_text_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual SQL entry path (SURVEY §2.2's [L] surface as a
+    user actually drives it): tables register as temp views and the
+    query is a literal SQL string through spark.sql — same Catalyst
+    plan as the DataFrame form, proving both front doors reach the
+    same engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_view"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders_view
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query("sketch_hll_mergeable")
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg/hll_union_agg): per-(event_type, day) sketches
+    union into per-type totals WITHOUT rescanning events — the 100 TB
+    pattern where daily pre-aggregates merge into any rollup. Rows
+    only (sketch estimates are approximate by design); the error
+    bound vs exact distinct is asserted in tests/test_udf.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("approx_users"),
+            F.count(F.lit(1)).cast("long").alias("n_days_merged"),
+        )
+        .orderBy("event_type")
+    )

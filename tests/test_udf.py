@@ -55,3 +55,38 @@ def test_weighted_mean_udaf_matches_jvm(spark, sf_dir):
     }
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-12)
+
+
+def test_hll_mergeable_matches_exact_within_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.queries import all_queries
+    from etl_lens_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["sketch_hll_mergeable"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["users"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et in exact:
+        rel = abs(approx[et] - exact[et]) / max(exact[et], 1)
+        assert rel < 0.05, (et, approx[et], exact[et])
+    # merging daily sketches must equal sketching the whole column
+    whole = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("a")
+        )
+        .collect()
+    )
+    assert {r["event_type"]: r["a"] for r in whole} == approx
