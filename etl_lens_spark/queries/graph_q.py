@@ -179,3 +179,73 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = e.select(F.col("vec_id").alias("node"))
     cc = emb_dedup.connected_components(nodes, edges)
     return cc.orderBy("node")
+
+
+@query("graph_pagerank_bipartite")
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (edges =
+    distinct (c_custkey, l_suppkey) pairs via orders⋈lineitem), run
+    with iterate_fixpoint (operators/fixpoint.py) — the general
+    iterative-algorithm shape beyond connected components. Fixed
+    damping 0.85 and a FIXED 25-round power iteration (not a
+    convergence test): deterministic arithmetic lets the numpy
+    reference in tests/test_graph.py replay the exact computation,
+    and the bound keeps the query's cost predictable at any sf.
+
+    Scale shape per iteration: ONE shuffle join (ranks ⋈ weighted
+    edges on src) + ONE groupBy(dst) sum. The 1/out-degree edge
+    weights are loop-invariant, so edges⋈outdeg materializes ONCE
+    before the loop (recomputing it per round is the classic waste in
+    naive PageRank loops); the symmetric edge set guarantees every
+    node has inflow, so no per-round left-join against the node list
+    is needed either. Lineage is truncated per iteration. Rows-only
+    entry — the numpy power-iteration reference in
+    tests/test_graph.py is the exactness check."""
+    from etl_lens_spark.operators.fixpoint import CHANGED_COL, iterate_fixpoint
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    # undirected bipartite walk: add the reverse edges
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = wedges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    init = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    def step(state):
+        nxt = (
+            state.join(wedges, state.node == wedges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.sum(F.col("rank") * F.col("w"))
+                ).alias("rank")
+            )
+        )
+        return nxt.withColumn(CHANGED_COL, F.lit(True))
+
+    ranks = iterate_fixpoint(init, step, max_iter=25)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+        .select("node", F.round("rank", 9).alias("rank"))
+    )

@@ -87,3 +87,50 @@ def test_recursive_closure_terminates_on_cycles(spark):
     # every node in the cycle reaches all of {1,2,3,4}; node 4 reaches nothing
     expected = {(s, r) for s in (1, 2, 3) for r in (1, 2, 3, 4)} | set()
     assert got == expected
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.queries import all_queries
+    from etl_lens_spark.sources.tables import load_table
+
+    got = all_queries()["graph_pagerank_bipartite"](spark, sf_dir).collect()
+    assert len(got) >= 5  # sf0.001 has 10 suppliers; top-20 truncates
+
+    # numpy reference on the same edge set
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    edges = [(r["src"], r["dst"]) for r in pairs]
+    edges += [(d, s) for s, d in edges]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):  # must match the query's fixed iteration count
+        nr = np.full(n, 0.15 / n)
+        shares = r / deg
+        for s, d in edges:
+            nr[idx[d]] += 0.85 * shares[idx[s]]
+        r = nr
+    ref = sorted(
+        ((nodes[i], r[i]) for i in range(n) if nodes[i].startswith("s")),
+        key=lambda t: (-t[1], t[0]),
+    )[: len(got)]
+    got_map = {row["node"]: row["rank"] for row in got}
+    assert set(got_map) == {nm for nm, _ in ref}
+    for nm, rv in ref:
+        assert abs(got_map[nm] - rv) < 1e-5, (nm, got_map[nm], rv)
