@@ -406,3 +406,57 @@ def stream_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           array_to_string(
+               (list(event_type ORDER BY epoch_us(ts), event_id))[1:64],
+               ' ') AS seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence corpus construction: each user's event
+    types, time-ordered, joined into one training-ready token string
+    — the standard sequence-modeling prep over an event log.
+
+    Shape: ONE shuffle (groupBy user_id); ordering happens INSIDE the
+    aggregate via array_sort over (ts, event_id) structs — no global
+    sort, no window. The emitted sequence is capped at 64 tokens
+    (slice) so hot users cannot produce unbounded strings at 100 TB;
+    the untruncated count is carried alongside. Ties in ts are broken
+    by the unique event_id in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("us", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x.event_type,
+                    ),
+                    1,
+                    64,
+                ),
+                " ",
+            ).alias("seq"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

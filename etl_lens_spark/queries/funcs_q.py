@@ -560,3 +560,43 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    ORDER BY n_orders DESC, o_custkey
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter customers via count-min sketch prefilter
+    (operators/cms.py). The sketch (one scan, bounded shuffle) flags
+    candidate keys whose ESTIMATE clears the threshold; only the
+    survivors — a tiny set — are re-counted exactly with a
+    semi-joined groupBy. CMS never underestimates, so no true heavy
+    hitter is lost and the composition is EXACTLY `GROUP BY ...
+    HAVING count >= T` (the oracle checks that identity), while at
+    100 TB the exact pass aggregates only rows whose key survived
+    the sketch instead of every key.
+
+    The estimate-error and merge-exactness properties are asserted
+    separately in tests/test_cms.py."""
+    from etl_lens_spark.operators.cms import cms_estimate, cms_sketch
+
+    threshold = 15
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    sketch = cms_sketch(o, "o_custkey", depth=5, width=4096)
+    candidates = cms_estimate(
+        sketch, o.distinct(), "o_custkey", depth=5, width=4096
+    ).filter(F.col("est") >= threshold)
+    return (
+        o.join(F.broadcast(candidates.select("o_custkey")), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= threshold)
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    )
