@@ -231,3 +231,118 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.when(F.col("did_signup"), 1))
         ).alias("conversion"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+    SELECT CAST(f.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(e.wk - f.cohort_wk AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_wk, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week,
+    counted distinct in every later week they return — the standard
+    product-analytics retention matrix.
+
+    Shape: the cohort week rides along via a partition-only window
+    MIN (same shuffle key as the event stream's user_id, no join
+    back), then one distinct-count aggregate on (cohort, offset).
+    Week indices are integer µs division in BOTH engines — never raw
+    ns timestamps (events parquet is TIMESTAMP_NS)."""
+    week_us = 604_800_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {week_us}").alias("wk"),
+    )
+    cohort = F.min("wk").over(Window.partitionBy("user_id"))
+    return (
+        ev.select(
+            "user_id",
+            cohort.alias("cohort_wk"),
+            (F.col("wk") - cohort).alias("week_offset"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS month_idx,
+               l_extendedprice AS px,
+               l_quantity,
+               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                   * 1000000000000
+                   + l_orderkey * 100 + l_linenumber AS ord
+        FROM lineitem
+    )
+    SELECT l_returnflag, month_idx,
+           arg_min(px, ord) AS open,
+           MAX(px) AS high,
+           MIN(px) AS low,
+           arg_max(px, ord) AS close,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM t
+    GROUP BY 1, 2
+    ORDER BY l_returnflag, month_idx
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling: irregular per-line prices folded to
+    monthly open/high/low/close/volume bars per return flag — the
+    financial downsampling primitive, as ONE declarative aggregate.
+
+    Open/close are `min_by`/`max_by` over a deterministic composite
+    order key (ship day, orderkey, linenumber packed into one
+    BIGINT), so first/last never depend on partition layout and both
+    engines agree exactly. Single shuffle; min_by/max_by combine
+    map-side like any algebraic aggregate, so 100 TB of lines still
+    reduces to (flags x months) rows. The packed key reserves 1e12
+    per day slot — wide enough for TPC-H orderkeys through sf100;
+    repack (or order by a struct) beyond that."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("month_idx"),
+        F.col("l_extendedprice").alias("px"),
+        "l_quantity",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+            .cast("long")
+            * F.lit(1_000_000_000_000)
+            + F.col("l_orderkey") * 100
+            + F.col("l_linenumber")
+        ).alias("ord"),
+    )
+    return (
+        t.groupBy("l_returnflag", "month_idx")
+        .agg(
+            F.min_by("px", "ord").alias("open"),
+            F.max("px").alias("high"),
+            F.min("px").alias("low"),
+            F.max_by("px", "ord").alias("close"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+        )
+        .orderBy("l_returnflag", "month_idx")
+    )
