@@ -391,7 +391,12 @@ def decontaminate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     Plan shape at scale: fingerprint window keyed on md5 (one
     shuffle), token stats are row-local codegen, the contamination
     probe is the distinct-gram broadcast semi join — no stage touches
-    text twice and nothing is quadratic. The 10x clone corpus
+    text twice and nothing is quadratic. Token stats and the md5 are
+    projected at SCAN time, before the fp exchange, so the shuffle
+    carries only (doc_id, source, fp, n_tok, div) — at 100 TB the
+    document bodies never leave their input partitions on this path
+    (the contamination branch reads text separately and reduces it to
+    distinct grams before ITS shuffle). The 10x clone corpus
     exercises the dup stage (zero byte-exact dups exist at sf0.01)."""
     from pyspark.sql import Window
 
@@ -402,10 +407,14 @@ def decontaminate_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame
     w = Window.partitionBy("fp")
     contam = tp.contamination_overlap(corpus, evalset, "doc_id", "text", k=8)
     graded = (
-        corpus.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        corpus.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            F.size(t).alias("n_tok"),
+            (F.size(F.array_distinct(t)) / F.size(t)).alias("div"),
+        )
         .withColumn("keeper", F.min("doc_id").over(w))
-        .withColumn("n_tok", F.size(t))
-        .withColumn("div", F.size(F.array_distinct(t)) / F.size(t))
         .join(contam, "doc_id", "left")
         .withColumn(
             "status",
