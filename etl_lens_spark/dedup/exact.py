@@ -31,22 +31,21 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest-id representative of each exact-duplicate group.
 
-    Deterministic (min id), distributed (one shuffle on the
-    fingerprint), and skew-tolerant: a pathological fingerprint with
-    millions of copies still aggregates via partial min/count map-side.
+    Deterministic (min id, id unique), distributed, and ONE shuffle
+    with no join back: ``min_by`` over the whole row struct keyed by
+    id. Because min_by is an algebraic aggregate, the map-side partial
+    keeps a single representative per (partition, fingerprint) — on a
+    clone-heavy corpus the shuffle carries one row per distinct text
+    per partition, not the full corpus, and a pathological
+    million-copy fingerprint still reduces map-side. (The earlier
+    groupBy-then-join-back form scanned and shuffled the text twice.)
     """
-    fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
-    keep = (
-        fp.groupBy("__fp")
-        .agg(
-            F.min(id_col).alias("keep_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
+    cols = df.columns
     return (
-        fp.join(keep, "__fp")
-        .filter(F.col(id_col) == F.col("keep_id"))
-        .drop("__fp", "keep_id")
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols])
     )
 
 
