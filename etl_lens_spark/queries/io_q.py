@@ -411,3 +411,70 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_tokens"),
     )
+
+
+from etl_lens_spark.operators import layout as _zl
+
+_ZBITS = 8
+_ZX = _zl.scale_expr("xk", "xlo", "xhi", _ZBITS, "//")
+_ZY = _zl.scale_expr("yk", "ylo", "yhi", _ZBITS, "//")
+_ZEXPR = _zl.interleave_expr(f"({_ZX})", f"({_ZY})", _ZBITS)
+
+
+@query(
+    "zorder_cluster_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_custkey AS xk,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS yk
+        FROM orders
+    ),
+    b AS (
+        SELECT MIN(xk) AS xlo, MAX(xk) AS xhi,
+               MIN(yk) AS ylo, MAX(yk) AS yhi
+        FROM t
+    ),
+    z AS (SELECT xk, yk, {_ZEXPR} AS zval FROM t CROSS JOIN b)
+    SELECT CAST(zval >> {2 * _ZBITS - 6} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(xk) - MIN(xk) AS BIGINT) AS x_span,
+           CAST(MAX(yk) - MIN(yk) AS BIGINT) AS y_span,
+           CAST(MIN(zval) AS BIGINT) AS z_min
+    FROM z
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout statistics (operators/layout.py): orders mapped
+    onto the Morton curve of (customer, order day), folded to
+    per-curve-bucket row counts and bounding-box spans. Every bucket
+    covering a compact box in BOTH dimensions is exactly the property
+    that makes parquet min/max stats prune under predicates on either
+    column after a z-ordered write — this query measures the layout;
+    the partition-pruning behavior itself is asserted in
+    tests/test_layout.py.
+
+    The Morton interleave and the integer scaling are ONE generated
+    expression string shared verbatim with the DuckDB oracle (only
+    the integer-division token differs), so the bit arithmetic is
+    pinned cross-engine down to the last shift."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("xk"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("yk"),
+    )
+    z = _zl.with_zvalue(o, "xk", "yk", bits=_ZBITS)
+    return (
+        z.select("xk", "yk", "zval")
+        .groupBy(F.expr(f"zval >> {2 * _ZBITS - 6}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("xk") - F.min("xk")).cast("long").alias("x_span"),
+            (F.max("yk") - F.min("yk")).cast("long").alias("y_span"),
+            F.min("zval").cast("long").alias("z_min"),
+        )
+        .orderBy("bucket")
+    )

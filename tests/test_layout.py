@@ -1,0 +1,70 @@
+"""Z-order layout (operators/layout.py): Morton-code arithmetic,
+curve locality, and the pruning property the layout exists for —
+fewer partitions intersect a single-dimension band under z-order
+than under a linear sort on the other dimension."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lens_spark.operators import layout as zl
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    n = 64
+    return spark.range(n * n).select(
+        (F.col("id") % n).cast("long").alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+
+
+def test_interleave_matches_reference(spark):
+    df = spark.range(256).select(
+        (F.col("id") % 16).cast("long").alias("x"),
+        (F.col("id") / 16).cast("long").alias("y"),
+    )
+    got = df.withColumn(
+        "z", F.expr(zl.interleave_expr("x", "y", 4))
+    ).collect()
+    for r in got:
+        assert r.z == _morton_ref(r.x, r.y, 4)
+    assert len({r.z for r in got}) == 256  # bijective on the grid
+
+
+def test_with_zvalue_scales_to_range(grid):
+    z = zl.with_zvalue(grid, "x", "y", bits=6)
+    lo, hi = z.agg(F.min("zval"), F.max("zval")).first()
+    assert lo == 0 and hi == 64 * 64 - 1  # full 12-bit range, no gaps
+    assert z.select("zval").distinct().count() == 64 * 64
+
+
+def test_zorder_partitions_are_boxes_and_prune(grid):
+    """The payoff: each z-order partition covers a compact box, so a
+    band predicate on y touches few partitions; a linear sort on x
+    gives tall slabs that a y-band intersects ALL of."""
+    nparts = 16
+
+    def band_hits(df):
+        pid = df.withColumn("pid", F.spark_partition_id())
+        spans = pid.groupBy("pid").agg(
+            F.min("y").alias("ylo"), F.max("y").alias("yhi")
+        )
+        return spans.filter(
+            (F.col("yhi") >= 0) & (F.col("ylo") < 8)
+        ).count()
+
+    zdf = zl.zorder_by(grid, "x", "y", bits=6, num_partitions=nparts)
+    xdf = grid.repartitionByRange(nparts, F.col("x"))
+    z_hits, x_hits = band_hits(zdf), band_hits(xdf)
+    assert x_hits == nparts          # slabs: every partition spans all y
+    assert z_hits <= nparts // 2     # boxes: band touches a minority
+    # layout is a reshuffle, never a transformation of rows
+    assert zdf.count() == 64 * 64
