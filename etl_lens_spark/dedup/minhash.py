@@ -211,3 +211,54 @@ def ngram_jaccard_pairs(
         inter.select("doc_a", "doc_b", jac)
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    min_containment: float = 0.5,
+    candidate_filter: Column | None = None,
+) -> DataFrame:
+    """Directional n-gram containment |sh(A) ∩ sh(B)| / |sh(A)|:
+    detects documents mostly CONTAINED in another (quotes, subsets,
+    prefix re-posts) that symmetric Jaccard misses when the container
+    is much larger than the contained doc (Broder's containment
+    measure, the complement of resemblance).
+
+    Emits (doc_sub, doc_sup, containment) for ordered pairs where
+    doc_sub's n-gram set is >= min_containment inside doc_sup's.
+    Same inverted-index join shape as ngram_jaccard_pairs — one
+    intersection count per unordered pair, then both directions are
+    derived from it without a second join.
+    """
+    base = df.filter(candidate_filter) if candidate_filter is not None else df
+    with_sh = add_shingles(base, text_col, n=n, out_col="__sh")
+    sizes = with_sh.select(
+        F.col(id_col).alias("__id"), F.size("__sh").alias("__sz"), "__sh"
+    )
+    tok = sizes.select("__id", "__sz", F.explode("__sh").alias("__t"))
+    a = tok.select(
+        F.col("__id").alias("doc_a"), F.col("__sz").alias("sz_a"), "__t"
+    )
+    b = tok.select(
+        F.col("__id").alias("doc_b"), F.col("__sz").alias("sz_b"), "__t"
+    )
+    inter = (
+        a.join(b, "__t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    fwd = inter.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        (F.col("__inter").cast("double") / F.col("sz_a")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        (F.col("__inter").cast("double") / F.col("sz_b")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= min_containment)

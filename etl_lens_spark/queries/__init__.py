@@ -79,6 +79,7 @@ def _load() -> None:
         joins_q,
         npipe,
         npipe2,
+        npipe3,
         rel,
         rel2,
         streaming_q,

@@ -1,0 +1,277 @@
+"""Third tranche of [N] training-data-pipeline queries: C4-style
+segment-level corpus dedup with document reassembly, directional
+n-gram containment (subset-duplication detection), a self-trained
+bigram language-model quality score, and incremental partial-aggregate
+merging (the algebraic core of materialized-view / streaming-state
+maintenance).
+
+Oracle strategy: all four are fully SQL-expressible; DuckDB mirrors
+the exact arithmetic (same tokenization expression text as the other
+text tranches, same add-one smoothing, same merge algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.dedup import minhash as mh
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.text import pipeline as tp
+
+_TOKS_SQL = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+# add_shingles normalizes (lower) first — mirror its expression:
+_NORM_TOKS_SQL = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@query(
+    "dedup_segment_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    segs AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+19], ' ')
+              for i in range(1, greatest(len(t), 1) + 1, 20)] AS s
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, unnest(s) AS seg,
+             unnest(range(0, len(s))) AS seg_idx
+      FROM segs
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, seg
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                                         ORDER BY doc_id, seg_idx) AS rn
+            FROM ex)
+      WHERE rn = 1
+    ),
+    reb AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS rebuilt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.s) AS BIGINT) AS n_segs,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           md5(COALESCE(r.rebuilt, '')) AS text_fp
+    FROM segs s LEFT JOIN reb r ON s.doc_id = r.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup across the whole corpus: 20-token
+    segments, first-seen occurrence wins, documents reassembled from
+    their surviving segments (text.pipeline.segment_dedup). Output
+    fingerprints the rebuilt text so the oracle hash pins every byte
+    of the reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = tp.segment_dedup(docs, seg_tokens=20)
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.md5("rebuilt_text").alias("text_fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(t[i:i+1], ' ')
+                              for i in range(1, greatest(len(t), 2))]) AS sh
+        FROM (SELECT doc_id, {_NORM_TOKS_SQL} AS t
+              FROM documents WHERE doc_id < 150)
+    ),
+    tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM docs),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS n_inter
+        FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    dirs AS (
+        SELECT doc_a AS doc_sub, doc_b AS doc_sup,
+               CAST(n_inter AS DOUBLE) / sz_a AS containment
+        FROM inter
+        UNION ALL
+        SELECT doc_b AS doc_sub, doc_a AS doc_sup,
+               CAST(n_inter AS DOUBLE) / sz_b AS containment
+        FROM inter
+    )
+    SELECT doc_sub, doc_sup, containment
+    FROM dirs WHERE containment >= 0.5
+    ORDER BY doc_sub, doc_sup
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment |sh(A) ∩ sh(B)| / |sh(A)| over distinct
+    word 2-grams (dedup.minhash.ngram_containment_pairs): flags docs
+    mostly contained in a larger one — the case symmetric Jaccard
+    misses. Bounded to doc_id < 150 for the oracle fixture (at scale
+    this is the verify stage over LSH candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mh.ngram_containment_pairs(
+        docs, n=2, min_containment=0.5, candidate_filter=F.col("doc_id") < 150
+    ).orderBy("doc_sub", "doc_sup")
+
+
+@query(
+    "text_lm_bigram_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bi AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                             for i in range(1, len(t))]) AS g
+      FROM toks
+    ),
+    cb AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cbi FROM bi GROUP BY g),
+    cu AS (SELECT string_split(g, ' ')[1] AS w1,
+                  CAST(SUM(cbi) AS BIGINT) AS cw1
+           FROM cb GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    sc AS (
+      SELECT b.doc_id,
+             ln((cb.cbi + 1.0) / (cu.cw1 + v.vsz)) AS lp
+      FROM bi b
+      JOIN cb ON b.g = cb.g
+      JOIN cu ON string_split(b.g, ' ')[1] = cu.w1
+      CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             AVG(lp) AS avg_logp
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           a.avg_logp AS avg_logp
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram language-model score per document (the
+    CCNet/perplexity-filter primitive): train add-one-smoothed bigram
+    probabilities on the corpus itself, score each document by its
+    mean log-probability. Low scores flag gibberish / outlier docs.
+
+    Distributed form: bigram counts via one groupBy with map-side
+    combine; the first-token marginal is derived from the already
+    reduced count table (not a second pass over the corpus); the
+    vocabulary size joins in as a broadcast scalar; scoring joins the
+    exploded bigrams to the count tables on well-distributed string
+    keys. The corpus text itself never shuffles — only (gram, count)
+    pairs do."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tp.ws_tokens(F.col("text"))
+    bi = docs.select(
+        "doc_id", F.explode(tp.word_ngrams(toks, 2)).alias("g")
+    )
+    cb = bi.groupBy("g").agg(F.count(F.lit(1)).alias("cbi"))
+    cu = (
+        cb.select(F.split("g", " ").getItem(0).alias("w1"), "cbi")
+        .groupBy("w1")
+        .agg(F.sum("cbi").alias("cw1"))
+    )
+    v = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    sc = (
+        bi.join(cb, "g")
+        .join(
+            cu, F.split(bi["g"], " ").getItem(0) == cu["w1"]
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cbi") + F.lit(1.0))
+                / (F.col("cw1") + F.col("vsz"))
+            ).alias("lp"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("lp").alias("avg_logp"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            "avg_logp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    WITH part AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             o_orderkey % 2 AS batch_id,
+             CAST(COUNT(*) AS BIGINT) AS p_cnt,
+             CAST(SUM(o_totalprice) AS DOUBLE) AS p_sum,
+             MIN(o_totalprice) AS p_min,
+             MAX(o_totalprice) AS p_max
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT ym,
+           CAST(SUM(p_cnt) AS BIGINT) AS n_orders,
+           CAST(SUM(p_sum) AS DOUBLE) AS total_price,
+           MIN(p_min) AS min_price,
+           MAX(p_max) AS max_price,
+           SUM(p_sum) / SUM(p_cnt) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n_partials
+    FROM part GROUP BY ym
+    ORDER BY ym
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: two independent micro-batches
+    (orders split by key parity — stand-ins for 'yesterday's rollup'
+    and 'today's delta') are each reduced to algebraic partial states
+    (count/sum/min/max), then the partials are MERGED without touching
+    the raw rows again — the exact state algebra a streaming sink or
+    materialized view runs on every refresh. avg is derived at merge
+    time (sum/count), never averaged-of-averages.
+
+    The oracle computes the same two-level reduction; because the
+    aggregates are algebraic the result equals a direct one-shot
+    aggregate — the merge identity this operator exists to provide.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn("batch_id", F.col("o_orderkey") % 2)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"), "batch_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("p_cnt"),
+            F.sum("o_totalprice").cast("double").alias("p_sum"),
+            F.min("o_totalprice").alias("p_min"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+    )
+    return (
+        partial.groupBy("ym")
+        .agg(
+            F.sum("p_cnt").cast("long").alias("n_orders"),
+            F.sum("p_sum").cast("double").alias("total_price"),
+            F.min("p_min").alias("min_price"),
+            F.max("p_max").alias("max_price"),
+            (F.sum("p_sum") / F.sum("p_cnt")).alias("avg_price"),
+            F.count(F.lit(1)).cast("long").alias("n_partials"),
+        )
+        .orderBy("ym")
+    )

@@ -210,3 +210,65 @@ def normalize_url(col: Column) -> Column:
     u = F.regexp_replace(u, r"\?utm_[a-z]+=[^&#]*$", "")
     u = F.regexp_replace(u, r"[?/]+$", "")  # trailing slash / bare '?'
     return u
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 20,
+) -> DataFrame:
+    """C4-style segment-level corpus dedup: split every document into
+    fixed ``seg_tokens``-token segments (the paragraph analog for a
+    corpus without hard paragraph breaks), drop every segment whose
+    text has already appeared anywhere else in the corpus (first-seen
+    wins, ordered by (doc_id, seg_idx)), and reassemble the surviving
+    segments per document in original order.
+
+    Returns (id, n_segs, n_kept, rebuilt_text).
+
+    Scale shape: the winner election groups by the 128-bit segment
+    fingerprint with a single min(struct) aggregate — map-side combine
+    collapses clone groups before the shuffle, and only scalars
+    (fp, id, seg_idx) cross the wire. The keep-list is then folded to
+    one row per document (an index array) and joined back to the
+    un-exploded documents, so segment text itself never shuffles:
+    reassembly filters the in-place segment array by kept index.
+    Mirrors the reference's first-seen dedup semantics
+    (src/main.cpp:256-259) applied at sub-document granularity.
+    """
+    t = ws_tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(seg_tokens))
+    segs = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, seg_tokens)))
+    base = df.select(F.col(id_col), segs.alias("__segs"))
+
+    exploded = base.select(
+        id_col, F.posexplode("__segs").alias("seg_idx", "__seg")
+    ).select(
+        F.col(id_col),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.md5("__seg").alias("__fp"),
+    )
+    winners = (
+        exploded.groupBy("__fp")
+        .agg(F.min(F.struct(id_col, "seg_idx")).alias("__w"))
+        .select(
+            F.col(f"__w.{id_col}").alias(id_col),
+            F.col("__w.seg_idx").alias("seg_idx"),
+        )
+    )
+    keep = winners.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("seg_idx")).alias("__keep")
+    )
+    joined = base.join(keep, id_col, "left")
+    kept_segs = F.filter(
+        "__segs", lambda s, i: F.array_contains("__keep", i.cast("long"))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__segs").cast("long").alias("n_segs"),
+        F.coalesce(F.size("__keep"), F.lit(0)).cast("long").alias("n_kept"),
+        F.when(F.col("__keep").isNull(), F.lit("")).otherwise(
+            F.concat_ws(" ", kept_segs)
+        ).alias("rebuilt_text"),
+    )
