@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_lens_spark.dedup import minhash as mh
+from etl_lens_spark.operators.partitioning import parallelize_compute
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
 from etl_lens_spark.text import pipeline as tp
@@ -69,7 +70,7 @@ def dedup_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     their surviving segments (text.pipeline.segment_dedup). Output
     fingerprints the rebuilt text so the oracle hash pins every byte
     of the reassembly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
     out = tp.segment_dedup(docs, seg_tokens=20)
     return out.select(
         "doc_id",
@@ -170,7 +171,7 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded bigrams to the count tables on well-distributed string
     keys. The corpus text itself never shuffles — only (gram, count)
     pairs do."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
     toks = tp.ws_tokens(F.col("text"))
     bi = docs.select(
         "doc_id", F.explode(tp.word_ngrams(toks, 2)).alias("g")
