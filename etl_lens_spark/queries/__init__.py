@@ -85,6 +85,7 @@ def _load() -> None:
         streaming_q,
         timeseries_q,
         tpch2,
+        warehouse_q,
         winx_q,
     )
 

@@ -276,3 +276,86 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    tot_u AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM uni),
+    bi AS (
+      SELECT unnest([array_to_string(t[i:i+1], ' ')
+                     for i in range(1, len(t))]) AS g
+      FROM toks
+    ),
+    cb AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY g
+           HAVING COUNT(*) >= 5),
+    tot_b AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM bi)
+    SELECT w1, w2, c,
+           ln((CAST(c AS DOUBLE) / nbi) /
+              ((CAST(u1.cu AS DOUBLE) / nu) * (CAST(u2.cu AS DOUBLE) / nu)))
+             AS pmi
+    FROM (SELECT string_split(g, ' ')[1] AS w1,
+                 string_split(g, ' ')[2] AS w2, c FROM cb)
+    JOIN uni u1 ON w1 = u1.tok
+    JOIN uni u2 ON w2 = u2.tok
+    CROSS JOIN tot_u CROSS JOIN tot_b
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information phrase detection: corpus-wide
+    bigram PMI = ln(P(w1,w2) / (P(w1)·P(w2))), min count 5, top 50
+    (the word2vec-phrases / collocation-mining primitive for building
+    tokenizer merge candidates).
+
+    Count tables reduce map-side before their shuffles; the totals
+    join in as broadcast scalars; the PMI join keys are single tokens
+    (the unigram table is small relative to the corpus and broadcasts
+    under AQE at fixture scale, shuffles cleanly at 100 TB)."""
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    toks = tp.ws_tokens(F.col("text"))
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    nu = uni.agg(F.sum("cu").cast("long").alias("nu"))
+    bi = docs.select(F.explode(tp.word_ngrams(toks, 2)).alias("g"))
+    nbi = bi.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
+    cb = (
+        bi.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 5)
+        .select(
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "c",
+        )
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    return (
+        cb.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nbi))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.log(
+                (F.col("c").cast("double") / F.col("nbi"))
+                / (
+                    (F.col("cu1").cast("double") / F.col("nu"))
+                    * (F.col("cu2").cast("double") / F.col("nu"))
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )

@@ -1,0 +1,220 @@
+"""Warehouse-maintenance and market-analytics operators: SCD type-2
+history compaction (gaps-and-islands run-length collapse) and
+association-rule mining with the apriori frequent-item prefilter.
+
+Both are fully SQL-expressible and oracle-checked; both carry the
+scale levers a 100 TB run needs (windows keyed on the natural
+partition key; the pair explosion gated by a support prefilter so
+the quadratic stage only sees frequent items).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH day1 AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS dt,
+             MIN(o_orderpriority) AS attr
+      FROM orders GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT custkey, dt, attr,
+             CASE WHEN attr = LAG(attr) OVER w THEN 0 ELSE 1 END AS chg
+      FROM day1 WINDOW w AS (PARTITION BY custkey ORDER BY dt)
+    ),
+    runs AS (
+      SELECT custkey, dt, attr,
+             SUM(chg) OVER (PARTITION BY custkey ORDER BY dt
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    hist AS (
+      SELECT custkey, attr, CAST(run_id AS BIGINT) AS version,
+             MIN(dt) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM runs GROUP BY custkey, attr, run_id
+    )
+    SELECT custkey, version, attr, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY custkey
+                                  ORDER BY version) AS valid_to,
+           CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY custkey
+                                                 ORDER BY version)
+                          IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           n_days
+    FROM hist
+    ORDER BY custkey, version
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction: a customer's
+    order-priority observations (one per order date, deterministic
+    min per day) collapse into validity intervals — consecutive
+    no-change days merge into one versioned row with
+    [valid_from, valid_to) and an is_current flag.
+
+    The run-length collapse is the standard gaps-and-islands window
+    (change marker via lag, running sum = run id), then one groupBy.
+    Every window and the aggregate share the custkey partitioning, so
+    the whole history build is ONE shuffle keyed on the dimension's
+    natural key — the same shape an MPP warehouse uses for SCD2
+    refresh at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    day1 = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    ).agg(F.min("o_orderpriority").alias("attr"))
+    w = Window.partitionBy("custkey").orderBy("dt")
+    marked = day1.withColumn(
+        "chg",
+        F.when(F.col("attr") == F.lag("attr").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    runs = marked.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("custkey", "attr", "run_id").agg(
+        F.min("dt").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    wv = Window.partitionBy("custkey").orderBy("run_id")
+    return (
+        hist.select(
+            "custkey",
+            F.col("run_id").cast("long").alias("version"),
+            "attr",
+            "valid_from",
+            "n_days",
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("custkey").orderBy("version")
+            ),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            "custkey",
+            "version",
+            "attr",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_days",
+        )
+        .orderBy("custkey", "version")
+    )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM baskets),
+    freq AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS c_item
+      FROM baskets GROUP BY item
+      HAVING COUNT(*) >= 50
+    ),
+    fb AS (
+      SELECT b.basket, b.item, f.c_item
+      FROM baskets b JOIN freq f ON b.item = f.item
+    ),
+    pairs AS (
+      SELECT a.item AS antecedent, b.item AS consequent,
+             a.c_item AS c_ante, b.c_item AS c_cons,
+             CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM fb a JOIN fb b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= 20
+    )
+    SELECT antecedent, consequent, c_pair,
+           CAST(c_pair AS DOUBLE) / nb.n AS support,
+           CAST(c_pair AS DOUBLE) / c_ante AS confidence,
+           (CAST(c_pair AS DOUBLE) / c_ante) / (CAST(c_cons AS DOUBLE) / nb.n)
+             AS lift
+    FROM pairs CROSS JOIN nb
+    ORDER BY antecedent, consequent
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (items = part brands):
+    support / confidence / lift for co-purchased brand pairs.
+
+    Scale shape is textbook apriori: the frequent-item prefilter
+    (support >= threshold) runs BEFORE the quadratic within-basket
+    pair join, so the explosion only sees items that can possibly
+    form a frequent pair (downward-closure property). The pair join
+    is keyed on basket id — each basket's pairs are generated where
+    its items already live — and the basket count joins in as a
+    broadcast scalar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+        )
+        .distinct()
+    )
+    nb = baskets.agg(
+        F.countDistinct("basket").cast("long").alias("n")
+    )
+    freq = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_item"))
+        .filter(F.col("c_item") >= 50)
+    )
+    fb = baskets.join(freq, "item").select("basket", "item", "c_item")
+    a = fb.select(
+        "basket",
+        F.col("item").alias("antecedent"),
+        F.col("c_item").alias("c_ante"),
+    )
+    b = fb.select(
+        "basket",
+        F.col("item").alias("consequent"),
+        F.col("c_item").alias("c_cons"),
+    )
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("antecedent") < F.col("consequent"))
+        .groupBy("antecedent", "consequent", "c_ante", "c_cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= 20)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "c_pair",
+            (F.col("c_pair").cast("double") / F.col("n")).alias("support"),
+            (F.col("c_pair").cast("double") / F.col("c_ante")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("c_pair").cast("double") / F.col("c_ante"))
+                / (F.col("c_cons").cast("double") / F.col("n"))
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -1,0 +1,145 @@
+"""Unit tests for warehouse_q (SCD2 compaction, association rules)
+and text_pmi_bigrams — hand-computed micro-fixtures."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestScd2History:
+    def test_run_collapse_and_validity_chain(self, spark, tmp_path):
+        # one customer: A,A,B,A over four days -> 3 versions
+        rows = [
+            (1, datetime.date(2020, 1, d), "A" if d != 3 else "B", 100.0)
+            for d in (1, 2, 3, 4)
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"]
+        )
+        sf = str(tmp_path)
+        orders.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+        from etl_lens_spark.queries.warehouse_q import scd2_history
+
+        out = scd2_history(spark, sf).collect()
+        assert [r["attr"] for r in out] == ["A", "B", "A"]
+        assert [r["n_days"] for r in out] == [2, 1, 1]
+        # validity chain: each valid_to equals the next valid_from
+        assert out[0]["valid_to"] == out[1]["valid_from"]
+        assert out[1]["valid_to"] == out[2]["valid_from"]
+        assert out[2]["valid_to"] is None
+        assert [r["is_current"] for r in out] == [0, 0, 1]
+        assert [r["version"] for r in out] == [1, 2, 3]
+
+    def test_same_day_orders_deterministic(self, spark, tmp_path):
+        # two orders same day -> min priority wins, one observation
+        rows = [
+            (7, datetime.date(2021, 5, 1), "2-HIGH", 1.0),
+            (7, datetime.date(2021, 5, 1), "1-URGENT", 1.0),
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"]
+        )
+        sf = str(tmp_path)
+        orders.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+        from etl_lens_spark.queries.warehouse_q import scd2_history
+
+        out = scd2_history(spark, sf).collect()
+        assert len(out) == 1 and out[0]["attr"] == "1-URGENT"
+
+
+class TestBasketRules:
+    def test_support_confidence_lift_by_hand(self, spark, tmp_path):
+        # 4 baskets over items X, Y: X in all 4, Y in 2, {X,Y} in 2
+        baskets = {1: ["X", "Y"], 2: ["X"], 3: ["X", "Y"], 4: ["X"]}
+        li = spark.createDataFrame(
+            [(b, i, it) for b, its in baskets.items() for i, it in enumerate(its)],
+            ["l_orderkey", "l_linenumber", "p_name"],
+        )
+        # reuse the query's shape inline with thresholds suited to 4 rows
+        from etl_lens_spark.queries.warehouse_q import basket_association_rules  # noqa: F401
+
+        b = li.select(
+            F.col("l_orderkey").alias("basket"), F.col("p_name").alias("item")
+        ).distinct()
+        nb = b.agg(F.countDistinct("basket").alias("n"))
+        freq = b.groupBy("item").agg(F.count(F.lit(1)).alias("c_item"))
+        fb = b.join(freq, "item")
+        a = fb.select("basket", F.col("item").alias("ante"), F.col("c_item").alias("ca"))
+        c = fb.select("basket", F.col("item").alias("cons"), F.col("c_item").alias("cc"))
+        pairs = (
+            a.join(c, "basket")
+            .filter(F.col("ante") < F.col("cons"))
+            .groupBy("ante", "cons", "ca", "cc")
+            .agg(F.count(F.lit(1)).alias("cp"))
+            .crossJoin(F.broadcast(nb))
+            .select(
+                "ante",
+                "cons",
+                (F.col("cp") / F.col("n")).alias("support"),
+                (F.col("cp") / F.col("ca")).alias("confidence"),
+                ((F.col("cp") / F.col("ca")) / (F.col("cc") / F.col("n"))).alias(
+                    "lift"
+                ),
+            )
+            .collect()
+        )
+        assert len(pairs) == 1
+        r = pairs[0]
+        assert (r["ante"], r["cons"]) == ("X", "Y")
+        assert r["support"] == pytest.approx(0.5)  # 2/4
+        assert r["confidence"] == pytest.approx(0.5)  # 2/4
+        assert r["lift"] == pytest.approx(1.0)  # 0.5 / (2/4)
+
+    def test_fixture_rules_sane(self, spark, sf_dir):
+        from etl_lens_spark.queries.warehouse_q import basket_association_rules
+
+        rows = basket_association_rules(spark, sf_dir).collect()
+        for r in rows:
+            assert 0.0 < r["support"] <= 1.0
+            assert 0.0 < r["confidence"] <= 1.0
+            assert r["lift"] > 0.0
+            assert r["antecedent"] < r["consequent"]
+
+
+class TestPmiBigrams:
+    def test_pmi_formula_by_hand(self, spark, sf_dir):
+        from etl_lens_spark.queries.npipe3 import text_pmi_bigrams
+
+        rows = text_pmi_bigrams(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 50
+        # descending pmi with deterministic tie-break
+        pmis = [r["pmi"] for r in rows]
+        assert pmis == sorted(pmis, reverse=True)
+        # spot-check the formula for the top row against raw counts
+        top = rows[0]
+        import duckdb
+
+        con = duckdb.connect()
+        toks_sql = (
+            "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+        )
+        nu, cu1, cu2, nbi, c = con.execute(
+            f"""
+            WITH toks AS (SELECT {toks_sql} AS t
+                          FROM read_parquet('{sf_dir}/documents.parquet')),
+            uni AS (SELECT tok, COUNT(*) AS cu
+                    FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+            bi AS (SELECT unnest([array_to_string(t[i:i+1], ' ')
+                                  for i in range(1, len(t))]) AS g FROM toks)
+            SELECT (SELECT SUM(cu) FROM uni),
+                   (SELECT cu FROM uni WHERE tok = ?),
+                   (SELECT cu FROM uni WHERE tok = ?),
+                   (SELECT COUNT(*) FROM bi),
+                   (SELECT COUNT(*) FROM bi WHERE g = ?)
+            """,
+            [top["w1"], top["w2"], f"{top['w1']} {top['w2']}"],
+        ).fetchone()
+        expect = math.log((c / nbi) / ((cu1 / nu) * (cu2 / nu)))
+        assert top["pmi"] == pytest.approx(expect, rel=1e-9)
+        assert top["c"] == c and c >= 5
