@@ -359,3 +359,96 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 150) t
+        GROUP BY doc_id, t.term
+    ),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents WHERE doc_id < 150),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS wt
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.wt * b.wt) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine similarity between documents sharing
+    terms (the sparse-vector complement of embedding cosine: rare
+    shared terms dominate, boilerplate terms are damped by idf).
+    Inverted-index join on term — identical shape to the Jaccard
+    verify stage, with idf broadcast (vocabulary-sized) and the only
+    big shuffle being the (doc, term) count. Bounded to doc_id < 150
+    for the oracle fixture; at scale this runs on LSH candidates."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    )
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).alias("wt"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -61,10 +61,13 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The run-length collapse is the standard gaps-and-islands window
     (change marker via lag, running sum = run id), then one groupBy.
-    Every window and the aggregate share the custkey partitioning, so
-    the whole history build is ONE shuffle keyed on the dimension's
-    natural key — the same shape an MPP warehouse uses for SCD2
-    refresh at any scale."""
+    Plan shape (audited via explain): two scalar-only shuffles — the
+    day-level reduce (map-side partials, so the wire carries one row
+    per (custkey, day)), then one custkey exchange that EVERY
+    subsequent window and the run aggregate reuse (Catalyst satisfies
+    their clustered distributions from the custkey partitioning; no
+    further exchange until the final presentation sort). The same
+    shape an MPP warehouse uses for SCD2 refresh at any scale."""
     orders = load_table(spark, sf_dir, "orders")
     day1 = orders.groupBy(
         F.col("o_custkey").alias("custkey"),
@@ -85,7 +88,6 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dt").alias("valid_from"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
-    wv = Window.partitionBy("custkey").orderBy("run_id")
     return (
         hist.select(
             "custkey",
@@ -217,4 +219,147 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
         .orderBy("antecedent", "consequent")
+    )
+
+
+@query(
+    "outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority AS prio,
+             CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS med
+      FROM orders GROUP BY 1
+    ),
+    dev AS (
+      SELECT o.o_orderpriority AS prio, o.o_totalprice AS x, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m ON o.o_orderpriority = m.prio
+    ),
+    mad AS (
+      SELECT prio, CAST(quantile_cont(adev, 0.5) AS DOUBLE) AS mad
+      FROM dev GROUP BY prio
+    )
+    SELECT d.prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS outlier_rate,
+           MIN(d.med) AS median_price,
+           MIN(m.mad) AS mad_price
+    FROM dev d JOIN mad m ON d.prio = m.prio
+    GROUP BY d.prio
+    ORDER BY d.prio
+    """,
+)
+def outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    order prices beyond 3 scaled MADs (x1.4826 = consistency constant
+    for normal data) of their priority-group median. MAD resists the
+    masking that mean/stddev z-scores suffer when the outliers
+    themselves inflate sigma.
+
+    Two grouped exact-percentile passes joined back by group key
+    (groups are low-cardinality so both medians broadcast). Exact
+    percentile is the oracle anchor; at 100 TB the same shape runs on
+    percentile_approx (mergeable t-digest sketch, one pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        orders.join(
+            F.broadcast(med),
+            orders["o_orderpriority"] == med["prio"],
+        )
+        .select(
+            "prio",
+            F.col("o_totalprice").alias("x"),
+            "med",
+            F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        )
+    )
+    mad = dev.groupBy("prio").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    thresh = F.lit(3 * 1.4826) * F.col("mad")
+    flagged = dev.join(F.broadcast(mad), "prio").select(
+        "prio",
+        "med",
+        "mad",
+        F.when(F.col("adev") > thresh, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_out"
+        ),
+    )
+    return (
+        flagged.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("is_out").cast("long").alias("n_outliers"),
+            (F.sum("is_out").cast("double") / F.count(F.lit(1))).alias(
+                "outlier_rate"
+            ),
+            F.min("med").alias("median_price"),
+            F.min("mad").alias("mad_price"),
+        )
+        .orderBy("prio")
+    )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM counts
+    )
+    SELECT c.key, c.cnt,
+           CAST(c.cnt AS DOUBLE) / s.total AS share,
+           CAST(s.total AS DOUBLE) / s.n_keys AS avg_cnt,
+           CAST(s.max_cnt AS DOUBLE) / (CAST(s.total AS DOUBLE) / s.n_keys)
+             AS skew_ratio
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.cnt DESC, c.key LIMIT 5
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per-key counts for a prospective
+    join/shuffle key, the top hot keys with their share, and the
+    global skew ratio (hottest key vs mean). This is the
+    pre-flight check that decides between a plain shuffle join,
+    AQE skew splitting, or explicit salting (operators/partitioning
+    .salted_join) — run it BEFORE burning a 1000-executor shuffle.
+    One groupBy with map-side combine; the stats row broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+            (F.col("total").cast("double") / F.col("n_keys")).alias(
+                "avg_cnt"
+            ),
+            (
+                F.col("max_cnt").cast("double")
+                / (F.col("total").cast("double") / F.col("n_keys"))
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(5)
     )

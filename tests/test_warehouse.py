@@ -143,3 +143,84 @@ class TestPmiBigrams:
         expect = math.log((c / nbi) / ((cu1 / nu) * (cu2 / nu)))
         assert top["pmi"] == pytest.approx(expect, rel=1e-9)
         assert top["c"] == c and c >= 5
+
+
+class TestOutliersMad:
+    def test_planted_outlier_flagged(self, spark, tmp_path):
+        import datetime
+
+        # 20 tightly clustered prices + one wild outlier, one group
+        rows = [
+            (i, datetime.date(2020, 1, 1), "1-URGENT", 100.0 + (i % 5))
+            for i in range(20)
+        ] + [(99, datetime.date(2020, 1, 2), "1-URGENT", 10_000.0)]
+        orders = spark.createDataFrame(
+            rows, ["o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"]
+        )
+        sf = str(tmp_path)
+        orders.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+        from etl_lens_spark.queries.warehouse_q import outliers_mad
+
+        out = outliers_mad(spark, sf).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n"] == 21 and r["n_outliers"] == 1
+        # the planted point is the only one beyond 3 scaled MADs
+        assert r["outlier_rate"] == pytest.approx(1 / 21)
+
+    def test_masking_resistance_vs_zscore(self, spark, tmp_path):
+        import datetime
+        import statistics
+
+        # a huge outlier inflates stddev enough that a 3-sigma rule
+        # would miss a moderate one; MAD still catches both
+        vals = [100.0] * 30 + [140.0, 100000.0]
+        rows = [
+            (i, datetime.date(2020, 1, 1), "1-URGENT", v)
+            for i, v in enumerate(vals)
+        ]
+        orders = spark.createDataFrame(
+            rows, ["o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"]
+        )
+        sf = str(tmp_path)
+        orders.write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+        from etl_lens_spark.queries.warehouse_q import outliers_mad
+
+        r = outliers_mad(spark, sf).collect()[0]
+        mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+        n_sigma = sum(1 for v in vals if abs(v - mu) > 3 * sd)
+        assert n_sigma < 2  # 3-sigma misses the moderate outlier
+        assert r["n_outliers"] == 2  # MAD catches both
+
+
+class TestDiagKeySkew:
+    def test_hot_key_surfaces_with_ratio(self, spark, tmp_path):
+        # 10 keys x 2 rows + one key with 20 rows
+        rows = [(k, 1) for k in range(10) for _ in range(2)]
+        rows += [(99, 1)] * 20
+        li = spark.createDataFrame(rows, ["l_partkey", "l_linenumber"])
+        sf = str(tmp_path)
+        li.write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+
+        from etl_lens_spark.queries.warehouse_q import diag_key_skew
+
+        out = diag_key_skew(spark, sf).collect()
+        top = out[0]
+        assert top["key"] == 99 and top["cnt"] == 20
+        # 40 rows / 11 keys -> avg ~3.64; ratio = 20/avg
+        assert top["avg_cnt"] == pytest.approx(40 / 11)
+        assert top["skew_ratio"] == pytest.approx(20 / (40 / 11))
+        assert top["share"] == pytest.approx(0.5)
+
+
+class TestTfidfCosinePairs:
+    def test_clone_pair_is_unit_cosine(self, spark, sf_dir):
+        from etl_lens_spark.queries.npipe3 import text_tfidf_cosine_pairs
+
+        rows = text_tfidf_cosine_pairs(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0.5 <= r["cosine"] <= 1.0 + 1e-9
+            assert r["doc_a"] < r["doc_b"]
