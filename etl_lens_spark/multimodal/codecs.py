@@ -1,0 +1,134 @@
+"""Real media codecs for the uncompressed container formats that
+pure Python + numpy can handle without imaging libraries:
+
+- P6 binary PPM (RGB images): full header parse + raw pixel decode,
+  nearest-neighbor resample with real pixel output;
+- RIFF/WAVE PCM16 (audio): chunk walk, fmt parse, frame decode.
+
+These replace the deterministic *fakes* for these formats — the
+bytes on the wire are genuine PPM/WAV files and the decoders do real
+container parsing. Compressed formats (PNG/JPEG/MP4) still require
+external libs and stay behind the ``decode_image_stub(real=True)``
+NotImplementedError seam in ``binary.py``.
+
+Everything here is per-row CPU work invoked from Arrow-batched
+``mapInPandas`` stages — no Spark dependency in this module, so the
+codecs are unit-testable in isolation and reusable in any executor
+context.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------
+# P6 PPM (binary RGB)
+# ------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary P6 PPM file."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM file to an (h, w, 3) uint8 array.
+    Handles the standard whitespace/comment grammar of the header."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, '#' comments allowed between tokens
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pix = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real nearest-neighbor resample: output pixel (x, y) takes
+    source pixel (floor(x*w/out_w), floor(y*h/out_h)) — pure numpy
+    fancy indexing, no interpolation libs."""
+    h, w = arr.shape[:2]
+    xs = (np.arange(out_w) * w) // out_w
+    ys = (np.arange(out_h) * h) // out_h
+    return arr[np.ix_(ys, xs)]
+
+
+def mean_luma(arr: np.ndarray) -> float:
+    """Rec.601 luma (0.299 R + 0.587 G + 0.114 B), mean over pixels,
+    in the 0..255 domain."""
+    f = arr.astype(np.float64)
+    return float(
+        (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]).mean()
+    )
+
+
+# ------------------------------------------------------------------
+# RIFF/WAVE PCM16
+# ------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a canonical 44-byte-header
+    RIFF/WAVE PCM file."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16")
+    payload = samples.tobytes()
+    n = len(payload)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", n) + payload
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM16 file: walks the chunk list (so files
+    with extra chunks, e.g. LIST, parse correctly), returns
+    (samples int16 ndarray, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    bits = None
+    channels = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt_tag, channels, sample_rate = struct.unpack_from(
+                "<HHI", data, body
+            )
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+            if fmt_tag != 1:
+                raise ValueError("only PCM wav supported")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", count=clen // 2, offset=body)
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only mono 16-bit supported")
+    return samples, sample_rate

@@ -77,6 +77,7 @@ def _load() -> None:
         graph_q,
         io_q,
         joins_q,
+        media_q,
         npipe,
         npipe2,
         npipe3,

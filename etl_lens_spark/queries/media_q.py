@@ -1,0 +1,250 @@
+"""Real-decode multimodal queries. The payloads are genuine container
+bytes (binary P6 PPM images, RIFF/WAVE PCM16 audio) synthesized from a
+closed-form per-doc pixel/sample formula, so the DuckDB oracle can
+recompute every decoded statistic ARITHMETICALLY — the decoder's
+output (dimensions, checksums, luma, RMS) is pinned to exact values
+without DuckDB ever touching a byte of the container. This checks the
+real parse: any header mis-read, stride bug, or endianness slip in
+multimodal/codecs.py breaks the integer checksums.
+
+Image formula: pixel (x, y, channel c) of doc d has value
+(3x + 5y + 7c + d) mod 256 at size w = 4 + d mod 13, h = 3 + d mod 11.
+Audio formula: sample i of doc d is (((i*k + d) mod 256) - 128) * 128
+with k = d mod 7 + 1, n = 200 + d mod 50 samples at 16 kHz.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+_IMG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_IMG_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("resized_checksum", T.LongType()),
+    ]
+)
+
+
+def _synth_ppm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 4 + d % 13, 3 + d % 11
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            arr = ((3 * x + 5 * y + 7 * c + d) % 256).astype("uint8")
+            payloads.append(codecs.encode_ppm(arr))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_ppm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = codecs.decode_ppm(bytes(payload))
+            h, w = arr.shape[:2]
+            small = codecs.resize_nearest(arr, 8, 8)
+            checksum = int(small[:, :, 0].astype(np.int64).sum())
+            rows.append((int(d), w, h, codecs.mean_luma(arr), checksum))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "mean_luma",
+                "resized_checksum",
+            ],
+        )
+
+
+@query(
+    "mm_real_image_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      FROM documents
+    ),
+    xs AS (SELECT unnest(range(0, 17)) AS x),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    luma AS (
+      SELECT d.doc_id,
+             AVG(0.299 * ((3 * x.x + 5 * y.y + d.doc_id) % 256)
+                 + 0.587 * ((3 * x.x + 5 * y.y + 7 + d.doc_id) % 256)
+                 + 0.114 * ((3 * x.x + 5 * y.y + 14 + d.doc_id) % 256))
+               AS mean_luma
+      FROM dims d JOIN xs x ON x.x < d.w JOIN ys y ON y.y < d.h
+      GROUP BY d.doc_id
+    ),
+    og AS (SELECT unnest(range(0, 8)) AS o),
+    chk AS (
+      SELECT d.doc_id,
+             CAST(SUM((3 * ((xo.o * d.w) // 8)
+                       + 5 * ((yo.o * d.h) // 8)
+                       + d.doc_id) % 256) AS BIGINT) AS resized_checksum
+      FROM dims d CROSS JOIN og xo CROSS JOIN og yo
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           l.mean_luma, c.resized_checksum
+    FROM dims d
+    JOIN luma l ON d.doc_id = l.doc_id
+    JOIN chk c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode + resample pipeline: genuine binary P6 PPM
+    payloads are decoded (full header grammar + raw pixel parse),
+    nearest-neighbor-resampled to 8x8 with real pixel output, and
+    reduced to stats the oracle recomputes arithmetically — the
+    decode is pinned to exact integers (resized_checksum) so a one-
+    byte header mis-parse fails the gate.
+
+    Distribution shape: two chained Arrow-batched mapInPandas stages
+    (synthesize-encode, then decode-resize) with NO shuffle between
+    them — encode and decode of a payload happen in the same python
+    worker pass, the pattern a real fetch→decode→featurize pipeline
+    uses so blobs never cross an exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_ppm_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_ppm_batches, _IMG_OUT).orderBy(
+        "doc_id"
+    )
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_WAV_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def _synth_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n, k = 200 + d % 50, d % 7 + 1
+            i = np.arange(n, dtype=np.int64)
+            s = ((((i * k + d) % 256) - 128) * 128).astype(np.int16)
+            payloads.append(codecs.encode_wav(s, 16000))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s, rate = codecs.decode_wav(bytes(payload))
+            s64 = s.astype(np.int64)
+            n = len(s)
+            rows.append(
+                (
+                    int(d),
+                    n,
+                    rate,
+                    int(np.abs(s64).max()),
+                    math.sqrt(float((s64 * s64).sum()) / n),
+                    n / rate,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "sample_rate",
+                "peak",
+                "rms",
+                "duration_s",
+            ],
+        )
+
+
+@query(
+    "mm_real_audio_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 200 + doc_id % 50 AS n, doc_id % 7 + 1 AS k
+      FROM documents
+    ),
+    idx AS (SELECT unnest(range(0, 250)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n,
+             (((x.i * d.k + d.doc_id) % 256) - 128) * 128 AS v
+      FROM dims d JOIN idx x ON x.i < d.n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms,
+           CAST(COUNT(*) AS DOUBLE) / 16000 AS duration_s
+    FROM s GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def mm_real_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode: genuine RIFF/WAVE PCM16 payloads parsed by
+    the chunk-walking decoder (fmt + data chunks, little-endian int16
+    frames), reduced to signal stats the oracle recomputes from the
+    sample formula — peak and the sum-of-squares under rms are exact
+    integers, so any endianness or offset bug in the parse fails the
+    hash. Same two-stage no-shuffle mapInPandas shape as the image
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_wav_batches, _WAV_SCHEMA)
+    return with_payload.mapInPandas(_decode_wav_batches, _WAV_OUT).orderBy(
+        "doc_id"
+    )

@@ -1,0 +1,78 @@
+"""Unit tests for multimodal/codecs.py — real PPM/WAV container
+parsing, independent of Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_lens_spark.multimodal import codecs
+
+
+class TestPpm:
+    def test_roundtrip_identity(self):
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(arr)), arr)
+
+    def test_header_comments_and_whitespace(self):
+        arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        raw = b"P6\n# a comment\n3 2\n# another\n255\n" + arr.tobytes()
+        assert np.array_equal(codecs.decode_ppm(raw), arr)
+
+    def test_rejects_non_ppm(self):
+        with pytest.raises(ValueError):
+            codecs.decode_ppm(b"\x89PNG\r\n\x1a\n")
+
+    def test_resize_nearest_reference(self):
+        # 4x4 gradient down to 2x2: picks pixels (0,0),(0,2),(2,0),(2,2)
+        arr = np.arange(16, dtype=np.uint8).reshape(4, 4)[..., None].repeat(
+            3, axis=2
+        )
+        small = codecs.resize_nearest(arr, 2, 2)
+        assert small[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+    def test_resize_upscale_repeats(self):
+        arr = np.array([[[1, 1, 1], [2, 2, 2]]], dtype=np.uint8)  # 1x2
+        big = codecs.resize_nearest(arr, 4, 2)
+        assert big[:, :, 0].tolist() == [[1, 1, 2, 2], [1, 1, 2, 2]]
+
+    def test_mean_luma_formula(self):
+        arr = np.zeros((1, 1, 3), dtype=np.uint8)
+        arr[0, 0] = [255, 0, 0]
+        assert codecs.mean_luma(arr) == pytest.approx(0.299 * 255)
+
+
+class TestWav:
+    def test_roundtrip_identity(self):
+        s = (np.sin(np.arange(500) / 7.0) * 12000).astype(np.int16)
+        out, rate = codecs.decode_wav(codecs.encode_wav(s, 22050))
+        assert rate == 22050
+        assert np.array_equal(out, s)
+
+    def test_chunk_walk_skips_extra_chunks(self):
+        s = np.array([100, -100, 3000], dtype=np.int16)
+        raw = codecs.encode_wav(s, 8000)
+        # splice a LIST chunk between fmt and data
+        import struct
+
+        fmt_end = 12 + 8 + 16
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+        # fix RIFF size
+        spliced = (
+            spliced[:4]
+            + struct.pack("<I", len(spliced) - 8)
+            + spliced[8:]
+        )
+        out, rate = codecs.decode_wav(spliced)
+        assert rate == 8000 and np.array_equal(out, s)
+
+    def test_negative_samples_little_endian(self):
+        s = np.array([-32768, 32767, -1], dtype=np.int16)
+        out, _ = codecs.decode_wav(codecs.encode_wav(s))
+        assert out.tolist() == [-32768, 32767, -1]
+
+    def test_rejects_non_wav(self):
+        with pytest.raises(ValueError):
+            codecs.decode_wav(b"OggS" + b"\x00" * 40)
