@@ -120,6 +120,7 @@ def _decode_ppm_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     JOIN chk c ON d.doc_id = c.doc_id
     ORDER BY d.doc_id
     """,
+    headline=True,
 )
 def mm_real_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode + resample pipeline: genuine binary P6 PPM

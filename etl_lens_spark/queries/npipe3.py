@@ -63,6 +63,7 @@ _NORM_TOKS_SQL = (
     FROM segs s LEFT JOIN reb r ON s.doc_id = r.doc_id
     ORDER BY s.doc_id
     """,
+    headline=True,
 )
 def dedup_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style segment-level dedup across the whole corpus: 20-token
