@@ -600,3 +600,79 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= threshold)
         .orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
     )
+
+
+@query(
+    "csv_permissive_parse",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN ''
+               WHEN 1 THEN doc_id || ',' || (doc_id * 7) % 1000 || ',ok'
+               WHEN 2 THEN doc_id || ',abc,ok'
+               WHEN 3 THEN CAST(doc_id AS VARCHAR)
+               ELSE doc_id || ',' || (doc_id * 7) % 1000 || ',ok,EXTRA'
+             END AS line
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN NULL
+                ELSE CAST(doc_id AS INT) END AS a,
+           CASE WHEN doc_id % 5 IN (1, 4)
+                THEN CAST((doc_id * 7) % 1000 AS INT)
+                ELSE NULL END AS b,
+           CASE WHEN doc_id % 5 IN (1, 2, 4) THEN 'ok'
+                ELSE NULL END AS c,
+           CAST(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_corrupt,
+           CASE WHEN doc_id % 5 IN (2, 3, 4) THEN line
+                ELSE NULL END AS corrupt_record
+    FROM lines
+    ORDER BY doc_id
+    """,
+)
+def csv_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data robustness surface: PERMISSIVE CSV parsing with
+    corrupt-record capture (the lake-ingest contract for untrusted
+    feeds). Synthesized lines cover the five malformation classes —
+    clean, type error, short row, long row, empty — and the declared
+    output pins Spark's exact PERMISSIVE semantics (probed, not
+    assumed): parseable fields survive alongside a populated
+    _corrupt_record; short AND long rows count as corrupt; empty
+    lines are all-NULL but NOT corrupt. The oracle mirrors those
+    rules as CASE logic, so a Spark behavior change (or a wrong
+    assumption about it) fails the hash. JVM-side from_csv — zero
+    Python, fully pushdown-compatible at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    good = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        (F.col("doc_id") * 7 % 1000).cast("string"),
+        F.lit("ok"),
+    )
+    line = (
+        F.when(m == 0, F.lit(""))
+        .when(m == 1, good)
+        .when(m == 2, F.concat_ws(",", F.col("doc_id").cast("string"), F.lit("abc"), F.lit("ok")))
+        .when(m == 3, F.col("doc_id").cast("string"))
+        .otherwise(F.concat(good, F.lit(",EXTRA")))
+    )
+    parsed = docs.select(
+        "doc_id",
+        line.alias("line"),
+        F.from_csv(
+            line,
+            "a INT, b INT, c STRING, _c STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"},
+        ).alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.col("p.c").alias("c"),
+        F.col("p._c").isNotNull().cast("long").alias("is_corrupt"),
+        F.col("p._c").alias("corrupt_record"),
+    ).orderBy("doc_id")
