@@ -363,3 +363,118 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(5)
     )
+
+
+@query(
+    "diag_join_cardinality",
+    oracle="""
+    WITH co AS (
+      SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_o
+      FROM orders GROUP BY 1
+    ),
+    cl AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt_l
+      FROM lineitem GROUP BY 1
+    ),
+    contrib AS (
+      SELECT co.key, co.cnt_o, cl.cnt_l,
+             co.cnt_o * cl.cnt_l AS out_rows
+      FROM co JOIN cl ON co.key = cl.key
+    ),
+    tot AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out FROM contrib)
+    SELECT c.key, c.cnt_o, c.cnt_l,
+           CAST(c.out_rows AS BIGINT) AS out_rows,
+           t.total_out
+    FROM contrib c CROSS JOIN tot t
+    ORDER BY c.out_rows DESC, c.key LIMIT 5
+    """,
+)
+def diag_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality pre-flight: the exact number of rows a
+    key-equi join would emit, computed from the two sides' per-key
+    count tables WITHOUT running the join (sum over keys of
+    count_left x count_right), plus the top contributing keys. The
+    count tables are each one map-side-combined groupBy — at 100 TB
+    this costs two reduced shuffles instead of materializing a
+    possibly-exploding join, and the top-contributor list tells you
+    WHICH keys explode (the input operators/partitioning.salted_join
+    needs). Companion to diag_key_skew."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    co = o.groupBy(F.col("o_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_o")
+    )
+    cl = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_l")
+    )
+    contrib = co.join(cl, "key").select(
+        "key",
+        "cnt_o",
+        "cnt_l",
+        (F.col("cnt_o") * F.col("cnt_l")).alias("out_rows"),
+    )
+    tot = contrib.agg(F.sum("out_rows").cast("long").alias("total_out"))
+    return (
+        contrib.crossJoin(F.broadcast(tot))
+        .select("key", "cnt_o", "cnt_l", "out_rows", "total_out")
+        .orderBy(F.desc("out_rows"), "key")
+        .limit(5)
+    )
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_id, user_id, event_type, ts_us,
+             LAG(ts_us) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_us, event_id) AS prev_us
+      FROM ev
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                         OR ts_us - prev_us > 600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lagged
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce repeated events: suppress a (user, event_type)
+    occurrence arriving within 10 minutes of the PREVIOUS occurrence
+    (lag-based — the batch analog of the streaming stateful dedup's
+    rate limiting). Emits per-(user, type) kept-vs-total counts.
+
+    One window keyed on (user_id, event_type) and the final aggregate
+    reuses the same partitioning — a single shuffle end-to-end.
+    Timestamps compare in epoch microseconds per the registry's
+    ns-precision discipline."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    lagged = ev.withColumn("prev_us", F.lag("ts_us").over(w))
+    keep = F.when(
+        F.col("prev_us").isNull()
+        | (F.col("ts_us") - F.col("prev_us") > 600_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        lagged.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(keep).cast("long").alias("n_kept"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -224,3 +224,40 @@ class TestTfidfCosinePairs:
         for r in rows:
             assert 0.5 <= r["cosine"] <= 1.0 + 1e-9
             assert r["doc_a"] < r["doc_b"]
+
+
+class TestDiagJoinCardinality:
+    def test_estimate_equals_actual_join_size(self, spark, sf_dir):
+        from etl_lens_spark.queries.warehouse_q import diag_join_cardinality
+        from etl_lens_spark.sources.tables import load_table
+
+        top = diag_join_cardinality(spark, sf_dir).collect()
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        actual = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+        assert top[0]["total_out"] == actual  # pre-flight is exact
+
+
+class TestEventsDebounce:
+    def test_debounce_window_by_hand(self, spark, tmp_path):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        # lag semantics (gap from previous OCCURRENCE, kept or not):
+        # 0 kept (no prev), 5/11/12 dropped (gaps 5/6/1 min), 30 kept
+        mins = [0, 5, 11, 12, 30]
+        rows = [
+            (i, base + datetime.timedelta(minutes=m), 1, "click", 1.0, "{}")
+            for i, m in enumerate(mins)
+        ]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        sf = str(tmp_path)
+        ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+        from etl_lens_spark.queries.warehouse_q import events_debounce
+
+        out = events_debounce(spark, sf).collect()
+        assert len(out) == 1
+        assert out[0]["n_events"] == 5 and out[0]["n_kept"] == 2
