@@ -676,3 +676,68 @@ def csv_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p._c").isNotNull().cast("long").alias("is_corrupt"),
         F.col("p._c").alias("corrupt_record"),
     ).orderBy("doc_id")
+
+
+@query(
+    "json_permissive_parse",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN '{"k": ' || doc_id || ', "s": "ok"}'
+               WHEN 1 THEN '{"k": "oops", "s": "ok"}'
+               WHEN 2 THEN '{broken'
+               WHEN 3 THEN '{"s": "ok"}'
+               ELSE ''
+             END AS j
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id AS INT)
+                ELSE NULL END AS k,
+           CASE WHEN doc_id % 5 IN (0, 1, 3) THEN 'ok'
+                ELSE NULL END AS s,
+           CAST(CASE WHEN doc_id % 5 IN (1, 2) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_corrupt,
+           CASE WHEN doc_id % 5 IN (1, 2) THEN j ELSE NULL END
+             AS corrupt_record
+    FROM lines
+    ORDER BY doc_id
+    """,
+)
+def json_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON parsing with corrupt-record capture — the
+    companion to csv_permissive_parse for semi-structured feeds.
+    Pins Spark's probed from_json semantics: type mismatch keeps the
+    other fields AND marks corrupt; syntax errors null everything and
+    mark corrupt; a MISSING field and an empty string are NULL but
+    NOT corrupt. The oracle mirrors these rules as CASE logic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    j = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"k": '), F.col("doc_id").cast("string"), F.lit(', "s": "ok"}')
+            ),
+        )
+        .when(m == 1, F.lit('{"k": "oops", "s": "ok"}'))
+        .when(m == 2, F.lit("{broken"))
+        .when(m == 3, F.lit('{"s": "ok"}'))
+        .otherwise(F.lit(""))
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.from_json(
+            j,
+            "k INT, s STRING, _c STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"},
+        ).alias("p"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("p.k").alias("k"),
+        F.col("p.s").alias("s"),
+        F.col("p._c").isNotNull().cast("long").alias("is_corrupt"),
+        F.col("p._c").alias("corrupt_record"),
+    ).orderBy("doc_id")

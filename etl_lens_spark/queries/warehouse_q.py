@@ -478,3 +478,94 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "intervals_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + 30 AS e,
+             o_orderkey AS k
+      FROM orders
+    ),
+    marked AS (
+      SELECT custkey, s, e, k,
+             MAX(e) OVER (PARTITION BY custkey ORDER BY s, e, k
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ),
+    islands AS (
+      SELECT custkey, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY custkey ORDER BY s, e, k
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT custkey, island, MIN(s) AS m_start, MAX(e) AS m_end
+      FROM islands GROUP BY custkey, island
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(m_end - m_start) AS BIGINT) AS covered_days,
+           MIN(m_start) AS first_start,
+           MAX(m_end) AS last_end
+    FROM merged GROUP BY custkey
+    ORDER BY custkey
+    """,
+)
+def intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing (union of validity windows):
+    each order opens a 30-day coverage interval; overlapping or
+    touching-by-overlap intervals per customer merge into islands
+    (subscription-coverage / uptime-union semantics). Output per
+    customer: merged-interval count, total covered days, span.
+
+    Gaps-and-islands with a running-max watermark: an interval starts
+    a new island iff its start exceeds the max end of ALL previous
+    intervals (the prev-max window), island id = running sum of that
+    flag. Both windows and both aggregates ride ONE custkey-keyed
+    shuffle — same single-exchange shape as scd2's window stack."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w_order = Window.partitionBy("custkey").orderBy("s", "e", "k")
+    marked = iv.withColumn(
+        "prev_max",
+        F.max("e").over(
+            w_order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = marked.withColumn(
+        "island",
+        F.sum(new_island).over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islands.groupBy("custkey", "island").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return (
+        merged.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.sum(F.datediff("m_end", "m_start")).cast("long").alias(
+                "covered_days"
+            ),
+            F.min("m_start").alias("first_start"),
+            F.max("m_end").alias("last_end"),
+        )
+        .orderBy("custkey")
+    )

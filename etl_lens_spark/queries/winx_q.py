@@ -363,3 +363,49 @@ def win_exclude_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ex_ties"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+      FROM events WHERE user_id < 40
+    )
+    SELECT event_id, user_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 8 PRECEDING AND CURRENT ROW
+           ) AS rolling_median
+    FROM ev
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (robust smoothing) per user: the trailing-9-row
+    exact interpolated median of event values — the robust analog of a
+    moving average, immune to single spikes. Spark's percentile as a
+    window aggregate matches DuckDB's quantile_cont over the same ROWS
+    frame. One user-keyed shuffle; frame state is O(9) per row."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-8, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.percentile("value", F.lit(0.5)).over(w).alias("rolling_median"),
+        )
+        .orderBy("user_id")
+    )
