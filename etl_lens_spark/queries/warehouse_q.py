@@ -569,3 +569,89 @@ def intervals_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(regr_count(l.l_extendedprice, l.l_quantity) AS BIGINT)
+             AS n,
+           regr_slope(l.l_extendedprice, l.l_quantity) AS slope,
+           regr_intercept(l.l_extendedprice, l.l_quantity) AS intercept,
+           regr_r2(l.l_extendedprice, l.l_quantity) AS r2,
+           regr_avgx(l.l_extendedprice, l.l_quantity) AS avg_qty,
+           regr_avgy(l.l_extendedprice, l.l_quantity) AS avg_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares regression via the SQL-standard regr_*
+    aggregate family (slope/intercept/r2 of price vs quantity per
+    brand) — closed-form from the co-moment sums, one algebraic
+    aggregate with map-side partials: the distributed way to fit
+    millions of tiny per-group models without any ML library."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        j.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.regr_slope(y, x).alias("slope"),
+            F.regr_intercept(y, x).alias("intercept"),
+            F.regr_r2(y, x).alias("r2"),
+            F.regr_avgx(y, x).alias("avg_qty"),
+            F.regr_avgy(y, x).alias("avg_price"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "sample_weighted_exp",
+    oracle="""
+    WITH keyed AS (
+      SELECT p_partkey, p_retailprice,
+             ln((1.0 + ('0x' || substring(md5('wexp' || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT)
+                / 4294967297.0) / p_retailprice AS score
+      FROM part
+    )
+    SELECT p_partkey, p_retailprice, score
+    FROM keyed
+    ORDER BY score DESC, p_partkey LIMIT 20
+    """,
+)
+def sample_weighted_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exp-sort): each item draws a deterministic pseudo-uniform from an
+    md5 bucket of its key and ranks by ln(u)/weight — the top-k under
+    that order IS a weighted sample without replacement. No RNG state,
+    no sequential pass: fully parallel, reproducible across runs and
+    engines, and the top-k is a WindowGroupLimit-style bounded sort,
+    not a global shuffle of all candidates."""
+    p = load_table(spark, sf_dir, "part")
+    u = (
+        F.lit(1.0)
+        + F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wexp"), F.col("p_partkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+    ) / F.lit(4294967297.0)
+    return (
+        p.select(
+            "p_partkey",
+            "p_retailprice",
+            (F.log(u) / F.col("p_retailprice")).alias("score"),
+        )
+        .orderBy(F.desc("score"), "p_partkey")
+        .limit(20)
+    )

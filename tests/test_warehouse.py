@@ -322,3 +322,61 @@ class TestRollingMedian:
             window.append(e["value"])
             expect = statistics.median(window[-9:])
             assert got[e["event_id"]] == pytest.approx(expect)
+
+
+class TestAggRegression:
+    def test_matches_numpy_lstsq(self, spark, sf_dir):
+        import numpy as np
+
+        from etl_lens_spark.queries.warehouse_q import agg_regression
+        from etl_lens_spark.sources.tables import load_table
+
+        rows = {r["brand"]: r for r in agg_regression(spark, sf_dir).collect()}
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        brand = next(iter(rows))
+        pdf = (
+            li.join(part, li["l_partkey"] == part["p_partkey"])
+            .filter(F.col("p_brand") == brand)
+            .select("l_quantity", "l_extendedprice")
+            .toPandas()
+        )
+        x, y = pdf["l_quantity"].to_numpy(), pdf["l_extendedprice"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = rows[brand]
+        assert r["slope"] == pytest.approx(slope, rel=1e-6)
+        assert r["intercept"] == pytest.approx(intercept, rel=1e-6)
+        assert r["n"] == len(pdf)
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+class TestWeightedSample:
+    def test_score_formula_replay(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        from etl_lens_spark.queries.warehouse_q import sample_weighted_exp
+
+        rows = sample_weighted_exp(spark, sf_dir).collect()
+        assert len(rows) == 20
+        for r in rows[:5]:
+            h = hashlib.md5(f"wexp{r['p_partkey']}".encode()).hexdigest()
+            u = (1.0 + int(h[:8], 16)) / 4294967297.0
+            expect = math.log(u) / r["p_retailprice"]
+            assert r["score"] == pytest.approx(expect, rel=1e-12)
+
+    def test_weight_bias(self, spark, tmp_path):
+        # strong weight spread: 100 light (w=1) vs 10 heavy (w=1000)
+        # items — the exp-sort top-20 must be dominated by heavies
+        from etl_lens_spark.queries.warehouse_q import sample_weighted_exp
+
+        rows = [(i, 1.0) for i in range(100)] + [
+            (1000 + i, 1000.0) for i in range(10)
+        ]
+        part = spark.createDataFrame(rows, ["p_partkey", "p_retailprice"])
+        sf = str(tmp_path)
+        part.write.mode("overwrite").parquet(f"{sf}/part.parquet")
+
+        out = sample_weighted_exp(spark, sf).collect()
+        heavy = sum(1 for r in out if r["p_retailprice"] == 1000.0)
+        assert heavy >= 10  # every heavy item outranks ~all lights
