@@ -1,0 +1,108 @@
+"""Micro-fixture tests for the CDC operators (operators/cdc.py):
+hand-computed diff statuses, MERGE latest-wins/delete/insert
+semantics, and checksum drift localization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_lens_spark.operators.cdc import (
+    merge_apply,
+    row_digest,
+    snapshot_diff,
+    table_checksum,
+)
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, None, "d")],
+        "k int, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20, "b"), (3, 31, "c"), (4, None, "d"), (5, 50, "e")],
+        "k int, v int, s string",
+    )
+    out = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, "k", ["v", "s"]).collect()
+    }
+    assert out == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "unchanged",  # null == null under eqNullSafe
+        5: "added",
+    }
+
+
+def test_snapshot_diff_null_transitions(spark):
+    old = spark.createDataFrame([(1, None), (2, 5)], "k int, v int")
+    new = spark.createDataFrame([(1, 7), (2, None)], "k int, v int")
+    out = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, "k", ["v"]).collect()
+    }
+    # Presence comes from join-side markers: a NULL→value or
+    # value→NULL transition is a CHANGE, never absence.
+    assert out == {1: "changed", 2: "changed"}
+
+
+def test_merge_apply_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200), (3, "c", 300)],
+        "k int, name string, bal int",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 10, "a2", 110),  # update, superseded below
+            (1, "U", 20, "a3", 120),  # latest wins
+            (2, "D", 11, None, None),  # delete
+            (4, "U", 12, "d", 400),  # insert of a new key
+            (5, "D", 13, None, None),  # delete of a missing key: no-op
+        ],
+        "k int, op string, seq int, name string, bal int",
+    )
+    rows = {
+        r["k"]: (r["name"], r["bal"])
+        for r in merge_apply(base, changes, "k").collect()
+    }
+    assert rows == {1: ("a3", 120), 3: ("c", 300), 4: ("d", 400)}
+
+
+def test_merge_apply_delete_then_reinsert_latest_wins(spark):
+    base = spark.createDataFrame([(1, "x")], "k int, name string")
+    changes = spark.createDataFrame(
+        [(1, "D", 1, None), (1, "U", 2, "y")],
+        "k int, op string, seq int, name string",
+    )
+    rows = merge_apply(base, changes, "k").collect()
+    assert [(r["k"], r["name"]) for r in rows] == [(1, "y")]
+
+
+def _checksums(df):
+    d = row_digest([F.col("k").cast("string"), F.col("v")])
+    out = table_checksum(df, d, F.col("k") % 4)
+    return {r["bucket"]: (r["n_rows"], r["checksum"]) for r in out.collect()}
+
+
+def test_table_checksum_localizes_drift(spark):
+    rows = [(i, f"v{i}") for i in range(40)]
+    a = spark.createDataFrame(rows, "k int, v string")
+    # One perturbed value (k=6 → bucket 2) and one dropped row
+    # (k=13 → bucket 1): exactly those two buckets must mismatch.
+    rows_b = [(k, "CORRUPT" if k == 6 else v) for k, v in rows if k != 13]
+    b = spark.createDataFrame(rows_b, "k int, v string")
+    ca, cb = _checksums(a), _checksums(b)
+    bad = {bkt for bkt in ca if ca[bkt] != cb.get(bkt)}
+    assert bad == {1, 2}
+    assert ca[0] == cb[0] and ca[3] == cb[3]
+
+
+def test_table_checksum_is_order_independent(spark):
+    rows = [(i, f"v{i}") for i in range(40)]
+    a = spark.createDataFrame(rows, "k int, v string")
+    shuffled = spark.createDataFrame(rows[::-1], "k int, v string").repartition(
+        7
+    )
+    assert _checksums(a) == _checksums(shuffled)
