@@ -42,19 +42,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` — filters/projections
     composed on top are pushed into the scan by Catalyst.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark has no
-    timestamp type for: read it as raw ns (``nanosAsLong``) and floor
-    to µs TimestampType — the same truncation every µs engine applies.
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations — TIMESTAMP(NANOS) (no Spark type: read as raw ns via
+    ``nanosAsLong`` and floor to µs, the truncation every µs engine
+    applies) and plain µs-without-timezone (Spark 4 reads it as
+    TIMESTAMP_NTZ). Both normalize to utc-instant TimestampType so
+    every downstream ``unix_micros``/watermark/window sees one type;
+    the session timezone is pinned UTC here (runtime-settable) so the
+    NTZ→instant cast is layout- and host-independent even on a
+    vanilla driver-built session.
     """
     if name == "events":
-        # session-level conf (safe to set at runtime; also set in
+        # session-level confs (safe to set at runtime; also set in
         # get_spark for sessions we build ourselves)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer div — a double division would lose precision on
             # ~1.7e18 ns values (53-bit mantissa)
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # naive wall time == UTC instant under the pinned UTC tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -1,5 +1,4 @@
 from etl_lens_spark.streaming.stream_ops import (
-    EVENTS_STREAM_SCHEMA,
     events_stream,
     run_to_memory,
     session_window_stats,
@@ -9,7 +8,6 @@ from etl_lens_spark.streaming.stream_ops import (
 )
 
 __all__ = [
-    "EVENTS_STREAM_SCHEMA",
     "events_stream",
     "run_to_memory",
     "session_window_stats",

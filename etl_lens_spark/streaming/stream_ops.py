@@ -27,20 +27,29 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet carries ns timestamps -> read ts as raw ns LongType
-# (cf. sources.tables) and convert after read.
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema-locked; the
-    file source replays the parquet as micro-batches)."""
+    file source replays the parquet as micro-batches).
+
+    The stream schema must be declared up front, and ``ts`` has
+    shipped both as TIMESTAMP(NANOS) (→ raw ns LongType under
+    ``nanosAsLong``) and as plain µs-naive (→ TIMESTAMP_NTZ). A
+    one-row batch probe of the actual file picks the physical type —
+    force-declaring ``long`` over a µs file would silently misread
+    every timestamp (µs values interpreted as ns collapse the whole
+    stream into 1970). Normalized to utc-instant TimestampType
+    exactly like sources.tables.load_table.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     table_path = os.path.join(sf_dir, "events.parquet")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet")
+    probed = spark.read.parquet(table_path)
+    ts_type = dict(probed.dtypes).get("ts")
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
     if os.path.isdir(table_path):
         # directory-of-part-files layout: monitor the table dir itself
         raw = reader.load(table_path)
@@ -48,9 +57,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single-file layout: glob-filter it out of the sf dir (the
         # file source wants a directory to monitor)
         raw = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
-    ts_is_ns = dict(raw.dtypes).get("ts") == "bigint"
-    if ts_is_ns:
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -87,16 +87,22 @@ def test_stateful_totals_across_multiple_microbatches(spark, sf_dir):
     from etl_lens_spark.sources.sinks import scratch_path
     from etl_lens_spark.streaming import stream_ops as so
 
+    from etl_lens_spark.sources.tables import load_table
+
     src = scratch_path(f"multibatch_events_{uuid.uuid4().hex[:8]}")
-    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # load_table normalizes ts to utc-instant timestamp regardless of
+    # the fixture's physical layout; the rewrite is then µs-instant
+    ev_batch = load_table(spark, sf_dir, "events")
     ev_batch.repartition(8).write.mode("overwrite").parquet(src)
 
     raw = (
-        spark.readStream.schema(so.EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
         .format("parquet")
         .option("maxFilesPerTrigger", 2)
         .load(src)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     stream = so.user_totals_stateful(raw)
     out = so.run_to_memory(stream, "t_multibatch", output_mode="update")
