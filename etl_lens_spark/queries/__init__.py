@@ -82,6 +82,7 @@ def _load() -> None:
         npipe,
         npipe2,
         npipe3,
+        npipe4,
         rel,
         rel2,
         streaming_q,

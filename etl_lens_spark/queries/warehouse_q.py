@@ -655,3 +655,130 @@ def sample_weighted_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "p_partkey")
         .limit(20)
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH day1 AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS dt,
+             MIN(o_orderpriority) AS attr
+      FROM orders GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT custkey, dt, attr,
+             CASE WHEN attr = LAG(attr) OVER w THEN 0 ELSE 1 END AS chg
+      FROM day1 WINDOW w AS (PARTITION BY custkey ORDER BY dt)
+    ),
+    runs AS (
+      SELECT custkey, dt, attr,
+             SUM(chg) OVER (PARTITION BY custkey ORDER BY dt
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    hist AS (
+      SELECT custkey, attr, CAST(run_id AS BIGINT) AS version,
+             MIN(dt) AS valid_from
+      FROM runs GROUP BY custkey, attr, run_id
+    ),
+    iv AS (
+      SELECT custkey, version, attr, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY custkey
+                                    ORDER BY version) AS valid_to
+      FROM hist
+    ),
+    facts AS (
+      SELECT event_id, user_id AS custkey,
+             DATE '1995-01-01'
+               + CAST(event_id % 2400 AS INTEGER) AS probe_day
+      FROM events
+    )
+    SELECT f.event_id, f.custkey, f.probe_day,
+           iv.attr AS attr_at, iv.version
+    FROM facts f LEFT JOIN iv
+      ON iv.custkey = f.custkey
+     AND f.probe_day >= iv.valid_from
+     AND (iv.valid_to IS NULL OR f.probe_day < iv.valid_to)
+    ORDER BY f.event_id
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event probes the SCD2 priority history
+    of its customer at a deterministic day in the order-date range
+    (events postdate every order in the fixture, so the probe day is
+    derived from event_id — it lands before, inside, and between
+    validity intervals, exercising the NULL pre-history case too).
+
+    NOT implemented as the interval join the oracle runs: because an
+    SCD2 history is CONTIGUOUS per key, "version valid at t" is
+    exactly an as-of backward fill — so dimension version-starts and
+    facts union into one frame and a single `last_value(ignoreNulls)`
+    window per key resolves every probe. ONE shuffle on the key,
+    no join, no interval predicate: the shape that survives a
+    billion-fact day, where a non-equi interval join would
+    nested-loop inside each key. Version starts sort before same-day
+    facts (is_dim desc) — a version beginning on the probe day wins,
+    matching the oracle's inclusive valid_from.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day1 = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    ).agg(F.min("o_orderpriority").alias("attr"))
+    w = Window.partitionBy("custkey").orderBy("dt")
+    runs = day1.withColumn(
+        "chg",
+        F.when(F.col("attr") == F.lag("attr").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("custkey", "attr", "version").agg(
+        F.min("dt").alias("valid_from")
+    )
+    dims = hist.select(
+        "custkey",
+        F.col("valid_from").alias("d"),
+        F.lit(1).alias("is_dim"),
+        F.lit(None).cast("long").alias("event_id"),
+        "attr",
+        F.col("version").cast("long").alias("version"),
+    )
+    events = load_table(spark, sf_dir, "events")
+    facts = events.select(
+        F.col("user_id").alias("custkey"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.col("event_id") % 2400).cast("int"),
+        ).alias("d"),
+        F.lit(0).alias("is_dim"),
+        "event_id",
+        F.lit(None).cast("string").alias("attr"),
+        F.lit(None).cast("long").alias("version"),
+    )
+    wf = (
+        Window.partitionBy("custkey")
+        .orderBy(F.col("d").asc(), F.col("is_dim").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = dims.unionByName(facts).select(
+        "custkey",
+        "d",
+        "is_dim",
+        "event_id",
+        F.last("attr", ignorenulls=True).over(wf).alias("attr_at"),
+        F.last("version", ignorenulls=True).over(wf).alias("version"),
+    )
+    return (
+        resolved.filter(F.col("is_dim") == 0)
+        .select(
+            "event_id",
+            "custkey",
+            F.col("d").alias("probe_day"),
+            "attr_at",
+            "version",
+        )
+        .orderBy("event_id")
+    )
