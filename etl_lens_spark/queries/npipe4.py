@@ -144,3 +144,146 @@ def dataset_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '[ \t\n\r]+')) AS t
+            FROM documents)
+        WHERE t <> ''
+    ),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+    agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_tokens, 0) AS n_tokens,
+           COALESCE(a.n_types, 0) AS n_types,
+           CASE WHEN a.n_tokens > 0
+                THEN ln(CAST(a.n_tokens AS DOUBLE)) - a.clnc / a.n_tokens
+                END AS entropy,
+           CASE WHEN a.n_tokens > 0
+                THEN CAST(a.n_types AS DOUBLE) / a.n_tokens END AS ttr
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy + type-token ratio per
+    document — the diversity complement of the Gopher repetition
+    filters (low entropy ⇒ degenerate/boilerplate text).
+
+    Deliberately NOT the explode→groupBy wordcount shape: a per-doc
+    histogram is row-local, so shuffling the entire token stream to
+    compute it is pure waste at 100 TB. One Arrow-batched mapInPandas
+    pass computes every signal in place — ZERO shuffles, text never
+    leaves its scan partition. H = ln(N) − Σc·ln c ⁄ N (single-pass
+    form). The oracle recomputes relationally via unnest/groupBy —
+    two different shapes, one distribution."""
+    import pandas as pd  # noqa: F401 (Arrow batch interface)
+
+    def score(batches):
+        import math
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        splitter = re.compile(r"[ \t\n\r]+")
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": [],
+                "n_types": [],
+                "entropy": [],
+                "ttr": [],
+            }
+            for text in pdf["text"]:
+                toks = [
+                    t
+                    for t in splitter.split(text.lower().strip())
+                    if t
+                ]
+                n = len(toks)
+                if n == 0:
+                    out["n_tokens"].append(0)
+                    out["n_types"].append(0)
+                    out["entropy"].append(None)
+                    out["ttr"].append(None)
+                    continue
+                cnt = Counter(toks)
+                clnc = sum(c * math.log(c) for c in cnt.values())
+                out["n_tokens"].append(n)
+                out["n_types"].append(len(cnt))
+                out["entropy"].append(math.log(n) - clnc / n)
+                out["ttr"].append(len(cnt) / n)
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        score,
+        "doc_id long, n_tokens long, n_types long, "
+        "entropy double, ttr double",
+    ).orderBy("doc_id")
+
+
+@query(
+    "feature_quantile_bins",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_c
+        FROM orders
+    ),
+    b AS (
+        SELECT price_c,
+               NTILE(10) OVER (ORDER BY price_c, o_orderkey) AS bin
+        FROM t
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(price_c) AS lo_c, MAX(price_c) AS hi_c,
+           AVG(CAST(price_c AS DOUBLE)) AS mean_c
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: order totals into 10 exact
+    quantile bins (NTILE over a fully deterministic order — ties
+    broken by key), summarized as bin edges/counts/means. The exact
+    form is the oracle anchor and needs a total order; the 100 TB
+    path swaps the NTILE for ``approx_percentile`` cutpoints (one
+    mergeable-sketch pass, no global sort) and bins by range — same
+    output contract, sketch-bounded edges."""
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    b = t.select(
+        "price_c",
+        F.ntile(10)
+        .over(Window.orderBy("price_c", "o_orderkey"))
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("price_c").alias("lo_c"),
+            F.max("price_c").alias("hi_c"),
+            F.avg(F.col("price_c").cast("double")).alias("mean_c"),
+        )
+        .orderBy("bin")
+    )

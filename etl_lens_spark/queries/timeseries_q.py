@@ -346,3 +346,203 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "month_idx")
     )
+
+
+@query(
+    "ts_gapfill_linear",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE user_id < 8
+    ),
+    bounds AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    hourly AS (
+        SELECT user_id, h, CAST(SUM(v) AS DOUBLE) AS v
+        FROM ev GROUP BY user_id, h
+    ),
+    joined AS (
+        SELECT g.user_id, g.h, o.v IS NOT NULL AS observed, o.v,
+               LAST_VALUE(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_v,
+               LAST_VALUE(CASE WHEN o.v IS NOT NULL THEN g.h END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_h,
+               FIRST_VALUE(o.v IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_v,
+               FIRST_VALUE(CASE WHEN o.v IS NOT NULL THEN g.h END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_h
+        FROM grid g LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
+    )
+    SELECT user_id, h AS hour_idx, observed,
+           CAST(CASE
+             WHEN observed THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                 * (CAST(h - prev_h AS DOUBLE)
+                    / CAST(next_h - prev_h AS DOUBLE))
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v END AS DOUBLE) AS v_lin
+    FROM joined ORDER BY user_id, hour_idx
+    """,
+)
+def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid densification with LINEAR interpolation: per-user
+    hourly sums on an integer epoch-hour grid; each gap hour takes the
+    time-weighted blend of its nearest observed anchors (flat fill at
+    the series edges). The grid is row-local ``sequence`` expansion
+    and both anchor scans are windows riding the ONE user-keyed
+    shuffle — interpolation at 100 TB is exactly the forward-fill
+    plan plus a mirrored window, not a join. Integer hour arithmetic
+    keeps the blend fraction exact cross-engine."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 8)
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(3600000000))
+            .cast("long")
+            .alias("h"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.sum("v").cast("double").alias("v")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+        )
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "observed", F.col("v").isNotNull()
+    )
+    back = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_h = F.when(F.col("observed"), F.col("h"))
+    j = (
+        j.withColumn("prev_v", F.last("v", ignorenulls=True).over(back))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(back))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("next_h", F.first(obs_h, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("h") - F.col("prev_h")).cast("double") / (
+        F.col("next_h") - F.col("prev_h")
+    ).cast("double")
+    v_lin = (
+        F.when(F.col("observed"), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .when(F.col("prev_v").isNotNull(), F.col("prev_v"))
+        .otherwise(F.col("next_v"))
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour_idx"),
+        "observed",
+        v_lin.cast("double").alias("v_lin"),
+    ).orderBy("user_id", "hour_idx")
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, hour_idx, n,
+               AVG(CAST(n AS DOUBLE)) OVER w AS mean24,
+               STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w AS std24,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_hist
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_idx, n, mean24, std24,
+           CASE WHEN std24 > 0 THEN (CAST(n AS DOUBLE) - mean24) / std24
+                END AS z,
+           CAST(CASE WHEN n_hist >= 12 AND std24 > 0
+                      AND abs((CAST(n AS DOUBLE) - mean24) / std24) > 3.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM scored ORDER BY event_type, hour_idx
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags on the hourly event-rate series
+    per type: each hour scored against the trailing 24 hours
+    (exclusive — the candidate must not contaminate its own
+    baseline), flagged at |z|>3 with a 12-observation warm-up guard.
+    The aggregate reduces map-side to one row per (type, hour) before
+    the single type-keyed window shuffle — monitoring at 100 TB
+    scores the REDUCED series, never the raw stream."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(3600000000))
+            .cast("long")
+            .alias("hour_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-24, -1)
+    )
+    nd = F.col("n").cast("double")
+    scored = hourly.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        F.avg(nd).over(w).alias("mean24"),
+        F.stddev_samp(nd).over(w).alias("std24"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_hist"),
+    )
+    z = F.when(
+        F.col("std24") > 0, (nd - F.col("mean24")) / F.col("std24")
+    )
+    return scored.select(
+        "event_type",
+        "hour_idx",
+        "n",
+        "mean24",
+        "std24",
+        z.alias("z"),
+        F.when(
+            (F.col("n_hist") >= 12)
+            & (F.col("std24") > 0)
+            & (F.abs(z) > 3.0),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "hour_idx")
