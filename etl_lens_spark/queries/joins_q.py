@@ -267,3 +267,71 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH promo AS (
+        SELECT o_orderkey AS promo_id,
+               CAST(o_orderdate AS DATE) AS a_s,
+               CAST(o_orderdate AS DATE) + 30 AS a_e
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ord AS (
+        SELECT o_orderkey AS order_id,
+               CAST(o_orderdate AS DATE) AS b_s,
+               CAST(o_orderdate AS DATE) + 7 AS b_e
+        FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT p.promo_id, o.order_id
+    FROM promo p JOIN ord o
+      ON p.a_s < o.b_e AND o.b_s < p.a_e
+    ORDER BY promo_id, order_id
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join with NO equi key: 30-day promo windows
+    against 7-day order windows, all pairs whose half-open intervals
+    intersect. The oracle runs the literal theta join; the Spark plan
+    must not — an unconstrained non-equi join is a cartesian product
+    at scale. Instead each interval explodes to the calendar months it
+    covers (≤2 bands for the 30-day side — row-local arithmetic), the
+    month becomes an EQUI key for a hash join, and the exact overlap
+    predicate filters band collisions; distinct collapses pairs that
+    co-occur in two months. All-pairs work becomes
+    O(pairs-that-share-a-month) — the standard banding reduction, same
+    trick as the range join and LSH buckets."""
+    orders = load_table(spark, sf_dir, "orders")
+    promo = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").cast("date").alias("a_s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("a_e"),
+    )
+    ordw = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("date").alias("b_s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("b_e"),
+    )
+
+    def bands(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "band",
+            F.explode(
+                F.expr(
+                    f"sequence(date_trunc('MM', {s}), "
+                    f"date_trunc('MM', date_sub({e}, 1)), "
+                    "interval 1 month)"
+                )
+            ),
+        )
+
+    pa = bands(promo, "a_s", "a_e")
+    pb = bands(ordw, "b_s", "b_e")
+    return (
+        pa.join(pb, "band")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select("promo_id", "order_id")
+        .distinct()
+        .orderBy("promo_id", "order_id")
+    )

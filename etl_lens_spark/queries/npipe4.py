@@ -287,3 +287,87 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "emb_centroid_distance",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, label, ord, CAST(xv AS DOUBLE) AS xv
+        FROM (SELECT vec_id, label,
+                     unnest(embedding) AS xv,
+                     unnest(range(1, len(embedding) + 1)) AS ord
+              FROM embeddings)
+    ),
+    cent AS (SELECT label, ord, AVG(xv) AS m FROM x GROUP BY label, ord),
+    dots AS (
+        SELECT x.vec_id, x.label,
+               SUM(x.xv * c.m) AS dot,
+               SUM(x.xv * x.xv) AS nx,
+               SUM(c.m * c.m) AS nc
+        FROM x JOIN cent c ON x.label = c.label AND x.ord = c.ord
+        GROUP BY x.vec_id, x.label
+    )
+    SELECT vec_id, label,
+           CASE WHEN nx > 0 AND nc > 0
+                THEN dot / (sqrt(nx) * sqrt(nc)) END AS cos_centroid
+    FROM dots ORDER BY vec_id
+    """,
+)
+def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cosine similarity to its label centroid — the
+    embedding-space coherence signal behind cluster-outlier pruning
+    (a vector far from its own group's center is mislabeled or noise).
+
+    Two stages, both JVM-only: (1) centroids via row-local posexplode
+    + groupBy(label, dim) — hash aggregation combines map-side, so
+    the exchange carries partitions × k × dim partial sums, never the
+    n × dim point stream; (2) the k × dim centroid table folds back to
+    arrays and BROADCASTS, and each vector's cosine is a zip_with /
+    aggregate fold — no second shuffle, no Python, no explode of the
+    probe side. The oracle recomputes everything relationally from
+    zipped unnests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "xv"
+        ),
+    )
+    cent_dims = x.groupBy("label", "pos").agg(F.avg("xv").alias("m"))
+    cent = cent_dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cent")
+    )
+    j = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with("v", "cent", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, t: acc + t
+    )
+    return (
+        j.select(
+            "vec_id",
+            "label",
+            dot.alias("dot"),
+            sq(F.col("v")).alias("nx"),
+            sq(F.col("cent")).alias("nc"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.when(
+                (F.col("nx") > 0) & (F.col("nc") > 0),
+                F.col("dot") / (F.sqrt("nx") * F.sqrt("nc")),
+            ).alias("cos_centroid"),
+        )
+        .orderBy("vec_id")
+    )

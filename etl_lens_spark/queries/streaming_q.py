@@ -202,3 +202,40 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = so.stateful_dedup(so.events_stream(spark, sf_dir))
     out = so.run_to_memory(stream, "q_stream_dedup", output_mode="append")
     return out.select("event_type", "user_id").orderBy("event_type", "user_id")
+
+
+@query(
+    "streaming_latest_state_live",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+               CAST(value AS DOUBLE) AS last_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC,
+                                           event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, last_us, last_event_id, last_value
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def streaming_latest_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert state: the latest-value-per-key view
+    maintained live over the replayed event stream (update mode —
+    only changed keys re-emit per micro-batch). The final emission per
+    key must equal the batch "last row by (ts, id)" the oracle
+    computes; selecting it from the update log is itself a max_by on
+    the monotone last_us."""
+    stream = so.user_latest_value(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_latest", output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("last_us", "last_event_id", "last_value"),
+                F.struct("last_us", "last_event_id"),
+            ).alias("s")
+        )
+        .select("user_id", "s.last_us", "s.last_event_id", "s.last_value")
+        .orderBy("user_id")
+    )

@@ -284,3 +284,27 @@ def run_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def user_latest_value(events: DataFrame) -> DataFrame:
+    """Latest-value-per-key view of the stream — the streaming CDC
+    upsert state (what a materialized `MERGE` target looks like while
+    the changelog is still flowing). Declarative ``max_by`` keyed by
+    (event-time, event_id) so ties are deterministic; in update output
+    mode each micro-batch re-emits only the keys whose latest row
+    changed. State is one row per key — O(keys), not O(stream)."""
+    key = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.unix_micros("ts").alias("last_us"),
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("value").alias("last_value"),
+                ),
+                key,
+            ).alias("s")
+        )
+        .select("user_id", "s.last_us", "s.last_event_id", "s.last_value")
+    )
