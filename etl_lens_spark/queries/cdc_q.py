@@ -174,6 +174,7 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_table_checksum",
+    headline=True,
     oracle=f"""
     WITH rows_a AS (
         SELECT o_orderkey % 64 AS bucket,

@@ -22,6 +22,7 @@ _FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 @query(
     "dedup_incremental_batch",
+    headline=True,
     oracle=f"""
     WITH fps AS (
         SELECT doc_id, {_FP_SQL} AS fp FROM documents
