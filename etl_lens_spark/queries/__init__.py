@@ -83,6 +83,7 @@ def _load() -> None:
         npipe2,
         npipe3,
         npipe4,
+        quality_q,
         rel,
         rel2,
         streaming_q,

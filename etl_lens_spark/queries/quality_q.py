@@ -1,0 +1,348 @@
+"""Data-quality validation and descriptive-statistics queries: the
+rule-report / drift-detection layer every ETL deployment bolts onto
+its tables, plus the classic activity analytics (DAU windows,
+new-vs-returning) and robust feature prep (winsorization).
+
+The reference viewer displays whatever the trace contains — a
+production pipeline must instead PROVE properties (null rates, ranges,
+referential integrity, uniqueness) before publishing. Each rule here
+is expressed so one scan per table feeds every rule (conditional
+aggregates), with joins only where a rule genuinely spans tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+@query(
+    "dq_validation_report",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_status,
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nonpos_price,
+               CAST(SUM(CASE WHEN o_orderdate < DATE '1990-01-01'
+                              OR o_orderdate >= DATE '2010-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS date_oob,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                 AS dup_keys
+        FROM orders
+    ),
+    ri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS orphan_orders
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NULL
+    )
+    SELECT rule, n_violations, n_rows FROM (
+        SELECT 'null_status' AS rule, null_status AS n_violations,
+               n_rows FROM o
+        UNION ALL
+        SELECT 'nonpos_price', nonpos_price, n_rows FROM o
+        UNION ALL
+        SELECT 'date_out_of_bounds', date_oob, n_rows FROM o
+        UNION ALL
+        SELECT 'duplicate_orderkey', dup_keys, n_rows FROM o
+        UNION ALL
+        SELECT 'orphan_custkey', ri.orphan_orders, o.n_rows FROM ri, o
+    ) t ORDER BY rule
+    """,
+)
+def dq_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based validation report over ``orders``: null rate, value
+    range, date bounds, key uniqueness — ALL from one conditional-
+    aggregate scan (no per-rule passes) — plus referential integrity
+    against ``customer`` via one anti-join. Output is the standard
+    (rule, n_violations, n_rows) contract a publish gate consumes.
+    At 100 TB the single-scan form is the whole point: k rules cost
+    one read, and the RI anti-join is an equi join on the key that
+    AQE broadcasts when the dimension allows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
+    )
+    one = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("null_status"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpos_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2010-01-01").cast("date")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("date_oob"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_keys"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.ck, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_orders"))
+    )
+    rep = one.crossJoin(orphans).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("null_status").alias("rule"),
+                    F.col("null_status").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+                F.struct(
+                    F.lit("nonpos_price").alias("rule"),
+                    F.col("nonpos_price").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+                F.struct(
+                    F.lit("date_out_of_bounds").alias("rule"),
+                    F.col("date_oob").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+                F.struct(
+                    F.lit("duplicate_orderkey").alias("rule"),
+                    F.col("dup_keys").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+                F.struct(
+                    F.lit("orphan_custkey").alias("rule"),
+                    F.col("orphan_orders").alias("n_violations"),
+                    F.col("n_rows"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rep.select("r.rule", "r.n_violations", "r.n_rows").orderBy("rule")
+
+
+@query(
+    "events_active_users_7d",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    ),
+    activity AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS ad, user_id FROM events
+    )
+    SELECT days.d,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days JOIN activity a
+      ON a.ad <= days.d AND a.ad > days.d - 7
+    GROUP BY days.d ORDER BY days.d
+    """,
+)
+def events_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve). Distinct
+    COUNT over a sliding window isn't a window function in any
+    engine — the scalable shape is: reduce the raw stream to DISTINCT
+    (day, user) pairs first (map-side combine kills the event
+    volume), then a 7-day band join against the day spine and one
+    distinct-count per day. The band join duplicates each (day, user)
+    pair at most 7×, bounded and predictable; the raw event stream is
+    never joined."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        F.col("ts").cast("date").alias("ad"), "user_id"
+    ).distinct()
+    days = ev.select(F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        days.join(
+            activity,
+            (F.col("ad") <= F.col("d"))
+            & (F.col("ad") > F.date_sub(F.col("d"), 7)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+        .orderBy("d")
+    )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    )
+    SELECT d.d,
+           CAST(SUM(CASE WHEN d.d = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.d > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM daily d JOIN firsts f ON d.user_id = f.user_id
+    GROUP BY d.d ORDER BY d.d
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per day: a user's first-ever active
+    day marks them new, every later active day returning. First-seen
+    day is a window MIN riding the user shuffle of the (day, user)
+    reduction — no self-join, no second scan; the daily split is then
+    one groupBy on the already-reduced pairs."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("d"), "user_id")
+        .distinct()
+    )
+    first_day = F.min("d").over(Window.partitionBy("user_id"))
+    return (
+        daily.withColumn("first_day", first_day)
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+        .orderBy("d")
+    )
+
+
+@query(
+    "stats_chi_square",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT seg, pri, CAST(COUNT(*) AS DOUBLE) AS obs
+        FROM j GROUP BY seg, pri
+    ),
+    margins AS (
+        SELECT seg, pri, obs,
+               SUM(obs) OVER (PARTITION BY seg) AS row_tot,
+               SUM(obs) OVER (PARTITION BY pri) AS col_tot,
+               SUM(obs) OVER () AS n
+        FROM cells
+    )
+    SELECT seg, pri, CAST(obs AS BIGINT) AS observed,
+           row_tot * col_tot / n AS expected,
+           (obs - row_tot * col_tot / n)
+             * (obs - row_tot * col_tot / n)
+             / (row_tot * col_tot / n) AS chi2_term
+    FROM margins ORDER BY seg, pri
+    """,
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence decomposition for the market-segment ×
+    order-priority contingency table: observed vs expected count and
+    the per-cell χ² term (Σ terms = the test statistic; the per-cell
+    view localizes WHICH combinations drive dependence). The fact
+    table reduces to k×m cells before any window touches it — margins
+    are windows over ≤ k·m rows, so the heavy lifting is one
+    map-side-combined groupBy at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    row_tot = F.sum("obs").over(Window.partitionBy("seg"))
+    col_tot = F.sum("obs").over(Window.partitionBy("pri"))
+    n = F.sum("obs").over(Window.partitionBy())
+    exp = (row_tot * col_tot / n).alias("expected")
+    return (
+        cells.select(
+            "seg",
+            "pri",
+            F.col("obs").cast("long").alias("observed"),
+            exp,
+            (
+                (F.col("obs") - row_tot * col_tot / n)
+                * (F.col("obs") - row_tot * col_tot / n)
+                / (row_tot * col_tot / n)
+            ).alias("chi2_term"),
+        )
+        .orderBy("seg", "pri")
+    )
+
+
+@query(
+    "feature_winsorize",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_c
+        FROM orders
+    ),
+    lims AS (
+        SELECT pri,
+               quantile_cont(CAST(price_c AS DOUBLE), 0.05) AS lo,
+               quantile_cont(CAST(price_c AS DOUBLE), 0.95) AS hi
+        FROM t GROUP BY pri
+    )
+    SELECT t.pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(price_c AS DOUBLE) < lo THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN CAST(price_c AS DOUBLE) > hi THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           AVG(LEAST(GREATEST(CAST(price_c AS DOUBLE), lo), hi))
+             AS mean_winsorized
+    FROM t JOIN lims ON t.pri = lims.pri
+    GROUP BY t.pri ORDER BY t.pri
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization report: clip order totals at the exact
+    interpolated p05/p95 of their priority group, report clip counts
+    and the winsorized mean — the robust-feature prep that tames
+    heavy tails before model training. Exact percentiles are the
+    oracle anchor (group-local, so they ride the group shuffle, not a
+    global sort); the 100 TB swap is ``approx_percentile`` — same
+    contract, sketch-bounded cutpoints. The limits frame is k rows
+    and broadcast back onto the fact scan."""
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    pd_ = F.col("price_c").cast("double")
+    lims = t.groupBy("pri").agg(
+        F.percentile(pd_, F.lit(0.05)).alias("lo"),
+        F.percentile(pd_, F.lit(0.95)).alias("hi"),
+    )
+    j = t.join(F.broadcast(lims), "pri")
+    clipped = F.least(F.greatest(pd_, F.col("lo")), F.col("hi"))
+    return (
+        j.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(pd_ < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(pd_ > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.avg(clipped).alias("mean_winsorized"),
+        )
+        .orderBy("pri")
+    )
