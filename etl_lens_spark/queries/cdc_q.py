@@ -261,3 +261,85 @@ def cdc_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("checksum_a") == F.col("checksum_b"))
         ).alias("match"),
     ).orderBy("bucket")
+
+
+@query(
+    "cdc_roundtrip_reconcile",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 5 <> 2 AND o_orderkey % 7 = 3
+                  THEN 'removed'
+                WHEN o_orderkey % 5 = 2 THEN 'added'
+                WHEN o_orderkey % 5 <> 2 AND o_orderkey % 3 = 0
+                  THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY 1 ORDER BY status
+    """,
+)
+def cdc_roundtrip_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end lakehouse CDC cycle, physically on disk: snapshot v1
+    (orders minus the %5==2 keys) is WRITTEN to parquet; a changelog
+    (deletes for %7==3, inserts for the held-out %5==2 keys, +100.00
+    updates for %3==0) is applied with ``merge_apply`` and v2 is
+    WRITTEN; both files are read back and ``snapshot_diff`` reconciles
+    them. The per-status key counts and key checksums must equal what
+    the oracle derives PURELY ARITHMETICALLY from the residue classes
+    — any row lost or mangled through write→merge→write→diff shifts a
+    checksum. This is the operators composing as a pipeline (the way
+    a nightly job actually chains them), not three isolated queries."""
+    from etl_lens_spark.sources import sinks
+
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    snap = orders.select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("price_c"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    v1 = snap.filter(key % 5 != 2)
+    v1_path = sinks.scratch_path("cdc_v1_orders")
+    v1.write.mode("overwrite").parquet(v1_path)
+
+    ch = (
+        snap.withColumn(
+            "op",
+            F.when((key % 5 != 2) & (key % 7 == 3), "D")
+            .when(key % 5 == 2, "U")
+            .when((key % 5 != 2) & (key % 3 == 0), "U")
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            "o_orderkey",
+            "op",
+            key.alias("seq"),
+            F.when(
+                (key % 5 != 2) & (key % 3 == 0),
+                F.col("price_c") + 10000,
+            )
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+            "priority",
+        )
+    )
+    v1_back = spark.read.parquet(v1_path)
+    v2 = merge_apply(v1_back, ch, "o_orderkey")
+    v2_path = sinks.scratch_path("cdc_v2_orders")
+    v2.write.mode("overwrite").parquet(v2_path)
+
+    diff = snapshot_diff(
+        spark.read.parquet(v1_path),
+        spark.read.parquet(v2_path),
+        "o_orderkey",
+        ["price_c", "priority"],
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("status")
+    )

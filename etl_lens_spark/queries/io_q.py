@@ -478,3 +478,54 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every
+    lakehouse runs nightly: a deliberately fragmented write (64 tiny
+    files — the classic too-many-partitions symptom) is compacted by
+    a range-partitioned rewrite (4 files, key-clustered so min/max
+    footer stats support range pruning afterwards). The declared
+    output is a content checksum per priority computed FROM THE
+    COMPACTED FILES — proving the rewrite lost and mangled nothing —
+    which must equal the oracle's direct aggregate over the source.
+    File-count before/after (64 → 4) is asserted in
+    tests/test_io.py::test_compact_small_files_counts; at 100 TB the
+    same job is per-partition with a target file size, and the
+    range-repartition keeps it one shuffle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    frag_path = sinks.scratch_path("compact_fragmented")
+    o.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    compact_path = sinks.scratch_path("compact_rewritten")
+    frag.repartitionByRange(4, "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(compact_path)
+    back = spark.read.parquet(compact_path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -165,3 +165,16 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark, sf_dir):
     }
     assert matching <= surviving
     assert matching <= true_keys
+
+
+def test_compact_small_files_counts(spark, sf_dir):
+    import glob
+
+    from etl_lens_spark.queries.io_q import sink_compact_small_files
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    sink_compact_small_files(spark, sf_dir).collect()
+    frag = glob.glob(scratch_path("compact_fragmented") + "/part-*")
+    comp = glob.glob(scratch_path("compact_rewritten") + "/part-*")
+    assert len(frag) == 64
+    assert len(comp) == 4
