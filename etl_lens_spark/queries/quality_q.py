@@ -346,3 +346,148 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "stats_ks_drift",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    per_v AS (
+        SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(g2) AS BIGINT) AS c2
+        FROM pool GROUP BY v
+    ),
+    cum AS (
+        SELECT SUM(c1) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS a1,
+               SUM(c2) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS a2
+        FROM per_v
+    )
+    SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM per_v) AS n1,
+           (SELECT CAST(SUM(c2) AS BIGINT) FROM per_v) AS n2,
+           MAX(abs(CAST(a1 AS DOUBLE)
+                     / (SELECT SUM(c1) FROM per_v)
+                   - CAST(a2 AS DOUBLE)
+                     / (SELECT SUM(c2) FROM per_v))) AS ks_d
+    FROM cum
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the click and
+    purchase value distributions — the standard nonparametric drift
+    alarm between a reference and a live sample. The raw streams
+    reduce to per-distinct-value counts FIRST (map-side combine), the
+    two ECDFs are cumulative windows over that reduced series, and
+    D = max |F₁−F₂|. Values are exact cents so the ECDF steps align
+    identically cross-engine; only the final division is floating.
+    The one unpartitioned window runs over distinct values, not
+    events — the same reduced-series argument as the anomaly scorer
+    (at 100 TB: quantize values or pre-bin to bound the series)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pool = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g2"),
+    )
+    per_v = pool.groupBy("v").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2")
+    )
+    totals = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    return cum.crossJoin(F.broadcast(totals)).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max(
+            F.abs(
+                F.col("a1").cast("double") / F.col("n1")
+                - F.col("a2").cast("double") / F.col("n2")
+            )
+        ).alias("ks_d"),
+    )
+
+
+@query(
+    "stats_psi_drift",
+    oracle="""
+    WITH pool AS (
+        SELECT CAST(least(greatest(floor(CAST(value AS DOUBLE) / 10.0),
+                                   0), 9) AS BIGINT) AS bin,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    bins AS (
+        SELECT bin, CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(g2) AS BIGINT) AS c2
+        FROM pool GROUP BY bin
+    ),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM bins)
+    SELECT bin, c1, c2,
+           (CAST(c1 + 1 AS DOUBLE) / (n1 + 10)) AS p,
+           (CAST(c2 + 1 AS DOUBLE) / (n2 + 10)) AS q,
+           ((CAST(c1 + 1 AS DOUBLE) / (n1 + 10))
+            - (CAST(c2 + 1 AS DOUBLE) / (n2 + 10)))
+             * ln((CAST(c1 + 1 AS DOUBLE) / (n1 + 10))
+                  / (CAST(c2 + 1 AS DOUBLE) / (n2 + 10))) AS psi_term
+    FROM bins, tot ORDER BY bin
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index decomposition between the click and
+    purchase value distributions over 10 fixed-width bins (clamped,
+    Laplace-smoothed so empty bins stay finite): the per-bin
+    (p−q)·ln(p/q) terms whose sum is the PSI monitoring metric —
+    per-bin so the report localizes WHERE the distribution moved.
+    Everything reduces to 10 bin counts map-side; totals broadcast."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pool = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value").cast("double") / 10.0), F.lit(0)),
+            F.lit(9),
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g1"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("g2"),
+    )
+    bins = pool.groupBy("bin").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+    )
+    tot = bins.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10)
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + 10)
+    return j.select(
+        "bin",
+        "c1",
+        "c2",
+        p.alias("p"),
+        q.alias("q"),
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    ).orderBy("bin")
