@@ -335,3 +335,110 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("promo_id", "order_id")
     )
+
+
+@query(
+    "geo_grid_nearest_join",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               ('0x' || substring(md5('lat' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000001 AS lat,
+               ('0x' || substring(md5('lon' || CAST(c_custkey AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000001 AS lon
+        FROM customer
+    ),
+    sup AS (
+        SELECT s_suppkey,
+               ('0x' || substring(md5('slat' || CAST(s_suppkey AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000001 AS lat,
+               ('0x' || substring(md5('slon' || CAST(s_suppkey AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000001 AS lon
+        FROM supplier
+    ),
+    cand AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.lat - s.lat) * (c.lat - s.lat)
+                 + (c.lon - s.lon) * (c.lon - s.lon) AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY (c.lat - s.lat) * (c.lat - s.lat)
+                            + (c.lon - s.lon) * (c.lon - s.lon),
+                            s.s_suppkey) AS rn
+        FROM cust c JOIN sup s
+          ON (s.lat // 1000000)
+               BETWEEN (c.lat // 1000000) - 1 AND (c.lat // 1000000) + 1
+         AND (s.lon // 1000000)
+               BETWEEN (c.lon // 1000000) - 1 AND (c.lon // 1000000) + 1
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, d2
+    FROM cand WHERE rn = 1 ORDER BY c_custkey
+    """,
+)
+def geo_grid_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join via grid banding: deterministic
+    synthetic coordinates (md5-uniform integer microdegrees in a
+    10°×10° box — the fixture has no geo columns, and integer-squared
+    distance keeps every compare exact cross-engine), suppliers
+    indexed by their 1° grid cell, each customer probing its 3×3
+    neighborhood — an EQUI join on the cell pair instead of the
+    all-pairs distance join the oracle's BETWEEN predicate expresses.
+    Contract: nearest within the neighborhood (grid-bounded kNN —
+    the standard two-level spatial-join reduction; at planetary scale
+    cell size trades candidate fan-in against multi-cell probes, and
+    the haversine swap-in only changes the distance expression).
+    Probe-side explode is 9 row-local structs; the argmin is one
+    window on the customer key riding the join's partitioning."""
+    uni = lambda salt, col: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(col).cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000001
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        uni("lat", "c_custkey").alias("lat"),
+        uni("lon", "c_custkey").alias("lon"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        uni("slat", "s_suppkey").alias("slat"),
+        uni("slon", "s_suppkey").alias("slon"),
+    ).withColumn("cx", F.expr("slat div 1000000")).withColumn(
+        "cy", F.expr("slon div 1000000")
+    )
+    probes = cust.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 8), i -> "
+                "struct((lat div 1000000) + (i div 3) - 1 AS cx, "
+                "(lon div 1000000) + (i % 3) - 1 AS cy))"
+            )
+        ).alias("cell"),
+    ).select("c_custkey", "lat", "lon", "cell.cx", "cell.cy")
+    d2 = (F.col("lat") - F.col("slat")) * (F.col("lat") - F.col("slat")) + (
+        F.col("lon") - F.col("slon")
+    ) * (F.col("lon") - F.col("slon"))
+    cand = probes.join(sup, ["cx", "cy"]).select(
+        "c_custkey", "s_suppkey", d2.alias("d2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey", F.col("s_suppkey").alias("nearest_suppkey"), "d2"
+        )
+        .orderBy("c_custkey")
+    )
