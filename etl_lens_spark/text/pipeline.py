@@ -98,30 +98,35 @@ def contamination_overlap(
     corpus. A non-zero overlap at k=8 almost always means the eval
     text (or a near-duplicate) leaked into training data.
 
-    Scale shape: both sides reduce to DISTINCT (id, gram) /(gram)
-    sets before the equi-join on the gram string — the join input is
-    bounded by distinct k-grams, and the eval side (small by nature)
-    broadcasts. No quadratic pair enumeration anywhere.
+    Scale shape: within-doc gram dedup happens ROW-LOCALLY
+    (``array_distinct`` before the explode), so the exploded
+    (id, gram) pairs are already unique and the old global
+    distinct-pairs shuffle — the whole gram stream as strings over
+    the wire — is gone entirely. Grams travel as 64-bit xxhash64
+    values (collision odds over millions of grams ~2⁻⁶⁵·n², far
+    below any fixture or production false-positive budget), the
+    small eval side dedups and BROADCASTS, and the only shuffle left
+    is the final per-doc count over matched rows — i.e. over the
+    contaminated sliver, not the corpus.
     """
-    tg = (
-        train.select(
-            id_col,
-            F.explode(
-                word_ngrams(ws_tokens(F.col(text_col)), k)
-            ).alias("g"),
-        )
-        .distinct()
+    from etl_lens_spark.operators.partitioning import parallelize_compute
+
+    gh = lambda c: F.transform(  # noqa: E731
+        F.array_distinct(word_ngrams(ws_tokens(c), k)),
+        lambda x: F.xxhash64(x),
+    )
+    # gram construction is the CPU cost — fan the (pre-explosion)
+    # input out across cores before it runs (no-op on a real cluster
+    # where the scan is already parallel)
+    tg = parallelize_compute(train.select(id_col, text_col)).select(
+        id_col, F.explode(gh(F.col(text_col))).alias("gh")
     )
     eg = (
-        evalset.select(
-            F.explode(
-                word_ngrams(ws_tokens(F.col(text_col)), k)
-            ).alias("g")
-        )
+        evalset.select(F.explode(gh(F.col(text_col))).alias("gh"))
         .distinct()
     )
     return (
-        tg.join(F.broadcast(eg), "g", "left_semi")
+        tg.join(F.broadcast(eg), "gh", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_kgrams"))
     )
