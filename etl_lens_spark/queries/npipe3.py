@@ -327,11 +327,17 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nu = uni.agg(F.sum("cu").cast("long").alias("nu"))
     bi = docs.select(F.explode(tp.word_ngrams(toks, 2)).alias("g"))
-    nbi = bi.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
-    cb = (
+    # ONE tokenize+explode pass feeds the bigram count table; the
+    # corpus-wide total then aggregates that (small) table instead of
+    # re-tokenizing the corpus a third time
+    cb_all = (
         bi.groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .filter(F.col("c") >= 5)
+        .persist()
+    )
+    nbi = cb_all.agg(F.sum("c").cast("long").alias("nbi"))
+    cb = (
+        cb_all.filter(F.col("c") >= 5)
         .select(
             F.split("g", " ").getItem(0).alias("w1"),
             F.split("g", " ").getItem(1).alias("w2"),
