@@ -741,3 +741,72 @@ def json_permissive_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p._c").isNotNull().cast("long").alias("is_corrupt"),
         F.col("p._c").alias("corrupt_record"),
     ).orderBy("doc_id")
+
+
+@query(
+    "scalar_encoding_funcs",
+    oracle="""
+    SELECT event_id,
+           base64(encode(event_type)) AS b64,
+           upper(to_hex(event_id)) AS hx,
+           ascii(event_type) AS first_code,
+           chr(65 + CAST(event_id % 26 AS INTEGER)) AS letter,
+           CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+)
+def scalar_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/encoding scalar surface: base64, hex, ascii code, chr
+    construction, octet length — the SQLite-compatible encode/decode
+    helpers (hex()/char()/unicode(), sqlite3.h function registry)
+    completing the dialect's string-to-bytes corner. All pure
+    codegen'd JVM expressions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.base64(F.col("event_type").cast("binary")).alias("b64"),
+        F.hex(F.col("event_id")).alias("hx"),
+        F.ascii("event_type").alias("first_code"),
+        F.char(F.lit(65) + (F.col("event_id") % 26)).alias("letter"),
+        F.octet_length("props").cast("long").alias("n_bytes"),
+    ).orderBy("event_id")
+
+
+@query(
+    "agg_filter_funcs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000)
+                AS BIGINT) AS n_big,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) FILTER (WHERE o_orderstatus = 'F')
+                AS BIGINT) AS cents_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'P') AS any_pending
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_filter_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/boolean aggregate surface — SQL-standard FILTER-clause
+    semantics (count_if, conditional sum, bool_and/bool_or), the
+    everyone-uses-daily corner of the aggregate dialect. All algebraic
+    with map-side partials; the filter predicates evaluate before the
+    exchange so the wire carries one partial row per group."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("o_totalprice") > 100000)
+            .cast("long")
+            .alias("n_big"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", cents))
+            .cast("long")
+            .alias("cents_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        )
+        .orderBy("o_orderpriority")
+    )
