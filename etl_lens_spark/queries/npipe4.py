@@ -372,3 +372,93 @@ def emb_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "curate_embeddings_pipeline",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ),
+    dups AS (SELECT DISTINCT idb AS vec_id FROM pairs),
+    x AS (
+        SELECT vec_id, label, ord, CAST(xv AS DOUBLE) AS xv
+        FROM (SELECT vec_id, label,
+                     unnest(embedding) AS xv,
+                     unnest(range(1, len(embedding) + 1)) AS ord
+              FROM embeddings)
+    ),
+    cent AS (SELECT label, ord, AVG(xv) AS m FROM x GROUP BY label, ord),
+    dots AS (
+        SELECT x.vec_id, x.label,
+               SUM(x.xv * c.m) AS dot,
+               SUM(x.xv * x.xv) AS nx,
+               SUM(c.m * c.m) AS nc
+        FROM x JOIN cent c ON x.label = c.label AND x.ord = c.ord
+        GROUP BY x.vec_id, x.label
+    ),
+    status AS (
+        SELECT e.vec_id, e.label,
+               CASE WHEN d.vec_id IS NOT NULL THEN 'dup'
+                    WHEN dots.dot / (sqrt(dots.nx) * sqrt(dots.nc)) < -0.05
+                      THEN 'outlier'
+                    ELSE 'kept' END AS status
+        FROM embeddings e
+        LEFT JOIN dups d ON e.vec_id = d.vec_id
+        JOIN dots ON e.vec_id = dots.vec_id
+    )
+    SELECT label, status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM status GROUP BY label, status ORDER BY label, status
+    """,
+)
+def curate_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus curation as one declared pipeline: near-dup
+    removal (greedy first-seen — a vector pairing with ANY lower id
+    at cosine ≥ 0.35 is `dup`; the CC-cluster variant is
+    dedup_cc_clusters) → centroid-coherence outlier gate
+    (cos-to-label-centroid < −0.05) → kept, with per-(label, status)
+    counts and id-sums pinning every vector's fate. Precedence
+    dup > outlier.
+
+    The exact all-pairs stage is the bounded oracle anchor (guarded
+    elsewhere; the LSH banding in dedup_embedding_lsh is the declared
+    100 TB swap); the centroid stage is the map-side-combined
+    broadcast shape of emb_centroid_distance. The statuses compose
+    two already-verified operators — this query pins their
+    INTERACTION (join precedence, id bookkeeping), the part a nightly
+    pipeline actually gets wrong."""
+    from etl_lens_spark.dedup import embedding as emb_dedup
+    from etl_lens_spark.operators.partitioning import parallelize_compute
+    from etl_lens_spark.queries.graph_q import COSINE_TAU
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = emb_dedup.cosine_pairs(parallelize_compute(e), COSINE_TAU)
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
+        "is_dup", F.lit(1)
+    )
+    cent = emb_centroid_distance(spark, sf_dir)
+    status = (
+        e.select("vec_id", "label")
+        .join(dups, "vec_id", "left")
+        .join(cent.select("vec_id", "cos_centroid"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.when(F.col("is_dup").isNotNull(), "dup")
+            .when(F.col("cos_centroid") < -0.05, "outlier")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return (
+        status.groupBy("label", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("label", "status")
+    )

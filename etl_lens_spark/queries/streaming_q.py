@@ -239,3 +239,27 @@ def streaming_latest_state_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "s.last_us", "s.last_event_id", "s.last_value")
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_sliding_live",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes' AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows through the live engine — 1-hour
+    windows every 15 minutes, each event feeding exactly 4 windows.
+    Complete-mode replay must equal the batch expansion the oracle
+    builds explicitly (each event cross-joined to its 4 window
+    starts) — pinning Spark's window-assignment arithmetic, not just
+    the aggregation."""
+    stream = so.sliding_window_counts(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_sliding", output_mode="complete")
+    return out.orderBy("win_start", "event_type")
