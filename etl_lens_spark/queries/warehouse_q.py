@@ -782,3 +782,155 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(last_d) AS d0 FROM base),
+    scored AS (
+        SELECT custkey,
+               (SELECT d0 FROM anchor) - last_d AS recency_days,
+               freq, monetary_c,
+               NTILE(5) OVER (ORDER BY (SELECT d0 FROM anchor) - last_d,
+                              custkey) AS r,
+               NTILE(5) OVER (ORDER BY freq DESC, custkey) AS f,
+               NTILE(5) OVER (ORDER BY monetary_c DESC, custkey) AS m
+        FROM base
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_value_c
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the warehouse-classic customer scoring:
+    recency (days since last order, vs the corpus max date), frequency
+    (order count) and monetary (lifetime cents) each quintiled (NTILE
+    with key tie-breaks so bucket edges are deterministic in both
+    engines), reported as segment cells with counts and value. The
+    per-customer reduce is one map-side-combined groupBy; the three
+    quintile windows run over the REDUCED customer table (1 row per
+    customer). At 100 TB the exact NTILEs swap for approx_percentile
+    cutpoints — same cells, sketch-bounded edges."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_c"),
+    )
+    anchor = base.agg(F.max("last_d").alias("d0"))
+    b = base.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("d0", "last_d")
+    )
+    scored = b.select(
+        "custkey",
+        "recency_days",
+        "freq",
+        "monetary_c",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "custkey"))
+        .cast("long")
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), F.asc("custkey")))
+        .cast("long")
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_c"), F.asc("custkey")))
+        .cast("long")
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_c").cast("long").alias("segment_value_c"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@query(
+    "part_pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev_c) AS t FROM rev),
+    ranked AS (
+        SELECT l_partkey, rev_c,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM rev
+    )
+    SELECT CASE WHEN CAST(cum_c AS DOUBLE) / (SELECT t FROM tot) <= 0.8
+                  THEN 'A'
+                WHEN CAST(cum_c AS DOUBLE) / (SELECT t FROM tot) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS class_rev_c,
+           MIN(l_partkey) AS sample_part
+    FROM ranked GROUP BY 1 ORDER BY abc_class
+    """,
+)
+def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    cumulative share cut at 80% (A) and 95% (B). The cumulative sum
+    runs over EXACT integer cents (per-part reduce first), so the
+    share ratio is a deterministic division of exact longs in both
+    engines — no float accumulation can flip a class boundary. The
+    ranking window is global by construction (a Pareto curve is a
+    total order) but runs over the reduced per-part table, not the
+    line items."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    tot = rev.agg(F.sum("rev_c").alias("t"))
+    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn("cum_c", F.sum("rev_c").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.col("cum_c").cast("double") / F.col("t")
+    return (
+        ranked.select(
+            "l_partkey",
+            "rev_c",
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("class_rev_c"),
+            F.min("l_partkey").alias("sample_part"),
+        )
+        .orderBy("abc_class")
+    )
