@@ -263,3 +263,43 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = so.sliding_window_counts(so.events_stream(spark, sf_dir))
     out = so.run_to_memory(stream, "q_stream_sliding", output_mode="complete")
     return out.orderBy("win_start", "event_type")
+
+
+@query(
+    "streaming_debounce_live",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_type, ts_us,
+             LAG(ts_us) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts_us, event_id) AS prev_us
+      FROM ev
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_us IS NULL
+                         OR ts_us - prev_us > 600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lagged
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_debounce_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live stateful debounce (custom ``applyInPandasWithState``
+    rate-limiter, the streaming twin of the batch ``events_debounce``)
+    — final per-key state after replay must equal the batch lag-based
+    kept-vs-total counts the oracle computes."""
+    stream = so.debounce_stateful(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_debounce", output_mode="update")
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("n_kept", "n_events").alias("n_kept"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -308,3 +308,52 @@ def user_latest_value(events: DataFrame) -> DataFrame:
         )
         .select("user_id", "s.last_us", "s.last_event_id", "s.last_value")
     )
+
+
+def debounce_stateful(
+    events: DataFrame, gap_us: int = 600_000_000
+) -> DataFrame:
+    """Streaming rate-limiter via ``applyInPandasWithState``: per
+    (user, type) key, an occurrence within ``gap_us`` of the previous
+    one is suppressed; the state store carries (last_ts, n_events,
+    n_kept) — O(1) per key, sharded by the group hash like any keyed
+    operator. Rows are processed in (ts, event_id) order within each
+    micro-batch, so a single-batch replay reproduces the batch
+    lag-based debounce exactly; across batches the file source's
+    arrival order stands in for event order (the same caveat every
+    at-arrival-time stream dedup carries)."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            last_us, n, kept = state.get
+        else:
+            last_us, n, kept = None, 0, 0
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for us in rows["ts_us"]:
+            us = int(us)
+            n += 1
+            if last_us is None or us - last_us > gap_us:
+                kept += 1
+            last_us = us
+        state.update((last_us, n, kept))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_events": [n],
+                "n_kept": [kept],
+            }
+        )
+
+    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_type string, n_events long, n_kept long"
+        ),
+        stateStructType="last_us long, n long, kept long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
