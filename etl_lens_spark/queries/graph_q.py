@@ -327,3 +327,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
     return n_edges.crossJoin(n_wedges).crossJoin(tri)
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE
+    base AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM base
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM base
+    ),
+    bfs AS (
+        SELECT 's0' AS node, 0 AS hops
+        UNION
+        SELECT e.dst AS node, b.hops + 1 AS hops
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.hops < 4
+    )
+    SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM bfs GROUP BY node ORDER BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest hop counts from supplier s0 over the
+    bipartite purchase graph (depth-capped at 4) — the unweighted
+    shortest-path member of the graph family, next to the closure
+    (recursive_cte_org_chart) and CC (dedup_cc_clusters). The oracle
+    runs DuckDB's native recursive CTE; Spark runs level-synchronous
+    semi-naive BFS — per level ONE frontier⋈edges join and one
+    subtract against the seen set, integer hop counts so the result
+    is exact. Lineage truncates per level; frontier and seen stay
+    node-keyed so each level is a single co-partitioned shuffle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    spark_ = edges.sparkSession
+    seen = spark_.createDataFrame([("s0", 0)], "node string, hops int")
+    frontier = seen
+    for d in range(4):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d + 1))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return seen.select(
+        "node", F.col("hops").cast("long").alias("hops")
+    ).orderBy("node")

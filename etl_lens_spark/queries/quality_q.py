@@ -491,3 +491,108 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q"),
         ((p - q) * F.log(p / q)).alias("psi_term"),
     ).orderBy("bin")
+
+
+@query(
+    "ml_normal_equations",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS x2,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS sx1,
+               CAST(SUM(x2) AS BIGINT) AS sx2,
+               CAST(SUM(x1 * x1) AS BIGINT) AS sx11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS sx12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS sx22,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x1 * y) AS BIGINT) AS sx1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS sx2y
+        FROM t
+    )
+    SELECT n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y,
+           (CAST(sy AS DOUBLE) * (CAST(sx11 AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx12 AS DOUBLE))
+            - CAST(sx1y AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+            + CAST(sx2y AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx12 AS DOUBLE) - CAST(sx11 AS DOUBLE) * CAST(sx2 AS DOUBLE)))
+           /
+           (CAST(n AS DOUBLE) * (CAST(sx11 AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx12 AS DOUBLE))
+            - CAST(sx1 AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+            + CAST(sx2 AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx12 AS DOUBLE) - CAST(sx11 AS DOUBLE) * CAST(sx2 AS DOUBLE)))
+           AS beta0,
+           (CAST(n AS DOUBLE) * (CAST(sx1y AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+            - CAST(sy AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+            + CAST(sx2 AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx2y AS DOUBLE) - CAST(sx1y AS DOUBLE) * CAST(sx2 AS DOUBLE)))
+           /
+           (CAST(n AS DOUBLE) * (CAST(sx11 AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx12 AS DOUBLE))
+            - CAST(sx1 AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx22 AS DOUBLE) - CAST(sx12 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+            + CAST(sx2 AS DOUBLE) * (CAST(sx1 AS DOUBLE) * CAST(sx12 AS DOUBLE) - CAST(sx11 AS DOUBLE) * CAST(sx2 AS DOUBLE)))
+           AS beta1
+    FROM s
+    """,
+)
+def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear-regression training via normal equations —
+    the scalable GLM step: the ONLY cluster work is accumulating the
+    k×k sufficient statistics (X'X, X'y) as algebraic sums with
+    map-side combine; the k×k solve is O(1) arithmetic afterwards.
+    Features (quantity, discount-cents) and target (price-cents) are
+    exact integers, so every sufficient statistic is an EXACT BIGINT
+    in both engines; the Cramer solve then runs the identical
+    double-precision expression on identical inputs — coefficients
+    match bit-for-bit. (regr_slope covers k=1 in agg_regression;
+    this is the multi-feature generalization.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = (
+        d("n") * (d("sx11") * d("sx22") - d("sx12") * d("sx12"))
+        - d("sx1") * (d("sx1") * d("sx22") - d("sx12") * d("sx2"))
+        + d("sx2") * (d("sx1") * d("sx12") - d("sx11") * d("sx2"))
+    )
+    det0 = (
+        d("sy") * (d("sx11") * d("sx22") - d("sx12") * d("sx12"))
+        - d("sx1y") * (d("sx1") * d("sx22") - d("sx12") * d("sx2"))
+        + d("sx2y") * (d("sx1") * d("sx12") - d("sx11") * d("sx2"))
+    )
+    det1 = (
+        d("n") * (d("sx1y") * d("sx22") - d("sx12") * d("sx2y"))
+        - d("sy") * (d("sx1") * d("sx22") - d("sx12") * d("sx2"))
+        + d("sx2") * (d("sx1") * d("sx2y") - d("sx1y") * d("sx2"))
+    )
+    return s.select(
+        "n",
+        "sx1",
+        "sx2",
+        "sx11",
+        "sx12",
+        "sx22",
+        "sy",
+        "sx1y",
+        "sx2y",
+        (det0 / det).alias("beta0"),
+        (det1 / det).alias("beta1"),
+    )
