@@ -6,7 +6,7 @@ percentiles, grouping sets, and the remaining TPC-H-style shapes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_lens_spark.functions import scalar as sc
@@ -810,3 +810,125 @@ def agg_filter_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "percentiles_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT), 0.25) AS BIGINT)
+             AS p25_c,
+           CAST(quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT), 0.5) AS BIGINT)
+             AS p50_c,
+           CAST(quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT), 0.75) AS BIGINT)
+             AS p75_c
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (an actually-occurring value, not an
+    interpolation — PERCENTILE_DISC semantics, the other half of the
+    percentile dialect next to percentiles_exact's PERCENTILE_CONT).
+    Exact integer cents in, exact integer cents out: the selected
+    element is the same row in both engines, no float anywhere.
+    Spark's ``median``/``percentile`` interpolate, so DISC is built
+    from the group-local sorted array (groups are modest; at 100 TB
+    per-key DISC uses approx_percentile, which is already
+    nearest-rank)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    arr = F.array_sort(F.collect_list("cents"))
+
+    def disc(q: float):
+        # nearest-rank (PERCENTILE_DISC): smallest v with CDF(v) >= q
+        idx = F.ceil(F.size(arr) * F.lit(q)).cast("int")
+        return F.element_at(arr, F.greatest(idx, F.lit(1)))
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            disc(0.25).alias("p25_c"),
+            disc(0.5).alias("p50_c"),
+            disc(0.75).alias("p75_c"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, rev_c,
+           CAST(rev_c AS DOUBLE)
+             / SUM(rev_c) OVER (PARTITION BY region) AS share_in_region,
+           CAST(rev_c AS DOUBLE) / SUM(rev_c) OVER () AS share_global,
+           CAST(SUM(rev_c) OVER (PARTITION BY region
+                                 ORDER BY rev_c DESC, nation
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_c
+    FROM rev ORDER BY region, rev_c DESC, nation
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT semantics: each nation's revenue share within
+    its region and globally, plus the region running total — the
+    share-of-total reporting window. The fact stream reduces to one
+    exact-cents row per nation BEFORE any window (25 rows); shares
+    divide exact longs so both engines agree bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    w_run = (
+        Window.partitionBy("region")
+        .orderBy(F.desc("rev_c"), F.asc("nation"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        "region",
+        "nation",
+        "rev_c",
+        (F.col("rev_c").cast("double") / F.sum("rev_c").over(w_region)).alias(
+            "share_in_region"
+        ),
+        (F.col("rev_c").cast("double") / F.sum("rev_c").over(w_all)).alias(
+            "share_global"
+        ),
+        F.sum("rev_c").over(w_run).alias("running_c"),
+    ).orderBy("region", F.desc("rev_c"), "nation")
