@@ -932,3 +932,96 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("rev_c").over(w_run).alias("running_c"),
     ).orderBy("region", F.desc("rev_c"), "nation")
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT pri, status, n,
+               ROW_NUMBER() OVER (PARTITION BY pri
+                                  ORDER BY n DESC, status ASC) AS rn
+        FROM c
+    )
+    SELECT pri, status AS modal_status, n AS modal_n FROM r
+    WHERE rn = 1 ORDER BY pri
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE with a pinned tie-break (max count, then min
+    value) — engines' built-in ``mode()`` leaves ties unspecified, so
+    the portable form is the explicit count-table argmax both engines
+    run here: one map-side-combined groupBy to the (group, value)
+    count table, then a window over ≤ groups×values rows."""
+    c = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("pri").orderBy(F.desc("n"), F.asc("status"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "pri", F.col("status").alias("modal_status"),
+            F.col("n").alias("modal_n"),
+        )
+        .orderBy("pri")
+    )
+
+
+@query(
+    "source_synthetic_range",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(range AS BIGINT) AS id,
+               ('0x' || substring(md5('syn' || CAST(range AS VARCHAR)),
+                                  1, 8))::BIGINT AS h
+        FROM range(0, 100000)
+    )
+    SELECT h % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS id_sum,
+           CAST(SUM(h) AS BIGINT) AS hash_sum,
+           MIN(h) AS h_min, MAX(h) AS h_max
+    FROM g GROUP BY 1 ORDER BY bucket
+    """,
+)
+def source_synthetic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator source: ``spark.range`` — the table-valued generator
+    every engine ships (DuckDB ``range()``, SQLite ``generate_series``)
+    and the backbone of synthetic benchmarks and spine builds. 100k
+    rows are produced IN PARALLEL across partitions (no file, no scan)
+    with md5-derived payloads; the per-bucket checksums prove both
+    engines generated the identical relation. At any scale the range
+    source splits like a file scan — it's how you fabricate a
+    petabyte of test data without storing one."""
+    g = spark.range(0, 100000).select(
+        F.col("id"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("syn"), F.col("id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return (
+        g.groupBy((F.col("h") % 16).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("id").cast("long").alias("id_sum"),
+            F.sum("h").cast("long").alias("hash_sum"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
 from etl_lens_spark.streaming import stream_ops as so
 
 
@@ -303,3 +304,107 @@ def streaming_debounce_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "streaming_scd2_enrich_live",
+    oracle="""
+    WITH day1 AS (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS dt,
+             MIN(o_orderpriority) AS attr
+      FROM orders GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT custkey, dt, attr,
+             CASE WHEN attr = LAG(attr) OVER w THEN 0 ELSE 1 END AS chg
+      FROM day1 WINDOW w AS (PARTITION BY custkey ORDER BY dt)
+    ),
+    runs AS (
+      SELECT custkey, dt, attr,
+             SUM(chg) OVER (PARTITION BY custkey ORDER BY dt
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    hist AS (
+      SELECT custkey, attr, CAST(run_id AS BIGINT) AS version,
+             MIN(dt) AS valid_from
+      FROM runs GROUP BY custkey, attr, run_id
+    ),
+    iv AS (
+      SELECT custkey, version, attr, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY custkey
+                                    ORDER BY version) AS valid_to
+      FROM hist
+    )
+    SELECT e.event_id, e.user_id AS custkey,
+           DATE '1995-01-01' + CAST(e.event_id % 2400 AS INTEGER)
+             AS probe_day,
+           iv.attr AS attr_at, iv.version
+    FROM events e
+    LEFT JOIN iv
+      ON iv.custkey = e.user_id
+     AND DATE '1995-01-01' + CAST(e.event_id % 2400 AS INTEGER)
+           >= iv.valid_from
+     AND (iv.valid_to IS NULL
+          OR DATE '1995-01-01' + CAST(e.event_id % 2400 AS INTEGER)
+               < iv.valid_to)
+    ORDER BY e.event_id
+    """,
+)
+def streaming_scd2_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time dimension enrichment: the live event
+    stream joins the SCD2 priority history (a STATIC frame, broadcast
+    to every micro-batch) picking the version whose validity interval
+    covers each event's probe day — the streaming twin of the batch
+    ``scd2_point_in_time_join`` (which resolves the same contract as
+    a union-asof fill; here the stream-static interval join is the
+    right shape because the dimension is small and static per batch).
+    Left outer keeps pre-history events with NULL attribution. Must
+    equal the batch interval join the oracle runs."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day1 = orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    ).agg(F.min("o_orderpriority").alias("attr"))
+    w = Window.partitionBy("custkey").orderBy("dt")
+    runs = day1.withColumn(
+        "chg",
+        F.when(F.col("attr") == F.lag("attr").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy("custkey", "attr", "version").agg(
+        F.min("dt").alias("valid_from")
+    )
+    iv = hist.select(
+        F.col("custkey").alias("d_custkey"),
+        F.col("version").cast("long").alias("version"),
+        F.col("attr").alias("attr_at"),
+        "valid_from",
+        F.lead("valid_from")
+        .over(Window.partitionBy("custkey").orderBy("version"))
+        .alias("valid_to"),
+    )
+    stream = so.events_stream(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("custkey"),
+        F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.col("event_id") % 2400).cast("int"),
+        ).alias("probe_day"),
+    )
+    cond = (
+        (stream.custkey == iv.d_custkey)
+        & (stream.probe_day >= iv.valid_from)
+        & (iv.valid_to.isNull() | (stream.probe_day < iv.valid_to))
+    )
+    enriched = stream.join(F.broadcast(iv), cond, "left_outer").select(
+        "event_id", "custkey", "probe_day", "attr_at", "version"
+    )
+    out = so.run_to_memory(enriched, "q_stream_scd2", output_mode="append")
+    return out.orderBy("event_id")
