@@ -132,3 +132,61 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if bits != 16 or channels != 1:
         raise ValueError("only mono 16-bit supported")
     return samples, sample_rate
+
+
+# ------------------------------------------------------------------
+# BMP (Windows bitmap, 24-bit uncompressed)
+# ------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed
+    BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, pixel rows stored
+    BOTTOM-UP in BGR order, each row zero-padded to a 4-byte
+    multiple — the three grammar quirks that make BMP parsing a real
+    exercise."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    row_size = (3 * w + 3) // 4 * 4
+    pad = row_size - 3 * w
+    img_size = row_size * h
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    bgr = arr[:, :, ::-1]
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(bgr[y].tobytes() + b"\x00" * pad)
+    return file_header + info_header + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 24-bit uncompressed BMP to ((h, w, 3) uint8 RGB,
+    row_padding). Handles both bottom-up (positive height) and
+    top-down (negative height) layouts; rejects compressed or
+    non-24-bit files."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    row_size = (3 * w + 3) // 4 * 4
+    pad = row_size - 3 * w
+    need = pixel_off + row_size * h
+    if len(data) < need:
+        raise ValueError("truncated BMP payload")
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=pixel_off)
+    rows = raw.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy(), pad  # BGR -> RGB

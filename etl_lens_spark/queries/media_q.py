@@ -249,3 +249,112 @@ def mm_real_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_decode_wav_batches, _WAV_OUT).orderBy(
         "doc_id"
     )
+
+
+_BMP_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("row_padding", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("pixel_checksum", T.LongType()),
+    ]
+)
+
+
+def _synth_bmp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 2 + d % 9, 2 + d % 7
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            arr = ((3 * x + 5 * y + 7 * c + d) % 256).astype("uint8")
+            payloads.append(codecs.encode_bmp(arr))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_bmp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr, pad = codecs.decode_bmp(bytes(payload))
+            h, w = arr.shape[:2]
+            px = arr.astype(np.int64)
+            # channel-weighted checksum: 1·R + 2·G + 3·B — asymmetric
+            # weights so a missed BGR→RGB swap shifts the sum
+            checksum = int(
+                (px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]).sum()
+            )
+            rows.append(
+                (int(d), w, h, pad, codecs.mean_luma(arr), checksum)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "row_padding",
+                "mean_luma",
+                "pixel_checksum",
+            ],
+        )
+
+
+@query(
+    "mm_real_bmp_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 9 AS w, 2 + doc_id % 7 AS h
+      FROM documents
+    ),
+    xs AS (SELECT unnest(range(0, 11)) AS x),
+    ys AS (SELECT unnest(range(0, 9)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (3 * x.x + 5 * y.y + d.doc_id) % 256 AS r,
+             (3 * x.x + 5 * y.y + 7 + d.doc_id) % 256 AS g,
+             (3 * x.x + 5 * y.y + 14 + d.doc_id) % 256 AS b
+      FROM dims d JOIN xs x ON x.x < d.w JOIN ys y ON y.y < d.h
+    ),
+    stats AS (
+      SELECT doc_id,
+             AVG(0.299 * r + 0.587 * g + 0.114 * b) AS mean_luma,
+             CAST(SUM(r + 2 * g + 3 * b) AS BIGINT) AS pixel_checksum
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST((4 - (3 * d.w) % 4) % 4 AS INT) AS row_padding,
+           s.mean_luma, s.pixel_checksum
+    FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_bmp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode pipeline: genuine 24-bit BMP payloads — with
+    the format's three grammar quirks, bottom-up row order, BGR
+    channel order, and 4-byte row padding — are synthesized, encoded,
+    and decoded through chained no-shuffle mapInPandas stages. The
+    oracle recomputes every statistic arithmetically from the pixel
+    formula: the channel-ASYMMETRIC checksum (1·R+2·G+3·B) fails if
+    the decoder forgets the BGR swap, the row_padding column fails if
+    the stride math is off, and mean_luma fails on any flip/offset —
+    the parse is pinned bit-for-bit without the oracle touching a
+    container byte."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_bmp_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_bmp_batches, _BMP_OUT).orderBy(
+        "doc_id"
+    )

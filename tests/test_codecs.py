@@ -76,3 +76,72 @@ class TestWav:
     def test_rejects_non_wav(self):
         with pytest.raises(ValueError):
             codecs.decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_bmp_roundtrip_all_paddings():
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    # widths chosen so 3w % 4 covers padding 0..3
+    for w in (4, 5, 6, 7):
+        arr = (np.arange(3 * 3 * w, dtype=np.int64) % 256).astype(
+            np.uint8
+        ).reshape(3, w, 3)
+        decoded, pad = decode_bmp(encode_bmp(arr))
+        assert pad == (4 - (3 * w) % 4) % 4
+        assert (decoded == arr).all()
+
+
+def test_bmp_bgr_and_bottom_up_are_real():
+    """Hand-built single-pixel file: a pure-red pixel must be stored
+    as BGR (00 00 FF) and the first stored row must be the BOTTOM
+    image row."""
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    arr = np.zeros((2, 1, 3), dtype=np.uint8)
+    arr[0, 0] = (255, 0, 0)  # top row red
+    data = encode_bmp(arr)
+    # pixel data starts at 54; first stored row is the BOTTOM row
+    assert data[54:57] == b"\x00\x00\x00"
+    # second stored row is the top row, as BGR: blue=0, green=0, red=255
+    assert data[58:61] == b"\x00\x00\xff"
+    decoded, _ = decode_bmp(data)
+    assert (decoded == arr).all()
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    arr = (np.arange(2 * 2 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(
+        2, 2, 3
+    )
+    data = bytearray(encode_bmp(arr))
+    # flip to top-down: negate height and reorder the rows
+    struct.pack_into("<i", data, 22, -2)
+    row = (3 * 2 + 3) // 4 * 4
+    px = data[54:]
+    data[54:] = bytes(px[row:] + px[:row])
+    decoded, _ = decode_bmp(bytes(data))
+    assert (decoded == arr).all()
+
+
+def test_bmp_rejects_truncated_and_foreign():
+    import pytest
+
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = encode_bmp(arr)
+    with pytest.raises(ValueError):
+        decode_bmp(data[:-3])
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG........")
