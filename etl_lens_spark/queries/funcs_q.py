@@ -1025,3 +1025,149 @@ def source_synthetic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "udf_arrow_map",
+    oracle="""
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           upper(event_type) AS type_u,
+           CAST(length(event_type) AS BIGINT) AS type_len
+    FROM events WHERE event_id < 500 ORDER BY event_id
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy member of the Python UDF API
+    matrix (alongside pandas_udf / applyInPandas / mapInPandas /
+    UDTF / applyInPandasWithState): batches arrive as raw Arrow
+    RecordBatches and are transformed with vectorized
+    ``pyarrow.compute`` kernels, no pandas materialization at all.
+    The right tool when the Python stage is itself Arrow-native
+    (feature stores, Arrow Flight hops, model inference on Arrow)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def transform(batches):
+        for b in batches:
+            value = pc.cast(b.column("value"), pa.float64())
+            cents = pc.cast(
+                pc.round(pc.multiply(value, pa.scalar(100.0))), pa.int64()
+            )
+            t = b.column("event_type")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    cents,
+                    pc.utf8_upper(t),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                ],
+                names=["event_id", "cents", "type_u", "type_len"],
+            )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select("event_id", "value", "event_type").mapInArrow(
+        transform, "event_id long, cents long, type_u string, type_len long"
+    ).orderBy("event_id")
+
+
+@query(
+    "json_variant_funcs",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               '{"k":' || CAST(event_id % 97 AS VARCHAR)
+                 || ',"arr":[3,' || CAST(event_id % 7 AS VARCHAR)
+                 || '],"tag":"t' || CAST(event_id % 3 AS VARCHAR)
+                 || '"}' AS doc
+        FROM events WHERE event_id < 300
+    )
+    SELECT event_id,
+           CAST(json_extract(doc, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(doc, '$.arr[1]') AS BIGINT) AS arr1,
+           CAST(json_extract_string(doc, '$.tag') AS VARCHAR) AS tag,
+           CAST(json_array_length(doc, '$.arr') AS BIGINT) AS arr_len
+    FROM j ORDER BY event_id
+    """,
+)
+def json_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT — Spark 4's binary semi-structured type (the modern
+    replacement for string-JSON hot paths): documents parse ONCE into
+    the variant encoding, then ``variant_get`` path extractions are
+    typed and allocation-free (order-of-magnitude over repeated
+    ``get_json_object`` string parsing at 100 TB). The oracle runs
+    the same paths through DuckDB's JSON extraction on the identical
+    documents."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    doc = F.concat(
+        F.lit('{"k":'),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit(',"arr":[3,'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('],"tag":"t'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('"}'),
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("cast(variant_get(v, '$.k', 'long') as long)").alias("k"),
+        F.expr("cast(variant_get(v, '$.arr[1]', 'long') as long)").alias(
+            "arr1"
+        ),
+        F.expr("variant_get(v, '$.tag', 'string')").alias("tag"),
+        F.expr(
+            "cast(array_size(cast(variant_get(v, '$.arr') as array<variant>))"
+            " as long)"
+        ).alias("arr_len"),
+    ).orderBy("event_id")
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(range AS BIGINT) AS rid,
+               ('0x' || substring(md5('pyds' || CAST(range AS VARCHAR)),
+                                  1, 8))::BIGINT AS h
+        FROM range(0, 10000)
+    )
+    SELECT h % 5 AS category,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(SUM(h) AS BIGINT) AS h_sum,
+           CAST(AVG(CAST(h % 1000 AS DOUBLE) / 100.0) AS DOUBLE)
+             AS mean_score
+    FROM g GROUP BY 1 ORDER BY category
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined Python DataSource (Spark 4
+    ``pyspark.sql.datasource``) — the loadable-virtual-table analog of
+    SQLite's module API (``sqlite3.h:7586``): a registered format name
+    whose reader declares its own PARTITIONS, each generating a row
+    slice executor-side in parallel. The per-category checksums prove
+    the partition/read plumbing delivered exactly the declared
+    relation (DuckDB recomputes it from the same md5 formula)."""
+    from etl_lens_spark.sources.pyds import SynthEventsDataSource
+
+    try:
+        spark.dataSource.register(SynthEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    g = (
+        spark.read.format("synth_events")
+        .option("n_rows", 10000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return (
+        g.groupBy(F.col("category"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rid").cast("long").alias("rid_sum"),
+            F.sum("h").cast("long").alias("h_sum"),
+            F.avg("score").alias("mean_score"),
+        )
+        .orderBy("category")
+    )
