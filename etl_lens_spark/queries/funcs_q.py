@@ -1171,3 +1171,122 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@query(
+    "udtf_table_arg_partitioned",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def udtf_table_arg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF with a TABLE argument and PARTITION BY
+    (Spark 4): ``SELECT * FROM user_span(TABLE(v) PARTITION BY
+    user_id)`` streams each partition's rows through eval() and emits
+    the summary from terminate() — the table-valued-function
+    composition SQLite exposes through virtual tables and the one
+    UDTF form that shards like an aggregate (one partition per key,
+    state local to the executor)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id long, n long, span_us long")
+    class UserSpan:
+        def __init__(self):
+            self.n = 0
+            self.lo = None
+            self.hi = None
+            self.uid = None
+
+        def eval(self, row):
+            self.n += 1
+            self.uid = row["user_id"]
+            us = row["us"]
+            self.lo = us if self.lo is None else min(self.lo, us)
+            self.hi = us if self.hi is None else max(self.hi, us)
+
+        def terminate(self):
+            if self.n:
+                yield (self.uid, self.n, self.hi - self.lo)
+
+    spark.udtf.register("user_span", UserSpan)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    ev.createOrReplaceTempView("udtf_events_v")
+    return spark.sql(
+        "SELECT * FROM user_span(TABLE(udtf_events_v) PARTITION BY user_id) "
+        "ORDER BY user_id"
+    )
+
+
+@query(
+    "scalar_timezone_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(extract(hour FROM timezone('America/New_York',
+                        timezone('UTC', ts))) AS BIGINT) AS hour_ny,
+           CAST(timezone('Asia/Tokyo', timezone('UTC', ts)) AS DATE)
+             AS date_tokyo,
+           CAST(extract(minute FROM timezone('Asia/Kolkata',
+                        timezone('UTC', ts))) AS BIGINT) AS minute_kolkata
+    FROM events WHERE event_id < 300 ORDER BY event_id
+    """,
+)
+def scalar_timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-timezone rendering: the same UTC instant viewed on the
+    New York / Tokyo / Kolkata wall clocks (Kolkata's +5:30 exercises
+    a non-whole-hour offset via the minute field). Spark's
+    ``from_utc_timestamp`` against DuckDB's two-step ``timezone()``
+    re-interpretation — both resolve through the IANA tzdb, so
+    agreement here pins the zone arithmetic, not just the format."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    wall = lambda tz: F.from_utc_timestamp(F.col("ts"), tz)  # noqa: E731
+    return ev.select(
+        "event_id",
+        F.hour(wall("America/New_York")).cast("long").alias("hour_ny"),
+        wall("Asia/Tokyo").cast("date").alias("date_tokyo"),
+        F.minute(wall("Asia/Kolkata")).cast("long").alias("minute_kolkata"),
+    ).orderBy("event_id")
+
+
+@query(
+    "obs_metrics_observe",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents_sum,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished
+    FROM orders
+    """,
+)
+def obs_metrics_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe`` — Spark's zero-cost pipeline-metrics API:
+    named aggregates piggyback on an action's existing pass (NO extra
+    scan, unlike running a second COUNT query) and surface on the
+    driver — how a production job self-reports row counts and
+    checksums for the data-quality ledger. The observed metrics are
+    returned as the result and must equal the oracle's direct
+    aggregate."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).cast("long").alias("cents_sum"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias(
+            "n_finished"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["cents_sum"], m["n_finished"])],
+        "n_rows long, cents_sum long, n_finished long",
+    )
