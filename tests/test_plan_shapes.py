@@ -35,6 +35,11 @@ EXPECTATIONS = {
     # means someone put a UDF on the hot path
     "text_quality_signals": (2, ["ArrowEval", "BatchEvalPython", "MapInPandas"]),
     "text_token_stats": (2, ["ArrowEval", "BatchEvalPython", "MapInPandas"]),
+    # contamination: within-doc gram dedup is row-local and the eval
+    # side broadcasts — the ONLY gram-carrying hash exchange is the
+    # tiny eval-distinct; a SortMergeJoin here means the broadcast
+    # regressed and the whole corpus gram stream would shuffle
+    "text_contamination_overlap": (5, ["SortMergeJoin", "ArrowEval"]),
     # Q9: filtered part dim + nation broadcast into the lineitem
     # pipeline; fact-fact joins stay hash, never nested-loop
     "q9_product_type_profit": (8, ["BroadcastNestedLoopJoin", "ArrowEval"]),
