@@ -343,3 +343,63 @@ def cdc_roundtrip_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "cdc_time_travel_states",
+    oracle=f"""
+    WITH ch AS (
+        SELECT o_custkey AS k, o_orderkey AS seq,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+               {_CENTS} AS bal_c
+        FROM orders
+    ),
+    points AS (SELECT CAST(unnest([3000, 9000, 15000]) AS BIGINT) AS tx),
+    latest AS (
+        SELECT p.tx, c.k, c.op, c.bal_c,
+               ROW_NUMBER() OVER (PARTITION BY p.tx, c.k
+                                  ORDER BY c.seq DESC) AS rn
+        FROM points p JOIN ch c ON c.seq < p.tx
+    )
+    SELECT tx,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(bal_c) AS BIGINT) AS bal_sum_c
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    GROUP BY tx ORDER BY tx
+    """,
+)
+def cdc_time_travel_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-time travel WITHOUT a table format: the changelog
+    (orders as upserts/deletes on their customer, seq = orderkey)
+    reconstructs the keyed table AS OF three transaction points —
+    latest-change-wins election per (point, key), deletes erased —
+    and each state is summarized by live-row count and key/balance
+    checksums. One changelog scan serves all three points (the points
+    table band-joins the log); this is exactly how Delta/Iceberg
+    VERSION AS OF works underneath, expressed as plain Catalyst
+    operators on the raw log."""
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 0, "D").otherwise("U").alias("op"),
+        _cents("o_totalprice").alias("bal_c"),
+    )
+    points = spark.createDataFrame([(3000,), (9000,), (15000,)], "tx long")
+    from pyspark.sql import Window
+
+    joined = F.broadcast(points).join(ch, ch.seq < points.tx)
+    w = Window.partitionBy("tx", "k").orderBy(F.desc("seq"))
+    latest = joined.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("op") != "D")
+    )
+    return (
+        latest.groupBy("tx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_live"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("bal_c").cast("long").alias("bal_sum_c"),
+        )
+        .orderBy("tx")
+    )

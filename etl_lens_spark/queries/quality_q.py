@@ -596,3 +596,106 @@ def ml_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (det0 / det).alias("beta0"),
         (det1 / det).alias("beta1"),
     )
+
+
+@query(
+    "fk_discovery_profile",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'orders.custkey->customer' AS pair,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS child_d,
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS parent_d,
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT o_custkey FROM orders) c
+                  JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                    ON c.o_custkey = p.c_custkey) AS contained
+        UNION ALL
+        SELECT 'lineitem.partkey->part',
+               (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+               (SELECT COUNT(DISTINCT p_partkey) FROM part),
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT l_partkey FROM lineitem) c
+                  JOIN (SELECT DISTINCT p_partkey FROM part) p
+                    ON c.l_partkey = p.p_partkey)
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier',
+               (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem),
+               (SELECT COUNT(DISTINCT s_suppkey) FROM supplier),
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT l_suppkey FROM lineitem) c
+                  JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+                    ON c.l_suppkey = p.s_suppkey)
+        UNION ALL
+        SELECT 'orders.orderkey->customer',
+               (SELECT COUNT(DISTINCT o_orderkey) FROM orders),
+               (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+               (SELECT COUNT(*) FROM
+                  (SELECT DISTINCT o_orderkey FROM orders) c
+                  JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                    ON c.o_orderkey = p.c_custkey)
+    )
+    SELECT pair, CAST(child_d AS BIGINT) AS child_d,
+           CAST(parent_d AS BIGINT) AS parent_d,
+           CAST(contained AS BIGINT) AS contained,
+           CAST(contained AS DOUBLE) / child_d AS containment
+    FROM pairs ORDER BY pair
+    """,
+)
+def fk_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery — the profiling pass that finds which
+    column pairs behave like FK→PK before anyone writes a join:
+    per candidate pair, distinct cardinalities and VALUE CONTAINMENT
+    (child distincts present in the parent). True FKs score
+    containment 1.0; the deliberate negative control
+    (orderkey→custkey) scores near zero. Each side reduces to its
+    DISTINCT key set first, so the containment join compares key
+    sets, never the fact tables."""
+
+    def profile(pair, child_df, child_col, parent_df, parent_col):
+        c = child_df.select(F.col(child_col).alias("k")).distinct()
+        p = parent_df.select(F.col(parent_col).alias("k")).distinct()
+        return (
+            c.join(p.withColumn("_hit", F.lit(1)), "k", "left")
+            .agg(
+                F.lit(pair).alias("pair"),
+                F.count(F.lit(1)).cast("long").alias("child_d"),
+                F.sum("_hit").cast("long").alias("contained"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    p.agg(F.count(F.lit(1)).cast("long").alias("parent_d"))
+                )
+            )
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    rows = (
+        profile("orders.custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            profile("lineitem.partkey->part", li, "l_partkey", pt, "p_partkey")
+        )
+        .unionByName(
+            profile(
+                "lineitem.suppkey->supplier", li, "l_suppkey", s, "s_suppkey"
+            )
+        )
+        .unionByName(
+            profile(
+                "orders.orderkey->customer", o, "o_orderkey", c, "c_custkey"
+            )
+        )
+    )
+    return rows.select(
+        "pair",
+        "child_d",
+        "parent_d",
+        F.coalesce(F.col("contained"), F.lit(0)).alias("contained"),
+        (
+            F.coalesce(F.col("contained"), F.lit(0)).cast("double")
+            / F.col("child_d")
+        ).alias("containment"),
+    ).orderBy("pair")

@@ -546,3 +546,86 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_anomaly"),
     ).orderBy("event_type", "hour_idx")
+
+
+@query(
+    "events_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pus,
+               CAST(value AS DECIMAL(18,2)) AS val
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS cid, user_id, epoch_us(ts) AS cus,
+               CAST(extract(hour FROM ts) AS BIGINT) AS click_hour
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.pid, CAST(p.val AS DOUBLE) AS val, c.click_hour,
+               exp(-CAST(p.pus - c.cus AS DOUBLE) / 1800000000.0) AS w
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.cus <= p.pus
+                     AND c.cus > p.pus - 3600000000
+    ),
+    shares AS (
+        SELECT click_hour,
+               val * w / SUM(w) OVER (PARTITION BY pid) AS credit
+        FROM touches
+    )
+    SELECT click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS DOUBLE) AS credit_value
+    FROM shares GROUP BY click_hour ORDER BY click_hour
+    """,
+)
+def events_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch attribution with exponential time decay: each
+    purchase's value splits across the same user's clicks in the
+    preceding hour, weighted exp(−Δt/30 min) and normalized per
+    purchase, then credited to the CLICK's hour-of-day — "which click
+    times actually drive purchase value". The touch join is the
+    bounded interval self-join (same shape as the as-of family); the
+    per-purchase normalization is one window on the purchase key
+    riding the join output. Decay weights divide within a purchase,
+    so cross-engine float drift cancels in the shares."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.unix_micros("ts").alias("pus"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("val"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.unix_micros("ts").alias("cus"),
+        F.hour("ts").cast("long").alias("click_hour"),
+    )
+    touches = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cus") <= F.col("pus"))
+        & (F.col("cus") > F.col("pus") - 3600000000),
+    ).select(
+        "pid",
+        "val",
+        "click_hour",
+        F.exp(-(F.col("pus") - F.col("cus")).cast("double") / 1800000000.0)
+        .alias("w"),
+    )
+    from pyspark.sql import Window
+
+    share = F.col("val") * F.col("w") / F.sum("w").over(
+        Window.partitionBy("pid")
+    )
+    return (
+        touches.select("click_hour", share.alias("credit"))
+        .groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit").alias("credit_value"),
+        )
+        .orderBy("click_hour")
+    )

@@ -934,3 +934,49 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "orders_growth_mom_yoy",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(mon AS DATE) AS mon, rev_c,
+           CAST(rev_c - LAG(rev_c, 1) OVER w AS DOUBLE)
+             / LAG(rev_c, 1) OVER w AS mom_pct,
+           CAST(rev_c - LAG(rev_c, 12) OVER w AS DOUBLE)
+             / LAG(rev_c, 12) OVER w AS yoy_pct
+    FROM m WINDOW w AS (ORDER BY mon) ORDER BY mon
+    """,
+)
+def orders_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the BI staple: monthly revenue with
+    month-over-month and seasonality-aligned year-over-year deltas
+    (lag 12 on the monthly grid). The fact stream reduces to one
+    exact-cents row per month before the lag windows touch it, so the
+    growth ratios divide exact longs."""
+    m = load_table(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+        .alias("mon")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("mon")
+    lag1 = F.lag("rev_c", 1).over(w)
+    lag12 = F.lag("rev_c", 12).over(w)
+    return m.select(
+        "mon",
+        "rev_c",
+        ((F.col("rev_c") - lag1).cast("double") / lag1).alias("mom_pct"),
+        ((F.col("rev_c") - lag12).cast("double") / lag12).alias("yoy_pct"),
+    ).orderBy("mon")
