@@ -462,3 +462,61 @@ def curate_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "status")
     )
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS n_sentences,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+           END AS flesch
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal (low scores flag dense/garbled text for curation).
+    Sentence, word, and syllable proxies are all
+    ``regexp_extract_all`` COUNTS — pure JVM codegen, zero Python,
+    zero shuffle (the formula is row-local); the identical RE2-class
+    patterns run in DuckDB so the counts match exactly and only the
+    final formula is floating."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    low = F.lower(F.col("text"))
+    n_words = F.size(
+        F.regexp_extract_all(low, F.lit("[a-z]+"), F.lit(0))
+    ).cast("long")
+    n_syl = F.size(
+        F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+        F.when(
+            n_words > 0,
+            F.lit(206.835)
+            - 1.015 * (n_words.cast("double") / n_sent)
+            - 84.6 * (n_syl.cast("double") / n_words),
+        ).alias("flesch"),
+    ).orderBy("doc_id")

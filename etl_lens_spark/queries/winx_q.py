@@ -409,3 +409,68 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "win_rolling_regression",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS DOUBLE) / 3600000000.0 AS x,
+               CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS y
+        FROM events WHERE user_id < 10
+    ),
+    rolled AS (
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * x) OVER w AS sxx, SUM(x * y) OVER w AS sxy
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n,
+           CASE WHEN n >= 5 AND n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+           END AS slope
+    FROM rolled ORDER BY user_id, event_id
+    """,
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope over a trailing-20-event window per user —
+    the moving-beta / trend-detection window missing from every
+    engine's built-in set (regr_slope is aggregate-only): the four
+    sufficient-statistic SUMs ride ONE window frame on the user
+    shuffle and the slope is closed-form from them — the same
+    sufficient-statistics trick as ml_normal_equations, windowed.
+    Warm-up guard (n ≥ 5) and a degenerate-variance guard keep the
+    division defined identically in both engines."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_micros("ts").cast("double") / 3600000000.0).alias("x"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("y"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    denom = n * sxx - sx * sx
+    return base.select(
+        "user_id",
+        "event_id",
+        n.alias("n"),
+        F.when(
+            (n >= 5) & (denom != 0), (n * sxy - sx * sy) / denom
+        ).alias("slope"),
+    ).orderBy("user_id", "event_id")
