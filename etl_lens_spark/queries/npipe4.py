@@ -520,3 +520,96 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 84.6 * (n_syl.cast("double") / n_words),
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_source_dashboard",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id, source, lang, n_chars,
+               {_FP_SQL} AS fp
+        FROM documents
+    ),
+    dupmark AS (
+        SELECT source, lang, n_chars,
+               COUNT(*) OVER (PARTITION BY fp) > 1 AS is_dup
+        FROM fps
+    ),
+    lang_counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM dupmark GROUP BY source, lang
+    ),
+    top_lang AS (
+        SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang ASC) AS rn
+            FROM lang_counts) t
+        WHERE rn = 1
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs
+        FROM dupmark GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.total_chars, p.n_langs, t.top_lang,
+           p.n_dup_docs,
+           CAST(p.n_dup_docs AS DOUBLE) / p.n_docs AS dup_rate
+    FROM per_source p JOIN top_lang t ON p.source = t.source
+    ORDER BY p.source
+    """,
+)
+def corpus_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard — the one-glance report a
+    curation team reviews before admitting a source: volume, language
+    mix (count + deterministic modal language), and the corpus-wide
+    duplicate exposure (share of the source's docs whose fingerprint
+    appears more than once ANYWHERE — cross-source contamination
+    counts against both sources). One fp-keyed window marks dups, one
+    groupBy per rollup; document text reduces to its fingerprint at
+    scan time and never shuffles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars",
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    dup = docs.withColumn(
+        "is_dup", F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1
+    )
+    per_source = dup.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+    lang_counts = dup.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wl = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_source.join(top_lang, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            "top_lang",
+            "n_dup_docs",
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
