@@ -980,3 +980,112 @@ def orders_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("rev_c") - lag1).cast("double") / lag1).alias("mom_pct"),
         ((F.col("rev_c") - lag12).cast("double") / lag12).alias("yoy_pct"),
     ).orderBy("mon")
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT brand, SUM(rev_c) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM rev GROUP BY brand
+    )
+    SELECT r.brand, t.n_suppliers,
+           CAST(t.t AS BIGINT) AS brand_rev_c,
+           SUM((CAST(r.rev_c AS DOUBLE) / t.t)
+               * (CAST(r.rev_c AS DOUBLE) / t.t)) AS hhi
+    FROM rev r JOIN tot t ON r.brand = t.brand
+    GROUP BY r.brand, t.n_suppliers, t.t
+    ORDER BY r.brand
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration risk per brand: the Herfindahl–Hirschman
+    index (Σ share², 1/n..1) over each brand's supplier revenue mix —
+    the procurement-risk metric flagging single-supplier exposure.
+    Shares divide exact cents; the fact stream reduces to one row per
+    (brand, supplier) before the share math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("brand")
+    share = F.col("rev_c").cast("double") / F.sum("rev_c").over(w)
+    return (
+        rev.withColumn("share", share)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev_c").cast("long").alias("brand_rev_c"),
+            F.sum(F.col("share") * F.col("share")).alias("hhi"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey AS custkey,
+               CAST(o_orderdate AS DATE)
+                 - LAG(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS gap_days
+        FROM orders
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(AVG(CAST(gap_days AS DOUBLE)) AS DOUBLE) AS mean_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY custkey ORDER BY custkey
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order inter-arrival profile: per customer, the mean
+    and maximum day gap between consecutive orders (lag window and
+    the final aggregate ride ONE custkey shuffle) — the churn-risk /
+    reorder-cadence input every lifecycle model starts from. Integer
+    day gaps keep the stats exact up to the final mean division."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count("gap_days").cast("long").alias("n_gaps"),
+            F.avg(F.col("gap_days").cast("double")).alias("mean_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("custkey")
+    )
