@@ -1052,7 +1052,11 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             value = pc.cast(b.column("value"), pa.float64())
             cents = pc.cast(
-                pc.round(pc.multiply(value, pa.scalar(100.0))), pa.int64()
+                pc.round(
+                    pc.multiply(value, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
             )
             t = b.column("event_type")
             yield pa.RecordBatch.from_arrays(

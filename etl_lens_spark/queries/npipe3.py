@@ -330,10 +330,17 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize+explode pass feeds the bigram count table; the
     # corpus-wide total then aggregates that (small) table instead of
     # re-tokenizing the corpus a third time
+    # localCheckpoint (NOT persist): materializes the bigram count
+    # table once so the nbi total and the PMI join both read it
+    # without re-tokenizing, but — unlike persist, which pins an
+    # entry in the CacheManager until an explicit unpersist that a
+    # lazily-returned plan can never safely issue — checkpoint blocks
+    # are reclaimed by the ContextCleaner when the query's references
+    # are dropped, so repeated registry runs don't accumulate cache.
     cb_all = (
         bi.groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     nbi = cb_all.agg(F.sum("c").cast("long").alias("nbi"))
     cb = (

