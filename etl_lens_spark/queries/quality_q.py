@@ -386,9 +386,10 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     two ECDFs are cumulative windows over that reduced series, and
     D = max |F₁−F₂|. Values are exact cents so the ECDF steps align
     identically cross-engine; only the final division is floating.
-    The one unpartitioned window runs over distinct values, not
-    events — the same reduced-series argument as the anomaly scorer
-    (at 100 TB: quantize values or pre-bin to bound the series)."""
+    Both cumulative counts ride ONE ``ordered_prefix_sums`` pass
+    (range-partition on v, per-partition windows in parallel,
+    broadcast offsets) — no unpartitioned window anywhere, so even a
+    10^9-distinct-value series never funnels through one reducer."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -405,10 +406,11 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("long").alias("c1"),
         F.sum("g2").cast("long").alias("c2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2")
-    )
+    from etl_lens_spark.operators.prefix import ordered_prefix_sums
+
+    cum = ordered_prefix_sums(
+        per_v, [F.asc("v")], {"a1": "c1", "a2": "c2"}
+    ).select("a1", "a2")
     totals = per_v.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c2").cast("long").alias("n2"),

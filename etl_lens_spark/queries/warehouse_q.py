@@ -1018,10 +1018,17 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share cut at 80% (A) and 95% (B). The cumulative sum
     runs over EXACT integer cents (per-part reduce first), so the
     share ratio is a deterministic division of exact longs in both
-    engines — no float accumulation can flip a class boundary. The
-    ranking window is global by construction (a Pareto curve is a
-    total order) but runs over the reduced per-part table, not the
-    line items."""
+    engines — no float accumulation can flip a class boundary.
+
+    A Pareto curve is a total order, but the cumulative sum is NOT a
+    global window here: ``ordered_prefix_sum`` range-partitions by
+    (rev desc, partkey), computes per-partition running sums in
+    parallel, and stitches them with broadcast partition offsets (a
+    triangular join over O(P) totals) — byte-identical to the
+    single-reducer window, with no stage bounded by one partition at
+    10^9 parts. Plan-asserted: zero single-partition WindowExec."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -1033,12 +1040,12 @@ def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_c")
     )
     tot = rev.agg(F.sum("rev_c").alias("t"))
-    w = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = rev.withColumn("cum_c", F.sum("rev_c").over(w)).crossJoin(
-        F.broadcast(tot)
-    )
+    ranked = ordered_prefix_sum(
+        rev,
+        order_by=[F.desc("rev_c"), F.asc("l_partkey")],
+        value_col="rev_c",
+        out_col="cum_c",
+    ).crossJoin(F.broadcast(tot))
     share = F.col("cum_c").cast("double") / F.col("t")
     return (
         ranked.select(
