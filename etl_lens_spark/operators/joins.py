@@ -164,3 +164,58 @@ def range_join_point(
         F.col(point).between(F.col(lo), F.col(hi))
     )
     return joined.drop("__bucket")
+
+
+def interval_overlap_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    a_s: str,
+    a_e: str,
+    b_s: str,
+    b_e: str,
+    band_days: int = 30,
+) -> DataFrame:
+    """Non-equi interval-OVERLAP join (half-open [s, e) x [s, e),
+    match iff a_s < b_e AND b_s < a_e) banded into an equi join.
+
+    Each interval explodes to the fixed-width calendar bands it
+    touches (band id = floor(epoch_day / band_days) — row-local
+    arithmetic, ~len/band_days + 1 rows per interval); the band id is
+    the EQUI key for a hash join; the exact overlap predicate filters
+    band collisions; duplicates from pairs sharing several bands
+    collapse. An unconstrained theta join is a cartesian product at
+    scale — banding makes the work O(pairs-that-share-a-band).
+
+    ``band_days`` is the capacity knob (VERDICT r3: density per band,
+    not correctness): narrow bands cut per-band pair density but fan
+    intervals out to more band rows; wide bands do the reverse. The
+    result set is band-invariant — only the plan changes — so tune it
+    to the observed interval lengths (start at the typical length of
+    the LONGER side; see PLANS.md round-4 probe).
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def bands(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__band",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        F.datediff(F.col(s), epoch) / band_days
+                    ).cast("long"),
+                    F.floor(
+                        (F.datediff(F.col(e), epoch) - 1) / band_days
+                    ).cast("long"),
+                )
+            ),
+        )
+
+    joined = (
+        bands(left, a_s, a_e)
+        .join(bands(right, b_s, b_e), "__band")
+        .filter(
+            (F.col(a_s) < F.col(b_e)) & (F.col(b_s) < F.col(a_e))
+        )
+        .drop("__band")
+    )
+    return joined.dropDuplicates()

@@ -81,16 +81,26 @@ def pack_offset_bins(
     size_col: str,
     capacity: int,
     bin_col: str = "bin_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Token-budget binning by running offset: items in ``order_cols``
     order are laid end-to-end and ``bin_id = floor(offset/capacity)``
     — items may straddle a boundary (chunked, not greedy), which is
     exactly the semantics of packing a token stream into fixed
     context windows. Pure prefix-sum: one window pass, SQL-expressible
-    in any engine (the oracle recomputes it)."""
-    w = (
-        Window.orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    in any engine (the oracle recomputes it).
+
+    ``shard_col`` is the 100 TB lever: with it the window PARTITIONS
+    by shard — offsets reset per shard, every shard packs in parallel
+    on its own partition, and no stage sees the global order. Without
+    it the window is global (one reducer) — keep that form for small
+    curated sets and oracle anchoring only. A distributed packer
+    wants per-shard bins anyway: one output file per shard."""
+    base = (
+        Window.partitionBy(shard_col) if shard_col else Window
+    )
+    w = base.orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     offset = F.sum(F.col(size_col)).over(w) - F.col(size_col)
     return df.withColumn(

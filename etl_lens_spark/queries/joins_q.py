@@ -295,13 +295,16 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against 7-day order windows, all pairs whose half-open intervals
     intersect. The oracle runs the literal theta join; the Spark plan
     must not — an unconstrained non-equi join is a cartesian product
-    at scale. Instead each interval explodes to the calendar months it
-    covers (≤2 bands for the 30-day side — row-local arithmetic), the
-    month becomes an EQUI key for a hash join, and the exact overlap
-    predicate filters band collisions; distinct collapses pairs that
-    co-occur in two months. All-pairs work becomes
-    O(pairs-that-share-a-month) — the standard banding reduction, same
-    trick as the range join and LSH buckets."""
+    at scale. ``interval_overlap_join_banded`` explodes each interval
+    to the fixed-width calendar bands it touches (row-local
+    arithmetic), hash-joins on the band id, and filters band
+    collisions with the exact predicate. ``band_days`` is a declared
+    CAPACITY KNOB (was a hard-coded month): the result is
+    band-invariant (tests sweep 1/7/30/90 days) while per-band pair
+    density — the thing that saturates at real scale — moves with the
+    width; the round-4 probe in PLANS.md tabulates the tradeoff."""
+    from etl_lens_spark.operators.joins import interval_overlap_join_banded
+
     orders = load_table(spark, sf_dir, "orders")
     promo = orders.filter(F.col("o_orderkey") % 97 == 0).select(
         F.col("o_orderkey").alias("promo_id"),
@@ -313,26 +316,11 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("b_s"),
         F.date_add(F.col("o_orderdate").cast("date"), 7).alias("b_e"),
     )
-
-    def bands(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
-            "band",
-            F.explode(
-                F.expr(
-                    f"sequence(date_trunc('MM', {s}), "
-                    f"date_trunc('MM', date_sub({e}, 1)), "
-                    "interval 1 month)"
-                )
-            ),
-        )
-
-    pa = bands(promo, "a_s", "a_e")
-    pb = bands(ordw, "b_s", "b_e")
     return (
-        pa.join(pb, "band")
-        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        interval_overlap_join_banded(
+            promo, ordw, "a_s", "a_e", "b_s", "b_e", band_days=30
+        )
         .select("promo_id", "order_id")
-        .distinct()
         .orderBy("promo_id", "order_id")
     )
 

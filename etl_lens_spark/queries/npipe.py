@@ -603,7 +603,10 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing, offset-binning semantics
     (operators/sampling.py::pack_offset_bins): documents laid
     end-to-end in doc_id order, chunked into 4096-char context
-    windows — one prefix-sum window pass."""
+    windows — one prefix-sum window pass. This is the GLOBAL-offset
+    oracle anchor (single total order → one reducer); the declared
+    scale path is ``pack_token_budget_bins_sharded``, which resets
+    offsets per source shard and packs every shard in parallel."""
     from etl_lens_spark.operators.sampling import pack_offset_bins
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -617,6 +620,58 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             capacity=4096,
         )
         .select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), "bin_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "pack_token_budget_bins_sharded",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars AS off
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(FLOOR(off / 4096.0) AS BIGINT) AS bin_id
+    FROM ordered
+    ORDER BY doc_id
+    """,
+)
+def pack_token_budget_bins_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB packing path (VERDICT r3 #3): offset-binning
+    PARTITIONED BY source — each shard lays its documents end-to-end
+    and chunks into 4096-char windows independently, so the window
+    shuffle is keyed on source and every shard packs in parallel
+    (contrast ``pack_token_budget_bins``, the global-offset oracle
+    anchor whose single total order is the exactness baseline). Same
+    operator (``pack_offset_bins``), one parameter — bins are local
+    to a shard, which is what a distributed packer emits anyway (one
+    output stream per shard)."""
+    from etl_lens_spark.operators.sampling import pack_offset_bins
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    )
+    return (
+        pack_offset_bins(
+            docs.select("doc_id", "source", "n_chars"),
+            order_cols=["doc_id"],
+            size_col="n_chars",
+            capacity=4096,
+            shard_col="source",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "bin_id",
+        )
         .orderBy("doc_id")
     )
 
