@@ -366,3 +366,99 @@ def debounce_stateful(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crafted multi-file replay that PROVES watermark late-data drop
+    (not just declares it). Three files, strictly mtime-ordered and
+    processed one per micro-batch (maxFilesPerTrigger=1):
+
+    - f0: a deterministic slice of the events fixture — batch 0
+      advances the watermark to max(ts) - 30min (applied from the
+      NEXT batch on).
+    - f1: one duplicate of the slice's LATEST row — an on-time spacer
+      batch. This batch matters because Spark's late-data filter
+      lags the eviction watermark by one batch (measured:
+      numRowsDroppedByWatermark=0 for a late row in the batch right
+      after the advancing batch — it merges into still-live state —
+      and =1 one batch later); the spacer lets the filter watermark
+      catch up. Its own window sits inside the watermark lag and
+      never finalizes, so it can't appear in append output.
+    - f2: ONE duplicate of the slice's earliest row — days below the
+      watermark, provably dropped (the drop metric fires in this
+      batch).
+
+    If the engine ever accepted the f2 row, its window — already
+    finalized, emitted and evicted after the spacer batch — would
+    re-enter state as a fresh n=1 group and emit a SECOND append row
+    for the same (window, type) key, so the row-count/hash comparison
+    against the batch oracle (which excludes the late row by the same
+    watermark rule) would fail. The oracle match IS the proof.
+
+    Returns the append-mode sink contents: one row per finalized
+    (hour window x event_type) with count and value total; windows
+    inside the final 30-minute watermark lag never finalize and are
+    excluded by the oracle's watermark predicate too.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from etl_lens_spark.sources.sinks import scratch_path
+    from etl_lens_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("ts", "event_type", F.col("value").cast("double"))
+    )
+    late = base.orderBy("ts", "event_type", "value").limit(1)
+    spacer = base.orderBy(
+        F.desc("ts"), F.asc("event_type"), F.asc("value")
+    ).limit(1)
+
+    run = uuid.uuid4().hex
+    watch_dir = scratch_path(f"latedrop_{run}")
+    os.makedirs(watch_dir, exist_ok=True)
+
+    def _emit(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = scratch_path(f"latedrop_tmp_{run}_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(watch_dir, f"{name}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # file-source ordering is by modification time: f0 establishes
+    # the watermark, f1 lets the (one-batch-lagged) late filter catch
+    # up, f2 delivers the provably-late row
+    _emit(base, "f0", 1_600_000_000.0)
+    _emit(spacer, "f1", 1_600_000_100.0)
+    _emit(late, "f2", 1_600_000_200.0)
+
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch_dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    out = run_to_memory(stream, f"q_late_drop_{run}", output_mode="append")
+    shutil.rmtree(watch_dir, ignore_errors=True)
+    return out

@@ -62,3 +62,77 @@ def test_banded_join_plan_is_equi_not_cartesian(spark, band_days):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_drop_metric_fires(spark):
+    """The late-drop demo must drop via the watermark (drop metric
+    > 0 in the late batch), not accidentally pass because the late
+    row's window was excluded some other way. Measured semantics this
+    pins: Spark's late-data filter lags the eviction watermark by one
+    batch, hence the on-time spacer file between the
+    watermark-advancing batch and the late row."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    run = uuid.uuid4().hex
+    watch = scratch_path(f"t_late_{run}")
+    os.makedirs(watch)
+    rows0 = [
+        ("2024-01-01 00:10:00", "a", 1.0),
+        ("2024-01-01 01:10:00", "a", 1.0),
+        ("2024-01-01 05:10:00", "a", 1.0),
+    ]
+    rows1 = [("2024-01-01 05:10:00", "a", 1.0)]  # on-time spacer
+    rows2 = [("2024-01-01 00:20:00", "a", 99.0)]  # provably late
+
+    def emit(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "s string, event_type string, value double"
+        ).select(F.col("s").cast("timestamp").alias("ts"), "event_type", "value")
+        tmp = scratch_path(f"t_late_tmp_{run}_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(watch, f"{name}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    emit(rows0, "f0", 1_600_000_000.0)
+    emit(rows1, "f1", 1_600_000_100.0)
+    emit(rows2, "f2", 1_600_000_200.0)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(f"t_late_{run}")
+        .option("checkpointLocation", scratch_path(f"t_late_ckpt_{run}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    assert dropped == 1, f"expected exactly the late row dropped, got {dropped}"
+    out = spark.sql(f"SELECT * FROM t_late_{run}").collect()
+    h0 = [r for r in out if r["w"]["start"].hour == 0]
+    assert len(h0) == 1 and h0[0]["n"] == 1 and h0[0]["tv"] == 1.0
+    shutil.rmtree(watch, ignore_errors=True)
