@@ -108,15 +108,21 @@ def decode_image_stub(
 ) -> DataFrame:
     """Arrow-batched decode stage: mapInPandas over (id, media.uri).
 
-    ``real=True`` is the seam for an actual decoder and raises
-    NotImplementedError here (no imaging libs in this container).
-    The plumbing — column pruning before the UDF, batch iteration,
-    typed output schema — is the production shape.
+    ``real=True`` is the seam for an actual entropy-coded decoder
+    (JPEG/MP4) and raises NotImplementedError here — those need
+    external codec libs this container lacks. Four REAL container
+    formats are already first-class in ``codecs.py`` (P6 PPM, 24-bit
+    BMP, RIFF/WAVE PCM16, and zlib-DEFLATE PNG with full chunk-CRC
+    and scanline-filter handling) with oracle-checked pipelines in
+    ``queries/media_q.py``. The plumbing — column pruning before the
+    UDF, batch iteration, typed output schema — is the production
+    shape.
     """
     if real:
         raise NotImplementedError(
-            "real image decoding requires PIL/opencv, not present in this "
-            "container; wire it into _fake_decode's seam"
+            "real JPEG/MP4 decoding requires PIL/opencv (entropy coders), "
+            "not present in this container; PPM/BMP/WAV/PNG are real — "
+            "see multimodal/codecs.py"
         )
     slim = df.select(
         F.col(id_col).alias("doc_id"), F.col(f"{media_col}.uri").alias("uri")

@@ -20,6 +20,7 @@ context.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -190,3 +191,156 @@ def decode_bmp(data: bytes) -> tuple[np.ndarray, int]:
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy(), pad  # BGR -> RGB
+
+
+# ------------------------------------------------------------------
+# PNG (8-bit RGB / RGBA, non-interlaced) — a REAL compressed format:
+# stdlib zlib supplies DEFLATE, this module supplies the container
+# grammar (signature, length-prefixed chunks with CRC-32 integrity,
+# IHDR validation, IDAT reassembly) and the scanline filter algebra
+# (None/Sub/Up/Average/Paeth per row). Interlaced (Adam7) and
+# non-8-bit depths are rejected honestly; JPEG/MP4 (non-zlib
+# entropy coders) remain behind the binary.py seam.
+# ------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(arr: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as a non-interlaced 8-bit
+    PNG. ``filters`` picks the per-row filter type (default: cycle
+    0..4 so every decoder path is exercised by round-trip data)."""
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4) or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3|4) uint8")
+    h, w, ch = arr.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int16)
+        ftype = (filters[y] if filters else y % 5) % 5
+        if ftype == 0:
+            out = row
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            out = row - left
+        elif ftype == 2:  # Up
+            out = row - prev
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            out = np.empty_like(row)
+            for x in range(len(row)):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                out[x] = row[x] - _paeth(a, b, c)
+        raw.append(ftype)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[np.ndarray, list[int]]:
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG to ((h, w, ch)
+    uint8, per-row filter types). Walks the chunk grammar verifying
+    every CRC-32, reassembles multi-chunk IDAT, inflates, and
+    inverts the scanline filters. Raises on bad signature, CRC
+    mismatch, interlacing, or unsupported depth/color."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+        elif ctype == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked and skipped
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError("only 8-bit RGB/RGBA supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlacing not supported")
+    ch = 3 if color_type == 2 else 4
+    bpp = ch
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    filters_seen: list[int] = []
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        filters_seen.append(ftype)
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            recon = row
+        elif ftype == 1:  # Sub: prefix sum per bpp lane, mod 256
+            recon = (
+                np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.int64)
+                .reshape(-1) % 256
+            )
+        elif ftype == 2:  # Up
+            recon = (row + prev) % 256
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                recon[x] = (row[x] + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = recon.astype(np.int32)
+    return out.reshape(h, w, ch), filters_seen

@@ -145,3 +145,81 @@ def test_bmp_rejects_truncated_and_foreign():
         decode_bmp(data[:-3])
     with pytest.raises(ValueError):
         decode_bmp(b"PNG........")
+
+
+def test_png_roundtrip_all_filters_and_shapes():
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    for ch in (3, 4):
+        for h, w in [(1, 1), (2, 2), (7, 5), (16, 33)]:
+            arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            dec, filters = decode_png(encode_png(arr))
+            assert dec.shape == arr.shape
+            assert (dec == arr).all()
+            assert filters == [y % 5 for y in range(h)]
+    arr = rng.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        dec, seen = decode_png(encode_png(arr, filters=[f] * 10))
+        assert (dec == arr).all() and seen == [f] * 10
+
+
+def test_png_crc_integrity_and_rejections():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from etl_lens_spark.multimodal.codecs import decode_png, encode_png
+
+    arr = np.zeros((3, 3, 3), dtype=np.uint8)
+    data = bytearray(encode_png(arr))
+    data[40] ^= 0xFF  # corrupt one IDAT byte -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + b"\x00" * 40)
+    # interlaced IHDR rejected honestly
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="interlacing"):
+        decode_png(sig + chunk)
+
+
+def test_png_hand_built_vector():
+    """Decode a PNG assembled by hand from the spec (independent of
+    our encoder): 2x1 RGB, one Up-filtered row over the zero row —
+    recon must equal the raw filter payload."""
+    import struct
+    import zlib
+
+    from etl_lens_spark.multimodal.codecs import decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    scan = bytes([2]) + bytes([10, 20, 30, 40, 50, 60])  # Up over zeros
+    data = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(scan)
+    ) + chunk(b"IEND", b"")
+    arr, filters = decode_png(data)
+    assert filters == [2]
+    assert arr.shape == (1, 2, 3)
+    assert arr.reshape(-1).tolist() == [10, 20, 30, 40, 50, 60]
