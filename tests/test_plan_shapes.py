@@ -59,3 +59,77 @@ def test_headline_plan_shape(spark, sf_dir, name):
     )
     for bad in forbidden:
         assert bad not in plan, f"{name}: forbidden node {bad}:\n{plan}"
+
+
+# ------------------------------------------------------------------
+# Per-headline plan pins (VERDICT r3 #6): the EXACT exchange count,
+# join-node set, and Python-eval-node set of every headline query,
+# captured from the audited plans PLANS.md documents. Any refactor
+# that moves one of these — a broadcast silently becoming a
+# SortMergeJoin, an extra shuffle, a UDF landing on a JVM-only path —
+# fails here instead of hiding in bench noise.
+#
+# Intentional-change escape hatch: set SPARK_GRAFT_ACCEPT_PLANS=1 to
+# skip the pins for one run, then update the table to the new
+# audited values in the same commit that changes the plan.
+# ------------------------------------------------------------------
+
+# name -> (exchanges, {join nodes}, {python eval nodes})
+HEADLINE_PINS = {
+    "asof_join_last_click": (2, set(), set()),
+    "cdc_table_checksum": (3, {"SortMergeJoin"}, set()),
+    "decontaminate_corpus_pipeline": (8, {"BroadcastHashJoin"}, set()),
+    "dedup_exact_groups": (2, set(), set()),
+    "dedup_incremental_batch": (4, {"BroadcastHashJoin"}, set()),
+    "dedup_minhash_lsh": (9, {"BroadcastHashJoin"}, set()),
+    "dedup_segment_corpus": (6, {"BroadcastHashJoin"}, set()),
+    "mm_real_image_pipeline": (1, set(), {"MapInPandas"}),
+    "q18_large_orders": (5, {"BroadcastHashJoin"}, set()),
+    "q1_pricing_summary": (2, set(), set()),
+    "q3_shipping_priority": (3, {"BroadcastHashJoin"}, set()),
+    "q5_local_supplier_volume": (7, {"BroadcastHashJoin"}, set()),
+    "r_catalog_build": (2, set(), set()),
+    "r_filter_project_limit": (0, set(), set()),
+    # deliberate quadratic oracle anchor: the nested-loop join IS the
+    # declared shape (guarded by max_rows/max_queries fail-fasts)
+    "sim_bruteforce_topk": (5, {"BroadcastNestedLoopJoin"}, set()),
+    "stream_tumbling_window_batch": (2, set(), set()),
+    "streaming_tumbling_live": (1, set(), set()),
+    "text_quality_signals": (1, set(), set()),
+    "text_tfidf_topterms": (6, {"BroadcastHashJoin"}, set()),
+    "text_winnow_fingerprints": (2, set(), set()),
+    "win_topk_per_group": (2, set(), set()),
+}
+
+
+def test_headline_pins_cover_every_headline():
+    heads = {n for n, s in REGISTRY.items() if s.headline}
+    assert heads == set(HEADLINE_PINS), (
+        f"pins out of sync: missing={heads - set(HEADLINE_PINS)}, "
+        f"stale={set(HEADLINE_PINS) - heads}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_PINS))
+def test_headline_plan_pin(spark, sf_dir, name):
+    import os
+    import re
+
+    if os.environ.get("SPARK_GRAFT_ACCEPT_PLANS"):
+        pytest.skip("plan pins explicitly bypassed for this run")
+    want_ex, want_joins, want_py = HEADLINE_PINS[name]
+    plan = _plan(spark, sf_dir, name)
+    got_ex = plan.count("Exchange ")
+    got_joins = set(re.findall(r"(\w*Join\w*)", plan))
+    got_py = set(
+        re.findall(
+            r"(ArrowEval|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)",
+            plan,
+        )
+    )
+    assert (got_ex, got_joins, got_py) == (want_ex, want_joins, want_py), (
+        f"{name} plan moved: exchanges {got_ex} (pinned {want_ex}), "
+        f"joins {sorted(got_joins)} (pinned {sorted(want_joins)}), "
+        f"python {sorted(got_py)} (pinned {sorted(want_py)}). If the "
+        f"change is intentional, re-audit and update HEADLINE_PINS.\n{plan}"
+    )
