@@ -68,3 +68,26 @@ def test_zorder_partitions_are_boxes_and_prune(grid):
     assert z_hits <= nparts // 2     # boxes: band touches a minority
     # layout is a reshuffle, never a transformation of rows
     assert zdf.count() == 64 * 64
+
+
+def test_coverage_ledger_has_no_drift():
+    """COVERAGE.md must mention every registry query and annotate
+    ✓SQL only on real oracle-backed names — the mechanical check the
+    round-3 ledger drift (227 vs 230) motivated."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_coverage",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "gen_coverage.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registry = mod.load_registry()
+    with open(mod.COVERAGE) as f:
+        problems = mod.drift_report(registry, f.read())
+    assert not problems, "\n".join(problems)
