@@ -84,6 +84,7 @@ def _load() -> None:
         npipe3,
         npipe4,
         quality_q,
+        quant_q,
         rel,
         rel2,
         streaming_q,

@@ -1,0 +1,313 @@
+"""Round-4 quantile & sampling family: exact distributed order
+statistics on the prefix-rank operator, grouped sketch quantiles, and
+the deterministic sampling/splitting operators a training-data
+pipeline runs before every mixture build.
+
+Scale posture: nothing here funnels rows through one reducer — exact
+quantiles ride the range-partition global rank (operators/prefix.py),
+sketch quantiles are one mergeable partial-aggregate pass, and the
+sampling/split operators are pure row-local hash arithmetic (the same
+md5-derived uniforms on both engines, so every "random" decision is
+oracle-reproducible bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+@query(
+    "exact_quantiles_distributed",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_c,
+               o_orderkey
+        FROM orders
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    ranked AS (
+        SELECT price_c,
+               ROW_NUMBER() OVER (ORDER BY price_c, o_orderkey) AS rnk
+        FROM t
+    )
+    SELECT CAST(p AS DOUBLE) / 100 AS prob,
+           r.price_c AS value_c
+    FROM (SELECT unnest([10, 25, 50, 75, 90, 99]) AS p) probs
+    JOIN n ON TRUE
+    JOIN ranked r
+      ON r.rnk = CAST(ceil(p * n.n / 100.0) AS BIGINT)
+    ORDER BY prob
+    """,
+)
+def exact_quantiles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global quantiles with no global sort and no sketch: the
+    range-partition global rank (``ordered_global_rank`` — parallel
+    per-partition row_numbers + broadcast offsets, zero
+    single-reducer stages) assigns every row its exact order
+    statistic, then the six requested ranks ceil(p·N) are selected by
+    a broadcast semi-join against the O(1) rank list. This is the
+    third member of the quantile family: the NTILE anchor needs one
+    reducer, the sketch twin trades exactness for a bounded pass, and
+    THIS form is exact AND distributed — the TeraSort decomposition
+    applied to order statistics. The oracle recomputes the same
+    ceil-rank rule with a native window."""
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    t = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        "o_orderkey",
+    )
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = ordered_global_rank(
+        t, [F.asc("price_c"), F.asc("o_orderkey")], "rnk"
+    )
+    probs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (10, 25, 50, 75, 90, 99)]))
+        .alias("p")
+    )
+    targets = probs.crossJoin(F.broadcast(n)).select(
+        (F.col("p").cast("double") / 100).alias("prob"),
+        F.ceil(F.col("p") * F.col("n") / 100.0).cast("long").alias("rnk"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "rnk")
+        .select("prob", F.col("price_c").alias("value_c"))
+        .orderBy("prob")
+    )
+
+
+@query(
+    "group_quantiles_approx",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_c
+        FROM orders
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(price_c, 0.25) AS p25_c,
+           quantile_disc(price_c, 0.50) AS p50_c,
+           quantile_disc(price_c, 0.75) AS p75_c,
+           quantile_disc(price_c, 0.95) AS p95_c
+    FROM t GROUP BY priority ORDER BY priority
+    """,
+)
+def group_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED sketch quantiles — the per-cohort latency/size
+    percentile report every monitoring stack runs: one
+    ``approx_percentile`` aggregate per priority group, all groups in
+    one map-side-combined pass (each group carries its own GK sketch;
+    no window, no per-group sort). Accuracy is pinned saturating so
+    the sketch is exact at the gate scales and matches DuckDB
+    ``quantile_disc`` rank semantics (the round-4 finding: GK merge
+    error compounds, so the pin is ~7x the largest gate-scale group);
+    production drops accuracy to default and the same plan carries an
+    ε·N-per-group bound."""
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    agg = t.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "approx_percentile(price_c, array(0.25,0.5,0.75,0.95), 1000000)"
+        ).alias("qs"),
+    )
+    return agg.select(
+        "priority",
+        "n",
+        F.col("qs").getItem(0).alias("p25_c"),
+        F.col("qs").getItem(1).alias("p50_c"),
+        F.col("qs").getItem(2).alias("p75_c"),
+        F.col("qs").getItem(3).alias("p95_c"),
+    ).orderBy("priority")
+
+
+@query(
+    "sample_weighted_aes",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS wt,
+               ('0x' || substring(md5('aes' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT AS h
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, wt,
+               ln((h % 1000000 + 1) / 1000001.0) / wt AS k
+        FROM w
+    )
+    SELECT doc_id, CAST(wt AS BIGINT) AS n_chars
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each document draws key u^(1/w) — equivalently
+    ln(u)/w — from a DETERMINISTIC md5-derived uniform, and the
+    top-50 keys are the sample. Inclusion probability is proportional
+    to weight (n_chars), the classic length-weighted corpus
+    subsample. Row-local arithmetic + one top-k: the top-k is
+    Spark's TakeOrdered (per-partition heaps, no global sort), and
+    because the uniforms are hash-derived rather than RNG state, the
+    oracle reproduces the EXACT sample — reproducible sampling being
+    the property a data pipeline actually needs for audits."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("wt")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "wt",
+        (F.log((h % 1000000 + 1) / 1000001.0) / F.col("wt")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", F.col("wt").cast("long").alias("n_chars"))
+    )
+
+
+@query(
+    "dataset_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT source,
+               CASE
+                 WHEN ('0x' || substring(md5('split'
+                        || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 < 80 THEN 'train'
+                 WHEN ('0x' || substring(md5('split'
+                        || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars
+        FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY source, split ORDER BY source, split
+    """,
+)
+def dataset_train_val_test_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-
+    stable hash bucket — the split step of every dataset build. The
+    assignment is a pure function of doc_id (no RNG state, no
+    shuffle), so it is stable under re-runs, incremental appends, and
+    engine swaps — the property that prevents test-set leakage when
+    the corpus is rebuilt. One map-side-combined rollup reports the
+    split sizes per source for mixture accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split"), F.col("doc_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = docs.select(
+        "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )
+    return (
+        assigned.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 400
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE tok <> '' GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts),
+    ranked AS (
+        SELECT tok, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+               SUM(c) OVER (ORDER BY c DESC, tok
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, tok, c,
+           CAST(cum AS DOUBLE) / (SELECT t FROM tot) AS coverage
+    FROM ranked WHERE rnk <= 100 ORDER BY rnk
+    """,
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question
+    "how much of the token stream do the top-k types cover?": token
+    counts (one explode + map-side-combined groupBy), then the
+    cumulative frequency share over the count-descending order via
+    the DISTRIBUTED prefix sum (operators/prefix.py — range-partition
+    on (c desc, tok), parallel local windows, broadcast offsets; no
+    single-reducer window even when the vocabulary is 10^8 types).
+    Reported for the top-100 types; the oracle recomputes with a
+    native cumulative window."""
+    from etl_lens_spark.operators.prefix import (
+        ordered_global_rank,
+        ordered_prefix_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    )
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.agg(F.sum("c").cast("long").alias("t"))
+    order = [F.desc("c"), F.asc("tok")]
+    with_cum = ordered_prefix_sums(counts, order, {"cum": "c"})
+    ranked = ordered_global_rank(with_cum, order, "rnk")
+    return (
+        ranked.filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "tok",
+            "c",
+            (F.col("cum").cast("double") / F.col("t")).alias("coverage"),
+        )
+        .orderBy("rnk")
+    )
