@@ -474,3 +474,47 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n >= 5) & (denom != 0), (n * sxy - sx * sy) / denom
         ).alias("slope"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "win_qualify_filter",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey, 
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS price_c
+    FROM orders
+    WHERE o_custkey < 200
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+    ) <= 2
+    ORDER BY custkey, o_orderkey
+    """,
+)
+def win_qualify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUALIFY dialect corner: filtering on a window function
+    without a subquery is native syntax in DuckDB (the oracle uses it
+    verbatim) but absent from Spark SQL — the engine-side emulation
+    is the windowed-subquery rewrite QUALIFY desugars to anyway, so
+    the plan (one partitioned window + filter) is identical. Top-2
+    orders by price per customer, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.col("o_totalprice").cast("decimal(18,2)")),
+        F.asc("o_orderkey"),
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_c"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") <= 2)
+        .drop("__rn")
+        .orderBy("custkey", "o_orderkey")
+    )
