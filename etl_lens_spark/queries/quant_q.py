@@ -43,6 +43,7 @@ from etl_lens_spark.sources.tables import load_table
       ON r.rnk = CAST(ceil(p * n.n / 100.0) AS BIGINT)
     ORDER BY prob
     """,
+    headline=True,
 )
 def exact_quantiles_distributed(
     spark: SparkSession, sf_dir: str

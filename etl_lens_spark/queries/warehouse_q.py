@@ -1012,6 +1012,7 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(l_partkey) AS sample_part
     FROM ranked GROUP BY 1 ORDER BY abc_class
     """,
+    headline=True,
 )
 def part_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC inventory classification: parts ranked by revenue,

@@ -93,6 +93,19 @@ HEADLINE_PINS = {
     # deliberate quadratic oracle anchor: the nested-loop join IS the
     # declared shape (guarded by max_rows/max_queries fail-fasts)
     "sim_bruteforce_topk": (5, {"BroadcastNestedLoopJoin"}, set()),
+    # distributed prefix-sum queries: the nested-loop node is the
+    # O(P^2) triangular offsets join over per-partition TOTALS (P~32
+    # rows), deliberately not a window — see operators/prefix.py
+    "part_pareto_abc": (
+        10,
+        {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        set(),
+    ),
+    "exact_quantiles_distributed": (
+        9,
+        {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        set(),
+    ),
     "stream_tumbling_window_batch": (2, set(), set()),
     "streaming_tumbling_live": (1, set(), set()),
     "text_quality_signals": (1, set(), set()),
