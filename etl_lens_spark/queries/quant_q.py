@@ -312,3 +312,67 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "corpus_filter_yield_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                 / n_chars AS alpha_ratio
+        FROM documents WHERE n_chars > 0
+    ),
+    thresholds AS (
+        SELECT CAST(unnest([0.0, 0.1, 0.2, 0.3, 0.4,
+                            0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS thr
+    )
+    SELECT t.thr,
+           CAST(COUNT(*) FILTER (WHERE s.alpha_ratio >= t.thr) AS BIGINT)
+             AS n_docs,
+           CAST(COALESCE(SUM(s.n_chars)
+                  FILTER (WHERE s.alpha_ratio >= t.thr), 0) AS BIGINT)
+             AS total_chars
+    FROM thresholds t CROSS JOIN scored s
+    GROUP BY t.thr ORDER BY t.thr
+    """,
+)
+def corpus_filter_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtering yield curve — the curation question every quality
+    bar raises: "how much corpus survives each threshold?" Documents
+    score row-locally (alphabetic-character ratio, identical RE2
+    class both engines), then ten literal thresholds sweep in ONE
+    pass: the threshold table (10 rows) broadcasts into a cross join
+    and a single grouped conditional aggregate emits docs/chars
+    surviving per bar — no per-threshold rescans, which is the whole
+    point at 100 TB (a 10-point curve costs the same scan as one
+    filter). Exact integer chars; the only float is the score
+    itself."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    scored = docs.select(
+        "n_chars",
+        (
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]"), 0)
+            ).cast("double")
+            / F.col("n_chars")
+        ).alias("alpha_ratio"),
+    )
+    thresholds = spark.range(10).select(
+        (F.col("id") / 10.0).alias("thr")
+    )
+    keep = F.col("alpha_ratio") >= F.col("thr")
+    return (
+        F.broadcast(thresholds)
+        .crossJoin(scored)
+        .groupBy("thr")
+        .agg(
+            F.count(F.when(keep, 1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("total_chars"),
+        )
+        .orderBy("thr")
+    )
