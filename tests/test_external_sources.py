@@ -15,12 +15,26 @@ from pyspark.sql import functions as F
 from etl_lens_spark.sources import external
 
 
-def _has_jdbc_backend(spark) -> bool:
+def _jdbc_backend(spark) -> tuple[str, dict] | None:
+    """Best available JDBC backend: Derby's embedded engine ships in
+    the Spark distribution (metastore dependency), so a real
+    relational roundtrip runs with no external server; sqlite-jdbc is
+    probed as an alternative for other environments."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.jdbc.EmbeddedDriver"
+        )
+        return (
+            "derby",
+            {"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        )
+    except Exception:
+        pass
     try:
         spark._jvm.java.lang.Class.forName("org.sqlite.JDBC")
-        return True
+        return ("sqlite", {})
     except Exception:
-        return False
+        return None
 
 
 def _has_kafka_source(spark) -> bool:
@@ -50,16 +64,26 @@ def test_read_jdbc_requires_bounds_with_partition_column(spark):
 
 
 def test_jdbc_roundtrip_if_driver_present(spark, tmp_path):
-    if not _has_jdbc_backend(spark):
+    backend = _jdbc_backend(spark)
+    if backend is None:
         pytest.skip("no JDBC driver jar in container")
-    url = f"jdbc:sqlite:{tmp_path}/t.db"
+    kind, props = backend
+    url = (
+        f"jdbc:derby:{tmp_path}/t;create=true"
+        if kind == "derby"
+        else f"jdbc:sqlite:{tmp_path}/t.db"
+    )
     df = spark.range(10).withColumn("v", F.col("id") * 2)
-    external.write_jdbc(df, url, "t", mode="overwrite")
+    external.write_jdbc(df, url, "t", mode="overwrite", properties=props)
     back = external.read_jdbc(
         spark, url, "t", partition_column="id", lower_bound=0,
-        upper_bound=10, num_partitions=2,
+        upper_bound=10, num_partitions=2, properties=props,
     )
     assert back.count() == 10
+    assert back.rdd.getNumPartitions() == 2
+    assert sorted(r["v"] for r in back.collect()) == [
+        i * 2 for i in range(10)
+    ]
 
 
 def test_kafka_batch_read_if_connector_present(spark):
