@@ -1294,3 +1294,64 @@ def obs_metrics_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["cents_sum"], m["n_finished"])],
         "n_rows long, cents_sum long, n_finished long",
     )
+
+
+@query(
+    "udf_arrow_grouped",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(MAX(length(props)) AS BIGINT) AS max_props_len
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` — the GROUPED zero-copy member of the Python
+    UDF matrix (completing it alongside mapInArrow / pandas_udf /
+    applyInPandas / mapInPandas / UDTF / applyInPandasWithState):
+    each group arrives as one Arrow Table and is reduced with
+    vectorized ``pyarrow.compute`` kernels, no pandas
+    materialization. Cents are summed as int64 AFTER a decimal-exact
+    scale (round half-away like the decimal cast), so the Arrow-side
+    arithmetic matches the oracle's DECIMAL semantics bit-for-bit.
+    Scale shape: one hash exchange on the group key, Arrow batches
+    end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def reduce_group(tbl: pa.Table) -> pa.Table:
+        value = pc.cast(tbl.column("value"), pa.float64())
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(value, pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": [tbl.num_rows],
+                "cents": [pc.sum(cents).as_py()],
+                "max_props_len": [
+                    pc.max(pc.utf8_length(tbl.column("props"))).as_py()
+                ],
+            }
+        )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_type", "value", "props")
+    )
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(
+            reduce_group,
+            "event_type string, n long, cents long, max_props_len long",
+        )
+        .orderBy("event_type")
+    )

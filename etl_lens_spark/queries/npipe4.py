@@ -336,7 +336,11 @@ def feature_quantile_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. Unlike the NTILE anchor, bucket boundaries land ON repeated
     values (all ties share a bin), which is the contract sketch
     binning actually guarantees at scale."""
-    return _quantile_bins_sketch(spark, sf_dir, accuracy=1000000)
+    from etl_lens_spark.config import sketch_accuracy
+
+    return _quantile_bins_sketch(
+        spark, sf_dir, accuracy=sketch_accuracy(spark)
+    )
 
 
 def _quantile_bins_sketch(

@@ -121,10 +121,13 @@ def group_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_c"),
     )
+    from etl_lens_spark.config import sketch_accuracy
+
+    acc = sketch_accuracy(spark)
     agg = t.groupBy("priority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.expr(
-            "approx_percentile(price_c, array(0.25,0.5,0.75,0.95), 1000000)"
+            f"approx_percentile(price_c, array(0.25,0.5,0.75,0.95), {acc})"
         ).alias("qs"),
     )
     return agg.select(

@@ -946,15 +946,19 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary_c",
     )
+    from etl_lens_spark.config import sketch_accuracy
+
+    acc = sketch_accuracy(spark)
     cuts = b.agg(
         F.expr(
-            "approx_percentile(recency_days, array(0.2,0.4,0.6,0.8), 200000)"
+            "approx_percentile(recency_days, array(0.2,0.4,0.6,0.8), "
+            f"{acc})"
         ).alias("cr"),
         F.expr(
-            "approx_percentile(freq, array(0.8,0.6,0.4,0.2), 200000)"
+            f"approx_percentile(freq, array(0.8,0.6,0.4,0.2), {acc})"
         ).alias("cf"),
         F.expr(
-            "approx_percentile(monetary_c, array(0.8,0.6,0.4,0.2), 200000)"
+            f"approx_percentile(monetary_c, array(0.8,0.6,0.4,0.2), {acc})"
         ).alias("cm"),
     )
     # static unroll of the 3x4 cutpoint comparisons (array HOFs run
