@@ -277,9 +277,13 @@ def run_to_memory(
 
     from etl_lens_spark.sources.sinks import scratch_path
 
+    import shutil
+
     # checkpoint must be unique PER RUN: a reused checkpoint records
     # file-source progress, and a replay against it sees "no new
-    # files" and emits nothing
+    # files" and emits nothing. Deleted after the run — a finished
+    # replay's checkpoint is dead state, and hundreds of them
+    # accumulate across registry/bench runs otherwise.
     ckpt = scratch_path(f"ckpt_{name}_{uuid.uuid4().hex}")
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -292,6 +296,7 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
