@@ -379,3 +379,72 @@ def corpus_filter_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+@query(
+    "weighted_median_distributed",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_c,
+               CAST(l_quantity AS BIGINT) AS qty,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(SUM(qty) AS BIGINT) AS w FROM t),
+    cum AS (
+        SELECT price_c, qty,
+               SUM(qty) OVER (ORDER BY price_c, l_orderkey, l_linenumber
+                              ROWS UNBOUNDED PRECEDING) AS cw
+        FROM t
+    )
+    SELECT price_c AS weighted_median_c,
+           CAST(cw AS BIGINT) AS cum_weight,
+           (SELECT w FROM tot) AS total_weight
+    FROM cum
+    WHERE cw >= (SELECT w FROM tot) / 2.0
+    ORDER BY cw LIMIT 1
+    """,
+)
+def weighted_median_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity) with no
+    single-reducer stage: quantity cumulates over the price order via
+    the distributed prefix sum, and the median is the first row whose
+    cumulative weight reaches half the total — selected by a
+    min-over-candidates aggregate (min of (cw, value) struct over the
+    filtered frame), not a sort. The weighted generalization of the
+    exact-quantile pattern: same range-partition shuffle, the weight
+    column rides where the constant 1 rode. Oracle recomputes with a
+    native cumulative window."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
+    t = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = t.agg(F.sum("qty").cast("long").alias("w"))
+    cum = ordered_prefix_sum(
+        t,
+        [F.asc("price_c"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "qty",
+        "cw",
+    )
+    half = F.col("w") / 2.0
+    cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("cw") >= half)
+    # min(struct(cw, price_c)) = the first crossing row — an
+    # aggregate, not a sort/limit over the candidate set
+    first = cand.agg(
+        F.min(F.struct("cw", "price_c")).alias("m"),
+        F.first("w").alias("total_weight"),
+    )
+    return first.select(
+        F.col("m.price_c").alias("weighted_median_c"),
+        F.col("m.cw").cast("long").alias("cum_weight"),
+        "total_weight",
+    )

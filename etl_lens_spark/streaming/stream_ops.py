@@ -268,16 +268,25 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    available_now: bool = False,
 ) -> DataFrame:
-    """Drive a streaming frame to completion into a memory sink
-    (local test harness: processAllAvailable = replay the fixture),
-    returning the materialized result as a batch DataFrame."""
+    """Drive a streaming frame to completion into a memory sink,
+    returning the materialized result as a batch DataFrame.
+
+    Two drain modes: the default continuous-start +
+    ``processAllAvailable`` (the test-harness replay), and
+    ``available_now=True`` — ``Trigger.AvailableNow``, the production
+    batch-drain trigger (process everything present, respecting
+    rate limits like maxFilesPerTrigger, then STOP on its own; the
+    shape a scheduled incremental job uses instead of a resident
+    stream)."""
+    import shutil
     import uuid
 
     from etl_lens_spark.sources.sinks import scratch_path
-
-    import shutil
 
     # checkpoint must be unique PER RUN: a reused checkpoint records
     # file-source progress, and a replay against it sees "no new
@@ -285,15 +294,20 @@ def run_to_memory(
     # replay's checkpoint is dead state, and hundreds of them
     # accumulate across registry/bench runs otherwise.
     ckpt = scratch_path(f"ckpt_{name}_{uuid.uuid4().hex}")
-    q = (
+    writer = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ckpt)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
     try:
-        q.processAllAvailable()
+        if available_now:
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
     finally:
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -227,3 +227,75 @@ def test_sketch_accuracy_conf_knob(spark):
         assert sum(r["n"] for r in rows) > 0
     finally:
         spark.conf.unset("spark.etl_lens.sketch.accuracy")
+
+
+def test_available_now_trigger_drains_and_stops(spark):
+    """Trigger.AvailableNow — the scheduled-incremental drain mode:
+    processes the full fixture (equal to the continuous replay),
+    terminates on its own, and leaves no checkpoint litter."""
+    import os
+
+    from etl_lens_spark.sources.sinks import SCRATCH_DIR
+    from etl_lens_spark.streaming import stream_ops as so
+
+    stream = so.tumbling_window_counts(
+        so.events_stream(spark, "/root/testdata/sf0.001")
+    )
+    out = so.run_to_memory(
+        stream, "t_avnow", output_mode="complete", available_now=True
+    )
+    n_avnow = out.count()
+    stream2 = so.tumbling_window_counts(
+        so.events_stream(spark, "/root/testdata/sf0.001")
+    )
+    out2 = so.run_to_memory(stream2, "t_avnow_ref", output_mode="complete")
+    assert n_avnow == out2.count() > 0
+    stale = [d for d in os.listdir(SCRATCH_DIR) if d.startswith("ckpt_t_avnow")]
+    assert stale == []
+
+
+def test_prefix_sum_hypothesis_vs_window(spark):
+    """Property test: ordered_prefix_sum equals the global window on
+    arbitrary (value, weight) multisets with adversarial tie density
+    and partition counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # heavy ties
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        nparts=st.sampled_from([1, 2, 7]),
+    )
+    def check(rows, nparts):
+        df = spark.createDataFrame(
+            [(i, v, x) for i, (v, x) in enumerate(rows)],
+            "id long, v long, x long",
+        )
+        order = [F.asc("v"), F.asc("id")]
+        got = {
+            r["id"]: r["cum"]
+            for r in ordered_prefix_sum(
+                df, order, "x", "cum", num_partitions=nparts
+            ).collect()
+        }
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        want = {
+            r["id"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("x").over(w)).collect()
+        }
+        assert got == want
+
+    check()
