@@ -108,21 +108,22 @@ def decode_image_stub(
 ) -> DataFrame:
     """Arrow-batched decode stage: mapInPandas over (id, media.uri).
 
-    ``real=True`` is the seam for an actual entropy-coded decoder
-    (JPEG/MP4) and raises NotImplementedError here — those need
-    external codec libs this container lacks. Four REAL container
-    formats are already first-class in ``codecs.py`` (P6 PPM, 24-bit
-    BMP, RIFF/WAVE PCM16, and zlib-DEFLATE PNG with full chunk-CRC
-    and scanline-filter handling) with oracle-checked pipelines in
-    ``queries/media_q.py``. The plumbing — column pruning before the
+    ``real=True`` is the seam for the decoders that genuinely need
+    external codec libs (color/progressive JPEG, MP4) and raises
+    NotImplementedError here. FIVE real formats are first-class:
+    P6 PPM, 24-bit BMP, RIFF/WAVE PCM16, zlib-DEFLATE PNG
+    (``codecs.py``) and baseline grayscale JPEG (``jpeg.py`` — full
+    marker/Huffman/DCT pipeline), each with an oracle-checked
+    pipeline in ``queries/media_q.py``. The plumbing — column pruning before the
     UDF, batch iteration, typed output schema — is the production
     shape.
     """
     if real:
         raise NotImplementedError(
-            "real JPEG/MP4 decoding requires PIL/opencv (entropy coders), "
-            "not present in this container; PPM/BMP/WAV/PNG are real — "
-            "see multimodal/codecs.py"
+            "color/progressive JPEG and MP4 decoding require external "
+            "codec libs not present in this container; PPM/BMP/WAV/PNG "
+            "and baseline grayscale JPEG are real — see "
+            "multimodal/codecs.py and multimodal/jpeg.py"
         )
     slim = df.select(
         F.col(id_col).alias("doc_id"), F.col(f"{media_col}.uri").alias("uri")

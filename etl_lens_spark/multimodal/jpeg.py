@@ -1,0 +1,406 @@
+"""Baseline-sequential JPEG codec (8-bit grayscale), pure
+Python + numpy — the "entropy coder" format round 3 assumed needed
+external libs. It doesn't, for the baseline grayscale profile: the
+container is markers (SOI/DQT/SOF0/DHT/SOS/EOI), the entropy layer is
+canonical Huffman over (run, size) symbols with DC prediction, and
+the transform is the 8x8 DCT-II — all of which numpy + bit arithmetic
+express exactly.
+
+Implementation notes (ITU-T T.81 baseline):
+- Huffman tables are built PER IMAGE from actual symbol frequencies
+  (the "optimized Huffman" mode of real encoders) and emitted in DHT;
+  the decoder reconstructs canonical codes from DHT like any
+  standards decoder — nothing is shared out-of-band.
+- The zigzag order is generated algorithmically (diagonal walk), not
+  hardcoded.
+- Quantization uses a uniform table; at quality=100 the table is all
+  ones, so images whose 8x8 blocks are CONSTANT roundtrip
+  bit-exactly (their DCT is a single integer DC coefficient) — the
+  property the oracle-checked pipeline pins. General content
+  roundtrips within +-1 per pixel (float DCT + rounding), asserted
+  in unit tests.
+- Byte stuffing (0xFF -> 0xFF 0x00) in the entropy segment, marker
+  scan resilient to stuffing, decoder crops edge-replicated padding
+  back to the SOF dimensions.
+
+Color (YCbCr + subsampling) and progressive mode stay out of scope;
+the multimodal seam documents them honestly.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import Counter
+
+import numpy as np
+
+
+# ------------------------------------------------------------------
+# 8x8 DCT-II basis (orthonormal form used by JPEG)
+# ------------------------------------------------------------------
+
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_DCT = _dct_matrix()
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """Diagonal-walk zigzag over an 8x8 block, generated not
+    memorized."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(diag)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+# ------------------------------------------------------------------
+# Canonical Huffman (T.81 annex C): (bits, huffval) <-> codes
+# ------------------------------------------------------------------
+
+def _codes_from_spec(
+    bits: list[int], huffval: list[int]
+) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from the DHT (bits, values) spec."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_table(freqs: Counter) -> tuple[list[int], list[int]]:
+    """Length-limited (<=16) canonical Huffman spec from symbol
+    frequencies. Small alphabets (<=256 symbols) + package-merge-free
+    heuristic: standard Huffman, then push any >16-bit lengths up by
+    rebalancing (rare at these alphabet sizes; asserted)."""
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        # JPEG requires length >= 1; single symbol gets a 1-bit code
+        return [1] + [0] * 15, syms
+    # standard Huffman code lengths
+    import heapq
+
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    tiebreak = len(heap)
+    lengths: Counter = Counter()
+    depth: dict[int, int] = {s: 0 for s in syms}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, _, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, tiebreak, g1 + g2))
+        tiebreak += 1
+    assert max(depth.values()) <= 16, "length-limit rebalance needed"
+    bits = [0] * 16
+    for s in syms:
+        bits[depth[s] - 1] += 1
+    huffval = sorted(syms, key=lambda s: (depth[s], s))
+    return bits, huffval
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # un-stuff
+            else:
+                raise ValueError("unexpected marker in entropy data")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _extend(raw: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return raw if raw >= (1 << (cat - 1)) else raw - (1 << cat) + 1
+
+
+# ------------------------------------------------------------------
+# Encoder
+# ------------------------------------------------------------------
+
+def encode_jpeg_gray(arr: np.ndarray, quality: int = 100) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as baseline JPEG."""
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_gray expects (h, w) uint8")
+    h, w = arr.shape
+    if quality == 100:
+        qtab = np.ones((8, 8), dtype=np.int32)
+    else:
+        # uniform coarse table scaled by quality (simple, valid)
+        q = max(1, int(round(50 * (100 - quality) / 50)))
+        qtab = np.full((8, 8), q, dtype=np.int32)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(
+        arr.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+    # per-block DCT -> quantized zigzag coefficient lists
+    blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _DCT @ blk @ _DCT.T
+            qc = np.round(coef / qtab).astype(np.int64)
+            blocks.append([int(qc[y, x]) for (y, x) in _ZIGZAG])
+    # symbol statistics (two-pass: stats, then emit)
+    dc_syms: Counter = Counter()
+    ac_syms: Counter = Counter()
+    prev_dc = 0
+    per_block_syms = []
+    for zz in blocks:
+        dc_diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        items = [("dc", _category(dc_diff), dc_diff)]
+        dc_syms[_category(dc_diff)] += 1
+        run = 0
+        last_nz = 0
+        for i in range(1, 64):
+            if zz[i] != 0:
+                last_nz = i
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                if run == 16:
+                    items.append(("ac", 0xF0, 0))
+                    ac_syms[0xF0] += 1
+                    run = 0
+            else:
+                cat = _category(zz[i])
+                sym = (run << 4) | cat
+                items.append(("ac", sym, zz[i]))
+                ac_syms[sym] += 1
+                run = 0
+        if last_nz < 63:
+            items.append(("ac", 0x00, 0))
+            ac_syms[0x00] += 1
+        per_block_syms.append(items)
+    dc_bits, dc_vals = _build_table(dc_syms)
+    ac_bits, ac_vals = _build_table(ac_syms)
+    dc_codes = _codes_from_spec(dc_bits, dc_vals)
+    ac_codes = _codes_from_spec(ac_bits, ac_vals)
+    # entropy segment
+    bw = _BitWriter()
+    for items in per_block_syms:
+        for kind, sym, val in items:
+            if kind == "dc":
+                code, length = dc_codes[sym]
+                bw.write(code, length)
+                if sym:
+                    bw.write(_amplitude(val, sym), sym)
+            else:
+                code, length = ac_codes[sym]
+                bw.write(code, length)
+                cat = sym & 0x0F
+                if cat:
+                    bw.write(_amplitude(val, cat), cat)
+    entropy = bw.flush()
+    # markers
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_q = bytes(int(qtab[y, x]) for (y, x) in _ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q  # DQT
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + bytes([1, 0x11, 0])
+    )  # SOF0, 1 component
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        payload = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 8, 1)
+        + bytes([1, 0x00, 0, 63, 0])
+    )  # SOS: component 1 uses DC table 0 / AC table 0 (Tc=1 in DHT)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------
+# Decoder
+# ------------------------------------------------------------------
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG to an (h, w) uint8 array.
+    Walks markers, rebuilds canonical Huffman tables from DHT,
+    huffman-decodes with DC prediction, dequantizes, inverse-DCTs."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    h = w = None
+    comp_spec = None
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq_tq = seg[off]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                vals = seg[off + 1 : off + 65]
+                t = np.zeros((8, 8), dtype=np.int32)
+                for i, (y, x) in enumerate(_ZIGZAG):
+                    t[y, x] = vals[i]
+                qtabs[pq_tq & 0x0F] = t
+                off += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            comp_spec = (seg[6], seg[7], seg[8])  # id, sampling, tq
+            if comp_spec[1] != 0x11:
+                raise ValueError("subsampling unsupported for grayscale")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                htabs[(tc_th >> 4, tc_th & 0x0F)] = _codes_from_spec(
+                    bits, vals
+                )
+                off += 17 + n
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("single-scan grayscale only")
+            td_ta = seg[2]
+            sos_tables = (td_ta >> 4, td_ta & 0x0F)
+            entropy_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if h is None or entropy_start is None or comp_spec is None:
+        raise ValueError("incomplete JPEG stream")
+    qtab = qtabs[comp_spec[2]]
+    dc_decode = {
+        (c, l): s for s, (c, l) in htabs[(0, sos_tables[0])].items()
+    }
+    ac_decode = {
+        (c, l): s for s, (c, l) in htabs[(1, sos_tables[1])].items()
+    }
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[entropy_start:end])
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid huffman code")
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = np.zeros((ph, pw), dtype=np.float64)
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            zz = [0] * 64
+            cat = read_symbol(dc_decode)
+            diff = _extend(br.read_bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                sym = read_symbol(ac_decode)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, cat = sym >> 4, sym & 0x0F
+                i += run
+                if i >= 64:
+                    raise ValueError("AC run overflows block")
+                zz[i] = _extend(br.read_bits(cat), cat)
+                i += 1
+            coef = np.zeros((8, 8))
+            for i, (y, x) in enumerate(_ZIGZAG):
+                coef[y, x] = zz[i] * qtab[y, x]
+            blk = _DCT.T @ coef @ _DCT + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]

@@ -486,3 +486,127 @@ def mm_real_png_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_decode_png_batches, _PNG_OUT).orderBy(
         "doc_id"
     )
+
+
+_JPEG_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("block_place_sum", T.LongType()),
+    ]
+)
+
+
+def _synth_jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import encode_jpeg_gray
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            wb, hb = 1 + d % 3, 1 + d % 2
+            bx = np.arange(wb)[None, :]
+            by = np.arange(hb)[:, None]
+            bvals = ((7 * bx + 11 * by + d) % 256).astype(np.uint8)
+            img = np.kron(bvals, np.ones((8, 8), dtype=np.uint8))
+            payloads.append(encode_jpeg_gray(img, quality=100))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_jpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import decode_jpeg_gray
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_jpeg_gray(bytes(payload)).astype(np.int64)
+            h, w = arr.shape
+            # position weight (bx+1)(by+2) pins BLOCK PLACEMENT: a
+            # transposed, flipped, or reordered MCU raster shifts it
+            bx = (np.arange(w) // 8 + 1)[None, :]
+            by = (np.arange(h) // 8 + 2)[:, None]
+            rows.append(
+                (
+                    int(d),
+                    w,
+                    h,
+                    int(arr.size),
+                    int(arr.sum()),
+                    int((arr * bx * by).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_pixels",
+                "pixel_sum",
+                "block_place_sum",
+            ],
+        )
+
+
+@query(
+    "mm_real_jpeg_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents
+    ),
+    bxs AS (SELECT unnest(range(0, 3)) AS bx),
+    bys AS (SELECT unnest(range(0, 2)) AS by),
+    blocks AS (
+      SELECT d.doc_id, d.wb, d.hb, x.bx, y.by,
+             (7 * x.bx + 11 * y.by + d.doc_id) % 256 AS v
+      FROM dims d
+      JOIN bxs x ON x.bx < d.wb
+      JOIN bys y ON y.by < d.hb
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(64 * SUM(v) AS BIGINT) AS pixel_sum,
+             CAST(64 * SUM(v * (bx + 1) * (by + 2)) AS BIGINT)
+               AS block_place_sum
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(8 * d.wb AS INT) AS width,
+           CAST(8 * d.hb AS INT) AS height,
+           CAST(64 * d.wb * d.hb AS BIGINT) AS n_pixels,
+           s.pixel_sum, s.block_place_sum
+    FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG decode — the ENTROPY-CODED format round 3 assumed
+    required external libs. Baseline grayscale needs none: genuine
+    baseline-sequential JPEGs (markers, per-image OPTIMIZED canonical
+    Huffman tables carried in DHT, DC prediction, zigzag, byte
+    stuffing, 8x8 DCT) are synthesized at quality 100 from
+    constant-value 8x8 blocks — whose DCT is a single integer DC
+    coefficient, making the lossy format's roundtrip BIT-EXACT for
+    this content class — then decoded by the standards-shaped parser
+    (multimodal/jpeg.py). The oracle recomputes dimensions, exact
+    pixel sum, and a position-weighted block-placement checksum from
+    the block formula: any fault in the Huffman tables, the DC
+    difference chain across MCUs, zigzag, stuffing, or the MCU raster
+    order fails the hash. General content roundtrips within +-1
+    (float DCT + rounding) — asserted in unit tests; color/
+    progressive stay behind the documented seam. Two chained
+    no-shuffle mapInPandas stages, same scale shape as the other
+    media pipelines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_jpeg_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_jpeg_batches, _JPEG_OUT).orderBy(
+        "doc_id"
+    )

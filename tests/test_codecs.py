@@ -223,3 +223,53 @@ def test_png_hand_built_vector():
     assert filters == [2]
     assert arr.shape == (1, 2, 3)
     assert arr.reshape(-1).tolist() == [10, 20, 30, 40, 50, 60]
+
+
+def test_jpeg_constant_block_roundtrip_exact():
+    """DC-only content at quality 100 roundtrips bit-exactly — the
+    property the oracle pipeline pins."""
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (16, 24), (8, 40), (24, 24)]:
+        bvals = rng.integers(0, 256, (h // 8, w // 8), dtype=np.uint8)
+        img = np.kron(bvals, np.ones((8, 8), dtype=np.uint8))
+        dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert dec.shape == img.shape and (dec == img).all()
+
+
+def test_jpeg_general_content_and_edges():
+    import numpy as np
+    import pytest
+
+    from etl_lens_spark.multimodal.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    # worst-case content (iid noise) stays within +-1 at q100
+    img = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+    # non-multiple-of-8 dims crop back exactly
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert dec.shape == (13, 21)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+    # byte-stuffing path: an all-white image maximizes 0xFF runs
+    img = np.full((16, 16), 255, dtype=np.uint8)
+    assert (decode_jpeg_gray(encode_jpeg_gray(img)) == img).all()
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"not a jpeg")
+    # progressive / multi-component rejected honestly
+    with pytest.raises(ValueError):
+        data = bytearray(encode_jpeg_gray(img))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        decode_jpeg_gray(bytes(data))
