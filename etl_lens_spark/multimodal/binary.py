@@ -12,17 +12,19 @@ Convention (the part that matters at 100 TB):
   ``mapInPandas`` stages over only the columns they need (schema
   pruning keeps the payload out of every other operator's shuffle).
 
-Decoding: ``codecs.py`` provides REAL container parsing for the
-uncompressed formats pure numpy can handle — binary P6 PPM (full
-header grammar, raw pixel decode, true nearest-neighbor resample)
-and RIFF/WAVE PCM16 (chunk walk, frame decode) — exercised end-to-end
-with exact-integer arithmetic oracles by the mm_real_* declared
-queries. Compressed formats (PNG/JPEG/MP4) still require external
-libs absent from this container: for those, ``decode_image_stub``
-raises ``NotImplementedError`` when asked for a real decode and
-otherwise produces a deterministic fake (seeded by the payload hash),
-so the Spark-side plumbing — schema, batching, partitioning, UDF
-signature — is real and tested even where the codec cannot be.
+Decoding: FIVE formats are REAL — binary P6 PPM, 24-bit BMP and
+RIFF/WAVE PCM16 (``codecs.py``, uncompressed container grammar),
+zlib-DEFLATE PNG with chunk CRC + scanline-filter algebra
+(``codecs.py``), and baseline grayscale JPEG with per-image Huffman
+tables, DC prediction and the 8x8 DCT (``jpeg.py``) — each exercised
+end-to-end with exact-integer arithmetic oracles by the mm_real_*
+declared queries. Only the decoders that genuinely need external
+codec libs (color/progressive JPEG, MP4) stay behind
+``decode_image_stub``: it raises ``NotImplementedError`` when asked
+for a real decode and otherwise produces a deterministic fake
+(seeded by the payload hash), so the Spark-side plumbing — schema,
+batching, partitioning, UDF signature — is real and tested even
+where the codec cannot be.
 """
 
 from __future__ import annotations
