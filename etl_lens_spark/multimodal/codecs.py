@@ -6,10 +6,14 @@ pure Python + numpy can handle without imaging libraries:
 - RIFF/WAVE PCM16 (audio): chunk walk, fmt parse, frame decode.
 
 These replace the deterministic *fakes* for these formats — the
-bytes on the wire are genuine PPM/WAV files and the decoders do real
-container parsing. Compressed formats (PNG/JPEG/MP4) still require
-external libs and stay behind the ``decode_image_stub(real=True)``
-NotImplementedError seam in ``binary.py``.
+bytes on the wire are genuine container files and the decoders do
+real parsing. Also here: zlib-DEFLATE PNG (chunk CRC + scanline
+filter algebra), the ISO-BMFF (MP4) box-tree layer (metadata
+extraction without sample decode), and — in ``jpeg.py`` — baseline
+grayscale JPEG. Only decoders that genuinely need external codec
+libs (color/progressive JPEG sample data, H.264) stay behind the
+``decode_image_stub(real=True)`` NotImplementedError seam in
+``binary.py``.
 
 Everything here is per-row CPU work invoked from Arrow-batched
 ``mapInPandas`` stages — no Spark dependency in this module, so the
@@ -344,3 +348,95 @@ def decode_png(data: bytes) -> tuple[np.ndarray, list[int]]:
         out[y] = recon.astype(np.uint8)
         prev = recon.astype(np.int32)
     return out.reshape(h, w, ch), filters_seen
+
+
+# ------------------------------------------------------------------
+# ISO-BMFF (MP4) box layer — the CONTAINER level of video handling:
+# length-prefixed box tree (ftyp/moov/mvhd/trak/tkhd...), which is
+# what a pipeline actually parses for metadata extraction and frame
+# indexing. Sample DECODE (H.264 etc.) genuinely needs codec libs
+# and stays behind the binary.py seam; the box grammar does not.
+# ------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def encode_mp4_skeleton(
+    timescale: int, duration: int, track_durations: list[int]
+) -> bytes:
+    """Build a minimal valid ISO-BMFF skeleton: ftyp + moov(mvhd +
+    one trak/tkhd per track) + mdat placeholder. Version-0 boxes,
+    big-endian fields per ISO 14496-12."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(
+            ">BxxxIIII", 0, 0, 0, timescale, duration
+        )
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", len(track_durations) + 1),
+    )
+    traks = b""
+    for i, tdur in enumerate(track_durations):
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">BxxxIIIxxxxI", 0, 0, 0, i + 1, tdur)
+            + b"\x00" * 50,
+        )
+        traks += _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + traks)
+    mdat = _box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat
+
+
+def parse_mp4_boxes(data: bytes) -> dict:
+    """Walk the ISO-BMFF box tree: top-level box list, movie
+    timescale/duration from mvhd, per-track (id, duration) from each
+    trak/tkhd. Validates box sizes cover the payload exactly."""
+    def walk(buf: bytes, depth: int = 0):
+        pos = 0
+        while pos < len(buf):
+            if pos + 8 > len(buf):
+                raise ValueError("truncated box header")
+            size = struct.unpack_from(">I", buf, pos)[0]
+            btype = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > len(buf):
+                raise ValueError(f"bad box size for {btype!r}")
+            yield btype, buf[pos + 8 : pos + size]
+            pos += size
+        if pos != len(buf):
+            raise ValueError("box sizes do not tile the payload")
+
+    top = []
+    timescale = duration = None
+    tracks = []
+    for btype, payload in walk(data):
+        top.append(btype.decode("latin1"))
+        if btype == b"moov":
+            for ityp, ipay in walk(payload):
+                if ityp == b"mvhd":
+                    if ipay[0] != 0:
+                        raise ValueError("mvhd version-1 unsupported")
+                    _, _, _, timescale, duration = struct.unpack_from(
+                        ">BxxxIIII", ipay, 0
+                    )
+                elif ityp == b"trak":
+                    for ttyp, tpay in walk(ipay):
+                        if ttyp == b"tkhd":
+                            _, _, _, tid, tdur = struct.unpack_from(
+                                ">BxxxIIIxxxxI", tpay, 0
+                            )
+                            tracks.append((tid, tdur))
+    if timescale is None:
+        raise ValueError("missing moov/mvhd")
+    return {
+        "top_boxes": top,
+        "timescale": timescale,
+        "duration": duration,
+        "tracks": tracks,
+    }

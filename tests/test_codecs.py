@@ -273,3 +273,22 @@ def test_jpeg_general_content_and_edges():
         i = data.find(b"\xff\xc0")
         data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
         decode_jpeg_gray(bytes(data))
+
+
+def test_mp4_box_walk_and_validation():
+    import pytest
+
+    from etl_lens_spark.multimodal.codecs import (
+        encode_mp4_skeleton,
+        parse_mp4_boxes,
+    )
+
+    data = encode_mp4_skeleton(1000, 54321, [54321, 50000])
+    info = parse_mp4_boxes(data)
+    assert info["top_boxes"] == ["ftyp", "moov", "mdat"]
+    assert (info["timescale"], info["duration"]) == (1000, 54321)
+    assert info["tracks"] == [(1, 54321), (2, 50000)]
+    with pytest.raises(ValueError):
+        parse_mp4_boxes(data[:20])  # truncated box
+    with pytest.raises(ValueError, match="mvhd"):
+        parse_mp4_boxes(data[: len(data) - len(data) + 24])  # no moov
