@@ -1,4 +1,5 @@
-"""Baseline-sequential JPEG codec (8-bit grayscale), pure
+"""Baseline-sequential JPEG codec (8-bit grayscale AND 4:4:4
+YCbCr color), pure
 Python + numpy — the "entropy coder" format round 3 assumed needed
 external libs. It doesn't, for the baseline grayscale profile: the
 container is markers (SOI/DQT/SOF0/DHT/SOS/EOI), the entropy layer is
@@ -23,8 +24,12 @@ Implementation notes (ITU-T T.81 baseline):
   scan resilient to stuffing, decoder crops edge-replicated padding
   back to the SOF dimensions.
 
-Color (YCbCr + subsampling) and progressive mode stay out of scope;
-the multimodal seam documents them honestly.
+Color runs as 4:4:4 YCbCr with interleaved MCUs and per-component
+DC prediction (encode_jpeg_color / decode_jpeg_color); constant
+NEUTRAL-GRAY blocks stay bit-exact through the color path too
+(R=G=B -> Cb=Cr=128 exactly, integer Y). Chroma SUBSAMPLING (4:2:0)
+and progressive mode stay out of scope; the multimodal seam
+documents them honestly.
 """
 
 from __future__ import annotations
@@ -404,3 +409,255 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             blk = _DCT.T @ coef @ _DCT + 128.0
             out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
     return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# ------------------------------------------------------------------
+# Color (YCbCr 4:4:4) baseline — interleaved MCUs, one 8x8 block per
+# component per MCU (no subsampling). JFIF color transform. Shares
+# the canonical-Huffman/bit-IO/DCT machinery above; tables are built
+# over ALL components' symbols and emitted once (baseline permits
+# shared tables).
+# ------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    f = arr.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def encode_jpeg_color(arr: np.ndarray, quality: int = 100) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline 4:4:4 YCbCr
+    JPEG (interleaved MCUs, shared optimized Huffman tables)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_color expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    qtab = np.ones((8, 8), dtype=np.int32) if quality == 100 else np.full(
+        (8, 8), max(1, int(round(50 * (100 - quality) / 50))), dtype=np.int32
+    )
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    ycc = _rgb_to_ycbcr(arr)
+    padded = np.pad(
+        ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    )
+    # MCU scan order: (by, bx), components interleaved 1,2,3 per MCU
+    mcu_coeffs = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            per_comp = []
+            for c in range(3):
+                blk = (
+                    padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                    - 128.0
+                )
+                qc = np.round((_DCT @ blk @ _DCT.T) / qtab).astype(np.int64)
+                per_comp.append([int(qc[y, x]) for (y, x) in _ZIGZAG])
+            mcu_coeffs.append(per_comp)
+    dc_syms: Counter = Counter()
+    ac_syms: Counter = Counter()
+    prev_dc = [0, 0, 0]
+    per_mcu_items = []
+    for per_comp in mcu_coeffs:
+        items = []
+        for c, zz in enumerate(per_comp):
+            diff = zz[0] - prev_dc[c]
+            prev_dc[c] = zz[0]
+            items.append(("dc", _category(diff), diff))
+            dc_syms[_category(diff)] += 1
+            last_nz = 0
+            for i in range(1, 64):
+                if zz[i] != 0:
+                    last_nz = i
+            run = 0
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        items.append(("ac", 0xF0, 0))
+                        ac_syms[0xF0] += 1
+                        run = 0
+                else:
+                    cat = _category(zz[i])
+                    sym = (run << 4) | cat
+                    items.append(("ac", sym, zz[i]))
+                    ac_syms[sym] += 1
+                    run = 0
+            if last_nz < 63:
+                items.append(("ac", 0x00, 0))
+                ac_syms[0x00] += 1
+        per_mcu_items.append(items)
+    dc_bits, dc_vals = _build_table(dc_syms)
+    ac_bits, ac_vals = _build_table(ac_syms)
+    dc_codes = _codes_from_spec(dc_bits, dc_vals)
+    ac_codes = _codes_from_spec(ac_bits, ac_vals)
+    bw = _BitWriter()
+    for items in per_mcu_items:
+        for kind, sym, val in items:
+            if kind == "dc":
+                code, length = dc_codes[sym]
+                bw.write(code, length)
+                if sym:
+                    bw.write(_amplitude(val, sym), sym)
+            else:
+                code, length = ac_codes[sym]
+                bw.write(code, length)
+                cat = sym & 0x0F
+                if cat:
+                    bw.write(_amplitude(val, cat), cat)
+    entropy = bw.flush()
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(qtab[y, x]) for (y, x) in _ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    comp_spec = b""
+    for cid in (1, 2, 3):
+        comp_spec += bytes([cid, 0x11, 0])  # no subsampling, qtab 0
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
+        + comp_spec
+    )
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        payload = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * 3, 3)
+        + sos_comps
+        + bytes([0, 63, 0])
+    )
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_color(data: bytes) -> np.ndarray:
+    """Decode a baseline 4:4:4 YCbCr JPEG to (h, w, 3) uint8 RGB.
+    Interleaved-MCU scan with per-component DC prediction."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    h = w = None
+    comps = []
+    sos_map = {}
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq_tq = seg[off]
+                vals = seg[off + 1 : off + 65]
+                t = np.zeros((8, 8), dtype=np.int32)
+                for i, (y, x) in enumerate(_ZIGZAG):
+                    t[y, x] = vals[i]
+                qtabs[pq_tq & 0x0F] = t
+                off += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8 or ncomp != 3:
+                raise ValueError("decode_jpeg_color expects 3 components")
+            for c in range(3):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("subsampling unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                htabs[(tc_th >> 4, tc_th & 0x0F)] = _codes_from_spec(
+                    bits, vals
+                )
+                off += 17 + n
+        elif marker == 0xDA:
+            ns = seg[0]
+            if ns != 3:
+                raise ValueError("expected 3-component scan")
+            for c in range(3):
+                cid, td_ta = seg[1 + 2 * c : 3 + 2 * c]
+                sos_map[cid] = (td_ta >> 4, td_ta & 0x0F)
+            entropy_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if h is None or entropy_start is None:
+        raise ValueError("incomplete JPEG stream")
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[entropy_start:end])
+    decode_tabs = {}
+    for cid, tq in comps:
+        td, ta = sos_map[cid]
+        decode_tabs[cid] = (
+            {(c, l): s for s, (c, l) in htabs[(0, td)].items()},
+            {(c, l): s for s, (c, l) in htabs[(1, ta)].items()},
+            qtabs[tq],
+        )
+
+    def read_symbol(table):
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid huffman code")
+
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = np.zeros((ph, pw, 3), dtype=np.float64)
+    prev_dc = {cid: 0 for cid, _ in comps}
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for c, (cid, _tq) in enumerate(comps):
+                dc_tab, ac_tab, qtab = decode_tabs[cid]
+                zz = [0] * 64
+                cat = read_symbol(dc_tab)
+                diff = _extend(br.read_bits(cat), cat) if cat else 0
+                prev_dc[cid] += diff
+                zz[0] = prev_dc[cid]
+                i = 1
+                while i < 64:
+                    sym = read_symbol(ac_tab)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        i += 16
+                        continue
+                    run, cat = sym >> 4, sym & 0x0F
+                    i += run
+                    if i >= 64:
+                        raise ValueError("AC run overflows block")
+                    zz[i] = _extend(br.read_bits(cat), cat)
+                    i += 1
+                coef = np.zeros((8, 8))
+                for i, (y, x) in enumerate(_ZIGZAG):
+                    coef[y, x] = zz[i] * qtab[y, x]
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c] = (
+                    _DCT.T @ coef @ _DCT + 128.0
+                )
+    return _ycbcr_to_rgb(out)[:h, :w]

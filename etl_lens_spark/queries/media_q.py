@@ -712,3 +712,131 @@ def mm_real_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_parse_mp4_batches, _MP4_OUT).orderBy(
         "doc_id"
     )
+
+
+def _synth_cjpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import encode_jpeg_color
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            wb, hb = 1 + d % 3, 1 + d % 2
+            bx = np.arange(wb)[None, :]
+            by = np.arange(hb)[:, None]
+            bvals = ((7 * bx + 11 * by + d) % 256).astype(np.uint8)
+            gray = np.kron(bvals, np.ones((8, 8), dtype=np.uint8))
+            payloads.append(
+                encode_jpeg_color(np.stack([gray] * 3, axis=-1))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_cjpeg_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import decode_jpeg_color
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_jpeg_color(bytes(payload)).astype(np.int64)
+            h, w = arr.shape[:2]
+            bx = (np.arange(w) // 8 + 1)[None, :]
+            by = (np.arange(h) // 8 + 2)[:, None]
+            lum = arr[:, :, 0]  # neutral gray: all channels equal
+            rows.append(
+                (
+                    int(d),
+                    w,
+                    h,
+                    int(arr.size),
+                    int(arr.sum()),
+                    int((lum * bx * by).sum()),
+                    int(
+                        np.abs(arr[:, :, 0] - arr[:, :, 1]).max()
+                        + np.abs(arr[:, :, 1] - arr[:, :, 2]).max()
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_values",
+                "pixel_sum",
+                "block_place_sum",
+                "channel_spread",
+            ],
+        )
+
+
+@query(
+    "mm_real_jpeg_color_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents
+    ),
+    bxs AS (SELECT unnest(range(0, 3)) AS bx),
+    bys AS (SELECT unnest(range(0, 2)) AS by),
+    blocks AS (
+      SELECT d.doc_id, d.wb, d.hb, x.bx, y.by,
+             (7 * x.bx + 11 * y.by + d.doc_id) % 256 AS v
+      FROM dims d
+      JOIN bxs x ON x.bx < d.wb
+      JOIN bys y ON y.by < d.hb
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(3 * 64 * SUM(v) AS BIGINT) AS pixel_sum,
+             CAST(64 * SUM(v * (bx + 1) * (by + 2)) AS BIGINT)
+               AS block_place_sum
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(8 * d.wb AS INT) AS width,
+           CAST(8 * d.hb AS INT) AS height,
+           CAST(3 * 64 * d.wb * d.hb AS BIGINT) AS n_values,
+           s.pixel_sum, s.block_place_sum,
+           CAST(0 AS BIGINT) AS channel_spread
+    FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_jpeg_color_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLOR JPEG (baseline 4:4:4 YCbCr, interleaved MCUs with
+    per-component DC prediction chains): neutral-gray constant-block
+    images survive the full color path BIT-EXACTLY — R=G=B makes the
+    chroma planes exactly 128 and the luma plane integer, so at
+    quality 100 nothing rounds. The oracle pins exact pixel sums, the
+    position-weighted placement checksum, and channel_spread = 0
+    (any YCbCr matrix error, component interleave fault, or per-
+    component DC-chain crosstalk makes decoded channels diverge and
+    fails that column). Colorful content roundtrips within +-2
+    (transform rounding), unit-tested; 4:2:0 subsampling and
+    progressive stay behind the seam."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_cjpeg_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_cjpeg_batches, _JPEG_OUT2).orderBy(
+        "doc_id"
+    )
+
+
+_JPEG_OUT2 = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("block_place_sum", T.LongType()),
+        T.StructField("channel_spread", T.LongType()),
+    ]
+)

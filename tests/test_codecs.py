@@ -292,3 +292,27 @@ def test_mp4_box_walk_and_validation():
         parse_mp4_boxes(data[:20])  # truncated box
     with pytest.raises(ValueError, match="mvhd"):
         parse_mp4_boxes(data[: len(data) - len(data) + 24])  # no moov
+
+
+def test_jpeg_color_roundtrips():
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import (
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(3)
+    # neutral-gray constant blocks: bit-exact through the color path
+    bvals = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    gray = np.kron(bvals, np.ones((8, 8), dtype=np.uint8))
+    img = np.stack([gray] * 3, axis=-1)
+    assert (decode_jpeg_color(encode_jpeg_color(img)) == img).all()
+    # colorful content: +-2 (YCbCr transform rounding), exact dims
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    dec = decode_jpeg_color(encode_jpeg_color(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    dec = decode_jpeg_color(encode_jpeg_color(img))
+    assert dec.shape == (13, 21, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
