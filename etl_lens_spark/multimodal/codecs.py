@@ -440,3 +440,148 @@ def parse_mp4_boxes(data: bytes) -> dict:
         "duration": duration,
         "tracks": tracks,
     }
+
+
+def encode_mp4_with_samples(
+    timescale: int,
+    frame_durations: list[int],
+    frame_sizes: list[int],
+) -> bytes:
+    """ISO-BMFF skeleton carrying a real sample table: one video
+    trak whose stbl holds stts (run-length time-to-sample) and stsz
+    (per-sample sizes) — the two boxes frame indexing needs."""
+    # stts: run-length encode consecutive equal durations
+    runs: list[tuple[int, int]] = []
+    for d in frame_durations:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _box(
+        b"stts",
+        struct.pack(">BxxxI", 0, len(runs))
+        + b"".join(struct.pack(">II", n, d) for n, d in runs),
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">BxxxII", 0, 0, len(frame_sizes))
+        + b"".join(struct.pack(">I", s) for s in frame_sizes),
+    )
+    stbl = _box(b"stbl", stts + stsz)
+    duration = sum(frame_durations)
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">BxxxIIIxxxxI", 0, 0, 0, 1, duration) + b"\x00" * 50,
+    )
+    mdia = _box(b"mdia", _box(b"minf", stbl))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+        + b"\x00" * 80,
+    )
+    return (
+        _box(b"ftyp", b"isom" + struct.pack(">I", 512))
+        + _box(b"moov", mvhd + trak)
+        + _box(b"mdat", b"\x00" * max(1, sum(frame_sizes) % 64))
+    )
+
+
+def mp4_frame_index(data: bytes) -> list[tuple[int, int, int]]:
+    """REAL frame indexing from the container: walk moov→trak→mdia→
+    minf→stbl, expand stts runs into per-frame decode timestamps and
+    pair them with stsz sizes. Returns [(frame_no, dts, size)] —
+    exactly the table a frame-sampling pipeline stage consumes; no
+    sample DECODE happens (that genuinely needs codec libs)."""
+    def children(buf: bytes):
+        pos = 0
+        while pos < len(buf):
+            size = struct.unpack_from(">I", buf, pos)[0]
+            btype = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > len(buf):
+                raise ValueError(f"bad box size for {btype!r}")
+            yield btype, buf[pos + 8 : pos + size]
+            pos += size
+
+    def find(buf: bytes, path: list[bytes]) -> bytes | None:
+        if not path:
+            return buf
+        for btype, payload in children(buf):
+            if btype == path[0]:
+                return find(payload, path[1:])
+        return None
+
+    stbl = None
+    for btype, payload in children(data):
+        if btype == b"moov":
+            stbl = find(payload, [b"trak", b"mdia", b"minf", b"stbl"])
+    if stbl is None:
+        raise ValueError("no sample table in stream")
+    stts_runs: list[tuple[int, int]] = []
+    sizes: list[int] = []
+    for btype, payload in children(stbl):
+        if btype == b"stts":
+            (n,) = struct.unpack_from(">I", payload, 4)
+            for i in range(n):
+                cnt, dur = struct.unpack_from(">II", payload, 8 + 8 * i)
+                stts_runs.append((cnt, dur))
+        elif btype == b"stsz":
+            fixed, n = struct.unpack_from(">II", payload, 4)
+            sizes = (
+                [fixed] * n
+                if fixed
+                else [
+                    struct.unpack_from(">I", payload, 12 + 4 * i)[0]
+                    for i in range(n)
+                ]
+            )
+    frames = []
+    dts = 0
+    fno = 0
+    for cnt, dur in stts_runs:
+        for _ in range(cnt):
+            frames.append((fno, dts, sizes[fno]))
+            dts += dur
+            fno += 1
+    if fno != len(sizes):
+        raise ValueError("stts/stsz frame counts disagree")
+    return frames
+
+
+# ------------------------------------------------------------------
+# G.711 mu-law companding — the telephony/audio-archive companding
+# codec: logarithmic 8-bit codes <-> 14-bit linear PCM. Closed-form
+# arithmetic both directions (and bijective: encode(decode(c)) == c
+# for every code), so an SQL oracle can pin the entire code table.
+# ------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """Linear int16 PCM -> mu-law codes (uint8). Vectorized: bias,
+    exponent = MSB position of the biased magnitude, 4-bit mantissa,
+    ones-complement. Same 16-bit value domain as ``ulaw_decode``
+    (decoded range +-32124), so encode(decode(c)) == c for every
+    code except 0x7F ("negative zero", unreachable from two's-
+    complement input by construction)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    exp = (np.floor(np.log2(mag)).astype(np.int32)) - 7
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """mu-law codes (uint8) -> linear int16 PCM (range +-32124).
+    Closed form: ((mant*8 + 132) << exp) - 132, sign from the top
+    bit."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant * 8 + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)

@@ -316,3 +316,34 @@ def test_jpeg_color_roundtrips():
     dec = decode_jpeg_color(encode_jpeg_color(img))
     assert dec.shape == (13, 21, 3)
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_ulaw_bijectivity_and_quantization():
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import ulaw_decode, ulaw_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    re = ulaw_encode(ulaw_decode(codes))
+    bad = [c for c in range(256) if re[c] != c]
+    assert bad == [0x7F]  # negative zero, unreachable from int16
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32124, 32125, 20000).astype(np.int16)
+    err = np.abs(ulaw_decode(ulaw_encode(x)).astype(int) - x.astype(int))
+    assert err.max() <= 512  # top-segment half-step
+
+
+def test_mp4_frame_index_expansion():
+    from etl_lens_spark.multimodal.codecs import (
+        encode_mp4_with_samples,
+        mp4_frame_index,
+    )
+
+    data = encode_mp4_with_samples(
+        30000, [1001] * 5 + [2002] * 3, [100, 200, 150, 120, 80, 60, 90, 110]
+    )
+    idx = mp4_frame_index(data)
+    assert len(idx) == 8
+    assert idx[0] == (0, 0, 100)
+    assert idx[5] == (5, 5005, 60)      # still in the 1001 run
+    assert idx[7] == (7, 9009, 110)     # after the 2002 run starts
