@@ -27,9 +27,12 @@ Implementation notes (ITU-T T.81 baseline):
 Color runs as 4:4:4 YCbCr with interleaved MCUs and per-component
 DC prediction (encode_jpeg_color / decode_jpeg_color); constant
 NEUTRAL-GRAY blocks stay bit-exact through the color path too
-(R=G=B -> Cb=Cr=128 exactly, integer Y). Chroma SUBSAMPLING (4:2:0)
-and progressive mode stay out of scope; the multimodal seam
-documents them honestly.
+(R=G=B -> Cb=Cr=128 exactly, integer Y). 4:2:0 chroma subsampling (the
+real-camera layout) runs via encode_jpeg_420/decode_jpeg_420 —
+16x16 MCUs, four luma blocks + 2x2-mean-downsampled chroma,
+replication upsample; neutral-gray constant macroblocks stay
+bit-exact through it. Progressive mode stays out of scope; the
+multimodal seam documents it honestly.
 """
 
 from __future__ import annotations
@@ -661,3 +664,251 @@ def decode_jpeg_color(data: bytes) -> np.ndarray:
                     _DCT.T @ coef @ _DCT + 128.0
                 )
     return _ycbcr_to_rgb(out)[:h, :w]
+
+
+# ------------------------------------------------------------------
+# 4:2:0 chroma subsampling — the layout real cameras emit: MCU =
+# 16x16 pixels = 4 luma blocks (TL,TR,BL,BR) + one 2x-downsampled
+# Cb + one Cr. Shares every lower layer above; adds the sampling
+# geometry and chroma down/upsampling.
+# ------------------------------------------------------------------
+
+
+def _encode_entropy(mcu_items):
+    """Shared two-pass optimized-Huffman entropy encoding over a
+    per-MCU symbol list: returns (dc_spec, ac_spec, entropy_bytes)."""
+    dc_syms: Counter = Counter()
+    ac_syms: Counter = Counter()
+    for items in mcu_items:
+        for kind, sym, _val in items:
+            (dc_syms if kind == "dc" else ac_syms)[sym] += 1
+    dc_bits, dc_vals = _build_table(dc_syms)
+    ac_bits, ac_vals = _build_table(ac_syms)
+    dc_codes = _codes_from_spec(dc_bits, dc_vals)
+    ac_codes = _codes_from_spec(ac_bits, ac_vals)
+    bw = _BitWriter()
+    for items in mcu_items:
+        for kind, sym, val in items:
+            if kind == "dc":
+                code, length = dc_codes[sym]
+                bw.write(code, length)
+                if sym:
+                    bw.write(_amplitude(val, sym), sym)
+            else:
+                code, length = ac_codes[sym]
+                bw.write(code, length)
+                cat = sym & 0x0F
+                if cat:
+                    bw.write(_amplitude(val, cat), cat)
+    return (dc_bits, dc_vals), (ac_bits, ac_vals), bw.flush()
+
+
+def _block_symbols(zz, prev_dc):
+    """(run,size) symbol stream for one quantized zigzag block."""
+    items = [("dc", _category(zz[0] - prev_dc), zz[0] - prev_dc)]
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i] != 0:
+            last_nz = i
+    run = 0
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            if run == 16:
+                items.append(("ac", 0xF0, 0))
+                run = 0
+        else:
+            cat = _category(zz[i])
+            items.append(("ac", (run << 4) | cat, zz[i]))
+            run = 0
+    if last_nz < 63:
+        items.append(("ac", 0x00, 0))
+    return items, zz[0]
+
+
+def _fdct_quant(plane: np.ndarray, y0: int, x0: int, qtab) -> list[int]:
+    blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+    qc = np.round((_DCT @ blk @ _DCT.T) / qtab).astype(np.int64)
+    return [int(qc[y, x]) for (y, x) in _ZIGZAG]
+
+
+def encode_jpeg_420(arr: np.ndarray, quality: int = 100) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline 4:2:0 YCbCr
+    JPEG (16x16 MCUs; chroma 2x2-mean downsampled)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_420 expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    qtab = np.ones((8, 8), dtype=np.int32) if quality == 100 else np.full(
+        (8, 8), max(1, int(round(50 * (100 - quality) / 50))), dtype=np.int32
+    )
+    ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    ycc = _rgb_to_ycbcr(arr)
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    ylum = padded[:, :, 0]
+    # chroma: 2x2 mean downsample
+    cb = padded[:, :, 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr = padded[:, :, 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    prev = {"y": 0, "cb": 0, "cr": 0}
+    mcu_items = []
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            items = []
+            for sy, sx in ((0, 0), (0, 8), (8, 0), (8, 8)):  # Y TL,TR,BL,BR
+                zz = _fdct_quant(ylum, my * 16 + sy, mx * 16 + sx, qtab)
+                blk_items, prev["y"] = _block_symbols(zz, prev["y"])
+                items.extend(blk_items)
+            for name, plane in (("cb", cb), ("cr", cr)):
+                zz = _fdct_quant(plane, my * 8, mx * 8, qtab)
+                blk_items, prev[name] = _block_symbols(zz, prev[name])
+                items.extend(blk_items)
+            mcu_items.append(items)
+    (dc_bits, dc_vals), (ac_bits, ac_vals), entropy = _encode_entropy(
+        mcu_items
+    )
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(qtab[y, x]) for (y, x) in _ZIGZAG)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    comp_spec = bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + comp_spec
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        payload = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos_comps = b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3))
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + sos_comps + bytes(
+        [0, 63, 0]
+    )
+    out += entropy + b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_420(data: bytes) -> np.ndarray:
+    """Decode a baseline 4:2:0 YCbCr JPEG to (h, w, 3) uint8 RGB
+    (chroma upsampled by replication)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+    h = w = None
+    samplings = {}
+    comp_tq = {}
+    sos_map = {}
+    entropy_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            off = 0
+            while off < len(seg):
+                pq_tq = seg[off]
+                vals = seg[off + 1 : off + 65]
+                t = np.zeros((8, 8), dtype=np.int32)
+                for i, (y, x) in enumerate(_ZIGZAG):
+                    t[y, x] = vals[i]
+                qtabs[pq_tq & 0x0F] = t
+                off += 65
+        elif marker == 0xC0:
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8 or ncomp != 3:
+                raise ValueError("decode_jpeg_420 expects 3 components")
+            for c in range(3):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                samplings[cid] = samp
+                comp_tq[cid] = tq
+            if samplings != {1: 0x22, 2: 0x11, 3: 0x11}:
+                raise ValueError("not a 4:2:0 layout")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(seg):
+                tc_th = seg[off]
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                htabs[(tc_th >> 4, tc_th & 0x0F)] = _codes_from_spec(
+                    bits, vals
+                )
+                off += 17 + n
+        elif marker == 0xDA:
+            for c in range(seg[0]):
+                cid, td_ta = seg[1 + 2 * c : 3 + 2 * c]
+                sos_map[cid] = (td_ta >> 4, td_ta & 0x0F)
+            entropy_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if h is None or entropy_start is None:
+        raise ValueError("incomplete JPEG stream")
+    end = data.rfind(b"\xff\xd9")
+    br = _BitReader(data[entropy_start:end])
+    tabs = {}
+    for cid in (1, 2, 3):
+        td, ta = sos_map[cid]
+        tabs[cid] = (
+            {(c, l): s for s, (c, l) in htabs[(0, td)].items()},
+            {(c, l): s for s, (c, l) in htabs[(1, ta)].items()},
+            qtabs[comp_tq[cid]],
+        )
+
+    def read_symbol(table):
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | br.read_bit()
+            length += 1
+            if (code, length) in table:
+                return table[(code, length)]
+        raise ValueError("invalid huffman code")
+
+    def read_block(cid, prev_dc):
+        dc_tab, ac_tab, qtab = tabs[cid]
+        zz = [0] * 64
+        cat = read_symbol(dc_tab)
+        diff = _extend(br.read_bits(cat), cat) if cat else 0
+        dc = prev_dc + diff
+        zz[0] = dc
+        i = 1
+        while i < 64:
+            sym = read_symbol(ac_tab)
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                i += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            i += run
+            if i >= 64:
+                raise ValueError("AC run overflows block")
+            zz[i] = _extend(br.read_bits(cat), cat)
+            i += 1
+        coef = np.zeros((8, 8))
+        for i, (y, x) in enumerate(_ZIGZAG):
+            coef[y, x] = zz[i] * qtab[y, x]
+        return _DCT.T @ coef @ _DCT + 128.0, dc
+
+    ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    ylum = np.zeros((ph, pw))
+    cb = np.zeros((ph // 2, pw // 2))
+    cr = np.zeros((ph // 2, pw // 2))
+    prev = {1: 0, 2: 0, 3: 0}
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for sy, sx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                blk, prev[1] = read_block(1, prev[1])
+                ylum[
+                    my * 16 + sy : my * 16 + sy + 8,
+                    mx * 16 + sx : mx * 16 + sx + 8,
+                ] = blk
+            blk, prev[2] = read_block(2, prev[2])
+            cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+            blk, prev[3] = read_block(3, prev[3])
+            cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+    # chroma upsample by replication
+    cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    ycc = np.stack([ylum, cb_up, cr_up], axis=-1)
+    return _ycbcr_to_rgb(ycc)[:h, :w]

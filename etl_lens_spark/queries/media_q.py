@@ -1011,3 +1011,123 @@ def mm_real_ulaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (512), unit-tested."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_ulaw_batches, _ULAW_OUT).orderBy("doc_id")
+
+
+def _synth_jpeg420_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import encode_jpeg_420
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            wb, hb = 1 + d % 3, 1 + d % 2   # 16x16 macroblocks
+            bx = np.arange(wb)[None, :]
+            by = np.arange(hb)[:, None]
+            bvals = ((7 * bx + 11 * by + d) % 256).astype(np.uint8)
+            gray = np.kron(bvals, np.ones((16, 16), dtype=np.uint8))
+            payloads.append(
+                encode_jpeg_420(np.stack([gray] * 3, axis=-1))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_jpeg420_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import decode_jpeg_420
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_jpeg_420(bytes(payload)).astype(np.int64)
+            h, w = arr.shape[:2]
+            bx = (np.arange(w) // 16 + 1)[None, :]
+            by = (np.arange(h) // 16 + 2)[:, None]
+            rows.append(
+                (
+                    int(d),
+                    w,
+                    h,
+                    int(arr.size),
+                    int(arr.sum()),
+                    int((arr[:, :, 0] * bx * by).sum()),
+                    int(
+                        np.abs(arr[:, :, 0] - arr[:, :, 1]).max()
+                        + np.abs(arr[:, :, 1] - arr[:, :, 2]).max()
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_values",
+                "pixel_sum",
+                "block_place_sum",
+                "channel_spread",
+            ],
+        )
+
+
+@query(
+    "mm_real_jpeg_420_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents
+    ),
+    bxs AS (SELECT unnest(range(0, 3)) AS bx),
+    bys AS (SELECT unnest(range(0, 2)) AS by),
+    blocks AS (
+      SELECT d.doc_id, d.wb, d.hb, x.bx, y.by,
+             (7 * x.bx + 11 * y.by + d.doc_id) % 256 AS v
+      FROM dims d
+      JOIN bxs x ON x.bx < d.wb
+      JOIN bys y ON y.by < d.hb
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(3 * 256 * SUM(v) AS BIGINT) AS pixel_sum,
+             CAST(256 * SUM(v * (bx + 1) * (by + 2)) AS BIGINT)
+               AS block_place_sum
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(16 * d.wb AS INT) AS width,
+           CAST(16 * d.hb AS INT) AS height,
+           CAST(3 * 256 * d.wb * d.hb AS BIGINT) AS n_values,
+           s.pixel_sum, s.block_place_sum,
+           CAST(0 AS BIGINT) AS channel_spread
+    FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_jpeg_420_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4:2:0 CHROMA-SUBSAMPLED JPEG — the layout real cameras emit:
+    16x16 MCUs of four luma blocks + one 2x2-mean-downsampled Cb and
+    Cr each, three interleaved DC prediction chains, chroma upsampled
+    by replication on decode. Neutral-gray constant MACROBLOCKS
+    survive the full subsampled path bit-exactly (constant chroma
+    128 is a fixed point of mean-downsample + replication-upsample),
+    which the oracle pins — the position-weighted checksum now
+    walks the 16x16 macroblock raster, so a swapped luma-block order
+    (TL/TR/BL/BR) or a chroma/luma interleave fault fails the hash;
+    channel_spread = 0 catches chroma contamination. Smooth color
+    content roundtrips within +-3 (subsample + transform rounding,
+    unit-tested). Progressive mode and H.264 sample decode remain
+    the only seams."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_jpeg420_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(
+        _decode_jpeg420_batches, _JPEG_OUT2
+    ).orderBy("doc_id")

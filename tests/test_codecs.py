@@ -347,3 +347,27 @@ def test_mp4_frame_index_expansion():
     assert idx[0] == (0, 0, 100)
     assert idx[5] == (5, 5005, 60)      # still in the 1001 run
     assert idx[7] == (7, 9009, 110)     # after the 2002 run starts
+
+
+def test_jpeg_420_roundtrips():
+    import numpy as np
+
+    from etl_lens_spark.multimodal.jpeg import (
+        decode_jpeg_420,
+        encode_jpeg_420,
+    )
+
+    rng = np.random.default_rng(9)
+    bvals = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    gray = np.kron(bvals, np.ones((16, 16), dtype=np.uint8))
+    img = np.stack([gray] * 3, axis=-1)
+    assert (decode_jpeg_420(encode_jpeg_420(img)) == img).all()
+    # smooth color content: chroma subsample keeps error tight
+    x = np.arange(48)
+    sm = ((x[None, :] + 2 * np.arange(32)[:, None]) % 200).astype(np.uint8)
+    img = np.stack([sm, sm // 2 + 30, 255 - sm], axis=-1)
+    dec = decode_jpeg_420(encode_jpeg_420(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    # odd dims crop back
+    img = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)
+    assert decode_jpeg_420(encode_jpeg_420(img)).shape == (19, 27, 3)
