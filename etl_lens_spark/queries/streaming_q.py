@@ -442,3 +442,49 @@ def streaming_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement."""
     out = so.late_drop_replay(spark, sf_dir)
     return out.orderBy("win_start", "event_type")
+
+
+@query(
+    "streaming_join_outer_live",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'click'
+    ),
+    cutoff AS (
+        SELECT MAX(epoch_us(ts)) - 14400000000 AS c FROM events
+    ),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+        FROM events
+        WHERE event_type = 'purchase'
+          AND epoch_us(ts) <= (SELECT c FROM cutoff)
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id,
+           p.pus AS purchase_us, c.cus AS click_us
+    FROM purch p
+    LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.cus <= p.pus
+     AND c.cus >= p.pus - 3600000000
+    ORDER BY p.purchase_id, c.click_id
+    """,
+)
+def streaming_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through the live
+    engine: matched purchase→click attributions emit on sight,
+    unmatched purchases emit their NULL row only when the watermark
+    proves no matching click can ever arrive (state expiry) — the
+    append-mode outer-join semantics batch users are most often
+    surprised by. The left side is pre-filtered safely below every
+    plausible eviction cutoff (see
+    stream_ops.attribution_join_left_outer) so the emission set is
+    deterministic and the batch LEFT JOIN oracle is exact: a missing
+    null row means the engine failed to expire state, an extra one
+    means it expired early."""
+    out = so.run_to_memory(
+        so.attribution_join_left_outer(spark, sf_dir),
+        "q_stream_outer",
+        output_mode="append",
+    )
+    return out.orderBy("purchase_id", "click_id")

@@ -481,3 +481,77 @@ def late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(stream, f"q_late_drop_{run}", output_mode="append")
     shutil.rmtree(watch_dir, ignore_errors=True)
     return out
+
+
+def attribution_join_left_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics corner
+    that separates streaming joins from batch ones: an unmatched left
+    row cannot emit its null-match when it arrives (a matching click
+    may still come); it emits only when the watermark proves no
+    match can ever arrive, i.e. on STATE EXPIRY. Matched pairs emit
+    immediately.
+
+    The OUTPUT is filtered to purchases at most max(ts) - 4h (probed
+    batch-side): the exact eviction watermark has engine-internal
+    margins (measured: nulls for rows ~2000s below the naive max-2h
+    watermark emitted, rows ~300s below it did not), so the returned
+    set keeps only left rows safely below ANY plausible cutoff
+    (delay 2h + join window 1h + 1h slack) — every kept unmatched
+    purchase provably expires and emits, making the batch oracle
+    exact instead of hash-matching an engine-internal boundary.
+    Deliberately a filter on the JOIN OUTPUT, not on the purchase
+    stream input: filtering the input would drag that stream's own
+    watermark down and (under the default min multiple-watermark
+    policy) hold the GLOBAL watermark at cutoff - 2h, un-expiring
+    the last two hours of kept purchases — measured as exactly the
+    8 missing null rows that motivated this note.
+    """
+    ev = events_stream(spark, sf_dir)
+    max_us = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .collect()[0][0]
+    )
+    cutoff_us = max_us - 4 * 3600 * 1_000_000
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    return (
+        purchases.join(clicks, cond, "left_outer")
+        .filter(F.unix_micros("purchase_ts") <= cutoff_us)
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+        )
+    )
