@@ -488,3 +488,54 @@ def streaming_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.orderBy("purchase_id", "click_id")
+
+
+@query(
+    "streaming_join_full_outer_live",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cutoff AS (
+        SELECT MAX(epoch_us(ts)) - 14400000000 AS c FROM events
+    ),
+    j AS (
+        SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+               p.purchase_id, c.click_id,
+               p.pus AS purchase_us, c.cus AS click_us
+        FROM purch p
+        FULL JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.cus <= p.pus
+         AND c.cus >= p.pus - 3600000000
+    )
+    SELECT user_id, purchase_id, click_id, purchase_us, click_us
+    FROM j, cutoff
+    WHERE COALESCE(purchase_us, 0) <= (SELECT c FROM cutoff)
+      AND COALESCE(click_us, 0) <= (SELECT c FROM cutoff)
+    ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST, user_id
+    """,
+)
+def streaming_join_full_outer_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join through the live
+    engine — BOTH sides' unmatched rows emit on state expiry
+    (a click's state outlives a purchase's by the forward join
+    window). Output restricted to rows deterministically below every
+    plausible eviction cutoff; exact batch FULL JOIN oracle."""
+    out = so.run_to_memory(
+        so.attribution_join_full_outer(spark, sf_dir),
+        "q_stream_fouter",
+        output_mode="append",
+    )
+    return out.orderBy(
+        F.asc_nulls_first("purchase_id"),
+        F.asc_nulls_first("click_id"),
+        "user_id",
+    )

@@ -555,3 +555,67 @@ def attribution_join_left_outer(
             F.unix_micros("click_ts").alias("click_us"),
         )
     )
+
+
+def attribution_join_full_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: both sides emit
+    expiry-time null rows — unmatched purchases when no click can
+    arrive, unmatched clicks when no purchase can (for a click the
+    match window extends FORWARD by ``lookback``, so its state lives
+    ``lookback`` longer than a purchase's). Same determinism
+    discipline as the left-outer form: the OUTPUT keeps only rows
+    whose event times sit safely below every plausible eviction
+    cutoff (max(ts) - 4h on both sides' timestamps), making the
+    batch full-join oracle exact."""
+    ev = events_stream(spark, sf_dir)
+    max_us = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .collect()[0][0]
+    )
+    cutoff_us = max_us - 4 * 3600 * 1_000_000
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    both_below = (
+        F.coalesce(F.unix_micros("purchase_ts"), F.lit(0)) <= cutoff_us
+    ) & (F.coalesce(F.unix_micros("click_ts"), F.lit(0)) <= cutoff_us)
+    return (
+        purchases.join(clicks, cond, "full_outer")
+        .filter(both_below)
+        .select(
+            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+            "purchase_id",
+            "click_id",
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+        )
+    )
