@@ -1036,3 +1036,91 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bal_bucket")
     )
+
+
+@query(
+    "setop_except_all_bag",
+    oracle="""
+    SELECT o_orderpriority AS priority
+    FROM orders WHERE o_orderkey < 4000
+    EXCEPT ALL
+    SELECT o_orderpriority
+    FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 5000
+    ORDER BY priority
+    """,
+)
+def setop_except_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG semantics (each occurrence subtracts one
+    occurrence, duplicates preserved), the set-op corner DISTINCT
+    rewrites silently get wrong: Spark's ``exceptAll`` vs DuckDB's
+    native EXCEPT ALL. The multiplicity arithmetic must agree
+    exactly, not just the distinct membership."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 4000).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    b = o.filter(
+        (F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 5000)
+    ).select(F.col("o_orderpriority").alias("priority"))
+    return a.exceptAll(b).orderBy("priority")
+
+
+@query(
+    "setop_intersect_all_bag",
+    oracle="""
+    SELECT o_orderpriority AS priority
+    FROM orders WHERE o_orderkey < 4000
+    INTERSECT ALL
+    SELECT o_orderpriority
+    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 6000
+    ORDER BY priority
+    """,
+)
+def setop_intersect_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics (min of the two multiplicities
+    per value): Spark ``intersectAll`` vs DuckDB native."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 4000).select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    b = o.filter(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 6000)
+    ).select(F.col("o_orderpriority").alias("priority"))
+    return a.intersectAll(b).orderBy("priority")
+
+
+@query(
+    "distinct_on_latest_order",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey AS custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM orders
+    WHERE o_custkey < 300
+    ORDER BY o_custkey, CAST(o_orderdate AS DATE) DESC, o_orderkey
+    """,
+)
+def distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT ON dialect corner (Postgres/DuckDB native: first
+    row per group under the ORDER BY): each customer's latest order,
+    deterministic tie-break by orderkey. Spark has no DISTINCT ON —
+    the engine-side desugaring is the row_number window that DISTINCT
+    ON compiles to anyway, so the plan is one partitioned window +
+    filter. The oracle runs the native syntax."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.col("o_orderdate").cast("date")), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("custkey")
+    )
