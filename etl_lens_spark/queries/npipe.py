@@ -722,3 +722,87 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = q.filter(F.col("vec_id") < 10)
     return knn.brute_force_topk(q, queries, k=5).orderBy("qid", "rank_n")
+
+
+@query(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE
+    p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 300),
+    pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM p a JOIN p b
+          ON a.p_partkey < b.p_partkey
+         AND string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+        WHERE a.p_name <> b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT p_partkey, p_partkey FROM p
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    comp AS (
+        SELECT node AS p_partkey, MIN(src) AS component
+        FROM reach GROUP BY node
+    )
+    SELECT component AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(p_partkey) AS BIGINT) AS member_id_sum
+    FROM comp
+    GROUP BY component
+    HAVING COUNT(*) >= 2
+    ORDER BY canonical_id
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION — the composite every MDM/dedup
+    stack runs, assembled from this repo's own primitives: (1)
+    blocking on the first name token (hash equi-join, no cross
+    product), (2) Levenshtein verification within blocks (edit
+    distance <= 3), (3) connected components over the match edges
+    (min-label propagation + pointer jumping, O(log diameter)
+    rounds), (4) canonical-id election per cluster (min member id)
+    with membership stats. The oracle replays the same edges through
+    a native recursive-CTE reachability closure — transitive-cluster
+    agreement, not just pairwise agreement, is what the hash pins.
+    Scale shape: block key bounds candidates like LSH bands; CC is
+    the same operator the near-dup keep-list uses."""
+    from etl_lens_spark.dedup.embedding import connected_components
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("__blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("__blk"),
+    )
+    edges = (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("name_a") != F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= 3)
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    nodes = p.select(F.col("p_partkey").alias("node"))
+    comp = connected_components(nodes, edges)
+    return (
+        comp.groupBy(F.col("component").alias("canonical_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("node").cast("long").alias("member_id_sum"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("canonical_id")
+    )
