@@ -87,6 +87,7 @@ def _load() -> None:
         quant_q,
         rel,
         rel2,
+        semantic_q,
         streaming_q,
         timeseries_q,
         tpch2,
