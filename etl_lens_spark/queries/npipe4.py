@@ -712,3 +712,192 @@ def corpus_source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", arXiv:2107.06499 — public paper).
+# Exact-duplicate SUBSTRINGS across documents, not duplicate documents:
+# flag every k-token gram that appears in >= 2 distinct docs, then
+# merge overlapping flagged positions into maximal spans per doc
+# (their suffix-array pass, re-expressed as a gram-join + island merge
+# — the shape that distributes).
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+_SPAN_CTE = f"""
+    t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                'g')), ' ') AS toks
+        FROM documents
+    ),
+    tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {_SPAN_K}),
+    g AS (
+        SELECT doc_id, i AS p,
+               array_to_string(toks[i:i+{_SPAN_K}-1], ' ') AS gram
+        FROM tt, LATERAL (
+            SELECT unnest(range(1, len(toks)-{_SPAN_K}+2)) AS i) u
+    ),
+    d AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    f AS (
+        SELECT g.doc_id, g.p, g.p + {_SPAN_K} - 1 AS e
+        FROM g JOIN d USING (gram)
+    ),
+    isl AS (
+        SELECT doc_id, p, e,
+               CASE WHEN MAX(e) OVER w IS NULL
+                         OR p > MAX(e) OVER w + 1
+                    THEN 1 ELSE 0 END AS ni
+        FROM f
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl2 AS (
+        SELECT doc_id, p, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+               CAST(MAX(e) AS BIGINT) AS span_end,
+               CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_len
+        FROM isl2 GROUP BY doc_id, island
+    )
+"""
+
+
+def _span_frames(spark: SparkSession, sf_dir: str):
+    """Shared Spark pipeline: (tokenized docs, merged duplicate spans).
+
+    Scale shape: grams leave their doc only as xxhash64 LONGS (the
+    oracle joins gram strings; 64-bit keys make the same decision up
+    to a ~1e-10 collision chance at corpus scale) for one count-
+    distinct shuffle; span merging is per-doc windows riding a doc_id
+    partition — no global window anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    t = docs.select("doc_id", toks.alias("toks"))
+    tt = t.filter(F.size("toks") >= _SPAN_K)
+    g = tt.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks)-{_SPAN_K}+1), "
+                f"i -> struct(CAST(i AS BIGINT) AS p, "
+                f"xxhash64(concat_ws(' ', slice(toks, i, {_SPAN_K}))) AS gk))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.p", "s.gk")
+    dup = (
+        g.select("gk", "doc_id")
+        .distinct()
+        .groupBy("gk")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("gk")
+    )
+    f = g.join(dup, "gk").select(
+        "doc_id", "p", (F.col("p") + _SPAN_K - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_e = F.max("e").over(w_prev)
+    ni = F.when(prev_e.isNull() | (F.col("p") > prev_e + 1), 1).otherwise(0)
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        f.withColumn("ni", ni)
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            (F.max("e") - F.min("p") + 1).cast("long").alias("span_len"),
+        )
+    )
+    return t, spans
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SPAN_CTE}
+    SELECT doc_id, span_start, span_end, span_len
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] duplicated-substring spans: maximal per-doc token ranges
+    covered by {_SPAN_K}-grams that occur in >= 2 distinct documents
+    (1-based inclusive token positions). The report a span-level
+    deduper consumes — Lee et al.'s ExactSubstr output re-expressed
+    as gram-join + gaps-and-islands instead of a suffix array."""
+    _, spans = _span_frames(spark, sf_dir)
+    return spans.select(
+        "doc_id", "span_start", "span_end", "span_len"
+    ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "dedup_span_strip_stats",
+    oracle=f"""
+    WITH {_SPAN_CTE},
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           CAST(len(t.toks) AS BIGINT) - COALESCE(p.dup_tokens, 0)
+               AS kept_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / len(t.toks)
+               AS dup_frac
+    FROM t LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document effect of substring-span stripping: token count,
+    span count, duplicated tokens (spans are disjoint by
+    construction, so a straight SUM), and the retention arithmetic a
+    curation run reports before committing the strip."""
+    t, spans = _span_frames(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    return (
+        t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
