@@ -701,3 +701,189 @@ def fk_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("child_d")
         ).alias("containment"),
     ).orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier: distributed logistic regression.
+# The fastText-style quality-filter step of a pretraining pipeline
+# (score docs with a trained linear model), with the TRAINING loop
+# itself distributed: each gradient-descent iteration is one
+# aggregation whose map-side combine reduces every partition to a
+# d-vector before the exchange — the treeAggregate shape MLlib's
+# LogisticRegression uses. Weights round to 6 decimals per iteration
+# (the same cross-engine determinism anchor as similarity/kmeans.py)
+# so the DuckDB oracle's unrolled CTE chain walks identical states.
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 3
+_LR_ETA = 1.0
+
+_LR_FEAT_SQL = """
+    feat AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0,
+               n_chars / 500.0 AS x1,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+',
+                   ' ', 'g')), ' ')) / 50.0 AS x2,
+               n_chars / (len(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) * 10.0) AS x3
+        FROM documents
+    )
+"""
+
+
+def _lr_oracle() -> str:
+    dims = range(4)
+    parts = [_LR_FEAT_SQL]
+    parts.append(
+        ", w0 AS (SELECT "
+        + ", ".join(f"0.0 AS b{j}" for j in dims)
+        + ")"
+    )
+    for t in range(1, _LR_ITERS + 1):
+        z = " + ".join(f"w.b{j} * f.x{j}" for j in dims)
+        parts.append(
+            f""",
+    g{t} AS (
+        SELECT {', '.join(
+            f'AVG((1.0/(1.0+exp(-({z}))) - f.y) * f.x{j}) AS g{j}'
+            for j in dims)}
+        FROM feat f CROSS JOIN w{t - 1} w
+    ),
+    w{t} AS (
+        SELECT {', '.join(
+            f'round(w.b{j} - {_LR_ETA} * g.g{j}, 6) AS b{j}'
+            for j in dims)}
+        FROM w{t - 1} w CROSS JOIN g{t} g
+    )"""
+        )
+    z = " + ".join(f"w.b{j} * f.x{j}" for j in range(4))
+    return f"""
+    WITH {''.join(parts)}
+    SELECT {', '.join(f'w.b{j}' for j in range(4))},
+           AVG(-(f.y * ln(1.0/(1.0+exp(-({z}))))
+                 + (1.0 - f.y) * ln(1.0 - 1.0/(1.0+exp(-({z})))))
+              ) AS train_loss,
+           AVG(CASE WHEN (CASE WHEN 1.0/(1.0+exp(-({z}))) >= 0.5
+                               THEN 1.0 ELSE 0.0 END) = f.y
+                    THEN 1.0 ELSE 0.0 END) AS train_acc,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM feat f CROSS JOIN w{_LR_ITERS} w
+    GROUP BY {', '.join(f'w.b{j}' for j in range(4))}
+    """
+
+
+@query("ml_logreg_quality", oracle=_lr_oracle())
+def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (batch GD, 3 epochs,
+    lr=1.0, zero init) predicting lang='en' from length/token-shape
+    features, plus final train loss/accuracy. Per iteration the
+    cluster ships exactly d=4 partial sums per partition; the weight
+    update is O(d) driver arithmetic — row-count independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    feat = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(toks) / F.lit(50.0)).alias("x2"),
+        (F.col("n_chars") / (F.size(toks) * F.lit(10.0))).alias("x3"),
+    )
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = sum(
+            (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = feat.agg(
+            *[F.avg((p - F.col("y")) * F.col(f"x{j}")) for j in range(4)]
+        ).first()
+        w = [round(w[j] - _LR_ETA * grads[j], 6) for j in range(4)]
+    z = sum(
+        (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
+        F.lit(w[0]) * F.col("x0"),
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    pred = F.when(p >= 0.5, 1.0).otherwise(0.0)
+    return feat.agg(
+        *[F.lit(w[j]).alias(f"b{j}") for j in range(4)],
+        F.avg(
+            -(
+                F.col("y") * F.log(p)
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+            )
+        ).alias("train_loss"),
+        F.avg(
+            F.when(pred == F.col("y"), 1.0).otherwise(0.0)
+        ).alias("train_acc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def _lr_score_oracle() -> str:
+    base = _lr_oracle()
+    # reuse the training chain, but emit per-doc scores instead of the
+    # final metrics row: swap the tail SELECT for a scoring join.
+    head = base[: base.rindex("SELECT")]
+    z = " + ".join(f"w.b{j} * f.x{j}" for j in range(4))
+    return f"""
+    {head}
+    , doc AS (
+        SELECT d.doc_id, d.lang,
+               CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS x0, d.n_chars / 500.0 AS x1,
+               len(string_split(trim(regexp_replace(lower(d.text), '\\s+',
+                   ' ', 'g')), ' ')) / 50.0 AS x2,
+               d.n_chars / (len(string_split(trim(regexp_replace(
+                   lower(d.text), '\\s+', ' ', 'g')), ' ')) * 10.0) AS x3
+        FROM documents d
+    )
+    SELECT f.doc_id, round(1.0/(1.0+exp(-({z}))), 6) AS score,
+           (1.0/(1.0+exp(-({z}))) >= 0.5) AS keep
+    FROM doc f CROSS JOIN w{_LR_ITERS} w
+    ORDER BY f.doc_id
+    """
+
+
+@query("ml_logreg_score_filter", oracle=_lr_score_oracle())
+def ml_logreg_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of the trained quality filter: score every
+    document with the 3-epoch weights and emit the keep decision —
+    one broadcast of d=4 literals into a row-local expression, the
+    filter pass that runs over the full 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    feat = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(toks) / F.lit(50.0)).alias("x2"),
+        (F.col("n_chars") / (F.size(toks) * F.lit(10.0))).alias("x3"),
+    )
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = sum(
+            (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = feat.agg(
+            *[F.avg((p - F.col("y")) * F.col(f"x{j}")) for j in range(4)]
+        ).first()
+        w = [round(w[j] - _LR_ETA * grads[j], 6) for j in range(4)]
+    z = sum(
+        (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
+        F.lit(w[0]) * F.col("x0"),
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        F.round(p, 6).alias("score"),
+        (p >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
