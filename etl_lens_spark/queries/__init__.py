@@ -72,6 +72,7 @@ def _load() -> None:
     if _loaded:
         return
     from etl_lens_spark.queries import (  # noqa: F401
+        bpe_q,
         cdc_q,
         events_q,
         funcs_q,
