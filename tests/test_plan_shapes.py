@@ -83,6 +83,13 @@ HEADLINE_PINS = {
     "dedup_incremental_batch": (4, {"BroadcastHashJoin"}, set()),
     "dedup_minhash_lsh": (9, {"BroadcastHashJoin"}, set()),
     "dedup_segment_corpus": (6, {"BroadcastHashJoin"}, set()),
+    # SemDeDup: the FlatMapGroupsInPandas node IS the operator (per-
+    # cluster dense Gram sweep); ArrowEval is the k-means assignment
+    "dedup_semantic_semdedup": (
+        10,
+        {"BroadcastHashJoin", "SortMergeJoin"},
+        {"ArrowEval", "FlatMapGroupsInPandas"},
+    ),
     "mm_real_image_pipeline": (1, set(), {"MapInPandas"}),
     "q18_large_orders": (5, {"BroadcastHashJoin"}, set()),
     "q1_pricing_summary": (2, set(), set()),
