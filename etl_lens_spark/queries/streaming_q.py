@@ -539,3 +539,59 @@ def streaming_join_full_outer_live(
         F.asc_nulls_first("click_id"),
         "user_id",
     )
+
+
+@query(
+    "streaming_python_source_live",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(range AS BIGINT) AS rid,
+               ('0x' || substring(md5('pyds' || CAST(range AS VARCHAR)),
+                                  1, 8))::BIGINT AS h
+        FROM range(0, 10000)
+    )
+    SELECT h % 5 AS category,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(SUM(h) AS BIGINT) AS h_sum,
+           CAST(AVG(CAST(h % 1000 AS DOUBLE) / 100.0) AS DOUBLE)
+             AS mean_score
+    FROM g GROUP BY 1 ORDER BY category
+    """,
+)
+def streaming_python_source_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User-defined STREAMING Python DataSource through the live
+    micro-batch engine — the kafka-shaped source contract
+    (latestOffset → partitions → executor-parallel read → commit,
+    `sources/pyds.py::SynthTickStreamReader`) in pure Python, no
+    broker needed. 10 micro-batches of 1000 deterministic ids drain
+    through a complete-mode per-category aggregation; the oracle
+    recomputes the identical relation from the md5 formula — so the
+    hash-match proves offset planning lost and duplicated NOTHING
+    across the batch boundaries (exactly-once at the source seam)."""
+    from etl_lens_spark.sources.pyds import SynthTickStreamDataSource
+
+    try:
+        spark.dataSource.register(SynthTickStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ticks = (
+        spark.readStream.format("synth_ticks")
+        .option("n_rows", 10000)
+        .option("batch_rows", 1000)
+        .option("n_parts", 4)
+        .load()
+    )
+    agg = (
+        ticks.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rid").cast("long").alias("rid_sum"),
+            F.sum("h").cast("long").alias("h_sum"),
+            F.avg("score").alias("mean_score"),
+        )
+    )
+    out = so.run_to_memory(agg, "q_stream_pyds", output_mode="complete")
+    return out.orderBy("category")

@@ -57,3 +57,73 @@ class SynthEventsDataSource(DataSource):
 
     def reader(self, schema):
         return SynthEventsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource — the executor-parallel streaming-source
+# extension point (Spark 4 DataSourceStreamReader): the kafka-shaped
+# contract (latestOffset -> partitions -> parallel read -> commit)
+# implemented in pure Python. The micro-batch planner asks the DRIVER
+# only for offset arithmetic; row generation happens executor-side,
+# one task per split, exactly like a kafka topic's partition fetch.
+# Rows use the same md5-derived formula as the batch source above, so
+# any engine can recompute the identical relation — replay-to-batch
+# equivalence is the oracle.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+def _synth_row(rid: int):
+    import hashlib
+
+    h = int(hashlib.md5(f"pyds{rid}".encode()).hexdigest()[:8], 16)
+    return (rid, h, h % 5, (h % 1000) / 100.0)
+
+
+class SynthTickStreamReader(DataSourceStreamReader):
+    """Bounded deterministic tick stream: advances ``batch_rows`` ids
+    per micro-batch until ``n_rows``, then reports an unchanged
+    latest offset (so ``processAllAvailable`` drains and returns).
+    Offsets are ``{"pos": int}`` — restart-safe: Spark re-plans any
+    uncommitted range via ``partitions(start, end)`` and the
+    generation is a pure function of the id range."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10000))
+        self.batch_rows = int(options.get("batch_rows", 1000))
+        self.n_parts = int(options.get("n_parts", 4))
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._pos = min(self._pos + self.batch_rows, self.n_rows)
+        return {"pos": self._pos}
+
+    def partitions(self, start, end):
+        s, e = int(start["pos"]), int(end["pos"])
+        if e <= s:
+            return []
+        step = max(1, (e - s + self.n_parts - 1) // self.n_parts)
+        return [_Slice(i, min(i + step, e)) for i in range(s, e, step)]
+
+    def read(self, partition):
+        for rid in range(partition.start, partition.end):
+            yield _synth_row(rid)
+
+    def commit(self, end):
+        pass
+
+
+class SynthTickStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synth_ticks"
+
+    def schema(self):
+        return "rid long, h long, category long, score double"
+
+    def streamReader(self, schema):
+        return SynthTickStreamReader(self.options)

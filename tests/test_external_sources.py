@@ -131,3 +131,51 @@ def test_write_kafka_value_projection(spark):
     ).collect()[0]
     assert out["key"] == "1"
     assert out["value"] == '{"s":"a","x":2.0}'
+
+
+def test_synth_tick_stream_reader_offsets_and_splits():
+    """Driver-side offset arithmetic: bounded advance, empty range
+    planning, and even splits — pure-Python contract, no engine."""
+    from etl_lens_spark.sources.pyds import SynthTickStreamReader
+
+    r = SynthTickStreamReader({"n_rows": 2500, "batch_rows": 1000, "n_parts": 4})
+    assert r.initialOffset() == {"pos": 0}
+    assert [r.latestOffset()["pos"] for _ in range(4)] == [
+        1000, 2000, 2500, 2500  # saturates at n_rows
+    ]
+    assert r.partitions({"pos": 5}, {"pos": 5}) == []
+    parts = r.partitions({"pos": 0}, {"pos": 1000})
+    assert [(p.start, p.end) for p in parts] == [
+        (0, 250), (250, 500), (500, 750), (750, 1000)
+    ]
+    rows = list(r.read(parts[0]))
+    assert len(rows) == 250 and rows[0][0] == 0
+    # generation is a pure function of the id range (replay-safe)
+    assert rows == list(r.read(parts[0]))
+
+
+def test_synth_tick_stream_live_drains_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.sources.pyds import SynthTickStreamDataSource
+    from etl_lens_spark.streaming import stream_ops as so
+
+    try:
+        spark.dataSource.register(SynthTickStreamDataSource)
+    except Exception:
+        pass
+    ticks = (
+        spark.readStream.format("synth_ticks")
+        .option("n_rows", 3000)
+        .option("batch_rows", 1000)
+        .load()
+    )
+    out = so.run_to_memory(
+        ticks.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rid").alias("rid_sum")
+        ),
+        "t_synth_ticks",
+        output_mode="complete",
+    ).first()
+    assert out["n"] == 3000
+    assert out["rid_sum"] == 3000 * 2999 // 2
