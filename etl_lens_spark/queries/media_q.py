@@ -1131,3 +1131,141 @@ def mm_real_jpeg_420_pipeline(
     return with_payload.mapInPandas(
         _decode_jpeg420_batches, _JPEG_OUT2
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Real GIF: LZW — a genuine dictionary entropy coder — implemented in
+# pure Python (multimodal/gif.py), validated two ways: bit-exact
+# round-trip fuzzing AND cross-validation against the JDK's
+# production ImageIO GIF codec (tests/test_gif.py drives javax.imageio
+# through the py4j gateway — encoder output decoded by the JDK,
+# JDK-encoded files decoded by us).
+# ---------------------------------------------------------------------------
+
+_GIF_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_colors", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("pixel_checksum", T.LongType()),
+        T.StructField("index_checksum", T.LongType()),
+    ]
+)
+
+
+def _gif_palette(d: int):
+    import numpy as np
+
+    i = np.arange(16)
+    return np.stack(
+        [(17 * i + d) % 256, (29 * i + 2 * d) % 256, (43 * i + 3 * d) % 256],
+        axis=1,
+    ).astype("uint8")
+
+
+def _synth_gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import gif
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 3 + d % 13, 3 + d % 11
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            idx = ((x + 2 * y + d) % 16).reshape(-1)
+            payloads.append(gif.encode_gif(idx, _gif_palette(d), w, h))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import gif
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            idx, pal, w, h = gif.decode_gif(bytes(payload))
+            rgb = pal[idx].astype(np.int64)  # (h*w, 3)
+            luma = float(
+                (
+                    0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+                ).mean()
+            )
+            checksum = int((rgb[:, 0] + 2 * rgb[:, 1] + 3 * rgb[:, 2]).sum())
+            # position-weighted index checksum: row-major order and
+            # index stream both pinned (any interlace/stride slip
+            # shifts the weights under the indices)
+            pos = np.arange(w * h, dtype=np.int64)
+            xs, ys = pos % w, pos // w
+            idx_ck = int((idx.astype(np.int64) * (1 + xs + 31 * ys)).sum())
+            rows.append((int(d), w, h, len(pal), luma, checksum, idx_ck))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_colors",
+                "mean_luma",
+                "pixel_checksum",
+                "index_checksum",
+            ],
+        )
+
+
+@query(
+    "mm_real_gif_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      FROM documents
+    ),
+    xs AS (SELECT unnest(range(0, 16)) AS x),
+    ys AS (SELECT unnest(range(0, 14)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h, x.x, y.y,
+             (x.x + 2 * y.y + d.doc_id) % 16 AS i
+      FROM dims d JOIN xs x ON x.x < d.w JOIN ys y ON y.y < d.h
+    ),
+    rgb AS (
+      SELECT doc_id, w, h, x, y, i,
+             (17 * i + doc_id) % 256 AS r,
+             (29 * i + 2 * doc_id) % 256 AS g,
+             (43 * i + 3 * doc_id) % 256 AS b
+      FROM px
+    ),
+    stats AS (
+      SELECT doc_id,
+             AVG(0.299 * r + 0.587 * g + 0.114 * b) AS mean_luma,
+             CAST(SUM(r + 2 * g + 3 * b) AS BIGINT) AS pixel_checksum,
+             CAST(SUM(i * (1 + x + 31 * y)) AS BIGINT) AS index_checksum
+      FROM rgb GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           16 AS n_colors, s.mean_luma, s.pixel_checksum, s.index_checksum
+    FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode pipeline: genuine GIF89a payloads — global
+    color table, sub-blocked LZW stream with variable code widths —
+    synthesized, encoded, and decoded through chained no-shuffle
+    mapInPandas stages. The oracle recomputes every statistic
+    arithmetically from the index/palette formulas: index_checksum is
+    position-weighted (row order + LZW stream pinned), pixel_checksum
+    is channel-asymmetric (palette lookup pinned), and none of it
+    touches a container byte. The codec itself is cross-validated
+    against the JDK's production ImageIO GIF coder in
+    tests/test_gif.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_gif_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_gif_batches, _GIF_OUT).orderBy(
+        "doc_id"
+    )
