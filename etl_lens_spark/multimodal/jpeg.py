@@ -94,23 +94,34 @@ def _codes_from_spec(
     return codes
 
 
+_HUFF_SENTINEL = 1 << 20  # sorts after every real (<=8-bit) symbol
+
+
 def _build_table(freqs: Counter) -> tuple[list[int], list[int]]:
     """Length-limited (<=16) canonical Huffman spec from symbol
     frequencies. Small alphabets (<=256 symbols) + package-merge-free
     heuristic: standard Huffman, then push any >16-bit lengths up by
-    rebalancing (rare at these alphabet sizes; asserted)."""
+    rebalancing (rare at these alphabet sizes; asserted).
+
+    Spec conformance (ITU-T T.81 Annex K, enforced by libjpeg and
+    therefore by every mainstream decoder): the all-1-bits codeword
+    must never be assigned. A phantom symbol with frequency 1 joins
+    the tree, is forced to the maximum depth, and is then dropped —
+    leaving exactly the deepest all-ones code unused."""
     syms = sorted(freqs)
     if len(syms) == 1:
-        # JPEG requires length >= 1; single symbol gets a 1-bit code
+        # JPEG requires length >= 1; single symbol gets code '0'
+        # (the 1-bit all-ones code '1' stays reserved)
         return [1] + [0] * 15, syms
-    # standard Huffman code lengths
+    # standard Huffman code lengths, phantom symbol included
     import heapq
 
-    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    full = dict(freqs)
+    full[_HUFF_SENTINEL] = 1
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(full.items()))]
     heapq.heapify(heap)
     tiebreak = len(heap)
-    lengths: Counter = Counter()
-    depth: dict[int, int] = {s: 0 for s in syms}
+    depth: dict[int, int] = {s: 0 for s in full}
     while len(heap) > 1:
         f1, _, g1 = heapq.heappop(heap)
         f2, _, g2 = heapq.heappop(heap)
@@ -119,8 +130,16 @@ def _build_table(freqs: Counter) -> tuple[list[int], list[int]]:
         heapq.heappush(heap, (f1 + f2, tiebreak, g1 + g2))
         tiebreak += 1
     assert max(depth.values()) <= 16, "length-limit rebalance needed"
+    # the phantom must own the DEEPEST slot so the canonical code it
+    # would receive is the all-ones one; swap depths if needed (a
+    # depth swap between two leaves preserves the Kraft multiset)
+    maxd = max(depth.values())
+    if depth[_HUFF_SENTINEL] < maxd:
+        other = max(s for s in syms if depth[s] == maxd)
+        depth[other] = depth[_HUFF_SENTINEL]
+        depth[_HUFF_SENTINEL] = maxd
     bits = [0] * 16
-    for s in syms:
+    for s in syms:  # phantom excluded: its all-ones code goes unused
         bits[depth[s] - 1] += 1
     huffval = sorted(syms, key=lambda s: (depth[s], s))
     return bits, huffval
