@@ -704,3 +704,68 @@ def sink_parquet_zstd_roundtrip(
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "lake_snapshot_time_travel",
+    oracle="""
+    WITH states(version, m1, m2, m3) AS (
+        VALUES (0, 0, 1, -1),   -- v0: files A(mod 0) + B(mod 1)
+               (1, 0, 1, 2),    -- v1: + C(mod 2)
+               (2, 0, 2, 3)     -- v2: - B, + D(mod 3)
+    )
+    SELECT s.version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS price_cents
+    FROM states s JOIN orders o
+      ON o.o_orderkey % 4 IN (s.m1, s.m2, s.m3)
+    GROUP BY s.version
+    ORDER BY s.version
+    """,
+)
+def lake_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse transaction log (operators/lakelog.py — Delta-style
+    versioned commits over plain parquet, no table-format library):
+    three commits build a table (v0: add A,B; v1: add C; v2: remove B,
+    add D — an append, then a delete-by-file), then every historical
+    version is read back THROUGH THE LOG and aggregated. The oracle
+    recomputes each version's state from the slice predicates — a
+    hash-match proves snapshot replay selected exactly the right
+    files at every version. Commits are metadata-only (no data file
+    is ever rewritten), which is the property that makes this the
+    100 TB shape for append/delete workloads."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = sinks.scratch_path("lake_time_travel")
+    shutil.rmtree(base, ignore_errors=True)
+    for name, m in [("A", 0), ("B", 1), ("C", 2), ("D", 3)]:
+        orders.filter(F.col("o_orderkey") % 4 == m).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/file{name}")
+    lakelog.commit(base, 0, [{"add": "fileA"}, {"add": "fileB"}])
+    lakelog.commit(base, 1, [{"add": "fileC"}])
+    lakelog.commit(base, 2, [{"remove": "fileB"}, {"add": "fileD"}])
+    snaps = [
+        lakelog.read_snapshot(spark, base, v)
+        .agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .select("version", "n_rows", "key_sum", "price_cents")
+        for v in range(3)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")
