@@ -769,3 +769,64 @@ def lake_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out.orderBy("version")
+
+
+@query(
+    "streaming_lake_commits_live",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_lake_commits_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → lakehouse: ``foreachBatch`` lands every micro-batch
+    as a new parquet file directory plus ONE transaction-log commit
+    (version = batch_id, operators/lakelog.py), then the final table
+    is read back THROUGH the log. This is the exactly-once streaming
+    sink pattern done properly: the batch_id-keyed commit makes a
+    replayed micro-batch idempotent (the O_EXCL conflict is caught
+    and skipped — Spark re-runs the batch, the table doesn't double),
+    and readers get snapshot isolation against the live writer. The
+    oracle is the batch aggregate over the full stream — a hash-match
+    proves the commit log captured every micro-batch exactly once."""
+    import uuid
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.streaming import stream_ops as so
+
+    table = sinks.scratch_path(f"lake_stream_{uuid.uuid4().hex[:8]}")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rel = f"batch_{batch_id:05d}"
+        batch_df.write.mode("overwrite").parquet(f"{table}/{rel}")
+        try:
+            lakelog.commit(table, int(batch_id), [{"add": rel}])
+        except lakelog.CommitConflict:
+            pass  # replayed micro-batch: data overwritten, commit kept
+
+    stream = so.events_stream(spark, sf_dir).select("event_type", "value")
+    ckpt = sinks.scratch_path(f"lake_stream_ckpt_{uuid.uuid4().hex[:8]}")
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = lakelog.read_snapshot(spark, table)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
