@@ -158,8 +158,22 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(a, "vec_id")
 
     tau = SEM_TAU
+    # degenerate-cluster guard: SemDeDup's quadratic term is bounded
+    # by the LARGEST cluster, and a pathological corpus (near-
+    # identical embeddings) can collapse into one giant cluster. The
+    # published fix is raising k until clusters fit a task; this
+    # operator fails fast with that instruction instead of silently
+    # materializing an n_c² Gram matrix (same discipline as
+    # dedup/embedding.py::cosine_pairs' max_rows guard).
+    max_cluster = 200_000
 
     def find_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster:
+            raise ValueError(
+                f"cluster of {len(pdf)} rows exceeds max_cluster="
+                f"{max_cluster}; raise k so each k-means cluster fits "
+                f"one task (SemDeDup sizes k ~ n / 10^4)"
+            )
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
