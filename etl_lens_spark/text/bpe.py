@@ -100,9 +100,21 @@ def train_merges(vocab: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("freq").cast("long").alias("c"))
             )
-            top = pairs.orderBy(
-                F.desc("c"), F.asc("l"), F.asc("r")
+            # argmax as ONE aggregation, not a sort: min over a struct
+            # whose ordering (-count, left, right) encodes the
+            # tie-break — the election reduces map-side to one
+            # candidate per partition
+            top_row = pairs.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("negc"),
+                        F.col("l"),
+                        F.col("r"),
+                        F.col("c"),
+                    )
+                ).alias("t")
             ).first()
+            top = top_row["t"] if top_row is not None else None
             if top is None or top["c"] < 2:
                 break
             merges.append((top["l"], top["r"], int(top["c"])))
