@@ -901,3 +901,175 @@ def dedup_span_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join with prefix filtering (PPJoin family:
+# Chaudhuri et al. 2006 "A Primitive Operator for Similarity Joins" /
+# Xiao et al. 2008 PPJoin — public papers). Unlike MinHash-LSH this
+# is EXACT: the prefix filter provably cannot drop a qualifying pair
+# (if |x∩y| >= ceil(t·|x|), the (|x|-ceil(t·|x|)+1)-prefixes under a
+# global token order must intersect), so the oracle is a plain
+# hash-match against the quadratic form.
+# ---------------------------------------------------------------------------
+
+_PP_T = 0.5
+
+_PP_TOK_SQL = """
+    tt AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                'g')), ' ') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS w
+        FROM tt, LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) u
+        WHERE len(toks) >= 3
+    )
+"""
+
+
+@query(
+    "dedup_jaccard_prefix_join",
+    oracle=f"""
+    WITH {_PP_TOK_SQL},
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_PP_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] EXACT Jaccard similarity join over trigram token sets with
+    PPJoin prefix + positional filtering (Chaudhuri et al. 2006,
+    Xiao et al. 2008 — public papers) — the scalable-exact
+    alternative to both the quadratic anchor and the approximate
+    MinHash path:
+
+    1. one corpus pass builds (doc, trigram) distinct sets;
+    2. tokens sort rare-first under the global (freq, token) order —
+       a broadcast-joinable frequency table, no global rank window;
+    3. each doc indexes only its |x| - ceil(t·|x|) + 1 prefix; the
+       inverted-index self-join on PREFIX tokens yields candidates,
+       pruned further by (a) the length filter |y| >= t·|x| and
+       (b) PPJoin's POSITIONAL filter: a shared token at positions
+       (pa, pb) caps the overlap at min(|x|-pa, |y|-pb) + 1, which
+       must reach alpha = ceil(t/(1+t)·(|x|+|y|)) — integer-exact
+       at t=0.5 (alpha = (|x|+|y|+2) div 3);
+    4. survivors verify row-locally via array_intersect on the
+       carried token arrays (no explode shuffle).
+
+    Every filter is provably lossless (the first common token in the
+    global order lies inside both prefixes and satisfies the
+    positional bound for any qualifying pair), so the DuckDB oracle
+    runs the full quadratic token join and the results hash-match —
+    while the Spark plan's pair work tracks CANDIDATES, which the
+    rare-first prefixes keep near the true-pair count at scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    tok = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-2), "
+                    "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    sorted_sets = (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(f, w))), s -> s.w)"
+            ).alias("sw"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .withColumn(
+            "plen",
+            (F.col("n") - F.ceil(F.lit(_PP_T) * F.col("n")) + 1).cast("int"),
+        )
+    )
+    prefix = sorted_sets.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("sw", 1, F.col("plen"))).alias("p", "w"),
+    ).withColumn("p", F.col("p") + 1)  # 1-based prefix position
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("p").alias("pa"),
+        "w",
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("p").alias("pb"),
+        "w",
+    )
+    alpha = F.floor((F.col("na") + F.col("nb") + 2) / 3).cast("long")
+    ubound = (
+        F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) + 1
+    )
+    cand = (
+        pa.join(pb, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("nb") >= F.lit(_PP_T) * F.col("na"))
+        .filter(F.col("na") >= F.lit(_PP_T) * F.col("nb"))
+        .filter(ubound >= alpha)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify row-locally: carry each side's full token ARRAY into the
+    # pair and intersect in-place (array_intersect, JVM) — no explode
+    # shuffle proportional to candidates x set size
+    sets = sorted_sets.select("doc_id", "sw", "n")
+    inter = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sw").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sw").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "i", F.size(F.array_intersect("sa", "sb")).cast("long")
+        )
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    )
+    return (
+        inter.filter(jac >= _PP_T)
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .orderBy("doc_a", "doc_b")
+    )

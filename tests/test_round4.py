@@ -299,3 +299,64 @@ def test_prefix_sum_hypothesis_vs_window(spark):
         assert got == want
 
     check()
+
+
+def test_ppjoin_filters_are_lossless_and_prune(spark):
+    """dedup_jaccard_prefix_join: (a) result equals the brute-force
+    quadratic Jaccard join (filters lossless); (b) the prefix index
+    is strictly smaller than the full token index (it prunes)."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.queries import REGISTRY, _load
+
+    _load()
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jac"], 9))
+        for r in REGISTRY["dedup_jaccard_prefix_join"].fn(spark, SF).collect()
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    tok = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-2), "
+                    "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.toDF("doc_a", "w")
+    b = tok.toDF("doc_b", "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(sz.toDF("doc_a", "na"), "doc_a")
+        .join(sz.toDF("doc_b", "nb"), "doc_b")
+        .withColumn(
+            "jac",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jac"], 9)) for r in inter.collect()
+    )
+    assert got == want
+    # pruning: prefix index length  = sum(n - ceil(n/2) + 1) < sum(n)
+    stats = sz.agg(
+        F.sum("n").alias("full"),
+        F.sum(F.col("n") - F.ceil(F.col("n") / 2) + 1).alias("prefix"),
+    ).first()
+    assert stats["prefix"] < stats["full"] * 0.6
