@@ -1355,3 +1355,39 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dialect_modern_sugar",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+    FROM (SELECT * EXCLUDE (o_orderkey, o_custkey, o_orderdate) FROM orders)
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def dialect_modern_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL sugar corners through the textual front door:
+    ``SELECT * EXCEPT(...)`` projection (DuckDB spells it EXCLUDE),
+    ``GROUP BY ALL`` (group on every non-aggregate select item), and
+    ``ORDER BY ALL`` (sort by every output column left-to-right) —
+    all parsed by Spark 4's ANSI dialect, desugaring to the same
+    Catalyst plan the explicit forms produce."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_sugar_view"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS cents
+        FROM (SELECT * EXCEPT (o_orderkey, o_custkey, o_orderdate)
+              FROM orders_sugar_view)
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
