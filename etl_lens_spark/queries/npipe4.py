@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_lens_spark.dedup.exact import fingerprint
+from etl_lens_spark.operators import setsim
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
 
@@ -978,10 +979,19 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the Spark plan's pair work tracks CANDIDATES, which the
     rare-first prefixes keep near the true-pair count at scale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = _trigram_sets(docs)
+    return (
+        setsim.jaccard_self_join(tok, _PP_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _trigram_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, trigram) distinct sets over whitespace tokens."""
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
-    tok = (
+    return (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
         .select(
@@ -995,81 +1005,47 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
-    sorted_sets = (
-        tok.join(freq, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(f, w))), s -> s.w)"
-            ).alias("sw"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        .withColumn(
-            "plen",
-            (F.col("n") - F.ceil(F.lit(_PP_T) * F.col("n")) + 1).cast("int"),
-        )
+
+
+@query(
+    "dedup_incremental_jaccard",
+    oracle=f"""
+    WITH {_PP_TOK_SQL},
+    probe AS (SELECT * FROM tok WHERE doc_id % 10 >= 8),
+    index_side AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_id AS doc_a, i.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM probe p JOIN index_side i ON p.w = i.w
+        GROUP BY 1, 2
     )
-    prefix = sorted_sets.select(
-        "doc_id",
-        "n",
-        F.posexplode(F.slice("sw", 1, F.col("plen"))).alias("p", "w"),
-    ).withColumn("p", F.col("p") + 1)  # 1-based prefix position
-    pa = prefix.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("na"),
-        F.col("p").alias("pa"),
-        "w",
-    )
-    pb = prefix.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("nb"),
-        F.col("p").alias("pb"),
-        "w",
-    )
-    alpha = F.floor((F.col("na") + F.col("nb") + 2) / 3).cast("long")
-    ubound = (
-        F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) + 1
-    )
-    cand = (
-        pa.join(pb, "w")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.col("nb") >= F.lit(_PP_T) * F.col("na"))
-        .filter(F.col("na") >= F.lit(_PP_T) * F.col("nb"))
-        .filter(ubound >= alpha)
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # verify row-locally: carry each side's full token ARRAY into the
-    # pair and intersect in-place (array_intersect, JVM) — no explode
-    # shuffle proportional to candidates x set size
-    sets = sorted_sets.select("doc_id", "sw", "n")
-    inter = (
-        cand.join(
-            sets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("sw").alias("sa"),
-                F.col("n").alias("na"),
-            ),
-            "doc_a",
-        )
-        .join(
-            sets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("sw").alias("sb"),
-                F.col("n").alias("nb"),
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "i", F.size(F.array_intersect("sa", "sb")).cast("long")
-        )
-    )
-    jac = F.col("i").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("i")
-    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_PP_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] incremental EXACT near-dup detection: today's delta
+    (doc_id %10 in {{8,9}}) probed against the standing corpus (the
+    other 80%) with the R-S variant of the PPJoin prefix join
+    (operators/setsim.py::jaccard_rs_join). The global token order
+    comes from the INDEX side's frequency statistics — the thing a
+    maintained production index already has — and unseen probe
+    tokens sort rarest (f=0), where they prune hardest. Only the
+    delta is tokenized fresh; the corpus contributes its sorted sets
+    + prefix index, which in deployment is a standing table. Exact:
+    the oracle is the plain quadratic delta x corpus token join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = _trigram_sets(docs)
+    probe = tok.filter(F.col("doc_id") % 10 >= 8)
+    index_side = tok.filter(F.col("doc_id") % 10 < 8)
     return (
-        inter.filter(jac >= _PP_T)
-        .select("doc_a", "doc_b", jac.alias("jac"))
+        setsim.jaccard_rs_join(probe, index_side, _PP_T)
         .orderBy("doc_a", "doc_b")
     )
