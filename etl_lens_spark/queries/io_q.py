@@ -830,3 +830,64 @@ def streaming_lake_commits_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "lake_log_describe_history",
+    oracle="""
+    WITH hist(version, n_adds, n_removes, n_active_files) AS (
+        VALUES (0, 2, 0, 2),   -- +A +B
+               (1, 1, 0, 3),   -- +C
+               (2, 1, 1, 3)    -- -B +D
+    ),
+    sizes(version, m1, m2, m3) AS (
+        VALUES (0, 0, 1, -1), (1, 0, 1, 2), (2, 0, 2, 3)
+    ),
+    rows_at AS (
+        SELECT s.version, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM sizes s JOIN orders o ON o.o_orderkey % 4 IN (s.m1, s.m2, s.m3)
+        GROUP BY s.version
+    )
+    SELECT h.version, h.n_adds, h.n_removes, h.n_active_files, r.n_rows
+    FROM hist h JOIN rows_at r ON h.version = r.version
+    ORDER BY h.version
+    """,
+)
+def lake_log_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY analog for the transaction log: one row per
+    version with its action counts, the active-file count after
+    replay-to-that-version, and the row count of the snapshot — the
+    audit surface a lakehouse admin reads before a restore. Built by
+    walking the log (O(commits) driver-side metadata) plus one count
+    per snapshot; the oracle pins both the log arithmetic and the
+    snapshot contents."""
+    import json
+    import os
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    base = sinks.scratch_path("lake_describe")
+    shutil.rmtree(base, ignore_errors=True)
+    for name, m in [("A", 0), ("B", 1), ("C", 2), ("D", 3)]:
+        orders.filter(F.col("o_orderkey") % 4 == m).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/file{name}")
+    lakelog.commit(base, 0, [{"add": "fileA"}, {"add": "fileB"}])
+    lakelog.commit(base, 1, [{"add": "fileC"}])
+    lakelog.commit(base, 2, [{"remove": "fileB"}, {"add": "fileD"}])
+    rows = []
+    for v in range(lakelog.latest_version(base) + 1):
+        with open(os.path.join(base, "_log", f"{v:08d}.json")) as f:
+            actions = json.load(f)
+        n_adds = sum(1 for a in actions if "add" in a)
+        n_removes = sum(1 for a in actions if "remove" in a)
+        files = lakelog.snapshot_files(base, v)
+        n_rows = lakelog.read_snapshot(spark, base, v).count()
+        rows.append((v, n_adds, n_removes, len(files), n_rows))
+    return spark.createDataFrame(
+        rows,
+        "version int, n_adds int, n_removes int, n_active_files int, "
+        "n_rows long",
+    ).orderBy("version")
