@@ -663,7 +663,7 @@ def streaming_checkpoint_restart_live(
     events.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/w2")
     drain()  # run 2: SAME checkpoint picks up only wave 2
     back = lakelog.read_snapshot(spark, table)
-    return (
+    agg = (
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -674,3 +674,12 @@ def streaming_checkpoint_restart_live(
         )
         .orderBy("event_type")
     )
+    # materialize the tiny result, then reclaim the per-run scratch
+    # (uuid-named src/table/checkpoint dirs would otherwise pile up
+    # across registry/bench runs)
+    import shutil
+
+    rows = agg.collect()
+    for d in (src, table, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
