@@ -820,7 +820,7 @@ def streaming_lake_commits_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     back = lakelog.read_snapshot(spark, table)
-    return (
+    agg = (
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -830,6 +830,13 @@ def streaming_lake_commits_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    # materialize the tiny result, then reclaim per-run scratch
+    import shutil
+
+    rows = agg.collect()
+    for d in (table, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 @query(
