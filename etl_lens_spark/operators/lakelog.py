@@ -89,3 +89,165 @@ def read_snapshot(
     if not files:
         raise ValueError("empty snapshot")
     return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write DML (Delta-style MERGE / DELETE / VACUUM)
+#
+# The public Delta Lake pattern: DML never edits parquet in place.
+# A write (1) PRUNES — finds the files that contain any affected row,
+# (2) REWRITES only those files (survivors + new rows into a fresh
+# file), (3) COMMITS a metadata swap (remove touched, add rewritten).
+# Untouched files — at 100 TB, almost all of them — are never read by
+# the rewrite job and never rewritten; the commit is O(touched)
+# metadata. The reference has no DML at all (SURVEY §2.2 row "Tx/DML"
+# — its SQLite is unwired); this closes that row with the only shape
+# that works at scale.
+# ---------------------------------------------------------------------------
+
+
+def _rel_file_expr(table_dir: str):
+    """Column mapping each row to the add-action relpath (the first
+    path segment under ``table_dir``) it was read from, via
+    ``input_file_name`` — file identity without one-DataFrame-per-file
+    plans (which would be O(files) plan nodes)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(os.path.normpath(table_dir))
+    return F.regexp_extract(
+        F.input_file_name(), "/" + re.escape(base) + "/([^/]+)/", 1
+    )
+
+
+def _next_version(table_dir: str) -> int:
+    return latest_version(table_dir) + 1
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """Copy-on-write MERGE (upsert): rows of ``source`` replace
+    table rows with matching ``key_cols``; unmatched source rows are
+    inserted. Prune → rewrite-touched-only → metadata commit.
+
+    Scale posture: the prune step is a left-semi join of the snapshot
+    against the (broadcastable) distinct source keys, aggregated to
+    DISTINCT file names — executors see each touched file once and
+    only file names cross to the driver. The rewrite reads ONLY the
+    touched files; at 100 TB with key-clustered data that is a tiny
+    fraction of the table. Source rows travel once.
+    """
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(table_dir)
+    if not files:
+        raise ValueError("merge into empty snapshot")
+    snap = spark.read.parquet(*files).withColumn(
+        "_file", _rel_file_expr(table_dir)
+    )
+    keys = source.select(*key_cols).distinct()
+    touched = [
+        r[0]
+        for r in snap.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    version = _next_version(table_dir)
+    actions: list[dict] = []
+    if touched:
+        touched_paths = [os.path.join(table_dir, f) for f in touched]
+        survivors = (
+            spark.read.parquet(*touched_paths)
+            .join(F.broadcast(keys), key_cols, "left_anti")
+        )
+        rewrite_rel = f"merge_{version:08d}"
+        survivors.unionByName(source).write.mode("overwrite").parquet(
+            os.path.join(table_dir, rewrite_rel)
+        )
+        actions += [{"remove": f} for f in touched]
+        actions.append({"add": rewrite_rel})
+    else:
+        insert_rel = f"merge_{version:08d}"
+        source.write.mode("overwrite").parquet(
+            os.path.join(table_dir, insert_rel)
+        )
+        actions.append({"add": insert_rel})
+    commit(table_dir, version, actions)
+    return {
+        "version": version,
+        "n_files_before": len(files),
+        "n_files_rewritten": len(touched),
+    }
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, condition
+) -> dict:
+    """Copy-on-write DELETE: prune to the files containing any row
+    matching ``condition`` (a Column), rewrite only those files with
+    the survivors, commit the swap. A file whose rows are all deleted
+    is removed with no replacement (no empty-file litter)."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(table_dir)
+    if not files:
+        raise ValueError("delete from empty snapshot")
+    snap = spark.read.parquet(*files).withColumn(
+        "_file", _rel_file_expr(table_dir)
+    )
+    touched = [
+        r[0]
+        for r in snap.filter(condition).select("_file").distinct().collect()
+    ]
+    version = _next_version(table_dir)
+    actions = [{"remove": f} for f in touched]
+    n_rewritten = 0
+    if touched:
+        touched_paths = [os.path.join(table_dir, f) for f in touched]
+        survivors = spark.read.parquet(*touched_paths).filter(~condition)
+        if survivors.limit(1).count() > 0:
+            rewrite_rel = f"delete_{version:08d}"
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(table_dir, rewrite_rel)
+            )
+            actions.append({"add": rewrite_rel})
+            n_rewritten = 1
+    commit(table_dir, version, actions)
+    return {
+        "version": version,
+        "n_files_touched": len(touched),
+        "n_files_rewritten": n_rewritten,
+    }
+
+
+def vacuum(table_dir: str) -> dict:
+    """Physically delete data directories no longer referenced by the
+    LATEST snapshot (Delta VACUUM with retention 0 — time travel to
+    pre-vacuum versions is intentionally sacrificed, exactly as
+    documented for the real thing). The log itself is kept: history
+    metadata (DESCRIBE HISTORY) survives even though old data bytes
+    are gone. Returns reclaim stats."""
+    import shutil
+
+    active = {
+        os.path.basename(p) for p in snapshot_files(table_dir)
+    }
+    deleted = kept = 0
+    for entry in sorted(os.listdir(table_dir)):
+        if entry == "_log":
+            continue
+        full = os.path.join(table_dir, entry)
+        if not os.path.isdir(full):
+            continue
+        if entry in active:
+            kept += 1
+        else:
+            shutil.rmtree(full)
+            deleted += 1
+    return {"n_dirs_deleted": deleted, "n_dirs_kept": kept}

@@ -898,3 +898,204 @@ def lake_log_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version int, n_adds int, n_removes int, n_active_files int, "
         "n_rows long",
     ).orderBy("version")
+
+
+def _lake_build_mod4(spark, sf_dir: str, name: str) -> str:
+    """Shared builder: a lakehouse table of orders (o_orderkey,
+    price decimal(18,2)) split into 4 files by o_orderkey % 4, one
+    add-all commit at v0. Key-clustered files make DML file pruning
+    deterministic (a mod-key predicate touches exactly one file)."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = sinks.scratch_path(name)
+    shutil.rmtree(base, ignore_errors=True)
+    for fname, m in [("A", 0), ("B", 1), ("C", 2), ("D", 3)]:
+        orders.filter(F.col("o_orderkey") % 4 == m).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/file{fname}")
+    from etl_lens_spark.operators import lakelog
+
+    lakelog.commit(
+        base,
+        0,
+        [{"add": f"file{f}"} for f in ("A", "B", "C", "D")],
+    )
+    return base
+
+
+@query(
+    "lake_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                    AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 20 = 1
+        UNION ALL
+        SELECT o_orderkey + 100000000,
+               CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 20 = 7
+    ),
+    final AS (
+        SELECT * FROM src
+        UNION ALL
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 20 <> 1
+    )
+    SELECT CAST(o_orderkey % 4 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(price * 100) AS BIGINT) AS price_cents,
+           1 AS version, 1 AS files_rewritten
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE through the transaction log
+    (operators/lakelog.py::merge_upsert): a 4-file key-clustered
+    table takes an upsert batch of updates (keys %20==1, price
+    doubled — all clustered in fileB) plus brand-new keys. The prune
+    step's left-semi join identifies exactly ONE touched file; only
+    it is rewritten (pinned by the files_rewritten column), the other
+    three files are untouched metadata. The oracle recomputes the
+    merged end-state relationally — a hash-match proves upsert
+    semantics AND that pruning rewrote the right file. This is the
+    Delta-style DML shape (SURVEY §2.2 Tx/DML row): at 100 TB the
+    rewrite cost scales with rows *touched*, never with table size.
+    """
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _lake_build_mod4(spark, sf_dir, "lake_merge")
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 20 == 1).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("decimal(18,2)")
+        .alias("price"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 20 == 7).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    stats = lakelog.merge_upsert(
+        spark, base, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    out = (
+        lakelog.read_snapshot(spark, base)
+        .groupBy((F.col("o_orderkey") % 4).cast("int").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("price") * 100).cast("long").alias("price_cents"),
+        )
+        .withColumn("version", F.lit(stats["version"]).cast("int"))
+        .withColumn(
+            "files_rewritten",
+            F.lit(stats["n_files_rewritten"]).cast("int"),
+        )
+        .orderBy("key_mod")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_delete_rewrite",
+    oracle="""
+    WITH states(version, n_files) AS (
+        VALUES (0, 4), (1, 4), (2, 3)
+    )
+    SELECT s.version, s.n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum
+    FROM states s JOIN orders o
+      ON (s.version = 0)
+         OR (s.version = 1 AND o.o_orderkey % 8 <> 3)
+         OR (s.version = 2 AND o.o_orderkey % 8 <> 3
+             AND o.o_orderkey % 4 <> 0)
+    GROUP BY s.version, s.n_files
+    ORDER BY s.version
+    """,
+)
+def lake_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE (operators/lakelog.py::delete_where), two
+    shapes in one table history: v1 deletes keys %8==3 — a strict
+    subset of one file, so that file is pruned, rewritten with its
+    survivors and swapped (4 files stay 4); v2 deletes keys %4==0 —
+    ALL of fileA, so the file is removed with NO replacement (3
+    files, no empty-file litter). Every version stays time-travel
+    readable; the oracle replays each version's predicate algebra
+    including the active-file count. DELETE cost is O(touched file),
+    proven by construction of the key-clustered layout."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _lake_build_mod4(spark, sf_dir, "lake_delete")
+    lakelog.delete_where(spark, base, F.col("o_orderkey") % 8 == 3)
+    lakelog.delete_where(spark, base, F.col("o_orderkey") % 4 == 0)
+    snaps = []
+    for v in range(3):
+        n_files = len(lakelog.snapshot_files(base, v))
+        snaps.append(
+            lakelog.read_snapshot(spark, base, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(n_files).cast("int").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            )
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    out = out.orderBy("version")
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_vacuum_audit",
+    oracle="""
+    SELECT 2 AS n_dirs_deleted, 3 AS n_dirs_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey % 4 <> 0 AND o_orderkey % 8 <> 3
+    """,
+)
+def lake_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM (operators/lakelog.py::vacuum): after a whole-file
+    DELETE (fileA, removed with no rewrite) and a partial DELETE
+    (fileD → rewritten), the table dir holds 5 data dirs of which the
+    latest snapshot references 3. Vacuum physically reclaims exactly
+    the 2 unreferenced dirs (fileA's deleted bytes and fileD's
+    pre-rewrite original) and the latest snapshot still reads
+    byte-identically — pinned by re-aggregating AFTER the vacuum.
+    Retention-0 semantics (old versions sacrificed) matches the
+    documented Delta VACUUM contract; the log itself survives so
+    DESCRIBE HISTORY metadata is intact."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _lake_build_mod4(spark, sf_dir, "lake_vacuum")
+    lakelog.delete_where(spark, base, F.col("o_orderkey") % 4 == 0)
+    lakelog.delete_where(spark, base, F.col("o_orderkey") % 8 == 3)
+    stats = lakelog.vacuum(base)
+    out = lakelog.read_snapshot(spark, base).agg(
+        F.lit(stats["n_dirs_deleted"]).cast("int").alias("n_dirs_deleted"),
+        F.lit(stats["n_dirs_kept"]).cast("int").alias("n_dirs_kept"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

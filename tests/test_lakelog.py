@@ -50,3 +50,102 @@ def test_remove_unknown_file_is_noop(tmp_path):
     t = str(tmp_path / "tbl")
     lakelog.commit(t, 0, [{"remove": "ghost"}, {"add": "a"}])
     assert [os.path.basename(p) for p in lakelog.snapshot_files(t)] == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write DML
+# ---------------------------------------------------------------------------
+
+
+def _build(spark, tmp_path):
+    """Tiny 2-file table: file 'even' keys {0,2,4,6}, file 'odd'
+    keys {1,3,5,7}, value = key * 10."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(8)], "k long, v long"
+    )
+    df.filter("k % 2 = 0").write.parquet(f"{t}/even")
+    df.filter("k % 2 = 1").write.parquet(f"{t}/odd")
+    lakelog.commit(t, 0, [{"add": "even"}, {"add": "odd"}])
+    return t
+
+
+def _state(spark, t, version=None):
+    return sorted(
+        (r.k, r.v)
+        for r in lakelog.read_snapshot(spark, t, version).collect()
+    )
+
+
+def test_merge_prunes_untouched_files(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    src = spark.createDataFrame([(1, 111), (9, 999)], "k long, v long")
+    stats = lakelog.merge_upsert(spark, t, src, ["k"])
+    # only the 'odd' file contains key 1; 'even' must not be rewritten
+    assert stats["n_files_rewritten"] == 1
+    assert _state(spark, t) == sorted(
+        [(0, 0), (2, 20), (4, 40), (6, 60)]  # even untouched
+        + [(3, 30), (5, 50), (7, 70)]  # odd survivors
+        + [(1, 111), (9, 999)]  # upserted
+    )
+    # v0 still time-travels to the pre-merge state
+    assert _state(spark, t, 0) == [(k, k * 10) for k in range(8)]
+
+
+def test_merge_insert_only_touches_nothing(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    src = spark.createDataFrame([(100, 1), (101, 2)], "k long, v long")
+    stats = lakelog.merge_upsert(spark, t, src, ["k"])
+    assert stats["n_files_rewritten"] == 0
+    assert (100, 1) in _state(spark, t)
+
+
+def test_merge_idempotent_rerun(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    src = spark.createDataFrame([(1, 111)], "k long, v long")
+    lakelog.merge_upsert(spark, t, src, ["k"])
+    first = _state(spark, t)
+    stats = lakelog.merge_upsert(spark, t, src, ["k"])
+    assert _state(spark, t) == first  # same end state, new version
+    assert stats["version"] == 2
+
+
+def test_delete_drops_fully_deleted_file(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _build(spark, tmp_path)
+    stats = lakelog.delete_where(spark, t, F.col("k") % 2 == 0)
+    assert stats["n_files_touched"] == 1
+    assert stats["n_files_rewritten"] == 0  # no empty replacement file
+    assert [os.path.basename(p) for p in lakelog.snapshot_files(t)] == [
+        "odd"
+    ]
+
+
+def test_delete_partial_rewrites_survivors(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _build(spark, tmp_path)
+    lakelog.delete_where(spark, t, F.col("k") == 3)
+    assert _state(spark, t) == [
+        (k, k * 10) for k in range(8) if k != 3
+    ]
+    # the untouched 'even' file is still the active original
+    names = {os.path.basename(p) for p in lakelog.snapshot_files(t)}
+    assert "even" in names and "odd" not in names
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _build(spark, tmp_path)
+    lakelog.delete_where(spark, t, F.col("k") == 3)  # odd → rewritten
+    stats = lakelog.vacuum(t)
+    assert stats == {"n_dirs_deleted": 1, "n_dirs_kept": 2}
+    # latest still reads byte-identically
+    assert _state(spark, t) == [
+        (k, k * 10) for k in range(8) if k != 3
+    ]
+    # pre-vacuum version is gone (retention-0 contract): the old
+    # 'odd' file no longer exists on disk
+    assert not os.path.exists(os.path.join(t, "odd"))
