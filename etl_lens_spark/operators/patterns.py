@@ -1,0 +1,108 @@
+"""Row-sequence pattern matching (MATCH_RECOGNIZE analog).
+
+SQL:2016 MATCH_RECOGNIZE (the Oracle/Flink CEP surface) finds
+per-partition, order-sensitive row patterns like ``PATTERN (DOWN{2,}
+UP{2,})``. Spark has no native operator for this; the faithful
+Spark-first shape is ``applyInPandas`` — partition by the pattern
+keys (one shuffle), sort within the group, label rows vectorized,
+then walk a tiny greedy NFA per group. Matching here implements the
+MATCH_RECOGNIZE defaults: greedy quantifiers, non-overlapping
+matches, AFTER MATCH SKIP PAST LAST ROW.
+
+The reference has nothing in this family (its event analysis is
+filter/sort only, src/main.cpp:1081); this is [N] surface every
+event-analytics engine is asked for (funnels with quantifiers,
+burst/V-shape detection).
+
+Scale posture: one hash shuffle on the keys; per-group work is O(n)
+with vectorized labeling and a Python walk only over label-run
+boundaries' rows. Group state never exceeds one key's rows — at
+100 TB the keys (users, tickers, devices) are many and small, which
+is exactly the applyInPandas sweet spot. For pathological single-key
+streams, pre-split by a time bucket and stitch at bucket borders
+(same recipe as text/pipeline.py segment dedup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Step:
+    """One pattern variable: rows labeled ``name``, repeated
+    greedily between ``min_count`` and ``max_count`` times
+    (``None`` = unbounded, i.e. ``{min,}``)."""
+
+    name: str
+    min_count: int = 1
+    max_count: int | None = None
+
+
+def _find_matches(labels: list, steps: list[Step]):
+    """Greedy non-overlapping scan. Yields, per match, a list of
+    (start_idx, end_idx_exclusive) per step. Empty steps
+    (min_count=0, no rows) yield (pos, pos)."""
+    n = len(labels)
+    pos = 0
+    while pos < n:
+        spans = []
+        cur = pos
+        ok = True
+        for step in steps:
+            take = 0
+            while (
+                cur + take < n
+                and labels[cur + take] == step.name
+                and (step.max_count is None or take < step.max_count)
+            ):
+                take += 1
+            if take < step.min_count:
+                ok = False
+                break
+            spans.append((cur, cur + take))
+            cur += take
+        if ok and cur > pos:
+            yield spans
+            pos = cur  # AFTER MATCH SKIP PAST LAST ROW
+        else:
+            pos += 1
+
+
+def match_pattern(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    classify: Callable[[pd.DataFrame], pd.Series],
+    steps: list[Step],
+    measures: Callable[[pd.DataFrame, list[tuple[int, int]]], dict],
+    output_schema: str,
+) -> DataFrame:
+    """Generic MATCH_RECOGNIZE: partition by ``key_cols``, order by
+    ``order_cols``, label each row via the vectorized ``classify``
+    (returning a Series of step names; anything else breaks runs),
+    match ``steps`` greedily, and emit ``measures(group_pdf, spans)``
+    once per match. ``output_schema`` must start with the key
+    columns."""
+    step_list = list(steps)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        labels = classify(pdf).tolist()
+        keys = {k: pdf[k].iloc[0] for k in key_cols}
+        out = []
+        for spans in _find_matches(labels, step_list):
+            row = dict(keys)
+            row.update(measures(pdf, spans))
+            out.append(row)
+        names = [f.strip().split()[0] for f in output_schema.split(",")]
+        return pd.DataFrame(out, columns=names)
+
+    return df.groupBy(*key_cols).applyInPandas(run, output_schema)

@@ -460,3 +460,171 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_match_recognize_vshape",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+               row_number() OVER w AS rn,
+               CASE WHEN value > lag(value) OVER w THEN 1
+                    WHEN value < lag(value) OVER w THEN -1
+                    WHEN lag(value) OVER w IS NULL THEN NULL
+                    ELSE 0 END AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    isl AS (
+        SELECT user_id, rn, ts_us, value, s,
+               rn - row_number()
+                    OVER (PARTITION BY user_id, s ORDER BY rn) AS grp
+        FROM seq WHERE s IN (-1, 1)
+    ),
+    runs AS (
+        SELECT user_id, s, grp, MIN(rn) AS rn0, MAX(rn) AS rn1,
+               COUNT(*) AS len
+        FROM isl GROUP BY user_id, s, grp
+    )
+    SELECT d.user_id, ps.ts_us AS strt_us, pe.ts_us AS end_us,
+           CAST(d.len AS BIGINT) AS n_down, CAST(u.len AS BIGINT) AS n_up,
+           ps.value AS peak_value, pb.value AS bottom_value,
+           pe.value AS end_value
+    FROM runs d
+    JOIN runs u ON u.user_id = d.user_id AND u.rn0 = d.rn1 + 1
+               AND u.s = 1 AND u.len >= 2
+    JOIN seq ps ON ps.user_id = d.user_id AND ps.rn = d.rn0 - 1
+    JOIN seq pb ON pb.user_id = d.user_id AND pb.rn = d.rn1
+    JOIN seq pe ON pe.user_id = d.user_id AND pe.rn = u.rn1
+    WHERE d.s = -1 AND d.len >= 2
+    ORDER BY d.user_id, strt_us
+    """,
+)
+def events_match_recognize_vshape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MATCH_RECOGNIZE analog (operators/patterns.py): the SQL:2016
+    ticker V-shape — ``PATTERN (STRT DOWN{2,} UP{2,})`` per user over
+    the value series, greedy, AFTER MATCH SKIP PAST LAST ROW, a flat
+    step breaks the run. The Spark side runs the generic NFA operator
+    (one shuffle on user_id, vectorized labeling, O(n) walk); the
+    oracle derives the SAME matches relationally (sign islands +
+    adjacent-run pairing) — two independent formulations of the
+    pattern semantics hash-matched. The reference has no CEP surface;
+    this is [N] event-analytics coverage."""
+    import pandas as pd
+
+    from etl_lens_spark.operators.patterns import Step, match_pattern
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+    def classify(pdf: pd.DataFrame) -> pd.Series:
+        d = pdf["value"].diff()
+        return pd.Series(
+            ["D" if x < 0 else "U" if x > 0 else None for x in d],
+            index=pdf.index,
+            dtype=object,
+        )
+
+    def measures(pdf: pd.DataFrame, spans) -> dict:
+        (d0, d1), (u0, u1) = spans
+        return {
+            "strt_us": int(pdf["ts_us"].iloc[d0 - 1]),
+            "end_us": int(pdf["ts_us"].iloc[u1 - 1]),
+            "n_down": d1 - d0,
+            "n_up": u1 - u0,
+            "peak_value": float(pdf["value"].iloc[d0 - 1]),
+            "bottom_value": float(pdf["value"].iloc[d1 - 1]),
+            "end_value": float(pdf["value"].iloc[u1 - 1]),
+        }
+
+    return match_pattern(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        classify=classify,
+        steps=[Step("D", 2, None), Step("U", 2, None)],
+        measures=measures,
+        output_schema=(
+            "user_id long, strt_us long, end_us long, n_down long, "
+            "n_up long, peak_value double, bottom_value double, "
+            "end_value double"
+        ),
+    ).orderBy("user_id", "strt_us")
+
+
+@query(
+    "events_pattern_error_burst",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    ),
+    err AS (
+        SELECT user_id, rn, ts_us,
+               rn - row_number()
+                    OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM seq WHERE event_type = 'error'
+    ),
+    runs AS (
+        SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_errors
+        FROM err GROUP BY user_id, grp
+    )
+    SELECT user_id, start_us, end_us, n_errors
+    FROM runs WHERE n_errors >= 3
+    ORDER BY user_id, start_us
+    """,
+)
+def events_pattern_error_burst(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Error-burst detection with the same generic pattern operator:
+    ``PATTERN (E{3,})`` where E = consecutive 'error' rows in the
+    user's full event stream (any other event type breaks the run).
+    Greedy matching makes every match a MAXIMAL burst, so the islands
+    oracle (gaps-and-islands on the filtered rows) is exactly
+    equivalent. Alert-shaped output: burst bounds + size."""
+    import pandas as pd
+
+    from etl_lens_spark.operators.patterns import Step, match_pattern
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+
+    def classify(pdf: pd.DataFrame) -> pd.Series:
+        return pdf["event_type"].map(
+            lambda t: "E" if t == "error" else None
+        )
+
+    def measures(pdf: pd.DataFrame, spans) -> dict:
+        ((e0, e1),) = spans
+        return {
+            "start_us": int(pdf["ts_us"].iloc[e0]),
+            "end_us": int(pdf["ts_us"].iloc[e1 - 1]),
+            "n_errors": e1 - e0,
+        }
+
+    return match_pattern(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        classify=classify,
+        steps=[Step("E", 3, None)],
+        measures=measures,
+        output_schema=(
+            "user_id long, start_us long, end_us long, n_errors long"
+        ),
+    ).orderBy("user_id", "start_us")

@@ -1,0 +1,88 @@
+"""MATCH_RECOGNIZE operator: greedy NFA semantics on known
+sequences (quantifier bounds, skip-past-last-row non-overlap,
+optional steps, run-breaking labels)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_lens_spark.operators.patterns import Step, _find_matches, match_pattern
+
+
+def spans(labels, steps):
+    return list(_find_matches(labels, steps))
+
+
+def test_greedy_unbounded_takes_whole_run():
+    labels = ["D", "D", "D", "U", "U"]
+    out = spans(labels, [Step("D", 2), Step("U", 2)])
+    assert out == [[(0, 3), (3, 5)]]
+
+
+def test_min_count_unmet_no_match():
+    assert spans(["D", "U", "U"], [Step("D", 2), Step("U", 2)]) == []
+
+
+def test_max_count_bounds_consumption():
+    # D{2,2} U{1,}: only two of the three Ds are consumed, so the
+    # match must start at index 1 for U to be adjacent
+    out = spans(
+        ["D", "D", "D", "U"], [Step("D", 2, 2), Step("U", 1)]
+    )
+    assert out == [[(1, 3), (3, 4)]]
+
+
+def test_skip_past_last_row_non_overlapping():
+    labels = ["E", "E", "E", "E", "E", "E", None, "E", "E", "E"]
+    out = spans(labels, [Step("E", 3)])
+    # one maximal match per island (greedy eats all six), not sliding
+    assert out == [[(0, 6)], [(7, 10)]]
+
+
+def test_optional_step_zero_rows():
+    # A{1,} B{0,} C{1,} with no Bs present
+    out = spans(["A", "C"], [Step("A", 1), Step("B", 0), Step("C", 1)])
+    assert out == [[(0, 1), (1, 1), (1, 2)]]
+
+
+def test_breaker_label_splits_runs():
+    out = spans(["E", "E", None, "E", "E"], [Step("E", 3)])
+    assert out == []
+
+
+def test_match_pattern_end_to_end(spark):
+    # two users: u1 has a V (10,8,6,7,9); u2 monotonic up (no match)
+    rows = [
+        (1, i, float(v)) for i, v in enumerate([10, 8, 6, 7, 9])
+    ] + [(2, i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "u long, i long, v double")
+
+    def classify(pdf: pd.DataFrame) -> pd.Series:
+        d = pdf["v"].diff()
+        return pd.Series(
+            ["D" if x < 0 else "U" if x > 0 else None for x in d],
+            index=pdf.index,
+            dtype=object,
+        )
+
+    def measures(pdf, sp):
+        (d0, d1), (u0, u1) = sp
+        return {
+            "strt_i": int(pdf["i"].iloc[d0 - 1]),
+            "end_i": int(pdf["i"].iloc[u1 - 1]),
+            "n_down": d1 - d0,
+            "n_up": u1 - u0,
+        }
+
+    out = match_pattern(
+        df,
+        ["u"],
+        ["i"],
+        classify,
+        [Step("D", 2), Step("U", 2)],
+        measures,
+        "u long, strt_i long, end_i long, n_down long, n_up long",
+    ).collect()
+    assert [(r.u, r.strt_i, r.end_i, r.n_down, r.n_up) for r in out] == [
+        (1, 0, 4, 2, 2)
+    ]
