@@ -84,6 +84,7 @@ def _load() -> None:
         npipe2,
         npipe3,
         npipe4,
+        npipe5,
         quality_q,
         quant_q,
         rel,

@@ -1,0 +1,271 @@
+"""Training-data curation, tranche 3: importance resampling (DSIR),
+HTML boilerplate extraction, and compression-ratio quality signals.
+
+All three are standard LLM-corpus steps published in the open
+literature (DSIR: Xie et al. 2023 "Data Selection for Language Models
+via Importance Resampling"; boilerplate stripping: C4/RefinedWeb;
+compression ratio: Gopher quality heuristics). Everything here stays
+JVM-side except the zlib pass, which is one Arrow-batched
+``mapInPandas`` over stdlib zlib.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+_N_BUCKETS = 256
+_RATIO_SCALE = 1_000_000
+
+
+def _md5_bucket(col, n=_N_BUCKETS):
+    """First 6 hex chars of md5 as int, mod n — the repo's standard
+    cross-engine hash bucket (operators/sampling.py idiom)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 6), 16, 10)
+        .cast("long")
+        % n
+    )
+
+
+@query(
+    "curate_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id, source, token,
+               ('0x' || substring(md5(token), 1, 6))::BIGINT
+                   % {_N_BUCKETS} AS b
+        FROM toks WHERE token <> ''
+    ),
+    stats AS (
+        SELECT b, COUNT(*) AS r,
+               COUNT(*) FILTER (WHERE source = 'src0') AS t
+        FROM tk GROUP BY b
+    ),
+    ratios AS (
+        SELECT b, (t + 1) * {_RATIO_SCALE} // (r + 1) AS ratio
+        FROM stats
+    ),
+    scored AS (
+        SELECT tk.doc_id, tk.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(ratio) AS BIGINT) AS score
+        FROM tk JOIN ratios USING (b)
+        GROUP BY tk.doc_id, tk.source
+    )
+    SELECT doc_id, source, n_tokens, score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 200
+    """,
+)
+def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023): estimate
+    hashed-unigram distributions for a TARGET slice (source='src0')
+    and the RAW corpus, score every document by its summed
+    target/raw importance ratio, keep the top 200. The published
+    method uses log-ratios; this uses the monotone integer ratio
+    ``(t+1)*1e6 div (r+1)`` so both engines compute bit-identical
+    scores (cross-engine ``ln`` low-bit drift can't flip a rank).
+
+    Scale: ONE token-bucket aggregation (256 groups, map-side
+    combine), ratios broadcast back (256 rows), ONE doc aggregation,
+    top-k via TakeOrdered — no global sort, text never shuffles.
+    At 100 TB this is two linear passes and a broadcast, the same
+    shape the DSIR paper runs over the Pile."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn("b", _md5_bucket(F.col("token")))
+    )
+    stats = tk.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count_if(F.col("source") == "src0").alias("t"),
+    )
+    ratios = stats.select(
+        "b",
+        F.expr(f"(t + 1) * {_RATIO_SCALE} div (r + 1)").alias("ratio"),
+    )
+    scored = (
+        tk.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ratio").cast("long").alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    ).limit(200)
+
+
+@query(
+    "text_html_extract",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title><script type="text/javascript">var x='
+               || CAST(doc_id AS VARCHAR) || ';\nlog(x);</script>'
+               || '<style>p { color: red; }</style></head><body>'
+               || '<nav><a href="/home">home</a> <a href="/about">'
+               || 'about</a></nav><p>'
+               || replace(text, ' the ', ' the<br> ')
+               || '</p><div class="footer">&copy; 2024 Example '
+               || '&amp; Co. &lt;hq&gt;</div></body></html>' AS html
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(html, '<a href'))
+                    AS BIGINT) AS n_links,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '(?s)<script.*?</script>', ' ', 'g'),
+                     '(?s)<style.*?</style>', ' ', 'g'),
+                   '(?s)<nav.*?</nav>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g') AS no_tags
+        FROM raw
+    ),
+    clean AS (
+        SELECT doc_id, n_links,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(no_tags,
+                       '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&copy;', '(c)'),
+                   '\\s+', ' ', 'g')) AS body_text
+        FROM stripped
+    )
+    SELECT doc_id, n_links,
+           CAST(length(body_text) AS BIGINT) AS extracted_len,
+           md5(body_text) AS body_md5
+    FROM clean ORDER BY doc_id
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (the C4/RefinedWeb web-pipeline
+    step): strip <script>/<style> blocks, navigation chrome, all
+    remaining tags; decode the common entities; collapse whitespace.
+    The HTML is synthesized deterministically from ``documents`` in
+    BOTH engines (the pii_redact_audit pattern — same dirty input
+    built twice), with tags injected mid-text so inline stripping is
+    exercised, and the md5 of every extracted body is hash-matched —
+    byte-level parity, not just lengths.
+
+    Scale: pure JVM regexp chain, zero Python, zero shuffle — a
+    100 TB HTML crawl runs this at scan speed with full codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var x='),
+        F.col("doc_id").cast("string"),
+        F.lit(";\nlog(x);</script>"),
+        F.lit("<style>p { color: red; }</style></head><body>"),
+        F.lit('<nav><a href="/home">home</a> <a href="/about">'),
+        F.lit("about</a></nav><p>"),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" the<br> ")),
+        F.lit('</p><div class="footer">&copy; 2024 Example '),
+        F.lit("&amp; Co. &lt;hq&gt;</div></body></html>"),
+    )
+    no_tags = html
+    for pat in (
+        "(?s)<script.*?</script>",
+        "(?s)<style.*?</style>",
+        "(?s)<nav.*?</nav>",
+        "<[^>]+>",
+    ):
+        no_tags = F.regexp_replace(no_tags, pat, " ")
+    body = no_tags
+    for ent, rep in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&copy;", "(c)"),
+    ):
+        body = F.replace(body, F.lit(ent), F.lit(rep))
+    body = F.trim(F.regexp_replace(body, r"\s+", " "))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(html, F.lit("<a href"), 0))
+            .cast("long")
+            .alias("n_links"),
+            body.alias("body_text"),
+        )
+        .select(
+            "doc_id",
+            "n_links",
+            F.length("body_text").cast("long").alias("extracted_len"),
+            F.md5(F.col("body_text").cast("binary")).alias("body_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("text_compression_signals", oracle=None)
+def text_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Gopher-family heuristic:
+    highly compressible text is boilerplate/repetition; nearly
+    incompressible is noise/encoded junk). One Arrow-batched
+    ``mapInPandas`` pass runs stdlib ``zlib`` level-6 per document —
+    deterministic bytes-in/bytes-out, pinned exactly in
+    tests/test_npipe5.py against direct zlib — then a per-source
+    rollup: corpus bytes, compressed bytes, and counts beyond the
+    repetitive/incompressible thresholds (ratio in per-myriad integer
+    arithmetic). Rows-only by design: no SQL engine exposes zlib.
+
+    Scale: zero shuffle before the 5-group aggregate; zlib throughput
+    ~100 MB/s/core makes this compute-bound and embarrassingly
+    parallel — exactly what executor-side mapInPandas distributes."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "raw_len": raw.str.len(),
+                    "comp_len": [
+                        len(zlib.compress(b, 6)) for b in raw
+                    ],
+                }
+            )
+
+    per_doc = docs.mapInPandas(
+        comp, "doc_id long, source string, raw_len long, comp_len long"
+    )
+    ratio = (F.col("comp_len") * 10000).cast("long") / F.col("raw_len")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_len").cast("long").alias("raw_bytes"),
+            F.sum("comp_len").cast("long").alias("comp_bytes"),
+            F.count_if(ratio < 3000).alias("n_repetitive"),
+            F.count_if(ratio > 9000).alias("n_incompressible"),
+        )
+        .orderBy("source")
+    )
