@@ -533,3 +533,119 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.orderBy("node")
+
+
+@query(
+    "graph_shortest_path_weighted",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               COUNT(*) AS cnt
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst, 1 + cnt % 7 AS w
+        FROM base
+        WHERE ('0x' || substring(md5(
+                  CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)
+              ), 1, 8))::BIGINT % 100 < 30
+    ),
+    walk AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+               0 AS depth
+        UNION ALL
+        SELECT e.dst, wk.dist + e.w, wk.depth + 1
+        FROM walk wk JOIN edges e ON e.src = wk.node
+        WHERE wk.depth < 4
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def graph_shortest_path_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted shortest path (bounded Bellman-Ford), completing the
+    graph family next to BFS hops (unweighted), closure, CC, and
+    PageRank: nation-level trade edges (weight = 1 + volume mod 7,
+    hash-sparsified to ~30% so the graph isn't complete), distances
+    from nation 0 using at most 4 hops. Spark runs 4 relaxation
+    rounds — per round ONE frontier⋈edges equi-join and a min-groupBy,
+    lineage truncated — which computes min-over-walks exactly; the
+    oracle lets DuckDB's recursive CTE enumerate every bounded walk
+    and take the MIN. Integer weights keep both engines exact.
+
+    Scale: relaxation state is (node, dist) — O(V) rows, never paths;
+    each round is an equi-join co-partitioned on the node key. The
+    walk-enumeration form the oracle uses would explode at scale;
+    the relaxation form is the distributed one (Pregel's SSSP)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("src").cast("string"),
+                        F.lit("_"),
+                        F.col("dst").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < 30
+    )
+    edges = (
+        base.filter(keep)
+        .select(
+            "src", "dst", (F.lit(1) + F.col("cnt") % 7).alias("w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node long, dist long")
+    for _ in range(4):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        "node", F.col("dist").cast("long").alias("dist")
+    ).orderBy("node")
