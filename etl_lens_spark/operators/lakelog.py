@@ -226,6 +226,81 @@ def delete_where(
     }
 
 
+# ---------------------------------------------------------------------------
+# Per-file column stats + data skipping (Delta-style file pruning)
+#
+# An add action may carry {"stats": {col: [min, max]}}. A pruned read
+# intersects the predicate range with each file's stats BEFORE Spark
+# ever lists the files — the log-level analog of parquet row-group
+# skipping, and the mechanism that makes a point query on a 100 TB
+# log-structured table open O(matching files), not O(all files).
+# Files without stats are kept (conservative), so stats are an
+# optimization, never a correctness dependency.
+# ---------------------------------------------------------------------------
+
+
+def file_stats(spark: SparkSession, path: str, cols: list[str]) -> dict:
+    """Genuine min/max per column collected from the written file
+    (one tiny agg job; in production this rides the writer)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in cols}
+
+
+def snapshot_actions(
+    table_dir: str, version: int | None = None
+) -> dict[str, dict]:
+    """Active file set with each file's add-action metadata (stats)."""
+    if version is None:
+        version = latest_version(table_dir)
+    active: dict[str, dict] = {}
+    for v in range(version + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"missing commit {v} (log has a hole)")
+        with open(path) as f:
+            for action in json.load(f):
+                if "add" in action:
+                    active[action["add"]] = action
+                elif "remove" in action:
+                    active.pop(action["remove"], None)
+    return active
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose ``col`` [min, max] intersects
+    [lo, hi] (missing stats → conservatively kept). Returns
+    ``(df, n_files_total, n_files_scanned)``. The caller still
+    applies the row-level predicate — pruning is file-granular."""
+    active = snapshot_actions(table_dir, version)
+    kept = []
+    for rel, action in active.items():
+        stats = action.get("stats", {}).get(col)
+        if stats is not None:
+            mn, mx = stats
+            if mn is not None and mx is not None and (mx < lo or mn > hi):
+                continue
+        kept.append(rel)
+    if not kept:
+        raise ValueError("predicate prunes every file")
+    df = spark.read.parquet(
+        *(os.path.join(table_dir, r) for r in kept)
+    )
+    return df, len(active), len(kept)
+
+
 def vacuum(table_dir: str) -> dict:
     """Physically delete data directories no longer referenced by the
     LATEST snapshot (Delta VACUUM with retention 0 — time travel to

@@ -1099,3 +1099,72 @@ def lake_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_stats_skipping",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT 4 AS n_files_total, 1 AS n_files_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS price_cents
+    FROM orders o, m
+    WHERE o.o_orderkey BETWEEN m.mx // 8 AND m.mx // 4 - 1
+    """,
+)
+def lake_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping through the transaction log: add actions carry
+    GENUINE per-file min/max stats (collected from the written
+    bytes, lakelog.file_stats), and a range predicate prunes the
+    file list BEFORE Spark ever plans the scan
+    (lakelog.read_snapshot_pruned). The table is range-clustered
+    into 4 key-quartile files; the predicate covers half of one
+    quartile, so exactly ONE file is opened — pinned by the
+    n_files_scanned column — and the row-level results still
+    hash-match the whole-table oracle slice. This is the log-level
+    analog of parquet row-group skipping: a point query on a 100 TB
+    log-structured table opens O(matching files), not O(files)."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    base = sinks.scratch_path("lake_skip")
+    shutil.rmtree(base, ignore_errors=True)
+    q = mx // 4
+    bounds = [(0, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, mx + 1)]
+    actions = []
+    for i, (lo, hi) in enumerate(bounds):
+        rel = f"range{i}"
+        orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).write.mode("overwrite").parquet(f"{base}/{rel}")
+        actions.append(
+            {
+                "add": rel,
+                "stats": lakelog.file_stats(
+                    spark, f"{base}/{rel}", ["o_orderkey"]
+                ),
+            }
+        )
+    lakelog.commit(base, 0, actions)
+    lo, hi = mx // 8, mx // 4 - 1
+    df, n_total, n_scanned = lakelog.read_snapshot_pruned(
+        spark, base, "o_orderkey", lo, hi
+    )
+    out = df.filter(F.col("o_orderkey").between(lo, hi)).agg(
+        F.lit(n_total).cast("int").alias("n_files_total"),
+        F.lit(n_scanned).cast("int").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.col("price") * 100).cast("long").alias("price_cents"),
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -149,3 +149,46 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     # pre-vacuum version is gone (retention-0 contract): the old
     # 'odd' file no longer exists on disk
     assert not os.path.exists(os.path.join(t, "odd"))
+
+
+def test_stats_pruning_straddle_and_conservative(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    for i, (lo, hi) in enumerate([(0, 25), (25, 50), (50, 75), (75, 100)]):
+        p = f"{t}/r{i}"
+        df.filter(f"k >= {lo} and k < {hi}").write.parquet(p)
+    # r3 committed WITHOUT stats → must always be scanned
+    actions = [
+        {
+            "add": f"r{i}",
+            "stats": lakelog.file_stats(spark, f"{t}/r{i}", ["k"]),
+        }
+        for i in range(3)
+    ] + [{"add": "r3"}]
+    lakelog.commit(t, 0, actions)
+    # predicate straddling r0/r1 scans those two plus stats-less r3
+    got, n_total, n_scanned = lakelog.read_snapshot_pruned(
+        spark, t, "k", 20, 30
+    )
+    assert (n_total, n_scanned) == (4, 3)
+    assert sorted(
+        r.k for r in got.filter("k between 20 and 30").collect()
+    ) == list(range(20, 31))
+    # point predicate inside r1 scans r1 + r3 only
+    _, _, n2 = lakelog.read_snapshot_pruned(spark, t, "k", 30, 40)
+    assert n2 == 2
+
+
+def test_stats_pruning_all_pruned_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    df.write.parquet(f"{t}/a")
+    lakelog.commit(
+        t,
+        0,
+        [{"add": "a", "stats": lakelog.file_stats(spark, f"{t}/a", ["k"])}],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prunes every file"):
+        lakelog.read_snapshot_pruned(spark, t, "k", 1000, 2000)
