@@ -683,3 +683,58 @@ def streaming_checkpoint_restart_live(
     for d in (src, table, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, agg.schema)
+
+
+@query(
+    "streaming_pattern_burst_live",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    ),
+    err AS (
+        SELECT user_id, rn,
+               rn - row_number()
+                    OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        FROM seq WHERE event_type = 'error'
+    ),
+    runs AS (
+        SELECT user_id, COUNT(*) AS len FROM err GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE len >= 3) AS BIGINT)
+               AS n_bursts,
+           CAST(COALESCE(SUM(len) FILTER (WHERE len >= 3), 0)
+                AS BIGINT) AS n_burst_events,
+           CAST(MAX(len) AS BIGINT) AS longest
+    FROM runs GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE len >= 3) >= 1
+    ORDER BY user_id
+    """,
+)
+def streaming_pattern_burst_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Live CEP (streaming twin of the batch MATCH_RECOGNIZE
+    error-burst query): ``applyInPandasWithState`` carries the open
+    error run across micro-batch boundaries, so a burst split across
+    batches is still ONE maximal run — the property a
+    per-batch-window implementation gets wrong. Final replayed state
+    per user (burst count, burst events, longest run) must equal the
+    batch gaps-and-islands oracle including trailing unclosed
+    bursts."""
+    stream = so.burst_stateful(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_burst", output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_bursts").alias("n_bursts"),
+            F.max("n_burst_events").alias("n_burst_events"),
+            F.max("longest").alias("longest"),
+        )
+        .filter(F.col("n_bursts") >= 1)
+        .orderBy("user_id")
+    )

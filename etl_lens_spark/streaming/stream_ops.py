@@ -387,6 +387,65 @@ def debounce_stateful(
     )
 
 
+def burst_stateful(events: DataFrame, min_len: int = 3) -> DataFrame:
+    """Streaming CEP: per-user maximal-run detection of consecutive
+    'error' events (the live twin of the batch MATCH_RECOGNIZE
+    ``PATTERN (E{min_len,})`` query, operators/patterns.py). State is
+    the open run (length) plus closed-burst aggregates — O(1) per
+    key; a run crossing a micro-batch boundary is carried open in the
+    state store, and each emission counts the open run AS IF closed
+    so the final update-mode value equals the batch islands
+    semantics (trailing bursts included). All emitted measures are
+    monotone across batches, so the memory-sink max is the final
+    state. Rows are processed in (ts, event_id) order within each
+    batch; across batches file-arrival order stands in for event
+    order (same contract as debounce_stateful)."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            open_len, closed, closed_ev, longest = state.get
+        else:
+            open_len, closed, closed_ev, longest = 0, 0, 0, 0
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"])
+        for et in rows["event_type"]:
+            if et == "error":
+                open_len += 1
+                longest = max(longest, open_len)
+            else:
+                if open_len >= min_len:
+                    closed += 1
+                    closed_ev += open_len
+                open_len = 0
+        state.update((open_len, closed, closed_ev, longest))
+        incl = 1 if open_len >= min_len else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_bursts": [closed + incl],
+                "n_burst_events": [
+                    closed_ev + (open_len if incl else 0)
+                ],
+                "longest": [longest],
+            }
+        )
+
+    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_bursts long, n_burst_events long, "
+            "longest long"
+        ),
+        stateStructType=(
+            "open_len long, closed long, closed_ev long, longest long"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crafted multi-file replay that PROVES watermark late-data drop
     (not just declares it). Three files, strictly mtime-ordered and

@@ -124,3 +124,83 @@ def test_stateful_totals_across_multiple_microbatches(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_burst_carries_across_microbatch_boundary(spark):
+    """A burst split across two micro-batches must count as ONE
+    maximal run (2 errors in batch 1 + 1 error in batch 2 = one
+    burst of 3), and a trailing never-closed run must still be
+    counted — the two properties the islands oracle encodes."""
+    import os
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.sources.sinks import scratch_path
+    from etl_lens_spark.streaming import stream_ops as so
+
+    src = scratch_path(f"burst_split_{uuid.uuid4().hex[:8]}")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(rows, name):
+        # the file stream source does not recurse into subdirs:
+        # write to a staging dir, then move the part file up as a
+        # single top-level parquet file
+        import glob
+        import shutil
+
+        stage = f"{src}/_stage_{name}"
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{name}.parquet")
+        shutil.rmtree(stage)
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, user, typ):
+        return (i, t0 + datetime.timedelta(seconds=i), user, typ, 1.0, "{}")
+
+    # batch 1: user 1 opens a run of 2
+    write_file([ev(1, 1, "error"), ev(2, 1, "error")], "f1")
+    time.sleep(1.1)  # distinct mtime so file order is deterministic
+    # batch 2: user 1 extends to 3 then closes; user 2 trailing open run
+    write_file(
+        [
+            ev(3, 1, "error"),
+            ev(4, 1, "click"),
+            ev(5, 2, "error"),
+            ev(6, 2, "error"),
+            ev(7, 2, "error"),
+        ],
+        "f2",
+    )
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    stream = so.burst_stateful(raw)
+    out = so.run_to_memory(stream, "t_burst_split", output_mode="update")
+    final = {
+        r.user_id: r
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_bursts").alias("n_bursts"),
+            F.max("longest").alias("longest"),
+        )
+        .collect()
+    }
+    assert final[1].n_bursts == 1 and final[1].longest == 3
+    assert final[2].n_bursts == 1 and final[2].longest == 3
