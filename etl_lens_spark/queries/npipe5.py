@@ -269,3 +269,88 @@ def text_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+    WITH dirty AS (
+        SELECT doc_id,
+               replace(replace(text, 'e', 'e' || chr(769)),
+                       'w', 'w' || chr(7)) AS d
+        FROM documents
+    ),
+    cleaned AS (
+        SELECT doc_id, d,
+               nfc_normalize(
+                   regexp_replace(
+                       d, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'
+                   )
+               ) AS norm
+        FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(d) AS BIGINT) AS dirty_len,
+           CAST(length(norm) AS BIGINT) AS norm_len,
+           md5(norm) AS norm_md5
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleanup (the normalize step of every multilingual
+    corpus pipeline): strip C0 control characters (keeping tab/
+    newline), then NFC-normalize combining sequences. Dirty input is
+    synthesized identically in both engines (combining acute U+0301
+    after every 'e', a BEL control after every 'w'); Spark strips
+    controls JVM-side and runs NFC through one Arrow-batched
+    ``mapInPandas`` over stdlib ``unicodedata``, DuckDB uses its
+    native ``nfc_normalize`` — two independent Unicode
+    implementations hash-matched at byte level per document.
+
+    Scale: the control strip and all counting/hashing stay in
+    codegen; only the NFC pass is Python, zero-shuffle, and in a real
+    pipeline runs fused with the other per-doc UDF passes."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.replace(
+        F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")),
+        F.lit("w"),
+        F.lit("w\x07"),
+    )
+    cleaned = F.regexp_replace(
+        dirty, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", ""
+    )
+    staged = docs.select(
+        "doc_id",
+        F.length(dirty).cast("long").alias("dirty_len"),
+        cleaned.alias("cleaned"),
+    )
+
+    def norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dirty_len": pdf["dirty_len"],
+                    "norm": [
+                        unicodedata.normalize("NFC", s)
+                        for s in pdf["cleaned"]
+                    ],
+                }
+            )
+
+    return (
+        staged.mapInPandas(
+            norm, "doc_id long, dirty_len long, norm string"
+        )
+        .select(
+            "doc_id",
+            "dirty_len",
+            F.length("norm").cast("long").alias("norm_len"),
+            F.md5(F.col("norm").cast("binary")).alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
