@@ -585,3 +585,136 @@ def ulaw_decode(codes: np.ndarray) -> np.ndarray:
     mant = u & 0x0F
     mag = ((mant * 8 + _ULAW_BIAS) << exp) - _ULAW_BIAS
     return np.where(sign, -mag, mag).astype(np.int16)
+
+
+# ------------------------------------------------------------------
+# TIFF (baseline: uncompressed RGB, chunky, strip-organized)
+#
+# The real container grammar: byte-order mark (II/MM), IFD entry
+# table with typed tag values stored INLINE when they fit in 4 bytes
+# and behind an offset otherwise, and pixel data split across
+# multiple strips that the reader must reassemble. Public spec:
+# TIFF 6.0 (Adobe, 1992).
+# ------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def encode_tiff(arr: np.ndarray, rows_per_strip: int = 2) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed
+    little-endian baseline TIFF, split into multiple strips
+    (``rows_per_strip`` rows each) so decoders must do genuine strip
+    reassembly, with the BitsPerSample and strip arrays stored
+    behind offsets (the >4-byte rule)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_tiff expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    strips = [
+        arr[y : y + rows_per_strip].tobytes()
+        for y in range(0, h, rows_per_strip)
+    ]
+    # layout: header(8) | strip data | external arrays | IFD
+    off = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+    bits_off = off
+    off += 6  # 3 SHORTs
+    n = len(strips)
+    if n > 1:
+        so_off = off
+        off += 4 * n
+        sc_off = off
+        off += 4 * n
+    ifd_off = off
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI", tag, typ, count) + value
+
+    def inline(fmt, v):
+        b = struct.pack(fmt, v)
+        return b + b"\x00" * (4 - len(b))
+
+    entries = [
+        entry(256, 4, 1, struct.pack("<I", w)),
+        entry(257, 4, 1, struct.pack("<I", h)),
+        entry(258, 3, 3, struct.pack("<I", bits_off)),
+        entry(259, 3, 1, inline("<H", 1)),  # uncompressed
+        entry(262, 3, 1, inline("<H", 2)),  # RGB
+        entry(
+            273,
+            4,
+            n,
+            struct.pack("<I", strip_offsets[0] if n == 1 else so_off),
+        ),
+        entry(277, 3, 1, inline("<H", 3)),
+        entry(278, 4, 1, struct.pack("<I", rows_per_strip)),
+        entry(
+            279,
+            4,
+            n,
+            struct.pack("<I", len(strips[0]) if n == 1 else sc_off),
+        ),
+        entry(284, 3, 1, inline("<H", 1)),  # chunky
+    ]
+    out = [struct.pack("<2sHI", b"II", 42, ifd_off)]
+    out += strips
+    out.append(struct.pack("<3H", 8, 8, 8))
+    if n > 1:
+        out.append(struct.pack(f"<{n}I", *strip_offsets))
+        out.append(struct.pack(f"<{n}I", *(len(s) for s in strips)))
+    out.append(struct.pack("<H", len(entries)))
+    out += entries
+    out.append(struct.pack("<I", 0))  # no next IFD
+    return b"".join(out)
+
+
+def decode_tiff(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a baseline uncompressed chunky RGB TIFF to
+    ((h, w, 3) uint8, n_strips). Handles both byte orders, SHORT and
+    LONG tag types, inline vs offset-stored values, and multi-strip
+    reassembly; rejects compressed/planar/non-8-bit files."""
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(e + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", data, base)
+        if typ not in _TIFF_TYPE_SIZE:
+            continue  # RATIONAL etc. — not needed for baseline decode
+        size = _TIFF_TYPE_SIZE[typ] * count
+        if size <= 4:
+            voff = base + 8
+        else:
+            (voff,) = struct.unpack_from(e + "I", data, base + 8)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(
+            struct.unpack_from(e + str(count) + fmt, data, voff)
+        )
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1:
+        raise ValueError("only uncompressed TIFF supported")
+    if tags.get(284, [1])[0] != 1:
+        raise ValueError("only chunky TIFF supported")
+    if tags.get(277, [1])[0] != 3 or tags.get(258, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("only 8-bit RGB TIFF supported")
+    offsets = tags[273]
+    counts = tags[279]
+    raw = b"".join(
+        bytes(data[o : o + c]) for o, c in zip(offsets, counts)
+    )
+    if len(raw) < w * h * 3:
+        raise ValueError("truncated TIFF strips")
+    arr = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3).reshape(
+        h, w, 3
+    )
+    return arr.copy(), len(offsets)

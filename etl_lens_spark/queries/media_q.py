@@ -1269,3 +1269,111 @@ def mm_real_gif_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_decode_gif_batches, _GIF_OUT).orderBy(
         "doc_id"
     )
+
+
+_TIFF_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_strips", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("pixel_checksum", T.LongType()),
+    ]
+)
+
+
+def _synth_tiff_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 2 + d % 9, 2 + d % 7
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            arr = ((3 * x + 5 * y + 7 * c + d) % 256).astype("uint8")
+            payloads.append(codecs.encode_tiff(arr, rows_per_strip=2))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_tiff_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr, n_strips = codecs.decode_tiff(bytes(payload))
+            h, w = arr.shape[:2]
+            px = arr.astype(np.int64)
+            checksum = int(
+                (px[:, :, 0] + 2 * px[:, :, 1] + 3 * px[:, :, 2]).sum()
+            )
+            rows.append(
+                (int(d), w, h, n_strips, codecs.mean_luma(arr), checksum)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_strips",
+                "mean_luma",
+                "pixel_checksum",
+            ],
+        )
+
+
+@query(
+    "mm_real_tiff_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 9 AS w, 2 + doc_id % 7 AS h
+      FROM documents
+    ),
+    xs AS (SELECT unnest(range(0, 11)) AS x),
+    ys AS (SELECT unnest(range(0, 9)) AS y),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (3 * x.x + 5 * y.y + d.doc_id) % 256 AS r,
+             (3 * x.x + 5 * y.y + 7 + d.doc_id) % 256 AS g,
+             (3 * x.x + 5 * y.y + 14 + d.doc_id) % 256 AS b
+      FROM dims d JOIN xs x ON x.x < d.w JOIN ys y ON y.y < d.h
+    ),
+    stats AS (
+      SELECT doc_id,
+             AVG(0.299 * r + 0.587 * g + 0.114 * b) AS mean_luma,
+             CAST(SUM(r + 2 * g + 3 * b) AS BIGINT) AS pixel_checksum
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST((d.h + 1) // 2 AS INT) AS n_strips,
+           s.mean_luma, s.pixel_checksum
+    FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF decode pipeline (sixth real codec): genuine
+    multi-strip little-endian baseline TIFFs — IFD entry table,
+    typed tag values inline-or-behind-offset, strip reassembly at
+    2 rows per strip — synthesized, encoded, and decoded through
+    chained no-shuffle mapInPandas stages. The decoder is
+    cross-validated BOTH directions against the JDK's production
+    ImageIO TIFF coder (tests/test_codecs_jdk.py); here the oracle
+    recomputes every statistic arithmetically from the pixel
+    formula, with n_strips pinning the strip math and the
+    channel-asymmetric checksum pinning sample order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_tiff_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_tiff_batches, _TIFF_OUT).orderBy(
+        "doc_id"
+    )

@@ -82,3 +82,34 @@ def test_our_jpeg_gray_decodes_closely_in_jdk(spark, tmp_path):
     )
     assert got.shape == ours.shape
     assert int(np.abs(got - ours).max()) <= 2
+
+
+def test_our_tiff_decodes_identically_in_jdk(spark, tmp_path):
+    """TIFF is lossless: the JDK's production TIFF reader must
+    reproduce our multi-strip little-endian bitstream exactly."""
+    rng = np.random.default_rng(29)
+    arr = rng.integers(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    p = str(tmp_path / "ours.tiff")
+    with open(p, "wb") as f:
+        f.write(codecs.encode_tiff(arr, rows_per_strip=2))
+    got = _jdk_read(spark, p)
+    assert (got == arr.astype(np.int64)).all()
+
+
+def test_jdk_tiff_decodes_identically_in_ours(spark, tmp_path):
+    jvm = spark._jvm
+    w, h = 12, 7
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    rng = np.random.default_rng(31)
+    want = np.zeros((h, w, 3), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in rng.integers(0, 256, size=3))
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            want[y, x] = [r, g, b]
+    p = str(tmp_path / "jdk.tiff")
+    assert jvm.javax.imageio.ImageIO.write(img, "tiff", jvm.java.io.File(p))
+    arr, _n = codecs.decode_tiff(open(p, "rb").read())
+    assert (arr.astype(np.int64) == want).all()
