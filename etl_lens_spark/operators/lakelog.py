@@ -301,6 +301,49 @@ def read_snapshot_pruned(
     return df, len(active), len(kept)
 
 
+def optimize_compact(
+    spark: SparkSession,
+    table_dir: str,
+    max_small_rows: int | None = None,
+) -> dict:
+    """OPTIMIZE: rewrite the current snapshot's small files into one
+    compacted file and commit the swap — bin-packing maintenance for
+    the small-file problem streaming sinks create (one file per
+    micro-batch). Data is byte-identical before/after; only layout
+    changes. With ``max_small_rows`` set, files larger than that stay
+    untouched (compact only the long tail, the Delta OPTIMIZE
+    contract). Readers keep snapshot isolation throughout: they
+    either see the pre- or post-compaction version, never a mix."""
+    active = snapshot_actions(table_dir)
+    if max_small_rows is None:
+        small = list(active)
+    else:
+        small = []
+        for rel in active:
+            n = (
+                spark.read.parquet(os.path.join(table_dir, rel))
+                .count()
+            )
+            if n <= max_small_rows:
+                small.append(rel)
+    if len(small) < 2:
+        return {"n_files_compacted": 0, "version": latest_version(table_dir)}
+    version = _next_version(table_dir)
+    rel = f"compact_{version:08d}"
+    df = spark.read.parquet(
+        *(os.path.join(table_dir, r) for r in small)
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(table_dir, rel)
+    )
+    commit(
+        table_dir,
+        version,
+        [{"remove": r} for r in small] + [{"add": rel}],
+    )
+    return {"n_files_compacted": len(small), "version": version}
+
+
 def vacuum(table_dir: str) -> dict:
     """Physically delete data directories no longer referenced by the
     LATEST snapshot (Delta VACUUM with retention 0 — time travel to

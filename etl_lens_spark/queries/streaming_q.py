@@ -738,3 +738,107 @@ def streaming_pattern_burst_live(
         .filter(F.col("n_bursts") >= 1)
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_lake_merge_live",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, epoch_us(ts) AS ts_us,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    latest AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT event_type AS last_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value,
+           CAST(MAX(ts_us) AS BIGINT) AS max_us,
+           1 AS n_files_final
+    FROM latest GROUP BY event_type ORDER BY last_type
+    """,
+)
+def streaming_lake_merge_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-style DML sink: every micro-batch UPSERTS its
+    per-user latest event into a lakehouse table via copy-on-write
+    MERGE (operators/lakelog.py::merge_upsert — replace-by-key is
+    idempotent under Spark's batch replay, so exactly-once state
+    without batch_id bookkeeping), then OPTIMIZE compacts the
+    micro-batch file litter into one file, and the final table is
+    read back THROUGH the log. The oracle computes each user's
+    global latest event relationally; a hash-match proves merge
+    semantics across every batch boundary AND that compaction
+    changed layout, not data (n_files_final pins it)."""
+    import shutil
+    import uuid
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources import sinks
+    from etl_lens_spark.streaming import stream_ops as so
+
+    table = sinks.scratch_path(f"lake_merge_stream_{uuid.uuid4().hex[:8]}")
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("ts_us", "event_id", "event_type", "value")
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.ts_us").alias("last_us"),
+                F.col("s.event_type").alias("last_type"),
+                F.col("s.value").alias("last_value"),
+            )
+        )
+        if lakelog.latest_version(table) < 0:
+            rel = f"batch_{batch_id:05d}"
+            latest.write.mode("overwrite").parquet(f"{table}/{rel}")
+            try:
+                lakelog.commit(table, 0, [{"add": rel}])
+            except lakelog.CommitConflict:
+                pass
+        else:
+            lakelog.merge_upsert(
+                batch_df.sparkSession, table, latest, ["user_id"]
+            )
+
+    stream = (
+        so.events_stream(spark, sf_dir)
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .select("user_id", "ts_us", "event_id", "event_type", "value")
+    )
+    ckpt = sinks.scratch_path(f"lake_merge_ckpt_{uuid.uuid4().hex[:8]}")
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    lakelog.optimize_compact(spark, table)
+    n_files = len(lakelog.snapshot_files(table))
+    out = (
+        lakelog.read_snapshot(spark, table)
+        .groupBy("last_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("last_value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.max("last_us").cast("long").alias("max_us"),
+        )
+        .withColumn("n_files_final", F.lit(n_files).cast("int"))
+        .orderBy("last_type")
+    )
+    rows = out.collect()
+    for d in (table, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -192,3 +192,34 @@ def test_stats_pruning_all_pruned_raises(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="prunes every file"):
         lakelog.read_snapshot_pruned(spark, t, "k", 1000, 2000)
+
+
+def test_optimize_compacts_small_files_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    big = spark.createDataFrame([(k, k) for k in range(50)], "k long, v long")
+    small1 = spark.createDataFrame([(100, 1)], "k long, v long")
+    small2 = spark.createDataFrame([(101, 2)], "k long, v long")
+    big.write.parquet(f"{t}/big")
+    small1.write.parquet(f"{t}/s1")
+    small2.write.parquet(f"{t}/s2")
+    lakelog.commit(t, 0, [{"add": "big"}, {"add": "s1"}, {"add": "s2"}])
+    before = sorted(
+        (r.k, r.v) for r in lakelog.read_snapshot(spark, t).collect()
+    )
+    stats = lakelog.optimize_compact(spark, t, max_small_rows=10)
+    assert stats["n_files_compacted"] == 2
+    names = {os.path.basename(p) for p in lakelog.snapshot_files(t)}
+    assert "big" in names and "s1" not in names
+    after = sorted(
+        (r.k, r.v) for r in lakelog.read_snapshot(spark, t).collect()
+    )
+    assert after == before  # layout changed, data identical
+
+
+def test_optimize_noop_below_two_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 1)], "k long, v long").write.parquet(f"{t}/a")
+    lakelog.commit(t, 0, [{"add": "a"}])
+    stats = lakelog.optimize_compact(spark, t)
+    assert stats["n_files_compacted"] == 0
+    assert lakelog.latest_version(t) == 0  # no empty commit
