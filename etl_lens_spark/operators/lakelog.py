@@ -301,6 +301,110 @@ def read_snapshot_pruned(
     return df, len(active), len(kept)
 
 
+# ---------------------------------------------------------------------------
+# Per-file Bloom filter index (point-lookup skipping)
+#
+# Zone maps (min/max stats above) prune RANGE predicates on clustered
+# columns; they are useless for point lookups on high-cardinality,
+# unclustered keys. The Delta/Parquet answer is a per-file Bloom
+# filter: k seeded hashes of every key set bits in an m-bit filter
+# stored in the add action; a point lookup keeps only files whose
+# filter has all k bits set (false positives possible — extra scan,
+# never wrong results; false negatives impossible). Bits are set via
+# Spark-computed xxhash64 so build and probe share one hash.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 17  # bits per file
+_BLOOM_K = 5
+
+
+def _bloom_positions(col, m: int, k: int):
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)) for seed in range(k)]
+    )
+
+
+def file_bloom(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    m_bits: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+) -> str:
+    """Build the file's Bloom filter over ``col`` and return it
+    base64-packed for the commit action. The driver materializes at
+    most min(k·distinct, m) bit positions — bounded by the constant
+    filter size, not the file size (the production variant ORs
+    per-partition bitmaps executor-side; the bound is the same)."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    positions = [
+        r[0]
+        for r in df.select(
+            F.explode(
+                _bloom_positions(F.col(col), m_bits, k)
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    ]
+    bits = bytearray(m_bits // 8)
+    for p in positions:
+        bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def read_snapshot_bloom_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+    dtype: str = "long",
+) -> tuple[DataFrame, int, int]:
+    """Point lookup: keep only files whose Bloom filter (key
+    ``bloom_<col>`` in the add action) may contain ``value``;
+    filter-less files are conservatively kept. ``dtype`` must be the
+    column's Spark type — xxhash64 hashes the physical encoding, so
+    probing an int64 column with an int32 literal would miss every
+    bit. Returns ``(df, n_files_total, n_files_scanned)``."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    positions = (
+        spark.range(1)
+        .select(
+            _bloom_positions(
+                F.lit(value).cast(dtype), _BLOOM_M, _BLOOM_K
+            ).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    active = snapshot_actions(table_dir, version)
+    kept = []
+    for rel, action in active.items():
+        b64 = action.get(f"bloom_{col}")
+        if b64 is not None:
+            bits = base64.b64decode(b64)
+            if not all(
+                bits[p >> 3] & (1 << (p & 7)) for p in positions
+            ):
+                continue
+        kept.append(rel)
+    if not kept:
+        raise ValueError("bloom prunes every file")
+    df = spark.read.parquet(
+        *(os.path.join(table_dir, r) for r in kept)
+    )
+    return df, len(active), len(kept)
+
+
 def optimize_compact(
     spark: SparkSession,
     table_dir: str,

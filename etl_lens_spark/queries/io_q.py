@@ -1168,3 +1168,71 @@ def lake_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_bloom_point_lookup",
+    oracle="""
+    WITH m AS (SELECT MIN(o_custkey) AS ck FROM orders)
+    SELECT 4 AS n_files_total, 1 AS n_files_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS price_cents
+    FROM orders o, m
+    WHERE o.o_custkey = m.ck
+    """,
+)
+def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping (lakelog.file_bloom /
+    read_snapshot_bloom_pruned): the table is hash-split on
+    o_custkey — every file spans the FULL key range, so min/max zone
+    maps cannot prune a point lookup — and each add action carries a
+    2^17-bit / 5-hash Bloom filter over o_custkey. A point lookup on
+    one customer probes the filters and opens exactly the ONE file
+    that hashes that customer (pinned by n_files_scanned; false
+    positives would scan more, never return wrong rows — and at this
+    m/n the FP probability is ~1e-4 per file, deterministic for
+    fixed data), with the row-level results hash-matched against the
+    whole-table oracle slice. This is the Delta-style bloom index:
+    the mechanism for needle-in-100-TB lookups on unclustered keys."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    target = orders.agg(F.min("o_custkey")).collect()[0][0]
+    base = sinks.scratch_path("lake_bloom")
+    shutil.rmtree(base, ignore_errors=True)
+    actions = []
+    for i in range(4):
+        rel = f"h{i}"
+        orders.filter(
+            F.pmod(F.xxhash64("o_custkey"), F.lit(4)) == i
+        ).write.mode("overwrite").parquet(f"{base}/{rel}")
+        actions.append(
+            {
+                "add": rel,
+                "bloom_o_custkey": lakelog.file_bloom(
+                    spark, f"{base}/{rel}", "o_custkey"
+                ),
+            }
+        )
+    lakelog.commit(base, 0, actions)
+    df, n_total, n_scanned = lakelog.read_snapshot_bloom_pruned(
+        spark, base, "o_custkey", target
+    )
+    out = df.filter(F.col("o_custkey") == target).agg(
+        F.lit(n_total).cast("int").alias("n_files_total"),
+        F.lit(n_scanned).cast("int").alias("n_files_scanned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.col("price") * 100).cast("long").alias("price_cents"),
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -223,3 +223,41 @@ def test_optimize_noop_below_two_files(spark, tmp_path):
     stats = lakelog.optimize_compact(spark, t)
     assert stats["n_files_compacted"] == 0
     assert lakelog.latest_version(t) == 0  # no empty commit
+
+
+def test_bloom_no_false_negatives_and_prunes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(k,) for k in range(200)], "k long")
+    actions = []
+    for i in range(4):
+        rel = f"h{i}"
+        df.filter(f"pmod(xxhash64(k), 4) = {i}").write.parquet(
+            f"{t}/{rel}"
+        )
+        actions.append(
+            {"add": rel, "bloom_k": lakelog.file_bloom(spark, f"{t}/{rel}", "k")}
+        )
+    lakelog.commit(t, 0, actions)
+    # every present key must be found in a scanned file (no false negatives)
+    for key in (0, 7, 123, 199):
+        got, n_total, n_scanned = lakelog.read_snapshot_bloom_pruned(
+            spark, t, "k", key
+        )
+        assert n_total == 4 and 1 <= n_scanned <= 4
+        assert got.filter(f"k = {key}").count() == 1
+    # a key absent from the table prunes everything (tiny FP odds)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bloom prunes every file"):
+        lakelog.read_snapshot_bloom_pruned(spark, t, "k", 10**12 + 7)
+
+
+def test_bloom_missing_filter_is_conservative(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(k,) for k in range(10)], "k long")
+    df.write.parquet(f"{t}/a")
+    lakelog.commit(t, 0, [{"add": "a"}])  # no bloom in the action
+    _, n_total, n_scanned = lakelog.read_snapshot_bloom_pruned(
+        spark, t, "k", 12345
+    )
+    assert (n_total, n_scanned) == (1, 1)
