@@ -46,6 +46,26 @@ EXPECTATIONS = {
     # Q20: grouped frame reused at two granularities + semi join;
     # no nested-loop anywhere
     "q20_dominant_suppliers": (8, ["BroadcastNestedLoopJoin", "ArrowEval"]),
+    # DSIR: pure JVM (no Python anywhere) and the 256-row ratio
+    # table must join by BROADCAST — an SMJ here would shuffle the
+    # full token stream on the bucket key
+    "curate_dsir_resample": (
+        3,
+        ["SortMergeJoin", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # HTML extraction is a codegen regexp chain: one exchange (the
+    # final sort), zero Python
+    "text_html_extract": (
+        1,
+        ["ArrowEval", "MapInPandas", "BatchEvalPython", "Join"],
+    ),
+    # MATCH_RECOGNIZE: exactly the key shuffle + final sort around
+    # ONE FlatMapGroupsInPandas — no joins at all
+    "events_match_recognize_vshape": (2, ["Join", "MapInPandas"]),
+    # JW fuzzy join: the blocking join must stay hash/broadcast (a
+    # nested-loop means the blocking key was lost and it went
+    # all-pairs)
+    "entity_jaro_winkler_pairs": (2, ["BroadcastNestedLoopJoin"]),
 }
 
 
