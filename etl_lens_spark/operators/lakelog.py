@@ -301,6 +301,58 @@ def read_snapshot_pruned(
     return df, len(active), len(kept)
 
 
+def apply_cdc(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> dict:
+    """Apply a CDC change feed in ONE copy-on-write pass: rows with
+    ``op_col`` = 'D' delete their match, anything else upserts. The
+    prune step finds files touched by ANY change key; the rewrite
+    drops all matched rows and appends only the upsert rows — one
+    file-identity join, one rewrite job, one commit, regardless of
+    how the feed mixes operations. This is the Delta
+    CHANGE-DATA-FEED apply shape: feed size bounds the work, table
+    size never does."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(table_dir)
+    if not files:
+        raise ValueError("apply_cdc into empty snapshot")
+    snap = spark.read.parquet(*files).withColumn(
+        "_file", _rel_file_expr(table_dir)
+    )
+    keys = changes.select(*key_cols).distinct()
+    touched = [
+        r[0]
+        for r in snap.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    ]
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    version = _next_version(table_dir)
+    actions: list[dict] = [{"remove": f} for f in touched]
+    rewrite_rel = f"cdc_{version:08d}"
+    if touched:
+        touched_paths = [os.path.join(table_dir, f) for f in touched]
+        survivors = spark.read.parquet(*touched_paths).join(
+            F.broadcast(keys), key_cols, "left_anti"
+        )
+        out = survivors.unionByName(upserts)
+    else:
+        out = upserts
+    if out.limit(1).count() > 0:
+        out.write.mode("overwrite").parquet(
+            os.path.join(table_dir, rewrite_rel)
+        )
+        actions.append({"add": rewrite_rel})
+    commit(table_dir, version, actions)
+    return {"version": version, "n_files_rewritten": len(touched)}
+
+
 # ---------------------------------------------------------------------------
 # Per-file Bloom filter index (point-lookup skipping)
 #

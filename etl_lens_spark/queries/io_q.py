@@ -1236,3 +1236,88 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_cdc_apply",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 3
+                    AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 40 = 5
+        UNION ALL
+        SELECT o_orderkey + 200000000,
+               CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 40 = 9
+        UNION ALL
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders
+        WHERE o_orderkey % 40 <> 5 AND o_orderkey % 40 <> 2
+    )
+    SELECT CAST(o_orderkey % 4 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(price * 100) AS BIGINT) AS price_cents,
+           1 AS version, 2 AS files_rewritten
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed apply through the lakehouse
+    (operators/lakelog.py::apply_cdc): one mixed feed — deletes
+    (keys %40==2, clustered in fileC), updates (%40==5, fileB,
+    price tripled), inserts (new keys) — lands in ONE copy-on-write
+    pass: one file-identity prune join, one rewrite of exactly the
+    two touched files (pinned by files_rewritten), one commit. The
+    oracle recomputes the post-apply state relationally. This wires
+    the batch CDC algebra family (operators/cdc.py) into the
+    transaction log: the Delta change-data-feed apply shape whose
+    cost is bounded by the feed, never the 100 TB table."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _lake_build_mod4(spark, sf_dir, "lake_cdc")
+    orders = load_table(spark, sf_dir, "orders")
+    deletes = orders.filter(F.col("o_orderkey") % 40 == 2).select(
+        "o_orderkey",
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit("D").alias("op"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 40 == 5).select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 3)
+        .cast("decimal(18,2)")
+        .alias("price"),
+        F.lit("U").alias("op"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 40 == 9).select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.lit("I").alias("op"),
+    )
+    stats = lakelog.apply_cdc(
+        spark,
+        base,
+        deletes.unionByName(updates).unionByName(inserts),
+        ["o_orderkey"],
+    )
+    out = (
+        lakelog.read_snapshot(spark, base)
+        .groupBy((F.col("o_orderkey") % 4).cast("int").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("price") * 100).cast("long").alias("price_cents"),
+        )
+        .withColumn("version", F.lit(stats["version"]).cast("int"))
+        .withColumn(
+            "files_rewritten",
+            F.lit(stats["n_files_rewritten"]).cast("int"),
+        )
+        .orderBy("key_mod")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

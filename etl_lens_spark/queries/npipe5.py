@@ -404,3 +404,83 @@ def entity_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         jw_udf(F.col("a.p_name"), F.col("b.p_name")).alias("jw"),
     )
     return pairs.filter(F.col("jw") >= 0.9).orderBy("key1", "key2")
+
+
+@query(
+    "text_gram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+        FROM toks,
+             LATERAL unnest(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+    ),
+    dtri AS (SELECT DISTINCT doc_id, g FROM tri),
+    marked AS (
+        SELECT doc_id, g,
+               MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+        FROM dtri
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE first_doc = doc_id)
+                AS BIGINT) AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE first_doc = doc_id) * 10000
+                // COUNT(*) AS BIGINT) AS novelty_myriad
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve (dataset-curation signal: how much of
+    each document's trigram vocabulary appears for the FIRST time in
+    corpus order — falling novelty across doc ids measures how fast
+    a crawl saturates). A trigram is novel in the earliest doc_id
+    containing it; per-doc novel fraction in per-myriad integer
+    arithmetic. Complements contamination (eval-set grams) and
+    repetition (within-doc grams) with the across-corpus-order view.
+
+    Scale: row-local gram construction and dedup, ONE gram-keyed
+    shuffle (window min rides it), one doc-keyed aggregate. At
+    100 TB grams travel as xxhash64 longs instead of strings (the
+    contamination-pipeline recipe); string grams here keep the
+    oracle cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    tri = docs.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    dtri = tri.distinct()
+    marked = dtri.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 10000 div n_grams").alias(
+                "novelty_myriad"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -261,3 +261,33 @@ def test_bloom_missing_filter_is_conservative(spark, tmp_path):
         spark, t, "k", 12345
     )
     assert (n_total, n_scanned) == (1, 1)
+
+
+def test_apply_cdc_mixed_feed_single_pass(spark, tmp_path):
+    t = _build(spark, tmp_path)  # even {0,2,4,6}, odd {1,3,5,7}
+    changes = spark.createDataFrame(
+        [
+            (2, None, "D"),  # delete from 'even'
+            (3, 333, "U"),  # update in 'odd'
+            (50, 500, "I"),  # brand-new key
+        ],
+        "k long, v long, op string",
+    )
+    stats = lakelog.apply_cdc(spark, t, changes, ["k"])
+    assert stats["n_files_rewritten"] == 2  # both files touched
+    assert _state(spark, t) == sorted(
+        [(0, 0), (4, 40), (6, 60)]
+        + [(1, 10), (5, 50), (7, 70)]
+        + [(3, 333), (50, 500)]
+    )
+    # pre-apply version still time-travels
+    assert _state(spark, t, 0) == [(k, k * 10) for k in range(8)]
+
+
+def test_apply_cdc_delete_only_can_drop_everything(spark, tmp_path):
+    t = _build(spark, tmp_path)
+    changes = spark.createDataFrame(
+        [(k, None, "D") for k in range(8)], "k long, v long, op string"
+    )
+    lakelog.apply_cdc(spark, t, changes, ["k"])
+    assert lakelog.snapshot_files(t) == []  # empty table, no litter
