@@ -62,10 +62,9 @@ EXPECTATIONS = {
     # MATCH_RECOGNIZE: exactly the key shuffle + final sort around
     # ONE FlatMapGroupsInPandas — no joins at all
     "events_match_recognize_vshape": (2, ["Join", "MapInPandas"]),
-    # JW fuzzy join: the blocking join must stay hash/broadcast (a
-    # nested-loop means the blocking key was lost and it went
-    # all-pairs)
-    "entity_jaro_winkler_pairs": (2, ["BroadcastNestedLoopJoin"]),
+    # JW fuzzy join: exact-collapse agg (2 exchanges) feeds the
+    # blocking join (hash/broadcast, never nested-loop), one sort
+    "entity_jaro_winkler_pairs": (6, ["BroadcastNestedLoopJoin"]),
 }
 
 
