@@ -464,6 +464,7 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_match_recognize_vshape",
+    headline=True,
     oracle="""
     WITH seq AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
@@ -555,6 +556,7 @@ def events_match_recognize_vshape(
             "n_up long, peak_value double, bottom_value double, "
             "end_value double"
         ),
+        n_buckets=64,
     ).orderBy("user_id", "strt_us")
 
 
@@ -627,4 +629,5 @@ def events_pattern_error_burst(
         output_schema=(
             "user_id long, start_us long, end_us long, n_errors long"
         ),
+        n_buckets=64,
     ).orderBy("user_id", "start_us")

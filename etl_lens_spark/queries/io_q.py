@@ -929,6 +929,7 @@ def _lake_build_mod4(spark, sf_dir: str, name: str) -> str:
 
 @query(
     "lake_merge_upsert",
+    headline=True,
     oracle="""
     WITH src AS (
         SELECT o_orderkey,

@@ -33,6 +33,7 @@ def _md5_bucket(col, n=_N_BUCKETS):
 
 @query(
     "curate_dsir_resample",
+    headline=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source,

@@ -86,3 +86,47 @@ def test_match_pattern_end_to_end(spark):
     assert [(r.u, r.strt_i, r.end_i, r.n_down, r.n_up) for r in out] == [
         (1, 0, 4, 2, 2)
     ]
+
+
+def test_bucketed_equals_per_key(spark):
+    import pandas as pd
+
+    rows = []
+    vals = [10, 8, 6, 7, 9, 9, 5, 3, 4, 6]
+    for u in range(20):
+        for i, v in enumerate(vals):
+            rows.append((u, i, float(v + (u % 3))))
+    df = spark.createDataFrame(rows, "u long, i long, v double")
+
+    def classify(pdf):
+        d = pdf["v"].diff()
+        return pd.Series(
+            ["D" if x < 0 else "U" if x > 0 else None for x in d],
+            index=pdf.index,
+            dtype=object,
+        )
+
+    def measures(pdf, sp):
+        (d0, d1), (u0, u1) = sp
+        return {
+            "strt_i": int(pdf["i"].iloc[d0 - 1]),
+            "end_i": int(pdf["i"].iloc[u1 - 1]),
+        }
+
+    kwargs = dict(
+        key_cols=["u"],
+        order_cols=["i"],
+        classify=classify,
+        steps=[Step("D", 2), Step("U", 2)],
+        measures=measures,
+        output_schema="u long, strt_i long, end_i long",
+    )
+    per_key = sorted(
+        (r.u, r.strt_i, r.end_i)
+        for r in match_pattern(df, **kwargs).collect()
+    )
+    bucketed = sorted(
+        (r.u, r.strt_i, r.end_i)
+        for r in match_pattern(df, n_buckets=4, **kwargs).collect()
+    )
+    assert per_key == bucketed and len(per_key) > 0
