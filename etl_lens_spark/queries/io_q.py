@@ -1322,3 +1322,71 @@ def lake_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS price_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_python_datasource_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """User-defined Python DataSource WRITE path (sources/pyds.py::
+    JsonLinesSinkDataSource) — executor tasks stage uniquely-named
+    JSONL part files and return commit messages; the driver publishes
+    them atomically with a manifest (retried/speculative tasks can
+    never surface partial output). The round-trip reads the published
+    files back with the built-in JSON reader and aggregates; the
+    oracle aggregates the source table directly, so any lost,
+    duplicated, or mis-serialized row across the task-commit protocol
+    fails the hash. Completes the Python DSv2 surface next to the
+    batch reader (source_python_datasource) and the kafka-shaped
+    stream reader (streaming_python_source_live)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from etl_lens_spark.sources.pyds import JsonLinesSinkDataSource
+
+    try:
+        spark.dataSource.register(JsonLinesSinkDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = sinks.scratch_path("pyds_jsonl_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    src.write.format("jsonl_sink").option("path", path).mode(
+        "append"
+    ).save()
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = sorted(glob.glob(os.path.join(path, "part-*.jsonl")))
+    assert manifest["total_rows"] == sum(
+        e["rows"] for e in manifest["files"]
+    )
+    back = spark.read.schema("priority string, price_c long").json(files)
+    out = (
+        back.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_c").cast("long").alias("price_cents"),
+        )
+        .orderBy("priority")
+    )
+    rows = out.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

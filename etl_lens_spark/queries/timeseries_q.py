@@ -637,3 +637,89 @@ def events_multitouch_attribution(
         )
         .orderBy("click_hour")
     )
+
+
+@query(
+    "ts_ema_smoothing",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               row_number() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    scaled AS (
+        SELECT user_id, value, rn, n_events,
+               value * pow(2.0, rn) AS t,
+               SUM(value * pow(2.0, rn)) OVER (
+                   PARTITION BY user_id ORDER BY rn
+                   ROWS UNBOUNDED PRECEDING
+               ) AS big_t,
+               FIRST_VALUE(value * pow(2.0, rn)) OVER (
+                   PARTITION BY user_id ORDER BY rn
+               ) AS t1
+        FROM seq
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           value AS last_value,
+           (big_t + t1) * pow(2.0, -rn - 1) AS ema_final
+    FROM scaled WHERE rn = n_events
+    ORDER BY user_id
+    """,
+)
+def ts_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per user (the exponential-smoothing
+    member of the time-series family, next to gapfill/anomaly/OHLC):
+    EMA_n = a*x_n + (1-a)*EMA_(n-1), seeded EMA_1 = x_1, a = 1/2.
+    The sequential recurrence becomes ONE window pass via the scaling
+    identity EMA_n = 2^(-n-1) * (T_n + t_1) with t_i = x_i * 2^i and
+    T the running sum — and because a = 1/2, every scale factor is an
+    exact power of two, so both engines' floating-point agrees term
+    for term (the reason this is oracle-checkable at hash precision;
+    an arbitrary alpha would drift in the last ulp). Emits each
+    user's final smoothed level.
+
+    Scale: one user-keyed window (hash-partitioned, no global sort);
+    series length only enters as pow(2, n), safe to n ~ 1000 per
+    partition — longer series re-seed per calendar window, same as
+    any production EMA job."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wp = Window.partitionBy("user_id")
+    staged = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_events"),
+        (F.col("value") * F.pow(F.lit(2.0), F.row_number().over(wo)))
+        .alias("t"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("rn")
+    wrs = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaled = staged.select(
+        "user_id",
+        "value",
+        "rn",
+        "n_events",
+        F.sum("t").over(wrs).alias("big_t"),
+        F.first("t").over(wr).alias("t1"),
+    )
+    return (
+        scaled.filter(F.col("rn") == F.col("n_events"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value").alias("last_value"),
+            (
+                (F.col("big_t") + F.col("t1"))
+                * F.pow(F.lit(2.0), -F.col("rn") - 1)
+            ).alias("ema_final"),
+        )
+        .orderBy("user_id")
+    )

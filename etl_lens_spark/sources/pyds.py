@@ -71,7 +71,11 @@ class SynthEventsDataSource(DataSource):
 # equivalence is the oracle.
 # ---------------------------------------------------------------------------
 
-from pyspark.sql.datasource import DataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 def _synth_row(rid: int):
@@ -127,3 +131,79 @@ class SynthTickStreamDataSource(DataSource):
 
     def streamReader(self, schema):
         return SynthTickStreamReader(self.options)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, rel: str, count: int):
+        self.rel = rel
+        self.count = count
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Executor-side task writer with the real commit protocol:
+    every task streams its partition to a STAGED file (unique name —
+    speculative/ retried tasks can never collide) and returns a
+    commit message; only the driver's ``commit`` publishes the staged
+    files by rename plus a manifest, and ``abort`` removes them — so
+    a failed job leaves no partial output visible. On object storage
+    the rename becomes a manifest-only commit (the lakelog pattern);
+    the protocol is identical."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        stage_dir = os.path.join(self.path, "_staging")
+        os.makedirs(stage_dir, exist_ok=True)
+        rel = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(stage_dir, rel), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(rel, n)
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        total = 0
+        published = []
+        for m in messages:
+            src = os.path.join(self.path, "_staging", m.rel)
+            dst = os.path.join(self.path, m.rel)
+            shutil.move(src, dst)
+            published.append({"file": m.rel, "rows": m.count})
+            total += m.count
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump({"total_rows": total, "files": published}, f)
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+    def abort(self, messages):
+        import shutil
+        import os
+
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """User-defined Python DataSource WRITER (Spark 4 DataSource
+    write path) — the sink-side twin of SynthEventsDataSource /
+    SynthTickStreamDataSource, completing the Python DSv2 surface
+    (batch read, streaming read, batch write)."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return JsonLinesWriter(self.options)
