@@ -1391,3 +1391,42 @@ def dialect_modern_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS keys_asc,
+           string_agg(CAST(o_orderkey AS VARCHAR), '|'
+                      ORDER BY o_orderkey DESC) AS keys_desc,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey < 500
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate dialect corner: SQL:2016 ``LISTAGG ...
+    WITHIN GROUP (ORDER BY ...)`` (Spark 4 syntax) vs DuckDB's
+    ``string_agg(... ORDER BY ...)`` — same ordered concatenation
+    semantics through two different grammars, both directions (asc
+    and desc with different delimiters). Deterministic because the
+    order key is the unique order key. Completes the sqlite-compat
+    GROUP_CONCAT row with the ORDERED variant the reference's SQLite
+    3.44+ grammar also accepts."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_la"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               listagg(CAST(o_orderkey AS STRING), ',')
+                   WITHIN GROUP (ORDER BY o_orderkey) AS keys_asc,
+               listagg(CAST(o_orderkey AS STRING), '|')
+                   WITHIN GROUP (ORDER BY o_orderkey DESC) AS keys_desc,
+               COUNT(*) AS n
+        FROM orders_la WHERE o_orderkey < 500
+        GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -130,3 +130,72 @@ def test_bucketed_equals_per_key(spark):
         for r in match_pattern(df, n_buckets=4, **kwargs).collect()
     )
     assert per_key == bucketed and len(per_key) > 0
+
+
+def test_fuzz_greedy_semantics_properties():
+    """Hypothesis fuzz: on random label sequences and random
+    quantifier specs, every match must satisfy the four greedy
+    invariants (label purity, quantifier bounds, greedy maximality,
+    skip-past-last-row completeness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    labels_st = st.lists(
+        st.sampled_from(["A", "B", None]), min_size=0, max_size=40
+    )
+    steps_st = st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from([None, 1, 2, 3]),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(labels=labels_st, raw_steps=steps_st)
+    def check(labels, raw_steps):
+        steps = [
+            Step(n, mn, mx if (mx is None or mx >= mn) else mn)
+            for n, mn, mx in raw_steps
+        ]
+        matches = list(_find_matches(labels, steps))
+        prev_end = -1
+        covered_starts = set()
+        for spans in matches:
+            assert len(spans) == len(steps)
+            cur = spans[0][0]
+            assert cur > prev_end  # non-overlapping, ordered
+            for (s0, s1), step in zip(spans, steps):
+                assert s0 == cur  # contiguous
+                n = s1 - s0
+                assert n >= step.min_count
+                if step.max_count is not None:
+                    assert n <= step.max_count
+                for i in range(s0, s1):
+                    assert labels[i] == step.name  # label purity
+                # greedy maximality: stopped only at max, label
+                # break, or end of input
+                if step.max_count is None or n < step.max_count:
+                    assert (
+                        s1 >= len(labels) or labels[s1] != step.name
+                    )
+                cur = s1
+            assert cur > spans[0][0]  # non-empty match
+            covered_starts.update(range(spans[0][0], cur))
+            prev_end = cur - 1
+        # completeness: at any position not inside a match, greedy
+        # matching must fail (otherwise the scan would have matched)
+        for pos in range(len(labels)):
+            if pos in covered_starts:
+                continue
+            sub = list(
+                _find_matches(labels[pos:], steps)
+            )
+            if sub:
+                # a match may exist further right (the scan finds it
+                # later) but never AT an uncovered position itself
+                assert sub[0][0][0] != 0
+
+    check()
