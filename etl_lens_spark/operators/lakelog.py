@@ -500,6 +500,46 @@ def optimize_compact(
     return {"n_files_compacted": len(small), "version": version}
 
 
+def optimize_cluster(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    bounds: list[tuple],
+) -> dict:
+    """OPTIMIZE ... ZORDER/CLUSTER BY analog: rewrite the snapshot
+    range-clustered on ``col`` (one output file per ``bounds``
+    half-open interval), collecting fresh per-file stats into the
+    commit. Data is unchanged; layout changes so that zone-map
+    skipping starts working — on a hash-scattered table every file
+    spans the full key range and min/max stats prune nothing, after
+    clustering a range predicate opens only its interval's file.
+    (Production uses one repartitionByRange write instead of one
+    scan per interval; the commit protocol is identical.)"""
+    active = list(snapshot_actions(table_dir))
+    src = spark.read.parquet(
+        *(os.path.join(table_dir, r) for r in active)
+    )
+    from pyspark.sql import functions as F
+
+    version = _next_version(table_dir)
+    actions: list[dict] = [{"remove": r} for r in active]
+    for i, (lo, hi) in enumerate(bounds):
+        rel = f"cluster_{version:08d}_{i}"
+        src.filter(
+            (F.col(col) >= lo) & (F.col(col) < hi)
+        ).write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+        actions.append(
+            {
+                "add": rel,
+                "stats": file_stats(
+                    spark, os.path.join(table_dir, rel), [col]
+                ),
+            }
+        )
+    commit(table_dir, version, actions)
+    return {"version": version, "n_files_out": len(bounds)}
+
+
 def vacuum(table_dir: str) -> dict:
     """Physically delete data directories no longer referenced by the
     LATEST snapshot (Delta VACUUM with retention 0 — time travel to

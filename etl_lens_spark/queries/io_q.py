@@ -1390,3 +1390,231 @@ def sink_python_datasource_roundtrip(
     rows = out.collect()
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_version_diff",
+    oracle="""
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 40 = 9) AS BIGINT)
+            AS n_added,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 40 = 2) AS BIGINT)
+            AS n_removed,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 40 = 5) AS BIGINT)
+            AS n_changed,
+        CAST(SUM(CASE WHEN o_orderkey % 40 = 5
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 200
+                      ELSE 0 END) AS BIGINT) AS changed_delta_cents
+    FROM orders
+    """,
+)
+def lake_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel DIFF between lake versions: after the mixed CDC
+    apply (deletes %40==2, updates %40==5 tripling price, inserts
+    %40==9 at shifted keys), the pre- and post-apply snapshots are
+    both read THROUGH the log and full-outer joined on the key —
+    added / removed / changed row counts plus the exact price delta
+    of the changed set. This is the audit query a lakehouse admin
+    runs before a restore (the row-level companion of DESCRIBE
+    HISTORY), and the CDC-roundtrip property: diff(v0, v1) must
+    equal the feed that produced v1. The oracle recomputes all four
+    numbers from the feed predicates directly.
+
+    Scale: one key-keyed full-outer join between two snapshots —
+    at 100 TB you diff only the touched files (their names are in
+    the v1 commit), which bounds the join by the write size."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _lake_build_mod4(spark, sf_dir, "lake_diff")
+    orders = load_table(spark, sf_dir, "orders")
+    feed = (
+        orders.filter(F.col("o_orderkey") % 40 == 2)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("decimal(18,2)").alias("price"),
+            F.lit("D").alias("op"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 40 == 5).select(
+                "o_orderkey",
+                (F.col("o_totalprice").cast("decimal(18,2)") * 3)
+                .cast("decimal(18,2)")
+                .alias("price"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 40 == 9).select(
+                (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    lakelog.apply_cdc(spark, base, feed, ["o_orderkey"])
+    v0 = lakelog.read_snapshot(spark, base, 0).select(
+        "o_orderkey", F.col("price").alias("price_before")
+    )
+    v1 = lakelog.read_snapshot(spark, base).select(
+        "o_orderkey", F.col("price").alias("price_after")
+    )
+    d = v0.join(v1, "o_orderkey", "full_outer")
+    out = d.agg(
+        F.count_if(F.col("price_before").isNull()).alias("n_added"),
+        F.count_if(F.col("price_after").isNull()).alias("n_removed"),
+        F.count_if(
+            F.col("price_before").isNotNull()
+            & F.col("price_after").isNotNull()
+            & (F.col("price_before") != F.col("price_after"))
+        ).alias("n_changed"),
+        F.sum(
+            F.when(
+                F.col("price_before").isNotNull()
+                & F.col("price_after").isNotNull()
+                & (F.col("price_before") != F.col("price_after")),
+                (F.col("price_after") - F.col("price_before")) * 100,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("changed_delta_cents"),
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_optimize_cluster",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT 2 AS pre_files_scanned, 1 AS post_files_scanned,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum
+    FROM orders o, m
+    WHERE o.o_orderkey BETWEEN m.mx // 8 AND m.mx // 4 - 1
+    """,
+)
+def lake_optimize_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE CLUSTER BY through the log
+    (lakelog.optimize_cluster): the table starts as two HASH-
+    scattered files — every file spans the full key range, so the
+    range predicate scans 2 of 2 despite having genuine min/max
+    stats — then one clustering rewrite produces four range files
+    with fresh stats, and the SAME predicate opens 1 of 4. Both
+    scan counts are pinned in the output and the row-level results
+    hash-match the oracle slice both before and after (the after
+    read feeds the aggregate). This is the layout-maintenance
+    half of data skipping: stats only prune what clustering has
+    co-located."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    base = sinks.scratch_path("lake_cluster")
+    shutil.rmtree(base, ignore_errors=True)
+    actions = []
+    for i in range(2):
+        rel = f"h{i}"
+        orders.filter(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(2)) == i
+        ).write.mode("overwrite").parquet(f"{base}/{rel}")
+        actions.append(
+            {
+                "add": rel,
+                "stats": lakelog.file_stats(
+                    spark, f"{base}/{rel}", ["o_orderkey"]
+                ),
+            }
+        )
+    lakelog.commit(base, 0, actions)
+    lo, hi = mx // 8, mx // 4 - 1
+    _, _, pre_scanned = lakelog.read_snapshot_pruned(
+        spark, base, "o_orderkey", lo, hi
+    )
+    q = mx // 4
+    lakelog.optimize_cluster(
+        spark,
+        base,
+        "o_orderkey",
+        [(0, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, mx + 1)],
+    )
+    df, _, post_scanned = lakelog.read_snapshot_pruned(
+        spark, base, "o_orderkey", lo, hi
+    )
+    out = df.filter(F.col("o_orderkey").between(lo, hi)).agg(
+        F.lit(pre_scanned).cast("int").alias("pre_files_scanned"),
+        F.lit(post_scanned).cast("int").alias("post_files_scanned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) * 200
+                         ELSE CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    END) AS BIGINT) AS price_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite (the backfill primitive): the
+    full table lands partitioned by priority; a corrected batch for
+    ONE partition (1-URGENT, prices doubled) is written with
+    ``partitionOverwriteMode=dynamic`` — replacing exactly the
+    partitions present in the incoming frame and leaving the other
+    four untouched (STATIC mode would have wiped them; the read-back
+    hash proves they survived byte-for-byte). This is how a daily
+    pipeline re-runs one bad day in place, idempotently."""
+    import shutil
+
+    path = sinks.scratch_path("dyn_overwrite")
+    shutil.rmtree(path, ignore_errors=True)
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+    )
+    src.write.partitionBy("priority").mode("overwrite").parquet(path)
+    fixed = src.filter(F.col("priority") == "1-URGENT").withColumn(
+        "price_c", (F.col("price_c") * 2).cast("long")
+    )
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.partitionBy("priority").mode("overwrite").parquet(
+            path
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    back = spark.read.parquet(path)
+    out = (
+        back.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_c").cast("long").alias("price_cents"),
+        )
+        .orderBy("priority")
+    )
+    rows = out.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -291,3 +291,32 @@ def test_apply_cdc_delete_only_can_drop_everything(spark, tmp_path):
     )
     lakelog.apply_cdc(spark, t, changes, ["k"])
     assert lakelog.snapshot_files(t) == []  # empty table, no litter
+
+
+def test_optimize_cluster_enables_pruning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    for i in range(2):
+        rel = f"h{i}"
+        df.filter(f"pmod(xxhash64(k), 2) = {i}").write.parquet(f"{t}/{rel}")
+    lakelog.commit(
+        t,
+        0,
+        [
+            {
+                "add": f"h{i}",
+                "stats": lakelog.file_stats(spark, f"{t}/h{i}", ["k"]),
+            }
+            for i in range(2)
+        ],
+    )
+    _, _, pre = lakelog.read_snapshot_pruned(spark, t, "k", 10, 20)
+    assert pre == 2  # hash-scattered: stats can't prune
+    lakelog.optimize_cluster(
+        spark, t, "k", [(0, 25), (25, 50), (50, 75), (75, 100)]
+    )
+    got, total, post = lakelog.read_snapshot_pruned(spark, t, "k", 10, 20)
+    assert (total, post) == (4, 1)
+    assert sorted(
+        r.k for r in got.filter("k between 10 and 20").collect()
+    ) == list(range(10, 21))
