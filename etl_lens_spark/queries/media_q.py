@@ -1377,3 +1377,95 @@ def mm_real_tiff_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_decode_tiff_batches, _TIFF_OUT).orderBy(
         "doc_id"
     )
+
+
+_RESAMPLE_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_in", T.IntegerType()),
+        T.StructField("n_out", T.IntegerType()),
+        T.StructField("zc_count", T.LongType()),
+        T.StructField("abs_sum_out", T.LongType()),
+    ]
+)
+
+
+def _resample_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s, _rate = codecs.decode_wav(bytes(payload))
+            s = s.astype(np.int64)
+            n = len(s)
+            zc = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+            m = n // 2
+            y = (s[0 : 2 * m : 2] + s[1 : 2 * m : 2]) // 2
+            rows.append((int(d), n, m, zc, int(np.abs(y).sum())))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_in", "n_out", "zc_count", "abs_sum_out"],
+        )
+
+
+@query(
+    "mm_real_audio_resample",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 200 + doc_id % 50 AS n, doc_id % 7 + 1 AS k
+        FROM documents
+    ),
+    idx AS (SELECT unnest(range(0, 250)) AS i),
+    s AS (
+        SELECT d.doc_id, d.n, i.i,
+               (((i.i * d.k + d.doc_id) % 256) - 128) * 128 AS v
+        FROM dims d JOIN idx i ON i.i < d.n
+    ),
+    s2 AS (
+        SELECT doc_id, i, v,
+               LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+        FROM s
+    ),
+    zc AS (
+        SELECT doc_id,
+               COUNT(*) FILTER (WHERE v * nv < 0) AS zc_count
+        FROM s2 GROUP BY doc_id
+    ),
+    res AS (
+        SELECT doc_id, COUNT(*) AS n_out,
+               SUM(ABS((v + nv) // 2)) AS abs_sum_out
+        FROM s2 WHERE i % 2 = 0 AND nv IS NOT NULL
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.n AS INT) AS n_in,
+           CAST(r.n_out AS INT) AS n_out,
+           CAST(z.zc_count AS BIGINT) AS zc_count,
+           CAST(r.abs_sum_out AS BIGINT) AS abs_sum_out
+    FROM dims d JOIN zc z USING (doc_id) JOIN res r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DSP stage on REAL container bytes: each synthesized
+    PCM16 WAV is decoded (RIFF walk), then 2:1 downsampled by
+    adjacent-pair averaging in integer floor arithmetic and
+    feature-extracted (zero-crossing count, post-resample absolute
+    energy) — the standard front half of an audio-curation pipeline
+    (resample to model rate, cheap signal stats for filtering). The
+    oracle recomputes every number from the sample formula without
+    touching a container byte: a wrong RIFF offset, sample order, or
+    rounding mode shifts zc_count/abs_sum_out. Floor semantics are
+    pinned deliberately: numpy's // and DuckDB's // both floor
+    toward -inf on the negative sums (Java's integer div truncates -
+    the reason this stays in the Python stage).
+
+    Scale: chained no-shuffle mapInPandas, compute-bound,
+    embarrassingly parallel like the image codecs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_wav_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(
+        _resample_wav_batches, _RESAMPLE_OUT
+    ).orderBy("doc_id")
