@@ -887,3 +887,89 @@ def ml_logreg_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("score"),
         (p >= 0.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ml_eval_auc_rank",
+    oracle="""
+    WITH scored AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    per_score AS (
+        SELECT score,
+               CAST(SUM(label) AS BIGINT) AS p_s,
+               CAST(SUM(1 - label) AS BIGINT) AS n_s
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT score, p_s, n_s,
+               COALESCE(SUM(n_s) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS neg_below
+        FROM per_score
+    ),
+    tot AS (
+        SELECT SUM(p_s) AS pos, SUM(n_s) AS neg FROM per_score
+    )
+    SELECT CAST(t.pos AS BIGINT) AS n_pos,
+           CAST(t.neg AS BIGINT) AS n_neg,
+           CAST(SUM(c.p_s * (2 * c.neg_below + c.n_s)) AS BIGINT)
+               AS u2_stat,
+           CAST(SUM(c.p_s * (2 * c.neg_below + c.n_s)) * 1000000
+                // (2 * t.pos * t.neg) AS BIGINT) AS auc_ppm
+    FROM cum c, tot t
+    GROUP BY t.pos, t.neg
+    """,
+)
+def ml_eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC by the rank/Mann-Whitney identity (the
+    evaluation half of the trained-quality-filter family): AUC =
+    P(score_pos > score_neg) + P(=)/2, computed distributed as ONE
+    per-score aggregation plus a cumulative window — never the
+    quadratic pos x neg pair join. Scores are the integer n_chars
+    feature predicting lang='en', so ties are exact and the whole
+    statistic stays in BIGINT arithmetic (auc_ppm = parts-per-
+    million, integer floor both engines): no float rank drift can
+    flip the hash.
+
+    Scale: per-score partial aggregates combine map-side (score
+    cardinality bounds the shuffle, not row count); the cumulative
+    window runs over the distinct-score table. The same shape
+    evaluates a real classifier at 100 TB - swap n_chars for the
+    model score bucketed to fixed precision."""
+    from pyspark.sql import Window
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("label").cast("long").alias("p_s"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_s"),
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    return cum.agg(
+        F.sum("p_s").cast("long").alias("n_pos"),
+        F.sum("n_s").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p_s") * (2 * F.col("neg_below") + F.col("n_s"))
+        )
+        .cast("long")
+        .alias("u2_stat"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2_stat",
+        F.expr("u2_stat * 1000000 div (2 * n_pos * n_neg)").alias(
+            "auc_ppm"
+        ),
+    )
