@@ -842,3 +842,46 @@ def streaming_lake_merge_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (table, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "streaming_topk_live",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, user_id, n,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY n DESC, user_id
+               ) AS rank,
+               SUM(n) OVER (PARTITION BY event_type) AS n_total
+        FROM counts
+    )
+    SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id,
+           CAST(n AS BIGINT) AS n, CAST(n_total AS BIGINT) AS n_total
+    FROM ranked WHERE rank <= 3
+    ORDER BY event_type, rank
+    """,
+)
+def streaming_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live top-k heavy hitters per event type (map-typed
+    applyInPandasWithState — the exact-state member next to the
+    batch CMS sketch): after full replay, the last emission per key
+    (selected by the strictly-increasing n_total, no batch
+    bookkeeping) must equal the batch count ranking with
+    deterministic ties (count desc, user_id asc)."""
+    stream = so.topk_stateful(
+        so.events_stream(spark, sf_dir).select("event_type", "user_id")
+    )
+    from pyspark.sql import Window
+
+    out = so.run_to_memory(stream, "q_stream_topk", output_mode="update")
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("mx", F.max("n_total").over(w))
+        .filter(F.col("n_total") == F.col("mx"))
+        .select("event_type", "rank", "user_id", "n", "n_total")
+        .orderBy("event_type", "rank")
+    )

@@ -446,6 +446,49 @@ def burst_stateful(events: DataFrame, min_len: int = 3) -> DataFrame:
     )
 
 
+def topk_stateful(events: DataFrame, k: int = 3) -> DataFrame:
+    """Live heavy-hitters: per event_type, the top-k users by event
+    count, maintained across micro-batches in a map-typed state
+    column. Emissions carry the running total n_total (strictly
+    increasing per batch that touches the key), so the final state
+    is selectable from the memory sink without batch bookkeeping.
+    Per-key state is O(users-per-type); the bounded-memory variant
+    at extreme cardinality swaps the exact map for the CMS sketch
+    (operators/cms.py) with identical output contract — this
+    operator pins the exact semantics."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        counts = dict(state.get[0]) if state.exists else {}
+        for pdf in pdf_iter:
+            for u in pdf["user_id"]:
+                u = int(u)
+                counts[u] = counts.get(u, 0) + 1
+        state.update((counts,))
+        n_total = sum(counts.values())
+        top = sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(top),
+                "rank": [i + 1 for i in range(len(top))],
+                "user_id": [u for u, _ in top],
+                "n": [c for _, c in top],
+                "n_total": [n_total] * len(top),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, rank long, user_id long, n long, "
+            "n_total long"
+        ),
+        stateStructType="counts map<bigint,bigint>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crafted multi-file replay that PROVES watermark late-data drop
     (not just declares it). Three files, strictly mtime-ordered and

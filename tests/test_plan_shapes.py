@@ -138,6 +138,20 @@ HEADLINE_PINS = {
     "text_tfidf_topterms": (6, {"BroadcastHashJoin"}, set()),
     "text_winnow_fingerprints": (2, set(), set()),
     "win_topk_per_group": (2, set(), set()),
+    # DSIR: pure-JVM, 256-row ratio table broadcast back into the
+    # token stream
+    "curate_dsir_resample": (3, {"BroadcastHashJoin"}, set()),
+    # MATCH_RECOGNIZE: bucket shuffle + final sort around ONE
+    # FlatMapGroupsInPandas, no joins
+    "events_match_recognize_vshape": (
+        2,
+        set(),
+        {"FlatMapGroupsInPandas"},
+    ),
+    # DML headline: the returned frame is the collected audit row
+    # (LocalTableScan) — the merge plan itself is pinned by the
+    # files_rewritten oracle column, not by this final plan
+    "lake_merge_upsert": (0, set(), set()),
 }
 
 
