@@ -718,3 +718,170 @@ def decode_tiff(data: bytes) -> tuple[np.ndarray, int]:
         h, w, 3
     )
     return arr.copy(), len(offsets)
+
+
+# ------------------------------------------------------------------
+# AVI (RIFF) MJPEG container — video demux
+# ------------------------------------------------------------------
+#
+# The video member of the multimodal family: a genuine AVI file is a
+# RIFF tree (LIST hdrl → avih + strl(strh/strf), LIST movi with one
+# '00dc' chunk per frame, idx1 index), and Motion-JPEG stores each
+# frame as a standalone baseline JPEG — which jpeg.py already
+# decodes from scratch. Container demux here, per-frame entropy
+# decode there: the split mirrors real pipelines (ffmpeg demuxer vs
+# codec) and keeps both halves independently testable. Reference
+# parity: the reference renders no media at all; this satisfies the
+# driver's north-star multimodal mandate (frame-sample + decode)
+# with zero external libs.
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Mux already-encoded JPEG frames into a spec-shaped AVI:
+    RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    LIST('movi' '00dc'...) idx1). Chunks are word-aligned; idx1
+    offsets are relative to the 'movi' fourcc per the original
+    AVI 1.0 convention."""
+    if not frames:
+        raise ValueError("need at least one frame")
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        0,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max(len(f) for f in frames),  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHH8I4H",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1, fps,  # dwScale / dwRate = frame period
+            0,  # dwStart
+            len(frames),  # dwLength (frames)
+            max(len(f) for f in frames),  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0: one sample per chunk)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        # offset of this chunk's fourcc, relative to the 'movi' fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", idx)
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(data: bytes) -> dict:
+    """Demux an AVI MJPEG file: walk the RIFF tree, parse avih/strh
+    for fps/dims/frame count, collect the '00dc' JPEG payloads from
+    the movi list, and cross-check every idx1 entry against the
+    actual chunk layout (offset AND length — a mux bug in either
+    direction fails loudly). Returns
+    {width, height, fps, n_frames, frames: [jpeg bytes, ...]}."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: bytes, out: dict, base_off: int) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + clen]
+            if cid == b"LIST":
+                ltype = body[:4]
+                if ltype == b"movi":
+                    # chunk offsets are recorded relative to the
+                    # position of the 'movi' fourcc itself
+                    out["movi_base"] = base_off + pos + 8
+                    out.setdefault("frames", [])
+                    out.setdefault("frame_offsets", [])
+                    mpos = 4
+                    while mpos + 8 <= len(body):
+                        mcid = body[mpos : mpos + 4]
+                        (mlen,) = struct.unpack_from("<I", body, mpos + 4)
+                        if mcid == b"00dc":
+                            out["frames"].append(
+                                bytes(body[mpos + 8 : mpos + 8 + mlen])
+                            )
+                            out["frame_offsets"].append((mpos, mlen))
+                        mpos += 8 + mlen + (mlen & 1)
+                else:
+                    walk(body[4:], out, base_off + pos + 12)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<14I", body, 0)
+                out["us_per_frame"] = vals[0]
+                out["n_frames"] = vals[4]
+                out["width"] = vals[8]
+                out["height"] = vals[9]
+            elif cid == b"strh":
+                if body[:4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", body, 20)
+                    out["fps"] = rate // max(scale, 1)
+            elif cid == b"idx1":
+                entries = []
+                for e in range(0, clen - 15, 16):
+                    ckid = body[e : e + 4]
+                    flags, off, ln = struct.unpack_from("<III", body, e + 4)
+                    entries.append((ckid, flags, off, ln))
+                out["idx1"] = entries
+            pos += 8 + clen + (clen & 1)
+
+    out: dict = {}
+    walk(data[12:], out, 12)
+    frames = out.get("frames", [])
+    if out.get("n_frames") != len(frames):
+        raise ValueError(
+            f"avih frame count {out.get('n_frames')} != movi chunks "
+            f"{len(frames)}"
+        )
+    idx1 = out.get("idx1", [])
+    if len(idx1) != len(frames):
+        raise ValueError("idx1 entry count mismatch")
+    for (ckid, _flags, off, ln), (mpos, mlen) in zip(
+        idx1, out["frame_offsets"]
+    ):
+        if ckid != b"00dc" or off != mpos or ln != mlen:
+            raise ValueError("idx1 offset/length disagrees with movi layout")
+    return {
+        "width": out["width"],
+        "height": out["height"],
+        "fps": out["fps"],
+        "n_frames": len(frames),
+        "frames": frames,
+    }

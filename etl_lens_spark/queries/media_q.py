@@ -1469,3 +1469,155 @@ def mm_real_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         _resample_wav_batches, _RESAMPLE_OUT
     ).orderBy("doc_id")
+
+
+_VIDEO_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("frame_place_sum", T.LongType()),
+        T.StructField("motion_sum", T.LongType()),
+    ]
+)
+
+
+def _synth_avi_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import encode_avi_mjpeg
+    from etl_lens_spark.multimodal.jpeg import encode_jpeg_gray
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            wb, hb, nf = 1 + d % 3, 1 + d % 2, 2 + d % 3
+            bx = np.arange(wb)[None, :]
+            by = np.arange(hb)[:, None]
+            frames = []
+            for f in range(nf):
+                bvals = ((7 * bx + 11 * by + d + 13 * f) % 256).astype(
+                    np.uint8
+                )
+                img = np.kron(bvals, np.ones((8, 8), dtype=np.uint8))
+                frames.append(encode_jpeg_gray(img, quality=100))
+            payloads.append(
+                encode_avi_mjpeg(frames, 8 * wb, 8 * hb, fps=5 + d % 4)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_avi_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import decode_avi_mjpeg
+    from etl_lens_spark.multimodal.jpeg import decode_jpeg_gray
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            info = decode_avi_mjpeg(bytes(payload))
+            frames = [
+                decode_jpeg_gray(fb).astype(np.int64)
+                for fb in info["frames"]
+            ]
+            pixel_sum = sum(int(a.sum()) for a in frames)
+            frame_place_sum = sum(
+                (f + 1) * int(a.sum()) for f, a in enumerate(frames)
+            )
+            motion_sum = sum(
+                int(np.abs(b - a).sum())
+                for a, b in zip(frames, frames[1:])
+            )
+            rows.append(
+                (
+                    int(d),
+                    info["width"],
+                    info["height"],
+                    info["fps"],
+                    info["n_frames"],
+                    pixel_sum,
+                    frame_place_sum,
+                    motion_sum,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "fps",
+                "n_frames",
+                "pixel_sum",
+                "frame_place_sum",
+                "motion_sum",
+            ],
+        )
+
+
+@query(
+    "mm_real_video_pipeline",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+             2 + doc_id % 3 AS nf, 5 + doc_id % 4 AS fps
+      FROM documents
+    ),
+    bxs AS (SELECT unnest(range(0, 3)) AS bx),
+    bys AS (SELECT unnest(range(0, 2)) AS by),
+    fis AS (SELECT unnest(range(0, 4)) AS f),
+    blocks AS (
+      SELECT d.doc_id, f.f,
+             (7 * x.bx + 11 * y.by + d.doc_id + 13 * f.f) % 256 AS v,
+             CASE WHEN f.f > 0 THEN abs(
+               (7 * x.bx + 11 * y.by + d.doc_id + 13 * f.f) % 256
+               - (7 * x.bx + 11 * y.by + d.doc_id + 13 * (f.f - 1)) % 256)
+             ELSE 0 END AS dv
+      FROM dims d
+      JOIN bxs x ON x.bx < d.wb
+      JOIN bys y ON y.by < d.hb
+      JOIN fis f ON f.f < d.nf
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(64 * SUM(v) AS BIGINT) AS pixel_sum,
+             CAST(64 * SUM((f + 1) * v) AS BIGINT) AS frame_place_sum,
+             CAST(64 * SUM(dv) AS BIGINT) AS motion_sum
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(8 * d.wb AS INT) AS width,
+           CAST(8 * d.hb AS INT) AS height, CAST(d.fps AS INT) AS fps,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           s.pixel_sum, s.frame_place_sum, s.motion_sum
+    FROM dims d JOIN stats s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_real_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real VIDEO decode, end to end and lib-free: genuine AVI files
+    (RIFF tree — hdrl/avih/strl, movi '00dc' chunks, idx1 index) are
+    muxed from per-frame baseline JPEGs and then demuxed + frame-
+    decoded through the from-scratch stack (codecs.decode_avi_mjpeg →
+    jpeg.decode_jpeg_gray per frame). Constant 8x8 blocks at q100
+    make the lossy codec bit-exact for this content class, so the
+    oracle recomputes everything arithmetically: pixel_sum pins the
+    per-frame decode, frame_place_sum pins frame ORDER (a swapped,
+    dropped, or duplicated frame shifts it), motion_sum pins the
+    inter-frame delta — the standard frame-sampling signal a video
+    curation pipeline computes (scene-change detection is a threshold
+    on exactly this). The demuxer cross-checks every idx1 entry
+    against the movi layout, so the index path is exercised too.
+
+    Scale: two chained no-shuffle mapInPandas stages, compute-bound
+    and embarrassingly parallel — the same 100 TB shape as the image
+    codecs; real deployments swap the entropy decoder, not the plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_avi_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_avi_batches, _VIDEO_OUT).orderBy(
+        "doc_id"
+    )

@@ -371,3 +371,59 @@ def test_jpeg_420_roundtrips():
     # odd dims crop back
     img = rng.integers(0, 256, (19, 27, 3), dtype=np.uint8)
     assert decode_jpeg_420(encode_jpeg_420(img)).shape == (19, 27, 3)
+
+
+def test_avi_mjpeg_mux_demux_roundtrip():
+    from etl_lens_spark.multimodal.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from etl_lens_spark.multimodal.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = []
+    imgs = []
+    for f in range(4):
+        bvals = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+        img = np.kron(bvals, np.ones((8, 8), dtype=np.uint8))
+        imgs.append(img)
+        frames.append(encode_jpeg_gray(img, quality=100))
+    avi = encode_avi_mjpeg(frames, 24, 16, fps=12)
+    info = decode_avi_mjpeg(avi)
+    assert (info["width"], info["height"]) == (24, 16)
+    assert info["fps"] == 12 and info["n_frames"] == 4
+    # demux must return the exact jpeg bytes, frame decode bit-exact
+    # for constant-block content at q100
+    for img, orig, got in zip(imgs, frames, info["frames"]):
+        assert got == orig
+        assert (decode_jpeg_gray(got) == img).all()
+
+
+def test_avi_mjpeg_rejects_corrupt_index_and_count():
+    import struct
+
+    from etl_lens_spark.multimodal.codecs import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+    from etl_lens_spark.multimodal.jpeg import encode_jpeg_gray
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    frames = [encode_jpeg_gray(img, quality=100) for _ in range(2)]
+    avi = bytearray(encode_avi_mjpeg(frames, 8, 8, fps=5))
+    # corrupt the first idx1 offset: demux must fail loudly, not
+    # silently return frames the index disagrees with
+    i = bytes(avi).rfind(b"idx1")
+    (off,) = struct.unpack_from("<I", avi, i + 8 + 8)
+    struct.pack_into("<I", avi, i + 8 + 8, off + 2)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bytes(avi))
+    # avih frame-count vs movi chunk-count mismatch also fails
+    avi2 = bytearray(encode_avi_mjpeg(frames, 8, 8, fps=5))
+    j = bytes(avi2).find(b"avih")
+    struct.pack_into("<I", avi2, j + 8 + 16, 3)  # dwTotalFrames
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(bytes(avi2))
