@@ -85,6 +85,7 @@ def _load() -> None:
         npipe3,
         npipe4,
         npipe5,
+        pca_q,
         quality_q,
         quant_q,
         rel,

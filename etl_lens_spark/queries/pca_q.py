@@ -1,0 +1,102 @@
+"""PCA / whitening queries over the embeddings fixture.
+
+``emb_pca_covariance`` pins the distributed sufficient-statistics
+pass (the whole fit reduces to these sums — if they match DuckDB's
+relational recomputation exactly, the only remaining code between
+fit and output is numpy's eigh on a 64 × 64 matrix).
+``emb_pca_whiten`` is the full pipeline: fit → broadcast → project →
+Mahalanobis outlier score; eigendecomposition is not SQL-expressible,
+so it's rows-only here and pinned by unit tests instead (whitened
+covariance = I, numpy single-machine parity, basis-independence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+
+@query(
+    "emb_pca_covariance",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS xv
+        FROM embeddings
+    ),
+    n AS (SELECT COUNT(*) AS n FROM embeddings),
+    m AS (SELECT i, AVG(xv) AS mu FROM x GROUP BY i),
+    p AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.xv * b.xv) AS sxx
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j,
+           ROUND(p.sxx / n.n - ma.mu * mb.mu, 6) AS cov
+    FROM p, n
+    JOIN m ma ON ma.i = p.i
+    JOIN m mb ON mb.i = p.j
+    ORDER BY p.i, p.j
+    """,
+)
+def emb_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding matrix, upper triangle,
+    via the distributed sufficient-statistics pass (one Arrow-batched
+    map → O(partitions · d²) partials → driver combine in fixed
+    order). The oracle recomputes every entry relationally from a
+    zipped-unnest self-join — any slip in the partial-sum algebra,
+    the batch stacking, or the mean centering shifts some entry.
+
+    Scale: the exchange carries d² doubles per partition (32 KB at
+    d = 64), never the n × d points — the same treeAggregate shape
+    that makes IVF training and normal-equations regression flat in
+    n. Driver work is O(d²) combine + O(d³) eigh, independent of n."""
+    from etl_lens_spark.similarity.pca import fit_pca
+
+    model = fit_pca(load_table(spark, sf_dir, "embeddings"))
+    cov = model["cov"]
+    d = cov.shape[0]
+    rows = [
+        (i, j, round(float(cov[i, j]), 6))
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return spark.createDataFrame(
+        rows, "i long, j long, cov double"
+    ).orderBy("i", "j")
+
+
+@query("emb_pca_whiten")
+def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ZCA-whitening pipeline + Mahalanobis outlier score: fit
+    on the distributed sufficient statistics, broadcast W and μ,
+    project every vector (one matmul per Arrow batch, no shuffle),
+    and emit ‖W(x−μ)‖² — the basis-independent Mahalanobis distance
+    a curation pass thresholds to drop distributional outliers
+    before semantic dedup. Rows-only by design (eigendecomposition
+    is not SQL-expressible); exactness is pinned in
+    tests/test_pca.py: whitened covariance = I within float eps,
+    bit-parity with a single-machine numpy reference, and score
+    invariance under an orthogonal re-basis of the input."""
+    from etl_lens_spark.similarity.pca import apply_whiten, fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb)
+    z = apply_whiten(emb, model, keep=["vec_id", "label"])
+    maha = F.aggregate(
+        F.transform("z", lambda v: v * v),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        z.select(
+            "vec_id",
+            "label",
+            F.round(maha, 6).alias("maha_sq"),
+        )
+        .orderBy("vec_id")
+    )
