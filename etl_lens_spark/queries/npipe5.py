@@ -502,3 +502,90 @@ def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "entity_levenshtein_pairs",
+    oracle="""
+    WITH n AS (
+        SELECT p_name, MIN(p_partkey) AS rep, COUNT(*) AS grp_size
+        FROM part GROUP BY p_name
+    )
+    SELECT a.rep AS key1, b.rep AS key2,
+           a.p_name AS name1, b.p_name AS name2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+           CAST(a.grp_size * b.grp_size AS BIGINT) AS pair_weight
+    FROM n a JOIN n b
+      ON a.rep < b.rep
+     AND abs(len(a.p_name) - len(b.p_name)) <= 3
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY key1, key2
+    """,
+)
+def entity_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching — the JVM-native companion of
+    the Jaro-Winkler query: Spark's built-in ``levenshtein(l, r,
+    threshold)`` (codegen'd, early-exit once the running distance
+    exceeds the bound) scored against DuckDB's independent native
+    kernel, pair by pair. Staging: (1) exact-collapse names to the
+    distinct-value table with group sizes; (2) LOSSLESS length-band
+    blocking — bucket = len div (k+1), candidates join on
+    {p−1, p, p+1}, which provably covers every pair with
+    |len(a)−len(b)| ≤ k; (3) the threshold kernel prunes survivors.
+    At 100 TB the quadratic term is per-length-band over DISTINCT
+    names (vocabulary-bounded, not row-bounded), the same discipline
+    as the JW and minhash cascades. The length pre-filter is cheap
+    algebra the optimizer evaluates before the O(n·m) kernel."""
+    k = 3
+    band = k + 1
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.min("p_partkey").alias("rep"),
+            F.count(F.lit(1)).alias("grp_size"),
+        )
+        .withColumn("ln", F.length("p_name"))
+        .withColumn("bkt", (F.col("ln") / band).cast("long"))
+    )
+    # probe side fans out to its bucket neighborhood; build side
+    # stays single-bucket, so the equi-join is lossless for |Δlen|≤k
+    probe = names.withColumn(
+        "jbkt",
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ),
+    )
+    a = probe.alias("a")
+    b = names.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.jbkt") == F.col("b.bkt"))
+        & (F.col("a.rep") < F.col("b.rep"))
+        & (
+            F.abs(F.col("a.ln") - F.col("b.ln")) <= k
+        ),
+    ).select(
+        F.col("a.rep").alias("key1"),
+        F.col("b.rep").alias("key2"),
+        F.col("a.p_name").alias("name1"),
+        F.col("b.p_name").alias("name2"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), k).alias(
+            "lev_t"
+        ),
+        (F.col("a.grp_size") * F.col("b.grp_size"))
+        .cast("long")
+        .alias("pair_weight"),
+    )
+    return (
+        pairs.filter(F.col("lev_t") >= 0)  # threshold form: -1 = over
+        .select(
+            "key1",
+            "key2",
+            "name1",
+            "name2",
+            F.col("lev_t").cast("long").alias("lev"),
+            "pair_weight",
+        )
+        .orderBy("key1", "key2")
+    )
