@@ -589,3 +589,104 @@ def entity_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key1", "key2")
     )
+
+
+@query(
+    "text_bm25_search",
+    oracle="""
+    WITH q(term) AS (VALUES ('spark'), ('join'), ('filter')),
+    toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    g AS (SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl),
+    tf AS (
+        SELECT t.doc_id, t.w AS term, COUNT(*) AS tf
+        FROM toks t JOIN q ON t.w = q.term
+        GROUP BY t.doc_id, t.w
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                 ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dl.dlen / g.avgdl))
+               ) AS score,
+               COUNT(*) AS n_terms_hit
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN g
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; k1 = 1.2,
+    b = 0.75) — the IR scoring pass behind query-targeted corpus
+    curation (pull the documents most relevant to a probe query for
+    boosting or audit). All JVM expressions: tokenize once, keep ONLY
+    query-term postings before any shuffle (the filter is the inverted
+    -index discipline — postings for three terms cross the wire, not
+    the corpus), per-term df + corpus stats reduce to broadcast-sized
+    frames, and the final score is one per-doc sum over ≤ |q| rows.
+    Top-k by exact score with doc_id tiebreak; the oracle recomputes
+    the identical formula relationally — two engines agreeing on ln,
+    the saturation term, and the length normalization per pair.
+
+    At 100 TB: the postings filter bounds every exchange by query
+    vocabulary, df/avgdl are O(|q|) and O(1) broadcasts, and the
+    top-k is TakeOrdered — no global sort materializes."""
+    terms = ["spark", "join", "filter"]
+    k1, b = 1.2, 0.75
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dlen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+            F.col("n_terms_hit").cast("long"),
+        )
+    )
