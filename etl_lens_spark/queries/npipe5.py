@@ -690,3 +690,139 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_terms_hit").cast("long"),
         )
     )
+
+
+def _phash_smooth_image(seed: int, h: int = 48, w: int = 64):
+    """Deterministic low-frequency test pattern: a sum of seeded
+    sinusoids — structured like a photograph (energy concentrated in
+    low DCT frequencies), unlike iid noise which pHash by design
+    cannot distinguish."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(4):
+        fy, fx = rng.uniform(0.02, 0.2, 2)
+        ph = rng.uniform(0, 6.28)
+        img += rng.uniform(0.5, 1.5) * np.sin(fy * y + fx * x + ph)
+    img = (img - img.min()) / (img.max() - img.min()) * 255
+    return img.astype(np.uint8)
+
+
+def _synth_phash_bmp(it):
+    """Real BMP bytes per doc; docs with doc_id % 10 == 1 are PLANTED
+    near-duplicates of doc_id − 1 (pixel noise ± 8 + brightness +3 —
+    the re-encode/re-crop jitter class pHash exists to absorb)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_lens_spark.multimodal.codecs import encode_bmp
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            base = d - 1 if d % 10 == 1 else d
+            gray = _phash_smooth_image(base)
+            if d % 10 == 1:
+                rng = np.random.default_rng(10_000 + d)
+                gray = np.clip(
+                    gray.astype(int)
+                    + rng.integers(-8, 9, gray.shape)
+                    + 3,
+                    0,
+                    255,
+                ).astype(np.uint8)
+            payloads.append(encode_bmp(np.stack([gray] * 3, axis=-1)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _phash_bmp_batches(it):
+    import numpy as np
+    import pandas as pd
+
+    from etl_lens_spark.multimodal.codecs import decode_bmp
+    from etl_lens_spark.multimodal.phash import phash_chunks
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr, _ = decode_bmp(bytes(payload))
+            gray = arr[:, :, 0]  # synthetic images are channel-equal
+            rows.append((int(d), phash_chunks(gray)))
+        yield pd.DataFrame(rows, columns=["doc_id", "sig"])
+
+
+@query("dedup_image_phash")
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the multimodal member of the
+    near-dup family (text: minhash/simhash; embeddings: LSH): 64-bit
+    DCT perceptual hashes (multimodal/phash.py) over genuinely
+    decoded BMP bytes, then the simhash pigeonhole at byte
+    granularity — the 8 chunk values ARE the signature, so blocking
+    candidates join on (chunk_id, chunk_val) and Hamming distance is
+    the JVM expression Σ bit_count(a XOR b), no bit arrays on the
+    wire. 8 chunks make the blocking COMPLETE for Hamming ≤ 7
+    (pigeonhole: 8 differing bits can touch at most 8 chunks, ≤ 7
+    leaves one chunk exact).
+
+    Rows-only by design (DCT + median thresholding are not
+    SQL-expressible); the contract is pinned in tests/test_phash.py:
+    planted near-dup pairs (doc_id % 10 == 1 ↔ doc_id − 1) are
+    recovered at ≥ 0.85 recall (the misses are TRUE distances > 7 —
+    a DCT coefficient at the median flips under any jitter; the
+    blocking itself is complete for ≤ 7), and every reported pair's
+    Hamming matches the numpy reference bit-for-bit — including
+    genuine cross-pattern collisions, which a perceptual hash is
+    SUPPOSED to report when two patterns share low-frequency
+    structure.
+
+    Scale: synth/decode/hash are chained no-shuffle mapInPandas; the
+    single shuffle is the chunk equi-join whose fan-out is 8 rows per
+    image; candidate pairs are bounded by bucket collisions, not n²
+    (the same guarantee as the minhash banding)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(
+        _synth_phash_bmp, "doc_id long, payload binary"
+    )
+    sigs = with_payload.mapInPandas(
+        _phash_bmp_batches, "doc_id long, sig array<int>"
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode("sig").alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 7)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    )
