@@ -1621,3 +1621,144 @@ def mm_real_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(_decode_avi_batches, _VIDEO_OUT).orderBy(
         "doc_id"
     )
+
+
+_PERMISSIVE_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixel_checksum", T.LongType()),
+    ]
+)
+
+
+def _synth_corruptible_bmp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 2 + d % 9, 2 + d % 7
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            arr = ((3 * x + 5 * y + 7 * c + d) % 256).astype("uint8")
+            payload = codecs.encode_bmp(arr)
+            if d % 7 == 3:
+                payload = b"XX" + payload[2:]  # smashed magic
+            elif d % 7 == 5:
+                payload = payload[: len(payload) // 2]  # torn write
+            payloads.append(payload)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_bmp_permissive(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct
+
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            d = int(d)
+            try:
+                arr, _ = codecs.decode_bmp(bytes(payload))
+                h, w = arr.shape[:2]
+                wgt = np.arange(1, 4)[None, None, :]
+                rows.append(
+                    (
+                        d,
+                        "ok",
+                        w,
+                        h,
+                        int((arr.astype(np.int64) * wgt).sum()),
+                    )
+                )
+            except (ValueError, struct.error) as e:
+                # a cut inside the HEADER surfaces as struct.error —
+                # still a truncation, not a different failure class
+                status = (
+                    "bad_magic"
+                    if "not a BMP" in str(e)
+                    else "truncated"
+                    if "truncated" in str(e)
+                    or isinstance(e, struct.error)
+                    else "corrupt"
+                )
+                rows.append((d, status, None, None, None))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "status",
+                "width",
+                "height",
+                "pixel_checksum",
+            ],
+        )
+
+
+@query(
+    "mm_decode_permissive",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 9 AS w, 2 + doc_id % 7 AS h,
+             CASE WHEN doc_id % 7 = 3 THEN 'bad_magic'
+                  WHEN doc_id % 7 = 5 THEN 'truncated'
+                  ELSE 'ok' END AS status
+      FROM documents
+    ),
+    xs AS (SELECT unnest(range(0, 11)) AS x),
+    ys AS (SELECT unnest(range(0, 9)) AS y),
+    cs AS (SELECT unnest(range(0, 3)) AS c),
+    px AS (
+      SELECT d.doc_id,
+             (CAST(c.c AS BIGINT) + 1)
+               * ((3 * x.x + 5 * y.y + 7 * c.c + d.doc_id) % 256) AS wv
+      FROM dims d
+      JOIN xs x ON x.x < d.w
+      JOIN ys y ON y.y < d.h
+      JOIN cs c ON c.c < 3
+      WHERE d.status = 'ok'
+    ),
+    sums AS (
+      SELECT doc_id, CAST(SUM(wv) AS BIGINT) AS pixel_checksum
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.status,
+           CASE WHEN d.status = 'ok' THEN CAST(d.w AS INT) END AS width,
+           CASE WHEN d.status = 'ok' THEN CAST(d.h AS INT) END AS height,
+           s.pixel_checksum
+    FROM dims d LEFT JOIN sums s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def mm_decode_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE binary decode — the multimodal twin of the
+    csv/json permissive parsers: a 100 TB media crawl always contains
+    torn writes and mislabeled bytes, and a decoder that throws on
+    row 10⁹ kills the job. Corruption is planted deterministically
+    (doc_id % 7 = 3 → smashed magic, % 7 = 5 → payload cut mid-pixel
+    -data), the decode stage catches per-row and emits a typed status
+    column with NULL stats instead of failing the task, and the
+    oracle pins BOTH sides: the exact channel-weighted checksum for
+    every surviving row (same formula as mm_real_bmp_pipeline) and
+    the exact error CLASS for every rejected one — proving the
+    decoder distinguishes a wrong container from a truncated one
+    rather than lumping failures.
+
+    Scale: identical no-shuffle chained mapInPandas shape; the catch
+    adds zero cost to the happy path. Downstream curation filters on
+    status = 'ok' — the skip-bad-blocks discipline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_corruptible_bmp, _IMG_SCHEMA)
+    return with_payload.mapInPandas(
+        _decode_bmp_permissive, _PERMISSIVE_OUT
+    ).orderBy("doc_id")
