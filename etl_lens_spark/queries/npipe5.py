@@ -826,3 +826,193 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", "hamming")
         .orderBy("id1", "id2")
     )
+
+
+@query(
+    "mix_temperature_alpha",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM per_src),
+    shares AS (
+        SELECT p.source, p.n_docs, p.n_tokens,
+               p.n_tokens / t.total_tokens AS nat_share,
+               pow(p.n_tokens / t.total_tokens, 0.5) AS raw_alpha
+        FROM per_src p CROSS JOIN tot t
+    ),
+    norm AS (SELECT SUM(raw_alpha) AS z FROM shares)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           ROUND(s.nat_share, 6) AS nat_share,
+           ROUND(s.raw_alpha / n.z, 6) AS alpha_share,
+           ROUND(LEAST(1.0,
+                 (s.raw_alpha / n.z) * 50000.0 / s.n_tokens), 6)
+             AS sample_rate,
+           CAST(ROUND(LEAST(1.0,
+                 (s.raw_alpha / n.z) * 50000.0 / s.n_tokens)
+                 * s.n_tokens, 0) AS BIGINT) AS expected_tokens
+    FROM shares s CROSS JOIN norm n
+    ORDER BY s.source
+    """,
+)
+def mix_temperature_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual/多-source
+    α-sampling rule: p_i ∝ share_i^α with α = 0.5) — the step BEFORE
+    mix_sources_weighted's fixed rates: compute each source's natural
+    token share, flatten it through the temperature, renormalize, and
+    convert to a per-source sampling rate against a 50k-token budget
+    (capped at 1 — a small source can't yield more than it has; its
+    surplus is the classic α-sampling overflow the budget owner
+    redistributes). Everything reduces map-side to one row per
+    source; the broadcast-sized share table then gets two scalar
+    cross joins — zero large shuffles at any scale.
+
+    The oracle recomputes the whole chain (token counts, pow, cap,
+    rounding) relationally — cross-engine agreement on the float
+    pipeline to 6 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    shares = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("total_tokens")).alias("nat_share"),
+        F.pow(
+            F.col("n_tokens") / F.col("total_tokens"), F.lit(0.5)
+        ).alias("raw_alpha"),
+    )
+    norm = shares.agg(F.sum("raw_alpha").alias("z"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("raw_alpha") / F.col("z")) * 50000.0 / F.col("n_tokens"),
+    )
+    return (
+        shares.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("nat_share", 6).alias("nat_share"),
+            F.round(F.col("raw_alpha") / F.col("z"), 6).alias(
+                "alpha_share"
+            ),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(rate * F.col("n_tokens"), 0)
+            .cast("long")
+            .alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w,
+               len(text) AS nchr
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, source,
+               len(w) AS n_words,
+               (nchr - len(w) + 1.0) / len(w) AS mean_wlen,
+               len(list_filter(w, x -> x ~ '^[a-z]+$')) AS n_alpha,
+               len(list_filter(w,
+                   x -> list_contains(
+                       ['the','a','of','to','and','is','in'], x)))
+                 AS n_stop
+        FROM t
+    ),
+    rules AS (
+        SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_words BETWEEN 20 AND 100000 AS BIGINT)
+                 AS ok_word_count,
+               CAST(mean_wlen BETWEEN 2.0 AND 10.0 AS BIGINT)
+                 AS ok_mean_wlen,
+               CAST(n_alpha >= 0.8 * n_words AS BIGINT) AS ok_alpha,
+               CAST(n_stop >= 2 AS BIGINT) AS ok_stopwords
+        FROM sig
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok_word_count) AS BIGINT) AS pass_word_count,
+           CAST(SUM(ok_mean_wlen) AS BIGINT) AS pass_mean_wlen,
+           CAST(SUM(ok_alpha) AS BIGINT) AS pass_alpha,
+           CAST(SUM(ok_stopwords) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(ok_word_count * ok_mean_wlen * ok_alpha
+                    * ok_stopwords) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN ok_word_count * ok_mean_wlen * ok_alpha
+                              * ok_stopwords = 1
+                         THEN n_words ELSE 0 END) AS BIGINT)
+             AS kept_words
+    FROM rules
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality GATES (Rae et al. 2021 §A1.1,
+    adapted to the fixture's vocabulary): word-count bounds, mean
+    word length bounds, alphabetic-word fraction, minimum stopword
+    hits — evaluated as BOOLEAN RULES with a per-source pass/keep
+    report, which is the artifact a curation run actually reviews
+    (text_quality_signals emits the raw ratios; this emits the
+    decisions and the yield). Row-local signal extraction in pure
+    JVM expressions, one groupBy(source) reduction — the corpus
+    audit costs one shuffle of |sources| rows regardless of scale.
+    The oracle recomputes every rule relationally, so the regex
+    class, the stopword list, and the AND-fold all agree
+    cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    mean_wlen = (F.length("text") - n_words + 1.0) / n_words
+    n_alpha = F.size(
+        F.filter(w, lambda x: x.rlike("^[a-z]+$"))
+    )
+    n_stop = F.size(
+        F.filter(
+            w,
+            lambda x: x.isin("the", "a", "of", "to", "and", "is", "in"),
+        )
+    )
+    sig = docs.select(
+        "source",
+        n_words.cast("long").alias("n_words"),
+        n_words.between(20, 100000).cast("long").alias("ok_word_count"),
+        mean_wlen.between(2.0, 10.0).cast("long").alias("ok_mean_wlen"),
+        (n_alpha >= 0.8 * n_words).cast("long").alias("ok_alpha"),
+        (n_stop >= 2).cast("long").alias("ok_stopwords"),
+    )
+    keep = (
+        F.col("ok_word_count")
+        * F.col("ok_mean_wlen")
+        * F.col("ok_alpha")
+        * F.col("ok_stopwords")
+    )
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ok_word_count").cast("long").alias("pass_word_count"),
+            F.sum("ok_mean_wlen").cast("long").alias("pass_mean_wlen"),
+            F.sum("ok_alpha").cast("long").alias("pass_alpha"),
+            F.sum("ok_stopwords").cast("long").alias("pass_stopwords"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            F.sum(
+                F.when(keep == 1, F.col("n_words")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_words"),
+        )
+        .orderBy("source")
+    )
