@@ -166,3 +166,51 @@ def ordered_global_rank(
         )
         .drop(_PID, _LOCAL, _OFF)
     )
+
+
+def ordered_prefix_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str,
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running MAX over a global total order, same zero-single-reducer
+    decomposition as ``ordered_prefix_sums``: range exchange → local
+    cummax per partition → per-partition full maxes → triangular join
+    for earlier-partition offsets → ``greatest`` (null-skipping)
+    combine. ``inclusive=False`` gives the STRICTLY-EARLIER prefix
+    (frame ends at -1 row) — the dominance test a distributed skyline
+    needs; with ties in ``order_by`` callers should pre-reduce to
+    distinct keys, as row-strictness is not key-strictness."""
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    d = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = d.withColumn(f"{_LOCAL}_mx", F.max(value_col).over(w_local))
+    totals = d.groupBy(_PID).agg(F.max(value_col).alias(f"{_PTOT}_mx"))
+    a = totals.select(F.col(_PID).alias("__a_pid"))
+    b = totals.select(F.col(_PID).alias("__b_pid"), f"{_PTOT}_mx")
+    offsets = (
+        a.join(b, F.col("__b_pid") < F.col("__a_pid"), "left")
+        .groupBy("__a_pid")
+        .agg(F.max(f"{_PTOT}_mx").alias(f"{_OFF}_mx"))
+    )
+    res = local.join(
+        F.broadcast(offsets.withColumnRenamed("__a_pid", _PID)), _PID
+    )
+    return res.withColumn(
+        out_col, F.greatest(F.col(f"{_OFF}_mx"), F.col(f"{_LOCAL}_mx"))
+    ).drop(_PID, f"{_OFF}_mx", f"{_LOCAL}_mx")

@@ -1224,3 +1224,76 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "skyline_pareto_frontier",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_retailprice, p_size FROM part
+    )
+    SELECT a.p_partkey,
+           a.p_retailprice,
+           CAST(a.p_size AS BIGINT) AS p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice
+               OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+)
+def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-frontier) operator — minimize price, maximize
+    size: a part survives iff no other part is cheaper-or-equal AND
+    bigger-or-equal with one strict. The 2-D case decomposes exactly
+    like the textbook sort-filter skyline, expressed with the
+    repo's zero-single-reducer prefix machinery: (1) reduce to
+    DISTINCT prices with the max size at each (map-side combine);
+    (2) ``ordered_prefix_max(inclusive=False)`` gives each price the
+    best size among STRICTLY cheaper prices via range exchange +
+    local windows + an O(P) triangular offsets join — no global
+    WindowExec; (3) join back (broadcast-sized frontier table) and
+    keep rows that tie their price's max and beat every cheaper
+    price's best. Duplicate (price, size) points are all kept —
+    mutual non-strict dominance is not dominance.
+
+    The oracle is the O(n²) NOT-EXISTS dominance definition itself,
+    blocking-free — a pass proves the decomposition loses and adds
+    nothing. At 100 TB the quadratic never materializes: cost is one
+    groupBy(price), one range exchange over distinct prices, one
+    broadcast join."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_max
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    with_strict = ordered_prefix_max(
+        per_price,
+        [F.col("p_retailprice").asc()],
+        "best_size",
+        "strict_best",
+        inclusive=False,
+    )
+    j = part.join(F.broadcast(with_strict), "p_retailprice")
+    return (
+        j.filter(
+            (F.col("p_size") == F.col("best_size"))
+            & (
+                F.col("strict_best").isNull()
+                | (F.col("strict_best") < F.col("p_size"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -87,3 +87,44 @@ def test_prefix_sum_empty_and_single_row(spark):
         one, [F.asc("v")], "x", "cum", num_partitions=4
     ).collect()
     assert rows[0]["cum"] == 42
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8, 64])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_prefix_max_matches_global_window(spark, num_partitions, inclusive):
+    from etl_lens_spark.operators.prefix import ordered_prefix_max
+
+    # distinct order keys (key-strictness == row-strictness)
+    df = _fixture(spark).groupBy("v").agg(F.max("x").alias("x"))
+    got = {
+        r["v"]: r["cm"]
+        for r in ordered_prefix_max(
+            df,
+            [F.asc("v")],
+            "x",
+            "cm",
+            inclusive=inclusive,
+            num_partitions=num_partitions,
+        ).collect()
+    }
+    end = 0 if inclusive else -1
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, end)
+    want = {
+        r["v"]: r["cm"]
+        for r in df.withColumn("cm", F.max("x").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_prefix_max_no_unpartitioned_window(spark):
+    from etl_lens_spark.operators.prefix import ordered_prefix_max
+
+    df = _fixture(spark, n=100).groupBy("v").agg(F.max("x").alias("x"))
+    res = ordered_prefix_max(
+        df, [F.asc("v")], "x", "cm", inclusive=False, num_partitions=4
+    )
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__prefix_pid" in line, f"unpartitioned window: {line}"
