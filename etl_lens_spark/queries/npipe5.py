@@ -1016,3 +1016,130 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "entity_survivorship_golden",
+    oracle="""
+    WITH RECURSIVE
+    n AS (
+        SELECT p_name, MIN(p_partkey) AS rep, COUNT(*) AS grp_size
+        FROM part GROUP BY p_name
+    ),
+    pairs AS (
+        SELECT a.rep AS k1, b.rep AS k2
+        FROM n a JOIN n b
+          ON a.rep < b.rep
+         AND abs(len(a.p_name) - len(b.p_name)) <= 3
+         AND levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+        SELECT k1 AS u, k2 AS v FROM pairs
+        UNION ALL
+        SELECT k2 AS u, k1 AS v FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT rep, rep FROM n
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    cc AS (
+        SELECT src AS rep, MIN(node) AS component
+        FROM reach GROUP BY src
+    ),
+    members AS (
+        SELECT cc.component, n.p_name, n.rep, n.grp_size,
+               row_number() OVER (
+                   PARTITION BY cc.component
+                   ORDER BY n.grp_size DESC, n.p_name
+               ) AS pick
+        FROM n JOIN cc ON n.rep = cc.rep
+    )
+    SELECT component AS canonical_key,
+           MAX(CASE WHEN pick = 1 THEN p_name END) AS canonical_name,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(grp_size) AS BIGINT) AS total_records,
+           CAST(MAX(rep) AS BIGINT) AS max_variant_key
+    FROM members
+    GROUP BY component
+    ORDER BY component
+    """,
+)
+def entity_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE entity-resolution flow, ending in golden records:
+    fuzzy pairs (threshold Levenshtein over exact-collapsed distinct
+    names with the lossless length banding) → connected components
+    (min-label propagation + pointer jumping, O(log d) shuffles) →
+    SURVIVORSHIP — per duplicate cluster, elect the canonical
+    spelling by the most-records-then-lexicographic rule via ONE
+    ``min_by(struct(-count, name))`` aggregate (no per-cluster sort),
+    and roll up variant/record counts. This is the step record-
+    linkage systems call merge/survivorship: the pairs say WHO
+    matches, this says what the master row IS.
+
+    The oracle rebuilds everything independently — DuckDB's native
+    levenshtein, a WITH RECURSIVE transitive closure, and a window
+    re-election — so the banding, the propagation fixpoint, and the
+    election rule are each cross-checked. Scale: vocabulary-bounded
+    like every cascade stage; the CC loop is the O(log d) machinery
+    already proven on the embedding graph."""
+    from etl_lens_spark.dedup import embedding as emb_dedup
+
+    k = 3
+    band = k + 1
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.min("p_partkey").alias("rep"),
+            F.count(F.lit(1)).alias("grp_size"),
+        )
+        .withColumn("ln", F.length("p_name"))
+        .withColumn("bkt", (F.col("ln") / band).cast("long"))
+    )
+    probe = names.withColumn(
+        "jbkt",
+        F.explode(
+            F.array(F.col("bkt") - 1, F.col("bkt"), F.col("bkt") + 1)
+        ),
+    )
+    a = probe.alias("a")
+    b = names.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.jbkt") == F.col("b.bkt"))
+            & (F.col("a.rep") < F.col("b.rep"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= k),
+        )
+        .filter(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), k) >= 0
+        )
+        .select(
+            F.col("a.rep").alias("src"), F.col("b.rep").alias("dst")
+        )
+    )
+    nodes = names.select(F.col("rep").alias("node"))
+    cc = emb_dedup.connected_components(nodes, pairs)
+    members = names.join(cc, names.rep == cc.node).select(
+        "component", "p_name", "rep", "grp_size"
+    )
+    return (
+        members.groupBy("component")
+        .agg(
+            F.min_by(
+                "p_name", F.struct(-F.col("grp_size"), F.col("p_name"))
+            ).alias("canonical_name"),
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.sum("grp_size").cast("long").alias("total_records"),
+            F.max("rep").cast("long").alias("max_variant_key"),
+        )
+        .select(
+            F.col("component").alias("canonical_key"),
+            "canonical_name",
+            "n_variants",
+            "total_records",
+            "max_variant_key",
+        )
+        .orderBy("canonical_key")
+    )

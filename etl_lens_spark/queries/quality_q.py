@@ -973,3 +973,64 @@ def ml_eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "auc_ppm"
         ),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS bal_bucket
+        FROM customer
+    ),
+    grp AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT bal_bucket) AS BIGINT) AS l_diversity
+        FROM qi GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, l_diversity,
+           CAST(group_size >= 5 AS BIGINT) AS k_anonymous_5,
+           CAST(l_diversity >= 2 AS BIGINT) AS l_diverse_2
+    FROM grp
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a dataset
+    release (or a training corpus with user-derived rows) runs before
+    publication: group by the quasi-identifier tuple
+    (nation, segment), measure each group's size (k-anonymity: a
+    group smaller than k re-identifies its members) and the
+    diversity of the sensitive attribute inside it (l-diversity: a
+    uniform sensitive value leaks even in a large group; sensitive
+    here = bucketed account balance). Rows in groups failing either
+    flag are the ones to suppress or generalize.
+
+    One hash aggregation with map-side combine; the report is
+    |QI-domain| rows regardless of input size — the audit costs one
+    shuffle of group partials at any scale. count(DISTINCT) inside
+    the group rides Spark's expand-rewrite, still partial-aggregated.
+    The oracle recomputes both metrics relationally."""
+    qi = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("bal_bucket").cast("long").alias("l_diversity"),
+    )
+    return grp.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "l_diversity",
+        (F.col("group_size") >= 5).cast("long").alias("k_anonymous_5"),
+        (F.col("l_diversity") >= 2).cast("long").alias("l_diverse_2"),
+    ).orderBy("c_nationkey", "c_mktsegment")
