@@ -1618,3 +1618,105 @@ def sink_dynamic_partition_overwrite(
     rows = out.collect()
     shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "sink_global_sorted_export",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS is_globally_sorted,
+           CAST(1 AS BIGINT) AS files_nonoverlapping,
+           CAST(SUM(o_orderkey * 2654435761 % 1000000007) AS BIGINT)
+             AS content_checksum
+    FROM src
+    """,
+)
+def sink_global_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted file export — the TeraSort decomposition as a
+    SINK: ``repartitionByRange`` puts disjoint key ranges on ordered
+    partitions, ``sortWithinPartitions`` orders each file internally,
+    and the concatenation of part-files in name order IS the total
+    order — no single-reducer sort anywhere, which is the only way a
+    100 TB extract ships sorted (range-partitioned parallel writes;
+    a consumer reads file k after file k−1 and sees one ordered
+    stream). The query then PROVES the contract from the written
+    artifact: per-file (min, max, sorted?) manifests roll up to
+    is_globally_sorted (every file internally ordered AND every
+    file's min > previous file's max) and files_nonoverlapping,
+    alongside a content checksum the oracle recomputes from the
+    source — so the export is verified both ordered and lossless."""
+    import glob
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base = sinks.scratch_path("global_sorted_export")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        orders.repartitionByRange(8, F.col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    from pyspark.sql import Window
+
+    files = sorted(glob.glob(f"{base}/part-*.parquet"))
+    manifests = []
+    for idx, path in enumerate(files):
+        pf = spark.read.parquet(path).select(
+            "o_orderkey",
+            F.col("_metadata.row_index").alias("__ri"),
+        )
+        # internal-order probe: zero inversions in physical row order.
+        # The window spans ONE part-file (the unit of parallel write),
+        # so it is bounded by file size, not table size — the
+        # verification is as parallel as the export itself.
+        w = Window.orderBy("__ri")
+        m = pf.select(
+            "o_orderkey",
+            (
+                F.col("o_orderkey")
+                < F.lag("o_orderkey").over(w)
+            )
+            .cast("int")
+            .alias("__inv"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+            F.sum(
+                (F.col("o_orderkey") * 2654435761) % 1000000007
+            ).alias("ck"),
+            F.coalesce(F.sum("__inv"), F.lit(0)).alias("inv"),
+        ).collect()[0]
+        manifests.append(
+            (
+                idx,
+                int(m["n"]),
+                int(m["mn"]),
+                int(m["mx"]),
+                int(m["ck"]),
+                int(m["inv"]) == 0,
+            )
+        )
+    sorted_within = all(m[5] for m in manifests)
+    nonoverlap = all(
+        manifests[i][3] < manifests[i + 1][2]
+        for i in range(len(manifests) - 1)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                sum(m[1] for m in manifests),
+                int(sorted_within and nonoverlap),
+                int(nonoverlap),
+                sum(m[4] for m in manifests),
+            )
+        ],
+        "n_rows long, is_globally_sorted long, "
+        "files_nonoverlapping long, content_checksum long",
+    )

@@ -1034,3 +1034,130 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") >= 5).cast("long").alias("k_anonymous_5"),
         (F.col("l_diversity") >= 2).cast("long").alias("l_diverse_2"),
     ).orderBy("c_nationkey", "c_mktsegment")
+
+
+@query(
+    "ml_eval_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT n_chars AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    )
+    SELECT LEAST(CAST(score // 50 AS BIGINT), 19) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           ROUND(AVG(CAST(label AS DOUBLE)), 6) AS observed_rate,
+           CAST(MIN(score) AS BIGINT) AS score_lo,
+           CAST(MAX(score) AS BIGINT) AS score_hi
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def ml_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins — the calibration half of classifier
+    evaluation next to ml_eval_auc_rank's discrimination half: bucket
+    the score axis (fixed-width, clamped tail), and per bin report
+    support, positives, and the observed positive rate a calibration
+    curve plots against the bin's score range. One hash aggregation
+    with map-side combine; the report is |bins| rows at any scale —
+    the same swap as AUC applies at 100 TB (bucket a real model's
+    score to fixed precision)."""
+    scored = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    return (
+        scored.groupBy(
+            F.least(
+                (F.col("score") / 50).cast("long"), F.lit(19)
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias(
+                "observed_rate"
+            ),
+            F.min("score").cast("long").alias("score_lo"),
+            F.max("score").cast("long").alias("score_hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "dataset_group_split_no_leakage",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id, event_id,
+               CASE
+                 WHEN ('0x' || substring(md5('gsplit'
+                        || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 10000 < 8000 THEN 'train'
+                 WHEN ('0x' || substring(md5('gsplit'
+                        || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                        % 10000 < 9000 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM events
+    ),
+    leak AS (
+        SELECT COUNT(*) AS leaked_users FROM (
+            SELECT user_id FROM assigned
+            GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+           CAST(MAX(l.leaked_users) AS BIGINT) AS leaked_users
+    FROM assigned a CROSS JOIN leak l
+    GROUP BY a.split
+    ORDER BY a.split
+    """,
+)
+def dataset_group_split_no_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUP-AWARE train/val/test split — the leakage-safe variant of
+    the row-level split: the hash is taken on user_id, so every event
+    of a user lands in the same side (evaluating on a user whose
+    other events were trained on is the classic leak). Deterministic
+    md5-bucket assignment, no RNG; the query also AUDITS the
+    guarantee — leaked_users counts users observed in more than one
+    split, which the construction forces to 0 and the oracle
+    verifies independently. One row-local projection + one
+    aggregation; the leak audit groups by user (map-side combined)
+    — the same cost as any per-user stat at 100 TB."""
+    from etl_lens_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    b = hash_bucket(F.col("user_id"), "gsplit")
+    assigned = ev.withColumn(
+        "split",
+        F.when(b < 8000, "train")
+        .when(b < 9000, "val")
+        .otherwise("test"),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_users"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.col("leaked_users").cast("long"),
+        )
+        .orderBy("split")
+    )
