@@ -1228,6 +1228,7 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skyline_pareto_frontier",
+    headline=True,
     oracle="""
     WITH p AS (
         SELECT p_partkey, p_retailprice, p_size FROM part

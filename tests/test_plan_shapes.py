@@ -122,6 +122,14 @@ HEADLINE_PINS = {
     # distributed prefix-sum queries: the nested-loop node is the
     # O(P^2) triangular offsets join over per-partition TOTALS (P~32
     # rows), deliberately not a window — see operators/prefix.py
+    # skyline: distinct-key reduction + prefix-max (range exchange,
+    # local windows, O(P) triangular offsets join) + broadcast
+    # join-back — the nested-loop node is the tiny offsets triangle
+    "skyline_pareto_frontier": (
+        7,
+        {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        set(),
+    ),
     "part_pareto_abc": (
         10,
         {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
