@@ -1762,3 +1762,101 @@ def mm_decode_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         _decode_bmp_permissive, _PERMISSIVE_OUT
     ).orderBy("doc_id")
+
+
+def _corpus_fp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from etl_lens_spark.multimodal.audiofp import fingerprint, synth_track
+
+    for pdf in it:
+        ids, hs, ts = [], [], []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            for h, t in fingerprint(synth_track(d)):
+                ids.append(d)
+                hs.append(h)
+                ts.append(t)
+        yield pd.DataFrame({"track_id": ids, "h": hs, "t": ts})
+
+
+def _query_fp_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.audiofp import fingerprint, synth_track
+
+    for pdf in it:
+        ids, hs, ts = [], [], []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            track = synth_track(d)
+            snippet = track[3000:9000].astype(np.float64)
+            rng = np.random.default_rng(90_000 + d)
+            snippet = (
+                snippet + rng.normal(0, 300, len(snippet))
+            ).astype(np.int16)
+            for h, t in fingerprint(snippet):
+                ids.append(d)
+                hs.append(h)
+                ts.append(t)
+        yield pd.DataFrame({"query_id": ids, "h": hs, "tq": ts})
+
+
+@query("mm_audio_fingerprint_match")
+def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO RETRIEVAL by constellation fingerprint (Wang 2003 —
+    landmark hashing): every corpus track reduces to (hash, track, t)
+    landmark rows; each query is a NOISY, TIME-SHIFTED middle slice
+    of one track (doc_id % 25 == 7), fingerprinted the same way; and
+    identification is pure relational algebra from there — equi-join
+    on the packed (f1, f2, Δt) hash, then an offset-histogram vote
+    (groupBy(query, track, t − tq) count, map-side combined) whose
+    argmax per query is the identification. A true positive shows up
+    not just as the max vote but as a CONSISTENT offset equal to the
+    planted slice position — the property random hash collisions
+    can't fake.
+
+    Rows-only (FFT is not SQL); tests/test_audiofp.py pins: every
+    query identifies its own source track, within a few frames of the
+    planted offset (sample 3000 at hop 128 → frame ~23; noise can
+    shift the histogram argmax slightly), with a wide vote margin.
+
+    Scale: fingerprints are 3-long rows (no audio on the wire), the
+    join is hash-blocked, the vote is one aggregation — a 100 TB
+    audio corpus matches snippets with one shuffle of landmark longs
+    plus one of vote partials."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = docs.mapInPandas(
+        _corpus_fp_batches, "track_id long, h long, t long"
+    )
+    queries = docs.filter(F.col("doc_id") % 25 == 7).mapInPandas(
+        _query_fp_batches, "query_id long, h long, tq long"
+    )
+    votes = (
+        corpus.join(queries, "h")
+        .groupBy(
+            "query_id", "track_id", (F.col("t") - F.col("tq")).alias("off")
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = (
+        votes.groupBy("query_id")
+        .agg(
+            F.max_by(
+                F.struct("track_id", "off", "votes"),
+                F.struct(
+                    "votes", (-F.col("track_id")).alias("nt"),
+                    (-F.col("off")).alias("no"),
+                ),
+            ).alias("b"),
+            F.max("votes").alias("top_votes"),
+        )
+        .select(
+            "query_id",
+            F.col("b.track_id").alias("best_track"),
+            F.col("b.off").alias("offset_frames"),
+            F.col("b.votes").cast("long").alias("votes"),
+            (F.col("b.track_id") == F.col("query_id"))
+            .cast("long")
+            .alias("is_self_match"),
+        )
+    )
+    return best.orderBy("query_id")
