@@ -1143,3 +1143,95 @@ def entity_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_key")
     )
+
+
+@query(
+    "text_hashing_trick_vectors",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    dims AS (
+        SELECT doc_id,
+               ('0x' || substring(md5('feat' || tok), 1, 8))::BIGINT
+                 % 32 AS dim,
+               CASE WHEN ('0x' || substring(md5('sgn' || tok), 1, 8))
+                         ::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks
+    ),
+    vec AS (
+        SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS w
+        FROM dims GROUP BY doc_id, dim
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(SUM(CAST(w AS DOUBLE) * w)) AS nrm
+        FROM vec GROUP BY doc_id
+    )
+    SELECT v.doc_id, v.dim, v.w,
+           ROUND(v.w / n.nrm, 6) AS w_unit
+    FROM vec v JOIN norms n ON v.doc_id = n.doc_id
+    WHERE v.w <> 0
+    ORDER BY v.doc_id, v.dim
+    """,
+)
+def text_hashing_trick_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the 'hashing trick', Weinberger et al. 2009):
+    embed text into a fixed 32-dim space with NO vocabulary — each
+    token hashes to a dimension, a second independent hash supplies a
+    ±1 sign (the variance-killing trick that makes collisions cancel
+    in expectation), and the vector is the signed count, L2
+    normalized. This is the embedding-free bridge from the text
+    family to the vector family: downstream cosine ANN / k-means /
+    SemDeDup run unchanged on these exactly as on model embeddings —
+    with zero training and zero vocabulary state, which is what makes
+    it viable as a FIRST-PASS featurizer at 100 TB (stateless,
+    row-local, one groupBy(doc, dim) with map-side combine; the
+    output is sparse (dim, weight) rows, never dense arrays on the
+    wire).
+
+    Both hashes are md5-derived with distinct salts so the DuckDB
+    oracle replays them bit-for-bit — the whole vectorizer
+    (tokenize, dim map, sign map, signed sum, L2 norm) is
+    cross-engine-pinned including zero-cancellation rows being
+    dropped."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+    )
+    md5i = lambda salt, c: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(salt), c).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    dims = toks.select(
+        "doc_id",
+        (md5i("feat", F.col("tok")) % 32).alias("dim"),
+        F.when(md5i("sgn", F.col("tok")) % 2 == 0, 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    vec = (
+        dims.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    norms = vec.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w").cast("double") * F.col("w"))).alias("nrm")
+    )
+    return (
+        vec.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            "dim",
+            "w",
+            F.round(F.col("w") / F.col("nrm"), 6).alias("w_unit"),
+        )
+        .orderBy("doc_id", "dim")
+    )
