@@ -649,3 +649,81 @@ def graph_shortest_path_weighted(
     return dist.select(
         "node", F.col("dist").cast("long").alias("dist")
     ).orderBy("node")
+
+
+@query(
+    "graph_adamic_adar_links",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        FROM lineitem WHERE l_quantity >= 49
+    ),
+    deg AS (SELECT s, COUNT(*) AS d FROM ps GROUP BY s),
+    cand AS (
+        SELECT a.p AS p1, b.p AS p2, a.s
+        FROM ps a JOIN ps b ON a.s = b.s AND a.p < b.p
+    ),
+    scored AS (
+        SELECT c.p1, c.p2,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               SUM(1.0 / ln(d.d)) AS aa
+        FROM cand c JOIN deg d ON c.s = d.s
+        WHERE d.d >= 2
+        GROUP BY c.p1, c.p2
+    )
+    SELECT p1, p2, n_common, ROUND(aa, 6) AS adamic_adar
+    FROM scored WHERE n_common >= 2
+    ORDER BY p1, p2
+    """,
+)
+def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION on the part–supplier bipartite graph:
+    Adamic–Adar affinity between part pairs — common neighbours
+    weighted 1/ln(degree), so a shared RARE supplier signals far more
+    than a shared commodity hub (the classic fix for raw
+    common-neighbour counts). The graph is the high-quantity edge
+    subset (l_quantity ≥ 49 — strong relationships), candidate pairs
+    generated by the standard neighbour self-join ON THE SHARED
+    SUPPLIER (never part × part), degrees broadcast in, and the
+    reported edge set thresholded on the INTEGER n_common ≥ 2 so the
+    cross-engine result set is boundary-stable while the float score
+    is rounded per pair.
+
+    Degree-1 suppliers are excluded from scoring (1/ln(1) = ∞;
+    a single-neighbour supplier cannot witness a pair anyway — the
+    WHERE d ≥ 2 guard is shared by both engines).
+
+    Scale: candidate volume is Σ_s deg(s)² — bounded by filtering to
+    the strong-edge subgraph and skew-capped by the supplier degree
+    distribution, the same discipline as every blocking cascade here;
+    the self-join shuffles once on s, the scoring aggregation once on
+    (p1, p2)."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    deg = ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = ps.alias("a")
+    b = ps.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.p") < F.col("b.p")),
+    ).select(
+        F.col("a.p").alias("p1"), F.col("b.p").alias("p2"), F.col("a.s")
+    )
+    scored = (
+        cand.join(F.broadcast(deg.filter(F.col("d") >= 2)), "s")
+        .groupBy("p1", "p2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("d").cast("double"))).alias("aa"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+    return scored.select(
+        "p1", "p2", "n_common", F.round("aa", 6).alias("adamic_adar")
+    ).orderBy("p1", "p2")

@@ -723,3 +723,121 @@ def ts_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mu,
+               stddev_pop(CAST(n AS DOUBLE)) AS sd
+        FROM hourly GROUP BY event_type
+    ),
+    z AS (
+        SELECT h.event_type, h.h,
+               (h.n - s.mu) / s.sd - 0.5 AS zk
+        FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        WHERE s.sd > 0
+    ),
+    cum AS (
+        SELECT event_type, h,
+               SUM(zk) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM z
+    ),
+    cusum AS (
+        SELECT event_type, h, c,
+               c - LEAST(0.0, MIN(c) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS s_plus
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(MAX(s_plus), 6) AS max_cusum,
+           CAST(MIN(CASE WHEN s_plus > 5.0 THEN h END) AS BIGINT)
+             AS first_alarm_hour
+    FROM cusum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) on the hourly
+    event-rate series per type — the sequential-monitoring companion
+    of the rolling z-score: standardize each hour against the
+    per-type baseline, subtract the slack k = 0.5, and track the
+    one-sided cumulative-sum statistic. The textbook RECURSION
+    S⁺_t = max(0, S⁺_{t−1} + z_t − k) looks inherently sequential,
+    but the closed form S⁺_t = cum_t − min(0, min_{j≤t} cum_j) turns
+    it into ONE running sum and ONE running min over the same
+    type-keyed window — so the detector that seems to demand a
+    stateful scan is two window expressions over the map-side-reduced
+    series (the same 100 TB discipline as every monitor here: window
+    the REDUCED table, never the stream). Alarm = first hour the
+    statistic clears h = 5.
+
+    Windows are evaluated in identical deterministic order by both
+    engines, so the float chain (mean, stddev_pop, cumsum, min)
+    agrees to well past the 6-decimal hash."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            _floor_div_us("ts", 3600000000).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("n").cast("double")).alias("sd"),
+    )
+    z = (
+        hourly.join(F.broadcast(stats.filter(F.col("sd") > 0)), "event_type")
+        .select(
+            "event_type",
+            "h",
+            ((F.col("n") - F.col("mu")) / F.col("sd") - 0.5).alias("zk"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # INCLUSIVE frame: the closed form needs min over j ≤ t (with
+    # the empty prefix's 0), else S⁺ dips negative where the
+    # recursion clamps at 0
+    w_min = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = (
+        z.withColumn("c", F.sum("zk").over(w_cum))
+        .withColumn(
+            "s_plus",
+            F.col("c")
+            - F.least(F.lit(0.0), F.min("c").over(w_min)),
+        )
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(F.max("s_plus"), 6).alias("max_cusum"),
+            F.min(F.when(F.col("s_plus") > 5.0, F.col("h")))
+            .cast("long")
+            .alias("first_alarm_hour"),
+        )
+        .orderBy("event_type")
+    )
