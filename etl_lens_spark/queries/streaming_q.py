@@ -885,3 +885,73 @@ def streaming_topk_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "rank", "user_id", "n", "n_total")
         .orderBy("event_type", "rank")
     )
+
+
+@query(
+    "streaming_cusum_live",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mu,
+               stddev_pop(CAST(n AS DOUBLE)) AS sd
+        FROM hourly GROUP BY event_type
+    ),
+    z AS (
+        SELECT h.event_type, h.h, (h.n - s.mu) / s.sd - 0.5 AS zk
+        FROM hourly h JOIN stats s ON h.event_type = s.event_type
+        WHERE s.sd > 0
+    ),
+    cum AS (
+        SELECT event_type, h,
+               SUM(zk) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM z
+    ),
+    cusum AS (
+        SELECT event_type, h, c,
+               c - LEAST(0.0, MIN(c) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS s_plus
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(MAX(s_plus), 6) AS max_cusum,
+           CAST(MIN(CASE WHEN s_plus > 5.0 THEN h END) AS BIGINT)
+             AS first_alarm_hour
+    FROM cusum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE twin of ts_changepoint_cusum — the duality this
+    streaming surface keeps demonstrating: the batch side rewrites
+    the sequential CUSUM recursion into closed-form windows; the
+    stream side runs the recursion AS a recursion in a map-typed
+    state column (per-hour counts, bounded by the monitoring
+    horizon), re-evaluating per micro-batch. After full replay the
+    final emission per type (max seq) must equal the batch window
+    computation — same statistic, two execution disciplines, one
+    oracle."""
+    stream = so.cusum_stateful(
+        so.events_stream(spark, sf_dir).select("event_type", "ts")
+    )
+    out = so.run_to_memory(stream, "q_stream_cusum", output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return (
+        out.withColumn("mseq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("event_type", "n_hours", "max_cusum", "first_alarm_hour")
+        .orderBy("event_type")
+    )

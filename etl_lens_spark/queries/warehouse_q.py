@@ -1298,3 +1298,94 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "ab_test_cuped",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substring(md5('ab'
+                      || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000 < 5000 THEN 'A' ELSE 'B' END AS arm,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE 0 END) AS DOUBLE) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE 0 END) AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS theta,
+               AVG(x) AS mean_x
+        FROM per_user
+    )
+    SELECT u.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(u.y), 4) AS mean_y,
+           ROUND(AVG(u.y - p.theta * (u.x - p.mean_x)), 4)
+             AS mean_y_cuped,
+           ROUND(var_pop(u.y), 2) AS var_y,
+           ROUND(var_pop(u.y - p.theta * (u.x - p.mean_x)), 2)
+             AS var_y_cuped,
+           ROUND(MAX(p.theta), 4) AS theta
+    FROM per_user u CROSS JOIN pooled p
+    GROUP BY u.arm
+    ORDER BY u.arm
+    """,
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al. 2013) — the experimentation workload: users assigned to arms
+    by the deterministic md5 bucket (the same assignment every
+    engine, every run), per-user pre-period covariate x (Jan 1–15
+    spend) and experiment metric y (Jan 16–30), then the pooled
+    θ = cov(x,y)/var(x) adjusts y* = y − θ(x − x̄) — identical means
+    in expectation, strictly smaller variance whenever the pre-period
+    correlates (reported: var_y vs var_y_cuped per arm, the whole
+    point of the method).
+
+    Decimal accumulation makes each user's x, y exact (cents-integer
+    doubles), so the only float work is the pooled moment ratio and
+    the adjustment — rounded a safe margin inside the oracle hash.
+    Scale: one user-keyed aggregation (map-side combined), one
+    broadcast of the 1-row pooled moments, one arm-keyed reduction —
+    the canonical two-pass shape; nothing grows with event count but
+    the first combine."""
+    from etl_lens_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, dec).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, dec).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(hash_bucket(F.col("user_id"), "ab") < 5000, "A").otherwise(
+            "B"
+        ),
+    )
+    pooled = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("mean_x"),
+    )
+    adj = F.col("y") - F.col("theta") * (F.col("x") - F.col("mean_x"))
+    return (
+        per_user.crossJoin(F.broadcast(pooled))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg(adj), 4).alias("mean_y_cuped"),
+            F.round(F.var_pop("y"), 2).alias("var_y"),
+            F.round(F.var_pop(adj), 2).alias("var_y_cuped"),
+            F.round(F.max("theta"), 4).alias("theta"),
+        )
+        .orderBy("arm")
+    )

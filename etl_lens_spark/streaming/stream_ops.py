@@ -721,3 +721,73 @@ def attribution_join_full_outer(
             F.unix_micros("click_ts").alias("click_us"),
         )
     )
+
+
+def cusum_stateful(
+    events: DataFrame, slack: float = 0.5, threshold: float = 5.0
+) -> DataFrame:
+    """Live CUSUM change-point monitor: the sequential recursion
+    S⁺_t = max(0, S⁺_{t−1} + z_t − k) run AS a recursion, per
+    event_type, with the hourly count series held in a map-typed
+    state column (bounded by distinct hours, i.e. the monitor's
+    horizon — not by event volume). Each micro-batch merges its
+    events into the per-hour counts and re-evaluates the detector
+    over the (small) ordered series with the series-wide baseline —
+    matching the batch twin ``ts_changepoint_cusum``, which computes
+    the SAME statistic via the closed-form window rewrite; full
+    replay of this stream must land on exactly the batch answer,
+    which is the declared oracle. Emissions carry a strictly
+    increasing per-key seq so the final state is selectable from the
+    memory sink without batch bookkeeping."""
+    import math
+
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            counts_raw, seq = state.get
+            counts = dict(counts_raw)
+        else:
+            counts, seq = {}, 0
+        for pdf in pdf_iter:
+            hours = (pdf["ts"].astype("int64") // 1000) // 3600000000
+            for h in hours:
+                h = int(h)
+                counts[h] = counts.get(h, 0) + 1
+        seq += 1
+        state.update((counts, seq))
+        ns = [counts[h] for h in sorted(counts)]
+        hs = sorted(counts)
+        n = len(ns)
+        mu = sum(ns) / n
+        var = sum((v - mu) ** 2 for v in ns) / n
+        sd = math.sqrt(var)
+        max_s, first_alarm, s = 0.0, None, 0.0
+        if sd > 0:
+            for h, v in zip(hs, ns):
+                z = (v - mu) / sd - slack
+                s = max(0.0, s + z)
+                if s > max_s:
+                    max_s = s
+                if first_alarm is None and s > threshold:
+                    first_alarm = h
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "seq": [seq],
+                "n_hours": [n],
+                "max_cusum": [round(max_s, 6)],
+                "first_alarm_hour": [first_alarm],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, seq long, n_hours long, "
+            "max_cusum double, first_alarm_hour long"
+        ),
+        stateStructType="counts map<bigint,bigint>, seq long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
