@@ -1720,3 +1720,66 @@ def sink_global_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, is_globally_sorted long, "
         "files_nonoverlapping long, content_checksum long",
     )
+
+
+@query(
+    "dpp_partition_pruned_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the Catalyst runtime-filter
+    mechanism static pruning can't reach: the fact table is written
+    partitioned by priority, and the dim-side predicate is on a
+    column the fact scan cannot see (the dim's weight), so the only
+    way to avoid scanning all 5 partitions is for Catalyst to inject
+    the dim's surviving join keys into the fact scan AT RUNTIME
+    (``dynamicpruningexpression`` on the scan's PartitionFilters —
+    asserted in tests/test_io.py). This is the optimizer feature that
+    makes star-schema joins over a 100 TB partitioned fact read only
+    the partitions the dimension selects — the declarative payoff the
+    whole partitioned-layout discipline builds toward.
+
+    The oracle computes the surviving groups directly; a hash match
+    plus the plan assertion proves both the result and the pruned
+    execution."""
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = sinks.scratch_path("dpp_fact_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(
+        base
+    )
+    fact = spark.read.parquet(base)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", 1),
+            ("2-HIGH", 0),
+            ("3-MEDIUM", 1),
+            ("4-NOT SPECIFIED", 0),
+            ("5-LOW", 0),
+        ],
+        "prio string, active int",
+    ).filter(F.col("active") == 1)
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.prio)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

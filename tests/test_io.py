@@ -178,3 +178,12 @@ def test_compact_small_files_counts(spark, sf_dir):
     comp = glob.glob(scratch_path("compact_rewritten") + "/part-*")
     assert len(frag) == 64
     assert len(comp) == 4
+
+
+def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    from etl_lens_spark.queries import REGISTRY, _load
+
+    _load()
+    df = REGISTRY["dpp_partition_pruned_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
