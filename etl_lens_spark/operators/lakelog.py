@@ -565,3 +565,32 @@ def vacuum(table_dir: str) -> dict:
             shutil.rmtree(full)
             deleted += 1
     return {"n_dirs_deleted": deleted, "n_dirs_kept": kept}
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactions: ONE log governing several table subtrees
+# ---------------------------------------------------------------------------
+
+
+def read_table_snapshot(
+    spark: SparkSession,
+    parent_dir: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read one member table of a multi-table transaction log: the
+    log at ``parent_dir`` carries actions whose relpaths are
+    qualified by table subtree (``fact/f0``, ``dim/d1``); a commit
+    touching several subtrees is ATOMIC — a reader resolving version
+    V sees every member table at V, never a torn mix (the Delta-
+    uniform / multi-table-txn property; single-table Delta gets this
+    only within one table). State resolution is the same log replay;
+    this just projects the active set onto one subtree."""
+    files = [
+        f
+        for f in snapshot_files(parent_dir, version)
+        if os.path.relpath(f, parent_dir).startswith(table + "/")
+    ]
+    if not files:
+        raise ValueError(f"empty snapshot for table {table!r}")
+    return spark.read.parquet(*files)

@@ -1783,3 +1783,100 @@ def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "lake_multi_table_txn",
+    oracle="""
+    WITH v0 AS (
+        SELECT CAST(0 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_fact,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS weighted_total
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v1 AS (
+        SELECT CAST(1 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_fact,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 2 ELSE 1 END) AS DOUBLE)
+                 AS weighted_total
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version
+    """,
+)
+def lake_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE atomic transactions — one log governing a fact AND
+    its dimension: version 1 lands a new fact batch and a dim
+    reprice (URGENT factor 1 → 2) in a SINGLE commit, so no reader
+    can ever join the new fact against the old dim or vice versa —
+    the cross-table consistency single-table logs can't give (a
+    fact/dim pair committed separately has a torn window between the
+    two commits; here the window provably doesn't exist because both
+    states resolve from the same log version). Each version's
+    fact ⋈ dim weighted revenue is read back THROUGH the log and
+    hash-pinned by the oracle's residue-class reconstruction —
+    version 0 must price URGENT at 1 and version 1 at 2, with the
+    matching fact populations.
+
+    Scale: commits stay O(touched-files) metadata; the join runs on
+    the snapshot exactly as on plain parquet (broadcast dim)."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = sinks.scratch_path("lake_multi_txn")
+    shutil.rmtree(base, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 3 == 0).write.parquet(
+        f"{base}/fact/f0"
+    )
+    orders.filter(F.col("o_orderkey") % 3 == 1).write.parquet(
+        f"{base}/fact/f1"
+    )
+    prios = [
+        "1-URGENT",
+        "2-HIGH",
+        "3-MEDIUM",
+        "4-NOT SPECIFIED",
+        "5-LOW",
+    ]
+    spark.createDataFrame(
+        [(p, 1) for p in prios], "prio string, factor int"
+    ).coalesce(1).write.parquet(f"{base}/dim/d0")
+    spark.createDataFrame(
+        [(p, 2 if p == "1-URGENT" else 1) for p in prios],
+        "prio string, factor int",
+    ).coalesce(1).write.parquet(f"{base}/dim/d1")
+    # v0: initial fact + dim.  v1: new fact batch AND the dim swap,
+    # one atomic commit — the pair can never be observed torn.
+    lakelog.commit(base, 0, [{"add": "fact/f0"}, {"add": "dim/d0"}])
+    lakelog.commit(
+        base,
+        1,
+        [{"add": "fact/f1"}, {"remove": "dim/d0"}, {"add": "dim/d1"}],
+    )
+    outs = []
+    for v in (0, 1):
+        fact = lakelog.read_table_snapshot(spark, base, "fact", v)
+        dim = lakelog.read_table_snapshot(spark, base, "dim", v)
+        outs.append(
+            fact.join(
+                F.broadcast(dim),
+                fact.o_orderpriority == dim.prio,
+            ).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.count(F.lit(1)).cast("long").alias("n_fact"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                    * F.col("factor")
+                )
+                .cast("double")
+                .alias("weighted_total"),
+            )
+        )
+    return outs[0].unionAll(outs[1]).orderBy("version")

@@ -320,3 +320,32 @@ def test_optimize_cluster_enables_pruning(spark, tmp_path):
     assert sorted(
         r.k for r in got.filter("k between 10 and 20").collect()
     ) == list(range(10, 21))
+
+
+def test_multi_table_snapshot_projects_one_subtree(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "multi")
+    a = spark.range(5).withColumnRenamed("id", "k")
+    b = spark.range(3).withColumnRenamed("id", "k")
+    a.write.parquet(f"{base}/fact/f0")
+    b.write.parquet(f"{base}/dim/d0")
+    b.withColumn("k", F.col("k") + 100).write.parquet(f"{base}/dim/d1")
+    lakelog.commit(base, 0, [{"add": "fact/f0"}, {"add": "dim/d0"}])
+    lakelog.commit(base, 1, [{"remove": "dim/d0"}, {"add": "dim/d1"}])
+    # v0: both tables at their initial state
+    assert lakelog.read_table_snapshot(spark, base, "fact", 0).count() == 5
+    d0 = lakelog.read_table_snapshot(spark, base, "dim", 0)
+    assert {r["k"] for r in d0.collect()} == {0, 1, 2}
+    # v1: dim swapped, fact untouched — projected independently from
+    # the SAME log version
+    d1 = lakelog.read_table_snapshot(spark, base, "dim", 1)
+    assert {r["k"] for r in d1.collect()} == {100, 101, 102}
+    assert lakelog.read_table_snapshot(spark, base, "fact", 1).count() == 5
+    # unknown table name fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lakelog.read_table_snapshot(spark, base, "nope", 1)
