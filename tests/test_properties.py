@@ -193,3 +193,75 @@ def test_asof_null_payload_comes_from_matched_row(spark):
     ).collect()[0]
     assert row["right_payload"] is None  # matched row (t2=9) has NULL
     assert row["right_tag"] is None
+
+
+pm_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),
+        st.integers(min_value=-10_000, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=pm_rows, inclusive=st.booleans())
+@SLOW
+def test_prefix_max_equals_reference_fold(spark, rows, inclusive):
+    """ordered_prefix_max over DISTINCT keys must equal the plain
+    sequential fold for any data and any frame mode."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_max
+
+    uniq = {}
+    for k, v in rows:
+        uniq[k] = v  # last wins; keys distinct by construction
+    data = sorted(uniq.items())
+    df = spark.createDataFrame(
+        [(k, v) for k, v in data], "k long, v long"
+    ).repartition(5)
+    got = {
+        r["k"]: r["cm"]
+        for r in ordered_prefix_max(
+            df, [F.asc("k")], "v", "cm",
+            inclusive=inclusive, num_partitions=3,
+        ).collect()
+    }
+    run = None
+    for k, v in data:
+        want = (max(run, v) if run is not None else v) if inclusive else run
+        assert got[k] == want, (k, got[k], want)
+        run = v if run is None else max(run, v)
+
+
+@given(rows=pm_rows)
+@SLOW
+def test_skyline_decomposition_equals_quadratic(spark, rows):
+    """The prefix-max skyline (min x, max y) must equal the O(n²)
+    dominance definition on arbitrary point sets, ties included."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_max
+
+    pts = [(i, x, y) for i, (x, y) in enumerate(rows)]
+    want = {
+        (i, x, y)
+        for i, x, y in pts
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for _, x2, y2 in pts
+        )
+    }
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    per_x = df.groupBy("x").agg(F.max("y").alias("best"))
+    strict = ordered_prefix_max(
+        per_x, [F.asc("x")], "best", "sb",
+        inclusive=False, num_partitions=3,
+    )
+    got = {
+        (r["id"], r["x"], r["y"])
+        for r in df.join(strict, "x")
+        .filter(
+            (F.col("y") == F.col("best"))
+            & (F.col("sb").isNull() | (F.col("sb") < F.col("y")))
+        )
+        .collect()
+    }
+    assert got == want
