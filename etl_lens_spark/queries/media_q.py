@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_lens_spark.operators.partitioning import parallelize_compute
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
 
@@ -1616,7 +1617,9 @@ def mm_real_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two chained no-shuffle mapInPandas stages, compute-bound
     and embarrassingly parallel — the same 100 TB shape as the image
     codecs; real deployments swap the entropy decoder, not the plan."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = parallelize_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     with_payload = docs.mapInPandas(_synth_avi_batches, _IMG_SCHEMA)
     return with_payload.mapInPandas(_decode_avi_batches, _VIDEO_OUT).orderBy(
         "doc_id"
@@ -1823,7 +1826,9 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is hash-blocked, the vote is one aggregation — a 100 TB
     audio corpus matches snippets with one shuffle of landmark longs
     plus one of vote partials."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = parallelize_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     corpus = docs.mapInPandas(
         _corpus_fp_batches, "track_id long, h long, t long"
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_lens_spark.operators.partitioning import parallelize_compute
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
 
@@ -782,7 +783,9 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     single shuffle is the chunk equi-join whose fan-out is 8 rows per
     image; candidate pairs are bounded by bucket collisions, not n²
     (the same guarantee as the minhash banding)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = parallelize_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     with_payload = docs.mapInPandas(
         _synth_phash_bmp, "doc_id long, payload binary"
     )
