@@ -1430,3 +1430,63 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 ORDER BY 1
         """
     )
+
+
+@query(
+    "dialect_collations",
+    oracle="""
+    WITH m AS (
+        SELECT c_mktsegment AS seg,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN c_mktsegment
+                    ELSE lower(c_mktsegment) END AS mixed
+        FROM customer
+    )
+    SELECT lower(mixed) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_raw_spellings,
+           CAST(COUNT(DISTINCT lower(mixed)) AS BIGINT)
+             AS n_collated_spellings
+    FROM m
+    GROUP BY lower(mixed)
+    ORDER BY k
+    """,
+)
+def dialect_collations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-aware comparison (Spark 4's collation engine —
+    ``collate(col, 'UTF8_LCASE')`` makes equality, GROUP BY, and
+    MIN/MAX case-insensitive AT THE COMPARATOR level, not by
+    normalizing the data): a mixed-case segment column is grouped
+    case-insensitively while still counting the raw spellings it
+    covers; COUNT(DISTINCT) under the collated comparator collapses
+    the case variants (2 raw spellings → 1 collated) and is
+    cross-checked against DuckDB's relational equivalent
+    COUNT(DISTINCT lower(x)) (DuckDB's own COLLATE applies to
+    comparisons but not DISTINCT) — a deterministic witness of the
+    comparator, unlike collated MIN/MAX, whose result
+    among EQUAL-comparing spellings is legitimately engine-chosen
+    (tried first; the two engines picked different representatives,
+    which is correct behavior on both sides). The group key is
+    emitted through lower() so display forms agree while the
+    distinct-aggregation itself runs on the collation."""
+    m = load_table(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.col("c_mktsegment")
+        )
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("mixed")
+    )
+    coll = F.collate(F.col("mixed"), "UTF8_LCASE")
+    return (
+        m.groupBy(F.lower("mixed").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("mixed").cast("long").alias(
+                "n_raw_spellings"
+            ),
+            F.countDistinct(coll).cast("long").alias(
+                "n_collated_spellings"
+            ),
+        )
+        .orderBy("k")
+    )

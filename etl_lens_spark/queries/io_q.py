@@ -1880,3 +1880,95 @@ def lake_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionAll(outs[1]).orderBy("version")
+
+
+@query(
+    "federated_three_source_join",
+    oracle="""
+    WITH nat AS (SELECT n_nationkey, n_name FROM nation),
+    reg AS (SELECT r_regionkey, r_name FROM region),
+    natr AS (
+        SELECT n.n_nationkey, n.n_name, r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT nr.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_balance
+    FROM customer c JOIN natr nr ON c.c_nationkey = nr.n_nationkey
+    GROUP BY nr.r_name
+    ORDER BY nr.r_name
+    """,
+)
+def federated_three_source_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FEDERATION in one plan: the fact side stays parquet, the
+    nation dimension is served from a REAL relational database
+    (embedded Derby over JDBC — in production, the same wrapper
+    against Postgres/MySQL), and the region dimension from CSV — the
+    everyday enterprise shape where reference data lives in an
+    operational RDBMS and drops land as files. Spark joins all three
+    sources in a single declarative plan (both dims broadcast; the
+    parquet fact never leaves its scan shape), and the oracle
+    recomputes everything from the original parquet — so any
+    type mangling on the JDBC or CSV hop (string padding, decimal
+    widening) fails the hash.
+
+    Scale: federation cost is dim-extraction cost; the JDBC read is
+    the partitioned-predicate shape and the CSV dim is one file —
+    the 100 TB fact side is untouched parquet pushdown."""
+    import uuid
+
+    from etl_lens_spark.sources.external import read_jdbc, write_jdbc
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    url = (
+        f"jdbc:derby:{scratch_path(f'derby_fed_{uuid.uuid4().hex}')}"
+        ";create=true"
+    )
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation_src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(nation_src, url, "nation_dim", properties=props)
+    nation = read_jdbc(
+        spark,
+        url,
+        "nation_dim",
+        properties=props,
+        partition_column="n_nationkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=25,
+    )
+    csv_dir = scratch_path(f"fed_region_csv_{uuid.uuid4().hex}")
+    load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).coalesce(1).write.mode("overwrite").option("header", True).csv(
+        csv_dir
+    )
+    region = spark.read.option("header", True).csv(csv_dir).select(
+        F.col("r_regionkey").cast("long"), "r_name"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("r_name")
+    )
