@@ -955,3 +955,68 @@ def streaming_cusum_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_hours", "max_cusum", "first_alarm_hour")
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_session_close_live",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(value AS DOUBLE) AS v
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, us, v,
+               CASE WHEN us - LAG(us) OVER (
+                        PARTITION BY user_id ORDER BY us
+                    ) > 1800000000 OR LAG(us) OVER (
+                        PARTITION BY user_id ORDER BY us
+                    ) IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, us, v,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM marked
+    ),
+    agged AS (
+        SELECT user_id, sid,
+               MIN(us) AS start_us, MAX(us) AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(v), 2) AS total,
+               MAX(sid) OVER (PARTITION BY user_id) AS last_sid
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, start_us, end_us, n_events, total
+    FROM agged WHERE sid < last_sid
+    ORDER BY user_id, start_us
+    """,
+)
+def streaming_session_close_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Custom sessionization through applyInPandasWithState with
+    EVENT-TIME TIMEOUT — the state-hygiene corner of the stateful
+    API: closed sessions emit append-mode the moment a successor
+    event arrives past the gap; the registered event-time timeout
+    evicts abandoned users' state once the watermark passes
+    last + gap (without which a churning 100 TB stream accumulates
+    state forever). The contract after full replay: exactly the
+    CLOSED sessions — every session except each user's final one,
+    which is still legitimately open at end-of-stream; the batch
+    oracle computes gaps-and-islands sessionization and excludes
+    precisely those."""
+    stream = so.session_close_stateful(
+        so.events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", "value")
+    )
+    out = so.run_to_memory(
+        stream, "q_stream_sess_close", output_mode="append"
+    )
+    return out.select(
+        "user_id", "start_us", "end_us", "n_events", "total"
+    ).orderBy("user_id", "start_us")

@@ -791,3 +791,71 @@ def cusum_stateful(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def session_close_stateful(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """Custom sessionization with EVENT-TIME TIMEOUT state hygiene —
+    the applyInPandasWithState corner no other operator here uses:
+    per user, an open session lives in state; an arriving event
+    either extends it or (gap exceeded) CLOSES it — closed sessions
+    emit immediately in append mode — and the state registers an
+    event-time timeout at last_event + gap so that abandoned users'
+    state is EVICTED by the watermark instead of living forever
+    (``state.hasTimedOut`` → remove). Emission is successor-driven;
+    the timeout path is memory hygiene, which is exactly its
+    production role: without it, a 100 TB stream with churning users
+    accumulates one state row per user forever.
+
+    Contract: after full replay the emitted set is every CLOSED
+    session — i.e. all sessions except each user's final one, which
+    is still legitimately OPEN at end-of-stream (the batch oracle
+    excludes exactly those)."""
+    import pandas as pd
+
+    gap_us = gap_min * 60 * 1_000_000
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            # abandoned user: evict (the open session stays unemitted
+            # by contract — it never closed)
+            state.remove()
+            return
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        rows = []
+        evs = []
+        for pdf in pdf_iter:
+            us = pdf["ts"].astype("int64") // 1000
+            for t, v in zip(us, pdf["value"]):
+                evs.append((int(t), float(v)))
+        evs.sort()
+        for t, v in evs:
+            if start is None:
+                start, last, n, total = t, t, 1, v
+            elif t - last > gap_us:
+                rows.append((key[0], start, last, n, round(total, 2)))
+                start, last, n, total = t, t, 1, v
+            else:
+                last, n, total = t, n + 1, total + v
+        state.update((start, last, n, total))
+        # watermark-driven eviction for users that never return
+        state.setTimeoutTimestamp((last // 1000) + gap_min * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "start_us", "end_us", "n_events", "total"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, start_us long, end_us long, n_events long, "
+            "total double"
+        ),
+        stateStructType=(
+            "start long, last long, n long, total double"
+        ),
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
