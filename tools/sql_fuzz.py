@@ -1,0 +1,166 @@
+"""Differential SQL fuzzer: generated ANSI-core queries, Spark vs
+DuckDB.
+
+The declared-query registry pins ~330 hand-written queries; this tool
+covers the space BETWEEN them — thousands of machine-generated
+projections/filters/aggregations over the fixture tables, executed on
+both engines and value-compared with the same canonicalization as the
+oracle harness. A dialect divergence, cast bug, or optimizer
+miscompile anywhere in the shared ANSI core shows up as a mismatch on
+some random query long before a user hits it.
+
+Generator discipline (kept deliberately inside the two engines'
+common semantics):
+- integer/decimal arithmetic only (double SUMs are rounded);
+- no NULLs in sort keys (fixture columns are non-null);
+- deterministic seed → the same query set every run (failures are
+  reproducible by seed + index).
+
+Usage:
+    python tools/sql_fuzz.py [N] [SEED]    # default 200 queries
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+# (name, type) columns of the orders/customer fixture slices we fuzz
+ORDERS_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_totalprice", "num"),
+    ("o_orderpriority", "str"),
+    ("o_orderstatus", "str"),
+]
+CUSTOMER_COLS = [
+    ("c_custkey", "int"),
+    ("c_nationkey", "int"),
+    ("c_acctbal", "num"),
+    ("c_mktsegment", "str"),
+]
+TABLES = {"orders": ORDERS_COLS, "customer": CUSTOMER_COLS}
+STR_LITS = {
+    "o_orderpriority": ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'"],
+    "o_orderstatus": ["'O'", "'F'", "'P'"],
+    "c_mktsegment": ["'BUILDING'", "'AUTOMOBILE'", "'MACHINERY'"],
+}
+
+
+def _pred(rng: random.Random, cols) -> str:
+    name, typ = rng.choice(cols)
+    if typ == "str":
+        lits = STR_LITS[name]
+        if rng.random() < 0.5:
+            return f"{name} = {rng.choice(lits)}"
+        return f"{name} IN ({', '.join(rng.sample(lits, 2))})"
+    if typ == "num":
+        v = rng.randint(1000, 400000)
+        return rng.choice(
+            [
+                f"{name} < {v}",
+                f"{name} >= {v}",
+                f"{name} BETWEEN {v} AND {v + 50000}",
+            ]
+        )
+    v = rng.randint(0, 5000)
+    return rng.choice(
+        [
+            f"{name} % {rng.randint(2, 13)} = {rng.randint(0, 1)}",
+            f"{name} < {v}",
+            f"{name} >= {v}",
+        ]
+    )
+
+
+def gen_query(rng: random.Random) -> str:
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    group_cols = [
+        n for n, t in cols if t in ("str", "int") and rng.random() < 0.4
+    ][:2]
+    aggs = []
+    for n, t in cols:
+        if n in group_cols:
+            continue
+        if t == "num" and rng.random() < 0.6:
+            aggs.append(
+                f"CAST(SUM(CAST({n} AS DECIMAL(18,2))) AS DOUBLE) "
+                f"AS s_{n}"
+            )
+        elif t == "int" and rng.random() < 0.4:
+            aggs.append(
+                rng.choice(
+                    [
+                        f"CAST(MIN({n}) AS BIGINT) AS mn_{n}",
+                        f"CAST(MAX({n}) AS BIGINT) AS mx_{n}",
+                        f"CAST(SUM({n}) AS BIGINT) AS s_{n}",
+                    ]
+                )
+            )
+    aggs.append("CAST(COUNT(*) AS BIGINT) AS n")
+    preds = [_pred(rng, cols) for _ in range(rng.randint(0, 2))]
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    if group_cols:
+        sel = ", ".join(group_cols + aggs)
+        tail = (
+            f" GROUP BY {', '.join(group_cols)}"
+            f" ORDER BY {', '.join(group_cols)}"
+        )
+        if rng.random() < 0.3:
+            tail = (
+                f" GROUP BY {', '.join(group_cols)}"
+                f" HAVING COUNT(*) > {rng.randint(1, 5)}"
+                f" ORDER BY {', '.join(group_cols)}"
+            )
+    else:
+        sel = ", ".join(aggs)
+        tail = ""
+    return f"SELECT {sel} FROM {table}{where}{tail}"
+
+
+def run_fuzz(n: int = 200, seed: int = 20240814, sf_dir: str | None = None):
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from etl_lens_spark.session import get_spark
+    from etl_lens_spark.sources.tables import load_table
+    from tools.oracle_check import canon_rows
+
+    sf_dir = sf_dir or "/root/testdata/sf0.001"
+    spark = get_spark(app_name="sql-fuzz", shuffle_partitions=4)
+    con = duckdb.connect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    rng = random.Random(seed)
+    failures = []
+    for i in range(n):
+        q = gen_query(rng)
+        sdf = spark.sql(q)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        drel = con.sql(q)
+        drows = drel.fetchall()
+        dcols = [d[0] for d in drel.description]
+        sh = canon_rows(scols, srows)
+        dh = canon_rows(dcols, drows)
+        if sh != dh or len(srows) != len(drows):
+            failures.append((i, q, len(srows), len(drows)))
+    return n, failures
+
+
+def main(argv):
+    n = int(argv[0]) if argv else 200
+    seed = int(argv[1]) if len(argv) > 1 else 20240814
+    total, failures = run_fuzz(n, seed)
+    for i, q, sn, dn in failures:
+        print(f"MISMATCH #{i} (spark {sn} rows, duck {dn} rows): {q}")
+    print(f"{total - len(failures)}/{total} agree (seed {seed})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
