@@ -73,7 +73,53 @@ def _pred(rng: random.Random, cols) -> str:
     )
 
 
+def gen_join_query(rng: random.Random) -> str:
+    """orders ⋈ customer on the FK, filters on both sides, grouped
+    aggregates drawn from both tables — the join member of the
+    fuzzed shape space."""
+    all_cols = ORDERS_COLS + CUSTOMER_COLS
+    group_cols = [
+        n
+        for n, t in all_cols
+        if t == "str" and rng.random() < 0.5
+    ][:2]
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for n, t in all_cols:
+        if n in group_cols:
+            continue
+        if t == "num" and rng.random() < 0.5:
+            aggs.append(
+                f"CAST(SUM(CAST({n} AS DECIMAL(18,2))) AS DOUBLE) "
+                f"AS s_{n}"
+            )
+        elif t == "int" and rng.random() < 0.3:
+            aggs.append(f"CAST(MAX({n}) AS BIGINT) AS mx_{n}")
+    preds = []
+    if rng.random() < 0.7:
+        preds.append(_pred(rng, ORDERS_COLS))
+    if rng.random() < 0.7:
+        preds.append(_pred(rng, CUSTOMER_COLS))
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    join = (
+        "orders JOIN customer ON o_custkey = c_custkey"
+        if rng.random() < 0.7
+        else "orders LEFT JOIN customer ON o_custkey = c_custkey"
+    )
+    if group_cols:
+        sel = ", ".join(group_cols + aggs)
+        tail = (
+            f" GROUP BY {', '.join(group_cols)}"
+            f" ORDER BY {', '.join(group_cols)}"
+        )
+    else:
+        sel = ", ".join(aggs)
+        tail = ""
+    return f"SELECT {sel} FROM {join}{where}{tail}"
+
+
 def gen_query(rng: random.Random) -> str:
+    if rng.random() < 0.3:
+        return gen_join_query(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group_cols = [
