@@ -1238,3 +1238,108 @@ def text_hashing_trick_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "dim")
     )
+
+
+@query(
+    "spmm_hashed_projection",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 200
+    ),
+    vec AS (
+        SELECT doc_id,
+               ('0x' || substring(md5('feat' || tok), 1, 8))::BIGINT
+                 % 32 AS dim,
+               CAST(SUM(CASE WHEN ('0x' || substring(md5('sgn' || tok),
+                        1, 8))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END) AS BIGINT) AS w
+        FROM toks GROUP BY doc_id, dim
+    ),
+    r AS (
+        SELECT d.d AS dim, j.j,
+               CASE WHEN ('0x' || substring(md5('proj' || d.d || '_'
+                        || j.j), 1, 8))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS rv
+        FROM (SELECT unnest(range(0, 32)) AS d) d
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+    )
+    SELECT v.doc_id, r.j,
+           CAST(SUM(v.w * r.rv) AS BIGINT) AS z
+    FROM vec v JOIN r ON v.dim = r.dim
+    WHERE v.w <> 0
+    GROUP BY v.doc_id, r.j
+    ORDER BY v.doc_id, r.j
+    """,
+)
+def spmm_hashed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix × dense matrix as RELATIONAL ALGEBRA: the
+    hashing-trick document vectors (sparse (doc, dim, w) triples)
+    multiplied by a deterministic ±1 random-projection matrix
+    (32 → 8, sign-hash generated — the Achlioptas construction) via
+    join-on-dim + groupBy(doc, j) sum. This is the SpMM shape every
+    engine-native ML pipeline reduces to: no UDF, no dense arrays on
+    the wire, the projection matrix is a 256-row broadcast, and the
+    whole multiply is one shuffle of the SPARSE triples — integer
+    end-to-end, so the oracle pins it exactly (DuckDB replays both
+    hash constructions bit-for-bit).
+
+    At 100 TB the same plan stands: n·nnz triples join a broadcast
+    d×k matrix; output is n·k — the bound every embedding-projection
+    job has anyway."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+    )
+    md5i = lambda salt, c: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(salt), c).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    vec = (
+        toks.select(
+            "doc_id",
+            (md5i("feat", F.col("tok")) % 32).alias("dim"),
+            F.when(md5i("sgn", F.col("tok")) % 2 == 0, 1)
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    r = (
+        spark.range(32)
+        .withColumnRenamed("id", "dim")
+        .crossJoin(spark.range(8).withColumnRenamed("id", "j"))
+        .select(
+            "dim",
+            "j",
+            F.when(
+                md5i(
+                    "proj",
+                    F.concat(
+                        F.col("dim").cast("string"),
+                        F.lit("_"),
+                        F.col("j").cast("string"),
+                    ),
+                )
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("rv"),
+        )
+    )
+    return (
+        vec.join(F.broadcast(r), "dim")
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("w") * F.col("rv")).cast("long").alias("z"))
+        .orderBy("doc_id", "j")
+    )

@@ -1161,3 +1161,76 @@ def dataset_group_split_no_leakage(
         )
         .orderBy("split")
     )
+
+
+@query(
+    "dq_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+        GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT o.digit, o.n,
+           ROUND(CAST(o.n AS DOUBLE) / t.total, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / o.digit), 6) AS benford_p,
+           ROUND(POWER(CAST(o.n AS DOUBLE) / t.total
+                 - log10(1.0 + 1.0 / o.digit), 2)
+                 / log10(1.0 + 1.0 / o.digit) * t.total, 6)
+             AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    ORDER BY o.digit
+    """,
+)
+def dq_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic data-quality
+    screen for fabricated or truncated numeric columns: leading
+    digits of naturally-occurring amounts follow log10(1 + 1/d), and
+    a per-digit chi-square decomposition localizes WHERE a
+    distribution deviates (a spike at one digit is a price-floor or
+    synthetic-data fingerprint; TPC-H's uniform-ish prices deviate
+    by construction, which the report makes visible). Pure JVM: one
+    leading-digit projection (integer truncation then first
+    character — no float formatting ambiguity), one 9-row hash
+    aggregation, broadcast total; the audit costs one combine pass
+    at any scale. The oracle recomputes digit extraction,
+    proportions, and the chi-square terms identically — with an
+    explicit floor() before the integer cast on BOTH sides, because
+    the bare double→bigint cast TRUNCATES in Spark but ROUNDS in
+    DuckDB (found by this very hash: one 8999.99 price crossed
+    digits)."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    bp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(p, 6).alias("observed_p"),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(
+                F.pow(p - bp, F.lit(2)) / bp * F.col("total"), 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

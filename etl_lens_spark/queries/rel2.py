@@ -764,3 +764,54 @@ def recursive_cte_org_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recursive_closure(base, expand).orderBy("emp", "depth")
+
+
+@query(
+    "pivot_dynamic_discovery",
+    oracle="""
+    SELECT user_id % 20 AS cohort,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+                AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+                AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id % 20
+    ORDER BY cohort
+    """,
+)
+def pivot_dynamic_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot — ``pivot()`` with NO values list, so Spark
+    first DISCOVERS the distinct pivot keys from the data (an extra
+    distinct-scan job the static form avoids; the cost model every
+    warehouse user should know before pivoting a high-cardinality
+    column at 100 TB — bounded here by the event-type vocabulary)
+    and then plans the wide aggregate. The discovered column set is
+    part of the contract: the oracle enumerates the expected
+    vocabulary explicitly, so a missing or extra discovered key
+    breaks the schema match, not just the values. Output columns
+    come back in Spark's sorted-discovery order, matching the
+    oracle's alphabetical listing."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("cohort"), "event_type"
+    )
+    out = (
+        ev.groupBy("cohort")
+        .pivot("event_type")
+        .agg(F.count(F.lit(1)))
+    )
+    # discovered keys → deterministic column order + null→0 for
+    # cohorts missing a type entirely
+    value_cols = sorted(c for c in out.columns if c != "cohort")
+    return out.select(
+        "cohort",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in value_cols
+        ],
+    ).orderBy("cohort")
