@@ -1490,3 +1490,99 @@ def dialect_collations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "udf_cogrouped_reconcile",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS net
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           COALESCE(li.n_lines, 0) AS n_lines,
+           CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2))
+                - COALESCE(li.net, 0), 2) AS DOUBLE) AS price_delta,
+           CAST(li.l_orderkey IS NULL AS BIGINT) AS orphan_order
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    WHERE o.o_orderkey < 2000
+    ORDER BY o.o_orderkey
+    """,
+)
+def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED pandas map — the last member of the pandas API
+    matrix (pandas_udf / applyInPandas / mapInPandas / mapInArrow /
+    UDTF / applyInPandasWithState / and now
+    ``cogroup(...).applyInPandas``): orders and their lineitems are
+    co-partitioned by order key and handed to ONE Python function as
+    two aligned pandas frames per key group — the reconciliation
+    shape (header vs detail) that in pure SQL is a join+groupBy, but
+    as a cogroup gives the function BOTH sides' full rows at once
+    (needed when the per-key logic is genuinely procedural:
+    versioned diffs, order-book replay, schema-divergent sides).
+    Here the per-key work is the header-vs-sum-of-details price
+    delta in exact cents arithmetic, so the DuckDB join+groupBy
+    oracle pins the cogroup path bit-for-bit.
+
+    Scale: cogroup = one co-partitioning shuffle of both sides on
+    the key (identical cost to the equivalent join), Arrow-batched
+    into Python; the function sees one key group at a time, memory
+    bounded by the largest order."""
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def reconcile(key, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame):
+        if not len(o_pdf):
+            return pd.DataFrame(
+                columns=[
+                    "o_orderkey",
+                    "n_lines",
+                    "price_delta",
+                    "orphan_order",
+                ]
+            )
+        # exact cents arithmetic (ints), like the decimal oracle
+        total_c = round(float(o_pdf["o_totalprice"].iloc[0]) * 100)
+        net_c = 0
+        for p, d in zip(l_pdf["l_extendedprice"], l_pdf["l_discount"]):
+            p_c = round(float(p) * 100)
+            d_c = round(float(d) * 100)
+            net_c += p_c * (100 - d_c)
+        n_lines = len(l_pdf)
+        delta_c = total_c * 100 - net_c  # both in 1e-4 units
+        # half-AWAY-FROM-ZERO to 2 decimals in pure ints — Python's
+        # round() is banker's and disagrees with the decimal oracle
+        # on exact half-cents
+        q, r = divmod(abs(delta_c), 100)
+        cents = q + (1 if r >= 50 else 0)
+        cents = cents if delta_c >= 0 else -cents
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "n_lines": [n_lines],
+                "price_delta": [cents / 100.0],
+                "orphan_order": [1 if n_lines == 0 else 0],
+            }
+        )
+
+    out = (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_lines long, price_delta double, "
+            "orphan_order long",
+        )
+    )
+    return out.orderBy("o_orderkey")

@@ -815,3 +815,69 @@ def pivot_dynamic_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in value_cols
         ],
     ).orderBy("cohort")
+
+
+@query(
+    "governance_masked_view",
+    oracle="""
+    WITH masked AS (
+        SELECT c_custkey,
+               '***' || substring(c_name, length(c_name) - 2, 3)
+                 AS name_masked,
+               CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT)
+                 AS bal_band,
+               c_mktsegment
+        FROM customer
+        WHERE c_nationkey < 10
+    )
+    SELECT c_mktsegment, bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT name_masked) AS BIGINT)
+             AS n_masked_names,
+           MIN(name_masked) AS sample_masked
+    FROM masked
+    GROUP BY c_mktsegment, bal_band
+    ORDER BY c_mktsegment, bal_band
+    """,
+)
+def governance_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row- and column-level GOVERNANCE as a secured VIEW — the
+    warehouse pattern for sharing a table without exposing it:
+    column masking (names reduced to a '***'+suffix mask),
+    value banding (balances coarsened to 1000-wide bands — the
+    k-anonymity generalization step), and a row-level security
+    predicate (nations < 10 only), all defined ONCE as a temp view
+    that downstream queries consume untrusted. The consumer query
+    then aggregates the masked surface; the oracle applies the same
+    policy relationally, so mask format, banding arithmetic, and the
+    row filter are all pinned. Catalyst collapses view + consumer
+    into one scan with the RLS predicate pushed down — governance
+    costs nothing at 100 TB when it's expressed declaratively.
+
+    Negative-balance banding floors toward -inf on BOTH engines
+    (FLOOR, not integer division)."""
+    cust = load_table(spark, sf_dir, "customer")
+    masked = cust.filter(F.col("c_nationkey") < 10).select(
+        "c_custkey",
+        F.concat(
+            F.lit("***"),
+            F.substring(F.col("c_name"), -3, 3),
+        ).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("bal_band"),
+        "c_mktsegment",
+    )
+    masked.createOrReplaceTempView("customer_masked_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT name_masked) AS BIGINT)
+                 AS n_masked_names,
+               MIN(name_masked) AS sample_masked
+        FROM customer_masked_v
+        GROUP BY c_mktsegment, bal_band
+        ORDER BY c_mktsegment, bal_band
+        """
+    )
