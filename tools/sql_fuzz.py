@@ -117,9 +117,46 @@ def gen_join_query(rng: random.Random) -> str:
     return f"SELECT {sel} FROM {join}{where}{tail}"
 
 
+def gen_window_query(rng: random.Random) -> str:
+    """Window-function member: rank/row_number/running aggregates
+    over deterministic (unique-key tie-broken) orders, wrapped in an
+    outer filter so frame edges are exercised."""
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    key = cols[0][0]  # unique key: o_orderkey / c_custkey
+    part, _ = rng.choice([c for c in cols if c[1] == "str"])
+    num = rng.choice([n for n, t in cols if t == "num"])
+    fn = rng.choice(
+        [
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {key})",
+            f"RANK() OVER (PARTITION BY {part} "
+            f"ORDER BY {num} DESC, {key})",
+            f"CAST(SUM(CAST({num} AS DECIMAL(18,2))) OVER ("
+            f"PARTITION BY {part} ORDER BY {key} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            f"AS DOUBLE)",
+            f"CAST(LAG({key}) OVER (PARTITION BY {part} "
+            f"ORDER BY {key}) AS BIGINT)",
+            f"CAST(MIN({key}) OVER (PARTITION BY {part} "
+            f"ORDER BY {key} ROWS BETWEEN 3 PRECEDING AND "
+            f"1 PRECEDING) AS BIGINT)",
+        ]
+    )
+    limit_v = rng.randint(3, 12)
+    return (
+        f"SELECT * FROM ("
+        f"SELECT {key}, {part}, {fn} AS wv FROM {table}"
+        f") t WHERE {key} % {rng.randint(7, 31)} = 0"
+        f" ORDER BY {key} LIMIT {limit_v * 10}"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
-    if rng.random() < 0.3:
+    u = rng.random()
+    if u < 0.25:
         return gen_join_query(rng)
+    if u < 0.45:
+        return gen_window_query(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group_cols = [
