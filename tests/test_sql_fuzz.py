@@ -15,8 +15,9 @@ def test_generator_emits_valid_shapes():
     for _ in range(50):
         q = gen_query(rng)
         assert q.startswith("SELECT ") and " FROM " in q
-        t = q.split(" FROM ")[1].split(" ")[0]
-        assert t in TABLES
+        # the source table appears somewhere in the FROM clause
+        # (window shapes wrap it in a derived table)
+        assert any(t in q for t in TABLES)
     # every string column used in predicates has literals defined
     for name, typ in [c for cols in TABLES.values() for c in cols]:
         if typ == "str":
