@@ -1972,3 +1972,116 @@ def federated_three_source_join(
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "ingest_quarantine_split",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN doc_id || ',' || (doc_id * 7) % 1000 || ',ok'
+               WHEN 1 THEN doc_id || ',' || (doc_id * 7) % 1000 || ',ok'
+               WHEN 2 THEN doc_id || ',abc,ok'
+               WHEN 3 THEN CAST(doc_id AS VARCHAR)
+               ELSE doc_id || ',' || (doc_id * 7) % 1000 || ',ok,EXTRA'
+             END AS line
+      FROM documents
+    ),
+    routed AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 5 IN (0, 1) THEN 'main'
+               WHEN doc_id % 5 = 2 THEN 'type_error'
+               WHEN doc_id % 5 = 3 THEN 'short_row'
+               ELSE 'long_row'
+             END AS outcome
+      FROM lines
+    )
+    SELECT outcome,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM routed
+    GROUP BY outcome
+    ORDER BY outcome
+    """,
+)
+def ingest_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUARANTINE ingestion pattern — permissive parse routed to
+    two physical sinks: rows that parse clean land in the main
+    table; every corrupt row lands in a quarantine table with its
+    RAW line and a typed reason (type_error / short_row / long_row —
+    classified from the evidence, so an operator triages by class
+    instead of re-parsing), and the audit row the pipeline reports
+    is computed by RE-READING both sinks — the written artifacts,
+    not the in-flight frames, are what the oracle pins (id_sum per
+    outcome proves exact row routing, not just counts).
+
+    This is the operational contract every untrusted 100 TB feed
+    needs: the job never fails on bad rows, nothing is silently
+    dropped (main + quarantine partitions the input exactly), and
+    the quarantine table preserves enough to replay after a fix.
+    One pass to parse+route, two writes, two scans for the audit."""
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 5
+    good = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        (F.col("doc_id") * 7 % 1000).cast("string"),
+        F.lit("ok"),
+    )
+    line = (
+        F.when(m == 2, F.concat_ws(",", F.col("doc_id").cast("string"), F.lit("abc"), F.lit("ok")))
+        .when(m == 3, F.col("doc_id").cast("string"))
+        .when(m == 4, F.concat(good, F.lit(",EXTRA")))
+        .otherwise(good)
+    )
+    parsed = docs.select(
+        "doc_id",
+        line.alias("line"),
+        F.from_csv(
+            line,
+            "a INT, b INT, c STRING, _c STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"},
+        ).alias("p"),
+    )
+    n_tokens = F.size(F.split("line", ","))
+    routed = parsed.select(
+        "doc_id",
+        "line",
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.col("p.c").alias("c"),
+        F.when(F.col("p._c").isNull(), "main")
+        .when(n_tokens > 3, "long_row")
+        .when(n_tokens < 3, "short_row")
+        .otherwise("type_error")
+        .alias("outcome"),
+    )
+    base = sinks.scratch_path("quarantine_split")
+    shutil.rmtree(base, ignore_errors=True)
+    routed.filter(F.col("outcome") == "main").select(
+        "doc_id", "a", "b", "c"
+    ).write.parquet(f"{base}/main")
+    routed.filter(F.col("outcome") != "main").select(
+        "doc_id", "line", "outcome"
+    ).write.parquet(f"{base}/quarantine")
+    main_audit = (
+        spark.read.parquet(f"{base}/main")
+        .agg(
+            F.lit("main").alias("outcome"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+    quar_audit = (
+        spark.read.parquet(f"{base}/quarantine")
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+    return main_audit.unionByName(quar_audit).orderBy("outcome")
