@@ -150,6 +150,17 @@ def cmd_explain(spark: SparkSession, args, out=sys.stdout) -> int:
     return 0
 
 
+def cmd_oracle(spark: SparkSession, args, out=sys.stdout) -> int:
+    """Differential check of one or more registry queries against
+    DuckDB (the local replica of the driver's correctness gate)."""
+    import os
+
+    os.environ.setdefault("ORACLE_SF_DIR", args.sf_dir)
+    from tools import oracle_check
+
+    return oracle_check.main(args.names)
+
+
 def build_parser() -> argparse.ArgumentParser:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument(
@@ -204,6 +215,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     se.add_argument("name")
     se.set_defaults(fn=cmd_explain)
+
+    so_ = sub.add_parser(
+        "oracle",
+        parents=[common],
+        help="differential DuckDB check for queries",
+    )
+    so_.add_argument("names", nargs="+")
+    so_.set_defaults(fn=cmd_oracle)
     return p
 
 

@@ -83,3 +83,10 @@ def test_cli_list_names_every_registry_query(spark):
     assert rc == 0
     listed = {ln.split("\t")[0] for ln in out.strip().splitlines()}
     assert listed == set(REGISTRY)
+
+
+def test_cli_oracle_subcommand(spark):
+    # runs the differential check through the CLI veneer; exit code
+    # carries the pass/fail contract
+    rc, _ = _run(spark, ["oracle", "r_catalog_build"])
+    assert rc == 0
