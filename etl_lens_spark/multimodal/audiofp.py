@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-N_FFT = 256
+N_FFT = 512
 HOP = 128
 PEAKS_PER_FRAME = 2
 FAN_OUT = 5

@@ -1835,8 +1835,19 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.filter(F.col("doc_id") % 25 == 7).mapInPandas(
         _query_fp_batches, "query_id long, h long, tq long"
     )
+    # stop-hash pruning — the inverted-index discipline: a landmark
+    # hash appearing in many tracks is non-discriminative (the audio
+    # analog of a stopword) and only inflates the join; cap document
+    # frequency per hash before probing. Discriminative landmarks
+    # carry the identification; the planted-pair tests confirm recall
+    # is unaffected.
+    hash_df = corpus.groupBy("h").agg(
+        F.countDistinct("track_id").alias("df")
+    )
+    keep = hash_df.filter(F.col("df") <= 40).select("h")
+    pruned = corpus.join(keep, "h")
     votes = (
-        corpus.join(queries, "h")
+        pruned.join(queries, "h")
         .groupBy(
             "query_id", "track_id", (F.col("t") - F.col("tq")).alias("off")
         )

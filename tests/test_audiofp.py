@@ -22,7 +22,7 @@ def test_fingerprint_deterministic_and_shaped():
     # packed hash decomposes into valid (f1, f2, dt)
     for h, t in a[:50]:
         f1, f2, dt = h >> 18, (h >> 9) & 0x1FF, h & 0x1FF
-        assert 0 < f1 <= 128 and 0 < f2 <= 128 and 0 < dt <= 24
+        assert 0 < f1 <= 256 and 0 < f2 <= 256 and 0 < dt <= 24
         assert t >= 0
 
 
