@@ -448,3 +448,92 @@ def weighted_median_distributed(
         F.col("m.cw").cast("long").alias("cum_weight"),
         "total_weight",
     )
+
+
+@query(
+    "dataset_shard_rendezvous",
+    oracle="""
+    WITH shards AS (SELECT unnest(range(0, 8)) AS sh),
+    w AS (
+        SELECT d.doc_id, s.sh,
+               ('0x' || substring(md5('hrw' || d.doc_id || '_' || s.sh),
+                1, 8))::BIGINT AS wt
+        FROM documents d CROSS JOIN shards s
+    ),
+    full_assign AS (
+        SELECT doc_id,
+               arg_max(sh, wt) AS shard8
+        FROM w GROUP BY doc_id
+    ),
+    drop7 AS (
+        SELECT doc_id, arg_max(sh, wt) AS shard7
+        FROM w WHERE sh <> 7 GROUP BY doc_id
+    )
+    SELECT f.shard8 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.shard8 <> d.shard7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_when_shard7_dropped,
+           CAST(SUM(d.shard7) AS BIGINT) AS shard7_dest_sum
+    FROM full_assign f JOIN drop7 d ON f.doc_id = d.doc_id
+    GROUP BY f.shard8
+    ORDER BY f.shard8
+    """,
+)
+def dataset_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) sharding — the assignment
+    scheme whose minimal-disruption property this query PROVES
+    rather than asserts: each doc goes to the shard maximizing
+    md5(doc, shard); the same weights re-evaluated WITHOUT shard 7
+    give the 7-shard assignment, and the per-shard
+    ``moved_when_shard7_dropped`` column shows rows move ONLY out of
+    the dropped shard (zero for shards 0-6, everything for shard 7)
+    — the property that lets a 100 TB dataset rebalance by touching
+    1/N of its keys when a shard leaves, where mod-N hashing would
+    reshuffle nearly everything. Row-local weight computation
+    (8-way expression fan-out, no join for the argmax —
+    ``greatest``-style fold), one aggregation; DuckDB replays the
+    identical md5 weights relationally with arg_max."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    md5i = lambda sh: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("hrw"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    F.lit(str(sh)),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # argmax over 8 shard weights as a row-local struct fold
+    pairs = F.array(
+        *[F.struct(md5i(sh).alias("wt"), F.lit(sh).alias("sh")) for sh in range(8)]
+    )
+    best8 = F.array_max(pairs)["sh"]
+    pairs7 = F.array(
+        *[F.struct(md5i(sh).alias("wt"), F.lit(sh).alias("sh")) for sh in range(7)]
+    )
+    best7 = F.array_max(pairs7)["sh"]
+    a = docs.select(
+        "doc_id",
+        best8.alias("shard8"),
+        best7.alias("shard7"),
+    )
+    return (
+        a.groupBy(F.col("shard8").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("shard8") != F.col("shard7")).cast("long")
+            )
+            .cast("long")
+            .alias("moved_when_shard7_dropped"),
+            F.sum("shard7").cast("long").alias("shard7_dest_sum"),
+        )
+        .orderBy("shard")
+    )
