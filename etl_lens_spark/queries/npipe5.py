@@ -1343,3 +1343,61 @@ def spmm_hashed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("w") * F.col("rv")).cast("long").alias("z"))
         .orderBy("doc_id", "j")
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
+    ranked AS (
+        SELECT w, f,
+               row_number() OVER (ORDER BY f DESC, w) AS r
+        FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           ROUND(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(f), ln(r)), 6) AS zipf_r2,
+           CAST(MAX(CASE WHEN r = 1 THEN f END) AS BIGINT) AS top_freq
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — the corpus-linguistics health check a
+    training-data audit runs: regress ln(frequency) on ln(rank) over
+    the vocabulary; natural language sits near slope −1 with high
+    R², while synthetic or templated corpora (like this fixture's
+    word soup — visibly flatter) betray themselves immediately. The
+    vocabulary ranking uses the zero-single-reducer global-rank
+    operator (the vocab table is small HERE, but rank-over-frequency
+    at web scale is exactly the distributed-rank shape), and the fit
+    itself is Spark's built-in ``regr_slope``/``regr_r2`` aggregates
+    against DuckDB's independent implementations — two engines
+    agreeing on the sufficient-statistics regression to 6 decimals."""
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = ordered_global_rank(
+        freq, [F.desc("f"), F.asc("w")], "r"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.round(
+            F.regr_slope(F.log(F.col("f")), F.log(F.col("r"))), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.regr_r2(F.log(F.col("f")), F.log(F.col("r"))), 6
+        ).alias("zipf_r2"),
+        F.max(F.when(F.col("r") == 1, F.col("f")))
+        .cast("long")
+        .alias("top_freq"),
+    )

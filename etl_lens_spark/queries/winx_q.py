@@ -518,3 +518,70 @@ def win_qualify_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .orderBy("custkey", "o_orderkey")
     )
+
+
+@query(
+    "win_running_distinct_count",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type
+        FROM events WHERE user_id < 30
+    ),
+    marked AS (
+        SELECT user_id, event_id, event_type,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY event_id
+               ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM e
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(SUM(first_seen) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM marked
+    ORDER BY user_id, event_id
+    """,
+)
+def win_running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT — the window aggregate neither engine
+    supports natively (COUNT(DISTINCT) OVER is rejected by both), so
+    the operator is the first-occurrence-marker rewrite: mark each
+    (user, type)'s first event with a per-pair row_number, then a
+    plain running SUM of markers IS the running cardinality. Two
+    windows riding ONE user-keyed shuffle (the pair-window is a
+    finer partitioning of the same exchange); no state grows with
+    the value domain — the rewrite that makes running-cardinality
+    dashboards viable at 100 TB where a collect_set-based window
+    would hold every distinct value per row."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "event_type")
+    )
+    w_pair = Window.partitionBy("user_id", "event_type").orderBy(
+        "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn(
+            "first_seen",
+            (F.row_number().over(w_pair) == 1).cast("int"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.sum("first_seen")
+            .over(w_run)
+            .cast("long")
+            .alias("distinct_types_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
