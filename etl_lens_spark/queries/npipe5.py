@@ -1401,3 +1401,89 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_freq"),
     )
+
+
+@query("docs_mmr_diverse_sample")
+def docs_mmr_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE selection — the diversity-aware
+    final stage of retrieval/curation (pick k items balancing
+    relevance against redundancy: score = λ·rel − (1−λ)·max
+    similarity to anything already picked). The candidate pool is
+    ALWAYS a pre-reduced retrieval result (here: the 60 longest
+    documents as hashed 32-dim unit vectors, relevance = cosine to
+    the pool centroid), so the greedy loop runs k tiny
+    broadcast-scored passes over a bounded frame — the structure is
+    k × O(|candidates|), never O(corpus); at 100 TB only the
+    retrieval stage upstream sees the corpus. Rows-only (greedy
+    argmax chains aren't SQL); tests/test_npipe5_mmr.py pins the
+    selection against an independent numpy reference and the
+    diversity property itself (MMR's mean pairwise similarity must
+    beat top-k-by-relevance's)."""
+    import numpy as np
+
+    lam, k_sel = 0.7, 10
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(60)
+        .select("doc_id", "text")
+    )
+
+    def vecs(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                v = np.zeros(32)
+                for tok in str(t).split(" "):
+                    h = int(
+                        hashlib.md5(b"feat" + tok.encode()).hexdigest()[:8],
+                        16,
+                    )
+                    s = int(
+                        hashlib.md5(b"sgn" + tok.encode()).hexdigest()[:8],
+                        16,
+                    )
+                    v[h % 32] += 1 if s % 2 == 0 else -1
+                n = np.linalg.norm(v)
+                rows.append((int(d), (v / n if n > 0 else v).tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "v"])
+
+    cv = cand.mapInPandas(vecs, "doc_id long, v array<double>").collect()
+    ids = [r["doc_id"] for r in cv]
+    X = np.array([r["v"] for r in cv])
+    q = X.mean(axis=0)
+    q = q / np.linalg.norm(q)
+    rel = X @ q
+    picked: list[int] = []
+    out_rows = []
+    for step in range(k_sel):
+        if picked:
+            red = (X @ X[picked].T).max(axis=1)
+        else:
+            red = np.zeros(len(ids))
+        score = lam * rel - (1 - lam) * red
+        score[picked] = -np.inf
+        # deterministic tie-break on doc_id
+        best = min(
+            range(len(ids)),
+            key=lambda i: (-round(float(score[i]), 12), ids[i]),
+        )
+        picked.append(best)
+        out_rows.append(
+            (
+                step,
+                ids[best],
+                round(float(rel[best]), 6),
+                round(float(red[best]), 6),
+                round(float(score[best]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "step long, doc_id long, relevance double, redundancy double, "
+        "mmr_score double",
+    )

@@ -1234,3 +1234,62 @@ def dq_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "stats_tail_index_hill",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (ORDER BY o_totalprice DESC,
+                                  o_orderkey) AS r
+        FROM orders
+    ),
+    topk AS (SELECT x, r FROM ranked WHERE r <= 200),
+    xk AS (SELECT x AS x_k FROM topk WHERE r = 200)
+    SELECT CAST(200 AS BIGINT) AS k,
+           ROUND(MAX(x_k), 2) AS threshold,
+           ROUND(AVG(ln(t.x / k2.x_k)), 6) AS hill_inv_alpha,
+           ROUND(1.0 / AVG(ln(t.x / k2.x_k)), 6) AS tail_index_alpha
+    FROM topk t CROSS JOIN xk k2
+    WHERE t.r < 200
+    """,
+)
+def stats_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail audit via the HILL ESTIMATOR (the peaks-over-
+    threshold workhorse): 1/α̂ = mean of ln(x_i / x_(k)) over the top
+    k−1 order statistics — the number that says whether a value
+    column (payments, token counts, file sizes) is power-law enough
+    to break mean-based capacity planning (α ≤ 2 → infinite
+    variance). The only ordered structure needed is the global TOP-K
+    (TakeOrdered — a per-partition heap then a k-row merge, never a
+    full sort), after which the estimator is one tiny aggregate over
+    k rows; the oracle recomputes the identical order statistics and
+    log-mean. Deterministic tie-break on the key column keeps the
+    k-th order statistic unambiguous cross-engine."""
+    k = 200
+    topk = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            ),
+        )
+    )
+    xk = topk.filter(F.col("r") == k).select(
+        F.col("o_totalprice").alias("x_k")
+    )
+    body = topk.filter(F.col("r") < k).crossJoin(F.broadcast(xk))
+    inv_alpha = F.avg(F.log(F.col("o_totalprice") / F.col("x_k")))
+    return body.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.max("x_k"), 2).alias("threshold"),
+        F.round(inv_alpha, 6).alias("hill_inv_alpha"),
+        F.round(1.0 / inv_alpha, 6).alias("tail_index_alpha"),
+    )
