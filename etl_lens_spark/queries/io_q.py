@@ -2085,3 +2085,40 @@ def ingest_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return main_audit.unionByName(quar_audit).orderBy("outcome")
+
+
+@query("diag_parquet_footprint")
+def diag_parquet_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE-LAYOUT audit from parquet FOOTERS only — the
+    metadata-first discipline behind every partition-sizing decision
+    (`spark.sql.files.maxPartitionBytes` tuning starts from exactly
+    these numbers: row groups per file, rows per group, compressed
+    vs uncompressed column bytes — and never touches data pages):
+    the Spark side reads each footer via pyarrow on the driver
+    (O(files) metadata fetches, zero data I/O — the same access
+    pattern a real table format's planning phase uses). Rows-only in
+    the harness (oracle SQL cannot parameterize file paths), but the
+    cross-engine pin still exists: tests/test_io.py compares these
+    numbers against DuckDB's independent ``parquet_metadata`` at
+    BOTH scales — two parquet implementations agreeing on the
+    physical layout byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for name in ["customer", "lineitem", "orders"]:
+        md = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata
+        comp = unc = 0
+        max_rg = 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            max_rg = max(max_rg, rg.num_rows)
+            for c in range(rg.num_columns):
+                col = rg.column(c)
+                comp += col.total_compressed_size
+                unc += col.total_uncompressed_size
+        rows.append((name, md.num_row_groups, max_rg, comp, unc))
+    return spark.createDataFrame(
+        rows,
+        "name string, n_row_groups long, max_rg_rows long, "
+        "compressed_bytes long, uncompressed_bytes long",
+    ).orderBy("name")

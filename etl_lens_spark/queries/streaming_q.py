@@ -1020,3 +1020,86 @@ def streaming_session_close_live(
     return out.select(
         "user_id", "start_us", "end_us", "n_events", "total"
     ).orderBy("user_id", "start_us")
+
+
+@query(
+    "streaming_rocksdb_state_live",
+    oracle="""
+    SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                // 3600000000 AS BIGINT) AS hour_idx,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_rocksdb_state_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION state store: the same watermarked hourly
+    aggregation run with ``RocksDBStateStoreProvider`` instead of
+    the default in-memory HDFS-backed provider — at 100 TB the state
+    of a streaming aggregation (here: per-hour-per-type counts and
+    an exact distinct-user set) outgrows executor heap, and RocksDB
+    is the off-heap, spill-to-disk, incremental-checkpoint answer
+    Spark ships for exactly that. Full replay through the RocksDB
+    provider must equal the batch aggregation bit-for-bit — same
+    oracle as any other live/batch twin, proving the provider swap
+    is semantically invisible (which is the point: it's a capacity
+    knob, not a semantics knob). The provider conf is restored after
+    the run so the rest of the registry keeps the default."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = so.events_stream(spark, sf_dir).withWatermark(
+            "ts", "1 hour"
+        )
+        agg = (
+            ev.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.size(F.collect_set("user_id"))
+                .cast("long")
+                .alias("n_users"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start"))
+                .alias("start_us"),
+                "event_type",
+                "n",
+                "n_users",
+            )
+        )
+        out = so.run_to_memory(
+            agg, "q_stream_rocksdb", output_mode="complete"
+        )
+        return (
+            out.select(
+                (F.col("start_us") / 3600000000)
+                .cast("long")
+                .alias("hour_idx"),
+                "event_type",
+                "n",
+                "n_users",
+            )
+            .orderBy("hour_idx", "event_type")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

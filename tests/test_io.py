@@ -187,3 +187,32 @@ def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
     df = REGISTRY["dpp_partition_pruned_join"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_parquet_footprint_matches_duckdb_metadata(spark):
+    import duckdb
+
+    from etl_lens_spark.queries import REGISTRY, _load
+
+    _load()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {
+            r["name"]: (
+                r["n_row_groups"],
+                r["max_rg_rows"],
+                r["compressed_bytes"],
+                r["uncompressed_bytes"],
+            )
+            for r in REGISTRY["diag_parquet_footprint"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        for name in ("customer", "lineitem", "orders"):
+            want = duckdb.sql(
+                f"""SELECT CAST(COUNT(DISTINCT row_group_id) AS BIGINT),
+                       CAST(MAX(row_group_num_rows) AS BIGINT),
+                       CAST(SUM(total_compressed_size) AS BIGINT),
+                       CAST(SUM(total_uncompressed_size) AS BIGINT)
+                FROM parquet_metadata('{sf_dir}/{name}.parquet')"""
+            ).fetchone()
+            assert got[name] == tuple(want), (sf_dir, name)
