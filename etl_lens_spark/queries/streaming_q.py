@@ -1103,3 +1103,50 @@ def streaming_rocksdb_state_live(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+@query(
+    "streaming_available_now_drain",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS first_us,
+           CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             AS last_us
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_available_now_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``Trigger.AvailableNow`` — the SCHEDULED-INCREMENTAL shape
+    (the other streaming execution mode, previously supported by the
+    harness but never declared): instead of a resident stream, the
+    job processes everything currently available — honoring source
+    rate limits, checkpointing progress — then STOPS ON ITS OWN.
+    This is how production runs 'streaming' pipelines from a cron:
+    same code, same exactly-once bookkeeping, batch-shaped resource
+    usage. The drained aggregation must equal the batch oracle —
+    the execution-mode swap, like the state-store swap, has to be
+    semantically invisible."""
+    ev = so.events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    out = so.run_to_memory(
+        agg,
+        "q_stream_available_now",
+        output_mode="complete",
+        available_now=True,
+    )
+    return out.orderBy("event_type")
