@@ -1586,3 +1586,87 @@ def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("o_orderkey")
+
+
+@query(
+    "udtf_polymorphic_schema",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey * 100000 + l_linenumber AS line_id,
+               l_quantity, l_extendedprice, l_discount
+        FROM lineitem WHERE l_orderkey < 200
+    )
+    SELECT line_id,
+           ROUND(l_quantity / (l_quantity + l_extendedprice
+                 + l_discount), 6) AS share_l_quantity,
+           ROUND(l_extendedprice / (l_quantity + l_extendedprice
+                 + l_discount), 6) AS share_l_extendedprice,
+           ROUND(l_discount / (l_quantity + l_extendedprice
+                 + l_discount), 6) AS share_l_discount
+    FROM t ORDER BY line_id
+    """,
+)
+def udtf_polymorphic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC UDTF via the static ``analyze()`` hook — the
+    member of the UDTF surface where the OUTPUT SCHEMA is computed
+    at PLAN TIME from the input table's schema (Spark 3.5+): the
+    function receives ``AnalyzeArgument.dataType``, derives one
+    ``share_<col>`` column per numeric input column, and returns an
+    ``AnalyzeResult`` — so the same function unpivot-normalizes ANY
+    table without a declared returnType, the true table-valued-
+    function polymorphism SQLite exposes through virtual-table
+    xBestIndex/xConnect (reference analog: the bundled SQLite's
+    virtual tables, third_party/sqlite3). Row-local row-share
+    computation; the oracle writes the schema out statically, so a
+    drift in analyze()'s derivation breaks schema_match, not just
+    values."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class RowShare:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            fields = [StructField("line_id", LongType())]
+            for f in t.dataType.fields:
+                if f.name == "line_id":
+                    continue
+                fields.append(
+                    StructField(f"share_{f.name}", DoubleType())
+                )
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, row):
+            d = row.asDict()
+            key = d.pop("line_id")
+            tot = sum(float(v) for v in d.values())
+            yield (
+                key,
+                *[
+                    round(float(v) / tot, 6) if tot else None
+                    for v in d.values()
+                ],
+            )
+
+    spark.udtf.register("row_share_poly", udtf(RowShare))
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            (F.col("l_orderkey") * 100000 + F.col("l_linenumber"))
+            .alias("line_id"),
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    li.createOrReplaceTempView("udtf_poly_v")
+    return spark.sql(
+        "SELECT * FROM row_share_poly(TABLE(udtf_poly_v)) "
+        "ORDER BY line_id"
+    )
