@@ -1150,3 +1150,59 @@ def streaming_available_now_drain(
         available_now=True,
     )
     return out.orderBy("event_type")
+
+
+@query(
+    "streaming_rate_limited_drain",
+    oracle="""
+    SELECT user_id % 16 AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY user_id % 16
+    ORDER BY user_bucket
+    """,
+)
+def streaming_rate_limited_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE RATE LIMITING (``maxFilesPerTrigger``) — the
+    backpressure knob that keeps a backfill from turning into one
+    giant micro-batch: the events table is re-laid as 8 files, the
+    stream is capped at 2 files per trigger, and the AvailableNow
+    drain therefore processes the backlog as ≥ 4 bounded
+    micro-batches (batch count pinned in
+    tests/test_streaming_rate.py via the sink's progress) while the
+    RESULT — complete-mode aggregation after the drain — must equal
+    the batch oracle exactly. Bounded batches are what make state
+    checkpoints, retries, and cluster sizing predictable when a
+    100 TB table enters a stream for reprocessing."""
+    import shutil
+
+    from etl_lens_spark.sources.sinks import scratch_path
+    from etl_lens_spark.sources.tables import load_table as _lt
+
+    src = scratch_path("rate_limited_events")
+    shutil.rmtree(src, ignore_errors=True)
+    ev_batch = _lt(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    ev_batch.repartition(8, "event_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        (F.col("user_id") % 16).alias("user_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+    out = so.run_to_memory(
+        agg,
+        "q_stream_rate_limited",
+        output_mode="complete",
+        available_now=True,
+    )
+    return out.orderBy("user_bucket")
