@@ -1293,3 +1293,94 @@ def stats_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inv_alpha, 6).alias("hill_inv_alpha"),
         F.round(1.0 / inv_alpha, 6).alias("tail_index_alpha"),
     )
+
+
+@query(
+    "stats_js_divergence_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'p' ELSE 'q'
+               END AS half
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, half, CAST(COUNT(*) AS BIGINT) AS n
+        FROM halves GROUP BY event_type, half
+    ),
+    tot AS (SELECT half, SUM(n) AS t FROM counts GROUP BY half),
+    probs AS (
+        SELECT c.event_type,
+               MAX(CASE WHEN c.half = 'p' THEN c.n / t.t END) AS p,
+               MAX(CASE WHEN c.half = 'q' THEN c.n / t.t END) AS q
+        FROM counts c JOIN tot t ON c.half = t.half
+        GROUP BY c.event_type
+    ),
+    terms AS (
+        SELECT event_type, p, q, (p + q) / 2 AS m,
+               0.5 * p * ln(p / ((p + q) / 2))
+               + 0.5 * q * ln(q / ((p + q) / 2)) AS jsd_term
+        FROM probs
+    )
+    SELECT event_type, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+           ROUND(jsd_term, 6) AS jsd_term,
+           ROUND(SUM(jsd_term) OVER (), 6) AS jsd_total
+    FROM terms
+    ORDER BY event_type
+    """,
+)
+def stats_js_divergence_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence between the first and second half of
+    the month's event-type mix — the BOUNDED, SYMMETRIC member of
+    the drift family next to KS (continuous) and PSI (binned): JSD ∈
+    [0, ln 2], defined even when a category vanishes from one side,
+    which is exactly where raw KL blows up. Reported per category
+    (the decomposition says WHICH type drifted) plus the total. Two
+    aggregations over the category domain — the drift monitor costs
+    a |categories|-row shuffle at any scale; the window for the
+    total runs over that reduced frame. Both engines compute the
+    identical ln-based terms to 6 decimals."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "p"
+        )
+        .otherwise("q")
+        .alias("half"),
+    )
+    counts = ev.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.groupBy("half").agg(F.sum("n").alias("t"))
+    probs = (
+        counts.join(tot, "half")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("half") == "p", F.col("n") / F.col("t"))
+            ).alias("p"),
+            F.max(
+                F.when(F.col("half") == "q", F.col("n") / F.col("t"))
+            ).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = 0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col(
+        "q"
+    ) * F.log(F.col("q") / m)
+    w = Window.partitionBy()
+    return (
+        probs.withColumn("jsd_term", term)
+        .select(
+            "event_type",
+            F.round("p", 6).alias("p"),
+            F.round("q", 6).alias("q"),
+            F.round("jsd_term", 6).alias("jsd_term"),
+            F.round(F.sum("jsd_term").over(w), 6).alias("jsd_total"),
+        )
+        .orderBy("event_type")
+    )
