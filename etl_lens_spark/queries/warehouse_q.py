@@ -1389,3 +1389,64 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@query(
+    "stats_wilson_ci_rates",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id % 8 AS cohort,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY user_id % 8
+    )
+    SELECT cohort, n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 6) AS rate,
+           ROUND((k + 1.92) / (n + 3.84)
+                 - (1.96 / (n + 3.84))
+                   * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.9604), 6)
+             AS wilson_lo,
+           ROUND((k + 1.92) / (n + 3.84)
+                 + (1.96 / (n + 3.84))
+                   * sqrt(CAST(k AS DOUBLE) * (n - k) / n + 0.9604), 6)
+             AS wilson_hi
+    FROM seg
+    ORDER BY cohort
+    """,
+)
+def stats_wilson_ci_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON score intervals for per-cohort conversion rates — the
+    CI every rate dashboard should use instead of the normal
+    approximation (Wilson stays inside [0,1] and behaves at small n
+    and extreme rates, where ±1.96√(p(1−p)/n) is nonsense): the
+    closed form at z = 1.96, center (k + z²/2)/(n + z²) with the
+    matched half-width, computed per cohort in one aggregation.
+    Everything after the count/sum reduction is scalar arithmetic on
+    a |cohorts|-row frame; the two engines agree on the algebra to 6
+    decimals."""
+    seg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 8).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (F.col("event_type") == "purchase").cast("int")
+            )
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    center = (k + 1.92) / (n + 3.84)
+    half = (1.96 / (n + 3.84)) * F.sqrt(
+        k.cast("double") * (n - k) / n + 0.9604
+    )
+    return seg.select(
+        "cohort",
+        "n",
+        "k",
+        F.round(k.cast("double") / n, 6).alias("rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("cohort")
