@@ -841,3 +841,90 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_seasonal_baseline_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+        SELECT event_type, h, n, h % 24 AS hod FROM hourly
+    ),
+    base AS (
+        SELECT event_type, hod,
+               AVG(CAST(n AS DOUBLE)) AS mu,
+               stddev_pop(CAST(n AS DOUBLE)) AS sd,
+               var_pop(CAST(n AS DOUBLE))
+                 / NULLIF(AVG(CAST(n AS DOUBLE)), 0) AS dispersion
+        FROM keyed GROUP BY event_type, hod
+    )
+    SELECT k.event_type, k.hod,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(MAX(b.mu), 6) AS seasonal_mu,
+           ROUND(MAX(b.dispersion), 6) AS dispersion,
+           CAST(SUM(CASE WHEN b.sd > 0
+                     AND abs(k.n - b.mu) / b.sd > 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM keyed k JOIN base b
+      ON k.event_type = b.event_type AND k.hod = b.hod
+    GROUP BY k.event_type, k.hod
+    ORDER BY k.event_type, k.hod
+    """,
+)
+def ts_seasonal_baseline_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEASONALITY-AWARE anomaly baseline — the complement of the
+    trailing-window z-score (which flags every rush hour as an
+    anomaly when traffic is diurnal): each (type, hour-of-day) slot
+    gets its own mean/σ baseline from the month, deviations score
+    against the SLOT's distribution, and the per-slot DISPERSION
+    (variance/mean — 1 for Poisson, ≫1 overdispersed) reports
+    whether a count model is even appropriate before anyone
+    thresholds on σ. Two aggregations over reduced frames (hourly
+    series, then 24×|types| slots) — the monitoring discipline holds
+    at any scale."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            _floor_div_us("ts", 3600000000).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("hod", F.col("h") % 24)
+    )
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("n").cast("double")).alias("sd"),
+        (
+            F.var_pop(F.col("n").cast("double"))
+            / F.nullif(F.avg(F.col("n").cast("double")), F.lit(0))
+        ).alias("dispersion"),
+    )
+    return (
+        hourly.join(base, ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.round(F.max("mu"), 6).alias("seasonal_mu"),
+            F.round(F.max("dispersion"), 6).alias("dispersion"),
+            F.sum(
+                F.when(
+                    (F.col("sd") > 0)
+                    & (
+                        F.abs(F.col("n") - F.col("mu")) / F.col("sd")
+                        > 3
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hod")
+    )

@@ -1450,3 +1450,123 @@ def stats_wilson_ci_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     ).orderBy("cohort")
+
+
+@query(
+    "part_abc_xyz_matrix",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_partkey,
+               epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+                 // 604800000000 AS wk,
+               CAST(SUM(l.l_quantity) AS DOUBLE) AS qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               AVG(qty) AS mu,
+               stddev_pop(qty) AS sd,
+               CAST(COUNT(*) AS BIGINT) AS n_weeks,
+               SUM(qty) AS total_qty
+        FROM li GROUP BY l_partkey
+    ),
+    xyz AS (
+        SELECT l_partkey, total_qty,
+               CASE WHEN sd / NULLIF(mu, 0) < 0.6 THEN 'X'
+                    WHEN sd / NULLIF(mu, 0) < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz_class
+        FROM per_part
+    ),
+    ranked AS (
+        SELECT l_partkey, xyz_class, total_qty,
+               SUM(total_qty) OVER (
+                   ORDER BY total_qty DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / SUM(total_qty) OVER () AS cum_share
+        FROM xyz
+    ),
+    classed AS (
+        SELECT xyz_class,
+               CASE WHEN cum_share <= 0.6 THEN 'A'
+                    WHEN cum_share <= 0.85 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               total_qty
+        FROM ranked
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(total_qty), 2) AS qty
+    FROM classed
+    GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ inventory classification — the supply-chain planning
+    matrix pairing revenue concentration (ABC: cumulative-share
+    bands, the part_pareto_abc discipline) with demand VARIABILITY
+    (XYZ: weekly coefficient of variation — X predictable, Z
+    erratic): an A/Z part is the planner's nightmare quadrant and
+    this query is how they find it. The cumulative share runs
+    through the zero-single-reducer prefix machinery over the
+    reduced per-part frame; CV classes are scalar algebra on the
+    same frame; both engines agree on band edges because the share
+    is a ratio of exact decimal-accumulated sums ordered with a
+    deterministic tie-break."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_partkey",
+            F.expr(
+                "(unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+                "- pmod(unix_micros(CAST(o_orderdate AS TIMESTAMP)), "
+                "604800000000)) div 604800000000"
+            ).alias("wk"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg("qty").alias("mu"),
+        F.stddev_pop("qty").alias("sd"),
+        F.sum("qty").alias("total_qty"),
+    )
+    cv = F.col("sd") / F.nullif(F.col("mu"), F.lit(0))
+    xyz = per_part.select(
+        "l_partkey",
+        "total_qty",
+        F.when(cv < 0.6, "X").when(cv < 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    with_cum = ordered_prefix_sum(
+        xyz,
+        [F.desc("total_qty"), F.asc("l_partkey")],
+        "total_qty",
+        "cum_qty",
+    )
+    tot = xyz.agg(F.sum("total_qty").alias("grand"))
+    classed = with_cum.crossJoin(F.broadcast(tot)).select(
+        "xyz_class",
+        "total_qty",
+        F.when(F.col("cum_qty") / F.col("grand") <= 0.6, "A")
+        .when(F.col("cum_qty") / F.col("grand") <= 0.85, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("total_qty"), 2).alias("qty"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
