@@ -1487,3 +1487,88 @@ def docs_mmr_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step long, doc_id long, relevance double, redundancy double, "
         "mmr_score double",
     )
+
+
+@query("dedup_image_pipeline_keep_list")
+def dedup_image_pipeline_keep_list(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """END-TO-END image dedup — the multimodal mirror of
+    dedup_pipeline_keep_list's text flow: real BMP bytes → pHash
+    signatures → pigeonhole candidate pairs (Hamming ≤ 7) →
+    connected components over the near-dup graph → per-cluster
+    winner election (min doc_id) → the KEEP LIST with per-doc
+    disposition. Every stage is the already-tested machinery
+    (codecs, phash, the CC operator); this query pins their
+    COMPOSITION: planted near-dups (doc_id % 10 == 1 duplicates
+    doc_id − 1) resolve to kept=0 with the base image as winner at
+    the SAME ≥ 0.85 recall the pair layer guarantees (misses are
+    true pHash distances > 7 — the median-boundary tail documented
+    on dedup_image_phash), and keep + drop lists partition the
+    corpus exactly. Rows-only (DCT); tests/test_phash.py pins both
+    the pair layer and this disposition contract.
+
+    Scale: the same cascade shape as text dedup — signatures shuffle,
+    media bytes never do; CC is the O(log d) pointer-jumping loop."""
+    from etl_lens_spark.dedup import embedding as emb_dedup
+
+    docs = parallelize_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    with_payload = docs.mapInPandas(
+        _synth_phash_bmp, "doc_id long, payload binary"
+    )
+    sigs = with_payload.mapInPandas(
+        _phash_bmp_batches, "doc_id long, sig array<int>"
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode("sig").alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 7)
+        .select("src", "dst")
+    )
+    nodes = sigs.select(F.col("doc_id").alias("node"))
+    cc = emb_dedup.connected_components(nodes, pairs)
+    winners = cc.groupBy("component").agg(
+        F.min("node").alias("winner")
+    )
+    return (
+        cc.join(winners, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("winner"),
+            (F.col("node") == F.col("winner"))
+            .cast("long")
+            .alias("kept"),
+            F.col("component").cast("long").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -99,3 +99,36 @@ def test_dedup_image_phash_recovers_every_planted_pair(spark, sf_dir):
         assert (
             hamming_chunks(by_id[r["id1"]], by_id[r["id2"]]) == r["hamming"]
         )
+
+
+def test_image_keep_list_dispositions(spark, sf_dir):
+    import duckdb
+
+    from etl_lens_spark.queries import REGISTRY, _load
+
+    _load()
+    rows = (
+        REGISTRY["dedup_image_pipeline_keep_list"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    # keep + drop partition the corpus exactly
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    # every winner is kept, every kept doc is its own winner
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert by_id[r["winner"]]["kept"] == 1
+        assert (r["kept"] == 1) == (r["winner"] == r["doc_id"])
+    # planted duplicates resolve against their base at the pair
+    # layer's recall bound
+    planted = [d for d in range(n_docs) if d % 10 == 1 and d > 0]
+    resolved = [
+        d
+        for d in planted
+        if by_id[d]["kept"] == 0 and by_id[d]["winner"] <= d - 1
+    ]
+    assert len(resolved) / len(planted) >= 0.85
