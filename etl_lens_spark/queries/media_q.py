@@ -1876,3 +1876,101 @@ def mm_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.orderBy("query_id")
+
+
+@query(
+    "source_binary_files",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 9 AS w, 2 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 64
+    ),
+    xs AS (SELECT unnest(range(0, 11)) AS x),
+    ys AS (SELECT unnest(range(0, 9)) AS y),
+    cs AS (SELECT unnest(range(0, 3)) AS c),
+    px AS (
+      SELECT d.doc_id,
+             (CAST(c.c AS BIGINT) + 1)
+               * ((3 * x.x + 5 * y.y + 7 * c.c + d.doc_id) % 256) AS wv
+      FROM dims d
+      JOIN xs x ON x.x < d.w
+      JOIN ys y ON y.y < d.h
+      JOIN cs c ON c.c < 3
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(SUM(p.wv) AS BIGINT) AS pixel_checksum
+    FROM dims d JOIN px p ON d.doc_id = p.doc_id
+    GROUP BY d.doc_id, d.w, d.h
+    ORDER BY d.doc_id
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` SOURCE — how media bytes actually ENTER a
+    pipeline (every other mm_ query synthesizes payloads in-flight;
+    real corpora land as files): 64 genuine BMPs are written as
+    INDIVIDUAL files, read back through Spark's binaryFile format
+    (one row per file: path, modificationTime, length, content),
+    keyed by filename parse, and decoded through the real codec —
+    the ingest half of a media crawl. The oracle recomputes the
+    channel-weighted checksum from the pixel formula, so the wrong
+    file-to-row mapping, a truncated content column, or a decode
+    slip all fail the hash.
+
+    Scale: binaryFile parallelizes per file (each row is one file's
+    bytes — the source's documented contract) and the decode stage
+    is the usual no-shuffle mapInPandas; at 100 TB the same plan
+    reads object-store prefixes, with maxFilesPerTrigger the
+    backpressure knob when this source feeds a stream."""
+    import shutil
+
+    from etl_lens_spark.multimodal import codecs
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    base = scratch_path("binary_files_src")
+    shutil.rmtree(base, ignore_errors=True)
+    import os
+
+    import numpy as np
+
+    os.makedirs(base, exist_ok=True)
+    for d in range(64):
+        w, h = 2 + d % 9, 2 + d % 7
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        arr = ((3 * x + 5 * y + 7 * c + d) % 256).astype("uint8")
+        with open(f"{base}/img_{d:04d}.bmp", "wb") as f:
+            f.write(codecs.encode_bmp(arr))
+    files = spark.read.format("binaryFile").load(base)
+
+    def decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                d = int(path.rsplit("img_", 1)[1][:4])
+                arr, _ = codecs.decode_bmp(bytes(content))
+                hh, ww = arr.shape[:2]
+                wgt = np.arange(1, 4)[None, None, :]
+                rows.append(
+                    (
+                        d,
+                        ww,
+                        hh,
+                        int((arr.astype(np.int64) * wgt).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "pixel_checksum"],
+            )
+
+    return (
+        files.select("path", "content")
+        .mapInPandas(
+            decode,
+            "doc_id long, width int, height int, pixel_checksum long",
+        )
+        .orderBy("doc_id")
+    )
