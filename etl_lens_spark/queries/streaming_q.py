@@ -1206,3 +1206,106 @@ def streaming_rate_limited_drain(
         available_now=True,
     )
     return out.orderBy("user_bucket")
+
+
+@query(
+    "streaming_binaryfile_media_live",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 9 AS w, 2 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 64
+    ),
+    xs AS (SELECT unnest(range(0, 11)) AS x),
+    ys AS (SELECT unnest(range(0, 9)) AS y),
+    cs AS (SELECT unnest(range(0, 3)) AS c),
+    px AS (
+      SELECT d.doc_id,
+             (CAST(c.c AS BIGINT) + 1)
+               * ((3 * x.x + 5 * y.y + 7 * c.c + d.doc_id) % 256) AS wv
+      FROM dims d
+      JOIN xs x ON x.x < d.w
+      JOIN ys y ON y.y < d.h
+      JOIN cs c ON c.c < 3
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.w * d.h AS n_px, SUM(p.wv) AS ck
+      FROM dims d JOIN px p ON d.doc_id = p.doc_id
+      GROUP BY d.doc_id, d.w, d.h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_px) AS BIGINT) AS total_pixels,
+           CAST(SUM(ck) AS BIGINT) AS checksum_sum
+    FROM per_doc
+    """,
+)
+def streaming_binaryfile_media_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE media ingestion — ``binaryFile`` as a STREAMING source
+    (the media-crawl shape: files land in a prefix, the resident
+    stream decodes them as they arrive, rate-limited by
+    maxFilesPerTrigger): the same 64 real BMP files are replayed
+    through the streaming engine 8-per-trigger, decoded per
+    micro-batch by the real codec inside mapInPandas, and the
+    complete-mode corpus totals after the drain must equal the
+    arithmetic oracle — the streaming twin of source_binary_files,
+    proving the batch decode plan lifts to the resident-stream
+    execution mode unchanged."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from etl_lens_spark.multimodal import codecs
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    base = scratch_path("binary_files_stream_src")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    for d in range(64):
+        w, h = 2 + d % 9, 2 + d % 7
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        arr = ((3 * x + 5 * y + 7 * c + d) % 256).astype("uint8")
+        with open(f"{base}/img_{d:04d}.bmp", "wb") as f:
+            f.write(codecs.encode_bmp(arr))
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .load(base)
+    )
+
+    def decode(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                arr, _ = codecs.decode_bmp(bytes(content))
+                hh, ww = arr.shape[:2]
+                wgt = np.arange(1, 4)[None, None, :]
+                rows.append(
+                    (ww * hh, int((arr.astype(np.int64) * wgt).sum()))
+                )
+            yield pd.DataFrame(rows, columns=["n_px", "ck"])
+
+    decoded = stream.select("path", "content").mapInPandas(
+        decode, "n_px long, ck long"
+    )
+    agg = decoded.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_px").cast("long").alias("total_pixels"),
+        F.sum("ck").cast("long").alias("checksum_sum"),
+    )
+    out = so.run_to_memory(
+        agg,
+        "q_stream_binaryfile",
+        output_mode="complete",
+        available_now=True,
+    )
+    return out
