@@ -806,3 +806,69 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("canonical_id")
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> list_contains(['the','and','of','to','is'], x))) AS s_en,
+               len(list_filter(t, x -> list_contains(['el','la','de','que','los'], x))) AS s_es,
+               len(list_filter(t, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr
+        FROM toks
+    ),
+    pred AS (
+        SELECT lang AS lang_true,
+               CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM scores
+    ),
+    tot AS (SELECT lang_true, COUNT(*) AS n_true FROM pred GROUP BY 1)
+    SELECT p.lang_true, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(t.n_true), 6)
+             AS row_share
+    FROM pred p JOIN tot t ON p.lang_true = t.lang_true
+    GROUP BY p.lang_true, p.lang_pred
+    ORDER BY p.lang_true, p.lang_pred
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX for the language-ID heuristic against the
+    corpus's own labels — the evaluation artifact a curation run
+    reviews before trusting a classifier as a FILTER (per-class
+    row-normalized shares show exactly which languages bleed into
+    which): prediction is the same stopword-marker argmax as
+    text_langid; the matrix is one (true, pred) aggregation with a
+    per-true-class normalizer joined in. |classes|² rows at any
+    scale; both engines replay the tie-break order of the argmax
+    CASE exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = ta.add_langid(docs).select(
+        F.col("lang").alias("lang_true"), "lang_pred"
+    )
+    tot = pred.groupBy("lang_true").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return (
+        pred.groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(F.broadcast(tot), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_true"), 6
+            ).alias("row_share"),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )

@@ -1570,3 +1570,109 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+@query(
+    "customer_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT f.cohort_month,
+               datediff('month', f.cohort_month,
+                        date_trunc('month', o.o_orderdate)) AS age,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    sz AS (
+        SELECT cohort_month, COUNT(*) AS cohort_size FROM firsts
+        GROUP BY cohort_month
+    ),
+    monthly AS (
+        SELECT cohort_month, age, SUM(price) AS m_rev
+        FROM rev GROUP BY cohort_month, age
+    )
+    SELECT CAST(m.cohort_month AS DATE) AS cohort_month,
+           CAST(m.age AS BIGINT) AS age_months,
+           CAST(MAX(s.cohort_size) AS BIGINT) AS cohort_size,
+           CAST(SUM(SUM(m.m_rev)) OVER (
+               PARTITION BY m.cohort_month ORDER BY m.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS cum_revenue,
+           CAST((2 * CAST(SUM(SUM(m.m_rev)) OVER (
+               PARTITION BY m.cohort_month ORDER BY m.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) * 100 AS BIGINT) + MAX(s.cohort_size))
+               // (2 * MAX(s.cohort_size)) AS BIGINT) AS ltv_cents
+    FROM monthly m JOIN sz s ON m.cohort_month = s.cohort_month
+    GROUP BY m.cohort_month, m.age
+    ORDER BY cohort_month, age_months
+    """,
+)
+def customer_cohort_ltv_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves — the revenue companion of the
+    retention triangle: customers grouped by first-order month, each
+    cohort's revenue accumulated over its age in months and
+    normalized per member (the LTV curve whose plateau sets the
+    acquisition budget). Exact decimal revenue accumulation; the
+    cumulative window is PARTITIONED by cohort (never global) and
+    runs over the reduced cohort × age frame — the standard
+    finance-analytics shape at any scale."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    sz = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    rev = orders.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            F.months_between(
+                F.trunc("o_orderdate", "month"), F.col("cohort_month")
+            )
+        )
+        .cast("long")
+        .alias("age"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    monthly = rev.groupBy("cohort_month", "age").agg(
+        F.sum("price").alias("m_rev")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # per-customer LTV in integer CENTS with explicit half-up —
+    # decimal and double division both round engine-dependently at
+    # exact halves; (2c + n) div (2n) is the same integer everywhere,
+    # and `div` keeps the arithmetic in BIGINT (a double `/` would
+    # lose exactness above 2^53 cents)
+    return (
+        monthly.join(F.broadcast(sz), "cohort_month")
+        .withColumn(
+            "cum_cents", (F.sum("m_rev").over(w) * 100).cast("long")
+        )
+        .select(
+            "cohort_month",
+            F.col("age").alias("age_months"),
+            F.col("cohort_size").cast("long"),
+            (F.col("cum_cents") / 100.0).alias("cum_revenue"),
+            F.expr(
+                "(2 * cum_cents + cohort_size) div (2 * cohort_size)"
+            )
+            .cast("long")
+            .alias("ltv_cents"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
