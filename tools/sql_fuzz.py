@@ -151,12 +151,40 @@ def gen_window_query(rng: random.Random) -> str:
     )
 
 
+def gen_setop_query(rng: random.Random) -> str:
+    """Set-operation member: two filtered projections of the same
+    table combined with UNION/INTERSECT/EXCEPT (ALL and DISTINCT),
+    wrapped in a counting aggregate so results stay canonical."""
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    key = cols[0][0]
+    p1, p2 = _pred(rng, cols), _pred(rng, cols)
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+    )
+    case_col = rng.choice([n for n, t in cols if t == "num"])
+    sel = (
+        f"{key}, CASE WHEN {case_col} < 100000 THEN 'lo' "
+        f"WHEN {case_col} < 250000 THEN 'mid' ELSE 'hi' END AS band"
+    )
+    return (
+        f"SELECT band, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM({key}) AS BIGINT) AS key_sum FROM ("
+        f"SELECT {sel} FROM {table} WHERE {p1} "
+        f"{op} "
+        f"SELECT {sel} FROM {table} WHERE {p2}"
+        f") t GROUP BY band ORDER BY band"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     u = rng.random()
-    if u < 0.25:
+    if u < 0.22:
         return gen_join_query(rng)
-    if u < 0.45:
+    if u < 0.40:
         return gen_window_query(rng)
+    if u < 0.55:
+        return gen_setop_query(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     group_cols = [
