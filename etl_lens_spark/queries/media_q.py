@@ -1974,3 +1974,96 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_KEYFRAME_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("motion", T.LongType()),
+        T.StructField("is_keyframe", T.LongType()),
+    ]
+)
+
+
+def _keyframe_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal.codecs import decode_avi_mjpeg
+    from etl_lens_spark.multimodal.jpeg import decode_jpeg_gray
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            info = decode_avi_mjpeg(bytes(payload))
+            frames = [
+                decode_jpeg_gray(fb).astype(np.int64)
+                for fb in info["frames"]
+            ]
+            prev = None
+            for i, fr in enumerate(frames):
+                motion = (
+                    int(np.abs(fr - prev).sum()) if prev is not None else 0
+                )
+                is_kf = 1 if (i == 0 or motion > 800) else 0
+                rows.append((int(d), i, motion, is_kf))
+                prev = fr
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "frame_idx", "motion", "is_keyframe"],
+        )
+
+
+@query(
+    "mm_video_keyframe_sample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+             2 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    bxs AS (SELECT unnest(range(0, 3)) AS bx),
+    bys AS (SELECT unnest(range(0, 2)) AS by),
+    fis AS (SELECT unnest(range(0, 4)) AS f),
+    blocks AS (
+      SELECT d.doc_id, f.f,
+             CASE WHEN f.f > 0 THEN abs(
+               (7 * x.bx + 11 * y.by + d.doc_id + 13 * f.f) % 256
+               - (7 * x.bx + 11 * y.by + d.doc_id
+                  + 13 * (f.f - 1)) % 256)
+             ELSE 0 END AS dv
+      FROM dims d
+      JOIN bxs x ON x.bx < d.wb
+      JOIN bys y ON y.by < d.hb
+      JOIN fis f ON f.f < d.nf
+    ),
+    per_frame AS (
+      SELECT doc_id, f AS frame_idx,
+             CAST(64 * SUM(dv) AS BIGINT) AS motion
+      FROM blocks GROUP BY doc_id, f
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, motion,
+           CAST(CASE WHEN frame_idx = 0 OR motion > 800
+                THEN 1 ELSE 0 END AS BIGINT) AS is_keyframe
+    FROM per_frame
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYFRAME SAMPLING — the video-curation operator the motion
+    signal exists for: decode each AVI's frames, score inter-frame
+    motion, and mark scene starts (frame 0 plus every frame whose
+    delta clears the threshold) — the frames a multimodal training
+    pipeline keeps while dropping near-static continuation frames.
+    Per-frame granularity (mm_real_video_pipeline reports per-video
+    totals); the oracle recomputes every frame's motion and the
+    threshold decision from the block formula, so frame ordering
+    inside the demux and the scene-cut rule are both pinned
+    row-by-row. Same no-shuffle chained mapInPandas scale shape."""
+    docs = parallelize_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    with_payload = docs.mapInPandas(_synth_avi_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(
+        _keyframe_batches, _KEYFRAME_OUT
+    ).orderBy("doc_id", "frame_idx")
