@@ -727,3 +727,93 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "p1", "p2", "n_common", F.round("aa", 6).alias("adamic_adar")
     ).orderBy("p1", "p2")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peel: each round drops nodes below degree k and the
+    edges touching them; `rounds` exceeds measured convergence depth
+    (4 at sf0.1), and extra rounds are idempotent at the fixpoint."""
+    sql = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS u, l_suppkey + 1000000 AS v
+        FROM lineitem WHERE l_quantity >= 49
+    )"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql.append(
+            f""",
+    d{i} AS MATERIALIZED (
+        SELECT n, COUNT(*) AS dg FROM (
+            SELECT u AS n FROM {prev}
+            UNION ALL SELECT v FROM {prev}
+        ) GROUP BY n HAVING COUNT(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN d{i} a ON e.u = a.n JOIN d{i} b ON e.v = b.n
+    )"""
+        )
+        prev = f"e{i}"
+    sql.append(
+        f"""
+    SELECT n,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev})
+    GROUP BY n
+    ORDER BY n"""
+    )
+    return "".join(sql)
+
+
+@query("graph_kcore_decomposition", oracle=_kcore_oracle())
+def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (k = 3) of the strong-edge part-supplier
+    bipartite graph — the dense-subgraph extractor community mining
+    and fraud rings start from: iteratively peel every node with
+    degree < k until the remainder is stable; what survives is the
+    maximal subgraph where EVERYONE keeps ≥ k connections. Spark
+    runs the peel as a degree-aggregate + semi-join fixpoint loop
+    (lineage truncated per round with localCheckpoint, O(1) driver
+    convergence check — the connected-components discipline); the
+    oracle is the same peel UNROLLED past the measured convergence
+    depth (2 rounds at sf0.01, 4 at sf0.1; extra rounds idempotent),
+    so the fixpoint itself is cross-checked, not just one round.
+    Output: surviving nodes with their in-core degree."""
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(
+            F.col("l_partkey").alias("u"),
+            (F.col("l_suppkey") + 1000000).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    k = 3
+    while True:
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("dg"))
+            .filter(F.col("dg") >= k)
+            .select("n")
+        )
+        e2 = (
+            e.join(deg.withColumnRenamed("n", "u"), "u", "leftsemi")
+            .join(deg.withColumnRenamed("n", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if e2.count() == e.count():
+            break
+        e = e2
+    return (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .orderBy("n")
+    )
