@@ -1676,3 +1676,145 @@ def customer_cohort_ltv_curve(
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@query(
+    "events_attribution_shapley",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 >= 14 AS INT) AS c,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 >= 14 AS INT) AS v,
+            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                 >= 14 AS INT) AS s,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN value
+                     ELSE 0 END) > 700 AS INT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    rates AS (
+        SELECT c, v, s,
+               AVG(CAST(conv AS DOUBLE)) AS r,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM per_user GROUP BY c, v, s
+    ),
+    pairs AS (
+        SELECT 'click' AS channel,
+               b.v + b.s AS others,
+               COALESCE(w.r, 0) - COALESCE(b.r, 0) AS delta
+        FROM rates b JOIN rates w
+          ON b.c = 0 AND w.c = 1 AND b.v = w.v AND b.s = w.s
+        UNION ALL
+        SELECT 'view', b.c + b.s, COALESCE(w.r, 0) - COALESCE(b.r, 0)
+        FROM rates b JOIN rates w
+          ON b.v = 0 AND w.v = 1 AND b.c = w.c AND b.s = w.s
+        UNION ALL
+        SELECT 'signup', b.c + b.v, COALESCE(w.r, 0) - COALESCE(b.r, 0)
+        FROM rates b JOIN rates w
+          ON b.s = 0 AND w.s = 1 AND b.c = w.c AND b.v = w.v
+    )
+    SELECT channel,
+           ROUND(SUM(delta * CASE others WHEN 0 THEN 1.0/3
+                              WHEN 1 THEN 1.0/6
+                              ELSE 1.0/3 END), 6) AS shapley
+    FROM pairs
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def events_attribution_shapley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value attribution over three engagement channels
+    — the game-theoretic alternative to last-touch/linear credit
+    (multitouch_attribution's heuristics): the characteristic
+    function v(S) is the observed conversion rate of users exposed
+    to exactly coalition S (exposure = channel activity over
+    threshold; conversion = purchase value over threshold), and each
+    channel's Shapley value is the coalition-weighted average of its
+    marginal contributions — the UNIQUE credit split that is
+    efficient, symmetric, and null-player-consistent. With 3
+    channels the 2³ coalitions are enumerable, so the computation is
+    one per-user reduction, one 8-row rate table, and three matched
+    base/with self-joins with literal |S|!(n−|S|−1)!/n! weights —
+    the whole game resolves in broadcast-sized frames no matter how
+    many users feed the rates. Absent coalitions contribute 0 on
+    both engines (COALESCE), keeping the estimator deterministic."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    (F.col("event_type") == "click").cast("int")
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("c"),
+            (
+                F.sum((F.col("event_type") == "view").cast("int"))
+                >= 14
+            )
+            .cast("int")
+            .alias("v"),
+            (
+                F.sum(
+                    (F.col("event_type") == "signup").cast("int")
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("s"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value"),
+                    ).otherwise(F.lit(0.0))
+                )
+                > 700
+            )
+            .cast("int")
+            .alias("conv"),
+        )
+    )
+    rates = per_user.groupBy("c", "v", "s").agg(
+        F.avg(F.col("conv").cast("double")).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def channel_pairs(ch, base_col, other1, other2):
+        b = rates.filter(F.col(base_col) == 0).alias("b")
+        w = rates.filter(F.col(base_col) == 1).alias("w")
+        return b.join(
+            w,
+            (F.col(f"b.{other1}") == F.col(f"w.{other1}"))
+            & (F.col(f"b.{other2}") == F.col(f"w.{other2}")),
+        ).select(
+            F.lit(ch).alias("channel"),
+            (F.col(f"b.{other1}") + F.col(f"b.{other2}")).alias(
+                "others"
+            ),
+            (
+                F.coalesce(F.col("w.r"), F.lit(0.0))
+                - F.coalesce(F.col("b.r"), F.lit(0.0))
+            ).alias("delta"),
+        )
+
+    pairs = (
+        channel_pairs("click", "c", "v", "s")
+        .unionAll(channel_pairs("view", "v", "c", "s"))
+        .unionAll(channel_pairs("signup", "s", "c", "v"))
+    )
+    wgt = (
+        F.when(F.col("others") == 0, F.lit(1.0 / 3))
+        .when(F.col("others") == 1, F.lit(1.0 / 6))
+        .otherwise(F.lit(1.0 / 3))
+    )
+    return (
+        pairs.groupBy("channel")
+        .agg(F.round(F.sum(F.col("delta") * wgt), 6).alias("shapley"))
+        .orderBy("channel")
+    )
