@@ -1818,3 +1818,109 @@ def events_attribution_shapley(
         .agg(F.round(F.sum(F.col("delta") * wgt), 6).alias("shapley"))
         .orderBy("channel")
     )
+
+
+@query(
+    "ab_test_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substring(md5('did'
+                      || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 10000 < 5000 THEN 'T' ELSE 'C' END AS arm,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre'
+                    ELSE 'post' END AS period,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    per_user AS (
+        SELECT arm, period, user_id, SUM(v) AS spend
+        FROM cells GROUP BY arm, period, user_id
+    ),
+    cell_means AS (
+        SELECT arm, period,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               AVG(CAST(spend AS DOUBLE)) AS mean_spend
+        FROM per_user GROUP BY arm, period
+    ),
+    wide AS (
+        SELECT
+          MAX(CASE WHEN arm='T' AND period='post' THEN mean_spend END)
+            AS t_post,
+          MAX(CASE WHEN arm='T' AND period='pre' THEN mean_spend END)
+            AS t_pre,
+          MAX(CASE WHEN arm='C' AND period='post' THEN mean_spend END)
+            AS c_post,
+          MAX(CASE WHEN arm='C' AND period='pre' THEN mean_spend END)
+            AS c_pre
+        FROM cell_means
+    )
+    SELECT m.arm, m.period, m.n_users,
+           ROUND(m.mean_spend, 4) AS mean_spend,
+           ROUND(w.t_post - w.t_pre - (w.c_post - w.c_pre), 4)
+             AS did_estimate
+    FROM cell_means m CROSS JOIN wide w
+    ORDER BY m.arm, m.period
+    """,
+)
+def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the causal companion of CUPED for
+    when assignment is NOT randomized (a rollout hits group T at a
+    date; C never gets it): the effect estimate is the treated
+    group's pre→post change net of the control group's, which
+    differences out both fixed group differences and the common time
+    trend — the parallel-trends workhorse of observational product
+    analytics. Per-user decimal spend per (arm, period) cell, cell
+    means, and the 2×2 difference; everything after the user-keyed
+    reduction is a 4-row frame. Deterministic md5 arm assignment
+    makes the 'rollout' replayable on both engines."""
+    from etl_lens_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.when(hash_bucket(F.col("user_id"), "did") < 5000, "T")
+            .otherwise("C")
+            .alias("arm"),
+            F.when(F.col("ts") < cutoff, "pre")
+            .otherwise("post")
+            .alias("period"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("arm", "period", "user_id")
+        .agg(F.sum("v").alias("spend"))
+    )
+    cell = per_user.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.avg(F.col("spend").cast("double")).alias("mean_spend"),
+    )
+    pick = lambda a, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("arm") == a) & (F.col("period") == p),
+            F.col("mean_spend"),
+        )
+    )
+    wide = cell.agg(
+        pick("T", "post").alias("t_post"),
+        pick("T", "pre").alias("t_pre"),
+        pick("C", "post").alias("c_post"),
+        pick("C", "pre").alias("c_pre"),
+    )
+    return (
+        cell.crossJoin(F.broadcast(wide))
+        .select(
+            "arm",
+            "period",
+            "n_users",
+            F.round("mean_spend", 4).alias("mean_spend"),
+            F.round(
+                F.col("t_post")
+                - F.col("t_pre")
+                - (F.col("c_post") - F.col("c_pre")),
+                4,
+            ).alias("did_estimate"),
+        )
+        .orderBy("arm", "period")
+    )
