@@ -177,13 +177,43 @@ def gen_setop_query(rng: random.Random) -> str:
     )
 
 
+def gen_scalar_query(rng: random.Random) -> str:
+    """Scalar-expression member: string/date/arithmetic functions in
+    the shared dialect core, grouped and aggregated so outputs stay
+    small and canonical."""
+    exprs = [
+        ("upper(substr(o_orderpriority, 1, 3))", "orders"),
+        ("CAST(length(o_orderpriority) AS BIGINT)", "orders"),
+        ("CAST(extract(month FROM o_orderdate) AS BIGINT)", "orders"),
+        ("CAST(extract(year FROM o_orderdate) AS BIGINT)", "orders"),
+        ("concat(o_orderstatus, '-', substr(o_orderpriority, 1, 1))",
+         "orders"),
+        ("CAST(o_orderkey % 7 AS BIGINT)", "orders"),
+        ("CAST(abs(o_custkey - 500) AS BIGINT)", "orders"),
+        ("upper(substr(c_mktsegment, 2, 4))", "customer"),
+        ("CAST(round(c_acctbal) AS BIGINT)", "customer"),
+        ("CAST(floor(c_acctbal / 500) AS BIGINT)", "customer"),
+    ]
+    e1, t1 = rng.choice(exprs)
+    pool = [e for e, t in exprs if t == t1 and e != e1]
+    e2 = rng.choice(pool) if pool else e1
+    pred = _pred(rng, TABLES[t1])
+    return (
+        f"SELECT {e1} AS k1, {e2} AS k2, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM {t1} "
+        f"WHERE {pred} GROUP BY k1, k2 ORDER BY k1, k2"
+    )
+
+
 def gen_query(rng: random.Random) -> str:
     u = rng.random()
-    if u < 0.22:
-        return gen_join_query(rng)
+    if u < 0.20:
+        return gen_scalar_query(rng)
     if u < 0.40:
-        return gen_window_query(rng)
+        return gen_join_query(rng)
     if u < 0.55:
+        return gen_window_query(rng)
+    if u < 0.68:
         return gen_setop_query(rng)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
