@@ -1924,3 +1924,75 @@ def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm", "period")
     )
+
+
+@query(
+    "revenue_waterfall_decomposition",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('month', o.o_orderdate) AS month,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS gross,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l.l_discount AS DECIMAL(18,2)))
+                 AS discount_given,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                   * CAST(l.l_tax AS DECIMAL(18,2))) AS tax_added
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(gross AS DOUBLE) AS gross,
+           CAST(-discount_given AS DOUBLE) AS discount_step,
+           CAST(gross - discount_given AS DOUBLE) AS net,
+           CAST(tax_added AS DOUBLE) AS tax_step,
+           CAST(gross - discount_given + tax_added AS DOUBLE)
+             AS charged
+    FROM base
+    ORDER BY month
+    """,
+)
+def revenue_waterfall_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REVENUE WATERFALL — the bridge report every finance review
+    opens with: monthly gross extended price stepped down by
+    discounts given and up by tax collected, each stage an EXACT
+    decimal aggregate so the steps reconcile to the charged total to
+    the cent (the TPC-H Q1 pricing identities, re-shaped as the
+    waterfall instead of status aggregates). One join, one monthly
+    reduction, all decimal until the final presentation cast —
+    additivity across steps is the whole point, and floats would
+    quietly break it at 100 TB row counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.sum(ep).alias("gross"),
+            F.sum(ep * disc).alias("discount_given"),
+            F.sum(ep * (1 - disc) * tax).alias("tax_added"),
+        )
+    )
+    return base.select(
+        "month",
+        F.col("gross").cast("double"),
+        (-F.col("discount_given")).cast("double").alias("discount_step"),
+        (F.col("gross") - F.col("discount_given"))
+        .cast("double")
+        .alias("net"),
+        F.col("tax_added").cast("double").alias("tax_step"),
+        (
+            F.col("gross")
+            - F.col("discount_given")
+            + F.col("tax_added")
+        )
+        .cast("double")
+        .alias("charged"),
+    ).orderBy("month")
