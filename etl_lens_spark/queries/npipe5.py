@@ -1572,3 +1572,79 @@ def dedup_image_pipeline_keep_list(
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_word_burstiness",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    wc AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM wc GROUP BY w, doc_id
+    ),
+    stats AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(SUM(c * c) AS BIGINT) AS tf2
+        FROM per_doc GROUP BY w
+    )
+    SELECT s.w,
+           s.df, s.tf,
+           ROUND(CAST(s.tf AS DOUBLE) / n.n_docs, 6) AS mean_c,
+           ROUND((CAST(s.tf2 AS DOUBLE) / n.n_docs
+                  - POWER(CAST(s.tf AS DOUBLE) / n.n_docs, 2))
+                 / (CAST(s.tf AS DOUBLE) / n.n_docs), 6)
+             AS burstiness
+    FROM stats s CROSS JOIN n
+    WHERE s.df >= 10
+    ORDER BY s.w
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word BURSTINESS (Church & Gale's variance-to-mean over
+    documents) — the corpus statistic frequency can't see: a content
+    word clumps (appears many times in few documents, ratio ≫ 1)
+    while a function word spreads Poisson-like (ratio ≈ 1), and the
+    distinction drives stopword induction, keyword scoring, and
+    contamination triage. The subtlety is the ZEROS: variance is
+    over ALL documents including those where the word never appears
+    — handled without densifying by the sufficient-statistics
+    identity (Σc, Σc² over present docs; absent docs contribute 0 to
+    both, n_docs broadcast as the denominator). Two aggregations
+    over the sparse (word, doc) frame; never a word × doc matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2"),
+    )
+    mean_c = F.col("tf").cast("double") / F.col("n_docs")
+    var_c = (
+        F.col("tf2").cast("double") / F.col("n_docs")
+        - mean_c * mean_c
+    )
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .filter(F.col("df") >= 10)
+        .select(
+            "w",
+            "df",
+            "tf",
+            F.round(mean_c, 6).alias("mean_c"),
+            F.round(var_c / mean_c, 6).alias("burstiness"),
+        )
+        .orderBy("w")
+    )
