@@ -928,3 +928,76 @@ def ts_seasonal_baseline_anomaly(
         )
         .orderBy("event_type", "hod")
     )
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    split AS (
+        SELECT *, extract(dow FROM d) AS dow,
+               d >= DATE '2024-01-24' AS is_test
+        FROM daily
+    ),
+    model AS (
+        SELECT event_type, dow, AVG(CAST(n AS DOUBLE)) AS dow_mean
+        FROM split WHERE NOT is_test GROUP BY event_type, dow
+    )
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(abs(s.n - m.dow_mean) / s.n), 6) AS mape,
+           ROUND(AVG(s.n - m.dow_mean), 6) AS bias,
+           ROUND(AVG(abs(s.n - m.dow_mean)), 6) AS mae
+    FROM split s JOIN model m
+      ON s.event_type = m.event_type AND s.dow = m.dow
+    WHERE s.is_test
+    GROUP BY s.event_type
+    ORDER BY s.event_type
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTESTING — the evaluation loop every demand
+    forecast lives inside: train a seasonal-naive model (weekday
+    means) on the first ~3 weeks, forecast the final week, score
+    MAPE / MAE / signed bias per series against actuals. The model
+    is deliberately the naive baseline — the thing a real model must
+    BEAT, so the backtest harness (time-based split, per-series
+    scoring) is the durable artifact, not the model. Reduced daily
+    frame, broadcast-sized model table, one scoring join — the
+    backtest costs the same as the daily aggregation at any scale.
+    Cross-engine pin includes the dow convention (both engines:
+    0 = Sunday for this range via extract(dow))."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("dow", F.dayofweek("d") - 1)
+        .withColumn(
+            "is_test", F.col("d") >= F.lit("2024-01-24").cast("date")
+        )
+    )
+    model = (
+        daily.filter(~F.col("is_test"))
+        .groupBy("event_type", "dow")
+        .agg(F.avg(F.col("n").cast("double")).alias("dow_mean"))
+    )
+    err = F.col("n") - F.col("dow_mean")
+    return (
+        daily.filter(F.col("is_test"))
+        .join(F.broadcast(model), ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg(F.abs(err) / F.col("n")), 6).alias("mape"),
+            F.round(F.avg(err), 6).alias("bias"),
+            F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

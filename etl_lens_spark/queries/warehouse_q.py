@@ -1996,3 +1996,94 @@ def revenue_waterfall_decomposition(
         .cast("double")
         .alias("charged"),
     ).orderBy("month")
+
+
+@query(
+    "reco_item_item_cosine",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_partkey < 400
+    ),
+    freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM baskets GROUP BY l_partkey
+    ),
+    co AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS co_count
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    )
+    SELECT co.p1, co.p2, co.co_count,
+           fa.n AS n1, fb.n AS n2,
+           ROUND(co.co_count / sqrt(CAST(fa.n AS DOUBLE) * fb.n), 6)
+             AS cosine
+    FROM co JOIN freq fa ON co.p1 = fa.l_partkey
+            JOIN freq fb ON co.p2 = fb.l_partkey
+    ORDER BY p1, p2
+    """,
+)
+def reco_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM collaborative filtering on binary baskets — the
+    workhorse 'customers also bought' similarity: parts co-occurring
+    in orders, scored by co-occurrence cosine
+    co(a,b)/√(n(a)·n(b)), with an integer MIN-SUPPORT threshold so
+    the reported edge set is boundary-stable cross-engine (the
+    Adamic-Adar discipline). Candidate generation is the
+    self-join ON THE SHARED BASKET — candidate volume is
+    Σ_orders |basket|², bounded by basket size, never item² — and
+    item frequencies broadcast into the scoring join. At 100 TB the
+    same plan stands behind every co-visitation recommender; skew
+    guard = cap or salt the largest baskets, exactly the max_bucket
+    discipline the LSH cascade ships."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < 400)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+        .filter(F.col("co_count") >= 3)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("p1"), F.col("n").alias("n1")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("p2"), F.col("n").alias("n2")
+    )
+    return (
+        co.join(F.broadcast(fa), "p1")
+        .join(F.broadcast(fb), "p2")
+        .select(
+            "p1",
+            "p2",
+            "co_count",
+            "n1",
+            "n2",
+            F.round(
+                F.col("co_count")
+                / F.sqrt(F.col("n1").cast("double") * F.col("n2")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("p1", "p2")
+    )
