@@ -1001,3 +1001,139 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH bounds AS (SELECT MAX(ts) AS tmax FROM events),
+    per_user AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS first_us,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                   THEN epoch_us(CAST(e.ts AS TIMESTAMP)) END)
+                 AS purch_us,
+               MAX(epoch_us(CAST(b.tmax AS TIMESTAMP))) AS tmax_us
+        FROM events e CROSS JOIN bounds b
+        GROUP BY e.user_id
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE WHEN purch_us IS NOT NULL
+                    THEN (purch_us - first_us) // 86400000000
+                    ELSE (tmax_us - first_us) // 86400000000
+               END AS t_days,
+               CAST(purch_us IS NOT NULL AS INT) AS is_event
+        FROM per_user
+    ),
+    times AS (
+        SELECT t_days,
+               CAST(SUM(is_event) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM obs GROUP BY t_days
+    ),
+    risk AS (
+        SELECT t_days, d, leaving,
+               (SELECT COUNT(*) FROM obs) -
+               COALESCE(SUM(leaving) OVER (
+                   ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS n_risk
+        FROM times
+    ),
+    km AS (
+        SELECT t_days, d, n_risk,
+               exp(SUM(CASE WHEN d > 0 AND d < n_risk
+                       THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                       WHEN d > 0 THEN ln(1e-12)
+                       ELSE 0 END) OVER (
+                   ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) AS s
+        FROM risk
+    )
+    SELECT CAST(t_days AS BIGINT) AS t_days, d,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           ROUND(s, 6) AS km_survival
+    FROM km
+    ORDER BY t_days
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimation with right-censoring — the
+    time-to-event family (conversion latency, churn, time-to-failure)
+    none of the moment-based stats cover: each user's time from
+    first activity to first purchase, censored at corpus end for
+    never-purchasers (throwing censored users away — the naive
+    mistake — biases survival DOWN; KM keeps them in the risk set
+    until their censor time). The estimator's running product
+    Π(1 − d/n) computes as exp of a running SUM of logs — the same
+    window-algebra trick as the CUSUM closed form — over the reduced
+    event-time table; the at-risk count is the complement of a
+    lagged cumulative departure sum. Everything after the per-user
+    reduction is |distinct times| rows. Day-0 purchases and the
+    final-time d = n boundary (ln 0 → pinned epsilon, identical on
+    both engines) are handled explicitly."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tmax = ev.agg(F.max(F.unix_micros("ts")).alias("tmax_us"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros("ts"),
+                )
+            ).alias("purch_us"),
+        )
+        .crossJoin(F.broadcast(tmax))
+    )
+    day = 86400000000
+    obs = per_user.select(
+        F.when(
+            F.col("purch_us").isNotNull(),
+            F.expr(f"(purch_us - first_us) div {day}"),
+        )
+        .otherwise(F.expr(f"(tmax_us - first_us) div {day}"))
+        .alias("t_days"),
+        F.col("purch_us").isNotNull().cast("int").alias("is_event"),
+    )
+    total = obs.count()
+    times = obs.groupBy("t_days").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    w_prev = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = times.withColumn(
+        "n_risk",
+        F.lit(total)
+        - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    )
+    term = (
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+        )
+        .when(F.col("d") > 0, F.log(F.lit(1e-12)))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        risk.withColumn("s", F.exp(F.sum(term).over(w_cum)))
+        .select(
+            F.col("t_days").cast("long"),
+            "d",
+            "n_risk",
+            F.round("s", 6).alias("km_survival"),
+        )
+        .orderBy("t_days")
+    )
