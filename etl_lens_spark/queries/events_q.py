@@ -631,3 +631,95 @@ def events_pattern_error_burst(
         ),
         n_buckets=64,
     ).orderBy("user_id", "start_us")
+
+
+@query(
+    "user_next_event_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ) AS nxt
+        FROM events
+    ),
+    bi AS (
+        SELECT user_id, cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY user_id, cur, nxt
+    ),
+    ctx AS (
+        SELECT user_id, cur, SUM(c) AS ctot FROM bi
+        GROUP BY user_id, cur
+    ),
+    h AS (
+        SELECT b.user_id,
+               SUM(-1.0 * b.c
+                   * ln(CAST(b.c AS DOUBLE) / x.ctot)) AS hsum,
+               SUM(b.c) AS n_trans
+        FROM bi b JOIN ctx x
+          ON b.user_id = x.user_id AND b.cur = x.cur
+        GROUP BY b.user_id
+    )
+    SELECT user_id,
+           CAST(n_trans AS BIGINT) AS n_transitions,
+           ROUND(hsum / n_trans, 6) AS cond_entropy_nats
+    FROM h
+    WHERE user_id < 40
+    ORDER BY user_id
+    """,
+)
+def user_next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PREDICTABILITY per user — the conditional entropy
+    H(next | current) of each user's event sequence (the first-order
+    Markov entropy rate): a habitual user scores near 0, an erratic
+    one near ln(|types|); the metric that separates bots (rigid
+    loops) from explorers in the same activity volume. Transitions
+    from one ordered window pass (deterministic event_id tie-break),
+    bigram and context counts reduce map-side, and the entropy is a
+    weighted log-ratio sum — all over frames bounded by
+    |users| × |types|². The oracle replays the identical chain."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("cur"),
+        )
+        .withColumn("nxt", F.lead("cur").over(w))
+        .filter(F.col("nxt").isNotNull())
+    )
+    bi = seq.groupBy("user_id", "cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ctx = bi.groupBy("user_id", "cur").agg(F.sum("c").alias("ctot"))
+    h = (
+        bi.join(ctx, ["user_id", "cur"])
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                -1.0
+                * F.col("c")
+                * F.log(F.col("c").cast("double") / F.col("ctot"))
+            ).alias("hsum"),
+            F.sum("c").cast("long").alias("n_trans"),
+        )
+    )
+    return (
+        h.filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.col("n_trans").alias("n_transitions"),
+            F.round(F.col("hsum") / F.col("n_trans"), 6).alias(
+                "cond_entropy_nats"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -2087,3 +2087,78 @@ def reco_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p1", "p2")
     )
+
+
+@query(
+    "customer_gini_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x,
+               row_number() OVER (ORDER BY x, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(x) OVER () AS tot
+        FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(tot) AS DOUBLE) AS total_spend,
+           ROUND(2.0 * SUM(CAST(i AS DOUBLE) * x)
+                 / (MAX(n) * CAST(MAX(tot) AS DOUBLE))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def customer_gini_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GINI COEFFICIENT of customer spend — the inequality summary
+    behind 'what fraction of revenue do the top customers carry'
+    (the scalar companion of the Pareto/ABC banding): the rank
+    formula G = 2Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend sorted
+    ascending. The global rank is the ZERO-SINGLE-REDUCER
+    distributed rank operator (range exchange + local windows +
+    offsets), exact decimal spend, deterministic custkey tie-break —
+    at 100 TB the ranking is the same machinery the exact-quantiles
+    family already proves, and the final reduction is one scalar
+    aggregate."""
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "x"
+            )
+        )
+    )
+    ranked = ordered_global_rank(
+        spend, [F.asc("x"), F.asc("o_custkey")], "i"
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.max("tot").cast("double").alias("total_spend"),
+            F.round(
+                2.0
+                * F.sum(
+                    F.col("i").cast("double")
+                    * F.col("x").cast("double")
+                )
+                / (
+                    F.max("n")
+                    * F.max("tot").cast("double")
+                )
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+    )
