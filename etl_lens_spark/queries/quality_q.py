@@ -1384,3 +1384,86 @@ def stats_js_divergence_drift(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_uniqueness_entropy_profile",
+    oracle="""
+    WITH cols AS (
+        SELECT 'o_orderpriority' AS col, o_orderpriority AS v
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_orderkey_mod', CAST(o_orderkey % 100 AS VARCHAR)
+        FROM orders
+    ),
+    vc AS (
+        SELECT col, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cols GROUP BY col, v
+    ),
+    tot AS (SELECT col, SUM(c) AS n FROM vc GROUP BY col)
+    SELECT v.col,
+           CAST(MAX(t.n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(SUM(-1.0 * v.c / t.n * ln(v.c / CAST(t.n AS DOUBLE))),
+                 6) AS entropy_nats,
+           ROUND(SUM(-1.0 * v.c / t.n * ln(v.c / CAST(t.n AS DOUBLE)))
+                 / ln(CAST(COUNT(*) AS DOUBLE)), 6)
+             AS entropy_ratio
+    FROM vc v JOIN tot t ON v.col = t.col
+    GROUP BY v.col
+    ORDER BY v.col
+    """,
+)
+def dq_uniqueness_entropy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COLUMN-ENTROPY profiling — the information-theoretic uniqueness
+    signal NDV counting misses: two columns can both have 100
+    distinct values while one is uniform (entropy ratio ≈ 1, a good
+    join/partition key) and the other 99%-skewed to one value
+    (ratio ≈ 0 — a key that would put 99% of a 100 TB shuffle in one
+    reducer). Reported per column: distinct count, Shannon entropy,
+    and the ratio to its maximum ln(NDV) — the normalized number a
+    partitioning advisor thresholds on. Value-frequency reduction
+    per column (map-side combined) then a |columns|-bounded
+    aggregation; the unpivoted multi-column scan reads the table
+    once on the Spark side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = (
+        orders.select(
+            F.lit("o_orderpriority").alias("col"),
+            F.col("o_orderpriority").alias("v"),
+        )
+        .unionAll(
+            orders.select(
+                F.lit("o_orderstatus"), F.col("o_orderstatus")
+            )
+        )
+        .unionAll(
+            orders.select(
+                F.lit("o_orderkey_mod"),
+                (F.col("o_orderkey") % 100).cast("string"),
+            )
+        )
+    )
+    vc = cols.groupBy("col", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = vc.groupBy("col").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = F.sum(-1.0 * p * F.log(F.col("c") / F.col("n").cast("double")))
+    return (
+        vc.join(F.broadcast(tot), "col")
+        .groupBy("col")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(
+                ent / F.log(F.count(F.lit(1)).cast("double")), 6
+            ).alias("entropy_ratio"),
+        )
+        .orderBy("col")
+    )
