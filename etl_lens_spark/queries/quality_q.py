@@ -1467,3 +1467,64 @@ def dq_uniqueness_entropy_profile(
         )
         .orderBy("col")
     )
+
+
+@query(
+    "dq_referential_orphan_rate",
+    oracle="""
+    WITH loaded AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    li AS (
+        SELECT l_orderkey,
+               date_trunc('month', l_shipdate) AS month
+        FROM lineitem
+    )
+    SELECT CAST(li.month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN lo.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           ROUND(AVG(CASE WHEN lo.o_orderkey IS NULL
+                     THEN 1.0 ELSE 0.0 END), 6) AS orphan_rate
+    FROM li LEFT JOIN loaded lo ON li.l_orderkey = lo.o_orderkey
+    GROUP BY li.month
+    ORDER BY li.month
+    """,
+)
+def dq_referential_orphan_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REFERENTIAL-INTEGRITY monitoring over time — the nightly
+    check that catches a broken upstream load: fact rows whose
+    dimension key resolves to nothing ('orphans'), reported as a
+    rate per ship-month so a partial dim load shows up as a step in
+    the time series, not a single buried total. The dimension here
+    simulates a 1% load failure (every 97th order missing) so the
+    report is non-degenerate and the oracle pins exact orphan
+    counts. Plan shape: LEFT join against the loaded key set (AQE
+    picks broadcast when the dim fits, SMJ at scale), existence
+    check folded into the aggregation — one pass, no second
+    anti-join scan."""
+    loaded = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.trunc("l_shipdate", "month").alias("month")
+    )
+    j = li.join(
+        loaded, li.l_orderkey == loaded.o_orderkey, "left"
+    )
+    orphan = F.col("o_orderkey").isNull()
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(orphan.cast("int")).cast("long").alias("n_orphans"),
+            F.round(F.avg(orphan.cast("double")), 6).alias(
+                "orphan_rate"
+            ),
+        )
+        .orderBy("month")
+    )
