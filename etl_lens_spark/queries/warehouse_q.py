@@ -2162,3 +2162,54 @@ def customer_gini_concentration(
             ).alias("gini"),
         )
     )
+
+
+@query(
+    "dq_duplicate_payment_candidates",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey, o_totalprice, o_orderdate,
+               CAST(COUNT(*) AS BIGINT) AS n_dup,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+        FROM orders
+        GROUP BY o_custkey, o_totalprice, o_orderdate
+        HAVING COUNT(*) > 1
+    )
+    SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           n_dup, first_key, last_key
+    FROM g
+    ORDER BY o_custkey, o_totalprice, o_orderdate
+    """,
+)
+def dq_duplicate_payment_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOUBLE-CHARGE candidates — the finance-ops dedup screen: the
+    same customer, identical amount, same day is either a retry bug
+    or a legitimate repeat, and either way it goes to review. One
+    hash aggregation on the natural key with HAVING > 1 (map-side
+    combine collapses singletons before the exchange — the same
+    exact-dedup shape as the corpus fingerprint pass, so at 100 TB
+    only genuine collision groups cross the wire), carrying first
+    and last order keys so the reviewer jumps straight to the rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey", "o_totalprice", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup"),
+            F.min("o_orderkey").cast("long").alias("first_key"),
+            F.max("o_orderkey").cast("long").alias("last_key"),
+        )
+        .filter(F.col("n_dup") > 1)
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").cast("double"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "n_dup",
+            "first_key",
+            "last_key",
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderdate")
+    )
