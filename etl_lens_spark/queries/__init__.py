@@ -91,6 +91,7 @@ def _load() -> None:
         rel,
         rel2,
         semantic_q,
+        sketch_q,
         streaming_q,
         timeseries_q,
         tpch2,
