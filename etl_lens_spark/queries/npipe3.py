@@ -466,3 +466,117 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.5)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "text_lm_kneser_ney_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    bi AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                             for i in range(1, len(t))]) AS g
+      FROM toks
+    ),
+    cb AS (
+      SELECT g, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS cbi
+      FROM bi GROUP BY g
+    ),
+    cu AS (SELECT w1, CAST(SUM(cbi) AS BIGINT) AS cw1,
+                  CAST(COUNT(*) AS BIGINT) AS n1f
+           FROM cb GROUP BY w1),
+    pc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM cb GROUP BY w2),
+    ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb),
+    sc AS (
+      SELECT b.doc_id,
+             ln((CAST(cb.cbi AS DOUBLE) - 0.75) / CAST(cu.cw1 AS DOUBLE)
+                + 0.75 * CAST(cu.n1f AS DOUBLE) / CAST(cu.cw1 AS DOUBLE)
+                  * (CAST(pc.n1r AS DOUBLE) / CAST(ty.t AS DOUBLE))) AS lp
+      FROM bi b
+      JOIN cb ON b.g = cb.g
+      JOIN cu ON cb.w1 = cu.w1
+      JOIN pc ON cb.w2 = pc.w2
+      CROSS JOIN ty
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             AVG(lp) AS avg_logp_kn
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           a.avg_logp_kn AS avg_logp_kn
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document — the
+    production successor to `text_lm_bigram_score`'s add-one
+    smoothing (KN is what KenLM-style perplexity filters actually
+    use): P(w2|w1) = max(c(w1w2)-d, 0)/c(w1·) + d·N1+(w1·)/c(w1·) ·
+    N1+(·w2)/|bigram types|, with the standard d = 0.75. Scoring the
+    training corpus itself means every bigram has c ≥ 1, so the
+    max(·,0) never clips and the score is strictly positive.
+
+    Distributed form mirrors the add-one query: ONE groupBy builds
+    the bigram type table with map-side combine; the forward
+    (c(w1·), N1+(w1·)) and backward continuation (N1+(·w2)) marginals
+    both derive from that already-reduced table, never from a second
+    corpus pass; the type total joins in as a broadcast scalar.
+    Text never shuffles — only (gram, count) pairs and the exploded
+    gram keys do."""
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    toks = tp.ws_tokens(F.col("text"))
+    bi = docs.select(
+        "doc_id", F.explode(tp.word_ngrams(toks, 2)).alias("g")
+    )
+    cb = (
+        bi.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cbi"))
+        .select(
+            "g",
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "cbi",
+        )
+    )
+    cu = cb.groupBy("w1").agg(
+        F.sum("cbi").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    pc = cb.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1r")
+    )
+    ty = cb.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    # arithmetic shape mirrors the oracle token-for-token so the
+    # IEEE double result is bit-identical cross-engine
+    lp = F.log(
+        (F.col("cbi").cast("double") - F.lit(0.75))
+        / F.col("cw1").cast("double")
+        + F.lit(0.75)
+        * F.col("n1f").cast("double")
+        / F.col("cw1").cast("double")
+        * (F.col("n1r").cast("double") / F.col("t").cast("double"))
+    )
+    sc = (
+        bi.join(cb, "g")
+        .join(cu, "w1")
+        .join(pc, "w2")
+        .crossJoin(F.broadcast(ty))
+        .select("doc_id", lp.alias("lp"))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.avg("lp").alias("avg_logp_kn"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            "avg_logp_kn",
+        )
+        .orderBy("doc_id")
+    )
