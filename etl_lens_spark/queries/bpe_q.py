@@ -119,3 +119,83 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_unigram_piece_counts",
+    oracle=f"""
+    WITH {_WF_SQL},
+    p AS (
+        SELECT substr(word, i, l) AS piece, freq
+        FROM wf,
+             LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u,
+             LATERAL (SELECT unnest(range(1, least(8, len(word)) + 1)) AS l) v
+        WHERE i + l - 1 <= len(word)
+    )
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq
+    FROM p GROUP BY piece
+    ORDER BY freq DESC, piece
+    LIMIT 40
+    """,
+)
+def text_unigram_piece_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM candidate-piece statistics (text/unigram.py): every
+    substring of length ≤ 8 of every DISTINCT word, weighted by word
+    frequency — the table the SentencePiece-style vocabulary is
+    selected from, and the oracle-checked anchor of the unigram
+    tokenizer family (the Viterbi segmentation itself is pinned vs a
+    pure-Python reference in tests/test_unigram.py). Top 40 by
+    (freq desc, piece asc) — a deterministic total order.
+
+    Corpus is touched once for (word, freq); the substring explode
+    fans out over the distinct-word vocab only, then one map-side-
+    combining groupBy reduces piece keys."""
+    from etl_lens_spark.text import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = unigram.piece_candidates(bpe.word_freqs(docs))
+    return cands.orderBy(F.col("freq").desc(), F.col("piece")).limit(40)
+
+
+@query("text_unigram_tokenize")
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Maximum-likelihood unigram-LM segmentation of the corpus
+    (rows-only: the Viterbi DP is sequential-by-definition; exact
+    parity with a pure-Python reference plus lossless-reassembly and
+    vocab-membership invariants are pinned in tests/test_unigram.py).
+    Per document: word count, unigram-piece count, chars-per-piece
+    compression — directly comparable to text_bpe_encode_stats, the
+    BPE twin over the same corpus.
+
+    Every distinct word is segmented ONCE in one Arrow-batched UDF
+    with the few-hundred-row piece vocab broadcast inside it;
+    documents get counts back through the word-key join the explode
+    already shuffled on."""
+    from etl_lens_spark.text import unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(docs)
+    vocab = unigram.select_vocab(unigram.piece_candidates(wf))
+    vocab_rows = [(r["piece"], r["freq"]) for r in vocab.collect()]
+    enc = unigram.viterbi_encode(wf, vocab_rows).select("word", "n_pieces")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    doc_words = (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        doc_words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_unigram_pieces"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_piece",
+            F.col("n_chars").cast("double") / F.col("n_unigram_pieces"),
+        )
+        .orderBy("doc_id")
+    )
