@@ -25,3 +25,16 @@ def sketch_accuracy(spark: SparkSession) -> int:
             "spark.etl_lens.sketch.accuracy", str(SKETCH_ACCURACY_DEFAULT)
         )
     )
+
+
+# Bottom-k size of the KMV distinct sketches (batch merge query and
+# the streaming state machine). Relative error ~ 1/sqrt(k-2); state
+# is k longs per group. The default matches the declared oracles —
+# production trades it against per-key state like any sketch knob.
+KMV_K_DEFAULT = 64
+
+
+def kmv_k(spark: SparkSession) -> int:
+    """Bottom-k size for sketch_kmv_distinct_merge /
+    streaming_kmv_distinct_live (operators/kmv.py)."""
+    return int(spark.conf.get("spark.etl_lens.kmv.k", str(KMV_K_DEFAULT)))

@@ -93,6 +93,9 @@ def sketch_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge ranks at most 64·n_days rows per type. The exact
     column is the one COUNT(DISTINCT) pass the sketch replaces at
     100 TB (kept here as the demonstration anchor)."""
+    from etl_lens_spark.config import kmv_k
+
+    k = kmv_k(spark)  # spark.etl_lens.kmv.k; default 64 = the oracle
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
@@ -103,9 +106,9 @@ def sketch_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
     )
-    day_sk = kmv.kmv_topk(ev, ["event_type", "day"], _KMV_K)
-    merged = kmv.kmv_topk(day_sk, ["event_type"], _KMV_K)
-    est = kmv.kmv_estimate(merged, ["event_type"], _KMV_K)
+    day_sk = kmv.kmv_topk(ev, ["event_type", "day"], k)
+    merged = kmv.kmv_topk(day_sk, ["event_type"], k)
+    est = kmv.kmv_estimate(merged, ["event_type"], k)
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_users"),
         F.countDistinct("day").cast("long").alias("n_days_merged"),

@@ -1309,3 +1309,70 @@ def streaming_binaryfile_media_live(
         available_now=True,
     )
     return out
+
+
+@query(
+    "streaming_kmv_distinct_live",
+    oracle="""
+    WITH hv AS (
+      SELECT DISTINCT event_type,
+        list_reduce(list_transform(range(1, 14),
+          i -> CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+          (a, b) -> a * 16 + b) AS v
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS r
+      FROM hv
+    ),
+    sk AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_sk,
+             MAX(CASE WHEN r = 64 THEN v END) AS kth
+      FROM ranked WHERE r <= 64 GROUP BY event_type
+    ),
+    seen AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events_seen
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT s.event_type,
+           e.n_events_seen,
+           CASE WHEN s.n_sk < 64 THEN CAST(s.n_sk AS DOUBLE)
+                ELSE 63.0 / (CAST(s.kth AS DOUBLE) / 4503599627370496.0)
+           END AS est_users,
+           s.n_sk
+    FROM sk s JOIN seen e USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def streaming_kmv_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live distinct-count sketching: the KMV bottom-64 sketch as a
+    custom stateful streaming operator (stream_ops.kmv_distinct_
+    stateful) — O(k) state per key replaces the unbounded state a
+    streaming COUNT(DISTINCT)/dropDuplicates would need. KMV merge
+    losslessness means the replayed stream's final state equals the
+    batch sketch bit-for-bit, so the oracle hash-checks a streaming
+    APPROXIMATE operator exactly (same property the batch twin
+    sketch_kmv_distinct_merge proves across days; here it's proven
+    across micro-batches). Final row per key selected by the
+    monotone events-seen counter."""
+    from etl_lens_spark.config import kmv_k
+
+    stream = so.kmv_distinct_stateful(
+        so.events_stream(spark, sf_dir), k=kmv_k(spark)
+    )
+    out = so.run_to_memory(stream, "q_stream_kmv", output_mode="update")
+    final = F.max_by(F.struct("est_users", "n_sk"), "n_events_seen").alias("s")
+    return (
+        out.groupBy("event_type")
+        .agg(F.max("n_events_seen").alias("n_events_seen"), final)
+        .select(
+            "event_type",
+            F.col("n_events_seen").cast("long").alias("n_events_seen"),
+            "s.est_users",
+            "s.n_sk",
+        )
+        .orderBy("event_type")
+    )

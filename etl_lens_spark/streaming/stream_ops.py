@@ -859,3 +859,61 @@ def session_close_stateful(events: DataFrame, gap_min: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+KMV_OUTPUT = "event_type string, n_events_seen long, est_users double, n_sk long"
+KMV_STATE = "vs array<long>, n_seen long"
+
+
+def kmv_distinct_stateful(events: DataFrame, k: int = 64) -> DataFrame:
+    """Live KMV bottom-k distinct-count sketch per event_type
+    (operators/kmv.py as a STREAMING state machine): each micro-batch
+    hashes its user_ids JVM-side (same md5→52-bit value as the batch
+    operator), and the state store keeps only the k smallest values
+    per key. Because KMV merge is lossless, the state after a full
+    replay equals the batch sketch EXACTLY — which is what lets the
+    DuckDB oracle hash-check a streaming approximate sketch.
+
+    Scale posture: state is O(k) longs per key regardless of stream
+    length or cardinality (the whole point of the sketch — unbounded
+    dropDuplicates state is what this replaces); keyed by event_type
+    so it shards across executors.
+    """
+    import pandas as pd
+
+    from etl_lens_spark.operators.kmv import SCALE, kmv_value
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            vs_list, n_seen = state.get
+            vs = set(vs_list)
+        else:
+            vs, n_seen = set(), 0
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            vs.update(int(v) for v in pdf["v"].dropna())
+        vs = sorted(vs)[:k]
+        state.update((vs, n_seen))
+        if len(vs) < k:
+            est = float(len(vs))
+        else:
+            est = float(k - 1) / (float(vs[-1]) / SCALE)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events_seen": [n_seen],
+                "est_users": [est],
+                "n_sk": [len(vs)],
+            }
+        )
+
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type", kmv_value(F.col("user_id")).alias("v")
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUTPUT,
+        stateStructType=KMV_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
