@@ -184,3 +184,173 @@ def sketch_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type, {_KMV_V_SQL} AS v
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS r
+      FROM hv
+    ),
+    sk AS (
+      SELECT event_type, list_sort(list(v)) AS vs
+      FROM ranked WHERE r <= {_KMV_K} GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.vs AS va, b.vs AS vb
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    uni AS (
+      SELECT type_a, type_b, va, vb,
+             list_sort(list_distinct(list_concat(va, vb))) AS uu
+      FROM pairs
+    ),
+    topk AS (
+      SELECT type_a, type_b, va, vb,
+             uu[1:least({_KMV_K}, len(uu))] AS ut,
+             least({_KMV_K}, len(uu)) AS n_u
+      FROM uni
+    ),
+    est AS (
+      SELECT type_a, type_b, n_u,
+             CASE WHEN n_u < {_KMV_K} THEN CAST(n_u AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)} /
+                       (CAST(ut[n_u] AS DOUBLE) / 4503599627370496.0)
+             END AS est_union_users,
+             len(list_filter(ut,
+                 x -> list_contains(va, x) AND list_contains(vb, x)))
+               AS n_both
+      FROM topk
+    ),
+    ut2 AS (SELECT DISTINCT event_type, user_id
+            FROM events WHERE user_id IS NOT NULL),
+    cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ut2 GROUP BY event_type),
+    ex AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_common_users
+      FROM ut2 x JOIN ut2 y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           e.est_union_users,
+           CAST(e.n_both AS DOUBLE) / CAST(e.n_u AS DOUBLE)
+             * e.est_union_users AS est_common_users,
+           ca.c + cb.c - COALESCE(x.exact_common_users, 0)
+             AS exact_union_users,
+           COALESCE(x.exact_common_users, 0) AS exact_common_users
+    FROM est e
+    JOIN cnt ca ON ca.event_type = e.type_a
+    JOIN cnt cb ON cb.event_type = e.type_b
+    LEFT JOIN ex x ON x.type_a = e.type_a AND x.type_b = e.type_b
+    ORDER BY 1, 2
+    """,
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation estimates from KMV sketches — the theta-sketch
+    pattern (Dasgupta et al., DataSketches): for every event-type
+    pair, the UNION estimate comes from merging the two bottom-k
+    sketches, and the INTERSECTION estimate is the Jaccard fraction
+    observed *inside the union sketch* (|U_topk ∩ A ∩ B| / |U_topk|)
+    scaled by the union estimate. Audience-overlap / segment-overlap
+    analytics at 100 TB run exactly this: per-segment sketches are
+    tiny stored aggregates and every pairwise overlap is sketch-only
+    math — the fact table is never rescanned per pair. Deterministic
+    md5 hashing makes even the approximate columns hash-checkable;
+    the exact columns are the one COUNT(DISTINCT) pass the sketches
+    replace. When the union has fewer than k values both estimates
+    degenerate to exact (asserted by the oracle identity on this
+    fixture's sub-k types)."""
+    from etl_lens_spark.config import kmv_k
+
+    k = kmv_k(spark)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", kmv.kmv_value(F.col("user_id")).alias("v"))
+    )
+    sk = (
+        kmv.kmv_topk(ev, ["event_type"], k)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("vs").alias("va"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("vs").alias("vb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    uu = F.array_sort(F.array_union("va", "vb"))
+    n_u = F.least(F.lit(k), F.size(uu))
+    pairs = pairs.select(
+        "type_a", "type_b", "va", "vb",
+        F.slice(uu, 1, n_u).alias("ut"),
+        n_u.cast("long").alias("n_u"),
+    )
+    est_union = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.element_at("ut", F.col("n_u").cast("int")).cast("double")
+           / F.lit(float(1 << 52)))
+    )
+    n_both = F.size(
+        F.filter(
+            "ut",
+            lambda x: F.array_contains("va", x) & F.array_contains("vb", x),
+        )
+    ).cast("long")
+    est = pairs.select(
+        "type_a", "type_b", "n_u",
+        est_union.alias("est_union_users"),
+        n_both.alias("n_both"),
+    )
+    ut2 = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    cnt = ut2.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ex = (
+        ut2.alias("x")
+        .join(
+            ut2.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_common_users"))
+    )
+    ca = cnt.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        est.join(ca, "type_a")
+        .join(cb, "type_b")
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            "est_union_users",
+            (
+                F.col("n_both").cast("double") / F.col("n_u").cast("double")
+                * F.col("est_union_users")
+            ).alias("est_common_users"),
+            (
+                F.col("ca") + F.col("cb")
+                - F.coalesce("exact_common_users", F.lit(0).cast("long"))
+            ).cast("long").alias("exact_union_users"),
+            F.coalesce("exact_common_users", F.lit(0).cast("long"))
+            .alias("exact_common_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )
