@@ -1528,3 +1528,108 @@ def dq_referential_orphan_rate(
         )
         .orderBy("month")
     )
+
+
+@query(
+    "profile_fd_discovery",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+             CAST(o_orderkey AS VARCHAR) AS a,
+             CAST(o_custkey AS VARCHAR) AS b
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'o_orderpriority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'l_partkey', 'l_suppkey',
+             CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_returnflag', 'l_linestatus',
+             l_returnflag, l_linestatus
+      FROM lineitem
+    ),
+    ab AS (
+      SELECT tbl, lhs, rhs, a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY tbl, lhs, rhs, a, b
+    ),
+    grp AS (
+      SELECT tbl, lhs, rhs, a,
+             CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(MAX(cnt) AS BIGINT) AS keep
+      FROM ab GROUP BY tbl, lhs, rhs, a
+    )
+    SELECT tbl, lhs, rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(total) AS BIGINT) AS n_rows,
+           CAST(SUM(total - keep) AS BIGINT) AS violation_rows,
+           1.0 - CAST(SUM(total - keep) AS DOUBLE)
+               / CAST(SUM(total) AS DOUBLE) AS determinism,
+           SUM(total - keep) = 0 AS holds
+    FROM grp
+    GROUP BY tbl, lhs, rhs
+    ORDER BY tbl, lhs, rhs
+    """,
+)
+def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs
+    (the HyFD/Metanome profiling primitive, g3-error variant): for
+    each LHS → RHS candidate, the violation count is the minimum
+    number of rows to delete before the FD holds — per LHS group,
+    everything except the plurality RHS value. Emits determinism
+    (1 − violation rate) and an exact holds flag; o_orderkey →
+    o_custkey is the planted true FD (key ⇒ everything), the other
+    three candidates quantify HOW false they are, which is the
+    useful profiling output.
+
+    Scale posture: each candidate is two map-side-combining groupBys
+    — (lhs, rhs) value-pair counts, then LHS-group plurality — on
+    well-distributed value keys; candidates union into ONE plan so
+    the table scans are shared per source table, and no row ever
+    carries more than (tag, a, b). No windows, no driver loops."""
+    fd_candidates = [
+        ("orders", "o_orderkey", "o_custkey"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_partkey", "l_suppkey"),
+        ("lineitem", "l_returnflag", "l_linestatus"),
+    ]
+    parts = []
+    for tbl, lhs, rhs in fd_candidates:
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col(lhs).cast("string").alias("a"),
+                F.col(rhs).cast("string").alias("b"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    ab = pairs.groupBy("tbl", "lhs", "rhs", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grp = ab.groupBy("tbl", "lhs", "rhs", "a").agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.max("cnt").cast("long").alias("keep"),
+    )
+    viol = F.sum(F.col("total") - F.col("keep")).cast("long")
+    return (
+        grp.groupBy("tbl", "lhs", "rhs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+            F.sum("total").cast("long").alias("n_rows"),
+            viol.alias("violation_rows"),
+            (
+                F.lit(1.0)
+                - F.sum(F.col("total") - F.col("keep")).cast("double")
+                / F.sum("total").cast("double")
+            ).alias("determinism"),
+            (F.sum(F.col("total") - F.col("keep")) == 0).alias("holds"),
+        )
+        .orderBy("tbl", "lhs", "rhs")
+    )
