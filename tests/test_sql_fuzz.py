@@ -28,3 +28,26 @@ def test_sixty_generated_queries_agree(spark):
     total, failures = run_fuzz(n=60, seed=77)
     assert total == 60
     assert not failures, failures
+
+
+def test_empty_input_rollup_divergence_is_real(spark):
+    """The corner gen_groupingsets_query excludes by construction:
+    over an empty relation the () grouping set is a global aggregate
+    — DuckDB (standard) emits one grand-total row, Spark emits zero
+    rows. Pinned so a future Spark behavior change is noticed and
+    the generator guard can be dropped."""
+    import duckdb
+
+    spark.sql("SELECT 1 AS a WHERE 1 < 0").createOrReplaceTempView(
+        "fuzz_empty"
+    )
+    got = spark.sql(
+        "SELECT a, COUNT(*) AS n FROM fuzz_empty GROUP BY ROLLUP(a)"
+    ).collect()
+    assert got == []  # Spark: no grand-total row on empty input
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fuzz_empty AS SELECT 1 AS a WHERE 1 < 0")
+    duck = con.sql(
+        "SELECT a, COUNT(*) AS n FROM fuzz_empty GROUP BY ROLLUP(a)"
+    ).fetchall()
+    assert duck == [(None, 0)]  # DuckDB: standard grand-total row
