@@ -65,6 +65,45 @@ EXPECTATIONS = {
     # JW fuzzy join: exact-collapse agg (2 exchanges) feeds the
     # blocking join (hash/broadcast, never nested-loop), one sort
     "entity_jaro_winkler_pairs": (6, ["BroadcastNestedLoopJoin"]),
+    # KMV sketch family: pure JVM (md5+conv codegen, no Python) and
+    # the exact-anchor join broadcasts the 5-row sketch side — an SMJ
+    # or nested-loop here means the fact table started shuffling
+    "sketch_kmv_distinct_merge": (
+        9,
+        ["ArrowEval", "MapInPandas", "BatchEvalPython",
+         "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    # bitmap rollup: three groupBy levels, zero joins, zero Python
+    "sketch_bitmap_exact_distinct": (
+        4,
+        ["Join", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # set-ops: the 5-row sketch pairing is a deliberate tiny theta
+    # join (BNLJ is correct there); the exact-anchor user self-join
+    # may be SMJ — but no Python anywhere
+    "sketch_kmv_set_ops": (
+        18,
+        ["ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # KN LM: the scoring joins ride the reduced bigram-TYPE table and
+    # broadcast (the 1-row type total is the only BNLJ); an SMJ means
+    # the corpus-scale gram stream got shuffled into a sort
+    "text_lm_kneser_ney_score": (
+        20,
+        ["ArrowEval", "MapInPandas", "BatchEvalPython", "SortMergeJoin"],
+    ),
+    # unigram candidates: vocab-side explode + one reduce — no joins,
+    # no Python (the Viterbi UDF lives only in the rows-only twin)
+    "text_unigram_piece_counts": (
+        2,
+        ["Join", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # FD discovery: two groupBy levels over the unioned candidates —
+    # shared scans, no joins, no Python
+    "profile_fd_discovery": (
+        4,
+        ["Join", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
 }
 
 
