@@ -1633,3 +1633,108 @@ def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl", "lhs", "rhs")
     )
+
+
+@query(
+    "ml_eval_ndcg_rank",
+    oracle="""
+    WITH rel AS (
+      SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS rel
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    pop AS (
+      SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS popularity
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT r.custkey, r.rel,
+             row_number() OVER (
+               PARTITION BY r.custkey
+               ORDER BY p.popularity DESC, r.partkey) AS pred_rank,
+             row_number() OVER (
+               PARTITION BY r.custkey
+               ORDER BY r.rel DESC, r.partkey) AS ideal_rank
+      FROM rel r JOIN pop p ON r.partkey = p.partkey
+    ),
+    per_cust AS (
+      SELECT custkey,
+             SUM(CASE WHEN pred_rank <= 10 THEN
+                 CAST(rel AS DOUBLE) / log2(CAST(pred_rank AS DOUBLE) + 1.0)
+                 ELSE 0.0 END) AS dcg,
+             SUM(CASE WHEN ideal_rank <= 10 THEN
+                 CAST(rel AS DOUBLE) / log2(CAST(ideal_rank AS DOUBLE) + 1.0)
+                 ELSE 0.0 END) AS idcg
+      FROM ranked GROUP BY custkey
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           AVG(p.dcg / p.idcg) AS mean_ndcg_at_10
+    FROM per_cust p JOIN customer c ON p.custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def ml_eval_ndcg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@10 of a popularity ranker
+    against observed per-customer purchase quantities — completes the
+    offline-eval family next to ml_eval_auc_rank (AUC) and
+    ml_eval_calibration_bins. Predicted order = global item
+    popularity (the no-personalization baseline every recommender is
+    measured against); relevance = the customer's actual quantity;
+    ideal order = relevance itself. Both rankings tie-break on
+    partkey so the metric is deterministic cross-engine.
+
+    Scale posture: relevance and popularity are two map-side-
+    combining aggregates; the rank windows partition BY CUSTOMER
+    (bounded groups, no global sort); the popularity join runs on the
+    well-distributed partkey. idcg > 0 always (each customer has ≥ 1
+    purchased part with rel ≥ 1), so the ratio is total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rel = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("rel"))
+    )
+    pop = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("popularity")
+    )
+    w_pred = Window.partitionBy("custkey").orderBy(
+        F.col("popularity").desc(), F.col("partkey")
+    )
+    w_ideal = Window.partitionBy("custkey").orderBy(
+        F.col("rel").desc(), F.col("partkey")
+    )
+    ranked = (
+        rel.join(pop, "partkey")
+        .select(
+            "custkey",
+            "rel",
+            F.row_number().over(w_pred).alias("pred_rank"),
+            F.row_number().over(w_ideal).alias("ideal_rank"),
+        )
+    )
+    gain = lambda rank_col: F.when(  # noqa: E731 — tiny local shape
+        F.col(rank_col) <= 10,
+        F.col("rel").cast("double")
+        / F.log2(F.col(rank_col).cast("double") + F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    per_cust = ranked.groupBy("custkey").agg(
+        F.sum(gain("pred_rank")).alias("dcg"),
+        F.sum(gain("ideal_rank")).alias("idcg"),
+    )
+    return (
+        per_cust.join(c, per_cust["custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.avg(F.col("dcg") / F.col("idcg")).alias("mean_ndcg_at_10"),
+        )
+        .orderBy("c_mktsegment")
+    )
