@@ -1670,3 +1670,74 @@ def udtf_polymorphic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM row_share_poly(TABLE(udtf_poly_v)) "
         "ORDER BY line_id"
     )
+
+
+@query(
+    "dialect_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def dialect_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface ([L] dialect corner): the same
+    customer⋈nation rollup driven through BOTH hint front doors —
+    the SQL comment syntax (``SELECT /*+ BROADCAST(n) */``) and the
+    DataFrame ``.hint("broadcast")`` — unioned as two halves whose
+    per-half results must be identical (the oracle sees each nation
+    twice if and only if both paths computed the same rollup, so the
+    final re-aggregation halves them back; a divergence would double
+    nothing and fail the hash). Hints change STRATEGY, never results
+    — that identity is exactly what this pins. The plan-level effect
+    (both halves run BroadcastHashJoin with no exchange on the fact
+    side) is asserted in tests/test_plan_shapes.py.
+
+    At 100 TB this is the surface a user reaches for when AQE's
+    stats-driven choice needs an override — a dimension known to be
+    small but with stale stats, or a fact-fact join that must stay
+    shuffle-hash to avoid a sort."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    c.createOrReplaceTempView("hint_customer")
+    n.createOrReplaceTempView("hint_nation")
+    sql_half = spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_acctbal
+        FROM hint_customer c
+        JOIN hint_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    df_half = (
+        c.join(n.hint("broadcast"), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+    both = sql_half.unionByName(df_half)
+    # both halves must agree exactly: min == max per nation, and the
+    # count halves back to the single-path value
+    return (
+        both.groupBy("n_name")
+        .agg(
+            (F.sum("n_customers") / 2).cast("long").alias("n_customers"),
+            (F.min("total_acctbal")).alias("total_acctbal"),
+            F.max("total_acctbal").alias("_max_tab"),
+        )
+        .filter(F.col("total_acctbal") == F.col("_max_tab"))
+        .drop("_max_tab")
+        .orderBy("n_name")
+    )

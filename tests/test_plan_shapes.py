@@ -233,3 +233,37 @@ def test_headline_plan_pin(spark, sf_dir, name):
         f"python {sorted(got_py)} (pinned {sorted(want_py)}). If the "
         f"change is intentional, re-audit and update HEADLINE_PINS.\n{plan}"
     )
+
+
+def test_join_hints_flip_strategy(spark, sf_dir):
+    """dialect_join_hints: both hint front doors (SQL comment and
+    DataFrame .hint) must actually produce BroadcastHashJoin, and an
+    opposite SHUFFLE_MERGE hint on the same join must produce
+    SortMergeJoin — proving the hint surface steers strategy, not
+    just parses."""
+    from etl_lens_spark.queries import REGISTRY, _load
+
+    _load()
+    plan = (
+        REGISTRY["dialect_join_hints"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+    from etl_lens_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    smj = (
+        c.join(
+            n.hint("shuffle_merge"), c["c_nationkey"] == n["n_nationkey"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in smj, smj
