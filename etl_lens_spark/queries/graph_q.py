@@ -817,3 +817,94 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .orderBy("n")
     )
+
+
+def _lpa_oracle(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA: per round, every node adopts the
+    minimum among its neighbors' most-frequent labels (deterministic
+    argmax tie-break) — the same fixed-round schedule Spark runs."""
+    sql = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS u, l_suppkey + 1000000 AS v
+        FROM lineitem WHERE l_quantity >= 49
+    ),
+    ed AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lbl FROM ed)"""
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        sql.append(
+            f""",
+    c{i} AS MATERIALIZED (
+        SELECT ed.u AS n, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ed JOIN {prev} l ON ed.v = l.n
+        GROUP BY ed.u, l.lbl
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT n, lbl FROM (
+            SELECT n, lbl,
+                   row_number() OVER (
+                       PARTITION BY n ORDER BY cnt DESC, lbl) AS r
+            FROM c{i}
+        ) WHERE r = 1
+    )"""
+        )
+        prev = f"l{i}"
+    sql.append(
+        f"""
+    SELECT n, lbl AS community
+    FROM {prev}
+    ORDER BY n"""
+    )
+    return "".join(sql)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007, made deterministic): every node starts as
+    its own label; each round it adopts the MINIMUM among its
+    neighbors' most-frequent labels (argmax by count, ties to the
+    smallest label — the determinism random-order LPA lacks), for a
+    fixed 4 rounds on the strong-edge part–supplier graph. Distinct
+    from connected components (labels follow local density, so one
+    component can split into several communities) and from k-core
+    (which thins, LPA partitions).
+
+    Scale posture: one round = one edge⋈label equi-join on the
+    well-distributed node key + two map-side-combining aggregates
+    (label counts, then per-node argmax via max_by — no window, no
+    sort); labels are scalars, the edge list never grows, and the
+    fixed round count makes the whole plan static — no driver-side
+    convergence loop to stall a 100 TB run. The oracle unrolls the
+    identical schedule, so every round is cross-checked."""
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select(
+            F.col("l_partkey").alias("u"),
+            (F.col("l_suppkey") + 1000000).alias("v"),
+        )
+        .distinct()
+    )
+    ed = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = ed.select(F.col("u").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    for _ in range(4):
+        cnt = (
+            ed.join(labels.withColumnRenamed("n", "v"), "v")
+            .groupBy(F.col("u").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = cnt.groupBy("n").agg(
+            F.max_by("lbl", F.struct(F.col("cnt"), (-F.col("lbl")))).alias(
+                "lbl"
+            )
+        ).localCheckpoint(eager=True)
+    return labels.select("n", F.col("lbl").alias("community")).orderBy("n")
