@@ -1648,3 +1648,76 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w")
     )
+
+
+@query(
+    "text_phrase_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    post AS (
+        SELECT doc_id, i AS pos, t[i] AS term
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+        WHERE t[i] IN ('big', 'table', 'scan')
+    ),
+    hits AS (
+        SELECT p1.doc_id, p1.pos AS start_pos
+        FROM post p1
+        JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+        WHERE p1.term = 'big' AND p2.term = 'table' AND p3.term = 'scan'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(start_pos) AS BIGINT) AS first_pos
+    FROM hits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("big table scan") over a POSITIONAL
+    inverted index — the IR primitive BM25's bag-of-words scoring
+    can't express: adjacency joins on (doc, pos+1) chain the phrase
+    terms in order. Completes the retrieval family next to
+    text_bm25_search (ranked) and text_contamination_overlap
+    (n-gram containment).
+
+    Inverted-index discipline, same as BM25: postings are filtered
+    to the THREE query terms before anything shuffles — the corpus
+    stays columnar in the scan and only query-term (doc, pos) pairs
+    cross the wire; the adjacency self-joins are equi-joins on the
+    well-distributed doc key. Positions are 1-based in both engines
+    (Spark posexplode is 0-based and shifts by one)."""
+    phrase = ["big", "table", "scan"]
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    post = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("p0", "term"),
+        )
+        .filter(F.col("term").isin(phrase))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "term")
+    )
+    p1 = post.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("start_pos")
+    )
+    p2 = post.filter(F.col("term") == phrase[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("start_pos")
+    )
+    p3 = post.filter(F.col("term") == phrase[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("start_pos")
+    )
+    hits = p1.join(p2, ["doc_id", "start_pos"]).join(
+        p3, ["doc_id", "start_pos"]
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("start_pos").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
