@@ -1376,3 +1376,55 @@ def streaming_kmv_distinct_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_bitmap_distinct_live",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type,
+             CASE WHEN user_id <= 0 THEN 0
+                  ELSE (user_id - 1) // 32768 + 1 END AS bucket,
+             user_id
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_events_seen,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seg
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_bitmap_distinct_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Live EXACT distinct users per event type through segment-
+    bitmap state (stream_ops.bitmap_distinct_stateful) — the exact
+    streaming twin of streaming_kmv_distinct_live and the streaming
+    twin of the batch bitmap rollup: 4 KiB of bitset state per
+    (type, 32k-id-bucket) key replaces the unbounded per-user state a
+    streaming COUNT(DISTINCT) needs, and OR-idempotence makes replay
+    trivially exactly-once. The full-replay popcount must equal the
+    batch COUNT(DISTINCT) — bit-exact, no approximation. Final row
+    per key selected by the monotone events-seen counter, bucket
+    popcounts summed per type."""
+    stream = so.bitmap_distinct_stateful(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_bitmap", output_mode="update")
+    per_bucket = (
+        out.groupBy("event_type", "bucket")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max_by("n_bits", "n_seen").alias("n_bits"),
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("n_seen").cast("long").alias("n_events_seen"),
+            F.sum("n_bits").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -917,3 +917,61 @@ def kmv_distinct_stateful(events: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+BITMAP_OUTPUT = (
+    "event_type string, bucket long, n_seen long, n_bits long"
+)
+BITMAP_STATE = "bm binary, n long"
+
+_BITMAP_BITS = 32768  # one Spark bitmap bucket (bitmap_bucket_number)
+
+
+def bitmap_distinct_stateful(events: DataFrame) -> DataFrame:
+    """Live EXACT distinct counting via segment-bitmap state — the
+    exact twin of :func:`kmv_distinct_stateful`, streaming analog of
+    the batch ``sketch_bitmap_exact_distinct`` rollup: state per
+    (event_type, id-bucket) key is one 4 KiB bitset; each micro-batch
+    ORs its positions in; popcount per bucket sums to the exact
+    distinct count.
+
+    Scale posture: state is bounded by the live id universe (4 KiB
+    per 32k-id bucket — dense-id contract, same as the batch twin),
+    never by stream length; keying by (type, bucket) shards the
+    bitsets across executors, and only (bucket, positions) longs —
+    not user payloads — reach the state store.
+    """
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            bm_bytes, n_seen = state.get
+            bm = int.from_bytes(bm_bytes, "little")
+        else:
+            bm, n_seen = 0, 0
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            for p in pdf["pos"]:
+                bm |= 1 << int(p)
+        state.update((bm.to_bytes(_BITMAP_BITS // 8, "little"), n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "bucket": [key[1]],
+                "n_seen": [n_seen],
+                "n_bits": [bm.bit_count()],
+            }
+        )
+
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").cast("long").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").cast("long").alias("pos"),
+    )
+    return hashed.groupBy("event_type", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=BITMAP_OUTPUT,
+        stateStructType=BITMAP_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
