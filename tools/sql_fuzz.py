@@ -39,16 +39,42 @@ CUSTOMER_COLS = [
     ("c_acctbal", "num"),
     ("c_mktsegment", "str"),
 ]
-TABLES = {"orders": ORDERS_COLS, "customer": CUSTOMER_COLS}
+LINEITEM_COLS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "date"),
+]
+TABLES = {
+    "orders": ORDERS_COLS,
+    "customer": CUSTOMER_COLS,
+    "lineitem": LINEITEM_COLS,
+}
 STR_LITS = {
     "o_orderpriority": ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'"],
     "o_orderstatus": ["'O'", "'F'", "'P'"],
     "c_mktsegment": ["'BUILDING'", "'AUTOMOBILE'", "'MACHINERY'"],
+    "l_returnflag": ["'A'", "'N'", "'R'"],
+    "l_linestatus": ["'F'", "'O'"],
 }
 
 
 def _pred(rng: random.Random, cols) -> str:
     name, typ = rng.choice(cols)
+    if typ == "date":
+        y, m = rng.randint(1993, 1997), rng.randint(1, 12)
+        d = f"DATE '{y}-{m:02d}-15'"
+        return rng.choice(
+            [
+                f"{name} < {d}",
+                f"{name} >= {d}",
+                f"{name} BETWEEN {d} AND {d} + INTERVAL 90 DAY",
+            ]
+        )
     if typ == "str":
         lits = STR_LITS[name]
         if rng.random() < 0.5:
@@ -73,10 +99,43 @@ def _pred(rng: random.Random, cols) -> str:
     )
 
 
+def _gen_lineitem_join(rng: random.Random) -> str:
+    """lineitem ⋈ orders fact-side join: decimal-exact revenue math
+    and date predicates on the fact, grouped by dims from either
+    side."""
+    group_cols = [
+        c
+        for c in ["l_returnflag", "l_linestatus", "o_orderpriority"]
+        if rng.random() < 0.5
+    ][:2] or ["l_returnflag"]
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS s_price",
+    ]
+    if rng.random() < 0.5:
+        aggs.append(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS s_qty"
+        )
+    preds = [_pred(rng, LINEITEM_COLS)]
+    if rng.random() < 0.5:
+        preds.append(_pred(rng, ORDERS_COLS))
+    return (
+        f"SELECT {', '.join(group_cols + aggs)} "
+        f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE {' AND '.join(preds)} "
+        f"GROUP BY {', '.join(group_cols)} "
+        f"ORDER BY {', '.join(group_cols)}"
+    )
+
+
 def gen_join_query(rng: random.Random) -> str:
-    """orders ⋈ customer on the FK, filters on both sides, grouped
-    aggregates drawn from both tables — the join member of the
-    fuzzed shape space."""
+    """orders ⋈ customer or lineitem ⋈ orders on the FK, filters on
+    both sides, grouped aggregates drawn from both tables — the join
+    member of the fuzzed shape space."""
+    if rng.random() < 0.4:
+        return _gen_lineitem_join(rng)
     all_cols = ORDERS_COLS + CUSTOMER_COLS
     group_cols = [
         n
@@ -120,8 +179,12 @@ def gen_join_query(rng: random.Random) -> str:
 def gen_window_query(rng: random.Random) -> str:
     """Window-function member: rank/row_number/running aggregates
     over deterministic (unique-key tie-broken) orders, wrapped in an
-    outer filter so frame edges are exercised."""
-    table = rng.choice(list(TABLES))
+    outer filter so frame edges are exercised.
+
+    Restricted to the tables whose first column IS a unique key —
+    lineitem's l_orderkey repeats per line, which would make every
+    ROW_NUMBER tie-break nondeterministic."""
+    table = rng.choice(["orders", "customer"])
     cols = TABLES[table]
     key = cols[0][0]  # unique key: o_orderkey / c_custkey
     part, _ = rng.choice([c for c in cols if c[1] == "str"])
