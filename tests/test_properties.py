@@ -265,3 +265,87 @@ def test_skyline_decomposition_equals_quadratic(spark, rows):
         .collect()
     }
     assert got == want
+
+
+# ---------- KMV sketch properties (operators/kmv.py) ----------
+
+kmv_keys = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=120
+)
+
+
+@given(keys=kmv_keys, split=st.integers(min_value=0, max_value=120))
+@SLOW
+def test_kmv_merge_property_random_partitions(spark, keys, split):
+    """Bottom-k of the union of two partitions' bottom-k == bottom-k
+    of the whole set, for ANY partition of ANY key multiset."""
+    from etl_lens_spark.operators import kmv
+
+    k = 8
+    rows = [(("a" if i < split else "b"), v) for i, v in enumerate(keys)]
+    df = spark.createDataFrame(rows, "part string, key long").select(
+        "part", kmv.kmv_value(F.col("key")).alias("v")
+    )
+    per_part = kmv.kmv_topk(df, ["part"], k)
+    merged = kmv.kmv_topk(
+        per_part.select(F.lit("all").alias("g"), "v"), ["g"], k
+    )
+    direct = kmv.kmv_topk(
+        df.select(F.lit("all").alias("g"), "v"), ["g"], k
+    )
+    assert sorted(r["v"] for r in merged.collect()) == sorted(
+        r["v"] for r in direct.collect()
+    )
+
+
+@given(keys=kmv_keys)
+@SLOW
+def test_kmv_exactness_below_k(spark, keys):
+    """With fewer than k distinct hash values the estimate must be
+    EXACTLY the distinct count (the sketch is the set)."""
+    from etl_lens_spark.operators import kmv
+
+    df = spark.createDataFrame(
+        [(v,) for v in keys], "key long"
+    ).select(F.lit("g").alias("g"), kmv.kmv_value(F.col("key")).alias("v"))
+    n_distinct = df.select("v").distinct().count()
+    k = n_distinct + 5
+    sk = kmv.kmv_topk(df, ["g"], k)
+    [row] = kmv.kmv_estimate(sk, ["g"], k).collect()
+    assert row["est"] == float(n_distinct)
+
+
+# ---------- unigram tokenizer properties (text/unigram.py) ----------
+
+words = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=10),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+
+
+@given(ws=words)
+@SLOW
+def test_unigram_segmentation_lossless_any_vocab(spark, ws):
+    """For ANY word set: candidate pieces + selected vocab always
+    segment every word losslessly into in-vocab pieces (single chars
+    guarantee feasibility), and the DP score is monotone ≥ the
+    all-singles segmentation."""
+    import math
+
+    from etl_lens_spark.text import unigram
+
+    wf = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(ws)], "word string, freq long"
+    )
+    vocab = unigram.select_vocab(unigram.piece_candidates(wf), n_multi=6)
+    vocab_rows = [(r["piece"], r["freq"]) for r in vocab.collect()]
+    total = float(sum(f for _, f in vocab_rows))
+    logp = {p: math.log(f / total) for p, f in vocab_rows}
+    for r in unigram.viterbi_encode(wf, vocab_rows).collect():
+        assert "".join(r["pieces"]) == r["word"]
+        assert all(p in logp for p in r["pieces"])
+        singles = sum(logp[c] for c in r["word"])
+        got = sum(logp[p] for p in r["pieces"])
+        assert got >= singles - 1e-9
