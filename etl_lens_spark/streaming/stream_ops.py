@@ -975,3 +975,75 @@ def bitmap_distinct_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the MODERN arbitrary-state API
+    (``transformWithStateInPandas``, Spark 4's successor to
+    applyInPandasWithState): a ``StatefulProcessor`` with one
+    ValueState, same exact-Decimal accumulation discipline as
+    :func:`user_totals_stateful` — the two APIs are cross-checked
+    against the SAME batch oracle, proving the migration path
+    preserves semantics. Requires the RocksDB state-store provider
+    (the API's contract; the declared query sets and restores it).
+
+    Scale posture identical to the old-API twin: state shards by
+    user_id, O(1) scalars per key; plus what the new API adds at
+    scale — typed state (no whole-tuple rewrite per batch), timers,
+    and TTL — without changing a line of the aggregation logic.
+    """
+    import pandas as pd
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cent = Decimal("0.01")
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals",
+                "n long, total string, first_us long, last_us long",
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._st.exists():
+                n, total_s, first_us, last_us = self._st.get()
+                total = Decimal(total_s)
+            else:
+                n, total, first_us, last_us = 0, Decimal(0), None, None
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    total += Decimal(repr(float(v))).quantize(
+                        cent, rounding=ROUND_HALF_UP
+                    )
+                lo = int(pdf["ts_us"].min())
+                hi = int(pdf["ts_us"].max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._st.update((n, str(total), first_us, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [float(total)],
+                    "first_us": [first_us],
+                    "last_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    with_us = events.withColumn("ts_us", F.unix_micros("ts"))
+    return with_us.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=USER_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -145,8 +145,9 @@ def test_transform_with_state_seam(spark):
     state-server protocol; this container ships pyspark without it,
     so the API import succeeds but any query crashes in the runner
     init. Probe honestly: if protobuf ever lands, this test will
-    start exercising the API and should be promoted to a live query
-    (same shape as user_totals_stateful)."""
+    start exercising the API and stream_ops.user_totals_tws (the
+    full old-API/new-API/batch triple-equality twin, written and
+    waiting behind this seam) should be promoted to a live query."""
     import pytest
 
     try:
@@ -154,7 +155,8 @@ def test_transform_with_state_seam(spark):
     except ImportError:
         pytest.skip(
             "transformWithStateInPandas needs python protobuf "
-            "(state-server protocol); not in container"
+            "(state-server protocol); not in container — "
+            "stream_ops.user_totals_tws is the ready-to-promote twin"
         )
     # protobuf present: run a minimal counter through the new API
     import uuid
@@ -360,3 +362,58 @@ def test_ppjoin_filters_are_lossless_and_prune(spark):
         F.sum(F.col("n") - F.ceil(F.col("n") / 2) + 1).alias("prefix"),
     ).first()
     assert stats["prefix"] < stats["full"] * 0.6
+
+
+def test_user_totals_tws_behind_seam(spark, sf_dir):
+    """stream_ops.user_totals_tws — the transformWithState twin of
+    user_totals_stateful — runs end-to-end against the batch
+    aggregate iff protobuf is present; until then the plan must at
+    least CONSTRUCT (catching API-signature drift at upgrade time
+    even while the runner can't start)."""
+    import pytest
+
+    from etl_lens_spark.streaming import stream_ops as so
+
+    stream = so.user_totals_tws(so.events_stream(spark, sf_dir))
+    assert "n_events" in stream.schema.fieldNames()  # plan constructs
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("runner needs protobuf; construction verified")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        from pyspark.sql import functions as F
+
+        out = so.run_to_memory(stream, "tws_totals", output_mode="update")
+        final = (
+            out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"))
+            .orderBy("user_id")
+        )
+        from etl_lens_spark.sources.tables import load_table
+
+        batch = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id")
+        )
+        assert [tuple(r) for r in final.collect()] == [
+            tuple(r) for r in batch.collect()
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
