@@ -2122,3 +2122,41 @@ def diag_parquet_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name string, n_row_groups long, max_rg_rows long, "
         "compressed_bytes long, uncompressed_bytes long",
     ).orderBy("name")
+
+
+@query(
+    "sink_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(epoch_us(ts)) AS first_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + schema-locked read-back over the event log —
+    Spark 4's built-in xml format (one <row> element per record),
+    completing the text-format sink family next to csv/json.
+    Timestamps carried as unix micros (XML, like JSON, has no
+    timestamp type in this contract); the aggregate over the
+    round-tripped data must equal the oracle's aggregate over the
+    original parquet, so any serialization loss fails the hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    path, ddl = sinks.write_xml(ev, "events_xml")
+    back = sinks.read_xml(spark, path, ddl)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_us").alias("first_us"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -56,6 +56,32 @@ def write_json(df: DataFrame, name: str) -> tuple[str, str]:
     return path, df.schema.simpleString()[7:-1].replace(":", " ")
 
 
+def write_xml(df: DataFrame, name: str) -> tuple[str, str]:
+    """Overwrite-write as XML (built-in Spark 4 format, one <row>
+    element per record); returns (path, ddl_schema) for schema-locked
+    read-back — XML, like csv/json, round-trips only through a
+    declared schema."""
+    path = scratch_path(name)
+    (
+        df.coalesce(4)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .save(path)
+    )
+    return path, df.schema.simpleString()[7:-1].replace(":", " ")
+
+
+def read_xml(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    return (
+        spark.read.schema(ddl)
+        .format("xml")
+        .option("rowTag", "row")
+        .load(path)
+    )
+
+
 def write_orc(df: DataFrame, name: str) -> str:
     path = scratch_path(name)
     df.coalesce(4).write.mode("overwrite").orc(path)
