@@ -1741,3 +1741,57 @@ def dialect_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_max_tab")
         .orderBy("n_name")
     )
+
+
+@query(
+    "xml_scalar_funcs",
+    oracle="""
+    SELECT doc_id,
+           doc_id AS a,
+           (doc_id * 7) % 1000 AS b,
+           'tag' || CAST(doc_id % 5 AS VARCHAR) AS c,
+           TRUE AS roundtrip_ok
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def xml_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar XML surface ([L] dialect corner, the expression-level
+    twin of sink_xml_roundtrip): ``from_xml`` parses a synthesized
+    XML fragment per row into a typed struct, and ``to_xml`` →
+    ``from_xml`` round-trips that struct — the identity is proven
+    IN-QUERY (roundtrip_ok compares every field) because DuckDB has
+    no XML functions to mirror; the oracle instead recomputes the
+    expected parsed values from the same arithmetic that synthesized
+    the fragment, so a parser regression fails the hash and a
+    round-trip regression fails the TRUE column. Pure JVM
+    expressions — the same codegen discipline as the json/variant
+    corners."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    xml = F.concat(
+        F.lit("<r><a>"),
+        F.col("doc_id"),
+        F.lit("</a><b>"),
+        (F.col("doc_id") * 7) % 1000,
+        F.lit("</b><c>tag"),
+        F.col("doc_id") % 5,
+        F.lit("</c></r>"),
+    )
+    ddl = "a BIGINT, b BIGINT, c STRING"
+    parsed = F.from_xml(xml, ddl)
+    base = docs.select("doc_id", parsed.alias("p"))
+    rt = F.from_xml(F.to_xml(F.col("p")), ddl)
+    return base.select(
+        "doc_id",
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.col("p.c").alias("c"),
+        (
+            (rt["a"] == F.col("p.a"))
+            & (rt["b"] == F.col("p.b"))
+            & (rt["c"] == F.col("p.c"))
+        ).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
