@@ -1428,3 +1428,56 @@ def streaming_bitmap_distinct_live(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_state_store_read",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_state_store_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The state-store BATCH READER (Spark 4 ``statestore`` data
+    source): run a streaming per-type count to a checkpoint, then
+    read the checkpoint's STATE as a table and oracle-check the
+    state contents themselves against the batch aggregate — the ops
+    surface for debugging a production stream (inspect exactly what
+    the state store believes, without touching the running query).
+    At 100 TB this is how state corruption, skewed state keys, and
+    watermark bugs get diagnosed: the state reader scans RocksDB/
+    HDFS state files partition-parallel like any other source."""
+    import shutil
+
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    ckpt = scratch_path("state_read_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    agg = (
+        so.events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
