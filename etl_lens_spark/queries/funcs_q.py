@@ -1795,3 +1795,116 @@ def xml_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (rt["c"] == F.col("p.c"))
         ).alias("roundtrip_ok"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dialect_sql_scripting",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_mod3_total
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           t.n_mod3_total
+    FROM orders o CROSS JOIN tot t
+    GROUP BY o.o_orderpriority, t.n_mod3_total
+    ORDER BY o.o_orderpriority
+    """,
+)
+def dialect_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING ([L] dialect corner, SQL/PSM subset Spark 4
+    ships): BEGIN/END block with DECLAREd variables and a WHILE loop
+    that accumulates a monthly count via repeated SET — procedural
+    control flow running INSIDE the engine, the front door a
+    stored-procedure migration lands on. The loop's accumulated
+    total must equal the oracle's one-shot aggregate (12 monthly
+    slices sum to the whole-year count — the script is checked
+    against set-based truth, not against itself), carried alongside
+    a per-priority rollup in the script's final SELECT.
+
+    Scale note: each loop iteration is a full declarative query —
+    Catalyst optimizes every iteration like any other plan, so
+    scripting costs orchestration only, not execution model."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE m INT DEFAULT 1;
+          DECLARE tot BIGINT DEFAULT 0;
+          WHILE m <= 12 DO
+            SET tot = tot + (
+              SELECT COUNT(*) FROM script_orders
+              WHERE MONTH(o_orderdate) = m AND o_orderkey % 3 = 0
+            );
+            SET m = m + 1;
+          END WHILE;
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 tot AS n_mod3_total
+          FROM script_orders
+          GROUP BY o_orderpriority, tot
+          ORDER BY o_orderpriority;
+        END
+        """
+    )
+
+
+@query(
+    "dialect_parameterized_sql",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) * 2 AS n_doubled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 250000.00
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def dialect_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL front doors ([L] dialect corner): the same
+    filtered rollup driven through (1) a NAMED-PARAMETER query
+    (``:thr`` bound server-side — the injection-safe path every SQL
+    API client should use), (2) ``EXECUTE IMMEDIATE`` with a USING
+    clause (dynamic SQL, the stored-procedure idiom), both with a
+    LATERAL COLUMN ALIAS (``n_orders`` reused in ``n_doubled`` in
+    the same select list — Spark-4 sugar older engines spell with a
+    subquery). The two halves are unioned and re-aggregated with a
+    min==max guard exactly like dialect_join_hints, so the oracle
+    hash fails if the two parameter front doors ever disagree."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "param_orders"
+    )
+    body = """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               n_orders * 2 AS n_doubled,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM param_orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > :thr
+        GROUP BY o_orderstatus
+    """
+    named = spark.sql(body, args={"thr": 250000.00})
+    exec_imm = spark.sql(
+        "EXECUTE IMMEDIATE :stmt USING 250000.00 AS thr",
+        args={"stmt": body.replace(":thr", "?")},
+    )
+    both = named.unionByName(exec_imm)
+    return (
+        both.groupBy("o_orderstatus")
+        .agg(
+            (F.sum("n_orders") / 2).cast("long").alias("n_orders"),
+            (F.sum("n_doubled") / 2).cast("long").alias("n_doubled"),
+            F.min("total_price").alias("total_price"),
+            F.max("total_price").alias("_mx"),
+        )
+        .filter(F.col("total_price") == F.col("_mx"))
+        .drop("_mx")
+        .orderBy("o_orderstatus")
+    )
