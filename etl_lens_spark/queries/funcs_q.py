@@ -1908,3 +1908,69 @@ def dialect_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_mx")
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "dialect_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1.00 - CAST(l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4))) AS DOUBLE) AS disc_revenue
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def dialect_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED functions ([L] surface: the declarative analog of
+    SQLite's ``sqlite3_create_function``, which the reference's
+    bundled SQLite exposes at `third_party/sqlite3/sqlite3.h` —
+    here no host-language callback is needed): a scalar SQL UDF
+    (``CREATE TEMPORARY FUNCTION ... RETURNS DOUBLE RETURN expr``)
+    computing the discounted price in exact decimal, and a SQL TABLE
+    function (``RETURNS TABLE ... RETURN SELECT``) acting as a
+    parameterized view over the fact table. Both are pure SQL bodies
+    — Catalyst INLINES them into the calling plan (no black-box
+    function boundary, full pushdown/codegen), which is exactly why
+    this beats a Python UDF for anything expressible as SQL.
+
+    The quantity threshold flows through the table function's
+    parameter; the scalar function applies per row inside the
+    aggregate. Oracle = the same algebra inlined by hand."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "udf_lineitem"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price_dec(
+            p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(38,4)
+        RETURN CAST(CAST(p AS DECIMAL(18,2))
+                    * (1.00 - CAST(d AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4))
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION big_lines(min_qty INT)
+        RETURNS TABLE(
+            l_returnflag STRING, l_extendedprice DOUBLE,
+            l_discount DOUBLE)
+        RETURN SELECT l_returnflag, l_extendedprice, l_discount
+               FROM udf_lineitem WHERE l_quantity >= min_qty
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(disc_price_dec(l_extendedprice, l_discount))
+                    AS DOUBLE) AS disc_revenue
+        FROM big_lines(25)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
