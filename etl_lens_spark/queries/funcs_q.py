@@ -1974,3 +1974,77 @@ def dialect_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "dialect_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o_orderpriority
+    """,
+)
+def dialect_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax ([L] dialect corner, Spark 4's ZetaSQL-style
+    ``|>`` operators): the same filtered rollup written as a linear
+    pipeline — FROM |> WHERE |> AGGREGATE..GROUP BY |> WHERE (the
+    pipe spelling of HAVING) |> ORDER BY — the query shape reads in
+    execution order instead of inside-out. Same Catalyst plan as the
+    classic spelling; the oracle is that classic spelling, so the
+    two front doors are proven equivalent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sketch_approx_topk",
+    oracle="""
+    SELECT o_orderpriority AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY cnt DESC, item
+    """,
+)
+def sketch_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in frequency sketch (``approx_top_k``, Spark 4.1) over
+    order priorities — the engine-native heavy-hitters counterpart
+    to the hand-built CMS prefilter (cms_heavy_hitters): ONE
+    partial-aggregating pass, mergeable sketch state. With
+    maxItemsTracked (10k) far above the 5-value domain the sketch
+    degenerates to exact counts — which is what makes it
+    oracle-checkable (same saturating-accuracy discipline as the GK
+    quantile twins); the declared result re-sorts the sketch output
+    by (count desc, item) so the engine's internal tie order never
+    reaches the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 5)").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("item"))
+    )
