@@ -76,6 +76,7 @@ _KMV_V_SQL = """
     FROM sk s JOIN ex e USING (event_type)
     ORDER BY event_type
     """,
+    headline=True,
 )
 def sketch_kmv_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day KMV sketches of distinct users MERGED into per-type
