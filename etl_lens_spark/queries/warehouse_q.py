@@ -2213,3 +2213,281 @@ def dq_duplicate_payment_candidates(
         )
         .orderBy("o_custkey", "o_totalprice", "o_orderdate")
     )
+
+
+_MARKOV_ROUNDS = 15
+
+_MARKOV_BASE_SQL = """
+    ordered AS MATERIALIZED (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events
+    ),
+    firstp AS MATERIALIZED (
+        SELECT user_id, MIN(rn) AS prn
+        FROM ordered WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    pre AS MATERIALIZED (
+        SELECT o.user_id, o.event_type, o.rn,
+               f.prn IS NOT NULL AS conv
+        FROM ordered o LEFT JOIN firstp f USING (user_id)
+        WHERE f.prn IS NULL OR o.rn < f.prn
+    ),
+    walk AS MATERIALIZED (
+        SELECT user_id,
+               COALESCE(LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY rn), 'start') AS src,
+               event_type AS dst
+        FROM pre
+    ),
+    terminal AS MATERIALIZED (
+        SELECT p.user_id,
+               COALESCE(l.last_ch, 'start') AS src,
+               CASE WHEN p.conv THEN 'conv' ELSE 'null' END AS dst
+        FROM (SELECT DISTINCT o.user_id,
+                     f.prn IS NOT NULL AS conv
+              FROM ordered o LEFT JOIN firstp f USING (user_id)) p
+        LEFT JOIN (
+            SELECT user_id, max_by(event_type, rn) AS last_ch
+            FROM pre GROUP BY user_id
+        ) l USING (user_id)
+    ),
+    edges_raw AS MATERIALIZED (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT src, dst FROM walk
+              UNION ALL SELECT src, dst FROM terminal)
+        GROUP BY src, dst
+    ),
+    tot AS MATERIALIZED (
+        SELECT src, CAST(SUM(cnt) AS BIGINT) AS t
+        FROM edges_raw GROUP BY src
+    ),
+    channels AS MATERIALIZED (
+        SELECT DISTINCT event_type AS ch FROM events
+        WHERE event_type <> 'purchase'
+    ),
+    scen AS MATERIALIZED (
+        SELECT 'full' AS scenario, NULL AS rm
+        UNION ALL SELECT 'rm_' || ch, ch FROM channels
+    ),
+    edges AS MATERIALIZED (
+        SELECT s.scenario, e.src, e.dst,
+               CAST(e.cnt AS DOUBLE) / CAST(tt.t AS DOUBLE) AS p
+        FROM edges_raw e
+        JOIN tot tt ON tt.src = e.src
+        JOIN scen s ON s.rm IS NULL
+                    OR (e.src <> s.rm AND e.dst <> s.rm)
+    )
+"""
+
+
+def _markov_round_sql(i: int) -> str:
+    prev = f"v{i - 1}"
+    join = (
+        f"LEFT JOIN {prev} v ON v.scenario = e.scenario "
+        "AND v.state = e.dst"
+        if i > 1
+        else ""
+    )
+    vdst = (
+        "CASE WHEN e.dst = 'conv' THEN 1.0 WHEN e.dst = 'null' THEN 0.0 "
+        + ("ELSE COALESCE(v.v, 0.0) END" if i > 1 else "ELSE 0.0 END")
+    )
+    return f"""
+    v{i} AS MATERIALIZED (
+        SELECT e.scenario, e.src AS state, SUM(e.p * {vdst}) AS v
+        FROM edges e {join}
+        GROUP BY e.scenario, e.src
+    )"""
+
+
+def _markov_oracle() -> str:
+    rounds = "".join(
+        "," + _markov_round_sql(i) for i in range(1, _MARKOV_ROUNDS + 1)
+    )
+    last = f"v{_MARKOV_ROUNDS}"
+    return f"""
+    WITH {_MARKOV_BASE_SQL}{rounds},
+    base AS (
+        SELECT v FROM {last}
+        WHERE scenario = 'full' AND state = 'start'
+    ),
+    re AS (
+        SELECT c.ch AS channel,
+               1.0 - (SELECT r.v FROM {last} r
+                      WHERE r.scenario = 'rm_' || c.ch
+                        AND r.state = 'start') / b.v AS removal_effect
+        FROM channels c CROSS JOIN base b
+    )
+    SELECT channel,
+           removal_effect,
+           removal_effect / SUM(removal_effect) OVER ()
+               AS attribution_share
+    FROM re
+    ORDER BY channel
+    """
+
+
+@query("events_attribution_markov", oracle=_markov_oracle())
+def events_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016) — the
+    third member of the attribution family next to rule-based
+    multitouch and exact Shapley: user journeys become an absorbing
+    Markov chain (start → channels → conv/null, truncated at first
+    purchase), and each channel's credit is its REMOVAL EFFECT
+    1 − P(conv | channel deleted)/P(conv), normalized into shares.
+    Channel deletion is the standard graph surgery (edges touching
+    the channel dropped, original denominators kept, the missing
+    mass absorbs into null).
+
+    Architecture at 100 TB: the corpus-scale work — ordering each
+    user's events, truncating at first conversion, counting
+    transitions — is windows-partitioned-by-user plus one map-side-
+    combining groupBy; everything after operates on the TRANSITION
+    MATRIX, whose size is (channels+3)², independent of data volume.
+    Absorption probabilities come from a fixed 15-round value
+    iteration run as tiny scenario-tagged joins (all five scenarios
+    advance in ONE plan per round); the oracle unrolls the identical
+    schedule, so the fixpoint arithmetic is cross-checked round for
+    round, not just at convergence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    joined = ordered.join(firstp, "user_id", "left")
+    pre = joined.filter(
+        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    ).select(
+        "user_id", "event_type", "rn", F.col("prn").isNotNull().alias("conv")
+    )
+    wu = Window.partitionBy("user_id").orderBy("rn")
+    walk = pre.select(
+        F.coalesce(F.lag("event_type").over(wu), F.lit("start")).alias(
+            "src"
+        ),
+        F.col("event_type").alias("dst"),
+    )
+    users = joined.select(
+        "user_id", F.col("prn").isNotNull().alias("conv")
+    ).distinct()
+    last_ch = pre.groupBy("user_id").agg(
+        F.max_by("event_type", "rn").alias("last_ch")
+    )
+    terminal = (
+        users.join(last_ch, "user_id", "left")
+        .select(
+            F.coalesce("last_ch", F.lit("start")).alias("src"),
+            F.when(F.col("conv"), F.lit("conv"))
+            .otherwise(F.lit("null"))
+            .alias("dst"),
+        )
+    )
+    edges_raw = (
+        walk.unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = edges_raw.groupBy("src").agg(F.sum("cnt").cast("long").alias("t"))
+    channels = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("ch"))
+        .distinct()
+    )
+    scen = channels.select(
+        F.concat(F.lit("rm_"), "ch").alias("scenario"), F.col("ch").alias("rm")
+    ).unionByName(
+        channels.limit(1).select(
+            F.lit("full").alias("scenario"),
+            F.lit(None).cast("string").alias("rm"),
+        )
+    )
+    edges = (
+        edges_raw.join(tot, "src")
+        .crossJoin(F.broadcast(scen))
+        .filter(
+            F.col("rm").isNull()
+            | ((F.col("src") != F.col("rm")) & (F.col("dst") != F.col("rm")))
+        )
+        .select(
+            "scenario",
+            "src",
+            "dst",
+            (F.col("cnt").cast("double") / F.col("t").cast("double")).alias(
+                "p"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = None  # round 0: every non-absorbing state has v = 0
+    for i in range(1, _MARKOV_ROUNDS + 1):
+        if v is None:
+            vdst = (
+                F.when(F.col("dst") == "conv", F.lit(1.0))
+                .when(F.col("dst") == "null", F.lit(0.0))
+                .otherwise(F.lit(0.0))
+            )
+            cur = edges
+        else:
+            vv = v.select(
+                F.col("scenario").alias("vs"),
+                F.col("state").alias("vstate"),
+                F.col("v").alias("vv"),
+            )
+            cur = edges.join(
+                vv,
+                (F.col("scenario") == F.col("vs"))
+                & (F.col("dst") == F.col("vstate")),
+                "left",
+            )
+            vdst = (
+                F.when(F.col("dst") == "conv", F.lit(1.0))
+                .when(F.col("dst") == "null", F.lit(0.0))
+                .otherwise(F.coalesce("vv", F.lit(0.0)))
+            )
+        v = (
+            cur.groupBy("scenario", F.col("src").alias("state"))
+            .agg(F.sum(F.col("p") * vdst).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    base = v.filter(
+        (F.col("scenario") == "full") & (F.col("state") == "start")
+    ).select(F.col("v").alias("base_v"))
+    rm = v.filter(
+        F.col("scenario").startswith("rm_") & (F.col("state") == "start")
+    ).select(
+        F.expr("substring(scenario, 4)").alias("channel"),
+        F.col("v").alias("rm_v"),
+    )
+    re = (
+        channels.select(F.col("ch").alias("channel"))
+        .join(rm, "channel", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "channel",
+            (F.lit(1.0) - F.col("rm_v") / F.col("base_v")).alias(
+                "removal_effect"
+            ),
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        re.select(
+            "channel",
+            "removal_effect",
+            (
+                F.col("removal_effect")
+                / F.sum("removal_effect").over(wall)
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
