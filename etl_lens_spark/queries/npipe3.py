@@ -580,3 +580,165 @@ def text_lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# md5-folded 52-bit hash of a seeded gram — the DuckDB replica of the
+# Spark expression in dedup_minhash_lsh_oracle (same fold as
+# operators/kmv.py, seeded by prefixing the gram)
+_MH_SQL = (
+    "list_reduce(list_transform(range(1, 14), i -> CAST(strpos("
+    "'0123456789abcdef', substr(md5(CAST(s AS VARCHAR) || ':' || g), "
+    "i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@query(
+    "dedup_minhash_lsh_oracle",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([array_to_string(t[i:i+1], ' ')
+                       for i in range(1, len(t))]) AS g
+        FROM toks
+    ),
+    hv AS (
+        SELECT doc_id, r.s, MIN({_MH_SQL}) AS m
+        FROM sh CROSS JOIN (SELECT unnest(range(8)) AS s) r
+        GROUP BY doc_id, r.s
+    ),
+    sigs AS (
+        SELECT doc_id,
+               MAX(CASE WHEN s = 0 THEN m END) AS s0,
+               MAX(CASE WHEN s = 1 THEN m END) AS s1,
+               MAX(CASE WHEN s = 2 THEN m END) AS s2,
+               MAX(CASE WHEN s = 3 THEN m END) AS s3,
+               MAX(CASE WHEN s = 4 THEN m END) AS s4,
+               MAX(CASE WHEN s = 5 THEN m END) AS s5,
+               MAX(CASE WHEN s = 6 THEN m END) AS s6,
+               MAX(CASE WHEN s = 7 THEN m END) AS s7
+        FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS b, s0 || '_' || s1 AS key FROM sigs
+        UNION ALL SELECT doc_id, 1, s2 || '_' || s3 FROM sigs
+        UNION ALL SELECT doc_id, 2, s4 || '_' || s5 FROM sigs
+        UNION ALL SELECT doc_id, 3, s6 || '_' || s7 FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+           GROUP BY doc_id),
+    jac AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter,
+               sa.n AS na, sb.n AS nb
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+        JOIN sz sa ON sa.doc_id = c.doc_a
+        JOIN sz sb ON sb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+               AS jaccard
+    FROM jac
+    WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection with a FULLY ORACLE-CHECKED
+    pipeline — the companion to dedup_minhash_lsh (which keeps the
+    faster xxhash64 signatures and is rows-only because DuckDB lacks
+    that hash): seeded md5-folded minima give 8-hash signatures both
+    engines compute bit-identically, so the banding (4 bands × 2
+    rows), the bucket self-join, the candidate set, AND the exact
+    Jaccard verify stage all hash-match end to end. This closes the
+    one auditability gap of the LSH family: the oracle now re-derives
+    the probabilistic index itself, not just its error bounds.
+
+    Same scale shape as the production twin: one shingle explode
+    feeds ONE map-side-combining groupBy computing all 8 minima
+    (signatures never materialize per-shingle), bands shuffle as
+    scalar keys, candidates are bucket-bounded — never all-pairs —
+    and the verify join touches only candidate docs' shingles."""
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    toks = tp.ws_tokens(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tp.word_ngrams(toks, 2))).alias("g"),
+    )
+
+    def h(s: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"{s}:"), F.col("g")).cast("binary")
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+        )
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[F.min(h(s)).alias(f"s{s}") for s in range(8)]
+    )
+    bands = None
+    for b in range(4):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("b"),
+            F.concat_ws(
+                "_",
+                F.col(f"s{2 * b}").cast("string"),
+                F.col(f"s{2 * b + 1}").cast("string"),
+            ).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    shb = sh.select(F.col("doc_id").alias("b_doc"), F.col("g").alias("gb"))
+    jac = (
+        cand.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("b_doc")) & (F.col("g") == F.col("gb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        jac.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    )
