@@ -742,3 +742,132 @@ def dedup_minhash_lsh_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SH_BITS = 32
+_SH_CHUNKS = 4  # 4 chunks x 8 bits: pigeonhole-complete through hamming <= 3
+_SH_HAM = 1
+
+# unseeded md5 fold of a token (same 52-bit fold as _MH_SQL)
+_SH_H_SQL = (
+    "list_reduce(list_transform(range(1, 14), i -> CAST(strpos("
+    "'0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(tf * (2 * ((h >> {b}) & 1) - 1)) AS b{b}"
+        for b in range(_SH_BITS)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    chunk_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS c, (sig >> {8 * c}) & 255 AS v "
+        f"FROM sigs"
+        for c in range(_SH_CHUNKS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    w AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+          GROUP BY doc_id, g),
+    hv AS (SELECT doc_id, tf, {_SH_H_SQL} & 4294967295 AS h FROM w),
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hv GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig_expr} AS sig FROM bits),
+    chunks AS (
+        {chunk_rows}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming
+    FROM pairs WHERE hamming <= {_SH_HAM}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_simhash_oracle", oracle=_simhash_oracle())
+def dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection with a FULLY ORACLE-CHECKED
+    pipeline — companion to dedup_simhash (xxhash64, rows-only) the
+    same way dedup_minhash_lsh_oracle companions the LSH query:
+    tf-WEIGHTED bit votes (the Charikar/Manku form — unit weights
+    cannot separate this corpus's shared vocabulary) over md5-folded
+    token hashes make the 32-bit signature, the 4×8-bit
+    chunk blocking (pigeonhole-complete through Hamming ≤ 3, declared
+    radius 1: any pair within the radius must agree on ≥ 1 chunk), the bucket join,
+    and the Hamming verify all bit-identical across engines.
+
+    One token-count reduce feeds ONE groupBy computing all 32
+    weighted bit-vote sums map-side; signatures are scalar ints; chunks
+    shuffle as (chunk, nibble) keys — the candidate set is bucket-
+    bounded, never all-pairs."""
+    docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
+    toks = tp.ws_tokens(F.col("text"))
+    w = (
+        docs.select("doc_id", F.explode(toks).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 13), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(4294967295))
+    )
+    hv = w.select("doc_id", "tf", h.alias("h"))
+    bits = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = bits.select("doc_id", sig.cast("long").alias("sig"))
+    chunks = None
+    for c in range(_SH_CHUNKS):
+        part = sigs.select(
+            "doc_id",
+            "sig",
+            F.lit(c).alias("c"),
+            F.shiftright("sig", 8 * c).bitwiseAND(F.lit(255)).alias("v"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a = chunks.alias("a")
+    b2 = chunks.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.filter(F.col("hamming") <= _SH_HAM)
+        .orderBy("doc_a", "doc_b")
+    )
