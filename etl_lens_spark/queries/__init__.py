@@ -84,6 +84,7 @@ def _load() -> None:
         npipe2,
         npipe3,
         npipe4,
+        mlprep_q,
         npipe5,
         pca_q,
         quality_q,

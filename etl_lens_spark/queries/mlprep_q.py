@@ -1,0 +1,1324 @@
+"""Statistics / ML-preparation tranche: rank correlation, mutual
+information, leakage-free target encoding, differentially-private
+release, split-conformal intervals, and the Poisson bootstrap.
+
+These are the feature-engineering and evaluation primitives a
+training-data pipeline runs next to dedup/curation: "is this feature
+monotonically informative" (Spearman), "are these two categoricals
+redundant" (MI), "encode a high-cardinality categorical without
+leaking the target" (K-fold target encoding), "publish aggregate
+counts with a privacy budget" (Laplace mechanism), "attach honest
+prediction intervals to a baseline model" (split conformal), and
+"put a confidence interval on a mean without a second pass"
+(Poisson bootstrap — the classic single-pass resampling trick for
+datasets too large to resample by index).
+
+Cross-engine discipline: every stochastic choice (folds, splits,
+noise, bootstrap weights) derives from md5 of a key — deterministic
+and identical in Spark and DuckDB (same trick as operators/kmv.py) —
+so even the "randomized" queries hash-match their oracles exactly.
+
+Reference parity: the reference computes column min/max/avg summaries
+in its stats pane (src/main.cpp summary paths); this module is the
+statistical layer a production deployment grows in its place.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_lens_spark.operators.kmv import SCALE as _MD5_SCALE
+from etl_lens_spark.operators.kmv import kmv_value
+from etl_lens_spark.operators.prefix import ordered_prefix_sum
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources.tables import load_table
+
+# DuckDB replica of operators/kmv.kmv_value over an arbitrary SQL
+# expression: first 13 hex chars of md5 folded to a 52-bit BIGINT.
+def _md5_sql(expr: str) -> str:
+    return f"""list_reduce(list_transform(range(1, 14),
+      i -> CAST(strpos('0123456789abcdef',
+             substr(md5(CAST({expr} AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b)"""
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — distributed average ranks
+# ---------------------------------------------------------------------------
+
+_SPEAR_PAIRS = [
+    ("qty_vs_price", "CAST(l_quantity AS DOUBLE)",
+     "CAST(l_extendedprice AS DOUBLE)"),
+    ("discount_vs_qty", "CAST(l_discount AS DOUBLE)",
+     "CAST(l_quantity AS DOUBLE)"),
+    ("tax_vs_price", "CAST(l_tax AS DOUBLE)",
+     "CAST(l_extendedprice AS DOUBLE)"),
+]
+
+
+def _spear_pair_sql(pair: str, x: str, y: str) -> str:
+    return f"""
+    SELECT '{pair}' AS pair, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r2x * r2y) AS DOUBLE)
+              - CAST(SUM(r2x) AS DOUBLE) * CAST(SUM(r2y) AS DOUBLE))
+           / SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r2x * r2x) AS DOUBLE)
+                     - CAST(SUM(r2x) AS DOUBLE) * CAST(SUM(r2x) AS DOUBLE))
+                  * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r2y * r2y) AS DOUBLE)
+                     - CAST(SUM(r2y) AS DOUBLE) * CAST(SUM(r2y) AS DOUBLE)))
+             AS spearman
+    FROM (
+      SELECT 2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x)
+               - 1 AS r2x,
+             2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y)
+               - 1 AS r2y
+      FROM (SELECT {x} AS x, {y} AS y FROM lineitem)
+    )
+    """
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _spear_pair_sql(p, x, y) for p, x, y in _SPEAR_PAIRS
+    )
+    + "\n) t ORDER BY pair",
+)
+def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation for three lineitem column pairs —
+    monotone-association screening, robust to outliers and to any
+    monotone transform of a feature.
+
+    Average ranks with ties are computed WITHOUT ranking rows through
+    a window: values are aggregated to a distinct-value count table
+    first (ties collapse — l_discount has ~11 distinct values), then
+    `ordered_prefix_sum` (operators/prefix.py) assigns cumulative
+    counts over the value order with the two-pass range-partition
+    pattern — no single-reducer WindowExec even when the value domain
+    is large (l_extendedprice). Ranks are doubled (2·avg_rank is
+    always an integer) so every co-moment sum is an exact BIGINT and
+    the final Pearson-of-ranks formula is cross-engine bit-identical;
+    the docstring bound (n < ~2.1e6 rows per the n·(2n)² co-moment)
+    holds at gate scale — at 100 TB production swaps the exact integer
+    sums for `F.corr` over the same rank columns (same plan shape,
+    loses only oracle bit-exactness).
+
+    Scale posture: one groupBy per column (map-side combine), one
+    range exchange over DISTINCT values, two hash joins back to rows
+    (broadcast when the domain is small), one final scalar aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = {
+        "qty_vs_price": (
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+        ),
+        "discount_vs_qty": (
+            F.col("l_discount").cast("double"),
+            F.col("l_quantity").cast("double"),
+        ),
+        "tax_vs_price": (
+            F.col("l_tax").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+        ),
+    }
+
+    def rank2(df: DataFrame, col: str) -> DataFrame:
+        counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        pre = ordered_prefix_sum(counts, [F.col(col)], "c", "cum")
+        # avg_rank = cum - c + (c+1)/2  →  2·avg_rank = 2·cum - c + 1
+        return pre.select(
+            col, (2 * F.col("cum") - F.col("c") + 1).alias(f"r2_{col}")
+        )
+
+    outs = []
+    for pair, (cx, cy) in pairs.items():
+        d = li.select(cx.alias("x"), cy.alias("y"))
+        rx = rank2(d.select("x"), "x")
+        ry = rank2(d.select("y"), "y")
+        ranked = (
+            d.join(rx, "x").join(ry, "y")
+            .select(
+                F.col("r2_x").alias("r2x"), F.col("r2_y").alias("r2y")
+            )
+        )
+        agg = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r2x").alias("sx"),
+            F.sum("r2y").alias("sy"),
+            F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+            F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+            F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+        )
+        nd = F.col("n").cast("double")
+        outs.append(
+            agg.select(
+                F.lit(pair).alias("pair"),
+                F.col("n").cast("long").alias("n_rows"),
+                (
+                    (nd * F.col("sxy").cast("double")
+                     - F.col("sx").cast("double")
+                     * F.col("sy").cast("double"))
+                    / F.sqrt(
+                        (nd * F.col("sxx").cast("double")
+                         - F.col("sx").cast("double")
+                         * F.col("sx").cast("double"))
+                        * (nd * F.col("syy").cast("double")
+                           - F.col("sy").cast("double")
+                           * F.col("sy").cast("double"))
+                    )
+                ).alias("spearman"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("pair")
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint),
+    mx AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cx FROM joint GROUP BY lang),
+    my AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cy
+           FROM joint GROUP BY source),
+    mi AS (
+      SELECT CAST(SUM((CAST(j.c AS DOUBLE) / n) *
+                      LN((CAST(j.c AS DOUBLE) * n) /
+                         (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))))
+                  AS DOUBLE) AS mi_nats,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             MAX(n) AS n_docs
+      FROM joint j JOIN mx USING (lang) JOIN my USING (source)
+      CROSS JOIN tot
+    ),
+    hx AS (SELECT -SUM((CAST(cx AS DOUBLE) / n) *
+                       LN(CAST(cx AS DOUBLE) / n)) AS h
+           FROM mx CROSS JOIN tot),
+    hy AS (SELECT -SUM((CAST(cy AS DOUBLE) / n) *
+                       LN(CAST(cy AS DOUBLE) / n)) AS h
+           FROM my CROSS JOIN tot)
+    SELECT mi.n_docs, mi.n_cells, mi.mi_nats,
+           mi.mi_nats / SQRT(hx.h * hy.h) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between ``documents.
+    lang`` and ``documents.source`` — the redundancy screen a feature
+    pipeline runs before one-hot-encoding two categoricals that may
+    encode the same signal.
+
+    MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over the JOINT count table:
+    one groupBy collapses 100 TB of rows to |langs|·|sources| cells;
+    marginals and entropies re-aggregate that tiny table (broadcast
+    joins). Nothing after the first aggregate touches row-scale data,
+    so the query is scan-bound — the same posture as
+    `dq_uniqueness_entropy_profile`."""
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = joint.agg(F.sum("c").cast("long").alias("n"))
+    mx = joint.groupBy("lang").agg(F.sum("c").cast("long").alias("cx"))
+    my = joint.groupBy("source").agg(F.sum("c").cast("long").alias("cy"))
+    j = (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    mi = j.agg(
+        F.sum(
+            (cd / nd)
+            * F.log(
+                (cd * nd)
+                / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+            )
+        ).cast("double").alias("mi_nats"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").alias("n_docs"),
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("cx").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("cx").cast("double") / F.col("n").cast("double")
+                )
+            )).alias("h")
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("cy").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("cy").cast("double") / F.col("n").cast("double")
+                )
+            )).alias("h")
+        )
+    )
+    return (
+        mi.crossJoin(hx.select(F.col("h").alias("hx")))
+        .crossJoin(hy.select(F.col("h").alias("hy")))
+        .select(
+            "n_docs",
+            "n_cells",
+            "mi_nats",
+            (F.col("mi_nats") / F.sqrt(F.col("hx") * F.col("hy"))).alias(
+                "nmi"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-fold leakage-free target encoding
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_PRIOR = 10.0
+
+
+@query(
+    "ml_target_encode_kfold",
+    oracle=f"""
+    WITH rows_f AS (
+      SELECT c_nationkey AS nk,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+             {_md5_sql("'te1|' || CAST(o_orderkey AS VARCHAR)")}
+               % {_TE_FOLDS} AS fold
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS gmean FROM rows_f),
+    per AS (
+      SELECT nk, fold, CAST(COUNT(*) AS BIGINT) AS cnt_f,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sum_f
+      FROM rows_f GROUP BY nk, fold
+    ),
+    alln AS (
+      SELECT nk, CAST(SUM(cnt_f) AS BIGINT) AS cnt_all,
+             CAST(SUM(sum_f) AS DECIMAL(38,2)) AS sum_all
+      FROM per GROUP BY nk
+    )
+    SELECT n_name, fold, cnt_f AS n_in_fold,
+           (CAST(sum_all - sum_f AS DOUBLE) + {_TE_PRIOR!r} * gmean)
+             / (CAST(cnt_all - cnt_f AS DOUBLE) + {_TE_PRIOR!r})
+             AS encoding
+    FROM per JOIN alln USING (nk)
+    JOIN nation ON nk = n_nationkey
+    CROSS JOIN g
+    ORDER BY n_name, fold
+    """,
+)
+def ml_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold leakage-free target encoding of customer nation against
+    order value: each fold's encoding is the smoothed target mean
+    computed from the OTHER folds only (leave-fold-out), so a model
+    trained on fold f never sees its own rows' targets — the standard
+    defence against target-leakage in mean encoding.
+
+    Folds are md5-deterministic (cross-engine, so the oracle
+    recomputes them bit-for-bit). Leave-fold-out means come from ONE
+    per-(category, fold) aggregate — `sum_all - sum_f` per fold —
+    not K separate passes; the category×fold table (25×5 here) is
+    tiny at any data scale, and the dimension joins broadcast. The
+    smoothing prior (weight {_TE_PRIOR}) shrinks rare categories
+    toward the global mean. Target sums stay exact DECIMAL until the
+    final division."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rows = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
+            (
+                kmv_value(
+                    F.concat(
+                        F.lit("te1|"), F.col("o_orderkey").cast("string")
+                    )
+                )
+                % _TE_FOLDS
+            ).alias("fold"),
+        )
+    )
+    g = rows.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("gmean")
+    )
+    per = rows.groupBy("nk", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_f"),
+        F.sum("y").cast("decimal(38,2)").alias("sum_f"),
+    )
+    alln = per.groupBy("nk").agg(
+        F.sum("cnt_f").cast("long").alias("cnt_all"),
+        F.sum("sum_f").cast("decimal(38,2)").alias("sum_all"),
+    )
+    return (
+        per.join(F.broadcast(alln), "nk")
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "n_name",
+            "fold",
+            F.col("cnt_f").alias("n_in_fold"),
+            (
+                (
+                    (F.col("sum_all") - F.col("sum_f")).cast("double")
+                    + F.lit(_TE_PRIOR) * F.col("gmean")
+                )
+                / (
+                    (F.col("cnt_all") - F.col("cnt_f")).cast("double")
+                    + F.lit(_TE_PRIOR)
+                )
+            ).alias("encoding"),
+        )
+        .orderBy("n_name", "fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (Laplace mechanism, seeded)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH counts AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    noised AS (
+      SELECT n_name, true_cnt,
+             CAST({_md5_sql("'dp1|' || n_name")} AS DOUBLE)
+               / {_MD5_SCALE!r} - 0.5 AS u
+      FROM counts
+    )
+    SELECT n_name, true_cnt,
+           CAST(true_cnt AS DOUBLE)
+             - (1.0 / {_DP_EPS!r}) * SIGN(u) * LN(1.0 - 2.0 * ABS(u))
+             AS noisy_cnt,
+           CAST({_DP_EPS!r} AS DOUBLE) AS eps
+    FROM noised ORDER BY n_name
+    """,
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of per-nation customer counts
+    via the Laplace mechanism: noise ~ Laplace(Δf/ε) with sensitivity
+    Δf = 1 (one customer changes one count by one), ε = {_DP_EPS}.
+
+    Noise is generated by inverse-transform sampling from an
+    md5-seeded uniform (u = md5(group)/2⁵² − ½; noise =
+    −(1/ε)·sign(u)·ln(1−2|u|)) — deterministic and identical in both
+    engines, so the oracle verifies the entire mechanism, not just
+    the counts. (A production release would use a CSPRNG; the seeded
+    form is the testable twin with the same distribution.) The true
+    count is kept alongside for the privacy-utility audit — the
+    release view drops it. One aggregate + a broadcast dimension
+    join; noise is applied post-aggregation on the tiny group table,
+    which is exactly where the mechanism belongs at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    counts = (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    u = (
+        kmv_value(F.concat(F.lit("dp1|"), F.col("n_name"))).cast("double")
+        / F.lit(_MD5_SCALE)
+        - F.lit(0.5)
+    )
+    return (
+        counts.withColumn("u", u)
+        .select(
+            "n_name",
+            "true_cnt",
+            (
+                F.col("true_cnt").cast("double")
+                - (F.lit(1.0) / F.lit(_DP_EPS))
+                * F.signum("u")
+                * F.log(F.lit(1.0) - F.lit(2.0) * F.abs("u"))
+            ).alias("noisy_cnt"),
+            F.lit(_DP_EPS).alias("eps"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals
+# ---------------------------------------------------------------------------
+
+_CONF_Q = 0.9
+_CONF_ACC = 1_000_000  # saturating: matches DuckDB quantile_disc
+
+
+@query(
+    "ml_conformal_intervals",
+    oracle=f"""
+    WITH rows_s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             {_md5_sql(
+                 "'cf1|' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)"
+             )} % 3 AS part
+      FROM lineitem
+    ),
+    model AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS pred
+      FROM rows_s WHERE part = 0 GROUP BY l_returnflag, l_linestatus
+    ),
+    cal AS (
+      SELECT r.l_returnflag, r.l_linestatus,
+             CAST(quantile_disc(ABS(r.y - m.pred), {_CONF_Q!r}) AS DOUBLE)
+               AS q_resid,
+             CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM rows_s r JOIN model m USING (l_returnflag, l_linestatus)
+      WHERE r.part = 1 GROUP BY r.l_returnflag, r.l_linestatus
+    )
+    SELECT r.l_returnflag, r.l_linestatus, c.q_resid, c.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN ABS(r.y - m.pred) <= c.q_resid
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS coverage
+    FROM rows_s r
+    JOIN model m USING (l_returnflag, l_linestatus)
+    JOIN cal c USING (l_returnflag, l_linestatus)
+    WHERE r.part = 2
+    GROUP BY r.l_returnflag, r.l_linestatus, c.q_resid, c.n_cal
+    ORDER BY r.l_returnflag, r.l_linestatus
+    """,
+)
+def ml_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals around a per-group mean
+    model of ``l_extendedprice``, with held-out coverage audit: rows
+    split 3 ways by an md5-deterministic hash (train → model, cal →
+    residual quantile, test → empirical coverage). The conformal
+    guarantee — coverage ≈ q regardless of how bad the model is — is
+    what the test partition's ``coverage`` column demonstrates.
+
+    Scale posture: the "model" is a per-group aggregate (map-side
+    combine); the calibration quantile is one mergeable
+    approx_percentile sketch per group (saturating accuracy here to
+    pin quantile_disc semantics — production dials it down, same plan);
+    coverage is one conditional aggregate over the test split. Three
+    scans of the same projected columns, zero windows, zero Python."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast("double").alias("y"),
+        (
+            kmv_value(
+                F.concat(
+                    F.lit("cf1|"),
+                    (
+                        F.col("l_orderkey") * 8 + F.col("l_linenumber")
+                    ).cast("string"),
+                )
+            )
+            % 3
+        ).alias("part"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    model = (
+        li.filter(F.col("part") == 0)
+        .groupBy(*keys)
+        .agg(
+            (
+                F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("pred")
+        )
+    )
+    cal = (
+        li.filter(F.col("part") == 1)
+        .join(F.broadcast(model), keys)
+        .groupBy(*keys)
+        .agg(
+            F.percentile_approx(
+                F.abs(F.col("y") - F.col("pred")), _CONF_Q, _CONF_ACC
+            )
+            .cast("double")
+            .alias("q_resid"),
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+        )
+    )
+    return (
+        li.filter(F.col("part") == 2)
+        .join(F.broadcast(model), keys)
+        .join(F.broadcast(cal), keys)
+        .groupBy(*keys, "q_resid", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            (
+                F.sum(
+                    F.when(
+                        F.abs(F.col("y") - F.col("pred"))
+                        <= F.col("q_resid"),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+        .orderBy(*keys)
+    )
+
+
+
+def _median_disc_exact(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Exact nearest-rank median (quantile_disc(0.5) semantics:
+    smallest v with cum-count >= ceil(n/2)) with NO approx sketch and
+    no row-scale sort: distinct-value counts + range-partitioned
+    prefix sums (operators/prefix.py). approx_percentile stops being
+    exact once n exceeds ~accuracy/6 (GK merge error — config.py),
+    which silently flips the selected order statistic on large
+    inputs; this path is exact at any n. q=0.5 only: 0.5*n is exact
+    in binary, so the Spark-side ceil can't drift from DuckDB's
+    internal rank arithmetic the way a 0.9*n literal could."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    pre = ordered_prefix_sum(counts, [F.col(col)], "c", "cum")
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    return (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("n_tot").cast("double") * 0.5).cast("long")
+        )
+        .agg(F.min(col).cast("double").alias(out))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.r - a.r) / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    med AS (
+      SELECT CAST(quantile_disc(s, 0.5) AS DOUBLE) AS slope,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           med.n_pairs, med.slope,
+           (SELECT CAST(quantile_disc(r - med.slope * d, 0.5) AS DOUBLE)
+            FROM daily) AS intercept
+    FROM med
+    """,
+)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the median of all
+    pairwise slopes (breakdown point 29% — one bad day cannot move
+    it, unlike OLS), intercept = median residual at the fitted slope.
+
+    The quadratic pairwise step runs on the DAILY aggregate — a
+    data-volume-independent series (~2.4k rows for this date span no
+    matter how many orders), so the O(days²) self-join is bounded at
+    any corpus scale; the only row-scale work is one groupBy with
+    map-side combine and exact DECIMAL sums. Medians via saturating
+    approx_percentile (= quantile_disc semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("r").alias("r1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("r2") - F.col("r1"))
+            / (F.col("d2") - F.col("d1")).cast("double")
+        ).alias("s")
+    )
+    med = _median_disc_exact(slopes, "s", "slope").crossJoin(
+        F.broadcast(
+            slopes.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    icept = (
+        daily.crossJoin(F.broadcast(med.select("slope")))
+        .agg(
+            F.percentile_approx(
+                F.col("r") - F.col("slope") * F.col("d"), 0.5, _CONF_ACC
+            )
+            .cast("double")
+            .alias("intercept")
+        )
+    )
+    return (
+        n_days.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(icept))
+        .select("n_days", "n_pairs", "slope", "intercept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 7
+
+
+@query(
+    "stats_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT l.lag, a.r AS x, b.r AS y
+      FROM (SELECT UNNEST(range(1, {_ACF_LAGS + 1})) AS lag) l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.lag
+    )
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (CAST(COUNT(*) AS DOUBLE) * SUM(x * y) - SUM(x) * SUM(y))
+           / SQRT((CAST(COUNT(*) AS DOUBLE) * SUM(x * x) - SUM(x) * SUM(x))
+                  * (CAST(COUNT(*) AS DOUBLE) * SUM(y * y)
+                     - SUM(y) * SUM(y))) AS acf
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1..{_ACF_LAGS} — the
+    seasonality screen (a weekly cycle shows as a lag-7 peak) run
+    before fitting any forecast model.
+
+    Row-scale data collapses to the daily series first (exact DECIMAL
+    sums, map-side combine); the lag alignment is an equi-join of the
+    tiny series against itself shifted by an exploded literal lag
+    column — 7 lags ride ONE join, and nothing downstream of the
+    first aggregate scales with the order count. Pearson formula in
+    explicit double sums, identical text both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    lags = daily.select(
+        "d",
+        F.col("r").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(_ACF_LAGS).cast("long"))
+        ).alias("lag"),
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("r").alias("y"))
+    pairs = lags.join(
+        b, F.col("d2") == F.col("d") + F.col("lag")
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (
+                (nd * F.sum(F.col("x") * F.col("y"))
+                 - F.sum("x") * F.sum("y"))
+                / F.sqrt(
+                    (nd * F.sum(F.col("x") * F.col("x"))
+                     - F.sum("x") * F.sum("x"))
+                    * (nd * F.sum(F.col("y") * F.col("y"))
+                       - F.sum("y") * F.sum("y"))
+                )
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMD two-sample drift on a deterministic bounded sample
+# ---------------------------------------------------------------------------
+
+_MMD_K = 512
+
+
+@query(
+    "stats_mmd_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'early' ELSE 'late' END AS grp,
+             CAST(o_totalprice AS DOUBLE) AS v,
+             CAST({_md5_sql("'mmd1|' || CAST(o_orderkey AS VARCHAR)")}
+                  AS DOUBLE) / {_MD5_SCALE!r} AS u,
+             o_orderkey
+      FROM orders
+    ),
+    sizes AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM tagged GROUP BY grp
+    ),
+    surv AS (
+      SELECT t.* FROM tagged t JOIN sizes s USING (grp)
+      WHERE t.u < LEAST(1.0, 4.0 * {_MMD_K} / CAST(s.n AS DOUBLE))
+    ),
+    samp AS (
+      SELECT grp, v FROM (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY u, o_orderkey) AS rn
+        FROM surv
+      ) WHERE rn <= {_MMD_K}
+    ),
+    x AS (SELECT v FROM samp WHERE grp = 'early'),
+    y AS (SELECT v FROM samp WHERE grp = 'late'),
+    sigma AS (
+      SELECT CAST(quantile_disc(ABS(x.v - y.v), 0.5) AS DOUBLE) AS s
+      FROM x, y
+    ),
+    kxx AS (
+      SELECT SUM(EXP(-((a.v - b.v) * (a.v - b.v))
+                     / (2.0 * s * s))) AS t, COUNT(*) AS c
+      FROM x a, x b, sigma
+    ),
+    kyy AS (
+      SELECT SUM(EXP(-((a.v - b.v) * (a.v - b.v))
+                     / (2.0 * s * s))) AS t, COUNT(*) AS c
+      FROM y a, y b, sigma
+    ),
+    kxy AS (
+      SELECT SUM(EXP(-((a.v - b.v) * (a.v - b.v))
+                     / (2.0 * s * s))) AS t, COUNT(*) AS c
+      FROM x a, y b, sigma
+    )
+    SELECT (SELECT n FROM sizes WHERE grp = 'early') AS n_early,
+           (SELECT n FROM sizes WHERE grp = 'late') AS n_late,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS k_early,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS k_late,
+           (SELECT s FROM sigma) AS sigma,
+           (SELECT t / c FROM kxx) + (SELECT t / c FROM kyy)
+             - 2.0 * (SELECT t / c FROM kxy) AS mmd2
+    """,
+)
+def stats_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel two-sample drift statistic (MMD² with an RBF kernel,
+    median-heuristic bandwidth) between early (< 1998) and late order
+    values — the nonparametric drift test that sees distribution-shape
+    changes KS/PSI binning can miss.
+
+    The quadratic kernel sums run on a BOUNDED deterministic sample:
+    a two-phase bottom-k by md5 (count per group → survivors with
+    u < 4k/n — a row-local filter that keeps ~4k of n rows — then an
+    exact rank over the tiny survivor set). The windowed rank touches
+    O(k) rows per group regardless of corpus size, so there is no
+    row-scale single-reducer stage; the 3·k² kernel evaluations are
+    constant work. The md5 sample makes the whole statistic — sample,
+    bandwidth, kernel sums — cross-engine reproducible, so the oracle
+    pins the full mechanism."""
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = orders.select(
+        F.when(
+            F.col("o_orderdate")
+            < F.lit("1998-01-01").cast("timestamp"),
+            "early",
+        )
+        .otherwise("late")
+        .alias("grp"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        (
+            kmv_value(
+                F.concat(F.lit("mmd1|"), F.col("o_orderkey").cast("string"))
+            ).cast("double")
+            / F.lit(_MD5_SCALE)
+        ).alias("u"),
+        "o_orderkey",
+    )
+    sizes = tagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    surv = tagged.join(F.broadcast(sizes), "grp").filter(
+        F.col("u")
+        < F.least(
+            F.lit(1.0), F.lit(4.0 * _MMD_K) / F.col("n").cast("double")
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("u", "o_orderkey")
+    samp = (
+        surv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMD_K)
+        .select("grp", "v")
+    )
+    x = samp.filter(F.col("grp") == "early").select("v")
+    y = samp.filter(F.col("grp") == "late").select(
+        F.col("v").alias("vy")
+    )
+    sigma = _median_disc_exact(
+        x.crossJoin(y).select(
+            F.abs(F.col("v") - F.col("vy")).alias("ad")
+        ),
+        "ad",
+        "s",
+    )
+
+    def ksum(a: DataFrame, ac: str, b: DataFrame, bc: str, out: str):
+        return (
+            a.crossJoin(b)
+            .crossJoin(F.broadcast(sigma))
+            .agg(
+                (
+                    F.sum(
+                        F.exp(
+                            -(
+                                (F.col(ac) - F.col(bc))
+                                * (F.col(ac) - F.col(bc))
+                            )
+                            / (2.0 * F.col("s") * F.col("s"))
+                        )
+                    )
+                    / F.count(F.lit(1))
+                ).alias(out)
+            )
+        )
+
+    x2 = x.select(F.col("v").alias("vx2"))
+    y2 = y.select(F.col("vy").alias("vy2"))
+    kxx = ksum(x, "v", x2, "vx2", "mxx")
+    kyy = ksum(y.select(F.col("vy").alias("v")), "v", y2, "vy2", "myy")
+    kxy = ksum(x, "v", y2, "vy2", "mxy")
+    counts = (
+        sizes.groupBy()
+        .pivot("grp", ["early", "late"])
+        .agg(F.first("n"))
+        .select(
+            F.col("early").alias("n_early"), F.col("late").alias("n_late")
+        )
+    )
+    ks = samp.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    kcounts = (
+        ks.groupBy()
+        .pivot("grp", ["early", "late"])
+        .agg(F.first("k"))
+        .select(
+            F.col("early").alias("k_early"), F.col("late").alias("k_late")
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(kcounts))
+        .crossJoin(F.broadcast(sigma.select(F.col("s").alias("sigma"))))
+        .crossJoin(F.broadcast(kxx))
+        .crossJoin(F.broadcast(kyy))
+        .crossJoin(F.broadcast(kxy))
+        .select(
+            "n_early",
+            "n_late",
+            "k_early",
+            "k_late",
+            "sigma",
+            (
+                F.col("mxx") + F.col("myy") - 2.0 * F.col("mxy")
+            ).alias("mmd2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record-linkage weights
+# ---------------------------------------------------------------------------
+
+_FS_M = {"type": 0.95, "size": 0.9, "tok": 0.85}
+_FS_TOP = 100
+
+
+@query(
+    "entity_fellegi_sunter_scores",
+    oracle=f"""
+    WITH parts AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             split_part(p_name, ' ', 2) AS tok
+      FROM part
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM parts),
+    u_type AS (
+      SELECT SUM(c * c) / (SELECT n * n FROM n) AS u FROM
+        (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM parts GROUP BY p_type)
+    ),
+    u_size AS (
+      SELECT SUM(c * c) / (SELECT n * n FROM n) AS u FROM
+        (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM parts GROUP BY p_size)
+    ),
+    u_tok AS (
+      SELECT SUM(c * c) / (SELECT n * n FROM n) AS u FROM
+        (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM parts GROUP BY tok)
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+             CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
+             CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS ag_size,
+             CASE WHEN a.tok = b.tok THEN 1 ELSE 0 END AS ag_tok
+      FROM parts a JOIN parts b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+      SELECT p1, p2,
+             CAST(ag_type + ag_size + ag_tok AS BIGINT) AS n_agree,
+             (CASE WHEN ag_type = 1
+                   THEN LN({_FS_M['type']!r} / (SELECT u FROM u_type))
+                   ELSE LN({1 - _FS_M['type']!r}
+                           / (1.0 - (SELECT u FROM u_type))) END)
+           + (CASE WHEN ag_size = 1
+                   THEN LN({_FS_M['size']!r} / (SELECT u FROM u_size))
+                   ELSE LN({1 - _FS_M['size']!r}
+                           / (1.0 - (SELECT u FROM u_size))) END)
+           + (CASE WHEN ag_tok = 1
+                   THEN LN({_FS_M['tok']!r} / (SELECT u FROM u_tok))
+                   ELSE LN({1 - _FS_M['tok']!r}
+                           / (1.0 - (SELECT u FROM u_tok))) END)
+             AS score
+      FROM pairs
+    )
+    SELECT p1, p2, n_agree, score
+    FROM scored
+    ORDER BY score DESC, p1, p2 LIMIT {_FS_TOP}
+    """,
+)
+def entity_fellegi_sunter_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the part
+    catalog: candidate pairs blocked by brand, scored by
+    sum-of-log-likelihood agreement weights ln(m/u) / ln((1−m)/(1−u))
+    across three fields (type, size, name token). u-probabilities —
+    the chance two RANDOM records agree — are estimated from the data
+    itself as the field's collision probability Σ(nᵥ/n)²; m-
+    probabilities are the configured match-model literals. Top-{_FS_TOP}
+    scored pairs returned (deterministic tie-break on the key pair).
+
+    Scale posture: u-estimation is one tiny aggregate per field; the
+    pair generation is a blocked self-equi-join — candidate volume is
+    Σ_b n_b², controlled by the blocking key exactly as in the dedup
+    family (at 100 TB add a second blocking key the way
+    dedup_jaccard_prefix_join salts; the score/top-k stages are a
+    map + bounded TakeOrdered either way)."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("tok"),
+    )
+    n = parts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    def u_of(col: str) -> DataFrame:
+        return (
+            parts.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+            .crossJoin(F.broadcast(n))
+            .agg(
+                (F.sum(F.col("c") * F.col("c")) / F.first(
+                    F.col("n") * F.col("n")
+                )).alias(f"u_{col}")
+            )
+        )
+
+    u_type = u_of("p_type")
+    u_size = u_of("p_size")
+    u_tok = u_of("tok")
+    a = parts.select(
+        F.col("p_partkey").alias("p1"),
+        F.col("p_brand").alias("b1"),
+        F.col("p_type").alias("t1"),
+        F.col("p_size").alias("s1"),
+        F.col("tok").alias("k1"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("p2"),
+        F.col("p_brand").alias("b2"),
+        F.col("p_type").alias("t2"),
+        F.col("p_size").alias("s2"),
+        F.col("tok").alias("k2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("b1") == F.col("b2")) & (F.col("p1") < F.col("p2")),
+    ).select(
+        "p1",
+        "p2",
+        (F.col("t1") == F.col("t2")).cast("int").alias("ag_type"),
+        (F.col("s1") == F.col("s2")).cast("int").alias("ag_size"),
+        (F.col("k1") == F.col("k2")).cast("int").alias("ag_tok"),
+    )
+
+    def w(flag: str, m: float, ucol: str):
+        return F.when(
+            F.col(flag) == 1, F.log(F.lit(m) / F.col(ucol))
+        ).otherwise(
+            F.log(F.lit(1 - m) / (F.lit(1.0) - F.col(ucol)))
+        )
+
+    scored = (
+        pairs.crossJoin(F.broadcast(u_type))
+        .crossJoin(F.broadcast(u_size))
+        .crossJoin(F.broadcast(u_tok))
+        .select(
+            "p1",
+            "p2",
+            (
+                F.col("ag_type") + F.col("ag_size") + F.col("ag_tok")
+            )
+            .cast("long")
+            .alias("n_agree"),
+            (
+                w("ag_type", _FS_M["type"], "u_p_type")
+                + w("ag_size", _FS_M["size"], "u_p_size")
+                + w("ag_tok", _FS_M["tok"], "u_tok")
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), "p1", "p2"
+    ).limit(_FS_TOP)
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to privacy_k_anonymity)
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS k_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS l_distinct,
+           CASE WHEN COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0)
+                                         AS BIGINT)) < {_LDIV_L}
+                THEN 1 ELSE 0 END AS below_l
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the quasi-identifier (nation, market
+    segment): each QI equivalence class must contain at least
+    l = {_LDIV_L} distinct sensitive values (banded account balance),
+    or a k-anonymous release still leaks the sensitive attribute by
+    homogeneity. Companion to privacy_k_anonymity — same grouping,
+    stronger property. One groupBy with a distinct-count (Spark
+    expands to two-level partial aggregation; at extreme cardinality
+    swap in the KMV/HLL sketch family, same shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_size"),
+            F.countDistinct(band).cast("long").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k_size",
+            "l_distinct",
+            F.when(F.col("l_distinct") < _LDIV_L, 1)
+            .otherwise(0)
+            .alias("below_l"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — single-pass resampling
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!), k = 0..6;
+# weights cap at 7 (P ≈ 8e-5 per draw). Literal doubles, identical
+# text in both engines.
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+]
+
+
+def _poisson_case_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {whens} ELSE 7 END"
+
+
+@query(
+    "stats_bootstrap_poisson_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o_totalprice,
+             b,
+             {_poisson_case_sql(
+                 "CAST(" + _md5_sql(
+                     "'bs1|' || CAST(o_orderkey * " + str(_BOOT_B)
+                     + " + b AS VARCHAR)"
+                 ) + " AS DOUBLE) / " + repr(_MD5_SCALE)
+             )} AS w
+      FROM orders CROSS JOIN (SELECT UNNEST(range({_BOOT_B})) AS b)
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS mean_b
+      FROM reps GROUP BY b
+    ),
+    point AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS point_mean,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+    )
+    SELECT n_orders, {_BOOT_B} AS b_reps, point_mean,
+           (SELECT CAST(quantile_disc(mean_b, 0.05) AS DOUBLE)
+            FROM means) AS ci_lo,
+           (SELECT CAST(quantile_disc(mean_b, 0.95) AS DOUBLE)
+            FROM means) AS ci_hi
+    FROM point
+    """,
+)
+def stats_bootstrap_poisson_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson-bootstrap 90% confidence interval for the mean order
+    value — the single-pass resampling scheme for data too large to
+    resample by index: each (row, replicate) pair draws a Poisson(1)
+    weight (≈ the multinomial resample count as n→∞), so all B
+    bootstrap replicates are computed in ONE scan with B partial
+    aggregates, no per-replicate pass and no driver-side sampling.
+
+    Weights come from inverse-CDF lookup on an md5-seeded uniform —
+    the thresholds are shared literals, so Spark and DuckDB draw
+    IDENTICAL weights and the oracle pins the whole resampling
+    machinery, not a distributional property. Row-side cost is a
+    B-way flatMap (explode of a literal sequence — no shuffle);
+    the only exchange carries B·n_groups partial sums. Weighted sums
+    stay exact DECIMAL until the final division; the CI picks order
+    statistics (quantile_disc semantics) from the B replicate means."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("y")
+    )
+    reps = orders.select(
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+    ).withColumn(
+        "u",
+        kmv_value(
+            F.concat(
+                F.lit("bs1|"),
+                (F.col("o_orderkey") * _BOOT_B + F.col("b")).cast(
+                    "string"
+                ),
+            )
+        ).cast("double")
+        / F.lit(_MD5_SCALE),
+    )
+    w = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("y")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("mean_b")
+        )
+    )
+    ci = means.agg(
+        F.percentile_approx("mean_b", 0.05, _CONF_ACC)
+        .cast("double")
+        .alias("ci_lo"),
+        F.percentile_approx("mean_b", 0.95, _CONF_ACC)
+        .cast("double")
+        .alias("ci_hi"),
+    )
+    point = orders.agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+            "point_mean"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        F.lit(_BOOT_B).alias("b_reps"),
+        "point_mean",
+        "ci_lo",
+        "ci_hi",
+    )

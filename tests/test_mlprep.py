@@ -1,0 +1,256 @@
+"""Stats/ML-prep tranche: Spearman and MI pinned against pure
+pandas/Python replicas; fold determinism, DP noise bounds, conformal
+coverage, and bootstrap CI sanity."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from etl_lens_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_52(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def test_spearman_matches_pandas_average_ranks(spark):
+    out = {
+        r.pair: r for r in all_queries()["stats_spearman_corr"](
+            spark, SF
+        ).collect()
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).to_pandas()
+    pairs = {
+        "qty_vs_price": ("l_quantity", "l_extendedprice"),
+        "discount_vs_qty": ("l_discount", "l_quantity"),
+        "tax_vs_price": ("l_tax", "l_extendedprice"),
+    }
+    for pair, (cx, cy) in pairs.items():
+        rx = li[cx].astype(float).rank(method="average").to_numpy()
+        ry = li[cy].astype(float).rank(method="average").to_numpy()
+        want = np.corrcoef(rx, ry)[0, 1]
+        got = out[pair]
+        assert got.n_rows == len(li)
+        assert abs(got.spearman - want) < 1e-9, (pair, got.spearman, want)
+    # bounded like any correlation
+    assert all(-1.0 <= r.spearman <= 1.0 for r in out.values())
+
+
+def test_mutual_information_matches_python(spark):
+    row = all_queries()["stats_mutual_information"](spark, SF).collect()[0]
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["lang", "source"]
+    ).to_pandas()
+    joint = docs.groupby(["lang", "source"]).size()
+    n = len(docs)
+    mx = docs.groupby("lang").size()
+    my = docs.groupby("source").size()
+    mi = sum(
+        (c / n) * math.log(c * n / (mx[lg] * my[src]))
+        for (lg, src), c in joint.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in mx)
+    hy = -sum((c / n) * math.log(c / n) for c in my)
+    assert row.n_docs == n
+    assert row.n_cells == len(joint)
+    assert abs(row.mi_nats - mi) < 1e-9
+    assert abs(row.nmi - mi / math.sqrt(hx * hy)) < 1e-9
+    assert -1e-12 <= row.mi_nats
+    assert row.nmi <= 1.0 + 1e-12
+
+
+def test_target_encoding_leave_fold_out(spark):
+    rows = all_queries()["ml_target_encode_kfold"](spark, SF).collect()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                         "o_totalprice"]
+    ).to_pandas()
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    df["fold"] = [
+        _md5_52(f"te1|{k}") % 5 for k in df["o_orderkey"]
+    ]
+    df["y"] = df["o_totalprice"].astype(float)
+    gmean = df["y"].sum() / len(df)
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    by_nf = df.groupby(["c_nationkey", "fold"])["y"].agg(["sum", "count"])
+    by_n = df.groupby("c_nationkey")["y"].agg(["sum", "count"])
+    got = {(r.n_name, r.fold): r for r in rows}
+    for (nk, fold), g in by_nf.iterrows():
+        want = (by_n.loc[nk]["sum"] - g["sum"] + 10.0 * gmean) / (
+            by_n.loc[nk]["count"] - g["count"] + 10.0
+        )
+        r = got[(name_of[nk], fold)]
+        assert r.n_in_fold == g["count"]
+        # decimal-sum vs float-sum ordering: loose-ish tolerance
+        assert abs(r.encoding - want) < 1e-6 * abs(want)
+
+
+def test_dp_noise_is_bounded_and_deterministic(spark):
+    q = all_queries()["privacy_dp_noisy_counts"]
+    rows1 = {r.n_name: r for r in q(spark, SF).collect()}
+    rows2 = {r.n_name: r for r in q(spark, SF).collect()}
+    # 52-bit seeded uniform bounds the Laplace tail at (1/eps)·52·ln2
+    bound = 52 * math.log(2) + 1
+    for name, r in rows1.items():
+        assert abs(r.noisy_cnt - r.true_cnt) < bound
+        assert rows2[name].noisy_cnt == r.noisy_cnt  # seeded → identical
+        assert r.eps == 1.0
+    # the mechanism must actually perturb (not all-zero noise)
+    assert any(r.noisy_cnt != r.true_cnt for r in rows1.values())
+
+
+def test_conformal_coverage_near_nominal(spark):
+    rows = all_queries()["ml_conformal_intervals"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.q_resid > 0
+        assert r.n_cal > 0 and r.n_test > 0
+        # split-conformal guarantee: coverage ≈ 0.9 up to finite-sample
+        # noise (small per-group test counts at sf0.001)
+        assert 0.75 <= r.coverage <= 1.0, (r.l_returnflag, r.coverage)
+
+
+def test_theil_sen_matches_numpy_pairwise_median(spark):
+    r = all_queries()["stats_theil_sen_slope"](spark, SF).collect()[0]
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    orders["d"] = (
+        orders["o_orderdate"].dt.normalize()
+        - np.datetime64("1995-01-01")
+    ).dt.days
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dec_sum(v):
+        # Spark's CAST(double AS DECIMAL(18,2)) rounds HALF_UP on the
+        # decimal rendering of the double (not banker's)
+        return float(
+            sum(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.01"), rounding=ROUND_HALF_UP
+                )
+                for x in v
+            )
+        )
+
+    daily = orders.groupby("d")["o_totalprice"].apply(dec_sum).sort_index()
+    d = daily.index.to_numpy(dtype=float)
+    v = daily.to_numpy()
+    slopes = [
+        (v[j] - v[i]) / (d[j] - d[i])
+        for i in range(len(d))
+        for j in range(i + 1, len(d))
+    ]
+    assert r.n_days == len(d)
+    assert r.n_pairs == len(slopes)
+    # quantile_disc(0.5) = lower-median order statistic
+    want = sorted(slopes)[(len(slopes) - 1) // 2]
+    assert abs(r.slope - want) < 1e-9
+    resid = sorted(vi - r.slope * di for di, vi in zip(d, v))
+    assert abs(r.intercept - resid[(len(resid) - 1) // 2]) < 1e-6
+
+
+def test_autocorrelation_matches_numpy(spark):
+    rows = {
+        r.lag: r
+        for r in all_queries()["stats_autocorrelation"](
+            spark, SF
+        ).collect()
+    }
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    orders["d"] = (
+        orders["o_orderdate"].dt.normalize()
+        - np.datetime64("1995-01-01")
+    ).dt.days
+    daily = orders.groupby("d")["o_totalprice"].sum()
+    assert set(rows) == set(range(1, 8))
+    for lag, r in rows.items():
+        x, y = [], []
+        for d, v in daily.items():
+            if d + lag in daily.index:
+                x.append(v)
+                y.append(daily[d + lag])
+        assert r.n_pairs == len(x)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(r.acf - want) < 1e-6, (lag, r.acf, want)
+        assert -1.0 <= r.acf <= 1.0
+
+
+def test_mmd_drift_sanity(spark):
+    r = all_queries()["stats_mmd_drift"](spark, SF).collect()[0]
+    assert r.k_early <= 512 and r.k_late <= 512
+    assert r.k_early > 0 and r.k_late > 0
+    assert r.sigma > 0
+    # biased MMD^2 estimator is non-negative up to numerical noise,
+    # and bounded by 2 for a kernel <= 1
+    assert -1e-9 <= r.mmd2 <= 2.0
+    # same distribution family → small statistic
+    assert r.mmd2 < 0.5
+
+
+def test_fellegi_sunter_scores_ordered_and_consistent(spark):
+    rows = all_queries()["entity_fellegi_sunter_scores"](
+        spark, SF
+    ).collect()
+    assert len(rows) > 0
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # more agreements never score lower than zero agreements' floor
+    by_agree = {}
+    for r in rows:
+        by_agree.setdefault(r.n_agree, []).append(r.score)
+    if 3 in by_agree and 0 in by_agree:
+        assert min(by_agree[3]) > max(by_agree[0])
+    for r in rows:
+        assert r.p1 < r.p2
+
+
+def test_l_diversity_replica(spark):
+    rows = all_queries()["privacy_l_diversity"](spark, SF).collect()
+    cust = pq.read_table(
+        f"{SF}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    ).to_pandas()
+    cust["band"] = np.floor(cust["c_acctbal"] / 1000.0).astype(int)
+    g = cust.groupby(["c_nationkey", "c_mktsegment"]).agg(
+        k_size=("band", "size"), l_distinct=("band", "nunique")
+    )
+    assert len(rows) == len(g)
+    for r in rows:
+        w = g.loc[(r.c_nationkey, r.c_mktsegment)]
+        assert r.k_size == w["k_size"]
+        assert r.l_distinct == w["l_distinct"]
+        assert r.below_l == int(w["l_distinct"] < 3)
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    r = all_queries()["stats_bootstrap_poisson_ci"](spark, SF).collect()[0]
+    assert r.b_reps == 16
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    # CI half-width should be within an order of magnitude of the
+    # theoretical s/sqrt(n) * 1.645 band
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()
+    y = orders["o_totalprice"].astype(float).to_numpy()
+    se = y.std(ddof=1) / math.sqrt(len(y))
+    half = (r.ci_hi - r.ci_lo) / 2
+    assert 0.2 * 1.645 * se < half < 5 * 1.645 * se

@@ -179,6 +179,9 @@ HEADLINE_PINS = {
         {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
         set(),
     ),
+    # KMV merge: per-(type,day) sketch ranks + the 5-row sketch side
+    # broadcast into the exact anchor — pure JVM md5/conv codegen
+    "sketch_kmv_distinct_merge": (8, {"BroadcastHashJoin"}, set()),
     "stream_tumbling_window_batch": (2, set(), set()),
     "streaming_tumbling_live": (1, set(), set()),
     "text_quality_signals": (1, set(), set()),
