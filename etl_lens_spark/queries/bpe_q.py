@@ -199,3 +199,186 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy tokenizer — full segmentation oracle-checked
+# ---------------------------------------------------------------------------
+
+_WP_TOPK = 64  # multi-char vocab size (singles always included)
+_WP_MAXP = 4  # max piece length
+_WP_MAXW = 16  # max word length considered
+_WP_OUT = 40  # output rows
+
+
+@query(
+    "text_wordpiece_tokenize",
+    oracle=f"""
+    WITH RECURSIVE {_WF_SQL},
+    wfl AS (SELECT * FROM wf WHERE length(word) <= {_WP_MAXW}),
+    cand AS (
+        SELECT word, freq, CAST(u.pos AS BIGINT) AS pos,
+               CAST(v.l AS BIGINT) AS l,
+               substr(word, u.pos, v.l) AS s, (u.pos = 1) AS initial
+        FROM wfl,
+             LATERAL (SELECT unnest(range(1, length(word) + 1)) AS pos) u,
+             LATERAL (SELECT unnest(range(1, {_WP_MAXP + 1})) AS l) v
+        WHERE u.pos + v.l - 1 <= length(word)
+    ),
+    multi AS (
+        SELECT s, l, initial
+        FROM (
+            SELECT s, l, initial, CAST(SUM(freq) AS BIGINT) AS c
+            FROM cand WHERE l >= 2 GROUP BY s, l, initial
+        ) ORDER BY c DESC, s, initial LIMIT {_WP_TOPK}
+    ),
+    vocab AS (
+        SELECT DISTINCT s, l, initial FROM cand WHERE l = 1
+        UNION ALL
+        SELECT s, l, initial FROM multi
+    ),
+    best AS (
+        SELECT c.word, c.pos,
+               max_by(CASE WHEN v.initial THEN v.s
+                           ELSE '##' || v.s END, v.l) AS piece,
+               MAX(v.l) AS plen
+        FROM cand c JOIN vocab v USING (s, l, initial)
+        GROUP BY c.word, c.pos
+    ),
+    walk AS (
+        SELECT word, freq, CAST(1 AS BIGINT) AS pos,
+               '' AS toks, CAST(0 AS BIGINT) AS n
+        FROM wfl
+        UNION ALL
+        SELECT w.word, w.freq, w.pos + b.plen,
+               w.toks || CASE WHEN w.pos = 1 THEN '' ELSE ' ' END
+                      || b.piece,
+               w.n + 1
+        FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+        WHERE w.pos <= length(w.word)
+    )
+    SELECT word, freq, n AS n_pieces, toks AS pieces
+    FROM walk WHERE pos = length(word) + 1
+    ORDER BY freq DESC, word LIMIT {_WP_OUT}
+    """,
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] WordPiece greedy longest-match tokenization with the FULL
+    segmentation oracle-checked — the third tokenizer family next to
+    BPE (merge-rule) and unigram-LM (Viterbi), and the only one whose
+    complete encode is cross-engine verified, not just its statistics.
+
+    Vocab = every single character (coverage guarantee — no [UNK]
+    path needed) plus the top-{_WP_TOPK} frequency-weighted substrings
+    of length 2..{_WP_MAXP}, position-split into word-initial pieces
+    and '##'-marked continuation pieces, exactly BERT's convention.
+    The greedy choice at a position depends only on (word, pos), so
+    the longest-match table is precomputed as ONE join + max_by
+    aggregate — the recursion (DuckDB WITH RECURSIVE; Spark
+    operators/fixpoint.iterate_fixpoint, ≤{_WP_MAXW}+1 bounded
+    iterations with O(1) lineage) is then a pure pointer walk that
+    both engines execute identically.
+
+    Scale posture: the corpus collapses to the (word, freq) vocab
+    table in the first aggregate — everything downstream (candidate
+    grams, top-K, the walk) is vocab-scale, the same argument that
+    makes BPE training distributable. Top-{_WP_OUT} most frequent
+    words returned with their segmentations (deterministic
+    freq-desc/word tie-break)."""
+    from etl_lens_spark.operators.fixpoint import iterate_fixpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(docs).filter(F.length("word") <= _WP_MAXW)
+    pos = wf.select(
+        "word",
+        "freq",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.length("word").cast("long"))
+        ).alias("pos"),
+    )
+    cand = (
+        pos.select(
+            "word",
+            "freq",
+            "pos",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(
+                        F.lit(_WP_MAXP).cast("long"),
+                        (F.length("word") - F.col("pos") + 1).cast("long"),
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select(
+            "word",
+            "freq",
+            "pos",
+            "l",
+            F.expr("substring(word, pos, l)").alias("s"),
+            (F.col("pos") == 1).alias("initial"),
+        )
+    )
+    multi = (
+        cand.filter(F.col("l") >= 2)
+        .groupBy("s", "l", "initial")
+        .agg(F.sum("freq").cast("long").alias("c"))
+        .orderBy(F.desc("c"), "s", "initial")
+        .limit(_WP_TOPK)
+        .select("s", "l", "initial")
+    )
+    singles = (
+        cand.filter(F.col("l") == 1).select("s", "l", "initial").distinct()
+    )
+    vocab = singles.unionByName(multi)
+    best = (
+        cand.join(F.broadcast(vocab), ["s", "l", "initial"])
+        .groupBy("word", "pos")
+        .agg(
+            F.max_by(
+                F.when(F.col("initial"), F.col("s")).otherwise(
+                    F.concat(F.lit("##"), F.col("s"))
+                ),
+                F.col("l"),
+            ).alias("piece"),
+            F.max("l").alias("plen"),
+        )
+    )
+    init = wf.select(
+        "word",
+        "freq",
+        F.lit(1).cast("long").alias("pos"),
+        F.lit("").alias("toks"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(st):
+        j = st.join(best, ["word", "pos"], "left")
+        active = F.col("pos") <= F.length("word")
+        sep = F.when(F.col("pos") == 1, F.lit("")).otherwise(F.lit(" "))
+        return j.select(
+            "word",
+            "freq",
+            F.when(active, F.col("pos") + F.col("plen"))
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+            F.when(active, F.concat(F.col("toks"), sep, F.col("piece")))
+            .otherwise(F.col("toks"))
+            .alias("toks"),
+            F.when(active, F.col("n") + 1).otherwise(F.col("n")).alias("n"),
+            active.alias("__changed"),
+        )
+
+    done = iterate_fixpoint(init, step, max_iter=_WP_MAXW + 1)
+    return (
+        done.filter(F.col("pos") == F.length("word") + 1)
+        .select(
+            "word",
+            "freq",
+            F.col("n").alias("n_pieces"),
+            F.col("toks").alias("pieces"),
+        )
+        .orderBy(F.desc("freq"), "word")
+        .limit(_WP_OUT)
+    )

@@ -98,3 +98,59 @@ def test_pair_counts_query_weighted_by_freq(spark):
             pc[(a, b)] += f
     for r in rows:
         assert pc[(r["l"], r["r"])] == r["c"]
+
+
+def test_wordpiece_matches_pure_python_greedy(spark):
+    """Re-derive vocab + greedy longest-match in pure Python and pin
+    the full segmentation of every returned word."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from etl_lens_spark.queries import all_queries
+
+    rows = all_queries()["text_wordpiece_tokenize"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).to_pandas()
+    wf = Counter()
+    for t in docs["text"]:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                wf[w] += 1
+    wf = {w: c for w, c in wf.items() if len(w) <= 16}
+    gram_counts = Counter()
+    singles = set()
+    for w, c in wf.items():
+        for p in range(len(w)):
+            singles.add((w[p], p == 0))
+            for l in range(2, 5):
+                if p + l <= len(w):
+                    gram_counts[(w[p : p + l], p == 0)] += c
+    top = sorted(
+        gram_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:64]
+    vocab = singles | {k for k, _ in top}
+
+    def encode(w):
+        out, p = [], 0
+        while p < len(w):
+            for l in range(min(4, len(w) - p), 0, -1):
+                s = w[p : p + l]
+                if (s, p == 0) in vocab:
+                    out.append(s if p == 0 else "##" + s)
+                    p += l
+                    break
+        return out
+
+    assert rows
+    for r in rows:
+        want = encode(r.word)
+        assert r.freq == wf[r.word]
+        assert r.n_pieces == len(want)
+        assert r.pieces == " ".join(want), (r.word, r.pieces, want)
+        # reconstruction: stripping markers rebuilds the word
+        assert r.pieces.replace(" ##", "").replace(" ", "") == r.word
