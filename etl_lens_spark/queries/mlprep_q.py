@@ -1322,3 +1322,177 @@ def stats_bootstrap_poisson_ci(
         "ci_lo",
         "ci_hi",
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass all-pairs correlation matrix
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    cols = _CORR_COLS
+    sums = ", ".join(
+        f"SUM(c{i}) AS s{i}, SUM(c{i} * c{i}) AS q{i}"
+        for i in range(len(cols))
+    )
+    crosses = ", ".join(
+        f"SUM(c{i} * c{j}) AS x{i}_{j}"
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    pair_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y,
+            (n * x{i}_{j} - s{i} * s{j})
+            / SQRT((n * q{i} - s{i} * s{i}) * (n * q{j} - s{j} * s{j}))
+              AS pearson FROM agg"""
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    proj = ", ".join(
+        f"CAST({c} AS DOUBLE) AS c{i}" for i, c in enumerate(cols)
+    )
+    return f"""
+    WITH src AS (SELECT {proj} FROM lineitem),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, {sums}, {crosses} FROM src
+    )
+    SELECT col_x, col_y, pearson FROM ({pair_rows}) t
+    ORDER BY col_x, col_y
+    """
+
+
+@query("profile_correlation_matrix", oracle=_corr_matrix_sql())
+def profile_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-pairs Pearson correlation matrix over the numeric lineitem
+    columns in ONE scan: every sum, square-sum and cross-moment rides
+    a single aggregate (map-side combine), and the 6 pair rows are
+    exploded from that 1-row moment table — the k-column profiling
+    pass costs one read no matter how many pairs, vs k·(k-1)/2
+    separate F.corr jobs. Formula in explicit double sums with
+    identical expression text in both engines."""
+    cols = _CORR_COLS
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.col(c).cast("double").alias(f"c{i}") for i, c in enumerate(cols)]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(F.col(f"c{i}")).alias(f"s{i}"))
+        aggs.append(F.sum(F.col(f"c{i}") * F.col(f"c{i}")).alias(f"q{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(f"c{i}") * F.col(f"c{j}")).alias(f"x{i}_{j}")
+            )
+    m = li.agg(*aggs)
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    (
+                        (
+                            F.col("n") * F.col(f"x{i}_{j}")
+                            - F.col(f"s{i}") * F.col(f"s{j}")
+                        )
+                        / F.sqrt(
+                            (
+                                F.col("n") * F.col(f"q{i}")
+                                - F.col(f"s{i}") * F.col(f"s{i}")
+                            )
+                            * (
+                                F.col("n") * F.col(f"q{j}")
+                                - F.col(f"s{j}") * F.col(f"s{j}")
+                            )
+                        )
+                    ).alias("pearson"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.pearson")
+        .orderBy("col_x", "col_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Soundex phonetic blocking — native function vs from-scratch replica
+# ---------------------------------------------------------------------------
+
+# Classic American Soundex in portable SQL (DuckDB has no soundex):
+# map letters to digit codes (H/W = 7 so equal codes separated by h/w
+# collapse, vowels = 0 so they reset duplicates — the Tymczak rule),
+# collapse runs per digit, drop 7s and 0s, keep first letter + 3.
+_SOUNDEX_SQL = """
+    rpad(substr(w, 1, 1) ||
+         substr(regexp_replace(
+           substr(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                      translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                   '01230127022455012623017202'),
+                      '1(?:7*1)+', '1', 'g'), '2(?:7*2)+', '2', 'g'),
+                      '3(?:7*3)+', '3', 'g'), '4(?:7*4)+', '4', 'g'),
+                      '5(?:7*5)+', '5', 'g'), '6(?:7*6)+', '6', 'g'),
+                  2),
+           '[07]', '', 'g'), 1, 3),
+         4, '0')
+"""
+
+
+@query(
+    "text_soundex_blocking",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT upper(word) AS w FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+    ),
+    coded AS (SELECT w, {_SOUNDEX_SQL} AS code FROM words)
+    SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+           string_agg(w, ',' ORDER BY w) AS words
+    FROM coded GROUP BY code
+    ORDER BY n_words DESC, code LIMIT 40
+    """,
+)
+def text_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic blocking over the corpus vocabulary: words
+    that sound alike land in one block — the classic cheap blocking
+    key for name-matching pipelines (pairs only form inside a block,
+    same posture as the brand blocking in entity_fellegi_sunter).
+
+    Double function-parity proof: the Spark side uses the ENGINE-
+    NATIVE ``F.soundex`` (JVM codegen); the oracle re-derives Soundex
+    from scratch in portable SQL (translate + per-digit run collapse
+    with the H/W and vowel-reset rules) — a hash match means the
+    native function and the textbook algorithm agree on every block.
+    Corpus scale collapses at the DISTINCT-word aggregate; everything
+    after is vocab-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .select(F.upper("word").alias("w"))
+        .distinct()
+    )
+    coded = words.select("w", F.soundex("w").alias("code"))
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.array_join(F.array_sort(F.collect_list("w")), ",").alias(
+                "words"
+            ),
+        )
+        .orderBy(F.desc("n_words"), "code")
+        .limit(40)
+    )

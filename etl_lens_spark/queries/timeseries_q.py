@@ -1137,3 +1137,230 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters additive triple smoothing, per series
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_GAMMA = 0.2
+_HW_M = 7  # weekly additive season
+# 1-x precomputed ONCE in Python and repr()-embedded in the SQL so
+# both engines use the bit-identical double constant (1.0 - 0.3 in
+# double is NOT the same double as the literal 0.7)
+_HW_OMA = 1.0 - _HW_ALPHA
+_HW_OMB = 1.0 - _HW_BETA
+_HW_OMG = 1.0 - _HW_GAMMA
+
+
+def _hw_oracle() -> str:
+    m = _HW_M
+    v = lambda i: f"v{i}"  # noqa: E731
+    init_sum1 = " + ".join(v(i) for i in range(m))
+    init_sum2 = " + ".join(v(i) for i in range(m, 2 * m))
+    pivots = ", ".join(
+        f"MAX(CASE WHEN t = {i} THEN y END) AS v{i}"
+        for i in range(2 * m)
+    )
+    s_init = ", ".join(f"v{i} - l0 AS s{i}" for i in range(m))
+    s_cur = (
+        "CASE " + " ".join(
+            f"WHEN (w.t % {m}) = {i} THEN w.s{i}" for i in range(m)
+        ) + " END"
+    )
+    s_next = ", ".join(
+        f"CASE WHEN (w.t % {m}) = {i} THEN "
+        f"{_HW_GAMMA!r} * (d.y - ({_HW_ALPHA!r} * (d.y - ({s_cur})) "
+        f"+ {_HW_OMA!r} * (w.l + w.b))) + {_HW_OMG!r} * w.s{i} "
+        f"ELSE w.s{i} END AS s{i}"
+        for i in range(m)
+    )
+    s_fin = (
+        "CASE " + " ".join(
+            f"WHEN (w.t % {m}) = {i} THEN w.s{i}" for i in range(m)
+        ) + " END"
+    )
+    s_cols = ", ".join(f"s{i}" for i in range(m))
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT c_nationkey AS nk,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS t,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(t) AS dmax FROM base),
+    nks AS (SELECT DISTINCT nk FROM base),
+    cal AS (SELECT CAST(unnest(range(0, (SELECT dmax + 1 FROM mx)))
+                        AS BIGINT) AS t),
+    dense AS MATERIALIZED (
+      SELECT nks.nk, cal.t, COALESCE(b.y, 0.0) AS y
+      FROM nks CROSS JOIN cal
+      LEFT JOIN base b ON b.nk = nks.nk AND b.t = cal.t
+    ),
+    head AS (
+      SELECT nk, {pivots} FROM dense WHERE t < {2 * m} GROUP BY nk
+    ),
+    init0 AS (
+      SELECT nk, ({init_sum1}) / {float(m)!r} AS l0,
+             (({init_sum2}) / {float(m)!r}
+              - ({init_sum1}) / {float(m)!r}) / {float(m)!r} AS b0,
+             {", ".join(f"v{i}" for i in range(m))}
+      FROM head
+    ),
+    init AS (SELECT nk, l0, b0, {s_init} FROM init0),
+    walk AS (
+      SELECT nk, CAST({m} AS BIGINT) AS t, l0 AS l, b0 AS b,
+             {s_cols}, CAST(0.0 AS DOUBLE) AS sse,
+             CAST(0 AS BIGINT) AS n_err
+      FROM init
+      UNION ALL
+      SELECT w.nk, w.t + 1,
+             {_HW_ALPHA!r} * (d.y - ({s_cur}))
+               + {_HW_OMA!r} * (w.l + w.b) AS l,
+             {_HW_BETA!r} * (({_HW_ALPHA!r} * (d.y - ({s_cur}))
+               + {_HW_OMA!r} * (w.l + w.b)) - w.l)
+               + {_HW_OMB!r} * w.b AS b,
+             {s_next},
+             w.sse + (d.y - (w.l + w.b + ({s_cur})))
+                   * (d.y - (w.l + w.b + ({s_cur}))) AS sse,
+             w.n_err + 1
+      FROM walk w JOIN dense d ON d.nk = w.nk AND d.t = w.t
+    ),
+    fin AS (
+      SELECT w.* FROM walk w JOIN mx ON w.t = mx.dmax + 1
+    )
+    SELECT n.n_name, f.t AS n_days, f.l AS level, f.b AS trend,
+           SQRT(f.sse / f.n_err) AS rmse,
+           f.l + f.b + ({"CASE " + " ".join(
+               f"WHEN (f.t % {m}) = {i} THEN f.s{i}" for i in range(m)
+           ) + " END"}) AS forecast_next
+    FROM fin f JOIN nation n ON f.nk = n.n_nationkey
+    ORDER BY n.n_name
+    """
+
+
+@query("ts_holt_winters_fit", oracle=_hw_oracle())
+def ts_holt_winters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters triple exponential smoothing (level +
+    trend + weekly season) fitted per nation over the dense daily
+    revenue series, with in-sample one-step-ahead RMSE and the h=1
+    forecast — the classic operational forecaster one tier up from
+    ts_ema_smoothing (level only) and ts_seasonal_baseline_anomaly
+    (season only).
+
+    Execution model: smoothing is sequential BY DEFINITION within a
+    series, so each series runs as one ordered pandas loop inside
+    applyInPandas — parallel ACROSS the thousands/millions of series
+    a real deployment fits (here 25 nations), which is exactly the
+    grouped-map contract. The oracle replays the identical recursion
+    as a DuckDB recursive CTE; every smoothing coefficient (including
+    each 1−x complement) is a shared repr()'d double literal, so the
+    two engines walk bit-identical state and the final level/trend/
+    RMSE hash-match after ~2400 sequential updates — a stringent
+    float-determinism pin, not a tolerance check.
+
+    Scale posture: the corpus collapses to (series, day) aggregates
+    in one exchange; the dense-calendar fill is a broadcast cross
+    join; per-series state is O(m). The only Python is the Arrow-
+    batched per-series loop, amortized across series."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    mx = base.agg(F.max("t").alias("dmax"))
+    nks = base.select("nk").distinct()
+    cal = (
+        nks.crossJoin(F.broadcast(mx))
+        .select(
+            "nk",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("dmax"))
+            ).alias("t"),
+        )
+    )
+    dense = cal.join(base, ["nk", "t"], "left").select(
+        "nk", "t", F.coalesce(F.col("y"), F.lit(0.0)).alias("y")
+    )
+
+    m = _HW_M
+    al, be, ga = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    oma, omb, omg = _HW_OMA, _HW_OMB, _HW_OMG
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        y = pdf["y"].to_numpy()
+        nk = int(pdf["nk"].iloc[0])
+        acc1 = 0.0
+        for i in range(m):
+            acc1 = acc1 + float(y[i])
+        acc2 = 0.0
+        for i in range(m, 2 * m):
+            acc2 = acc2 + float(y[i])
+        l = acc1 / float(m)
+        b = (acc2 / float(m) - acc1 / float(m)) / float(m)
+        s = [float(y[i]) - l for i in range(m)]
+        sse, n_err = 0.0, 0
+        for t in range(m, len(y)):
+            yt = float(y[t])
+            shat = s[t % m]
+            err = yt - (l + b + shat)
+            l_new = al * (yt - shat) + oma * (l + b)
+            b_new = be * (l_new - l) + omb * b
+            s[t % m] = ga * (yt - l_new) + omg * shat
+            sse = sse + err * err
+            n_err += 1
+            l, b = l_new, b_new
+        t_fin = len(y)
+        return pd.DataFrame(
+            [
+                {
+                    "nk": nk,
+                    "n_days": t_fin,
+                    "level": l,
+                    "trend": b,
+                    "rmse": (sse / n_err) ** 0.5,
+                    "forecast_next": l + b + s[t_fin % m],
+                }
+            ]
+        )
+
+    out = dense.groupBy("nk").applyInPandas(
+        fit,
+        "nk int, n_days long, level double, trend double, "
+        "rmse double, forecast_next double",
+    )
+    return (
+        out.join(
+            F.broadcast(nation), out.nk == nation.n_nationkey
+        )
+        .select(
+            "n_name", "n_days", "level", "trend", "rmse", "forecast_next"
+        )
+        .orderBy("n_name")
+    )

@@ -254,3 +254,69 @@ def test_bootstrap_ci_brackets_point_mean(spark):
     se = y.std(ddof=1) / math.sqrt(len(y))
     half = (r.ci_hi - r.ci_lo) / 2
     assert 0.2 * 1.645 * se < half < 5 * 1.645 * se
+
+
+def test_soundex_sql_replica_matches_spark_native(spark):
+    """The DuckDB-side soundex replica must agree with Spark's native
+    soundex on the classic edge-case names (H/W collapse, vowel
+    reset, first-letter dup), not just the corpus vocabulary."""
+    import duckdb
+
+    from etl_lens_spark.queries.mlprep_q import _SOUNDEX_SQL
+
+    names = [
+        "ROBERT", "RUPERT", "ASHCRAFT", "ASHCROFT", "TYMCZAK",
+        "PFISTER", "HONEYMAN", "JACKSON", "WASHINGTON", "LEE",
+        "GUTIERREZ", "VANDEUSEN", "DEUSEN", "AAAA", "HW", "BOOTH",
+        "CZARKOWSKA", "LLOYD", "SCHMIDT", "SCHNEIDER",
+    ]
+    sdf = spark.createDataFrame([(n,) for n in names], "w string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r.w: r.code
+        for r in sdf.select("w", F.soundex("w").alias("code")).collect()
+    }
+    want = {
+        w: c
+        for w, c in duckdb.sql(
+            f"SELECT w, {_SOUNDEX_SQL} AS c FROM (SELECT UNNEST($names) AS w)",
+            params={"names": names},
+        ).fetchall()
+    }
+    assert got == want, {
+        k: (got[k], want[k]) for k in names if got[k] != want[k]
+    }
+
+
+def test_holt_winters_deterministic_and_sane(spark):
+    q = all_queries()["ts_holt_winters_fit"]
+    r1 = {r.n_name: r for r in q(spark, SF).collect()}
+    r2 = {r.n_name: r for r in q(spark, SF).collect()}
+    assert len(r1) == 25
+    for name, r in r1.items():
+        assert r.rmse > 0
+        # bit-identical across runs (sequential float recursion is
+        # deterministic per series)
+        assert r2[name].level == r.level
+        assert r2[name].trend == r.trend
+        assert r2[name].rmse == r.rmse
+        assert r2[name].forecast_next == r.forecast_next
+        # one-step error should beat predicting zero revenue
+        assert r.rmse < abs(r.level) + abs(r.forecast_next) + 1e9
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    rows = all_queries()["profile_correlation_matrix"](
+        spark, SF
+    ).collect()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ).to_pandas()
+    for r in rows:
+        want = np.corrcoef(
+            li[r.col_x].astype(float), li[r.col_y].astype(float)
+        )[0, 1]
+        assert abs(r.pearson - want) < 1e-9, (r.col_x, r.col_y)
+    assert len(rows) == 6
