@@ -1496,3 +1496,447 @@ def text_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_words"), "code")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers — closed-form 2D covariance inverse
+# ---------------------------------------------------------------------------
+
+_MAHA_TOP = 20
+
+
+@query(
+    "outliers_mahalanobis_2d",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM src
+    ),
+    st AS (
+      SELECT n, sx / n AS mx, sy / n AS my,
+             sxx / n - (sx / n) * (sx / n) AS vxx,
+             syy / n - (sy / n) * (sy / n) AS vyy,
+             sxy / n - (sx / n) * (sy / n) AS vxy
+      FROM mom
+    )
+    SELECT l_orderkey, l_linenumber,
+           ((s.x - t.mx) * (s.x - t.mx) * t.vyy
+            - 2.0 * (s.x - t.mx) * (s.y - t.my) * t.vxy
+            + (s.y - t.my) * (s.y - t.my) * t.vxx)
+           / (t.vxx * t.vyy - t.vxy * t.vxy) AS d2
+    FROM src s, st t
+    ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT {_MAHA_TOP}
+    """,
+)
+def outliers_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier scoring: Mahalanobis distance of each
+    (quantity, price) pair from the joint distribution — catches
+    points that are normal in each marginal but jointly impossible
+    (huge price at tiny quantity), which the per-column z-score /
+    MAD screens (ts_anomaly_zscore, outliers_mad) cannot see.
+
+    The 2×2 covariance inverts in closed form, so the whole score is
+    JVM expression arithmetic: one moment aggregate (map-side
+    combine) broadcast back into a scan, then a bounded TakeOrdered
+    top-{_MAHA_TOP} — two passes over the data, no window, no Python.
+    The same pattern extends to any fixed small dimension via the
+    cofactor expansion; for wide feature vectors the PCA family
+    (emb_pca_covariance) is the scalable route."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    mom = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    st = mom.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+        ).alias("vxx"),
+        (
+            F.col("syy") / F.col("n")
+            - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("vyy"),
+        (
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("vxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    return (
+        li.crossJoin(F.broadcast(st))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                (
+                    dx * dx * F.col("vyy")
+                    - F.lit(2.0) * dx * dy * F.col("vxy")
+                    + dy * dy * F.col("vxx")
+                )
+                / (
+                    F.col("vxx") * F.col("vyy")
+                    - F.col("vxy") * F.col("vxy")
+                )
+            ).alias("d2"),
+        )
+        .orderBy(F.desc("d2"), "l_orderkey", "l_linenumber")
+        .limit(_MAHA_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Box–Cox lambda selection on a closed-form grid
+# ---------------------------------------------------------------------------
+
+# λ grid chosen so every power is exact sqrt/reciprocal arithmetic —
+# no libm pow() in either engine, so the profile log-likelihoods are
+# cross-engine deterministic
+_BC_GRID = [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+
+def _bc_t_sql(lam: float) -> str:
+    if lam == 0.0:
+        return "LN(x)"
+    if lam == 0.5:
+        return "(SQRT(x) - 1.0) / 0.5"
+    if lam == -0.5:
+        return "(1.0 / SQRT(x) - 1.0) / -0.5"
+    if lam == -1.0:
+        return "(1.0 / x - 1.0) / -1.0"
+    return "x - 1.0"
+
+
+@query(
+    "feature_boxcox_lambda",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE o_totalprice > 0
+    ),
+    prof AS (
+      {" UNION ALL ".join(
+          f'''SELECT CAST({lam!r} AS DOUBLE) AS lam,
+              CAST(COUNT(*) AS DOUBLE) AS n,
+              SUM({_bc_t_sql(lam)}) AS st,
+              SUM(({_bc_t_sql(lam)}) * ({_bc_t_sql(lam)})) AS stt,
+              SUM(LN(x)) AS slx
+              FROM src''' for lam in _BC_GRID)}
+    )
+    SELECT lam,
+           (-0.5 * LN(stt / n - (st / n) * (st / n))
+            + (lam - 1.0) * (slx / n)) AS avg_loglik
+    FROM prof ORDER BY lam
+    """,
+)
+def feature_boxcox_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box–Cox transform selection: the profile log-likelihood (per
+    row, up to constants) of each λ on a fixed grid over positive
+    order values — the normality-restoring power transform chosen the
+    standard way (maximize −½·ln σ²_t + (λ−1)·mean ln x).
+
+    The grid is deliberately {{-1, -½, 0, ½, 1}} so every transform is
+    sqrt / reciprocal / ln arithmetic — no libm pow(), whose rounding
+    is not guaranteed identical across engines. All five candidate
+    transforms ride ONE scan as branches of a single union of
+    aggregates (Catalyst shares the scan), each a map-side-combined
+    moment set; nothing scales with more grid points but the moment
+    count."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    x = F.col("o_totalprice").cast("double")
+
+    def t_of(lam: float):
+        if lam == 0.0:
+            return F.log(x)
+        if lam == 0.5:
+            return (F.sqrt(x) - 1.0) / 0.5
+        if lam == -0.5:
+            return (1.0 / F.sqrt(x) - 1.0) / -0.5
+        if lam == -1.0:
+            return (1.0 / x - 1.0) / -1.0
+        return x - 1.0
+
+    outs = []
+    for lam in _BC_GRID:
+        t = t_of(lam)
+        outs.append(
+            orders.agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum(t).alias("st"),
+                F.sum(t * t).alias("stt"),
+                F.sum(F.log(x)).alias("slx"),
+            ).select(
+                F.lit(lam).alias("lam"),
+                (
+                    F.lit(-0.5)
+                    * F.log(
+                        F.col("stt") / F.col("n")
+                        - (F.col("st") / F.col("n"))
+                        * (F.col("st") / F.col("n"))
+                    )
+                    + (F.lit(lam) - 1.0) * (F.col("slx") / F.col("n"))
+                ).alias("avg_loglik"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("lam")
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified-sampling allocation
+# ---------------------------------------------------------------------------
+
+_NEY_TOTAL = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH st AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             SQRT(SUM(c_acctbal * c_acctbal) / COUNT(*)
+                  - (SUM(c_acctbal) / COUNT(*))
+                    * (SUM(c_acctbal) / COUNT(*))) AS s_h
+      FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (SELECT SUM(CAST(n_h AS DOUBLE) * s_h) AS w FROM st)
+    SELECT c_mktsegment, n_h, s_h,
+           CAST(FLOOR({_NEY_TOTAL}.0 * CAST(n_h AS DOUBLE) * s_h / w
+                      + 0.5) AS BIGINT) AS alloc_neyman,
+           CAST(FLOOR({_NEY_TOTAL}.0 * CAST(n_h AS DOUBLE)
+                      / (SELECT SUM(CAST(n_h AS DOUBLE)) FROM st)
+                      + 0.5) AS BIGINT) AS alloc_proportional
+    FROM st, tot ORDER BY c_mktsegment
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for a stratified sample of
+    {_NEY_TOTAL}: stratum h gets n·(N_h·S_h)/Σ(N_h·S_h) draws —
+    minimum-variance allocation for estimating the mean, vs the naive
+    proportional allocation shown alongside (high-variance strata get
+    MORE than their share; the difference is the design effect a
+    survey pipeline banks). Per-stratum variance from one moment
+    aggregate; rounding via the shared floor(x+0.5) idiom (DuckDB
+    ROUND is half-away, Spark bankers' — the explicit floor sidesteps
+    the divergence). Companion to sample_stratified_exact_n, which
+    does the actual per-stratum exact-n draw once an allocation is
+    chosen."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = F.col("c_acctbal")
+    st = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sqrt(
+            F.sum(a * a) / F.count(F.lit(1))
+            - (F.sum(a) / F.count(F.lit(1)))
+            * (F.sum(a) / F.count(F.lit(1)))
+        ).alias("s_h"),
+    )
+    tot = st.agg(
+        F.sum(F.col("n_h").cast("double") * F.col("s_h")).alias("w"),
+        F.sum(F.col("n_h").cast("double")).alias("ntot"),
+    )
+    return (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "n_h",
+            "s_h",
+            F.floor(
+                F.lit(float(_NEY_TOTAL))
+                * F.col("n_h").cast("double")
+                * F.col("s_h")
+                / F.col("w")
+                + 0.5
+            )
+            .cast("long")
+            .alias("alloc_neyman"),
+            F.floor(
+                F.lit(float(_NEY_TOTAL))
+                * F.col("n_h").cast("double")
+                / F.col("ntot")
+                + 0.5
+            )
+            .cast("long")
+            .alias("alloc_proportional"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon spatial join — ray casting in portable SQL
+# ---------------------------------------------------------------------------
+
+# literal polygons in the unit square (one convex, one CONCAVE to
+# exercise the parity rule, one irregular pentagon); vertices wound
+# counter-clockwise, edges precomputed with wraparound
+_PIP_POLYS = {
+    "triangle": [(0.1, 0.1), (0.9, 0.1), (0.5, 0.9)],
+    "l_shape": [
+        (0.0, 0.0), (0.4, 0.0), (0.4, 0.2), (0.2, 0.2),
+        (0.2, 0.6), (0.0, 0.6),
+    ],
+    "pentagon": [
+        (0.6, 0.5), (0.8, 0.45), (0.95, 0.6), (0.8, 0.85), (0.62, 0.75),
+    ],
+}
+
+
+def _pip_edges():
+    for pid, vs in _PIP_POLYS.items():
+        for k in range(len(vs)):
+            x1, y1 = vs[k]
+            x2, y2 = vs[(k + 1) % len(vs)]
+            yield pid, x1, y1, x2, y2
+
+
+@query(
+    "geo_point_in_polygon_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             CAST({_md5_sql("'px|' || CAST(event_id AS VARCHAR)")}
+                  AS DOUBLE) / {_MD5_SCALE!r} AS px,
+             CAST({_md5_sql("'py|' || CAST(event_id AS VARCHAR)")}
+                  AS DOUBLE) / {_MD5_SCALE!r} AS py
+      FROM events
+    ),
+    edges(poly_id, x1, y1, x2, y2) AS (
+      VALUES {", ".join(f"('{p}', {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+                        for p, x1, y1, x2, y2 in _pip_edges())}
+    ),
+    hits AS (
+      SELECT p.event_id, e.poly_id,
+             SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                       AND p.px < (e.x2 - e.x1) * (p.py - e.y1)
+                                  / (e.y2 - e.y1) + e.x1
+                      THEN 1 ELSE 0 END) AS crossings
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.event_id, e.poly_id
+    ),
+    area AS (
+      SELECT poly_id,
+             ABS(SUM(x1 * y2 - x2 * y1)) / 2.0 AS shoelace_area
+      FROM edges GROUP BY poly_id
+    )
+    SELECT h.poly_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(crossings % 2) AS BIGINT) AS n_inside,
+           CAST(SUM(crossings % 2) AS DOUBLE) / COUNT(*) AS frac_inside,
+           a.shoelace_area
+    FROM hits h JOIN area a USING (poly_id)
+    GROUP BY h.poly_id, a.shoelace_area
+    ORDER BY h.poly_id
+    """,
+)
+def geo_point_in_polygon_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-polygon containment join by ray casting, entirely in
+    portable column arithmetic: each md5-derived uniform point tests
+    against every polygon edge (odd crossing parity = inside —
+    correct for the CONCAVE l_shape too, which a bounding-box or
+    convex-hull test would get wrong). The polygon table also carries
+    its shoelace area, so the result is self-auditing: frac_inside of
+    uniform points converges to the area (pinned as a property test).
+
+    Scale posture: the edge table is broadcast (a few rows per
+    polygon); crossing counts reduce map-side per (point, polygon);
+    at many polygons the standard upgrade is a coarse grid prefilter
+    (geo_grid_nearest_join's banding) before the exact parity test —
+    same plan shape with a pre-join on grid cell."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    pts = ev.select(
+        "event_id",
+        (
+            kmv_value(
+                F.concat(F.lit("px|"), F.col("event_id").cast("string"))
+            ).cast("double")
+            / F.lit(_MD5_SCALE)
+        ).alias("px"),
+        (
+            kmv_value(
+                F.concat(F.lit("py|"), F.col("event_id").cast("string"))
+            ).cast("double")
+            / F.lit(_MD5_SCALE)
+        ).alias("py"),
+    )
+    spark_edges = spark.createDataFrame(
+        list(_pip_edges()),
+        "poly_id string, x1 double, y1 double, x2 double, y2 double",
+    )
+    crossing = (
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & (
+            F.col("px")
+            < (F.col("x2") - F.col("x1"))
+            * (F.col("py") - F.col("y1"))
+            / (F.col("y2") - F.col("y1"))
+            + F.col("x1")
+        )
+    )
+    hits = (
+        pts.crossJoin(F.broadcast(spark_edges))
+        .groupBy("event_id", "poly_id")
+        .agg(
+            F.sum(F.when(crossing, 1).otherwise(0)).alias("crossings")
+        )
+    )
+    area = (
+        spark_edges.groupBy("poly_id")
+        .agg(
+            (
+                F.abs(
+                    F.sum(
+                        F.col("x1") * F.col("y2")
+                        - F.col("x2") * F.col("y1")
+                    )
+                )
+                / F.lit(2.0)
+            ).alias("shoelace_area")
+        )
+    )
+    return (
+        hits.groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.col("crossings") % 2).cast("long").alias("n_inside"),
+            (
+                F.sum(F.col("crossings") % 2).cast("double")
+                / F.count(F.lit(1))
+            ).alias("frac_inside"),
+        )
+        .join(F.broadcast(area), "poly_id")
+        .select(
+            "poly_id",
+            "n_points",
+            "n_inside",
+            "frac_inside",
+            "shoelace_area",
+        )
+        .orderBy("poly_id")
+    )

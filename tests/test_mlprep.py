@@ -320,3 +320,46 @@ def test_correlation_matrix_matches_numpy(spark):
         )[0, 1]
         assert abs(r.pearson - want) < 1e-9, (r.col_x, r.col_y)
     assert len(rows) == 6
+
+
+def test_point_in_polygon_frac_converges_to_area(spark):
+    rows = {
+        r.poly_id: r
+        for r in all_queries()["geo_point_in_polygon_join"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    assert set(rows) == {"triangle", "l_shape", "pentagon"}
+    for pid, r in rows.items():
+        assert r.n_inside > 0
+        # uniform points: containment fraction ~ polygon area
+        # (binomial noise at n≈120k points: a few sigma ≈ 0.006)
+        assert abs(r.frac_inside - r.shoelace_area) < 0.01, (
+            pid, r.frac_inside, r.shoelace_area,
+        )
+
+
+def test_mahalanobis_top_is_jointly_extreme(spark):
+    rows = all_queries()["outliers_mahalanobis_2d"](spark, SF).collect()
+    assert len(rows) == 20
+    d2s = [r.d2 for r in rows]
+    assert d2s == sorted(d2s, reverse=True)
+    assert all(d2 > 0 for d2 in d2s)
+
+
+def test_boxcox_grid_is_complete_and_finite(spark):
+    rows = all_queries()["feature_boxcox_lambda"](spark, SF).collect()
+    assert [r.lam for r in rows] == [-1.0, -0.5, 0.0, 0.5, 1.0]
+    assert all(math.isfinite(r.avg_loglik) for r in rows)
+
+
+def test_neyman_allocation_dominates_high_variance_strata(spark):
+    rows = all_queries()["sample_neyman_allocation"](spark, SF).collect()
+    assert len(rows) == 5
+    tot = sum(r.alloc_neyman for r in rows)
+    assert abs(tot - 1000) <= len(rows)  # rounding slack
+    # the allocation ratio must track N_h * S_h
+    w = [(r.n_h * r.s_h, r.alloc_neyman) for r in rows]
+    w.sort()
+    allocs = [a for _, a in w]
+    assert allocs == sorted(allocs)
