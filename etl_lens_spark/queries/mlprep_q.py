@@ -502,13 +502,33 @@ _CONF_ACC = 1_000_000  # saturating: matches DuckDB quantile_disc
                AS pred
       FROM rows_s WHERE part = 0 GROUP BY l_returnflag, l_linestatus
     ),
-    cal AS (
-      SELECT r.l_returnflag, r.l_linestatus,
-             CAST(quantile_disc(ABS(r.y - m.pred), {_CONF_Q!r}) AS DOUBLE)
-               AS q_resid,
-             CAST(COUNT(*) AS BIGINT) AS n_cal
+    cal_resid AS (
+      SELECT r.l_returnflag, r.l_linestatus, ABS(r.y - m.pred) AS resid
       FROM rows_s r JOIN model m USING (l_returnflag, l_linestatus)
-      WHERE r.part = 1 GROUP BY r.l_returnflag, r.l_linestatus
+      WHERE r.part = 1
+    ),
+    rcounts AS (
+      SELECT l_returnflag, l_linestatus, resid,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM cal_resid GROUP BY l_returnflag, l_linestatus, resid
+    ),
+    rcum AS (
+      SELECT l_returnflag, l_linestatus, resid, c,
+             SUM(c) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY resid) AS cumw
+      FROM rcounts
+    ),
+    rtot AS (
+      SELECT l_returnflag, l_linestatus, CAST(SUM(c) AS BIGINT) AS n_cal
+      FROM rcounts GROUP BY l_returnflag, l_linestatus
+    ),
+    cal AS (
+      SELECT u.l_returnflag, u.l_linestatus,
+             MIN(u.resid) AS q_resid, t.n_cal
+      FROM rcum u JOIN rtot t USING (l_returnflag, l_linestatus)
+      WHERE u.cumw >= CAST(CEIL({_CONF_Q!r}
+                                * CAST(t.n_cal AS DOUBLE)) AS BIGINT)
+      GROUP BY u.l_returnflag, u.l_linestatus, t.n_cal
     )
     SELECT r.l_returnflag, r.l_linestatus, c.q_resid, c.n_cal,
            CAST(COUNT(*) AS BIGINT) AS n_test,
@@ -532,11 +552,17 @@ def ml_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the test partition's ``coverage`` column demonstrates.
 
     Scale posture: the "model" is a per-group aggregate (map-side
-    combine); the calibration quantile is one mergeable
-    approx_percentile sketch per group (saturating accuracy here to
-    pin quantile_disc semantics — production dials it down, same plan);
-    coverage is one conditional aggregate over the test split. Three
-    scans of the same projected columns, zero windows, zero Python."""
+    combine); the calibration quantile is EXACT nearest-rank with a
+    shared explicit rank formula (ceil(q·n) computed from the same
+    double literal both engines): distinct-residual counts, a global
+    range-partitioned prefix sum (operators/prefix.py) converted to
+    within-group cumulatives by subtracting the tiny per-group
+    offsets (triangular join over |groups| rows), then min-over-
+    threshold. No approx sketch — the earlier percentile_approx form
+    at saturating accuracy went ×14.8 at the 10× probe (GK buffer
+    growth) and silently loses quantile_disc exactness past
+    ~accuracy/6 values; this form is exact and linear at any n.
+    Coverage is one conditional aggregate over the test split."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_linestatus",
@@ -564,18 +590,64 @@ def ml_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pred")
         )
     )
-    cal = (
+    from etl_lens_spark.operators.prefix import ordered_prefix_sums
+
+    cal_resid = (
         li.filter(F.col("part") == 1)
         .join(F.broadcast(model), keys)
-        .groupBy(*keys)
-        .agg(
-            F.percentile_approx(
-                F.abs(F.col("y") - F.col("pred")), _CONF_Q, _CONF_ACC
-            )
-            .cast("double")
-            .alias("q_resid"),
-            F.count(F.lit(1)).cast("long").alias("n_cal"),
+        .select(*keys, F.abs(F.col("y") - F.col("pred")).alias("resid"))
+    )
+    rcounts = cal_resid.groupBy(*keys, "resid").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rcum = ordered_prefix_sums(
+        rcounts,
+        [F.col("l_returnflag"), F.col("l_linestatus"), F.col("resid")],
+        {"gcum": "c"},
+    )
+    rtot = rcounts.groupBy(*keys).agg(
+        F.sum("c").cast("long").alias("n_cal")
+    )
+    # per-group starting offsets from the tiny totals table via a
+    # triangular join (never a global window), lexicographic on keys
+    a = rtot.select(
+        F.col("l_returnflag").alias("a_rf"),
+        F.col("l_linestatus").alias("a_ls"),
+    )
+    b = rtot.select(
+        F.col("l_returnflag").alias("b_rf"),
+        F.col("l_linestatus").alias("b_ls"),
+        F.col("n_cal").alias("b_n"),
+    )
+    offs = (
+        a.join(
+            b,
+            (F.col("b_rf") < F.col("a_rf"))
+            | (
+                (F.col("b_rf") == F.col("a_rf"))
+                & (F.col("b_ls") < F.col("a_ls"))
+            ),
+            "left",
         )
+        .groupBy("a_rf", "a_ls")
+        .agg(F.coalesce(F.sum("b_n"), F.lit(0)).alias("off"))
+        .select(
+            F.col("a_rf").alias("l_returnflag"),
+            F.col("a_ls").alias("l_linestatus"),
+            "off",
+        )
+    )
+    cal = (
+        rcum.join(F.broadcast(offs), keys)
+        .join(F.broadcast(rtot), keys)
+        .filter(
+            (F.col("gcum") - F.col("off"))
+            >= F.ceil(
+                F.lit(_CONF_Q) * F.col("n_cal").cast("double")
+            ).cast("long")
+        )
+        .groupBy(*keys, "n_cal")
+        .agg(F.min("resid").cast("double").alias("q_resid"))
     )
     return (
         li.filter(F.col("part") == 2)
@@ -984,7 +1056,7 @@ def stats_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fellegi–Sunter probabilistic record-linkage weights
 # ---------------------------------------------------------------------------
 
-_FS_M = {"type": 0.95, "size": 0.9, "tok": 0.85}
+_FS_M = {"type": 0.95, "band": 0.9, "tok": 0.85}
 _FS_TOP = 100
 
 
@@ -993,7 +1065,8 @@ _FS_TOP = 100
     oracle=f"""
     WITH parts AS (
       SELECT p_partkey, p_brand, p_type, p_size,
-             split_part(p_name, ' ', 2) AS tok
+             split_part(p_name, ' ', 2) AS tok,
+             CAST(FLOOR(p_retailprice / 100.0) AS BIGINT) AS band
       FROM part
     ),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM parts),
@@ -1001,9 +1074,9 @@ _FS_TOP = 100
       SELECT SUM(c * c) / (SELECT n * n FROM n) AS u FROM
         (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM parts GROUP BY p_type)
     ),
-    u_size AS (
+    u_band AS (
       SELECT SUM(c * c) / (SELECT n * n FROM n) AS u FROM
-        (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM parts GROUP BY p_size)
+        (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM parts GROUP BY band)
     ),
     u_tok AS (
       SELECT SUM(c * c) / (SELECT n * n FROM n) AS u FROM
@@ -1012,22 +1085,23 @@ _FS_TOP = 100
     pairs AS (
       SELECT a.p_partkey AS p1, b.p_partkey AS p2,
              CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
-             CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS ag_size,
+             CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band,
              CASE WHEN a.tok = b.tok THEN 1 ELSE 0 END AS ag_tok
       FROM parts a JOIN parts b
-        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
     ),
     scored AS (
       SELECT p1, p2,
-             CAST(ag_type + ag_size + ag_tok AS BIGINT) AS n_agree,
+             CAST(ag_type + ag_band + ag_tok AS BIGINT) AS n_agree,
              (CASE WHEN ag_type = 1
                    THEN LN({_FS_M['type']!r} / (SELECT u FROM u_type))
                    ELSE LN({1 - _FS_M['type']!r}
                            / (1.0 - (SELECT u FROM u_type))) END)
-           + (CASE WHEN ag_size = 1
-                   THEN LN({_FS_M['size']!r} / (SELECT u FROM u_size))
-                   ELSE LN({1 - _FS_M['size']!r}
-                           / (1.0 - (SELECT u FROM u_size))) END)
+           + (CASE WHEN ag_band = 1
+                   THEN LN({_FS_M['band']!r} / (SELECT u FROM u_band))
+                   ELSE LN({1 - _FS_M['band']!r}
+                           / (1.0 - (SELECT u FROM u_band))) END)
            + (CASE WHEN ag_tok = 1
                    THEN LN({_FS_M['tok']!r} / (SELECT u FROM u_tok))
                    ELSE LN({1 - _FS_M['tok']!r}
@@ -1046,24 +1120,26 @@ def entity_fellegi_sunter_scores(
     """Fellegi–Sunter probabilistic record linkage over the part
     catalog: candidate pairs blocked by brand, scored by
     sum-of-log-likelihood agreement weights ln(m/u) / ln((1−m)/(1−u))
-    across three fields (type, size, name token). u-probabilities —
+    across three fields (type, price band, name token). u-probabilities —
     the chance two RANDOM records agree — are estimated from the data
     itself as the field's collision probability Σ(nᵥ/n)²; m-
     probabilities are the configured match-model literals. Top-{_FS_TOP}
     scored pairs returned (deterministic tie-break on the key pair).
 
     Scale posture: u-estimation is one tiny aggregate per field; the
-    pair generation is a blocked self-equi-join — candidate volume is
-    Σ_b n_b², controlled by the blocking key exactly as in the dedup
-    family (at 100 TB add a second blocking key the way
-    dedup_jaccard_prefix_join salts; the score/top-k stages are a
-    map + bounded TakeOrdered either way)."""
+    pair generation is a blocked self-equi-join on the COMPOSITE
+    (brand, size) key — the single-key brand blocking measured ×6.2
+    at the 10× probe (block size grows with data, pairs grow
+    quadratically); the composite key keeps blocks ~50× smaller and
+    the probe linear, the same lever the dedup family pulls. The
+    score/top-k stages are a map + bounded TakeOrdered either way."""
     parts = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_brand",
         "p_type",
         "p_size",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("tok"),
+        F.floor(F.col("p_retailprice") / 100.0).cast("long").alias("band"),
     )
     n = parts.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
@@ -1080,7 +1156,7 @@ def entity_fellegi_sunter_scores(
         )
 
     u_type = u_of("p_type")
-    u_size = u_of("p_size")
+    u_band = u_of("band")
     u_tok = u_of("tok")
     a = parts.select(
         F.col("p_partkey").alias("p1"),
@@ -1088,6 +1164,7 @@ def entity_fellegi_sunter_scores(
         F.col("p_type").alias("t1"),
         F.col("p_size").alias("s1"),
         F.col("tok").alias("k1"),
+        F.col("band").alias("d1"),
     )
     b = parts.select(
         F.col("p_partkey").alias("p2"),
@@ -1095,15 +1172,18 @@ def entity_fellegi_sunter_scores(
         F.col("p_type").alias("t2"),
         F.col("p_size").alias("s2"),
         F.col("tok").alias("k2"),
+        F.col("band").alias("d2"),
     )
     pairs = a.join(
         b,
-        (F.col("b1") == F.col("b2")) & (F.col("p1") < F.col("p2")),
+        (F.col("b1") == F.col("b2"))
+        & (F.col("s1") == F.col("s2"))
+        & (F.col("p1") < F.col("p2")),
     ).select(
         "p1",
         "p2",
         (F.col("t1") == F.col("t2")).cast("int").alias("ag_type"),
-        (F.col("s1") == F.col("s2")).cast("int").alias("ag_size"),
+        (F.col("d1") == F.col("d2")).cast("int").alias("ag_band"),
         (F.col("k1") == F.col("k2")).cast("int").alias("ag_tok"),
     )
 
@@ -1116,19 +1196,19 @@ def entity_fellegi_sunter_scores(
 
     scored = (
         pairs.crossJoin(F.broadcast(u_type))
-        .crossJoin(F.broadcast(u_size))
+        .crossJoin(F.broadcast(u_band))
         .crossJoin(F.broadcast(u_tok))
         .select(
             "p1",
             "p2",
             (
-                F.col("ag_type") + F.col("ag_size") + F.col("ag_tok")
+                F.col("ag_type") + F.col("ag_band") + F.col("ag_tok")
             )
             .cast("long")
             .alias("n_agree"),
             (
                 w("ag_type", _FS_M["type"], "u_p_type")
-                + w("ag_size", _FS_M["size"], "u_p_size")
+                + w("ag_band", _FS_M["band"], "u_band")
                 + w("ag_tok", _FS_M["tok"], "u_tok")
             ).alias("score"),
         )
