@@ -104,6 +104,43 @@ EXPECTATIONS = {
         4,
         ["Join", "ArrowEval", "MapInPandas", "BatchEvalPython"],
     ),
+    # all-pairs correlation matrix: every moment in ONE aggregate —
+    # a join or second exchange means the one-scan contract broke
+    "profile_correlation_matrix": (
+        1,
+        ["Join", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # Spearman: distinct-value rank tables via prefix sums (BNLJ =
+    # the tiny triangular offsets join; SMJ allowed for the high-
+    # cardinality join-back) — but never Python
+    "stats_spearman_corr": (
+        45,
+        ["ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # conformal: exact shared-rank quantile — broadcast/triangular
+    # joins only; an SMJ would mean a row-scale side stopped
+    # broadcasting, Python is never involved
+    "ml_conformal_intervals": (
+        30,
+        ["SortMergeJoin", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # point-in-polygon: the edge table must broadcast (SMJ forbidden);
+    # parity reduces map-side, no Python
+    "geo_point_in_polygon_join": (
+        8,
+        ["SortMergeJoin", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # Holt-Winters: dims broadcast around exactly one grouped-map
+    # pandas stage; an SMJ means the dense-series build degraded
+    "ts_holt_winters_fit": (
+        12,
+        ["SortMergeJoin", "ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
+    # Fellegi-Sunter: u-estimates and pairs stay JVM-side
+    "entity_fellegi_sunter_scores": (
+        20,
+        ["ArrowEval", "MapInPandas", "BatchEvalPython"],
+    ),
 }
 
 
