@@ -39,10 +39,13 @@ from etl_lens_spark.sources.tables import load_table
 # DuckDB replica of operators/kmv.kmv_value over an arbitrary SQL
 # expression: first 13 hex chars of md5 folded to a 52-bit BIGINT.
 def _md5_sql(expr: str) -> str:
+    # lambda vars are deliberately obscure (__hp/__ha/__hb): a plain
+    # `i` would SHADOW any same-named column inside {expr} (DuckDB
+    # lambda scoping), silently hashing the character index instead
     return f"""list_reduce(list_transform(range(1, 14),
-      i -> CAST(strpos('0123456789abcdef',
-             substr(md5(CAST({expr} AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-      (a, b) -> a * 16 + b)"""
+      __hp -> CAST(strpos('0123456789abcdef',
+             substr(md5(CAST({expr} AS VARCHAR)), __hp, 1)) - 1 AS BIGINT)),
+      (__ha, __hb) -> __ha * 16 + __hb)"""
 
 
 # ---------------------------------------------------------------------------
@@ -2019,4 +2022,347 @@ def geo_point_in_polygon_join(
             "shoelace_area",
         )
         .orderBy("poly_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step — closed-form per-user solve, pure aggregates
+# ---------------------------------------------------------------------------
+
+_ALS_LAMBDA = 0.1
+_ALS_TOP = 25
+
+
+@query(
+    "reco_als_one_step",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_custkey AS u, l_partkey AS i,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS rating
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_partkey
+    ),
+    vfac AS (
+      SELECT i,
+             1.0 AS v1,
+             CAST({_md5_sql("'als1|' || CAST(i AS VARCHAR)")} AS DOUBLE)
+               / {_MD5_SCALE!r} AS v2
+      FROM (SELECT DISTINCT i FROM r)
+    ),
+    g AS (
+      SELECT r.u,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(v.v1 * v.v1) + {_ALS_LAMBDA!r} AS a11,
+             SUM(v.v1 * v.v2) AS a12,
+             SUM(v.v2 * v.v2) + {_ALS_LAMBDA!r} AS a22,
+             SUM(v.v1 * r.rating) AS b1,
+             SUM(v.v2 * r.rating) AS b2
+      FROM r JOIN vfac v USING (i) GROUP BY r.u
+    )
+    SELECT u, n_items,
+           (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS u1,
+           (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS u2
+    FROM g ORDER BY n_items DESC, u LIMIT {_ALS_TOP}
+    """,
+)
+def reco_als_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One ALS half-step (solve all user factors against fixed item
+    factors) expressed as pure distributed aggregates — the
+    structural demonstration that an ALS ITERATION on Spark is one
+    groupBy per side: per-user, the 2×2 normal equations
+    (VᵀV + λI)u = Vᵀr accumulate as five sums over the user's rated
+    items (map-side combine on the ratings join), and the solve is
+    Cramer's rule in closed form — no per-user matrix library, no
+    Python, no collect. Item factors are md5-deterministic (the
+    "previous iteration's" factors), so the oracle re-derives the
+    entire step bit-for-bit. Top-{_ALS_TOP} most active users shown.
+
+    At 100 TB: ratings shuffle once on user (the groupBy); the item-
+    factor join is broadcast when factors fit, hash otherwise —
+    exactly MLlib's ALS data layout, visible here as plain SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"),
+            F.col("l_partkey").alias("i"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("double")
+            .alias("rating")
+        )
+    )
+    vfac = r.select("i").distinct().select(
+        "i",
+        F.lit(1.0).alias("v1"),
+        (
+            kmv_value(
+                F.concat(F.lit("als1|"), F.col("i").cast("string"))
+            ).cast("double")
+            / F.lit(_MD5_SCALE)
+        ).alias("v2"),
+    )
+    g = (
+        r.join(vfac, "i")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum(F.col("v1") * F.col("v1")) + F.lit(_ALS_LAMBDA)).alias(
+                "a11"
+            ),
+            F.sum(F.col("v1") * F.col("v2")).alias("a12"),
+            (F.sum(F.col("v2") * F.col("v2")) + F.lit(_ALS_LAMBDA)).alias(
+                "a22"
+            ),
+            F.sum(F.col("v1") * F.col("rating")).alias("b1"),
+            F.sum(F.col("v2") * F.col("rating")).alias("b2"),
+        )
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return (
+        g.select(
+            "u",
+            "n_items",
+            (
+                (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12"))
+                / det
+            ).alias("u1"),
+            (
+                (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12"))
+                / det
+            ).alias("u2"),
+        )
+        .orderBy(F.desc("n_items"), "u")
+        .limit(_ALS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means++ initialization + one Lloyd iteration — md5-deterministic
+# ---------------------------------------------------------------------------
+
+_KPP_K = 4
+_KPP_EPS = 1e-300  # guards ln(u)/dist2 at already-chosen points
+
+
+def _kpp_oracle() -> str:
+    u = lambda r: (  # noqa: E731
+        "CAST("
+        + _md5_sql(f"'kpp{r}|' || CAST(rid AS VARCHAR)")
+        + f" AS DOUBLE) / {_MD5_SCALE!r}"
+    )
+
+    def d2(j):
+        return f"((zx - c{j}x) * (zx - c{j}x) + (zy - c{j}y) * (zy - c{j}y))"
+
+    sels = []
+    prev = []
+    for k in range(2, _KPP_K + 1):
+        dist = "LEAST(" + ", ".join(d2(j) for j in prev_all) + ")" if (
+            prev_all := list(range(1, k))
+        ) else ""
+        sels.append(f"""
+    sel{k} AS (
+      SELECT max_by(zx, LN({u(k)}) / GREATEST({dist}, {_KPP_EPS!r}))
+               AS c{k}x,
+             max_by(zy, LN({u(k)}) / GREATEST({dist}, {_KPP_EPS!r}))
+               AS c{k}y
+      FROM pts CROSS JOIN st{k - 1}
+    ),
+    st{k} AS (SELECT * FROM st{k - 1} CROSS JOIN sel{k})""")
+    all_d2 = [d2(j) for j in range(1, _KPP_K + 1)]
+    label = "CASE " + " ".join(
+        f"WHEN {all_d2[j - 1]} <= LEAST({', '.join(all_d2)}) THEN {j}"
+        for j in range(1, _KPP_K + 1)
+    ) + " END"
+    mind = f"LEAST({', '.join(all_d2)})"
+    return f"""
+    WITH src0 AS (
+      SELECT l_orderkey * 8 + l_linenumber AS rid0,
+             CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    src AS MATERIALIZED (
+      SELECT rid0 * 32 + ROW_NUMBER() OVER (PARTITION BY rid0
+                                            ORDER BY x, y) AS rid,
+             x, y
+      FROM src0
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM src
+    ),
+    stt AS (
+      SELECT sx / n AS mx, sy / n AS my,
+             SQRT(sxx / n - (sx / n) * (sx / n)) AS sdx,
+             SQRT(syy / n - (sy / n) * (sy / n)) AS sdy
+      FROM mom
+    ),
+    pts AS MATERIALIZED (
+      SELECT rid, (x - mx) / sdx AS zx, (y - my) / sdy AS zy
+      FROM src CROSS JOIN stt
+    ),
+    sel1 AS (
+      SELECT max_by(zx, LN({u(1)})) AS c1x,
+             max_by(zy, LN({u(1)})) AS c1y
+      FROM pts
+    ),
+    st1 AS (SELECT * FROM sel1),
+    {",".join(sels)},
+    assigned AS (
+      SELECT {label} AS k, zx, zy, {mind} AS md
+      FROM pts CROSS JOIN st{_KPP_K}
+    ),
+    news AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             SUM(zx) / COUNT(*) AS new_cx,
+             SUM(zy) / COUNT(*) AS new_cy,
+             SUM(md) AS sse_cluster
+      FROM assigned GROUP BY k
+    ),
+    inits AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS k, c{j}x AS init_cx, c{j}y AS init_cy "
+          f"FROM st{_KPP_K}" for j in range(1, _KPP_K + 1))}
+    )
+    SELECT i.k, i.init_cx, i.init_cy, n.n_assigned, n.new_cx, n.new_cy,
+           n.sse_cluster
+    FROM inits i JOIN news n USING (k) ORDER BY i.k
+    """
+
+
+@query("ml_kmeans_plusplus_lloyd", oracle=_kpp_oracle())
+def ml_kmeans_plusplus_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means++ initialization (k={_KPP_K}) plus ONE Lloyd
+    iteration over standardized (quantity, price) — the distributed
+    clustering bootstrap, fully oracle-checked because the D²-weighted
+    sampling is derandomized with the Efraimidis–Spirakis key
+    ln(u)/D² on md5 uniforms (argmax ≡ sampling with probability ∝
+    D²; a fresh salt per round keeps draws independent; the argmax
+    seed id is made row-UNIQUE first — the synthetic lineitem reuses
+    (orderkey, linenumber) pairs, so a deterministic dedup rank over
+    (x, y) within each collided id disambiguates the hash input;
+    identical full duplicates keep identical coordinates either way). Already-
+    chosen points have D²=0 → key −∞ via the epsilon guard, so they
+    can never be re-picked.
+
+    Plan shape: standardization is one moment aggregate; each ++
+    round is ONE max_by aggregate over the scan with the tiny center
+    state cross-joined in (k passes total — inherent to k-means++;
+    the k-means‖ oversampling variant would batch them); the Lloyd
+    step is one conditional-aggregate pass. No windows, no Python,
+    nothing ever collects to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_dup = Window.partitionBy("rid0").orderBy("x", "y")
+    src = (
+        li.select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+                "rid0"
+            ),
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+        .withColumn(
+            "rid",
+            F.col("rid0") * 32
+            + F.row_number().over(w_dup).cast("long"),
+        )
+        .drop("rid0")
+    )
+    mom = src.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    stt = mom.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        F.sqrt(
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+        ).alias("sdx"),
+        F.sqrt(
+            F.col("syy") / F.col("n")
+            - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("sdy"),
+    )
+    pts = src.crossJoin(F.broadcast(stt)).select(
+        "rid",
+        ((F.col("x") - F.col("mx")) / F.col("sdx")).alias("zx"),
+        ((F.col("y") - F.col("my")) / F.col("sdy")).alias("zy"),
+    )
+
+    def uni(r):
+        return (
+            kmv_value(
+                F.concat(F.lit(f"kpp{r}|"), F.col("rid").cast("string"))
+            ).cast("double")
+            / F.lit(_MD5_SCALE)
+        )
+
+    def d2(j):
+        return (F.col("zx") - F.col(f"c{j}x")) * (
+            F.col("zx") - F.col(f"c{j}x")
+        ) + (F.col("zy") - F.col(f"c{j}y")) * (
+            F.col("zy") - F.col(f"c{j}y")
+        )
+
+    state = pts.agg(
+        F.max_by("zx", F.log(uni(1))).alias("c1x"),
+        F.max_by("zy", F.log(uni(1))).alias("c1y"),
+    )
+    for k in range(2, _KPP_K + 1):
+        prior = [d2(j) for j in range(1, k)]
+        dist = prior[0] if len(prior) == 1 else F.least(*prior)
+        key = F.log(uni(k)) / F.greatest(dist, F.lit(_KPP_EPS))
+        sel = (
+            pts.crossJoin(F.broadcast(state))
+            .agg(
+                F.max_by("zx", key).alias(f"c{k}x"),
+                F.max_by("zy", key).alias(f"c{k}y"),
+            )
+        )
+        state = state.crossJoin(F.broadcast(sel))
+    dists = [d2(j) for j in range(1, _KPP_K + 1)]
+    mind = F.least(*dists)
+    label = F.when(dists[0] <= mind, 1)
+    for j in range(2, _KPP_K + 1):
+        label = label.when(dists[j - 1] <= mind, j)
+    assigned = pts.crossJoin(F.broadcast(state)).select(
+        label.alias("k"), "zx", "zy", mind.alias("md")
+    )
+    news = assigned.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        (F.sum("zx") / F.count(F.lit(1))).alias("new_cx"),
+        (F.sum("zy") / F.count(F.lit(1))).alias("new_cy"),
+        F.sum("md").alias("sse_cluster"),
+    )
+    inits = None
+    for j in range(1, _KPP_K + 1):
+        part = state.select(
+            F.lit(j).alias("k"),
+            F.col(f"c{j}x").alias("init_cx"),
+            F.col(f"c{j}y").alias("init_cy"),
+        )
+        inits = part if inits is None else inits.unionByName(part)
+    return (
+        inits.join(F.broadcast(news), "k")
+        .select(
+            "k",
+            "init_cx",
+            "init_cy",
+            "n_assigned",
+            "new_cx",
+            "new_cy",
+            "sse_cluster",
+        )
+        .orderBy("k")
     )

@@ -363,3 +363,83 @@ def test_neyman_allocation_dominates_high_variance_strata(spark):
     w.sort()
     allocs = [a for _, a in w]
     assert allocs == sorted(allocs)
+
+
+def test_als_one_step_matches_numpy_solve(spark):
+    rows = all_queries()["reco_als_one_step"](spark, SF).collect()
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).to_pandas()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    df = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    r = (
+        df.groupby(["o_custkey", "l_partkey"])["l_quantity"]
+        .apply(lambda v: float(sum(int(x) for x in v)))
+        .reset_index(name="rating")
+    )
+    assert rows
+    for row in rows[:5]:
+        sub = r[r["o_custkey"] == row.u]
+        assert row.n_items == len(sub)
+        a11 = a12 = a22 = b1 = b2 = 0.0
+        for _, rec in sub.iterrows():
+            v2 = _md5_52(f"als1|{int(rec['l_partkey'])}") / 2.0**52
+            a11 += 1.0
+            a12 += v2
+            a22 += v2 * v2
+            b1 += rec["rating"]
+            b2 += v2 * rec["rating"]
+        a11 += 0.1
+        a22 += 0.1
+        det = a11 * a22 - a12 * a12
+        assert abs(row.u1 - (b1 * a22 - b2 * a12) / det) < 1e-9
+        assert abs(row.u2 - (b2 * a11 - b1 * a12) / det) < 1e-9
+
+
+def test_kmeans_plusplus_lloyd_replica(spark):
+    rows = all_queries()["ml_kmeans_plusplus_lloyd"](spark, SF).collect()
+    assert [r.k for r in rows] == [1, 2, 3, 4]
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice"],
+    ).to_pandas()
+    n_rows = len(li)
+    assert sum(r.n_assigned for r in rows) == n_rows
+    # full pure-python replay of the derandomized k-means++
+    li["rid0"] = li["l_orderkey"] * 8 + li["l_linenumber"]
+    li["x"] = li["l_quantity"].astype(float)
+    li["y"] = li["l_extendedprice"].astype(float)
+    li = li.sort_values(["rid0", "x", "y"]).reset_index(drop=True)
+    li["rn"] = li.groupby("rid0").cumcount() + 1
+    li["rid"] = li["rid0"] * 32 + li["rn"]
+    n = float(n_rows)
+    mx, my = li["x"].sum() / n, li["y"].sum() / n
+    sdx = ((li["x"] * li["x"]).sum() / n - mx * mx) ** 0.5
+    sdy = ((li["y"] * li["y"]).sum() / n - my * my) ** 0.5
+    zx = ((li["x"] - mx) / sdx).to_numpy()
+    zy = ((li["y"] - my) / sdy).to_numpy()
+    rid = li["rid"].to_numpy()
+    centers = []
+    for k in range(1, 5):
+        u = np.array(
+            [_md5_52(f"kpp{k}|{int(r)}") / 2.0**52 for r in rid]
+        )
+        if not centers:
+            key = np.log(u)
+        else:
+            d = np.min(
+                [
+                    (zx - cx) ** 2 + (zy - cy) ** 2
+                    for cx, cy in centers
+                ],
+                axis=0,
+            )
+            key = np.log(u) / np.maximum(d, 1e-300)
+        j = int(np.argmax(key))
+        centers.append((zx[j], zy[j]))
+    for r, (cx, cy) in zip(rows, centers):
+        assert abs(r.init_cx - cx) < 1e-12 and abs(r.init_cy - cy) < 1e-12
