@@ -2366,3 +2366,511 @@ def ml_kmeans_plusplus_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands: longest consecutive-day streak per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_login_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1995-01-01' AS BIGINT) AS d
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS start_d
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           MIN(start_d) AS first_day
+    FROM streaks GROUP BY user_id
+    ORDER BY longest_streak DESC, user_id LIMIT 50
+    """,
+)
+def events_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps-and-islands classic, distributed: longest run of
+    CONSECUTIVE active days per user via the d − row_number() island
+    trick (consecutive days share a constant difference, so one
+    subtraction converts runs into group keys — no self-join, no
+    recursion). Retention/habit metric every engagement pipeline
+    ships.
+
+    Scale posture: the distinct-day collapse happens first; the
+    window partitions BY USER over each user's handful of days —
+    bounded per-partition state, perfectly parallel, never a global
+    sort. Top-50 by streak with key tie-break."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "island", F.col("d") - F.row_number().over(w).cast("long")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("start_d"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.sum("len").cast("long").alias("active_days"),
+            F.min("start_d").alias("first_day"),
+        )
+        .orderBy(F.desc("longest_streak"), "user_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean — order statistics without a global sort
+# ---------------------------------------------------------------------------
+
+_TRIM = 0.05  # trim fraction each tail
+
+
+@query(
+    "stats_trimmed_mean",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+    ),
+    counts AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c, SUM(c) OVER (ORDER BY v) AS cumw,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n
+      FROM counts
+    ),
+    bounds AS (
+      SELECT n,
+             CAST(FLOOR({_TRIM!r} * CAST(n AS DOUBLE)) AS BIGINT) AS k_lo,
+             n - CAST(FLOOR({_TRIM!r} * CAST(n AS DOUBLE)) AS BIGINT)
+               AS k_hi
+      FROM (SELECT DISTINCT n FROM cum)
+    ),
+    kept AS (
+      SELECT v,
+             LEAST(cumw, b.k_hi)
+               - GREATEST(cumw - c, b.k_lo) AS w
+      FROM cum CROSS JOIN bounds b
+      WHERE cumw > b.k_lo AND cumw - c < b.k_hi
+    )
+    SELECT (SELECT n FROM bounds) AS n_rows,
+           (SELECT k_lo FROM bounds) AS n_trimmed_each_tail,
+           CAST(SUM(w) AS BIGINT) AS n_kept,
+           CAST(SUM(v * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             AS trimmed_mean
+    FROM kept
+    """,
+)
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {int(_TRIM * 100)}%-each-tail trimmed mean of order
+    value — the robust location estimate — computed WITHOUT sorting
+    rows: distinct-value counts, a range-partitioned prefix sum over
+    the value order (operators/prefix.py), then each value
+    contributes the exact number of its copies that fall inside the
+    rank window [k_lo, k_hi] (LEAST/GREATEST clipping handles values
+    straddling a trim boundary — partial inclusion, bit-exact).
+    Weighted sum stays DECIMAL until the final division. The same
+    clipping identity generalizes to any exact rank-window statistic
+    (winsorized mean, interquartile mean)."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    counts = src.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = ordered_prefix_sum(counts, [F.col("v")], "c", "cumw")
+    tot = src.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = tot.select(
+        "n",
+        F.floor(F.lit(_TRIM) * F.col("n").cast("double"))
+        .cast("long")
+        .alias("k_lo"),
+        (
+            F.col("n")
+            - F.floor(F.lit(_TRIM) * F.col("n").cast("double")).cast(
+                "long"
+            )
+        ).alias("k_hi"),
+    )
+    kept = (
+        cum.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("cumw") > F.col("k_lo"))
+            & (F.col("cumw") - F.col("c") < F.col("k_hi"))
+        )
+        .select(
+            "v",
+            "n",
+            "k_lo",
+            (
+                F.least(F.col("cumw"), F.col("k_hi"))
+                - F.greatest(F.col("cumw") - F.col("c"), F.col("k_lo"))
+            ).alias("w"),
+        )
+    )
+    return kept.groupBy("n", "k_lo").agg(
+        F.sum("w").cast("long").alias("n_kept"),
+        (
+            F.sum(F.col("v") * F.col("w")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("trimmed_mean"),
+    ).select(
+        F.col("n").alias("n_rows"),
+        F.col("k_lo").alias("n_trimmed_each_tail"),
+        "n_kept",
+        "trimmed_mean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Huber robust regression — one IRLS step in closed form
+# ---------------------------------------------------------------------------
+
+_HUBER_C = 1.345
+
+
+@query(
+    "ml_huber_irls_step",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM src
+    ),
+    fit0 AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b0,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS a0
+      FROM ols
+    ),
+    scale AS (
+      SELECT SQRT(SUM((y - a0 - b0 * x) * (y - a0 - b0 * x)) / MAX(n))
+               AS sigma
+      FROM src CROSS JOIN fit0
+    ),
+    wls AS (
+      SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * y) AS swy,
+             SUM(w * x * x) AS swxx, SUM(w * x * y) AS swxy
+      FROM (
+        SELECT x, y,
+               LEAST(1.0, {_HUBER_C!r} * sigma
+                          / GREATEST(ABS(y - a0 - b0 * x), 1e-300)) AS w
+        FROM src CROSS JOIN fit0 CROSS JOIN scale
+      )
+    )
+    SELECT f.n AS n_rows, f.a0, f.b0, s.sigma,
+           (w.sw * w.swxy - w.swx * w.swy)
+             / (w.sw * w.swxx - w.swx * w.swx) AS b1,
+           (w.swy - (w.sw * w.swxy - w.swx * w.swy)
+                    / (w.sw * w.swxx - w.swx * w.swx) * w.swx) / w.sw
+             AS a1,
+           w.sw AS sum_weights
+    FROM fit0 f, scale s, wls w
+    """,
+)
+def ml_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression, one IRLS step in closed form: OLS of
+    price on quantity (moment aggregates), residual scale, Huber
+    weights w = min(1, cσ/|r|) (c = {_HUBER_C}: full weight inside
+    the band, downweighted beyond — outliers stop dragging the fit),
+    then weighted least squares from weighted moments. Three scans,
+    every stage a map-side-combined aggregate + broadcast of a 1-row
+    state — the whole robust-regression iteration with no Python and
+    nothing driver-side; production iterates the same step to
+    convergence, each iteration this exact plan."""
+    src = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    ols = src.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b0 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit0 = ols.select(
+        "n",
+        b0.alias("b0"),
+        ((F.col("sy") - b0 * F.col("sx")) / F.col("n")).alias("a0"),
+    )
+    resid = F.col("y") - F.col("a0") - F.col("b0") * F.col("x")
+    scale = (
+        src.crossJoin(F.broadcast(fit0))
+        .agg(
+            F.sqrt(F.sum(resid * resid) / F.first("n")).alias("sigma")
+        )
+    )
+    w = F.least(
+        F.lit(1.0),
+        F.lit(_HUBER_C)
+        * F.col("sigma")
+        / F.greatest(F.abs(resid), F.lit(1e-300)),
+    )
+    wls = (
+        src.crossJoin(F.broadcast(fit0))
+        .crossJoin(F.broadcast(scale))
+        .select("x", "y", w.alias("w"))
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        )
+    )
+    b1 = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / (
+        F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    )
+    return (
+        fit0.crossJoin(F.broadcast(scale))
+        .crossJoin(F.broadcast(wls))
+        .select(
+            F.col("n").alias("n_rows"),
+            "a0",
+            "b0",
+            "sigma",
+            b1.alias("b1"),
+            ((F.col("swy") - b1 * F.col("swx")) / F.col("sw")).alias(
+                "a1"
+            ),
+            F.col("sw").alias("sum_weights"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (binned, exact)
+# ---------------------------------------------------------------------------
+
+_QN_BINS = 20
+
+
+@query(
+    "feature_quantile_normalize",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+      SELECT source, n_chars, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cumw,
+             SUM(c) OVER (PARTITION BY source) AS n_s
+      FROM counts
+    ),
+    binned AS (
+      SELECT source, n_chars, c,
+             LEAST(CAST(FLOOR((CAST(cumw AS DOUBLE) - CAST(c AS DOUBLE)
+                               / 2.0) / CAST(n_s AS DOUBLE)
+                              * {_QN_BINS}) AS BIGINT),
+                   {_QN_BINS - 1}) AS ventile
+      FROM cum
+    ),
+    src_bin AS (
+      SELECT source, ventile, CAST(SUM(c) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT) * c) AS DOUBLE) / SUM(c)
+               AS src_mean
+      FROM binned GROUP BY source, ventile
+    ),
+    ref AS (
+      SELECT ventile, SUM(src_mean) / COUNT(*) AS ref_value
+      FROM src_bin GROUP BY ventile
+    )
+    SELECT s.source, s.ventile, s.n_docs, s.src_mean, r.ref_value
+    FROM src_bin s JOIN ref r USING (ventile)
+    ORDER BY s.source, s.ventile
+    """,
+)
+def feature_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of document lengths ACROSS sources (the
+    microarray-era classic, used today to calibrate quality scores
+    across crawl shards): each source's distribution is mapped onto
+    the shared reference — the cross-source average of per-quantile-
+    bin means — so rank structure survives but marginal distributions
+    align. A document's normalized score is its bin's ref_value.
+
+    Scale posture: ranks come from the (source, n_chars) COUNT table
+    (the value domain is bounded, so the per-source window rides a
+    collapsed table orders of magnitude smaller than the corpus);
+    bin midpoint q = (cum − c/2)/n_s, clipped to {_QN_BINS} bins.
+    The reference table is {_QN_BINS} rows — broadcast back wherever
+    the mapped score is applied."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    cum = counts.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(w_cum).alias("cumw"),
+        F.sum("c").over(w_all).alias("n_s"),
+    )
+    binned = cum.select(
+        "source",
+        "n_chars",
+        "c",
+        F.least(
+            F.floor(
+                (
+                    F.col("cumw").cast("double")
+                    - F.col("c").cast("double") / 2.0
+                )
+                / F.col("n_s").cast("double")
+                * _QN_BINS
+            ).cast("long"),
+            F.lit(_QN_BINS - 1).cast("long"),
+        ).alias("ventile"),
+    )
+    src_bin = binned.groupBy("source", "ventile").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("long") * F.col("c")).cast(
+                "double"
+            )
+            / F.sum("c")
+        ).alias("src_mean"),
+    )
+    ref = src_bin.groupBy("ventile").agg(
+        (F.sum("src_mean") / F.count(F.lit(1))).alias("ref_value")
+    )
+    return (
+        src_bin.join(F.broadcast(ref), "ventile")
+        .select("source", "ventile", "n_docs", "src_mean", "ref_value")
+        .orderBy("source", "ventile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (SPRT) over the event stream
+# ---------------------------------------------------------------------------
+
+_SPRT_P0 = 0.18
+_SPRT_P1 = 0.22
+_SPRT_ALPHA = 0.05
+_SPRT_BETA = 0.2
+import math as _math  # noqa: E402
+
+_SPRT_LW = _math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_LL = _math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+_SPRT_UP = _math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
+_SPRT_LO = _math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
+
+
+@query(
+    "ab_test_sprt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1995-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY 1
+    ),
+    walk AS (
+      SELECT d, n, conv,
+             SUM(CAST(conv AS DOUBLE) * {_SPRT_LW!r}
+                 + CAST(n - conv AS DOUBLE) * {_SPRT_LL!r})
+               OVER (ORDER BY d) AS cum_llr
+      FROM daily
+    )
+    SELECT d, n, conv, cum_llr,
+           CASE WHEN cum_llr >= {_SPRT_UP!r} THEN 'accept_h1'
+                WHEN cum_llr <= {_SPRT_LO!r} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM walk ORDER BY d
+    """,
+)
+def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test on the daily purchase
+    rate: the cumulative log-likelihood ratio for H1 (p={_SPRT_P1})
+    vs H0 (p={_SPRT_P0}) walks day by day, and the experiment STOPS
+    the first day it crosses ln((1−β)/α) above or ln(β/(1−α)) below
+    — the always-valid alternative to fixed-horizon testing that the
+    ab_test_cuped / diff-in-diff family doesn't cover (peeking is
+    legal by construction).
+
+    Scale posture: the corpus collapses to one row per day (map-side
+    combined counts); the running LLR is a window over the tiny daily
+    series (at many-experiment scale the window partitions by
+    experiment id). All four SPRT constants are shared repr()'d
+    double literals, so the walk is cross-engine bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = daily.withColumn(
+        "cum_llr",
+        F.sum(
+            F.col("conv").cast("double") * F.lit(_SPRT_LW)
+            + (F.col("n") - F.col("conv")).cast("double")
+            * F.lit(_SPRT_LL)
+        ).over(w),
+    )
+    return walk.select(
+        "d",
+        "n",
+        "conv",
+        "cum_llr",
+        F.when(F.col("cum_llr") >= _SPRT_UP, "accept_h1")
+        .when(F.col("cum_llr") <= _SPRT_LO, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("d")

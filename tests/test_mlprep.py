@@ -443,3 +443,101 @@ def test_kmeans_plusplus_lloyd_replica(spark):
         centers.append((zx[j], zy[j]))
     for r, (cx, cy) in zip(rows, centers):
         assert abs(r.init_cx - cx) < 1e-12 and abs(r.init_cy - cy) < 1e-12
+
+
+def test_login_streaks_replica(spark):
+    rows = all_queries()["events_login_streaks"](spark, SF).collect()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts"]
+    ).to_pandas()
+    ev = ev.dropna(subset=["user_id"])
+    ev["d"] = (
+        ev["ts"].dt.normalize() - np.datetime64("1995-01-01")
+    ).dt.days
+    got = {r.user_id: r for r in rows}
+    for uid, r in list(got.items())[:20]:
+        days = sorted(set(ev[ev["user_id"] == uid]["d"]))
+        streaks, cur = [], 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert r.longest_streak == max(streaks)
+        assert r.n_streaks == len(streaks)
+        assert r.active_days == len(days)
+        assert r.first_day == days[0]
+
+
+def test_trimmed_mean_matches_numpy(spark):
+    r = all_queries()["stats_trimmed_mean"](spark, SF).collect()[0]
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = sorted(
+        Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        for x in orders["o_totalprice"]
+    )
+    k = int(np.floor(0.05 * len(v)))
+    kept = v[k : len(v) - k]
+    assert r.n_rows == len(v)
+    assert r.n_trimmed_each_tail == k
+    assert r.n_kept == len(kept)
+    want = float(sum(kept)) / len(kept)
+    assert abs(r.trimmed_mean - want) < 1e-9
+
+
+def test_huber_downweights_vs_ols(spark):
+    r = all_queries()["ml_huber_irls_step"](spark, SF).collect()[0]
+    assert r.sigma > 0
+    assert 0 < r.sum_weights < r.n_rows  # some rows downweighted
+    assert math.isfinite(r.a1) and math.isfinite(r.b1)
+    # OLS replica
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    x = li["l_quantity"].astype(float).to_numpy()
+    y = li["l_extendedprice"].astype(float).to_numpy()
+    b0 = np.polyfit(x, y, 1)
+    assert abs(r.b0 - b0[0]) < 1e-6 * max(1.0, abs(b0[0]))
+    assert abs(r.a0 - b0[1]) < 1e-6 * max(1.0, abs(b0[1]))
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    rows = all_queries()["feature_quantile_normalize"](
+        spark, SF
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # every source maps onto the SAME reference values per ventile
+    ref = {}
+    for src, rs in by_src.items():
+        for r in rs:
+            if r.ventile in ref:
+                assert ref[r.ventile] == r.ref_value
+            ref[r.ventile] = r.ref_value
+        # monotone: higher ventile -> higher src mean
+        ordered = sorted(rs, key=lambda t: t.ventile)
+        means = [t.src_mean for t in ordered]
+        assert means == sorted(means)
+
+
+def test_sprt_walk_monotone_in_evidence(spark):
+    rows = all_queries()["ab_test_sprt"](spark, SF).collect()
+    assert rows
+    # replay the walk
+    cum = 0.0
+    import math as m
+
+    lw = m.log(0.22 / 0.18)
+    ll = m.log(0.78 / 0.82)
+    for r in rows:
+        cum += r.conv * lw + (r.n - r.conv) * ll
+        assert abs(r.cum_llr - cum) < 1e-9
+        assert r.decision in {"accept_h1", "accept_h0", "continue"}
