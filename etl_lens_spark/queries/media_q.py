@@ -2067,3 +2067,140 @@ def mm_video_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         _keyframe_batches, _KEYFRAME_OUT
     ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# QOI — real compressed raster format, pure-arithmetic toolchain
+# ---------------------------------------------------------------------------
+
+_QOI_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("chan_sum", T.LongType()),
+        T.StructField("pos_sum", T.LongType()),
+    ]
+)
+
+
+def _synth_qoi_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import qoi
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 16 + d % 5, 8 + d % 3
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            # even 4-px spans constant (RUN), odd spans +1/px (DIFF),
+            # span boundaries jump 7/3 (LUMA/RGB); the last row
+            # alternates two fixed colors (INDEX via the hash table)
+            ramp = np.where((x // 4) % 2 == 1, x % 4, 0)
+            r = ((x // 4) * 7 + ramp + d) % 256
+            g = ((x // 4) * 3 + y) % 256
+            b = (y + d) % 256
+            arr = np.stack(
+                [np.broadcast_to(r, (h, w)),
+                 np.broadcast_to(g, (h, w)),
+                 np.broadcast_to(b, (h, w))],
+                axis=2,
+            ).astype(np.uint8)
+            stripe = np.where((x % 2 == 0), 1, 0)[0]
+            arr[h - 1, :, 0] = np.where(stripe, 10, 50)
+            arr[h - 1, :, 1] = np.where(stripe, 20, 60)
+            arr[h - 1, :, 2] = np.where(stripe, 30, 70)
+            payloads.append(qoi.encode_qoi(arr))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_qoi_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from etl_lens_spark.multimodal import qoi
+
+    for pdf in it:
+        rows = []
+        for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = qoi.decode_qoi(bytes(payload)).astype(np.int64)
+            h, w, _ = arr.shape
+            chan = (
+                1 * arr[:, :, 0] + 2 * arr[:, :, 1] + 3 * arr[:, :, 2]
+            )
+            xw = (np.arange(w) + 1)[None, :]
+            yw = (np.arange(h) + 2)[:, None]
+            rows.append(
+                (
+                    int(d),
+                    w,
+                    h,
+                    int(h * w),
+                    int(chan.sum()),
+                    int((arr.sum(axis=2) * xw * yw).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_pixels", "chan_sum",
+                "pos_sum",
+            ],
+        )
+
+
+@query(
+    "mm_real_qoi_pipeline",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             16 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+             ux.x, uy.y,
+             CASE WHEN uy.y = 8 + doc_id % 3 - 1
+                  THEN CASE WHEN ux.x % 2 = 0 THEN 10 ELSE 50 END
+                  ELSE ((ux.x // 4) * 7
+                        + CASE WHEN (ux.x // 4) % 2 = 1
+                               THEN ux.x % 4 ELSE 0 END
+                        + doc_id) % 256 END AS r,
+             CASE WHEN uy.y = 8 + doc_id % 3 - 1
+                  THEN CASE WHEN ux.x % 2 = 0 THEN 20 ELSE 60 END
+                  ELSE ((ux.x // 4) * 3 + uy.y) % 256 END AS g,
+             CASE WHEN uy.y = 8 + doc_id % 3 - 1
+                  THEN CASE WHEN ux.x % 2 = 0 THEN 30 ELSE 70 END
+                  ELSE (uy.y + doc_id) % 256 END AS b
+      FROM (SELECT doc_id FROM documents) d,
+           LATERAL (SELECT unnest(range(16 + doc_id % 5)) AS x) ux,
+           LATERAL (SELECT unnest(range(8 + doc_id % 3)) AS y) uy
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(1 * r + 2 * g + 3 * b) AS BIGINT) AS chan_sum,
+           CAST(SUM((x + 1) * (y + 2) * (r + g + b)) AS BIGINT)
+             AS pos_sum
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_real_qoi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real QOI decode (multimodal/qoi.py — the 'Quite OK Image'
+    format, public spec 1.0): genuine QOI streams are synthesized so
+    the pixel pattern exercises every chunk op — 4-px spans (RUN),
+    small y-steps (DIFF/LUMA), span-boundary jumps (RGB/LUMA),
+    periodic repeats (INDEX via the rolling 64-slot hash table) —
+    then decoded back through the full op state machine. The oracle
+    recomputes the checksums arithmetically from the generation
+    formula: the channel-asymmetric ``chan_sum`` fails on any channel
+    reorder, ``pos_sum`` on any raster misplacement, dims on a header
+    misparse — so a hash match proves the codec roundtrips
+    bit-for-bit. Two chained no-shuffle mapInPandas stages, identical
+    scale shape to the PPM/BMP/PNG/GIF pipelines; op coverage is
+    pinned separately in tests/test_qoi.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_payload = docs.mapInPandas(_synth_qoi_batches, _IMG_SCHEMA)
+    return with_payload.mapInPandas(_decode_qoi_batches, _QOI_OUT).orderBy(
+        "doc_id"
+    )

@@ -541,3 +541,12 @@ def test_sprt_walk_monotone_in_evidence(spark):
         cum += r.conv * lw + (r.n - r.conv) * ll
         assert abs(r.cum_llr - cum) < 1e-9
         assert r.decision in {"accept_h1", "accept_h0", "continue"}
+
+
+def test_ivm_delta_rules_exact(spark):
+    rows = all_queries()["ivm_join_delta"](spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.matches == 1
+        assert r.maintained_rev == r.recomputed_rev
+        assert r.maintained_n == r.recomputed_n
