@@ -1481,3 +1481,76 @@ def streaming_state_store_read(
         )
         .orderBy("event_type")
     )
+
+
+from etl_lens_spark.queries.mlprep_q import (  # noqa: E402
+    _SPRT_LL,
+    _SPRT_LO,
+    _SPRT_LW,
+    _SPRT_UP,
+)
+
+
+@query(
+    "streaming_sprt_live",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY 1
+    ),
+    walk AS (
+      SELECT d,
+             SUM(CAST(conv AS DOUBLE) * {_SPRT_LW!r}
+                 + CAST(n - conv AS DOUBLE) * {_SPRT_LL!r})
+               OVER (ORDER BY d) AS cum_llr
+      FROM daily
+    ),
+    crossed AS (
+      SELECT d, cum_llr,
+             CASE WHEN cum_llr >= {_SPRT_UP!r} THEN 'accept_h1'
+                  WHEN cum_llr <= {_SPRT_LO!r} THEN 'accept_h0'
+             END AS dec
+      FROM walk
+    ),
+    firstx AS (
+      SELECT MIN(d) AS first_decision_day FROM crossed
+      WHERE dec IS NOT NULL
+    )
+    SELECT 'all' AS grp,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           (SELECT ROUND(cum_llr, 6) FROM walk
+            ORDER BY d DESC LIMIT 1) AS cum_llr,
+           COALESCE((SELECT c.dec FROM crossed c, firstx f
+                     WHERE c.d = f.first_decision_day), 'continue')
+             AS decision,
+           (SELECT first_decision_day FROM firstx) AS first_decision_day
+    """,
+)
+def streaming_sprt_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE twin of ab_test_sprt: the Wald sequential test running as
+    an actual recursion over a map-typed per-day (n, conv) state —
+    the always-valid experiment monitor whose entire reason to exist
+    is continuous evaluation, here genuinely evaluated per
+    micro-batch. The emission carries the FIRST boundary-crossing day
+    (sequential decisions are sticky: once crossed, the test stopped
+    there, even if later data walks back inside the boundaries —
+    exactly what a batch recomputation gets wrong if it only looks at
+    the final LLR). Replay of the full stream must land on the batch
+    walk's values; the SPRT constants are shared module literals, so
+    the check is bit-exact. State is bounded by the horizon in days."""
+    stream = so.sprt_stateful(
+        so.events_stream(spark, sf_dir).select("event_type", "ts")
+    )
+    out = so.run_to_memory(stream, "q_stream_sprt", output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp")
+    return (
+        out.withColumn("mseq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("mseq"))
+        .select("grp", "n_days", "cum_llr", "decision",
+                "first_decision_day")
+    )

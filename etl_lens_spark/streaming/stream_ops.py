@@ -1047,3 +1047,84 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def sprt_stateful(events: DataFrame) -> DataFrame:
+    """Live Wald SPRT: the cumulative log-likelihood-ratio walk for
+    H1 vs H0 on the daily purchase rate, run AS a recursion over a
+    map-typed per-day (n, conv) state (bounded by the monitoring
+    horizon in days, not by event volume). Each micro-batch merges
+    its counts and re-walks the LLR in day order, emitting the
+    current decision and the FIRST day a stop boundary was crossed —
+    sequential testing that stays valid under continuous peeking,
+    which is the whole point of running it live. Full replay must
+    land on the batch twin's final row (ab_test_sprt); the four SPRT
+    constants are imported from the batch module so both disciplines
+    share bit-identical literals."""
+    import pandas as pd
+
+    from etl_lens_spark.queries.mlprep_q import (
+        _SPRT_LL,
+        _SPRT_LO,
+        _SPRT_LW,
+        _SPRT_UP,
+    )
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            nraw, craw, seq = state.get
+            nmap, cmap = dict(nraw), dict(craw)
+        else:
+            nmap, cmap, seq = {}, {}, 0
+        for pdf in pdf_iter:
+            us = (pdf["ts"].astype("int64") // 1000)
+            days = us // 86400000000
+            purch = (pdf["event_type"] == "purchase").astype(int)
+            for d, p in zip(days, purch):
+                d = int(d)
+                nmap[d] = nmap.get(d, 0) + 1
+                cmap[d] = cmap.get(d, 0) + int(p)
+        seq += 1
+        state.update((nmap, cmap, seq))
+        cum = 0.0
+        first_day, decision = None, "continue"
+        for d in sorted(nmap):
+            n, conv = nmap[d], cmap.get(d, 0)
+            cum += conv * _SPRT_LW + (n - conv) * _SPRT_LL
+            if first_day is None:
+                if cum >= _SPRT_UP:
+                    first_day, decision = d, "accept_h1"
+                elif cum <= _SPRT_LO:
+                    first_day, decision = d, "accept_h0"
+        if first_day is None:
+            decision = "continue"
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]],
+                "seq": [seq],
+                "n_days": [len(nmap)],
+                "cum_llr": [round(cum, 6)],
+                "decision": [decision],
+                "first_decision_day": [first_day],
+            }
+        )
+
+    from pyspark.sql import functions as SF
+
+    return (
+        events.withColumn("grp", SF.lit("all"))
+        .groupBy("grp")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "grp string, seq long, n_days long, cum_llr double, "
+                "decision string, first_decision_day long"
+            ),
+            stateStructType=(
+                "nmap map<bigint,bigint>, cmap map<bigint,bigint>, "
+                "seq long"
+            ),
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
