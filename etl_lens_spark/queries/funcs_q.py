@@ -2048,3 +2048,42 @@ def sketch_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), F.col("item"))
     )
+
+
+@query(
+    "dialect_lateral_view",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, u.w AS word, CAST(u.pos - 1 AS INTEGER) AS pos
+      FROM documents,
+           LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) u
+      WHERE doc_id < 40
+    )
+    SELECT doc_id, pos, word
+    FROM words WHERE word <> ''
+    ORDER BY doc_id, pos
+    """,
+)
+def dialect_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive/SparkSQL ``LATERAL VIEW POSEXPLODE`` dialect corner ([L]):
+    the table-generating-function syntax inherited from HiveQL, the
+    spelling a migrating Hive warehouse uses for the same explode the
+    DataFrame API writes as ``posexplode`` — proven equivalent to
+    DuckDB's UNNEST WITH ORDINALITY (via generate_subscripts). The
+    position column pins ORDER within each array, not just the bag of
+    words."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 40).createOrReplaceTempView(
+        "lv_docs_v"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, pos, word
+        FROM lv_docs_v
+        LATERAL VIEW POSEXPLODE(SPLIT(text, ' ')) t AS pos, word
+        WHERE word <> ''
+        ORDER BY doc_id, pos
+        """
+    )
