@@ -3043,3 +3043,168 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Typo-recovery evaluation: planted corruptions → blocked fuzzy match
+# ---------------------------------------------------------------------------
+
+_TYPO_JW = 0.92
+_TYPO_OFF = 1_000_000
+
+def _sdx_of(expr: str) -> str:
+    # portable Soundex over an arbitrary uppercase-word expression —
+    # the _SOUNDEX_SQL recipe with its `w` column reference replaced
+    return _SOUNDEX_SQL.replace("w,", f"{expr},").replace(
+        "(w", f"({expr}"
+    )
+
+
+@query(
+    "entity_typo_recovery_eval",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name AS name, CAST(MIN(p_partkey) AS BIGINT) AS id
+      FROM part GROUP BY p_name
+    ),
+    corrupted AS (
+      SELECT name AS orig_name, id AS orig_id,
+             substr(name, 1, CAST(k AS INTEGER))
+               || substr(name, CAST(k + 2 AS INTEGER)) AS name,
+             id + {_TYPO_OFF} AS id
+      FROM (
+        SELECT name, id,
+               1 + {_md5_sql("'typo|' || name")} % (length(name) - 1)
+                 AS k
+        FROM names
+        WHERE {_md5_sql("'pick|' || name")} % 4 = 0
+      )
+    ),
+    pool AS (
+      SELECT name, id FROM names
+      UNION ALL
+      SELECT name, id FROM corrupted
+    ),
+    keyed AS (
+      SELECT name, id,
+             {_sdx_of("upper(split_part(name, ' ', 1))")} AS blk
+      FROM pool
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             jaro_winkler_similarity(a.name, b.name) AS jw
+      FROM keyed a JOIN keyed b
+        ON a.blk = b.blk AND a.id < b.id
+    ),
+    matched AS (
+      SELECT * FROM cand WHERE jw >= {_TYPO_JW!r}
+    ),
+    tp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tp FROM matched
+      WHERE id_b = id_a + {_TYPO_OFF}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM names) AS n_names,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM corrupted)
+             AS n_corrupted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_matched,
+           tp.tp,
+           CAST(tp.tp AS DOUBLE)
+             / (SELECT COUNT(*) FROM matched) AS precision_,
+           CAST(tp.tp AS DOUBLE)
+             / (SELECT COUNT(*) FROM corrupted) AS recall_
+    FROM tp
+    """,
+)
+def entity_typo_recovery_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end evaluation harness for the fuzzy-matching stack:
+    PLANT ground truth (md5-chosen quarter of distinct part names
+    gets one md5-positioned character dropped), run the production
+    cascade — soundex blocking on the first token, then Jaro–Winkler
+    ≥ {_TYPO_JW} on survivors — and score it against the planted
+    pairs: precision and recall come out of the query itself. This
+    is the "measure your dedup before trusting it" tool; both the
+    corruption and the cascade are cross-engine deterministic (the
+    oracle runs DuckDB's NATIVE jaro_winkler_similarity against our
+    from-scratch UDF, and the portable-SQL soundex against Spark's
+    native one — double function parity inside an eval harness).
+
+    Scale: everything downstream of the distinct-name collapse is
+    vocabulary-sized; blocking bounds the quadratic term exactly as
+    in entity_jaro_winkler_pairs."""
+    from etl_lens_spark.functions.strsim import jaro_winkler_udf
+
+    jw_udf = jaro_winkler_udf()
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.min("p_partkey").cast("long").alias("id"))
+    )
+    k = 1 + kmv_value(F.concat(F.lit("typo|"), F.col("name"))) % (
+        F.length("name") - 1
+    )
+    corrupted = (
+        names.filter(
+            kmv_value(F.concat(F.lit("pick|"), F.col("name"))) % 4 == 0
+        )
+        .withColumn("k", k.cast("int"))
+        .select(
+            F.concat(
+                F.expr("substring(name, 1, k)"),
+                F.expr("substring(name, k + 2)"),
+            ).alias("name"),
+            (F.col("id") + _TYPO_OFF).alias("id"),
+        )
+    )
+    pool = names.select("name", "id").unionByName(corrupted)
+    keyed = pool.withColumn(
+        "blk", F.soundex(F.upper(F.split_part(F.col("name"), F.lit(" "), F.lit(1))))
+    )
+    a = keyed.select(
+        F.col("name").alias("na"), F.col("id").alias("id_a"), "blk"
+    )
+    b = keyed.select(
+        F.col("name").alias("nb"), F.col("id").alias("id_b"), "blk"
+    )
+    cand = a.join(
+        b.withColumnRenamed("blk", "blk_b"),
+        (F.col("blk") == F.col("blk_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select(
+        "id_a", "id_b", jw_udf(F.col("na"), F.col("nb")).alias("jw")
+    )
+    matched = cand.filter(F.col("jw") >= _TYPO_JW)
+    n_names = names.agg(F.count(F.lit(1)).cast("long").alias("n_names"))
+    n_corr = corrupted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_corrupted")
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    n_match = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched")
+    )
+    tp = matched.filter(
+        F.col("id_b") == F.col("id_a") + _TYPO_OFF
+    ).agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    return (
+        n_names.crossJoin(F.broadcast(n_corr))
+        .crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_names",
+            "n_corrupted",
+            "n_candidates",
+            "n_matched",
+            "tp",
+            (
+                F.col("tp").cast("double") / F.col("n_matched")
+            ).alias("precision_"),
+            (
+                F.col("tp").cast("double") / F.col("n_corrupted")
+            ).alias("recall_"),
+        )
+    )
