@@ -3208,3 +3208,181 @@ def entity_typo_recovery_eval(
             ).alias("recall_"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over per-nation mean tests
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.10
+# Abramowitz & Stegun 7.1.26 erf approximation (|err| < 1.5e-7) —
+# elementary arithmetic only, so both engines evaluate the identical
+# expression; fine for p-values feeding a rank procedure
+_AS_P = 0.3275911
+_AS_A = [0.254829592, -0.284496736, 1.421413741, -1.453152027,
+         1.061405429]
+
+
+def _phi_tail_sql(z: str) -> str:
+    # 2·(1 − Φ(|z|)) = erfc(|z|/√2), via A&S 7.1.26 on x = |z|/√2
+    x = f"(ABS({z}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + {_AS_P!r} * {x}))"
+    poly = (
+        f"((((({_AS_A[4]!r} * {t} + {_AS_A[3]!r}) * {t} + {_AS_A[2]!r})"
+        f" * {t} + {_AS_A[1]!r}) * {t} + {_AS_A[0]!r}) * {t})"
+    )
+    return f"({poly} * EXP(-({x} * {x})))"
+
+
+@query(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(o_totalprice AS DOUBLE)) AS s,
+             SUM(CAST(o_totalprice AS DOUBLE)
+                 * CAST(o_totalprice AS DOUBLE)) AS ss
+      FROM orders
+    ),
+    gs AS (
+      SELECT s / n AS mu, SQRT(ss / n - (s / n) * (s / n)) AS sd FROM g
+    ),
+    per AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DOUBLE)) / COUNT(*) AS mean_n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    tests AS (
+      SELECT n_name, n_orders,
+             (mean_n - gs.mu)
+               / (gs.sd / SQRT(CAST(n_orders AS DOUBLE))) AS z
+      FROM per, gs
+    ),
+    pvals AS (
+      SELECT n_name, n_orders, z, {_phi_tail_sql("z")} AS p
+      FROM tests
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p, n_name) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pvals
+    ),
+    kmax AS (
+      SELECT COALESCE(MAX(rk), 0) AS k FROM ranked
+      WHERE p <= {_BH_Q!r} * CAST(rk AS DOUBLE) / CAST(m AS DOUBLE)
+    )
+    SELECT n_name, n_orders, z, p, CAST(rk AS BIGINT) AS rk,
+           {_BH_Q!r} * CAST(rk AS DOUBLE) / CAST(m AS DOUBLE)
+             AS bh_threshold,
+           CASE WHEN rk <= (SELECT k FROM kmax) THEN 1 ELSE 0 END
+             AS rejected
+    FROM ranked ORDER BY rk
+    """,
+)
+def stats_benjamini_hochberg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiple-testing control for the experimentation family: a
+    per-nation z-test of mean order value against the global mean,
+    then the Benjamini–Hochberg step-up — reject every hypothesis
+    ranked ≤ the largest k with p_k ≤ k·q/m (q = {_BH_Q}) — which
+    bounds the FALSE DISCOVERY RATE across all 25 simultaneous
+    tests, the error that running 25 naive t-tests at α=.05 doesn't
+    control. p-values via the Abramowitz–Stegun 7.1.26 erfc
+    approximation (elementary arithmetic with shared literals — no
+    engine-specific erf, so the oracle is bit-exact).
+
+    Scale posture: moments per group + one global moment pass; the
+    BH sort/rank runs over the m-row test table (25 rows — at
+    thousands of experiments still trivially small), never over
+    row-scale data."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    v = F.col("o_totalprice").cast("double")
+    g = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    ).select(
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("ss") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("sd"),
+    )
+    per = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum(v) / F.count(F.lit(1))).alias("mean_n"),
+        )
+    )
+    tests = per.crossJoin(F.broadcast(g)).select(
+        "n_name",
+        "n_orders",
+        (
+            (F.col("mean_n") - F.col("mu"))
+            / (F.col("sd") / F.sqrt(F.col("n_orders").cast("double")))
+        ).alias("z"),
+    )
+    x = F.abs(F.col("z")) / F.lit(1.4142135623730951)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = (
+        (
+            (
+                (F.lit(_AS_A[4]) * t + F.lit(_AS_A[3])) * t
+                + F.lit(_AS_A[2])
+            )
+            * t
+            + F.lit(_AS_A[1])
+        )
+        * t
+        + F.lit(_AS_A[0])
+    ) * t
+    pvals = tests.withColumn("p", poly * F.exp(-(x * x)))
+    w = Window.orderBy("p", "n_name")
+    ranked = pvals.select(
+        "n_name",
+        "n_orders",
+        "z",
+        "p",
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).crossJoin(
+        F.broadcast(
+            pvals.agg(F.count(F.lit(1)).cast("long").alias("m"))
+        )
+    )
+    thr = F.lit(_BH_Q) * F.col("rk").cast("double") / F.col(
+        "m"
+    ).cast("double")
+    kmax = (
+        ranked.filter(F.col("p") <= thr)
+        .agg(F.coalesce(F.max("rk"), F.lit(0)).alias("k"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "n_name",
+            "n_orders",
+            "z",
+            "p",
+            "rk",
+            thr.alias("bh_threshold"),
+            F.when(F.col("rk") <= F.col("k"), 1)
+            .otherwise(0)
+            .alias("rejected"),
+        )
+        .orderBy("rk")
+    )

@@ -550,3 +550,22 @@ def test_ivm_delta_rules_exact(spark):
         assert r.matches == 1
         assert r.maintained_rev == r.recomputed_rev
         assert r.maintained_n == r.recomputed_n
+
+
+def test_benjamini_hochberg_stepup_property(spark):
+    rows = all_queries()["stats_benjamini_hochberg"](spark, SF).collect()
+    assert len(rows) == 25
+    assert [r.rk for r in rows] == list(range(1, 26))
+    ps = [r.p for r in rows]
+    assert ps == sorted(ps)
+    assert all(0.0 <= p <= 1.0 + 1e-12 for p in ps)
+    # rejected set is exactly the rank prefix up to the last k with
+    # p_k <= k*q/m
+    ks = [r.rk for r in rows if r.p <= r.bh_threshold]
+    kmax = max(ks) if ks else 0
+    for r in rows:
+        assert r.rejected == int(r.rk <= kmax)
+    # erf approximation sanity against math.erfc
+    for r in rows[:5]:
+        want = math.erfc(abs(r.z) / math.sqrt(2.0))
+        assert abs(r.p - want) < 2e-7
