@@ -3386,3 +3386,235 @@ def stats_benjamini_hochberg(
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nelson–Aalen cumulative hazard (companion to Kaplan–Meier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH bounds AS (SELECT MAX(ts) AS tmax FROM events),
+    per_user AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS first_us,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                   THEN epoch_us(CAST(e.ts AS TIMESTAMP)) END)
+                 AS purch_us,
+               MAX(epoch_us(CAST(b.tmax AS TIMESTAMP))) AS tmax_us
+        FROM events e CROSS JOIN bounds b
+        GROUP BY e.user_id
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE WHEN purch_us IS NOT NULL
+                    THEN (purch_us - first_us) // 86400000000
+                    ELSE (tmax_us - first_us) // 86400000000
+               END AS t_days,
+               CAST(purch_us IS NOT NULL AS INT) AS is_event
+        FROM per_user
+    ),
+    times AS (
+        SELECT t_days,
+               CAST(SUM(is_event) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM obs GROUP BY t_days
+    ),
+    risk AS (
+        SELECT t_days, d, leaving,
+               (SELECT COUNT(*) FROM obs) -
+               COALESCE(SUM(leaving) OVER (
+                   ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS n_risk
+        FROM times
+    )
+    SELECT t_days, d, CAST(n_risk AS BIGINT) AS n_risk,
+           ROUND(SUM(CASE WHEN d > 0
+                          THEN CAST(d AS DOUBLE) / n_risk
+                          ELSE 0.0 END)
+                 OVER (ORDER BY t_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW), 6) AS cum_hazard
+    FROM risk WHERE d > 0 ORDER BY t_days
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator H(t) = Σ d_i/n_i over
+    the same right-censored time-to-first-purchase construction as
+    survival_kaplan_meier — the additive companion to KM's product
+    (H ≈ −ln S for small hazards; plotting both is the standard
+    model-check). Same scale posture: per-user collapse, event-time
+    table is tiny, the risk-set window rides distinct times only."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.max("ts").alias("tmax"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.min(us).alias("first_us"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", us)
+            ).alias("purch_us"),
+            F.max(F.unix_micros(F.col("tmax"))).alias("tmax_us"),
+        )
+    )
+    obs = per_user.select(
+        F.when(
+            F.col("purch_us").isNotNull(),
+            F.floor(
+                (F.col("purch_us") - F.col("first_us")) / 86400000000
+            ),
+        )
+        .otherwise(
+            F.floor(
+                (F.col("tmax_us") - F.col("first_us")) / 86400000000
+            )
+        )
+        .cast("long")
+        .alias("t_days"),
+        F.col("purch_us").isNotNull().cast("int").alias("is_event"),
+    )
+    times = obs.groupBy("t_days").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    n_tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = times.crossJoin(F.broadcast(n_tot)).withColumn(
+        "n_risk",
+        F.col("n_tot")
+        - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.withColumn(
+            "cum_hazard",
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("d") > 0,
+                        F.col("d").cast("double") / F.col("n_risk"),
+                    ).otherwise(0.0)
+                ).over(w_cum),
+                6,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "t_days",
+            "d",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "cum_hazard",
+        )
+        .orderBy("t_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Panel fixed-effects (within) estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_panel_fixed_effects",
+    oracle="""
+    WITH panel AS (
+      SELECT c_nationkey AS nk,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(o_totalprice AS DOUBLE) AS y,
+             CAST(EXTRACT(month FROM o_orderdate) AS DOUBLE) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    cell AS (
+      SELECT nk, yr, AVG(y) AS my, AVG(x) AS mx FROM panel
+      GROUP BY nk, yr
+    ),
+    within AS (
+      SELECT p.y - c.my AS dy, p.x - c.mx AS dx
+      FROM panel p JOIN cell c USING (nk, yr)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cell) AS n_groups,
+           SUM(dx * dy) / SUM(dx * dx) AS beta_within,
+           (SELECT (CAST(COUNT(*) AS DOUBLE) * SUM(x * y)
+                    - SUM(x) * SUM(y))
+                   / (CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+                      - SUM(x) * SUM(x))
+            FROM panel) AS beta_pooled
+    FROM within
+    """,
+)
+def stats_panel_fixed_effects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Panel fixed-effects (within) estimator: order value regressed
+    on order month with nation×year fixed effects absorbed by the
+    within-transform — demean y and x inside each (nation, year)
+    cell, then OLS on the residuals; β_within is identical to
+    including thousands of dummy variables but costs one groupBy +
+    one join + one aggregate. The pooled β is emitted alongside: the
+    gap between them is exactly the omitted-group-effect bias the FE
+    design removes — the econometrics companion to
+    ab_test_diff_in_diff.
+
+    Scale posture: cell means are a map-side-combined aggregate; the
+    demeaning join broadcasts the cell table when it fits and hash-
+    partitions otherwise; the final sums are one pass. Standard at
+    any panel width because nothing materializes dummies."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    panel = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_totalprice").cast("double").alias("y"),
+            F.month("o_orderdate").cast("double").alias("x"),
+        )
+    )
+    cell = panel.groupBy("nk", "yr").agg(
+        F.avg("y").alias("my"), F.avg("x").alias("mx")
+    )
+    within = panel.join(F.broadcast(cell), ["nk", "yr"]).select(
+        (F.col("y") - F.col("my")).alias("dy"),
+        (F.col("x") - F.col("mx")).alias("dx"),
+    )
+    n_groups = cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups")
+    )
+    pooled = panel.agg(
+        (
+            (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            )
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            )
+        ).alias("beta_pooled")
+    )
+    return (
+        within.agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            (
+                F.sum(F.col("dx") * F.col("dy"))
+                / F.sum(F.col("dx") * F.col("dx"))
+            ).alias("beta_within"),
+        )
+        .crossJoin(F.broadcast(n_groups))
+        .crossJoin(F.broadcast(pooled))
+        .select("n_obs", "n_groups", "beta_within", "beta_pooled")
+    )

@@ -569,3 +569,32 @@ def test_benjamini_hochberg_stepup_property(spark):
     for r in rows[:5]:
         want = math.erfc(abs(r.z) / math.sqrt(2.0))
         assert abs(r.p - want) < 2e-7
+
+
+def test_nelson_aalen_vs_km_consistency(spark):
+    na = all_queries()["survival_nelson_aalen"](spark, SF).collect()
+    km = {
+        r.t_days: r
+        for r in all_queries()["survival_kaplan_meier"](
+            spark, SF
+        ).collect()
+    }
+    assert na
+    prev = 0.0
+    for r in na:
+        assert r.cum_hazard >= prev  # monotone nondecreasing
+        prev = r.cum_hazard
+        if r.t_days in km and km[r.t_days].km_survival > 0:
+            # H(t) >= -ln S(t) is the exact inequality
+            # (sum of x >= sum of -ln(1-x) is false; correct
+            # direction: -ln(1-x) >= x so -lnS >= H)
+            assert -math.log(km[r.t_days].km_survival) >= (
+                r.cum_hazard - 1e-9
+            )
+
+
+def test_fixed_effects_differs_from_pooled(spark):
+    r = all_queries()["stats_panel_fixed_effects"](spark, SF).collect()[0]
+    assert r.n_obs > 0 and r.n_groups > 1
+    assert math.isfinite(r.beta_within)
+    assert math.isfinite(r.beta_pooled)
