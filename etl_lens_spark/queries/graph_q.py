@@ -8,7 +8,7 @@ mechanisms must converge to identical components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_lens_spark.dedup import embedding as emb_dedup
@@ -908,3 +908,181 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).localCheckpoint(eager=True)
     return labels.select("n", F.col("lbl").alias("community")).orderBy("n")
+
+
+@query(
+    "graph_modularity_best_merge",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS i, b.l_partkey AS j,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    edges AS (
+      SELECT i, j, w FROM pairs
+      UNION ALL
+      SELECT j, i, w FROM pairs
+    ),
+    deg AS (SELECT i AS v, CAST(SUM(w) AS DOUBLE) AS k
+            FROM edges GROUP BY i),
+    m AS (SELECT CAST(SUM(w) AS DOUBLE) AS m2 FROM edges),
+    gains AS (
+      SELECT e.i, e.j,
+             2.0 * (CAST(e.w AS DOUBLE) / m.m2
+                    - (di.k / m.m2) * (dj.k / m.m2)) AS gain
+      FROM edges e
+      JOIN deg di ON di.v = e.i
+      JOIN deg dj ON dj.v = e.j
+      CROSS JOIN m
+    ),
+    best AS (
+      SELECT i, j, gain FROM (
+        SELECT i, j, gain,
+               ROW_NUMBER() OVER (PARTITION BY i
+                                  ORDER BY gain DESC, j) AS rn
+        FROM gains WHERE gain > 0
+      ) WHERE rn = 1
+    ),
+    mutual AS (
+      SELECT a.i, a.j FROM best a JOIN best b
+        ON a.j = b.i AND b.j = a.i AND a.i < a.j
+    ),
+    q0 AS (
+      SELECT -SUM((k / m.m2) * (k / m.m2)) AS q FROM deg CROSS JOIN m
+    ),
+    merged_gain AS (
+      SELECT COALESCE(SUM(g.gain), 0.0) AS dq
+      FROM mutual mu JOIN gains g ON g.i = mu.i AND g.j = mu.j
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT m2 / 2.0 FROM m) AS total_weight,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mutual)
+             AS n_mutual_pairs,
+           (SELECT q FROM q0) AS q_singletons,
+           (SELECT q FROM q0) + (SELECT dq FROM merged_gain)
+             AS q_after_merge
+    """,
+)
+def graph_modularity_best_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One synchronous modularity-optimizing merge sweep over the
+    part co-purchase graph (parts sharing an order, edge weight =
+    co-occurrence count) — the deterministic core of a Louvain
+    phase-1 step: every node computes the modularity gain
+    ΔQ = 2(w_ij/2m − k_i·k_j/(2m)²) of merging with each neighbor,
+    picks its best POSITIVE-gain neighbor (gain desc, id tie-break;
+    nodes with no improving move stay put, as in Louvain), and MUTUAL
+    best pairs merge — the agglomerative move that is well-defined without the
+    sequential visit order vanilla Louvain depends on (and therefore
+    oracle-checkable). Emits modularity before (singleton partition:
+    −Σ(k/2m)²) and after the merge sweep; q_after > q_singletons is
+    the gain the sweep banked.
+
+    Scale posture: the co-occurrence self-join is per-order (bounded
+    fanout per basket); gains ride the edge list with degree/m
+    broadcast; the argmax window partitions per NODE over its
+    neighbor list. Each further Louvain level runs this same plan on
+    the contracted graph."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("j")
+    )
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "w"
+        )
+    )
+    deg = edges.groupBy(F.col("i").alias("v")).agg(
+        F.sum("w").cast("double").alias("k")
+    )
+    m = edges.agg(F.sum("w").cast("double").alias("m2"))
+    gains = (
+        edges.join(deg.withColumnRenamed("v", "i"), "i")
+        .withColumnRenamed("k", "ki")
+        .join(
+            deg.select(F.col("v").alias("j"), F.col("k").alias("kj")),
+            "j",
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            "i",
+            "j",
+            (
+                2.0
+                * (
+                    F.col("w").cast("double") / F.col("m2")
+                    - (F.col("ki") / F.col("m2"))
+                    * (F.col("kj") / F.col("m2"))
+                )
+            ).alias("gain"),
+        )
+    )
+    wn = Window.partitionBy("i").orderBy(F.desc("gain"), "j")
+    best = (
+        gains.filter(F.col("gain") > 0)
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("i", "j", "gain")
+    )
+    mutual = (
+        best.alias("a")
+        .join(
+            best.alias("b"),
+            (F.col("a.j") == F.col("b.i"))
+            & (F.col("b.j") == F.col("a.i"))
+            & (F.col("a.i") < F.col("a.j")),
+        )
+        .select(F.col("a.i").alias("i"), F.col("a.j").alias("j"))
+    )
+    q0 = deg.crossJoin(F.broadcast(m)).agg(
+        (
+            -F.sum(
+                (F.col("k") / F.col("m2")) * (F.col("k") / F.col("m2"))
+            )
+        ).alias("q")
+    )
+    merged_gain = mutual.join(gains, ["i", "j"]).agg(
+        F.coalesce(F.sum("gain"), F.lit(0.0)).alias("dq")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    tw = m.select((F.col("m2") / 2.0).alias("total_weight"))
+    n_mut = mutual.agg(
+        F.count(F.lit(1)).cast("long").alias("n_mutual_pairs")
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tw))
+        .crossJoin(F.broadcast(n_mut))
+        .crossJoin(
+            F.broadcast(q0.select(F.col("q").alias("q_singletons")))
+        )
+        .crossJoin(F.broadcast(merged_gain))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "total_weight",
+            "n_mutual_pairs",
+            "q_singletons",
+            (F.col("q_singletons") + F.col("dq")).alias(
+                "q_after_merge"
+            ),
+        )
+    )

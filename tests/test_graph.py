@@ -134,3 +134,17 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert set(got_map) == {nm for nm, _ in ref}
     for nm, rv in ref:
         assert abs(got_map[nm] - rv) < 1e-5, (nm, got_map[nm], rv)
+
+
+def test_modularity_merge_improves_q(spark):
+    from etl_lens_spark.queries import all_queries
+
+    r = all_queries()["graph_modularity_best_merge"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    assert r.n_mutual_pairs > 0
+    # merging mutual best (positive-gain) pairs must raise modularity
+    assert r.q_after_merge > r.q_singletons
+    assert -1.0 <= r.q_singletons <= 1.0
+    assert -1.0 <= r.q_after_merge <= 1.0
