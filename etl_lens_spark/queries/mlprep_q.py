@@ -3618,3 +3618,307 @@ def stats_panel_fixed_effects(
         .crossJoin(F.broadcast(pooled))
         .select("n_obs", "n_groups", "beta_within", "beta_pooled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical tail dependence (copula diagnostics)
+# ---------------------------------------------------------------------------
+
+_TAIL_Q = 0.95
+
+
+@query(
+    "stats_tail_dependence",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+    ),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    qx AS (
+      SELECT MIN(x) AS qx FROM (
+        SELECT x, SUM(c) OVER (ORDER BY x) AS cumw FROM
+          (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY x)
+      ), nq
+      WHERE cumw >= CAST(CEIL({_TAIL_Q!r} * CAST(n AS DOUBLE)) AS BIGINT)
+    ),
+    qy AS (
+      SELECT MIN(y) AS qy FROM (
+        SELECT y, SUM(c) OVER (ORDER BY y) AS cumw FROM
+          (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY y)
+      ), nq
+      WHERE cumw >= CAST(CEIL({_TAIL_Q!r} * CAST(n AS DOUBLE)) AS BIGINT)
+    )
+    SELECT (SELECT n FROM nq) AS n_rows,
+           (SELECT qx FROM qx) AS x_q95,
+           (SELECT qy FROM qy) AS y_q95,
+           CAST(SUM(CASE WHEN x > (SELECT qx FROM qx)
+                          AND y > (SELECT qy FROM qy)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_joint,
+           CAST(SUM(CASE WHEN y > (SELECT qy FROM qy)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_y_tail,
+           CAST(SUM(CASE WHEN x > (SELECT qx FROM qx)
+                          AND y > (SELECT qy FROM qy)
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN y > (SELECT qy FROM qy)
+                        THEN 1 ELSE 0 END) AS lambda_upper,
+           CAST(1.0 - {_TAIL_Q!r} AS DOUBLE) AS independence_baseline
+    FROM src
+    """,
+)
+def stats_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence λ_U = P(X > q_x | Y > q_y) at
+    the {_TAIL_Q} quantiles — the copula diagnostic that says whether
+    extremes CO-OCCUR (risk concentrates) or decouple; correlation
+    alone cannot distinguish the two. Emitted next to the
+    independence baseline 1−q: λ_U far above it means joint-tail
+    risk. Thresholds are exact nearest-rank order statistics via the
+    distinct-value prefix pattern (no approx sketch, no global sort);
+    the tail counts are one conditional-aggregate pass."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    n = src.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def q_of(col: str, out: str) -> DataFrame:
+        counts = src.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cum = ordered_prefix_sum(counts, [F.col(col)], "c", "cumw")
+        return (
+            cum.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("cumw")
+                >= F.ceil(
+                    F.lit(_TAIL_Q) * F.col("n").cast("double")
+                ).cast("long")
+            )
+            .agg(F.min(col).alias(out))
+        )
+
+    qx = q_of("x", "x_q95")
+    qy = q_of("y", "y_q95")
+    joint = (
+        src.crossJoin(F.broadcast(qx))
+        .crossJoin(F.broadcast(qy))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x") > F.col("x_q95"))
+                    & (F.col("y") > F.col("y_q95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_joint"),
+            F.sum(
+                F.when(F.col("y") > F.col("y_q95"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_y_tail"),
+            F.first("x_q95").alias("x_q95"),
+            F.first("y_q95").alias("y_q95"),
+        )
+    )
+    return joint.crossJoin(F.broadcast(n)).select(
+        F.col("n").alias("n_rows"),
+        "x_q95",
+        "y_q95",
+        "n_joint",
+        "n_y_tail",
+        (
+            F.col("n_joint").cast("double") / F.col("n_y_tail")
+        ).alias("lambda_upper"),
+        F.lit(1.0 - _TAIL_Q).alias("independence_baseline"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution — power iteration on the tiny matrix
+# ---------------------------------------------------------------------------
+
+_MSTAT_ITERS = 10
+
+
+@query(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS nxt
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    trans AS (
+      SELECT event_type AS s, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    p AS MATERIALIZED (
+      SELECT s, t, CAST(c AS DOUBLE)
+                   / SUM(CAST(c AS DOUBLE)) OVER (PARTITION BY s) AS p
+      FROM trans
+    ),
+    states AS (SELECT DISTINCT s FROM p),
+    it0 AS (
+      SELECT s, 1.0 / (SELECT COUNT(*) FROM states) AS v FROM states
+    ),
+    {", ".join(
+        f'''it{k} AS (
+      SELECT p.t AS s, SUM(it{k - 1}.v * p.p) AS v
+      FROM it{k - 1} JOIN p ON p.s = it{k - 1}.s
+      GROUP BY p.t
+    )''' for k in range(1, _MSTAT_ITERS + 1))}
+    SELECT s AS event_type, v AS stationary_p
+    FROM it{_MSTAT_ITERS} ORDER BY s
+    """,
+)
+def events_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary distribution of the user event-transition Markov
+    chain by {_MSTAT_ITERS} power-iteration steps (held below a measured DuckDB optimizer cliff at ~12 chained CTEs) πᵀP — the
+    steady-state answer to "where does user behavior settle" that the
+    removal-effect attribution (events_attribution_markov) and the
+    one-step transition matrix don't give. The iteration runs on the
+    |states|² probability matrix — data-volume-INDEPENDENT after the
+    one transition-counting pass — so the driver loop multiplies a
+    5-row vector, and the oracle unrolls the identical schedule as
+    chained CTEs. Convergence (π after k vs k−1 steps) is pinned in
+    tests."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("s"), F.col("nxt").alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ws = Window.partitionBy("s")
+    p = trans.select(
+        "s",
+        "t",
+        (
+            F.col("c").cast("double")
+            / F.sum(F.col("c").cast("double")).over(ws)
+        ).alias("p"),
+    ).localCheckpoint(eager=True)
+    states = p.select("s").distinct()
+    n_states = states.count()
+    pi = states.select("s", F.lit(1.0 / n_states).alias("v"))
+    for _ in range(_MSTAT_ITERS):
+        pi = (
+            pi.join(p, "s")
+            .groupBy(F.col("t").alias("s2"))
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+            .withColumnRenamed("s2", "s")
+        )
+    return pi.select(
+        F.col("s").alias("event_type"), F.col("v").alias("stationary_p")
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Peaks-over-threshold GPD tail fit (method of moments)
+# ---------------------------------------------------------------------------
+
+_POT_Q = 0.9
+
+
+@query(
+    "stats_gpd_peaks_over_threshold",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    ),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    thr AS (
+      SELECT MIN(v) AS u FROM (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cumw FROM
+          (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY v)
+      ), nq
+      WHERE cumw >= CAST(CEIL({_POT_Q!r} * CAST(n AS DOUBLE)) AS BIGINT)
+    ),
+    exc AS (
+      SELECT v - t.u AS e FROM src, thr t WHERE v > t.u
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exc,
+             SUM(e) / COUNT(*) AS m,
+             SUM(e * e) / COUNT(*)
+               - (SUM(e) / COUNT(*)) * (SUM(e) / COUNT(*)) AS s2
+      FROM exc
+    )
+    SELECT (SELECT u FROM thr) AS threshold, n_exc, m AS mean_excess,
+           0.5 * (1.0 - m * m / s2) AS xi_hat,
+           0.5 * m * (m * m / s2 + 1.0) AS beta_hat
+    FROM mom
+    """,
+)
+def stats_gpd_peaks_over_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Extreme-value tail modelling: excesses over the exact
+    {_POT_Q}-quantile threshold fitted to a Generalized Pareto by
+    method of moments — ξ̂ = ½(1 − m²/s²), β̂ = ½m(m²/s² + 1) — the
+    Pickands–Balkema–de Haan route to tail risk that complements the
+    Hill index (stats_tail_index_hill fits the shape from order
+    statistics; this fits shape AND scale from the excess moments,
+    and ξ ≈ 1/Hill-α on heavy tails). Threshold via the exact
+    prefix-rank pattern; excess moments are one pass."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    n = src.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    counts = src.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = ordered_prefix_sum(counts, [F.col("v")], "c", "cumw")
+    thr = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("cumw")
+            >= F.ceil(F.lit(_POT_Q) * F.col("n").cast("double")).cast(
+                "long"
+            )
+        )
+        .agg(F.min("v").alias("u"))
+    )
+    exc = (
+        src.crossJoin(F.broadcast(thr))
+        .filter(F.col("v") > F.col("u"))
+        .select((F.col("v") - F.col("u")).alias("e"), "u")
+    )
+    mom = exc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        (F.sum("e") / F.count(F.lit(1))).alias("m"),
+        (
+            F.sum(F.col("e") * F.col("e")) / F.count(F.lit(1))
+            - (F.sum("e") / F.count(F.lit(1)))
+            * (F.sum("e") / F.count(F.lit(1)))
+        ).alias("s2"),
+        F.first("u").alias("threshold"),
+    )
+    return mom.select(
+        "threshold",
+        "n_exc",
+        F.col("m").alias("mean_excess"),
+        (
+            0.5 * (F.lit(1.0) - F.col("m") * F.col("m") / F.col("s2"))
+        ).alias("xi_hat"),
+        (
+            0.5
+            * F.col("m")
+            * (F.col("m") * F.col("m") / F.col("s2") + F.lit(1.0))
+        ).alias("beta_hat"),
+    )

@@ -598,3 +598,60 @@ def test_fixed_effects_differs_from_pooled(spark):
     assert r.n_obs > 0 and r.n_groups > 1
     assert math.isfinite(r.beta_within)
     assert math.isfinite(r.beta_pooled)
+
+
+def test_markov_stationary_converged_and_normalized(spark):
+    rows = all_queries()["events_markov_stationary"](
+        spark, SF
+    ).collect()
+    ps = {r.event_type: r.stationary_p for r in rows}
+    assert abs(sum(ps.values()) - 1.0) < 1e-9
+    assert all(p > 0 for p in ps.values())
+    # convergence: one more application of P barely moves pi
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    ).to_pandas()
+    ev = ev.dropna(subset=["user_id"]).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    trans = {}
+    for uid, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    outs = {}
+    for (a, _), c in trans.items():
+        outs[a] = outs.get(a, 0) + c
+    nxt = {}
+    for (a, b), c in trans.items():
+        nxt[b] = nxt.get(b, 0.0) + ps[a] * c / outs[a]
+    for k in ps:
+        assert abs(nxt[k] - ps[k]) < 1e-6
+
+
+def test_tail_dependence_bounds(spark):
+    r = all_queries()["stats_tail_dependence"](spark, SF).collect()[0]
+    assert 0.0 <= r.lambda_upper <= 1.0
+    assert r.n_joint <= r.n_y_tail
+    assert r.independence_baseline == 0.050000000000000044 or abs(
+        r.independence_baseline - 0.05
+    ) < 1e-12
+
+
+def test_gpd_moments_match_numpy(spark):
+    r = all_queries()["stats_gpd_peaks_over_threshold"](
+        spark, SF
+    ).collect()[0]
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_totalprice"]
+    ).to_pandas()
+    v = np.sort(orders["o_totalprice"].astype(float).to_numpy())
+    k = int(np.ceil(0.9 * len(v)))
+    u = v[k - 1]
+    exc = v[v > u] - u
+    m, s2 = exc.mean(), exc.var()
+    assert r.threshold == u
+    assert r.n_exc == len(exc)
+    assert abs(r.xi_hat - 0.5 * (1 - m * m / s2)) < 1e-9
+    assert abs(r.beta_hat - 0.5 * m * (m * m / s2 + 1)) < 1e-9
