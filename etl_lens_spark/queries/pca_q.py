@@ -100,3 +100,95 @@ def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("emb_procrustes_align")
+def emb_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes alignment between two embedding spaces —
+    the model-migration primitive: when a new encoder re-embeds the
+    corpus, the old index aligns to it with one rotation R̂ = UVᵀ
+    from the SVD of the cross-covariance M = AᵀB, instead of
+    re-scoring everything. Here space B is space A under a PLANTED
+    deterministic rotation (a product of fixed-angle Givens blocks),
+    so the query can audit itself: it emits the Frobenius error of
+    the recovered-vs-planted rotation (≈0), the orthogonality defect
+    of R̂, and the post-alignment residual.
+
+    Distributed discipline mirrors emb_pca_whiten: the ONLY row-scale
+    work is one Arrow-batched pass accumulating per-batch partial
+    d×d Gram blocks (map-side sum; d²=4096 doubles per batch row),
+    one element-wise reduce, then numpy SVD on the 64×64 M at the
+    driver — the sufficient-statistics route, not a collect of
+    vectors. SVD is not SQL-expressible → rows-only; the planted-
+    rotation recovery IS the correctness proof (tests/test_pca.py)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    d = 64
+
+    def rot_matrix() -> "np.ndarray":
+        R = np.eye(d)
+        for k in range(d // 2):
+            th = 0.1 + 0.05 * k
+            c, s = np.cos(th), np.sin(th)
+            G = np.eye(d)
+            i, j = 2 * k, 2 * k + 1
+            G[i, i] = c
+            G[i, j] = -s
+            G[j, i] = s
+            G[j, j] = c
+            R = R @ G
+        return R
+
+    def partials(it):
+        R = rot_matrix()
+        for pdf in it:
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            B = A @ R.T  # planted rotation: b = R a
+            M = A.T @ B  # partial cross-covariance
+            yield pd.DataFrame(
+                {"m": [M.reshape(-1).tolist()], "n": [len(A)]}
+            )
+
+    parts = emb.mapInPandas(partials, "m array<double>, n long")
+    cells = parts.select(
+        F.posexplode("m").alias("idx", "v"), "n"
+    )
+    summed = cells.groupBy("idx").agg(F.sum("v").alias("v"))
+    n_vecs = parts.agg(F.sum("n").cast("long").alias("n_vecs"))
+    M = np.zeros(d * d)
+    for r in summed.collect():
+        M[r.idx] = r.v
+    M = M.reshape(d, d)
+    n = n_vecs.collect()[0].n_vecs
+    U, _, Vt = np.linalg.svd(M)
+    # align B back onto A: a ≈ R_hat^T b with R_hat from M = A^T B
+    R_hat = (U @ Vt).T
+    R = rot_matrix()
+    rec_err = float(np.linalg.norm(R_hat - R))
+    orth_err = float(np.linalg.norm(R_hat.T @ R_hat - np.eye(d)))
+
+    def residual(it):
+        Rh = R_hat
+        Rp = rot_matrix()
+        for pdf in it:
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            B = A @ Rp.T
+            back = B @ Rh
+            res = np.sqrt(((back - A) ** 2).sum(axis=1))
+            yield pd.DataFrame({"s": [float(res.sum())], "c": [len(A)]})
+
+    res = emb.mapInPandas(residual, "s double, c long").agg(
+        (F.sum("s") / F.sum("c")).alias("mean_residual")
+    )
+    mean_res = res.collect()[0].mean_residual
+    return spark.createDataFrame(
+        [(int(n), d, rec_err, orth_err, float(mean_res))],
+        "n_vecs long, d int, rotation_recovery_err double, "
+        "orthogonality_err double, mean_residual double",
+    )

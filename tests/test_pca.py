@@ -81,3 +81,16 @@ def test_fit_rejects_empty(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         fit_pca(df)
+
+
+def test_procrustes_recovers_planted_rotation(spark):
+    from etl_lens_spark.queries import all_queries
+
+    r = all_queries()["emb_procrustes_align"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.d == 64 and r.n_vecs > 0
+    # noise-free planted rotation must be recovered to float precision
+    assert r.rotation_recovery_err < 1e-10
+    assert r.orthogonality_err < 1e-10
+    assert r.mean_residual < 1e-10
