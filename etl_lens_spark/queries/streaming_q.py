@@ -1554,3 +1554,62 @@ def streaming_sprt_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "n_days", "cum_llr", "decision",
                 "first_decision_day")
     )
+
+
+from etl_lens_spark.queries.timeseries_q import _hw_oracle  # noqa: E402
+
+
+@query("streaming_holt_winters_live", oracle=_hw_oracle(per_series=True))
+def streaming_holt_winters_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE twin of ts_holt_winters_fit: the triple-smoothing
+    recursion re-run per micro-batch over a map-typed per-day revenue
+    state, keyed by nation — the always-current forecast a revenue
+    dashboard actually serves, with per-series state bounded by the
+    horizon in days. The per-day cents accumulate EXACTLY like the
+    batch DECIMAL(18,2) sums (integer cents in the state, one float
+    division at fit time), and the smoothing constants are the shared
+    batch-module literals, so full replay reproduces the batch
+    level/trend/RMSE/h=1 forecast bit-for-bit — here against the
+    per-series-calendar oracle variant (a stream keyed by nation
+    cannot see the GLOBAL max day the batch dense calendar uses; the
+    oracle generator pads each series to its own last day instead)."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+    )
+    src = (
+        so.orders_stream(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("d"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    stream = so.holt_winters_stateful(src)
+    out = so.run_to_memory(stream, "q_stream_hw", output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nk")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        out.withColumn("mseq", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("mseq"))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name", "n_days", "level", "trend", "rmse",
+            "forecast_next",
+        )
+        .orderBy("n_name")
+    )

@@ -1155,7 +1155,7 @@ _HW_OMB = 1.0 - _HW_BETA
 _HW_OMG = 1.0 - _HW_GAMMA
 
 
-def _hw_oracle() -> str:
+def _hw_oracle(per_series: bool = False) -> str:
     m = _HW_M
     v = lambda i: f"v{i}"  # noqa: E731
     init_sum1 = " + ".join(v(i) for i in range(m))
@@ -1193,13 +1193,17 @@ def _hw_oracle() -> str:
       GROUP BY 1, 2
     ),
     mx AS (SELECT MAX(t) AS dmax FROM base),
+    nkmx AS (SELECT nk, MAX(t) AS dmax FROM base GROUP BY nk),
     nks AS (SELECT DISTINCT nk FROM base),
     cal AS (SELECT CAST(unnest(range(0, (SELECT dmax + 1 FROM mx)))
                         AS BIGINT) AS t),
+    grid AS (
+      SELECT nks.nk, cal.t FROM nks CROSS JOIN cal __PSF__
+    ),
     dense AS MATERIALIZED (
-      SELECT nks.nk, cal.t, COALESCE(b.y, 0.0) AS y
-      FROM nks CROSS JOIN cal
-      LEFT JOIN base b ON b.nk = nks.nk AND b.t = cal.t
+      SELECT g.nk, g.t, COALESCE(b.y, 0.0) AS y
+      FROM grid g
+      LEFT JOIN base b ON b.nk = g.nk AND b.t = g.t
     ),
     head AS (
       SELECT nk, {pivots} FROM dense WHERE t < {2 * m} GROUP BY nk
@@ -1231,7 +1235,7 @@ def _hw_oracle() -> str:
       FROM walk w JOIN dense d ON d.nk = w.nk AND d.t = w.t
     ),
     fin AS (
-      SELECT w.* FROM walk w JOIN mx ON w.t = mx.dmax + 1
+      SELECT w.* FROM walk w JOIN __FJ__
     )
     SELECT n.n_name, f.t AS n_days, f.l AS level, f.b AS trend,
            SQRT(f.sse / f.n_err) AS rmse,
@@ -1240,7 +1244,21 @@ def _hw_oracle() -> str:
            ) + " END"}) AS forecast_next
     FROM fin f JOIN nation n ON f.nk = n.n_nationkey
     ORDER BY n.n_name
-    """
+    """.replace(
+        " __PSF__",
+        (
+            " JOIN nkmx ON nkmx.nk = nks.nk AND cal.t <= nkmx.dmax"
+            if per_series
+            else ""
+        ),
+    ).replace(
+        "__FJ__",
+        (
+            "nkmx ON w.nk = nkmx.nk AND w.t = nkmx.dmax + 1"
+            if per_series
+            else "mx ON w.t = mx.dmax + 1"
+        ),
+    )
 
 
 @query("ts_holt_winters_fit", oracle=_hw_oracle())

@@ -1128,3 +1128,135 @@ def sprt_stateful(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+def orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the orders fixture (same schema-probe
+    discipline as events_stream — o_orderdate has shipped as both
+    ns-backed and µs-naive)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_path = os.path.join(sf_dir, "orders.parquet")
+    key = (table_path, "o_orderdate")
+    od_type = _TS_TYPE_CACHE.get(key)
+    if od_type is None:
+        od_type = dict(spark.read.parquet(table_path).dtypes).get(
+            "o_orderdate"
+        )
+        _TS_TYPE_CACHE[key] = od_type
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        f"o_totalprice double, o_orderdate {od_type}, "
+        "o_orderpriority string"
+    )
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(table_path):
+        raw = reader.load(table_path)
+    else:
+        raw = reader.option(
+            "pathGlobFilter", "orders.parquet"
+        ).load(sf_dir)
+    if od_type == "bigint":
+        raw = raw.withColumn(
+            "o_orderdate",
+            F.expr("timestamp_micros(o_orderdate div 1000)"),
+        )
+    elif od_type == "timestamp_ntz":
+        raw = raw.withColumn(
+            "o_orderdate", F.col("o_orderdate").cast("timestamp")
+        )
+    return raw
+
+
+def holt_winters_stateful(orders_joined: DataFrame) -> DataFrame:
+    """Live Holt–Winters per nation: the per-day revenue map grows in
+    a map-typed state column (bounded by the horizon in days), and
+    each micro-batch re-runs the SAME sequential smoothing recursion
+    the batch twin (ts_holt_winters_fit) runs — identical constants
+    imported from the batch module, identical init (first two weeks),
+    identical update order — so full replay lands on the batch
+    level/trend/RMSE/forecast bit-for-bit. This is the live-forecast
+    duality the streaming surface keeps demonstrating: batch rewrites
+    or replays the recursion offline; the stream IS the recursion,
+    re-evaluated as data lands. Keyed by nation → parallel across
+    series exactly like the batch applyInPandas."""
+    import pandas as pd
+
+    from etl_lens_spark.queries.timeseries_q import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_M,
+        _HW_OMA,
+        _HW_OMB,
+        _HW_OMG,
+    )
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            raw, seq = state.get
+            cents = dict(raw)
+        else:
+            cents, seq = {}, 0
+        for pdf in pdf_iter:
+            days = pdf["d"]
+            vals = pdf["cents"]
+            for d, c in zip(days, vals):
+                d = int(d)
+                cents[d] = cents.get(d, 0) + int(c)
+        seq += 1
+        state.update((cents, seq))
+        m = _HW_M
+        dmax = max(cents)
+        y = [cents.get(d, 0) / 100.0 for d in range(0, dmax + 1)]
+        out = {
+            "nk": [key[0]],
+            "seq": [seq],
+            "n_days": [len(y)],
+            "level": [None],
+            "trend": [None],
+            "rmse": [None],
+            "forecast_next": [None],
+        }
+        if len(y) >= 2 * m + 1:
+            acc1 = 0.0
+            for i in range(m):
+                acc1 = acc1 + float(y[i])
+            acc2 = 0.0
+            for i in range(m, 2 * m):
+                acc2 = acc2 + float(y[i])
+            l = acc1 / float(m)
+            b = (acc2 / float(m) - acc1 / float(m)) / float(m)
+            s = [float(y[i]) - l for i in range(m)]
+            sse, n_err = 0.0, 0
+            for t in range(m, len(y)):
+                yt = float(y[t])
+                shat = s[t % m]
+                err = yt - (l + b + shat)
+                l_new = _HW_ALPHA * (yt - shat) + _HW_OMA * (l + b)
+                b_new = _HW_BETA * (l_new - l) + _HW_OMB * b
+                s[t % m] = _HW_GAMMA * (yt - l_new) + _HW_OMG * shat
+                sse = sse + err * err
+                n_err += 1
+                l, b = l_new, b_new
+            t_fin = len(y)
+            out.update(
+                {
+                    "level": [l],
+                    "trend": [b],
+                    "rmse": [(sse / n_err) ** 0.5],
+                    "forecast_next": [l + b + s[t_fin % m]],
+                }
+            )
+        yield pd.DataFrame(out)
+
+    return orders_joined.groupBy("nk").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "nk int, seq long, n_days long, level double, "
+            "trend double, rmse double, forecast_next double"
+        ),
+        stateStructType="cents map<bigint,bigint>, seq long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
