@@ -94,3 +94,18 @@ def test_procrustes_recovers_planted_rotation(spark):
     assert r.rotation_recovery_err < 1e-10
     assert r.orthogonality_err < 1e-10
     assert r.mean_residual < 1e-10
+
+
+def test_frequent_directions_bound_and_validity(spark):
+    from etl_lens_spark.queries import all_queries
+
+    r = all_queries()["emb_frequent_directions_sketch"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.bound_holds
+    assert r.spectral_err >= 0
+    assert r.spectral_err <= r.fd_bound + 1e-9
+    assert r.ell == 16 and r.d == 64
+    # the sketch must actually compress: err strictly positive but
+    # well under the worst-case bound on real data
+    assert r.spectral_err < r.fd_bound
