@@ -1261,7 +1261,7 @@ def _hw_oracle(per_series: bool = False) -> str:
     )
 
 
-@query("ts_holt_winters_fit", oracle=_hw_oracle())
+@query("ts_holt_winters_fit", oracle=_hw_oracle(), headline=True)
 def ts_holt_winters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt–Winters triple exponential smoothing (level +
     trend + weekly season) fitted per nation over the dense daily

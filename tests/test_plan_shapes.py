@@ -219,6 +219,14 @@ HEADLINE_PINS = {
     # KMV merge: per-(type,day) sketch ranks + the 5-row sketch side
     # broadcast into the exact anchor — pure JVM md5/conv codegen
     "sketch_kmv_distinct_merge": (8, {"BroadcastHashJoin"}, set()),
+    # Holt-Winters: dense-calendar build (dims broadcast; the BNLJ is
+    # the 1-row dmax cross join) around exactly ONE grouped-map
+    # pandas stage — the per-series sequential fit
+    "ts_holt_winters_fit": (
+        10,
+        {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        {"FlatMapGroupsInPandas"},
+    ),
     "stream_tumbling_window_batch": (2, set(), set()),
     "streaming_tumbling_live": (1, set(), set()),
     "text_quality_signals": (1, set(), set()),
