@@ -3922,3 +3922,202 @@ def stats_gpd_peaks_over_threshold(
             * (F.col("m") * F.col("m") / F.col("s2") + F.lit(1.0))
         ).alias("beta_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout algebra vs Z-order — locality measured in-query
+# ---------------------------------------------------------------------------
+
+_HILB_BITS = 8  # 256 x 256 grid
+
+
+def _hilbert_sql() -> str:
+    # unrolled xy2d (classic rot-and-accumulate), one CTE per bit —
+    # pure CASE/arithmetic, identical in both engines
+    ctes = []
+    prev = "grid"
+    for i, s in enumerate([2 ** b for b in range(_HILB_BITS - 1, -1, -1)]):
+        k = f"h{i + 1}"
+        ctes.append(f"""
+    {k} AS (
+      SELECT gx, gy,
+             d + {s * s} * (CASE WHEN rx = 1 AND ry = 0 THEN 3
+                                 WHEN rx = 1 AND ry = 1 THEN 2
+                                 WHEN rx = 0 AND ry = 1 THEN 1
+                                 ELSE 0 END) AS d,
+             CASE WHEN ry = 0 AND rx = 1 THEN {s} - 1 - ym
+                  WHEN ry = 0 THEN ym ELSE xm END AS x,
+             CASE WHEN ry = 0 AND rx = 1 THEN {s} - 1 - xm
+                  WHEN ry = 0 THEN xm ELSE ym END AS y
+      FROM (
+        SELECT gx, gy, d,
+               CASE WHEN (x // {s}) % 2 = 1 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y // {s}) % 2 = 1 THEN 1 ELSE 0 END AS ry,
+               x % {s} AS xm, y % {s} AS ym
+        FROM {prev}
+      )
+    )""")
+        prev = k
+    return ",".join(ctes), prev
+
+
+_HILB_CTES, _HILB_LAST = _hilbert_sql()
+_ZORDER_SQL = " + ".join(
+    f"((gx // {2 ** b}) % 2) * {2 * 4 ** b} + ((gy // {2 ** b}) % 2) * {4 ** b}"
+    for b in range(_HILB_BITS)
+)
+
+
+@query(
+    "lake_hilbert_vs_zorder_locality",
+    oracle=f"""
+    WITH grid AS (
+      SELECT ux.x AS gx, uy.y AS gy,
+             CAST(0 AS BIGINT) AS d, ux.x AS x, uy.y AS y
+      FROM (SELECT unnest(range({2 ** _HILB_BITS})) AS x) ux,
+           (SELECT unnest(range({2 ** _HILB_BITS})) AS y) uy
+    ),
+    {_HILB_CTES},
+    idx AS (
+      SELECT 'hilbert' AS curve, gx, gy, d AS ix FROM {_HILB_LAST}
+      UNION ALL
+      SELECT 'zorder', gx, gy, CAST({_ZORDER_SQL} AS BIGINT) FROM grid
+      UNION ALL
+      SELECT 'row_major', gx, gy,
+             CAST(gy * {2 ** _HILB_BITS} + gx AS BIGINT) FROM grid
+    ),
+    stepped AS (
+      SELECT curve,
+             ABS(gx - LAG(gx) OVER (PARTITION BY curve ORDER BY ix))
+             + ABS(gy - LAG(gy) OVER (PARTITION BY curve ORDER BY ix))
+               AS step
+      FROM idx
+    )
+    SELECT i.curve,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT i.ix) AS BIGINT) AS n_distinct_index,
+           (SELECT SUM(CAST(step AS DOUBLE)) / COUNT(step)
+            FROM stepped s WHERE s.curve = i.curve) AS avg_step,
+           (SELECT CAST(MAX(step) AS BIGINT)
+            FROM stepped s WHERE s.curve = i.curve) AS max_step
+    FROM idx i GROUP BY i.curve ORDER BY i.curve
+    """,
+)
+def lake_hilbert_vs_zorder_locality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hilbert-curve linearization implemented in portable column
+    arithmetic (the classic unrolled xy2d rot-and-accumulate, one
+    stage per bit) and measured against Z-order and row-major on the
+    full {2 ** _HILB_BITS}×{2 ** _HILB_BITS} grid: every curve's
+    bijectivity (n_distinct_index == n_cells pins the bit algebra —
+    one wrong rotation collapses indices) and its LOCALITY — the
+    average Manhattan distance between consecutive cells. Hilbert's
+    avg_step is exactly 1.0 (every consecutive pair is adjacent, the
+    curve's defining property); Z-order pays its discontinuity seams.
+    This is the measured justification for upgrading
+    operators/layout.py's Z-order clustering to Hilbert at 100 TB —
+    tighter file bounding boxes ⇒ better min/max data skipping —
+    with the index math proven cross-engine before anyone ships it.
+
+    The grid is data-volume-independent; at scale the same index
+    expression rides repartitionByRange exactly like zval in
+    operators/layout.py."""
+    size = 2 ** _HILB_BITS
+    xs = spark.range(size).select(F.col("id").cast("int").alias("gx"))
+    ys = spark.range(size).select(F.col("id").cast("int").alias("gy"))
+    grid = xs.crossJoin(ys).select(
+        "gx",
+        "gy",
+        F.lit(0).cast("long").alias("d"),
+        F.col("gx").alias("x"),
+        F.col("gy").alias("y"),
+    )
+    cur = grid
+    for s in [2 ** b for b in range(_HILB_BITS - 1, -1, -1)]:
+        rx = (F.floor(F.col("x") / s).cast("int") % 2 == 1).cast("int")
+        ry = (F.floor(F.col("y") / s).cast("int") % 2 == 1).cast("int")
+        cur = cur.select(
+            "gx",
+            "gy",
+            "d",
+            rx.alias("rx"),
+            ry.alias("ry"),
+            (F.col("x") % s).alias("xm"),
+            (F.col("y") % s).alias("ym"),
+        ).select(
+            "gx",
+            "gy",
+            (
+                F.col("d")
+                + F.lit(s * s)
+                * F.when(
+                    (F.col("rx") == 1) & (F.col("ry") == 0), 3
+                )
+                .when((F.col("rx") == 1) & (F.col("ry") == 1), 2)
+                .when((F.col("rx") == 0) & (F.col("ry") == 1), 1)
+                .otherwise(0)
+            ).alias("d"),
+            F.when(
+                (F.col("ry") == 0) & (F.col("rx") == 1),
+                F.lit(s - 1) - F.col("ym"),
+            )
+            .when(F.col("ry") == 0, F.col("ym"))
+            .otherwise(F.col("xm"))
+            .alias("x"),
+            F.when(
+                (F.col("ry") == 0) & (F.col("rx") == 1),
+                F.lit(s - 1) - F.col("xm"),
+            )
+            .when(F.col("ry") == 0, F.col("xm"))
+            .otherwise(F.col("ym"))
+            .alias("y"),
+        )
+    hilbert = cur.select(
+        F.lit("hilbert").alias("curve"), "gx", "gy", F.col("d").alias("ix")
+    )
+    zexpr = None
+    for b in range(_HILB_BITS):
+        term = ((F.col("gx") / (2 ** b)).cast("long") % 2) * (
+            2 * 4 ** b
+        ) + ((F.col("gy") / (2 ** b)).cast("long") % 2) * (4 ** b)
+        zexpr = term if zexpr is None else zexpr + term
+    zorder = grid.select(
+        F.lit("zorder").alias("curve"),
+        "gx",
+        "gy",
+        zexpr.cast("long").alias("ix"),
+    )
+    rowm = grid.select(
+        F.lit("row_major").alias("curve"),
+        "gx",
+        "gy",
+        (F.col("gy") * size + F.col("gx")).cast("long").alias("ix"),
+    )
+    idx = hilbert.unionByName(zorder).unionByName(rowm)
+    w = Window.partitionBy("curve").orderBy("ix")
+    stepped = idx.select(
+        "curve",
+        (
+            F.abs(F.col("gx") - F.lag("gx").over(w))
+            + F.abs(F.col("gy") - F.lag("gy").over(w))
+        ).alias("step"),
+    )
+    steps = stepped.groupBy("curve").agg(
+        (
+            F.sum(F.col("step").cast("double")) / F.count("step")
+        ).alias("avg_step"),
+        F.max("step").cast("long").alias("max_step"),
+    )
+    base = idx.groupBy("curve").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("ix").cast("long").alias("n_distinct_index"),
+    )
+    return (
+        base.join(steps, "curve")
+        .select(
+            "curve", "n_cells", "n_distinct_index", "avg_step",
+            "max_step",
+        )
+        .orderBy("curve")
+    )

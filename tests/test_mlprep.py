@@ -655,3 +655,21 @@ def test_gpd_moments_match_numpy(spark):
     assert r.n_exc == len(exc)
     assert abs(r.xi_hat - 0.5 * (1 - m * m / s2)) < 1e-9
     assert abs(r.beta_hat - 0.5 * m * (m * m / s2 + 1)) < 1e-9
+
+
+def test_hilbert_curve_properties(spark):
+    rows = {
+        r.curve: r
+        for r in all_queries()["lake_hilbert_vs_zorder_locality"](
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == {"hilbert", "zorder", "row_major"}
+    for r in rows.values():
+        assert r.n_distinct_index == r.n_cells == 65536  # bijective
+    # the defining Hilbert property: EVERY consecutive pair adjacent
+    assert rows["hilbert"].avg_step == 1.0
+    assert rows["hilbert"].max_step == 1
+    # Z-order pays discontinuity seams
+    assert rows["zorder"].avg_step > 1.9
+    assert rows["zorder"].max_step == 256
