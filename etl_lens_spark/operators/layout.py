@@ -90,3 +90,113 @@ def zorder_by(
         .sortWithinPartitions("zval")
         .drop("zval")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout — the tighter-locality upgrade to Z-order
+# ---------------------------------------------------------------------------
+
+
+def hilbert_ctes_sql(src: str, bits: int = 8) -> tuple[str, str]:
+    """DuckDB CTE chain computing the Hilbert index of in-range
+    (x, y) ints from CTE ``src`` (must expose x, y plus passthrough
+    cols gx, gy): the unrolled xy2d rot-and-accumulate, one stage per
+    bit, with coordinates MASKED into [0, s) before each reflection —
+    the textbook form reflects to negative values, where C bit-ops,
+    DuckDB floor-division and Spark truncating division all disagree
+    (proven equivalent to the bit-op reference in tests).
+    Returns (ctes_sql, last_cte_name); the last CTE exposes
+    (gx, gy, d)."""
+    ctes = []
+    prev = src
+    for i, s in enumerate([2 ** b for b in range(bits - 1, -1, -1)]):
+        k = f"hx{i + 1}"
+        ctes.append(f"""
+    {k} AS (
+      SELECT gx, gy,
+             d + {s * s} * (CASE WHEN rx = 1 AND ry = 0 THEN 3
+                                 WHEN rx = 1 AND ry = 1 THEN 2
+                                 WHEN rx = 0 AND ry = 1 THEN 1
+                                 ELSE 0 END) AS d,
+             CASE WHEN ry = 0 AND rx = 1 THEN {s} - 1 - ym
+                  WHEN ry = 0 THEN ym ELSE xm END AS x,
+             CASE WHEN ry = 0 AND rx = 1 THEN {s} - 1 - xm
+                  WHEN ry = 0 THEN xm ELSE ym END AS y
+      FROM (
+        SELECT gx, gy, d,
+               CASE WHEN (x // {s}) % 2 = 1 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y // {s}) % 2 = 1 THEN 1 ELSE 0 END AS ry,
+               x % {s} AS xm, y % {s} AS ym
+        FROM {prev}
+      )
+    )""")
+        prev = k
+    return ",".join(ctes), prev
+
+
+def with_hilbert_value(
+    df: DataFrame, xcol: str, ycol: str, bits: int = 8, out: str = "hval"
+) -> DataFrame:
+    """Append the Hilbert index of (xcol, ycol) after min/max scaling
+    to [0, 2^bits) — same contract as with_zvalue, same O(1) bounds
+    broadcast, pure JVM expression stages (no UDF). Drop-in
+    replacement wherever zval feeds repartitionByRange: same shuffle,
+    tighter per-partition bounding boxes (no Z-seam jumps —
+    lake_hilbert_vs_zorder_locality measures avg step 1.0 vs ~2.0)."""
+    bounds = df.agg(
+        F.min(xcol).cast("long").alias("__xlo"),
+        F.max(xcol).cast("long").alias("__xhi"),
+        F.min(ycol).cast("long").alias("__ylo"),
+        F.max(ycol).cast("long").alias("__yhi"),
+    )
+    sx = scale_expr(xcol, "__xlo", "__xhi", bits, "div")
+    sy = scale_expr(ycol, "__ylo", "__yhi", bits, "div")
+    cur = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__hx", F.expr(sx).cast("long"))
+        .withColumn("__hy", F.expr(sy).cast("long"))
+        .withColumn(out, F.lit(0).cast("long"))
+        .drop("__xlo", "__xhi", "__ylo", "__yhi")
+    )
+    for s in [2 ** b for b in range(bits - 1, -1, -1)]:
+        rx = (F.floor(F.col("__hx") / s).cast("int") % 2 == 1).cast("int")
+        ry = (F.floor(F.col("__hy") / s).cast("int") % 2 == 1).cast("int")
+        cur = (
+            cur.withColumn("__rx", rx)
+            .withColumn("__ry", ry)
+            .withColumn("__xm", F.col("__hx") % s)
+            .withColumn("__ym", F.col("__hy") % s)
+            .withColumn(
+                out,
+                F.col(out)
+                + F.lit(s * s)
+                * F.when(
+                    (F.col("__rx") == 1) & (F.col("__ry") == 0), 3
+                )
+                .when((F.col("__rx") == 1) & (F.col("__ry") == 1), 2)
+                .when((F.col("__rx") == 0) & (F.col("__ry") == 1), 1)
+                .otherwise(0),
+            )
+            .withColumn(
+                "__hx_n",
+                F.when(
+                    (F.col("__ry") == 0) & (F.col("__rx") == 1),
+                    F.lit(s - 1) - F.col("__ym"),
+                )
+                .when(F.col("__ry") == 0, F.col("__ym"))
+                .otherwise(F.col("__xm")),
+            )
+            .withColumn(
+                "__hy_n",
+                F.when(
+                    (F.col("__ry") == 0) & (F.col("__rx") == 1),
+                    F.lit(s - 1) - F.col("__xm"),
+                )
+                .when(F.col("__ry") == 0, F.col("__xm"))
+                .otherwise(F.col("__ym")),
+            )
+            .drop("__hx", "__hy", "__rx", "__ry", "__xm", "__ym")
+            .withColumnRenamed("__hx_n", "__hx")
+            .withColumnRenamed("__hy_n", "__hy")
+        )
+    return cur.drop("__hx", "__hy")

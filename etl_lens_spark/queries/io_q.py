@@ -2160,3 +2160,79 @@ def sink_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _hilbert_stats_oracle() -> str:
+    from etl_lens_spark.operators.layout import (
+        hilbert_ctes_sql,
+        scale_expr,
+    )
+
+    sx = scale_expr("xk", "xlo", "xhi", _ZBITS, "//")
+    sy = scale_expr("yk", "ylo", "yhi", _ZBITS, "//")
+    ctes, last = hilbert_ctes_sql("scaled", _ZBITS)
+    return f"""
+    WITH t AS (
+        SELECT o_custkey AS xk,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS yk
+        FROM orders
+    ),
+    b AS (
+        SELECT MIN(xk) AS xlo, MAX(xk) AS xhi,
+               MIN(yk) AS ylo, MAX(yk) AS yhi
+        FROM t
+    ),
+    scaled AS (
+        SELECT xk AS gx, yk AS gy, CAST(0 AS BIGINT) AS d,
+               CAST({sx} AS BIGINT) AS x, CAST({sy} AS BIGINT) AS y
+        FROM t CROSS JOIN b
+    ),
+    {ctes}
+    SELECT CAST(d >> {2 * _ZBITS - 6} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(gx) - MIN(gx) AS BIGINT) AS x_span,
+           CAST(MAX(gy) - MIN(gy) AS BIGINT) AS y_span,
+           CAST(MIN(d) AS BIGINT) AS h_min
+    FROM {last}
+    GROUP BY 1
+    ORDER BY bucket
+    """
+
+
+@query("lake_hilbert_cluster_stats", oracle=_hilbert_stats_oracle())
+def lake_hilbert_cluster_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hilbert-curve layout statistics — the direct upgrade
+    comparison to zorder_cluster_stats on the SAME (customer, order
+    day) dimensions and the same 64 curve buckets: per-bucket row
+    counts and bounding-box spans after mapping orders onto the
+    Hilbert index (operators/layout.with_hilbert_value — min/max
+    scaling + the unrolled masked xy2d stages, pure JVM expressions).
+    Tighter boxes than the Morton buckets (no Z-seam diagonal jumps)
+    mean better parquet min/max pruning after a clustered write;
+    tests/test_layout.py asserts the aggregate span comparison.
+    The index arithmetic is the shared generated SQL, so every shift
+    and rotation is pinned cross-engine."""
+    from etl_lens_spark.operators import layout as _zl2
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("xk"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("yk"),
+    )
+    h = _zl2.with_hilbert_value(o, "xk", "yk", bits=_ZBITS)
+    return (
+        h.groupBy(
+            F.expr(f"hval >> {2 * _ZBITS - 6}").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("xk") - F.min("xk")).cast("long").alias("x_span"),
+            (F.max("yk") - F.min("yk")).cast("long").alias("y_span"),
+            F.min("hval").cast("long").alias("h_min"),
+        )
+        .orderBy("bucket")
+    )

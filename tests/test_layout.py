@@ -91,3 +91,55 @@ def test_coverage_ledger_has_no_drift():
     with open(mod.COVERAGE) as f:
         problems = mod.drift_report(registry, f.read())
     assert not problems, "\n".join(problems)
+
+
+def test_hilbert_buckets_tighter_than_zorder(spark):
+    from etl_lens_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    hz = all_queries()["lake_hilbert_cluster_stats"](spark, sf).collect()
+    zo = all_queries()["zorder_cluster_stats"](spark, sf).collect()
+    assert len(hz) == 64 and len(zo) == 64
+
+    def avg_span(rows):
+        return sum(r.x_span + r.y_span for r in rows) / len(rows)
+
+    h, z = avg_span(hz), avg_span(zo)
+    # Hilbert buckets must not be looser than Morton's on aggregate
+    # (same dims, same bucket count; the curve with no seam jumps
+    # yields equal-or-tighter bounding boxes)
+    assert h <= z * 1.05, (h, z)
+    # both bijective layouts cover every row
+    assert sum(r.n_rows for r in hz) == sum(r.n_rows for r in zo)
+
+
+def test_hilbert_value_matches_reference_bitops(spark):
+    import random
+
+    from etl_lens_spark.operators.layout import with_hilbert_value
+
+    def xy2d_ref(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(13)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "xk long, yk long")
+    # identity scaling: bounds are [0,255] only if present; pin them
+    df = df.union(spark.createDataFrame([(0, 0), (255, 255)],
+                                        "xk long, yk long"))
+    out = {
+        (r.xk, r.yk): r.hval
+        for r in with_hilbert_value(df, "xk", "yk", bits=8).collect()
+    }
+    for (x, y), h in out.items():
+        assert h == xy2d_ref(256, x, y), (x, y, h)
