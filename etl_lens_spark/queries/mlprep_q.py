@@ -4121,3 +4121,378 @@ def lake_hilbert_vs_zorder_locality(
         )
         .orderBy("curve")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-strength decomposition diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT d, r,
+             AVG(r) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS trend,
+             CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                 AND 3 FOLLOWING) AS BIGINT) AS wn
+      FROM daily
+    ),
+    det AS (
+      SELECT d, r, trend, r - trend AS detr, d % 7 AS dow
+      FROM tr WHERE wn = 7
+    ),
+    seas AS (
+      SELECT dow, AVG(detr) AS s FROM det GROUP BY dow
+    ),
+    resid AS (
+      SELECT det.d, det.detr, det.detr - seas.s AS e
+      FROM det JOIN seas ON det.dow = seas.dow
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           (SUM(detr * detr) / COUNT(*)
+            - (SUM(detr) / COUNT(*)) * (SUM(detr) / COUNT(*)))
+             AS var_detrended,
+           (SUM(e * e) / COUNT(*)
+            - (SUM(e) / COUNT(*)) * (SUM(e) / COUNT(*)))
+             AS var_residual,
+           GREATEST(0.0, 1.0 -
+             (SUM(e * e) / COUNT(*)
+              - (SUM(e) / COUNT(*)) * (SUM(e) / COUNT(*)))
+             / (SUM(detr * detr) / COUNT(*)
+                - (SUM(detr) / COUNT(*)) * (SUM(detr) / COUNT(*))))
+             AS seasonal_strength
+    FROM resid
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal-strength diagnostic F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) on daily revenue: trend = centered
+    7-day moving average (full windows only), seasonal = day-of-week
+    means of the detrended series, remainder = what's left. F_s near
+    1 ⇒ the weekly cycle dominates (schedule forecasting around it);
+    near 0 ⇒ don't bother with seasonal models — the triage that
+    decides between ts_ema_smoothing and ts_holt_winters_fit.
+    Everything after the daily collapse rides the tiny series."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "r",
+        F.avg("r").over(w7).alias("trend"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("wn"),
+    )
+    det = tr.filter(F.col("wn") == 7).select(
+        "d",
+        (F.col("r") - F.col("trend")).alias("detr"),
+        (F.col("d") % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(F.avg("detr").alias("s"))
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "detr", (F.col("detr") - F.col("s")).alias("e")
+    )
+    cnt = F.count(F.lit(1))
+    var_d = F.sum(F.col("detr") * F.col("detr")) / cnt - (
+        F.sum("detr") / cnt
+    ) * (F.sum("detr") / cnt)
+    var_e = F.sum(F.col("e") * F.col("e")) / cnt - (
+        F.sum("e") / cnt
+    ) * (F.sum("e") / cnt)
+    return resid.agg(
+        cnt.cast("long").alias("n_days"),
+        var_d.alias("var_detrended"),
+        var_e.alias("var_residual"),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_e / var_d).alias(
+            "seasonal_strength"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometry between sources
+# ---------------------------------------------------------------------------
+
+_DELTA_TOPK = 20
+
+
+@query(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH w AS (
+      SELECT source, unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ),
+    wf AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY source, word
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wf GROUP BY source
+    ),
+    topw AS (
+      SELECT word FROM (
+        SELECT word, SUM(c) AS tc FROM wf GROUP BY word
+        ORDER BY tc DESC, word LIMIT {_DELTA_TOPK}
+      )
+    ),
+    freq AS (
+      SELECT t.source, tw.word,
+             COALESCE(wf.c, 0) * 1000.0 / t.n AS f
+      FROM tot t CROSS JOIN topw tw
+      LEFT JOIN wf ON wf.source = t.source AND wf.word = tw.word
+    ),
+    stats AS (
+      SELECT word, AVG(f) AS mu,
+             SQRT(SUM(f * f) / COUNT(*)
+                  - (SUM(f) / COUNT(*)) * (SUM(f) / COUNT(*))) AS sd
+      FROM freq GROUP BY word
+    ),
+    z AS (
+      SELECT f.source, f.word, (f.f - s.mu) / s.sd AS z
+      FROM freq f JOIN stats s ON f.word = s.word WHERE s.sd > 0
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             SUM(ABS(a.z - b.z)) / COUNT(*) AS delta
+      FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, delta FROM pairs
+    ORDER BY delta, src_a, src_b LIMIT 25
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta — the classic stylometric distance (Burrows
+    2002): per-source relative frequencies (per mille) of the
+    corpus-wide top-{_DELTA_TOPK} words, z-scored per word across
+    sources, Delta(a,b) = mean |z_a − z_b|. The attribution workhorse
+    of computational philology, and operationally the "same pipeline,
+    different voice?" screen for crawl sources. The 25 closest source
+    pairs returned (low Delta = stylistically alike).
+
+    Scale posture: the corpus collapses at the (source, word) count;
+    the frequency matrix is sources × {_DELTA_TOPK} cells and every
+    later stage rides it. Zero-count cells are materialized by the
+    dimension cross join so missing words count as z-deviation, as
+    the method requires."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    wf = (
+        docs.select("source", F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = wf.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    topw = (
+        wf.groupBy("word")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), "word")
+        .limit(_DELTA_TOPK)
+        .select("word")
+    )
+    freq = (
+        tot.crossJoin(F.broadcast(topw))
+        .join(wf, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            (
+                F.coalesce(F.col("c"), F.lit(0)) * 1000.0 / F.col("n")
+            ).alias("f"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    stats = freq.groupBy("word").agg(
+        F.avg("f").alias("mu"),
+        F.sqrt(
+            F.sum(F.col("f") * F.col("f")) / cnt
+            - (F.sum("f") / cnt) * (F.sum("f") / cnt)
+        ).alias("sd"),
+    )
+    z = (
+        freq.join(F.broadcast(stats), "word")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source", "word", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), "word", F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"),
+        F.col("word").alias("wb"),
+        F.col("z").alias("zb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("word") == F.col("wb"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            (F.sum(F.abs(F.col("za") - F.col("zb"))) / F.count(F.lit(1))).alias(
+                "delta"
+            )
+        )
+    )
+    return pairs.orderBy("delta", "src_a", "src_b").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Learning curve over nested md5 subsamples
+# ---------------------------------------------------------------------------
+
+_LC_FRACS = [0.1, 0.2, 0.4, 0.8]
+
+
+@query(
+    "ml_learning_curve",
+    oracle=f"""
+    WITH src AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST({_md5_sql(
+                 "'lc1|' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)"
+             )} AS DOUBLE) / {_MD5_SCALE!r} AS u,
+             {_md5_sql(
+                 "'lc2|' || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)"
+             )} % 5 AS fold
+      FROM lineitem
+    ),
+    fr AS (SELECT UNNEST([{", ".join(repr(f) for f in _LC_FRACS)}]) AS frac),
+    model AS (
+      SELECT fr.frac, l_returnflag, l_linestatus,
+             SUM(CASE WHEN fold <> 0 AND u < fr.frac THEN y END)
+               / COUNT(CASE WHEN fold <> 0 AND u < fr.frac THEN 1 END)
+               AS pred,
+             CAST(COUNT(CASE WHEN fold <> 0 AND u < fr.frac THEN 1 END)
+                  AS BIGINT) AS n_train
+      FROM src CROSS JOIN fr
+      GROUP BY fr.frac, l_returnflag, l_linestatus
+    ),
+    tr AS (
+      SELECT frac, CAST(SUM(n_train) AS BIGINT) AS n_train
+      FROM model GROUP BY frac
+    ),
+    eval_ AS (
+      SELECT m.frac,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             SQRT(SUM((s.y - m.pred) * (s.y - m.pred)) / COUNT(*))
+               AS rmse
+      FROM src s JOIN model m
+        ON s.l_returnflag = m.l_returnflag
+       AND s.l_linestatus = m.l_linestatus
+      WHERE s.fold = 0
+      GROUP BY m.frac
+    )
+    SELECT e.frac, t.n_train, e.n_test, e.rmse
+    FROM eval_ e JOIN tr t ON e.frac = t.frac ORDER BY e.frac
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve over NESTED md5 subsamples: the per-group mean
+    model trained on 10/20/40/80% of the training split (u < frac
+    nests each sample inside the next — the statistically right way
+    to draw a curve, one hash pass, no reshuffling per point) and
+    evaluated on the fixed held-out fold. The flattening of RMSE with
+    size answers "will more data help?" before anyone pays for more
+    data — here all four training runs ride ONE conditional-aggregate
+    scan (frac is an exploded literal dimension), the
+    multiplexed-training trick that makes curve-drawing cheap at
+    100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast("double").alias("y"),
+        (
+            kmv_value(
+                F.concat(
+                    F.lit("lc1|"),
+                    (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast(
+                        "string"
+                    ),
+                )
+            ).cast("double")
+            / F.lit(_MD5_SCALE)
+        ).alias("u"),
+        (
+            kmv_value(
+                F.concat(
+                    F.lit("lc2|"),
+                    (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast(
+                        "string"
+                    ),
+                )
+            )
+            % 5
+        ).alias("fold"),
+    )
+    fr = None
+    for f0 in _LC_FRACS:
+        row = li.sparkSession.range(1).select(
+            F.lit(float(f0)).alias("frac")
+        )
+        fr = row if fr is None else fr.unionByName(row)
+    keys = ["l_returnflag", "l_linestatus"]
+    train_cond = (F.col("fold") != 0) & (F.col("u") < F.col("frac"))
+    model = (
+        li.crossJoin(F.broadcast(fr))
+        .groupBy("frac", *keys)
+        .agg(
+            (
+                F.sum(F.when(train_cond, F.col("y")))
+                / F.count(F.when(train_cond, 1))
+            ).alias("pred"),
+            F.count(F.when(train_cond, 1))
+            .cast("long")
+            .alias("n_train"),
+        )
+    )
+    tr = model.groupBy("frac").agg(
+        F.sum("n_train").cast("long").alias("n_train")
+    )
+    ev = (
+        li.filter(F.col("fold") == 0)
+        .join(F.broadcast(model), keys)
+        .groupBy("frac")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sqrt(
+                F.sum(
+                    (F.col("y") - F.col("pred"))
+                    * (F.col("y") - F.col("pred"))
+                )
+                / F.count(F.lit(1))
+            ).alias("rmse"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(tr), "frac")
+        .select("frac", "n_train", "n_test", "rmse")
+        .orderBy("frac")
+    )

@@ -673,3 +673,28 @@ def test_hilbert_curve_properties(spark):
     # Z-order pays discontinuity seams
     assert rows["zorder"].avg_step > 1.9
     assert rows["zorder"].max_step == 256
+
+
+def test_seasonal_strength_bounds(spark):
+    r = all_queries()["ts_seasonal_strength"](spark, SF).collect()[0]
+    assert r.n_days > 0
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert r.var_residual <= r.var_detrended + 1e-9
+
+
+def test_burrows_delta_symmetric_metricish(spark):
+    rows = all_queries()["text_burrows_delta"](spark, SF).collect()
+    assert rows
+    deltas = [r.delta for r in rows]
+    assert deltas == sorted(deltas)
+    assert all(d >= 0 for d in deltas)
+    assert all(r.src_a < r.src_b for r in rows)
+
+
+def test_learning_curve_monotone_training_size(spark):
+    rows = all_queries()["ml_learning_curve"](spark, SF).collect()
+    assert [r.frac for r in rows] == [0.1, 0.2, 0.4, 0.8]
+    sizes = [r.n_train for r in rows]
+    assert sizes == sorted(sizes)  # nested subsamples grow
+    assert all(r.n_test > 0 for r in rows)
+    assert all(math.isfinite(r.rmse) and r.rmse > 0 for r in rows)
