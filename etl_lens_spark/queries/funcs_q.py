@@ -1031,7 +1031,7 @@ def source_synthetic_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_arrow_map",
     oracle="""
     SELECT event_id,
-           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
            upper(event_type) AS type_u,
            CAST(length(event_type) AS BIGINT) AS type_len
     FROM events WHERE event_id < 500 ORDER BY event_id

@@ -4134,7 +4134,8 @@ def lake_hilbert_vs_zorder_locality(
     WITH daily AS (
       SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
                AS d,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / 1000000.0 AS r
       FROM orders GROUP BY 1
     ),
     tr AS (
@@ -4157,17 +4158,9 @@ def lake_hilbert_vs_zorder_locality(
       FROM det JOIN seas ON det.dow = seas.dow
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           (SUM(detr * detr) / COUNT(*)
-            - (SUM(detr) / COUNT(*)) * (SUM(detr) / COUNT(*)))
-             AS var_detrended,
-           (SUM(e * e) / COUNT(*)
-            - (SUM(e) / COUNT(*)) * (SUM(e) / COUNT(*)))
-             AS var_residual,
-           GREATEST(0.0, 1.0 -
-             (SUM(e * e) / COUNT(*)
-              - (SUM(e) / COUNT(*)) * (SUM(e) / COUNT(*)))
-             / (SUM(detr * detr) / COUNT(*)
-                - (SUM(detr) / COUNT(*)) * (SUM(detr) / COUNT(*))))
+           var_pop(detr) AS var_detrended,
+           var_pop(e) AS var_residual,
+           GREATEST(0.0, 1.0 - var_pop(e) / var_pop(detr))
              AS seasonal_strength
     FROM resid
     """,
@@ -4180,7 +4173,12 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 ⇒ the weekly cycle dominates (schedule forecasting around it);
     near 0 ⇒ don't bother with seasonal models — the triage that
     decides between ts_ema_smoothing and ts_holt_winters_fit.
-    Everything after the daily collapse rides the tiny series."""
+    Everything after the daily collapse rides the tiny series.
+    Revenue is expressed in $M so the variances are O(1e-2): the
+    raw-dollar form summed squares to ~4e11 where partition-order
+    float noise exceeded 6-decimal rounding (round-4 verdict);
+    seasonal_strength itself is scale-invariant, and var_pop on
+    both engines uses the stable centered recurrence."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.datediff(
@@ -4190,9 +4188,11 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("r")
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("r")
     )
     w7 = Window.orderBy("d").rowsBetween(-3, 3)
     tr = daily.select(
@@ -4210,15 +4210,10 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = det.join(F.broadcast(seas), "dow").select(
         "detr", (F.col("detr") - F.col("s")).alias("e")
     )
-    cnt = F.count(F.lit(1))
-    var_d = F.sum(F.col("detr") * F.col("detr")) / cnt - (
-        F.sum("detr") / cnt
-    ) * (F.sum("detr") / cnt)
-    var_e = F.sum(F.col("e") * F.col("e")) / cnt - (
-        F.sum("e") / cnt
-    ) * (F.sum("e") / cnt)
+    var_d = F.var_pop("detr")
+    var_e = F.var_pop("e")
     return resid.agg(
-        cnt.cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
         var_d.alias("var_detrended"),
         var_e.alias("var_residual"),
         F.greatest(F.lit(0.0), F.lit(1.0) - var_e / var_d).alias(
@@ -4384,7 +4379,8 @@ _LC_FRACS = [0.1, 0.2, 0.4, 0.8]
              )} % 5 AS fold
       FROM lineitem
     ),
-    fr AS (SELECT UNNEST([{", ".join(repr(f) for f in _LC_FRACS)}]) AS frac),
+    fr AS (SELECT CAST(UNNEST([{", ".join(repr(f) for f in _LC_FRACS)}])
+                       AS DOUBLE) AS frac),
     model AS (
       SELECT fr.frac, l_returnflag, l_linestatus,
              SUM(CASE WHEN fold <> 0 AND u < fr.frac THEN y END)

@@ -88,6 +88,7 @@ def exact_quantiles_distributed(
 
 @query(
     "group_quantiles_approx",
+    headline=True,
     oracle="""
     WITH t AS (
         SELECT o_orderpriority AS priority,

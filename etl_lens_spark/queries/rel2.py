@@ -300,7 +300,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < 100
     )
-    n_docs = docs.count()
+    # n_docs rides the plan as a broadcast 1-row aggregate instead of
+    # a driver-side docs.count() — the count() forced a separate
+    # blocking job on every construction (round-4 bench regression
+    # suspect) and would serialize the DAG submission at scale
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -310,12 +314,16 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "tfidf",
-        (
-            F.col("tf")
-            * F.log(F.lit(float(n_docs)) / F.col("df"))
-        ).cast("double"),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            (
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+            ).cast("double"),
+        )
+        .drop("n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -865,6 +865,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customer_rfm_segments_approx",
+    headline=True,
     oracle="""
     WITH base AS (
         SELECT o_custkey AS custkey,

@@ -26,11 +26,13 @@ class _Slice(InputPartition):
 class SynthEventsReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 10000))
-        self.n_parts = int(options.get("n_parts", 8))
+        self.n_parts = max(1, int(options.get("n_parts", 8)))
 
     def partitions(self):
         if self.n_rows <= 0:
-            return []
+            # pyspark rejects an empty partition list (ValueError) —
+            # an empty relation is one empty slice
+            return [_Slice(0, 0)]
         step = (self.n_rows + self.n_parts - 1) // self.n_parts
         return [
             _Slice(i, min(i + step, self.n_rows))

@@ -90,3 +90,37 @@ def test_cli_oracle_subcommand(spark):
     # carries the pass/fail contract
     rc, _ = _run(spark, ["oracle", "r_catalog_build"])
     assert rc == 0
+
+
+def test_cli_explain_golden_matches_headline_pin(spark, sf_dir):
+    """Golden explain (VERDICT r4 #9): the user-facing `explain`
+    subcommand output for a pinned headline must carry exactly the
+    plan the pin table audits — exchange count, no join/Python nodes,
+    whole-stage codegen on the agg path, and a pruned ReadSchema —
+    so the CLI's answer to 'what will this do to my cluster' is the
+    same plan CI pins."""
+    from tests.test_plan_shapes import HEADLINE_PINS
+
+    rc, out = _run(spark, ["explain", "q1_pricing_summary",
+                           "--sf-dir", sf_dir])
+    assert rc == 0
+    want_ex, want_joins, want_py = HEADLINE_PINS["q1_pricing_summary"]
+    assert out.count("Exchange") >= want_ex  # formatted mode lists nodes
+    assert "Join" not in out and want_joins == set()
+    assert "EvalPython" not in out and "InPandas" not in out
+    # partial+final agg pair around the one shuffle (tree section
+    # nodes are "HashAggregate (n)"; the detail section repeats them
+    # as "(n) HashAggregate")
+    import re
+
+    assert len(re.findall(r"HashAggregate \(\d+\)", out)) == 2
+    # column pruning reached the scan: only the 7 q1 columns are read
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", out)
+    assert m, out
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }

@@ -179,3 +179,20 @@ def test_synth_tick_stream_live_drains_bounded(spark):
     ).first()
     assert out["n"] == 3000
     assert out["rid_sum"] == 3000 * 2999 // 2
+
+
+def test_synth_events_empty_relation_n_rows_zero(spark):
+    """n_rows=0 must yield an empty relation, not the pyspark
+    ValueError on an empty partition list (round-4 ADVICE latent):
+    the reader returns one empty slice."""
+    from etl_lens_spark.sources.pyds import SynthEventsDataSource
+
+    spark.dataSource.register(SynthEventsDataSource)
+    df = (
+        spark.read.format("synth_events")
+        .option("n_rows", "0")
+        .option("n_parts", "0")  # also guards the step=.../0 division
+        .load()
+    )
+    assert df.count() == 0
+    assert df.columns == ["rid", "h", "category", "score"]

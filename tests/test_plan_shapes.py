@@ -243,6 +243,16 @@ HEADLINE_PINS = {
         set(),
         {"FlatMapGroupsInPandas"},
     ),
+    # approx-sketch twins promoted to headline (VERDICT r4 #8) so the
+    # sketch path is bench- and plan-pinned alongside its exact
+    # anchor: one approx_percentile partial-agg shuffle each; the
+    # RFM nested-loop node is the 1-row cutpoints cross join
+    "customer_rfm_segments_approx": (
+        12,
+        {"BroadcastNestedLoopJoin"},
+        set(),
+    ),
+    "group_quantiles_approx": (2, set(), set()),
     # DML headline: the returned frame is the collected audit row
     # (LocalTableScan) — the merge plan itself is pinned by the
     # files_rewritten oracle column, not by this final plan

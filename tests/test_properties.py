@@ -349,3 +349,83 @@ def test_unigram_segmentation_lossless_any_vocab(spark, ws):
         singles = sum(logp[c] for c in r["word"])
         got = sum(logp[p] for p in r["pieces"])
         assert got >= singles - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Partition-permutation invariance across the stats tranche (round-4
+# verdict item 2): ts_seasonal_strength failed its oracle because a
+# naive E[x²]−E[x]² over ~4e11-magnitude sums made the answer depend
+# on Spark's partition-order float summation. Every query whose oracle
+# carries a quadratic SUM(x*x) term is re-run here under two different
+# input partitionings (single partition = sequential sum vs 13-way
+# round-robin = shuffled merge order); the 6-decimal canonical output
+# must be identical. A failure means the query's output contract is
+# numerically order-sensitive and needs centering/var_pop/rescaling.
+# ---------------------------------------------------------------------------
+
+import math as _math
+import re as _re
+import sys as _sys
+
+import pytest
+
+import etl_lens_spark.sources.tables as _tables
+from etl_lens_spark.queries import REGISTRY, all_queries
+
+_QUAD_SUM = _re.compile(r"SUM\(\s*(\w+)\s*\*\s*\1\s*\)", _re.I)
+
+
+def _stats_tranche() -> list[str]:
+    all_queries()  # populate REGISTRY
+    names = {
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle and _QUAD_SUM.search(s.oracle)
+    }
+    names.add("ts_seasonal_strength")  # the round-4 regression itself
+    return sorted(names)
+
+
+def _canon_rows(df) -> list[str]:
+    cols = df.columns
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cv(v):
+        if v is None:
+            return "\0NULL"
+        if isinstance(v, bool):
+            return str(int(v))
+        if isinstance(v, float):
+            if _math.isnan(v):
+                return "NaN"
+            return f"{round(v, 6):.6f}"
+        return str(v)
+
+    return sorted("|".join(cv(r[i]) for i in idx) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", _stats_tranche())
+def test_stats_partition_permutation_invariant(
+    spark, sf_dir, name, monkeypatch
+):
+    spec = REGISTRY[name]
+    orig = _tables.load_table
+    mods = [
+        m
+        for m in list(_sys.modules.values())
+        if m is not None and getattr(m, "load_table", None) is orig
+    ]
+    assert any(m.__name__ == spec.fn.__module__ for m in mods)
+    outs = []
+    for n in (1, 13):
+
+        def perturbed(spark_, d, t, _n=n):
+            return orig(spark_, d, t).repartition(_n)
+
+        for m in mods:
+            monkeypatch.setattr(m, "load_table", perturbed)
+        outs.append(_canon_rows(spec.fn(spark, sf_dir)))
+    assert outs[0] == outs[1], (
+        f"{name}: output depends on input partitioning — "
+        "order-sensitive float aggregation in the hot formula"
+    )
