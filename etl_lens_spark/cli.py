@@ -161,6 +161,21 @@ def cmd_oracle(spark: SparkSession, args, out=sys.stdout) -> int:
     return oracle_check.main(args.names)
 
 
+def cmd_config(spark: SparkSession, args, out=sys.stdout) -> int:
+    """List every spark.etl_lens.* tuning knob with current value,
+    default, and meaning — the user-facing accuracy/cost dial surface
+    (set via --conf or ``SET spark.etl_lens...`` in the sql path)."""
+    from etl_lens_spark.config import describe
+
+    for key, current, default, meaning in describe(spark):
+        mark = "" if current == default else "  (set)"
+        print(
+            f"{key}\t{current}\tdefault={default}{mark}\t{meaning}",
+            file=out,
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument(
@@ -223,6 +238,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     so_.add_argument("names", nargs="+")
     so_.set_defaults(fn=cmd_oracle)
+
+    sk = sub.add_parser(
+        "config",
+        parents=[common],
+        help="list spark.etl_lens.* tuning knobs (sketch/ANN dials)",
+    )
+    sk.set_defaults(fn=cmd_config)
     return p
 
 

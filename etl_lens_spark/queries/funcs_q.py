@@ -585,13 +585,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The estimate-error and merge-exactness properties are asserted
     separately in tests/test_cms.py."""
+    from etl_lens_spark.config import cms_params
     from etl_lens_spark.operators.cms import cms_estimate, cms_sketch
 
+    depth, width = cms_params(spark)
     threshold = 15
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
-    sketch = cms_sketch(o, "o_custkey", depth=5, width=4096)
+    sketch = cms_sketch(o, "o_custkey", depth=depth, width=width)
     candidates = cms_estimate(
-        sketch, o.distinct(), "o_custkey", depth=5, width=4096
+        sketch, o.distinct(), "o_custkey", depth=depth, width=width
     ).filter(F.col("est") >= threshold)
     return (
         o.join(F.broadcast(candidates.select("o_custkey")), "o_custkey")

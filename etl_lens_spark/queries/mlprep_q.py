@@ -1719,15 +1719,12 @@ def _bc_t_sql(lam: float) -> str:
     prof AS (
       {" UNION ALL ".join(
           f'''SELECT CAST({lam!r} AS DOUBLE) AS lam,
-              CAST(COUNT(*) AS DOUBLE) AS n,
-              SUM({_bc_t_sql(lam)}) AS st,
-              SUM(({_bc_t_sql(lam)}) * ({_bc_t_sql(lam)})) AS stt,
-              SUM(LN(x)) AS slx
+              var_pop({_bc_t_sql(lam)}) AS vt,
+              AVG(LN(x)) AS mlx
               FROM src''' for lam in _BC_GRID)}
     )
     SELECT lam,
-           (-0.5 * LN(stt / n - (st / n) * (st / n))
-            + (lam - 1.0) * (slx / n)) AS avg_loglik
+           (-0.5 * LN(vt) + (lam - 1.0) * mlx) AS avg_loglik
     FROM prof ORDER BY lam
     """,
 )
@@ -1743,7 +1740,12 @@ def feature_boxcox_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     transforms ride ONE scan as branches of a single union of
     aggregates (Catalyst shares the scan), each a map-side-combined
     moment set; nothing scales with more grid points but the moment
-    count."""
+    count. var_pop on both engines, NOT stt/n − (st/n)²: for λ=−1
+    the transform clusters at ~1.0 so the naive form subtracts two
+    near-equal ~1.0 sums to get a ~1e-10 variance — the resulting
+    ~1e-6 relative error lands inside ln() and made the output
+    partition-order-sensitive (caught by tools/permutation_probe.py
+    round 5)."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 0
     )
@@ -1765,20 +1767,13 @@ def feature_boxcox_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = t_of(lam)
         outs.append(
             orders.agg(
-                F.count(F.lit(1)).cast("double").alias("n"),
-                F.sum(t).alias("st"),
-                F.sum(t * t).alias("stt"),
-                F.sum(F.log(x)).alias("slx"),
+                F.var_pop(t).alias("vt"),
+                F.avg(F.log(x)).alias("mlx"),
             ).select(
                 F.lit(lam).alias("lam"),
                 (
-                    F.lit(-0.5)
-                    * F.log(
-                        F.col("stt") / F.col("n")
-                        - (F.col("st") / F.col("n"))
-                        * (F.col("st") / F.col("n"))
-                    )
-                    + (F.lit(lam) - 1.0) * (F.col("slx") / F.col("n"))
+                    F.lit(-0.5) * F.log(F.col("vt"))
+                    + (F.lit(lam) - 1.0) * F.col("mlx")
                 ).alias("avg_loglik"),
             )
         )

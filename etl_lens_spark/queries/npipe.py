@@ -97,12 +97,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     10x scale probe measured x84 super-linear cost without the
     collapse, x~10 with it. On a dup-free corpus the collapse is a
     no-op passthrough."""
+    from etl_lens_spark.config import minhash_params
+
+    num_hashes, bands, shingle_n = minhash_params(spark)
     docs = parallelize_compute(load_table(spark, sf_dir, "documents"))
     reps = dx.exact_dedup(docs)
-    sig = mh.add_minhash_signature(mh.add_shingles(reps, n=3))
-    return mh.minhash_lsh_candidates(sig, min_est_jaccard=0.5).orderBy(
-        "doc_a", "doc_b"
+    sig = mh.add_minhash_signature(
+        mh.add_shingles(reps, n=shingle_n), num_hashes=num_hashes
     )
+    return mh.minhash_lsh_candidates(
+        sig, bands=bands, min_est_jaccard=0.5
+    ).orderBy("doc_a", "doc_b")
 
 
 @query("dedup_simhash")
@@ -214,10 +219,13 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal-budget multi-probe uplift). Bucket equi-join replaces the
     cross product; each query also probes its 3 nearest flip-1
     buckets — the 100 TB plan."""
+    from etl_lens_spark.config import srp_params
+
+    n_bits, probes = srp_params(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return knn.lsh_topk(
-        emb, queries, dim=64, k=5, n_bits=8, probes=4
+        emb, queries, dim=64, k=5, n_bits=n_bits, probes=probes
     ).orderBy("qid", "rank_n")
 
 
@@ -230,10 +238,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan alongside SRP-LSH (similarity/ivf.py)."""
     from etl_lens_spark.similarity import ivf
 
+    from etl_lens_spark.config import ivf_params
+
+    n_cells, nprobe, train_iters = ivf_params(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf.ivf_topk(
-        emb, queries, k=5, n_cells=16, nprobe=6, train_iters=3
+        emb,
+        queries,
+        k=5,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        train_iters=train_iters,
     ).orderBy("qid", "rank_n")
 
 

@@ -124,3 +124,26 @@ def test_cli_explain_golden_matches_headline_pin(spark, sf_dir):
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate",
     }
+
+
+def test_cli_config_lists_every_knob_and_reflects_sets(spark, sf_dir):
+    """The `config` subcommand is the user-facing dial surface: every
+    registered knob prints with current/default/meaning, and a
+    session-level SET shows up as current != default."""
+    from etl_lens_spark.config import KNOBS
+
+    rc, out = _run(spark, ["config"])
+    assert rc == 0
+    lines = [ln for ln in out.strip().splitlines() if ln]
+    keys = {ln.split("\t")[0] for ln in lines}
+    assert keys == set(KNOBS)
+    spark.conf.set("spark.etl_lens.cms.width", "512")
+    try:
+        rc, out = _run(spark, ["config"])
+        row = next(
+            ln for ln in out.splitlines()
+            if ln.startswith("spark.etl_lens.cms.width")
+        )
+        assert "\t512\t" in row and "(set)" in row
+    finally:
+        spark.conf.unset("spark.etl_lens.cms.width")

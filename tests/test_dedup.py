@@ -86,3 +86,40 @@ def test_fingerprint_dedup_counts(spark):
     by_keep = {r["keep_id"]: r["n_copies"] for r in out}
     assert by_keep[1] == 3  # docs 1, 2, 5 share a fingerprint
     assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_minhash_knobs_change_signature_and_banding(spark, sf_dir):
+    """spark.etl_lens.minhash.* actually steers the operator: halving
+    num_hashes halves the signature the query computes, and an
+    indivisible bands setting fails fast instead of silently
+    mis-banding."""
+    import pytest
+
+    from etl_lens_spark.config import minhash_params
+    from etl_lens_spark.dedup import minhash as mh
+    from etl_lens_spark.queries import REGISTRY, all_queries
+    from etl_lens_spark.sources.tables import load_table
+
+    all_queries()  # populate REGISTRY
+
+    assert minhash_params(spark) == (64, 16, 3)
+    spark.conf.set("spark.etl_lens.minhash.num_hashes", "32")
+    spark.conf.set("spark.etl_lens.minhash.bands", "8")
+    try:
+        nh, b, n = minhash_params(spark)
+        assert (nh, b, n) == (32, 8, 3)
+        docs = load_table(spark, sf_dir, "documents").limit(5)
+        sig = mh.add_minhash_signature(
+            mh.add_shingles(docs, n=n), num_hashes=nh
+        )
+        import pyspark.sql.functions as F
+
+        assert sig.select(F.size("minhash")).first()[0] == 32
+        # query still runs end-to-end under the non-default knobs
+        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+        spark.conf.set("spark.etl_lens.minhash.bands", "7")
+        with pytest.raises(ValueError, match="divisible"):
+            minhash_params(spark)
+    finally:
+        spark.conf.unset("spark.etl_lens.minhash.num_hashes")
+        spark.conf.unset("spark.etl_lens.minhash.bands")

@@ -372,7 +372,11 @@ import pytest
 import etl_lens_spark.sources.tables as _tables
 from etl_lens_spark.queries import REGISTRY, all_queries
 
-_QUAD_SUM = _re.compile(r"SUM\(\s*(\w+)\s*\*\s*\1\s*\)", _re.I)
+# matches SUM(x * x) AND SUM((expr) * (expr)) — the boxcox flake hid
+# behind the parenthesized-expression form (one nesting level deep)
+_QUAD_SUM = _re.compile(
+    r"SUM\(\s*(\((?:[^()]|\([^()]*\))*\)|\w+)\s*\*\s*\1\s*\)", _re.I
+)
 
 
 def _stats_tranche() -> list[str]:
