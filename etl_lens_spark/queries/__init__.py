@@ -86,6 +86,7 @@ def _load() -> None:
         npipe4,
         mlprep_q,
         npipe5,
+        npipe6,
         pca_q,
         quality_q,
         quant_q,

@@ -1,0 +1,604 @@
+"""Round-5 training-pipeline tranche: preference-data fitting
+(Bradley–Terry), labeling QA (Cohen's kappa), embedding dimensionality
+reduction (Johnson–Lindenstrauss projection with a distance-
+preservation audit), graph triangle counting, and sliding-window
+token chunking for training-sequence prep.
+
+These extend the §2.3 north-star families (SURVEY.md) the same way
+the earlier npipe tranches do: every query is a PySpark plan plus a
+hand-written DuckDB oracle over the identical parquet, with explicit
+100 TB posture notes. Randomness is md5-derived (cross-engine
+deterministic) or precomputed shared literals — never engine RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.operators.kmv import SCALE as _MD5_SCALE
+from etl_lens_spark.operators.kmv import kmv_value
+from etl_lens_spark.queries import query
+from etl_lens_spark.queries.mlprep_q import _md5_sql
+from etl_lens_spark.similarity.knn import dot as _dot
+from etl_lens_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry preference-strength fit (MM iterations)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 5
+
+
+def _bt_iter_sql(k: int) -> str:
+    """One MM update + sum-normalization as two chained CTEs. Both
+    MATERIALIZED: r{{k}} is referenced three times (join + two scalar
+    subqueries) and inline expansion would re-evaluate the whole
+    chain per reference — 3^iters blowup."""
+    return f"""r{k} AS MATERIALIZED (
+      SELECT n_ij.i,
+             CAST(COALESCE(MAX(wins.wn), 0) AS DOUBLE)
+               / SUM(CAST(n_ij.n AS DOUBLE) / (pi.v + pj.v)) AS v
+      FROM n_ij
+      JOIN p{k - 1} pi ON pi.i = n_ij.i
+      JOIN p{k - 1} pj ON pj.i = n_ij.j
+      LEFT JOIN wins ON wins.i = n_ij.i
+      GROUP BY n_ij.i
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT i, v * (SELECT CAST(COUNT(*) AS DOUBLE) FROM r{k})
+                  / (SELECT SUM(v) FROM r{k}) AS v
+      FROM r{k}
+    )"""
+
+
+@query(
+    "pref_bradley_terry_fit",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id, source, n_chars FROM documents
+    ),
+    matches AS MATERIALIZED (
+      SELECT CASE WHEN a.n_chars >= b.n_chars THEN a.source
+                  ELSE b.source END AS w,
+             CASE WHEN a.n_chars >= b.n_chars THEN b.source
+                  ELSE a.source END AS l
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 2 = 0
+    ),
+    n_ij AS MATERIALIZED (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT w AS i, l AS j FROM matches
+        UNION ALL
+        SELECT l AS i, w AS j FROM matches
+      ) GROUP BY i, j
+    ),
+    wins AS MATERIALIZED (
+      SELECT w AS i, CAST(COUNT(*) AS BIGINT) AS wn
+      FROM matches GROUP BY w
+    ),
+    p0 AS (SELECT DISTINCT i, 1.0 AS v FROM n_ij),
+    {", ".join(_bt_iter_sql(k) for k in range(1, _BT_ITERS + 1))}
+    SELECT p.i AS source,
+           p.v AS rating,
+           CAST(COALESCE(MAX(wins.wn), 0) AS BIGINT) AS wins,
+           CAST(SUM(n_ij.n) AS BIGINT) AS n_matches
+    FROM p{_BT_ITERS} p
+    JOIN n_ij ON n_ij.i = p.i
+    LEFT JOIN wins ON wins.i = p.i
+    GROUP BY p.i, p.v
+    ORDER BY source
+    """,
+)
+def pref_bradley_terry_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference-strength fit — the preference-data
+    primitive behind reward-model data curation: rank corpus sources
+    from pairwise win/loss comparisons (here: deterministic doc
+    pairs, longer text wins, lower doc_id breaks ties) by iterating
+    the MM update p_i ← W_i / Σ_j n_ij/(p_i+p_j) with sum
+    normalization, {_BT_ITERS} unrolled rounds.
+
+    100 TB posture: the corpus-sized work is ONE pair-building join
+    on a co-partitionable key plus one aggregation down to the
+    players×players match matrix; every MM round then rides that
+    ≤|players|² frame (data-volume-independent, like the Markov
+    power iteration at mlprep_q.events_markov_stationary). The
+    oracle unrolls the identical schedule as chained CTEs."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0).alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + 1
+    ).select(
+        F.when(
+            F.col("a.n_chars") >= F.col("b.n_chars"), F.col("a.source")
+        )
+        .otherwise(F.col("b.source"))
+        .alias("w"),
+        F.when(
+            F.col("a.n_chars") >= F.col("b.n_chars"), F.col("b.source")
+        )
+        .otherwise(F.col("a.source"))
+        .alias("l"),
+    )
+    sym = pairs.select(
+        F.col("w").alias("i"), F.col("l").alias("j")
+    ).unionAll(pairs.select(F.col("l").alias("i"), F.col("w").alias("j")))
+    n_ij = (
+        sym.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wins = (
+        pairs.groupBy(F.col("w").alias("i"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wn"))
+        .localCheckpoint(eager=True)
+    )
+    p = n_ij.select("i").distinct().select("i", F.lit(1.0).alias("v"))
+    for _ in range(_BT_ITERS):
+        raw = (
+            n_ij.join(p.withColumnRenamed("v", "vi"), "i")
+            .join(
+                p.select(
+                    F.col("i").alias("j"), F.col("v").alias("vj")
+                ),
+                "j",
+            )
+            .join(wins, "i", "left")
+            .groupBy("i")
+            .agg(
+                (
+                    F.coalesce(F.max("wn"), F.lit(0)).cast("double")
+                    / F.sum(
+                        F.col("n").cast("double")
+                        / (F.col("vi") + F.col("vj"))
+                    )
+                ).alias("v")
+            )
+        )
+        norm = raw.agg(
+            F.count(F.lit(1)).cast("double").alias("np"),
+            F.sum("v").alias("sv"),
+        )
+        # checkpoint the |players|-row rating frame per round: it is
+        # referenced three times next round (two join sides + the
+        # normalizer) and unbroken lineage re-executes the whole
+        # prior chain per reference — the same 3^iters blowup the
+        # oracle needed MATERIALIZED for
+        p = (
+            raw.crossJoin(F.broadcast(norm))
+            .select(
+                "i", (F.col("v") * F.col("np") / F.col("sv")).alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        p.join(n_ij, "i")
+        .join(wins, "i", "left")
+        .groupBy(F.col("i").alias("source"), F.col("v").alias("rating"))
+        .agg(
+            F.coalesce(F.max("wn"), F.lit(0)).cast("long").alias("wins"),
+            F.sum("n").cast("long").alias("n_matches"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa inter-annotator agreement
+# ---------------------------------------------------------------------------
+
+_KAPPA_AGREE = 0.7
+
+
+@query(
+    "label_agreement_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id,
+             {_md5_sql("'an1|' || CAST(doc_id AS VARCHAR)")} % 3 AS la,
+             CAST({_md5_sql("'an2|' || CAST(doc_id AS VARCHAR)")}
+                  AS DOUBLE) / {_MD5_SCALE!r} AS u,
+             1 + {_md5_sql("'an3|' || CAST(doc_id AS VARCHAR)")} % 2
+               AS shift
+      FROM documents
+    ),
+    ab AS (
+      SELECT la,
+             CASE WHEN u < {_KAPPA_AGREE!r} THEN la
+                  ELSE (la + shift) % 3 END AS lb
+      FROM lab
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS po,
+             {" + ".join(
+                 f'''(SUM(CASE WHEN la = {c} THEN 1.0 ELSE 0.0 END)
+                      / COUNT(*))
+                   * (SUM(CASE WHEN lb = {c} THEN 1.0 ELSE 0.0 END)
+                      / COUNT(*))''' for c in range(3))} AS pe
+      FROM ab
+    )
+    SELECT CAST(n AS BIGINT) AS n_items, po, pe,
+           (po - pe) / (1.0 - pe) AS kappa
+    FROM m
+    """,
+)
+def label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement — the labeling-QA
+    gate for human/model annotation pipelines: chance-corrected
+    agreement κ = (p_o − p_e)/(1 − p_e) between two md5-deterministic
+    synthetic annotators over the corpus (annotator B agrees with A
+    with probability {_KAPPA_AGREE}, else shifts the 3-way label by
+    a hash-derived offset, so the oracle recomputes both label
+    streams bit-for-bit).
+
+    100 TB posture: one scan, one map-side-combined aggregate —
+    both marginals and the diagonal ride the SAME moment set, so
+    the answer is a single reduce regardless of corpus size."""
+    la = kmv_value(
+        F.concat(F.lit("an1|"), F.col("doc_id").cast("string"))
+    ) % 3
+    u = (
+        kmv_value(
+            F.concat(F.lit("an2|"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        / F.lit(_MD5_SCALE)
+    )
+    shift = (
+        kmv_value(
+            F.concat(F.lit("an3|"), F.col("doc_id").cast("string"))
+        )
+        % 2
+        + 1
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        la.alias("la"),
+        F.when(u < _KAPPA_AGREE, la)
+        .otherwise((la + shift) % 3)
+        .alias("lb"),
+    )
+    pe = None
+    pe_terms = []
+    for c in range(3):
+        pa = F.sum(
+            F.when(F.col("la") == c, 1.0).otherwise(0.0)
+        ) / F.count(F.lit(1))
+        pb = F.sum(
+            F.when(F.col("lb") == c, 1.0).otherwise(0.0)
+        ) / F.count(F.lit(1))
+        pe_terms.append(pa * pb)
+    pe = pe_terms[0] + pe_terms[1] + pe_terms[2]
+    po = F.avg(
+        F.when(F.col("la") == F.col("lb"), 1.0).otherwise(0.0)
+    )
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection + distance-preservation audit
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_D = 64
+_JL_PAIRS = 20
+
+
+def _jl_sign(j: int, d: int) -> float:
+    """Deterministic ±1 Achlioptas sign, shared by both engines as a
+    precomputed literal (no engine RNG anywhere)."""
+    return (
+        1.0
+        if hashlib.md5(f"jl|{j}|{d}".encode()).digest()[0] % 2 == 0
+        else -1.0
+    )
+
+
+_JL_SIGNS = [
+    [_jl_sign(j, d) for d in range(_JL_D)] for j in range(_JL_K)
+]
+
+_JL_SIGNS_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(repr(v) for v in row) + "]" for row in _JL_SIGNS
+    )
+    + "]"
+)
+
+
+@query(
+    "emb_jl_projection_audit",
+    oracle=f"""
+    WITH s AS (SELECT {_JL_SIGNS_SQL} AS sm),
+    v AS (
+      SELECT vec_id, list_transform(embedding,
+                                    __x -> CAST(__x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < {2 * _JL_PAIRS}
+    ),
+    pr AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             list_transform(range(1, {_JL_D + 1}),
+                            __i -> a.e[__i] - b.e[__i]) AS dif,
+             list_transform(range(1, {_JL_K + 1}),
+                 __j -> list_dot_product(a.e, s.sm[__j])
+                          / {float(_JL_K) ** 0.5!r}
+                      - list_dot_product(b.e, s.sm[__j])
+                          / {float(_JL_K) ** 0.5!r}) AS pdif
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + {_JL_PAIRS}
+      CROSS JOIN s
+      WHERE a.vec_id < {_JL_PAIRS}
+    )
+    SELECT qa, qb,
+           list_dot_product(dif, dif) AS d2_orig,
+           list_dot_product(pdif, pdif) AS d2_proj,
+           list_dot_product(pdif, pdif)
+             / list_dot_product(dif, dif) AS dist_ratio
+    FROM pr ORDER BY qa
+    """,
+)
+def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection ({_JL_D}→{_JL_K} dims,
+    Achlioptas ±1 signs) with a distance-preservation audit — the
+    cheap dimensionality-reduction stage in front of ANN/clustering:
+    project with a SHARED precomputed sign matrix (module literal in
+    both engines) and report per-pair squared-distance ratios
+    ‖f(a)−f(b)‖²/‖a−b‖² for a deterministic pair sample. The JL bound
+    says the ratio concentrates near 1; the audit makes the
+    contract measurable (and the test pins the band).
+
+    100 TB posture: projection is a per-row map (k fold-products
+    over the vector — no shuffle, no state); the audit joins a
+    FIXED-size pair sample, so the expensive part scales linearly
+    and the quadratic part is capped by construction. Sequential
+    index-order folds on both engines (similarity/knn.dot ≡ DuckDB
+    list_dot_product) keep it oracle-exact."""
+    inv_sqrt_k = float(_JL_K) ** 0.5
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2 * _JL_PAIRS)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "e"
+            ),
+        )
+    )
+    a = emb.filter(F.col("vec_id") < _JL_PAIRS).alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + _JL_PAIRS
+    )
+
+    def proj(col):
+        comps = [
+            _dot(
+                col,
+                F.array(*[F.lit(v) for v in _JL_SIGNS[j]]),
+            )
+            / F.lit(inv_sqrt_k)
+            for j in range(_JL_K)
+        ]
+        return F.array(*comps)
+
+    dif = F.zip_with(
+        F.col("a.e"), F.col("b.e"), lambda x, y: x - y
+    )
+    pdif = F.zip_with(
+        proj(F.col("a.e")), proj(F.col("b.e")), lambda x, y: x - y
+    )
+    out = pairs.select(
+        F.col("a.vec_id").alias("qa"),
+        F.col("b.vec_id").alias("qb"),
+        _dot(dif, dif).alias("d2_orig"),
+        _dot(pdif, pdif).alias("d2_proj"),
+        (_dot(pdif, pdif) / _dot(dif, dif)).alias("dist_ratio"),
+    )
+    return out.orderBy("qa")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the user co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TRI_USERS = 60
+_TRI_BUCKET_US = 600_000_000  # 10-minute co-occurrence window
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+      FROM events a JOIN events b
+        ON a.event_type = b.event_type
+       AND epoch_us(a.ts) // {_TRI_BUCKET_US}
+           = epoch_us(b.ts) // {_TRI_BUCKET_US}
+       AND a.user_id < b.user_id
+      WHERE a.user_id < {_TRI_USERS} AND b.user_id < {_TRI_USERS}
+    ),
+    tri AS (
+      SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+      FROM e e1
+      JOIN e e2 ON e2.ua = e1.ub
+      JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    )
+    SELECT vertex, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS vertex FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY vertex ORDER BY vertex
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the user co-occurrence graph
+    (users sharing an (event_type, 10-minute bucket)) — the local
+    clustering primitive behind community/cohesion features that
+    PageRank/label-propagation/Adamic-Adar (graph_q) don't give.
+
+    The classic distributed plan: collapse the corpus to DISTINCT
+    ordered edges first (the only corpus-sized shuffle), then count
+    triangles as wedge-join ∘ closing-edge semi-join — e(a,b)⋈e(b,c)
+    keyed on the shared middle vertex, verified against e(a,c). At
+    100 TB the ordered-edge convention (a<b) means each triangle is
+    generated exactly once, no candidate is counted from more than
+    one rotation, and degree-skew is bounded by the same max-bucket
+    discipline as the LSH self-joins. Per-vertex counts come from
+    exploding each found triangle's three corners."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < _TRI_USERS)
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_micros("ts") / F.lit(_TRI_BUCKET_US))
+            .cast("long")
+            .alias("bkt"),
+        )
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.ua") == F.col("e1.ub"))
+        .join(
+            e3,
+            (F.col("e3.ua") == F.col("e1.ua"))
+            & (F.col("e3.ub") == F.col("e2.ub")),
+        )
+        .select(
+            F.col("e1.ua").alias("a"),
+            F.col("e1.ub").alias("b"),
+            F.col("e2.ub").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("vertex"))
+        .unionAll(tri.select(F.col("b").alias("vertex")))
+        .unionAll(tri.select(F.col("c").alias("vertex")))
+    )
+    return (
+        corners.groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("vertex")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window token chunking for training-sequence prep
+# ---------------------------------------------------------------------------
+
+_CHUNK_C = 128  # chunk length (tokens)
+_CHUNK_S = 96  # stride (tokens); overlap = C - S
+
+
+@query(
+    "text_chunk_sliding_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, n_tok,
+             1 + CAST(CEIL(CAST(GREATEST(n_tok - {_CHUNK_C}, 0)
+                                AS DOUBLE) / {_CHUNK_S}) AS BIGINT)
+               AS n_chunks
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok + (n_chunks - 1)
+                    * {_CHUNK_C - _CHUNK_S}) AS BIGINT)
+             AS emitted_tokens,
+           CAST(SUM((n_chunks - 1) * {_CHUNK_C - _CHUNK_S}) AS BIGINT)
+             AS dup_tokens,
+           CAST(SUM(n_chunks * {_CHUNK_C}
+                    - (n_tok + (n_chunks - 1)
+                       * {_CHUNK_C - _CHUNK_S})) AS BIGINT)
+             AS pad_tokens
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def text_chunk_sliding_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window chunking audit for training-sequence prep:
+    every document is cut into C={_CHUNK_C}-token windows at stride
+    S={_CHUNK_S} (the overlap-tokenization contract: n_chunks = 1 +
+    ⌈max(0, n−C)/S⌉, middle chunks full, last chunk ragged), and the
+    per-source report gives exactly the numbers a packing/mixing
+    stage needs — emitted vs unique tokens (duplication cost of the
+    overlap) and padding-to-C waste. Complements pack_token_budget
+    _shards (which packs whole docs) with the overlap-window regime
+    used for long-document pretraining.
+
+    100 TB posture: pure per-row integer arithmetic (token count via
+    one split) followed by a map-side-combined per-source aggregate —
+    one shuffle of |sources| rows; no explode of the actual windows
+    is needed for the audit, so the plan moves counts, not text."""
+    c_minus_s = _CHUNK_C - _CHUNK_S
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    c = t.select(
+        "source",
+        "n_tok",
+        (
+            F.lit(1)
+            + F.ceil(
+                F.greatest(
+                    F.col("n_tok") - _CHUNK_C, F.lit(0)
+                ).cast("double")
+                / F.lit(float(_CHUNK_S))
+            ).cast("long")
+        ).alias("n_chunks"),
+    )
+    emitted = F.col("n_tok") + (F.col("n_chunks") - 1) * c_minus_s
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum(emitted).cast("long").alias("emitted_tokens"),
+            F.sum((F.col("n_chunks") - 1) * c_minus_s)
+            .cast("long")
+            .alias("dup_tokens"),
+            F.sum(F.col("n_chunks") * _CHUNK_C - emitted)
+            .cast("long")
+            .alias("pad_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -215,7 +215,12 @@ def emb_frequent_directions_sketch(
     sketch covariance vs the exact one (computable here because d=64)
     against the proven bound, plus the top-5 singular-value relative
     errors. Rows-only (SVD inside); tests pin bound satisfaction and
-    merge-order invariance."""
+    merge-order invariance. The full-registry partition-permutation
+    sweep (tools/permutation_probe.py, round 5) flags this query —
+    correctly: the sketch VALUES depend on row-processing order by
+    the algorithm's nature, while the audited bound holds under any
+    partitioning; it is the registry's one declared-order-free
+    contract (439/441 queries are bit-stable across partitionings)."""
     import numpy as np
     import pandas as pd
 

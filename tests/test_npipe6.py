@@ -1,0 +1,155 @@
+"""Round-5 tranche semantics: Bradley–Terry, Cohen's kappa, JL
+projection, triangle counting, sliding-window chunking — each beyond
+the oracle hash (the oracle proves cross-engine equality; these prove
+the MATH does what the contract says)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import REGISTRY, all_queries
+
+all_queries()
+
+
+def test_bradley_terry_ratings_rank_like_wins(spark, sf_dir):
+    rows = REGISTRY["pref_bradley_terry_fit"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert all(r["rating"] > 0 for r in rows)
+    # sum-normalized to n_players (mean rating 1)
+    assert abs(sum(r["rating"] for r in rows) - len(rows)) < 1e-6
+    # the MM fixpoint must order the extremes like the win counts do
+    by_wins = sorted(rows, key=lambda r: (r["wins"], r["source"]))
+    assert by_wins[-1]["rating"] > by_wins[0]["rating"]
+    # every match is counted twice across the symmetric matrix
+    assert sum(r["wins"] for r in rows) * 2 == sum(
+        r["n_matches"] for r in rows
+    )
+
+
+def test_bradley_terry_mm_converges(spark, sf_dir):
+    """One extra MM round moves ratings by <1% — the unrolled depth
+    is past the knee, not an arbitrary cutoff."""
+    import etl_lens_spark.queries.npipe6 as m
+
+    base = {
+        r["source"]: r["rating"]
+        for r in m.pref_bradley_terry_fit(spark, sf_dir).collect()
+    }
+    orig = m._BT_ITERS
+    m._BT_ITERS = orig + 1
+    try:
+        more = {
+            r["source"]: r["rating"]
+            for r in m.pref_bradley_terry_fit(spark, sf_dir).collect()
+        }
+    finally:
+        m._BT_ITERS = orig
+    assert max(abs(more[s] - base[s]) / base[s] for s in base) < 0.01
+
+
+def test_kappa_matches_construction(spark, sf_dir):
+    row = REGISTRY["label_agreement_kappa"].fn(spark, sf_dir).first()
+    # annotator B agrees w.p. 0.7 and NEVER agrees otherwise (shift
+    # is 1 or 2 mod 3), so po ~ 0.7 and pe ~ 1/3 on near-uniform
+    # marginals -> kappa ~ 0.55
+    assert 0.64 < row["po"] < 0.76
+    assert 0.30 < row["pe"] < 0.37
+    assert 0.45 < row["kappa"] < 0.66
+    expect = (row["po"] - row["pe"]) / (1.0 - row["pe"])
+    assert abs(row["kappa"] - expect) < 1e-12
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    rows = REGISTRY["emb_jl_projection_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    ratios = [r["dist_ratio"] for r in rows]
+    # JL with k=16: individual ratios are loose but bounded, the
+    # sample mean concentrates near 1
+    assert all(0.15 < x < 3.5 for x in ratios)
+    assert 0.6 < sum(ratios) / len(ratios) < 1.5
+    for r in rows:
+        assert r["d2_orig"] > 0 and r["d2_proj"] > 0
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Recompute triangles in pure Python from the SAME edge set and
+    require exact per-vertex equality (and the 3|total invariant)."""
+    import itertools
+
+    import etl_lens_spark.queries.npipe6 as m
+    from etl_lens_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < m._TRI_USERS)
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_micros("ts") / F.lit(m._TRI_BUCKET_US))
+            .cast("long")
+            .alias("bkt"),
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in ev:
+        groups.setdefault((r["event_type"], r["bkt"]), set()).add(
+            r["user_id"]
+        )
+    edges = set()
+    for us in groups.values():
+        for a, b in itertools.combinations(sorted(us), 2):
+            edges.add((a, b))
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    per_vertex: dict = {}
+    total = 0
+    for a, b in edges:
+        for c in adj.get(b, set()):
+            if (a, c) in edges:
+                total += 1
+                for v in (a, b, c):
+                    per_vertex[v] = per_vertex.get(v, 0) + 1
+    got = {
+        r["vertex"]: r["n_triangles"]
+        for r in REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()
+    }
+    assert got == per_vertex
+    assert sum(got.values()) == 3 * total
+
+
+@pytest.mark.parametrize("n_tok", [1, 5, 95, 96, 97, 127, 128, 129,
+                                   223, 224, 225, 400])
+def test_chunk_formula_equals_enumeration(n_tok):
+    """The closed-form chunk/emit/pad arithmetic equals literal
+    window enumeration for every boundary case."""
+    import etl_lens_spark.queries.npipe6 as m
+
+    C, S = m._CHUNK_C, m._CHUNK_S
+    # literal enumeration of the HF-style sliding windows
+    starts = [0]
+    while starts[-1] + C < n_tok:
+        starts.append(starts[-1] + S)
+    lengths = [min(C, n_tok - s) for s in starts]
+    n_chunks = 1 + -((-max(n_tok - C, 0)) // S)  # 1 + ceil(max/S)
+    emitted = n_tok + (n_chunks - 1) * (C - S)
+    pad = n_chunks * C - emitted
+    assert n_chunks == len(starts)
+    assert emitted == sum(lengths)
+    assert pad == sum(C - ln for ln in lengths)
+
+
+def test_chunk_windows_per_source_sums(spark, sf_dir):
+    rows = (
+        REGISTRY["text_chunk_sliding_windows"].fn(spark, sf_dir).collect()
+    )
+    for r in rows:
+        assert r["emitted_tokens"] == r["n_tokens"] + r["dup_tokens"]
+        assert (
+            r["pad_tokens"]
+            == r["n_chunks"] * 128 - r["emitted_tokens"]
+        )
+        assert r["n_chunks"] >= r["n_docs"]
