@@ -602,3 +602,290 @@ def text_chunk_sliding_windows(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from count-min sketch inner products
+# ---------------------------------------------------------------------------
+
+_JS_DEPTH = 5
+_JS_WIDTH = 2048
+# mid-range of the fixture's 1995..2001 order dates, so BOTH join
+# sides are non-empty at every scale (a pre-range split makes the
+# whole output NULL==NULL — the unit test guards non-degeneracy)
+_JS_SPLIT = "1998-01-01"
+
+
+def _js_pos_sql(key_expr: str, r: str) -> str:
+    from etl_lens_spark.queries.mlprep_q import _md5_sql
+
+    return (
+        _md5_sql(f"CAST({key_expr} AS VARCHAR) || '|' || CAST({r} AS VARCHAR)")
+        + f" % {_JS_WIDTH}"
+    )
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH a AS (SELECT o_custkey AS k FROM orders
+               WHERE CAST(o_orderdate AS DATE) < DATE '{_JS_SPLIT}'),
+    b AS (SELECT o_custkey AS k FROM orders
+          WHERE CAST(o_orderdate AS DATE) >= DATE '{_JS_SPLIT}'),
+    rr AS (SELECT UNNEST(range({_JS_DEPTH})) AS r),
+    sa AS (
+      SELECT rr.r, {_js_pos_sql("a.k", "rr.r")} AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM a CROSS JOIN rr GROUP BY rr.r, c
+    ),
+    sb AS (
+      SELECT rr.r, {_js_pos_sql("b.k", "rr.r")} AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b CROSS JOIN rr GROUP BY rr.r, c
+    ),
+    per_row AS (
+      SELECT sa.r, SUM(sa.cnt * sb.cnt) AS ip
+      FROM sa JOIN sb ON sa.r = sb.r AND sa.c = sb.c
+      GROUP BY sa.r
+    ),
+    exact AS (
+      SELECT SUM(fa.n * fb.n) AS sz FROM
+        (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY k) fa
+        JOIN
+        (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY k) fb
+        USING (k)
+    )
+    SELECT CAST((SELECT sz FROM exact) AS BIGINT) AS exact_join_size,
+           CAST((SELECT MIN(ip) FROM per_row) AS BIGINT)
+             AS est_join_size,
+           CAST((SELECT MIN(ip) FROM per_row) AS DOUBLE)
+             / (SELECT sz FROM exact) AS overestimate_ratio
+    """,
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation from count-min sketch INNER
+    PRODUCTS (Cormode & Muthukrishnan 2005 §4.2) — the planner-side
+    answer to "how big is A ⋈ B on this key" without touching the
+    join: |A ⋈_k B| = Σ_k f_A(k)·f_B(k) is estimated by min over
+    sketch rows r of Σ_c A[r][c]·B[r][c], an overestimate with the
+    same e/width·N₁N₂ guarantee as point queries. Demonstrated on the
+    orders table split at {_JS_SPLIT} (early customers ⋈ late
+    customers); the exact inner product rides alongside so the
+    output audits its own bound.
+
+    Positions here are md5-derived (cross-engine, unlike the xxhash64
+    production sketch in operators/cms.py) so the ORACLE rebuilds the
+    identical sketches cell-for-cell and the estimate hash-matches.
+    100 TB posture: each side collapses to ≤ depth·width cells with
+    map-side combine (one shuffle each); the inner product joins two
+    ≤10k-row relations — the whole estimate never materializes the
+    join it prices."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = orders.filter(F.col("d") < _JS_SPLIT).select("k")
+    b = orders.filter(F.col("d") >= _JS_SPLIT).select("k")
+
+    def sketch(df):
+        pos = [
+            F.struct(
+                F.lit(r).alias("r"),
+                (
+                    kmv_value(
+                        F.concat(
+                            F.col("k").cast("string"),
+                            F.lit("|"),
+                            F.lit(str(r)),
+                        )
+                    )
+                    % _JS_WIDTH
+                ).alias("c"),
+            )
+            for r in range(_JS_DEPTH)
+        ]
+        return (
+            df.select(F.explode(F.array(*pos)).alias("p"))
+            .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    sa = sketch(a)
+    sb = sketch(b).withColumnRenamed("cnt", "cnt_b")
+    per_row = (
+        sa.join(sb, ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    est = per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+    fa = a.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("na"))
+    fb = b.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    exact = (
+        fa.join(fb, "k")
+        .agg(
+            F.sum(F.col("na") * F.col("nb"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "est_join_size",
+        (
+            F.col("est_join_size").cast("double")
+            / F.col("exact_join_size")
+        ).alias("overestimate_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration via the minimax PAVA identity
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 32
+
+
+@query(
+    "ml_isotonic_calibration",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST({_md5_sql(
+          "'iso|' || CAST(o_orderkey AS VARCHAR)"
+      )} AS DOUBLE) / {_MD5_SCALE!r} AS u,
+             CAST({_md5_sql(
+          "'isol|' || CAST(o_orderkey AS VARCHAR)"
+      )} AS DOUBLE) / {_MD5_SCALE!r} AS v
+      FROM orders
+    ),
+    binned AS (
+      SELECT CAST(FLOOR(u * {_ISO_BINS}) AS BIGINT) AS bin,
+             CASE WHEN v < 0.2 + 0.6 * u THEN 1 ELSE 0 END AS y
+      FROM src
+    ),
+    bins AS MATERIALIZED (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM binned GROUP BY bin
+    ),
+    pre AS MATERIALIZED (
+      SELECT bin,
+             n, pos,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(pos) OVER (ORDER BY bin) AS cp,
+             SUM(n) OVER (ORDER BY bin) - n AS cn_prev,
+             SUM(pos) OVER (ORDER BY bin) - pos AS cp_prev
+      FROM bins
+    ),
+    inner_min AS MATERIALIZED (
+      SELECT j.bin AS jb, k.bin AS kb,
+             MIN(CAST(l.cp - j.cp_prev AS DOUBLE)
+                 / CAST(l.cn - j.cn_prev AS DOUBLE)) AS m
+      FROM pre j JOIN pre k ON j.bin <= k.bin
+                 JOIN pre l ON l.bin >= k.bin
+      GROUP BY j.bin, k.bin
+    ),
+    iso AS (
+      SELECT kb AS bin, MAX(m) AS iso_rate
+      FROM inner_min GROUP BY kb
+    )
+    SELECT bins.bin,
+           bins.n,
+           bins.pos,
+           CAST(bins.pos AS DOUBLE) / bins.n AS emp_rate,
+           iso.iso_rate
+    FROM bins JOIN iso USING (bin)
+    ORDER BY bins.bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration (the reward-model /
+    classifier-probability calibration primitive) fitted WITHOUT the
+    sequential pool-adjacent-violators loop: on binned scores the
+    PAVA solution obeys the closed-form minimax identity
+    iso_k = max_(j≤k) min_(l≥k) mean(y over bins j..l), which turns
+    the fit into prefix sums + a triple self-join over the BIN table
+    — {_ISO_BINS}³ combinations of a data-volume-independent frame,
+    fully declarative in both engines (no driver loop, no UDF).
+    Scores and labels are md5-deterministic with a planted monotone
+    truth P(y=1|u) = 0.2 + 0.6u, so the fit has real signal to
+    recover; tests pin the minimax result against a pure-Python
+    stack PAVA bit-for-bit.
+
+    100 TB posture: the corpus pass is one binning aggregate
+    (map-side combined, {_ISO_BINS} groups); everything after rides
+    the bin table. The windows ride the same tiny frame — the
+    documented volume-independent-window exception."""
+    u = (
+        kmv_value(
+            F.concat(F.lit("iso|"), F.col("o_orderkey").cast("string"))
+        ).cast("double")
+        / F.lit(_MD5_SCALE)
+    )
+    v = (
+        kmv_value(
+            F.concat(F.lit("isol|"), F.col("o_orderkey").cast("string"))
+        ).cast("double")
+        / F.lit(_MD5_SCALE)
+    )
+    from pyspark.sql import Window
+
+    binned = load_table(spark, sf_dir, "orders").select(
+        F.floor(u * _ISO_BINS).cast("long").alias("bin"),
+        F.when(v < F.lit(0.2) + F.lit(0.6) * u, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bins = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+        (F.sum("n").over(w) - F.col("n")).alias("cn_prev"),
+        (F.sum("pos").over(w) - F.col("pos")).alias("cp_prev"),
+    ).localCheckpoint(eager=True)
+    j = pre.select(
+        F.col("bin").alias("jb"),
+        F.col("cn_prev").alias("j_cn_prev"),
+        F.col("cp_prev").alias("j_cp_prev"),
+    )
+    k = pre.select(F.col("bin").alias("kb"))
+    ll = pre.select(
+        F.col("bin").alias("lb"),
+        F.col("cn").alias("l_cn"),
+        F.col("cp").alias("l_cp"),
+    )
+    inner_min = (
+        j.join(k, F.col("jb") <= F.col("kb"))
+        .join(ll, F.col("lb") >= F.col("kb"))
+        .groupBy("jb", "kb")
+        .agg(
+            F.min(
+                (F.col("l_cp") - F.col("j_cp_prev")).cast("double")
+                / (F.col("l_cn") - F.col("j_cn_prev")).cast("double")
+            ).alias("m")
+        )
+    )
+    iso = inner_min.groupBy(F.col("kb").alias("bin")).agg(
+        F.max("m").alias("iso_rate")
+    )
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            "n",
+            "pos",
+            (F.col("pos").cast("double") / F.col("n")).alias("emp_rate"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )

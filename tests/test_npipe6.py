@@ -153,3 +153,57 @@ def test_chunk_windows_per_source_sums(spark, sf_dir):
             == r["n_chunks"] * 128 - r["emitted_tokens"]
         )
         assert r["n_chunks"] >= r["n_docs"]
+
+
+def test_cms_join_size_never_underestimates(spark, sf_dir):
+    row = REGISTRY["cms_join_size_estimate"].fn(spark, sf_dir).first()
+    assert row["exact_join_size"] > 0
+    assert row["est_join_size"] >= row["exact_join_size"]
+    # CMS bound: overestimate <= exact + e/width * N_a*N_b whp; on
+    # this key distribution the ratio stays small
+    assert row["overestimate_ratio"] < 1.5
+
+
+def test_isotonic_matches_stack_pava_bitexact(spark, sf_dir):
+    """The minimax identity must equal the classic sequential
+    pool-adjacent-violators fit on the same bins — pooled means
+    recomputed from the identical integer prefix sums."""
+    rows = (
+        REGISTRY["ml_isotonic_calibration"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 32
+    ns = [r["n"] for r in rows]
+    ps = [r["pos"] for r in rows]
+    # stack PAVA on (pos, n) pools
+    pools: list[list[int]] = []  # [pos, n]
+    for p_, n_ in zip(ps, ns):
+        pools.append([p_, n_])
+        while (
+            len(pools) > 1
+            and pools[-2][0] * pools[-1][1]
+            >= pools[-1][0] * pools[-2][1]
+        ):
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+    expect = []
+    for p_, n_ in pools:
+        expect.extend([p_ / n_] * 0)  # lengths tracked below
+    # expand pools to per-bin fits
+    expect = []
+    i = 0
+    for p_, n_ in pools:
+        # pool covers bins until its cumulative n matches
+        cum = 0
+        while cum < n_:
+            cum += ns[i]
+            expect.append(p_ / n_)
+            i += 1
+    got = [r["iso_rate"] for r in rows]
+    assert len(expect) == 32
+    for g, e in zip(got, expect):
+        assert abs(g - e) < 1e-12
+    # monotone non-decreasing
+    assert all(b >= a - 1e-12 for a, b in zip(got, got[1:]))
+    # the planted truth is increasing, so the fit must span a real range
+    assert got[-1] - got[0] > 0.3

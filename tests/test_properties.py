@@ -387,6 +387,9 @@ def _stats_tranche() -> list[str]:
         if s.oracle and _QUAD_SUM.search(s.oracle)
     }
     names.add("ts_seasonal_strength")  # the round-4 regression itself
+    # the round-5 probe catch: var_pop'd now, so the regex no longer
+    # sees it — pin it explicitly so it can't regress silently
+    names.add("feature_boxcox_lambda")
     return sorted(names)
 
 
