@@ -1,8 +1,10 @@
 """Round-5 training-pipeline tranche: preference-data fitting
 (Bradley–Terry), labeling QA (Cohen's kappa), embedding dimensionality
 reduction (Johnson–Lindenstrauss projection with a distance-
-preservation audit), graph triangle counting, and sliding-window
-token chunking for training-sequence prep.
+preservation audit), graph triangle counting, sliding-window token
+chunking for training-sequence prep, CMS inner-product join-size
+estimation, loop-free isotonic calibration (minimax PAVA identity),
+and rank-biased overlap between rankers.
 
 These extend the §2.3 north-star families (SURVEY.md) the same way
 the earlier npipe tranches do: every query is a PySpark plan plus a
@@ -888,4 +890,130 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iso_rate",
         )
         .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two rankers
+# ---------------------------------------------------------------------------
+
+_RBO_K = 10
+_RBO_P = 0.9
+
+
+@query(
+    "rank_rbo_overlap",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, user_id,
+             SUM(value) AS tot_value,
+             CAST(COUNT(*) AS BIGINT) AS n_ev
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY tot_value DESC, user_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n_ev DESC, user_id) AS rb
+      FROM m
+    ),
+    depths AS (SELECT UNNEST(range(1, {_RBO_K + 1})) AS d),
+    agree AS (
+      SELECT r.event_type, depths.d,
+             CAST(COUNT(*) FILTER (r.ra <= depths.d
+                                   AND r.rb <= depths.d) AS DOUBLE)
+               / depths.d AS a_d
+      FROM ranked r CROSS JOIN depths
+      GROUP BY r.event_type, depths.d
+    )
+    SELECT event_type,
+           (1.0 - {_RBO_P!r})
+             * SUM(POWER({_RBO_P!r}, d - 1) * a_d)
+             / (1.0 - POWER({_RBO_P!r}, {_RBO_K}))
+             AS rbo,
+           MAX(CASE WHEN d = 1 THEN a_d END) AS top1_agreement,
+           MAX(CASE WHEN d = {_RBO_K} THEN a_d END)
+             AS top{_RBO_K}_agreement
+    FROM agree GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rank_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two rankers
+    of the same items — the offline-eval primitive for "did the new
+    ranker change what users actually see" that nDCG (ml_eval_ndcg_
+    rank) can't answer because it needs a relevance oracle and RBO
+    doesn't: per event type, users ranked by total value vs by event
+    count, truncated RBO at k={_RBO_K} with persistence p={_RBO_P}
+    (normalized by 1-p^k so identical rankings score exactly 1).
+    Deterministic ties (user_id ascending) keep both engines'
+    rankings identical.
+
+    100 TB posture: one aggregation collapses the corpus to
+    (type, user) rows; both rankings ride ONE type-keyed shuffle
+    (two windows over the same partitioning); prefix-agreement at
+    all {_RBO_K} depths comes from a broadcast range cross join over
+    the top slice, not {_RBO_K} passes. POWER on shared literals
+    (exact dyadic base would be ideal, but p^d at d≤{_RBO_K} is
+    well inside double exactness for cross-engine agreement)."""
+    from pyspark.sql import Window
+
+    m = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum("value").alias("tot_value"),
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+        )
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.col("tot_value").desc(), F.col("user_id")
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.col("n_ev").desc(), F.col("user_id")
+    )
+    ranked = m.select(
+        "event_type",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    depths = spark.range(1, _RBO_K + 1).select(
+        F.col("id").cast("long").alias("d")
+    )
+    agree = (
+        ranked.crossJoin(F.broadcast(depths))
+        .groupBy("event_type", "d")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("ra") <= F.col("d"))
+                        & (F.col("rb") <= F.col("d")),
+                        1.0,
+                    ).otherwise(0.0)
+                )
+                / F.col("d")
+            ).alias("a_d")
+        )
+    )
+    return (
+        agree.groupBy("event_type")
+        .agg(
+            (
+                F.lit(1.0 - _RBO_P)
+                * F.sum(
+                    F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("a_d")
+                )
+                / F.lit(1.0 - _RBO_P**_RBO_K)
+            ).alias("rbo"),
+            F.max(F.when(F.col("d") == 1, F.col("a_d"))).alias(
+                "top1_agreement"
+            ),
+            F.max(F.when(F.col("d") == _RBO_K, F.col("a_d"))).alias(
+                f"top{_RBO_K}_agreement"
+            ),
+        )
+        .orderBy("event_type")
     )

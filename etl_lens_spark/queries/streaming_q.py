@@ -1613,3 +1613,95 @@ def streaming_holt_winters_live(
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Live count-min sketch — streaming twin of cms_join_size_estimate's
+# sketch build (and of the batch cms_heavy_hitters prefilter)
+# ---------------------------------------------------------------------------
+
+_SCMS_DEPTH = 3
+_SCMS_WIDTH = 1024
+
+
+def _scms_pos_sql() -> str:
+    from etl_lens_spark.queries.mlprep_q import _md5_sql
+
+    return (
+        _md5_sql(
+            "CAST(user_id AS VARCHAR) || '|' || CAST(rr.r AS VARCHAR)"
+        )
+        + f" % {_SCMS_WIDTH}"
+    )
+
+
+@query(
+    "streaming_cms_sketch_live",
+    oracle=f"""
+    WITH rr AS (SELECT UNNEST(range({_SCMS_DEPTH})) AS r),
+    cells AS (
+      SELECT rr.r,
+             {_scms_pos_sql()} AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN rr
+      WHERE user_id IS NOT NULL
+      GROUP BY rr.r, c
+    )
+    SELECT r,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(cnt) AS BIGINT) AS row_total,
+           CAST(MAX(cnt) AS BIGINT) AS max_cell
+    FROM cells GROUP BY r ORDER BY r
+    """,
+)
+def streaming_cms_sketch_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Live count-min sketch build: the CMS cell table as a STREAMING
+    aggregation — each micro-batch explodes its rows to (r, c)
+    positions and the update-mode state holds exactly the
+    depth×width counters (bounded regardless of stream length; the
+    production shape of a resident heavy-hitter monitor). Because
+    CMS counts are linear and monotone, the final state after a full
+    replay equals the batch sketch BIT-FOR-BIT, and md5-derived
+    positions let the oracle rebuild the same cells from the batch
+    table — another approximate streaming operator checked exactly,
+    alongside the KMV and bitmap live twins. Final row per cell
+    selected by max(cnt) (counts only grow)."""
+    from etl_lens_spark.operators.kmv import kmv_value
+
+    ev = so.events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    pos = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (
+                kmv_value(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.lit(str(r)),
+                    )
+                )
+                % _SCMS_WIDTH
+            ).alias("c"),
+        )
+        for r in range(_SCMS_DEPTH)
+    ]
+    cells = (
+        ev.select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = so.run_to_memory(cells, "q_stream_cms", output_mode="update")
+    final = out.groupBy("r", "c").agg(F.max("cnt").alias("cnt"))
+    return (
+        final.groupBy(F.col("r").cast("long").alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("cnt").cast("long").alias("row_total"),
+            F.max("cnt").cast("long").alias("max_cell"),
+        )
+        .orderBy("r")
+    )

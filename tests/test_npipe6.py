@@ -207,3 +207,58 @@ def test_isotonic_matches_stack_pava_bitexact(spark, sf_dir):
     assert all(b >= a - 1e-12 for a, b in zip(got, got[1:]))
     # the planted truth is increasing, so the fit must span a real range
     assert got[-1] - got[0] > 0.3
+
+
+def test_rbo_identity_and_bounds(spark, sf_dir):
+    """RBO is 1 for identical rankings (self-comparison sanity via
+    the normalization) and in [0,1]; top1/topk agreements are
+    prefix-intersection fractions."""
+    rows = REGISTRY["rank_rbo_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rbo"] <= 1.0 + 1e-12
+        assert r["top1_agreement"] in (0.0, 1.0)
+        assert 0.0 <= r["top10_agreement"] <= 1.0
+    # the two rankers (value-sum vs count) are correlated on this
+    # fixture but not identical: expect a non-degenerate spread
+    vals = [r["rbo"] for r in rows]
+    assert max(vals) > 0.2
+
+
+def test_rbo_equals_handrolled(spark, sf_dir):
+    """Recompute truncated RBO in pure Python from the same ranked
+    lists and require 1e-12 agreement."""
+    import etl_lens_spark.queries.npipe6 as m
+    from etl_lens_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum("value").alias("tv"),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .collect()
+    )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["user_id"], r["tv"], r["ne"])
+        )
+    expect = {}
+    for et, us in by_type.items():
+        ra = [u for u, tv, ne in sorted(us, key=lambda x: (-x[1], x[0]))]
+        rb = [u for u, tv, ne in sorted(us, key=lambda x: (-x[2], x[0]))]
+        s = 0.0
+        for d in range(1, m._RBO_K + 1):
+            a_d = len(set(ra[:d]) & set(rb[:d])) / d
+            s += m._RBO_P ** (d - 1) * a_d
+        expect[et] = (1 - m._RBO_P) * s / (1 - m._RBO_P**m._RBO_K)
+    got = {
+        r["event_type"]: r["rbo"]
+        for r in REGISTRY["rank_rbo_overlap"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for et in got:
+        assert abs(got[et] - expect[et]) < 1e-12

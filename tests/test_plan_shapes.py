@@ -230,7 +230,15 @@ HEADLINE_PINS = {
     "stream_tumbling_window_batch": (2, set(), set()),
     "streaming_tumbling_live": (1, set(), set()),
     "text_quality_signals": (1, set(), set()),
-    "text_tfidf_topterms": (6, {"BroadcastHashJoin"}, set()),
+    # re-audited round 5: n_docs folded into the plan as a broadcast
+    # 1-row aggregate (the BNLJ node + its broadcast/agg exchanges)
+    # replacing the driver-side docs.count() job — isolated A/B
+    # measured 1.12 s → 0.63 s (PLANS.md round-5 note)
+    "text_tfidf_topterms": (
+        8,
+        {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        set(),
+    ),
     "text_winnow_fingerprints": (2, set(), set()),
     "win_topk_per_group": (2, set(), set()),
     # DSIR: pure-JVM, 256-row ratio table broadcast back into the

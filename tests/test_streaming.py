@@ -204,3 +204,56 @@ def test_burst_carries_across_microbatch_boundary(spark):
     }
     assert final[1].n_bursts == 1 and final[1].longest == 3
     assert final[2].n_bursts == 1 and final[2].longest == 3
+
+
+def test_streaming_cms_cells_equal_batch_bitexact(spark, sf_dir):
+    """The live CMS state after a full replay must equal the batch
+    sketch CELL-FOR-CELL (counts are linear and monotone), not just
+    in the per-row summary the oracle checks."""
+    from etl_lens_spark.operators.kmv import kmv_value
+    from etl_lens_spark.queries import streaming_q as sq
+    from etl_lens_spark.sources.tables import load_table
+    from etl_lens_spark.streaming import stream_ops as so
+
+    ev = so.events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    pos = [
+        F.struct(
+            F.lit(r).alias("r"),
+            (
+                kmv_value(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|"),
+                        F.lit(str(r)),
+                    )
+                )
+                % sq._SCMS_WIDTH
+            ).alias("c"),
+        )
+        for r in range(sq._SCMS_DEPTH)
+    ]
+    cells = (
+        ev.select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = so.run_to_memory(cells, "t_stream_cms", output_mode="update")
+    live = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in out.groupBy("r", "c")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    batch_ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    batch = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in batch_ev.select(F.explode(F.array(*pos)).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert live == batch
