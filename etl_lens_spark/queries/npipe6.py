@@ -1017,3 +1017,314 @@ def rank_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value channel attribution (closed form over the
+# subset lattice)
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]  # bit i = 2^i
+_SHAP_N = len(_SHAP_CHANNELS)
+
+
+def _shap_weight(s_size: int) -> float:
+    import math
+
+    return (
+        math.factorial(s_size)
+        * math.factorial(_SHAP_N - s_size - 1)
+        / math.factorial(_SHAP_N)
+    )
+
+
+def _shap_mask_sql() -> str:
+    # OR of channel bits for pre-first-purchase touches
+    bits = " + ".join(
+        f"MAX(CASE WHEN event_type = '{ch}' THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(_SHAP_CHANNELS)
+    )
+    return bits
+
+
+@query(
+    "events_shapley_attribution",
+    oracle=f"""
+    WITH fp AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS first_purchase_us
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    touch AS (
+      SELECT e.user_id, {_shap_mask_sql()} AS mask
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE epoch_us(e.ts) < fp.first_purchase_us
+      GROUP BY e.user_id
+    ),
+    conv_mask AS (
+      SELECT COALESCE(t.mask, 0) AS mask,
+             CAST(COUNT(*) AS BIGINT) AS n_conv
+      FROM fp LEFT JOIN touch t ON fp.user_id = t.user_id
+      GROUP BY COALESCE(t.mask, 0)
+    ),
+    coalitions AS (SELECT UNNEST(range({1 << _SHAP_N})) AS s),
+    v AS MATERIALIZED (
+      SELECT c.s, CAST(COALESCE(SUM(m.n_conv), 0) AS DOUBLE) AS v
+      FROM coalitions c
+      LEFT JOIN conv_mask m ON (m.mask & c.s) = m.mask
+      GROUP BY c.s
+    ),
+    phi AS (
+      {" UNION ALL ".join(f'''
+      SELECT '{ch}' AS channel,
+             SUM(CASE WHEN (v.s & {1 << i}) = 0 THEN
+                   (CASE bit_count(v.s)
+                      {" ".join(
+                          f"WHEN {k} THEN {_shap_weight(k)!r}"
+                          for k in range(_SHAP_N))}
+                    END)
+                   * (vv.v - v.v)
+                 ELSE 0.0 END) AS phi
+      FROM v JOIN v vv ON vv.s = (v.s | {1 << i})
+      ''' for i, ch in enumerate(_SHAP_CHANNELS))}
+    )
+    SELECT channel, phi FROM phi ORDER BY channel
+    """,
+)
+def events_shapley_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Shapley-value attribution of conversions to touch
+    channels — the game-theoretic completion of the attribution
+    family (events_multitouch_attribution's heuristics, the Markov
+    removal effect): the coalition game v(S) = conversions whose
+    pre-first-purchase touchset ⊆ S, with φ_c = Σ_S w(|S|)·(v(S∪c)
+    − v(S)) computed in closed form over the full 2^{_SHAP_N}
+    subset lattice (n={_SHAP_N} channels ⇒ 16 coalitions — exact,
+    no sampling). Efficiency (Σφ = v(N) − v(∅)) is test-asserted.
+
+    100 TB posture: the corpus collapses to per-user (mask,
+    converted) in one join + aggregate; everything after rides the
+    16-row coalition table (subset-sum join on mask-containment,
+    factorial weights as shared literals). The 2^n lattice caps the
+    method at tens of channels BY CONSTRUCTION — beyond that you
+    sample permutations, which is a different (approximate)
+    contract."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("fp_us"))
+    )
+    bits = [
+        F.max(
+            F.when(F.col("event_type") == ch, F.lit(1 << i)).otherwise(0)
+        )
+        for i, ch in enumerate(_SHAP_CHANNELS)
+    ]
+    touch = (
+        ev.join(fp, "user_id")
+        .filter(F.unix_micros("ts") < F.col("fp_us"))
+        .groupBy("user_id")
+        .agg(sum(bits[1:], bits[0]).alias("mask"))
+    )
+    conv_mask = (
+        fp.join(touch, "user_id", "left")
+        .groupBy(F.coalesce(F.col("mask"), F.lit(0)).alias("mask"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    )
+    coalitions = spark.range(1 << _SHAP_N).select(
+        F.col("id").cast("long").alias("s")
+    )
+    v = (
+        coalitions.join(
+            conv_mask,
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("n_conv"), F.lit(0))
+            .cast("double")
+            .alias("v")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # factorial weight by coalition size, shared literals both engines
+    size = F.bit_count(F.col("s"))
+    wt = F.when(size == 0, F.lit(_shap_weight(0)))
+    for k in range(1, _SHAP_N):
+        wt = wt.when(size == k, F.lit(_shap_weight(k)))
+    outs = []
+    vv = v.select(F.col("s").alias("s2"), F.col("v").alias("v2"))
+    for i, ch in enumerate(_SHAP_CHANNELS):
+        bit = 1 << i
+        phi = (
+            v.filter(F.col("s").bitwiseAND(F.lit(bit)) == 0)
+            .join(
+                vv,
+                F.col("s2") == F.col("s").bitwiseOR(F.lit(bit)),
+            )
+            .agg(
+                F.sum(wt * (F.col("v2") - F.col("v"))).alias("phi")
+            )
+            .select(F.lit(ch).alias("channel"), "phi")
+        )
+        outs.append(phi)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("channel")
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (nominal, 3 annotators, missing labels)
+# ---------------------------------------------------------------------------
+
+_KRIPP_MISS = 0.2
+_KRIPP_ANN = 3
+
+
+def _kripp_lab_sql(a: int) -> str:
+    return _md5_sql(f"'kr{a}|' || CAST(doc_id AS VARCHAR)") + " % 3"
+
+
+def _kripp_present_sql(a: int) -> str:
+    u = _md5_sql(f"'km{a}|' || CAST(doc_id AS VARCHAR)")
+    return f"(CAST({u} AS DOUBLE) / {_MD5_SCALE!r} >= {_KRIPP_MISS!r})"
+
+
+@query(
+    "label_agreement_krippendorff",
+    oracle=f"""
+    WITH wide AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"CASE WHEN {_kripp_present_sql(a)} "
+                 f"THEN {_kripp_lab_sql(a)} END AS l{a}"
+                 for a in range(1, _KRIPP_ANN + 1))}
+      FROM documents
+    ),
+    usable AS (
+      SELECT doc_id, l1, l2, l3,
+             ((l1 IS NOT NULL)::INT + (l2 IS NOT NULL)::INT
+              + (l3 IS NOT NULL)::INT) AS m
+      FROM wide
+      WHERE ((l1 IS NOT NULL)::INT + (l2 IS NOT NULL)::INT
+             + (l3 IS NOT NULL)::INT) >= 2
+    ),
+    pairs AS (
+      {" UNION ALL ".join(
+          f'''SELECT l{g} AS c, l{h} AS k,
+              1.0 / (m - 1) AS w
+              FROM usable WHERE l{g} IS NOT NULL AND l{h} IS NOT NULL'''
+          for g in range(1, _KRIPP_ANN + 1)
+          for h in range(1, _KRIPP_ANN + 1) if g != h)}
+    ),
+    o AS MATERIALIZED (
+      SELECT c, k, SUM(w) AS o FROM pairs GROUP BY c, k
+    ),
+    marg AS MATERIALIZED (
+      SELECT c, SUM(o) AS nc FROM o GROUP BY c
+    ),
+    tots AS (
+      SELECT (SELECT SUM(o) FROM o WHERE c <> k) AS d_obs,
+             (SELECT SUM(o) FROM o) AS n,
+             (SELECT SUM(m1.nc * m2.nc)
+              FROM marg m1 JOIN marg m2 ON m1.c <> m2.c) AS cross_sum
+    )
+    SELECT CAST((SELECT COUNT(*) FROM usable) AS BIGINT) AS n_items,
+           CAST(n AS BIGINT) AS n_pairable,
+           d_obs,
+           cross_sum / (n - 1.0) AS d_exp,
+           1.0 - d_obs / (cross_sum / (n - 1.0)) AS alpha
+    FROM tots
+    """,
+)
+def label_agreement_krippendorff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the agreement measure
+    Cohen's kappa can't give you once labels are MISSING or there are
+    more than two annotators: {_KRIPP_ANN} md5-deterministic
+    annotators each skip ~{int(_KRIPP_MISS * 100)}% of items, items
+    with ≥2 labels contribute their ordered label pairs to the
+    coincidence matrix at weight 1/(m−1), and α = 1 − D_o/D_e over
+    that matrix. Weights are dyadic (m ∈ {{2,3}} → 1 or 0.5), so
+    every sum is EXACT in doubles — order-insensitive by
+    construction, hash-stable across engines and partitionings.
+
+    100 TB posture: one scan builds the wide label row per item;
+    the pair explosion is a per-row flat map (≤6 rows per item, no
+    shuffle) into a 9-cell coincidence aggregate — the whole
+    statistic is one map-side-combined reduce."""
+    doc_id = F.col("doc_id").cast("string")
+    cols = []
+    for a_ in range(1, _KRIPP_ANN + 1):
+        lab = kmv_value(F.concat(F.lit(f"kr{a_}|"), doc_id)) % 3
+        u = (
+            kmv_value(F.concat(F.lit(f"km{a_}|"), doc_id)).cast("double")
+            / F.lit(_MD5_SCALE)
+        )
+        cols.append(
+            F.when(u >= _KRIPP_MISS, lab).alias(f"l{a_}")
+        )
+    wide = load_table(spark, sf_dir, "documents").select("doc_id", *cols)
+    m = sum(
+        (
+            F.col(f"l{a_}").isNotNull().cast("int")
+            for a_ in range(2, _KRIPP_ANN + 1)
+        ),
+        F.col("l1").isNotNull().cast("int"),
+    )
+    usable = wide.withColumn("m", m).filter(F.col("m") >= 2)
+    pair_structs = [
+        F.struct(
+            F.col(f"l{g}").alias("c"),
+            F.col(f"l{h}").alias("k"),
+            (F.lit(1.0) / (F.col("m") - 1)).alias("w"),
+        )
+        for g in range(1, _KRIPP_ANN + 1)
+        for h in range(1, _KRIPP_ANN + 1)
+        if g != h
+    ]
+    pairs = (
+        usable.select(
+            F.explode(F.array(*pair_structs)).alias("p")
+        )
+        .select("p.c", "p.k", "p.w")
+        .filter(F.col("c").isNotNull() & F.col("k").isNotNull())
+    )
+    o = pairs.groupBy("c", "k").agg(F.sum("w").alias("o"))
+    o = o.localCheckpoint(eager=True)
+    marg = o.groupBy("c").agg(F.sum("o").alias("nc"))
+    m2 = marg.select(F.col("c").alias("c2"), F.col("nc").alias("nc2"))
+    cross = (
+        marg.join(m2, F.col("c") != F.col("c2"))
+        .agg(F.sum(F.col("nc") * F.col("nc2")).alias("cross_sum"))
+    )
+    tots = o.agg(
+        F.sum(F.when(F.col("c") != F.col("k"), F.col("o"))).alias(
+            "d_obs"
+        ),
+        F.sum("o").alias("n"),
+    )
+    n_items = usable.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    return (
+        n_items.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(cross))
+        .select(
+            "n_items",
+            F.col("n").cast("long").alias("n_pairable"),
+            "d_obs",
+            (F.col("cross_sum") / (F.col("n") - 1.0)).alias("d_exp"),
+            (
+                F.lit(1.0)
+                - F.col("d_obs")
+                / (F.col("cross_sum") / (F.col("n") - 1.0))
+            ).alias("alpha"),
+        )
+    )

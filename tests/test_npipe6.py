@@ -262,3 +262,129 @@ def test_rbo_equals_handrolled(spark, sf_dir):
     assert set(got) == set(expect)
     for et in got:
         assert abs(got[et] - expect[et]) < 1e-12
+
+
+def test_shapley_efficiency_and_bruteforce(spark, sf_dir):
+    """Shapley efficiency: sum of attributions equals v(N) - v(empty);
+    and the whole vector matches a pure-Python brute force over the
+    same per-user masks."""
+    import itertools
+    import math
+
+    import etl_lens_spark.queries.npipe6 as m
+    from etl_lens_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    first_purchase = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            u = r["user_id"]
+            if u not in first_purchase or r["us"] < first_purchase[u]:
+                first_purchase[u] = r["us"]
+    masks: dict = {u: 0 for u in first_purchase}
+    bit = {ch: 1 << i for i, ch in enumerate(m._SHAP_CHANNELS)}
+    for r in ev:
+        u = r["user_id"]
+        if u in first_purchase and r["us"] < first_purchase[u]:
+            b = bit.get(r["event_type"])
+            if b:
+                masks[u] |= b
+    n = len(m._SHAP_CHANNELS)
+
+    def v(S):
+        return sum(1 for mk in masks.values() if mk & ~S == 0)
+
+    expect = {}
+    for i, ch in enumerate(m._SHAP_CHANNELS):
+        phi = 0.0
+        others = [j for j in range(n) if j != i]
+        for r_ in range(n):
+            for sub in itertools.combinations(others, r_):
+                S = sum(1 << j for j in sub)
+                w = (
+                    math.factorial(r_)
+                    * math.factorial(n - r_ - 1)
+                    / math.factorial(n)
+                )
+                phi += w * (v(S | (1 << i)) - v(S))
+        expect[ch] = phi
+    got = {
+        r["channel"]: r["phi"]
+        for r in REGISTRY["events_shapley_attribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for ch in got:
+        assert abs(got[ch] - expect[ch]) < 1e-9
+    # efficiency
+    full = v((1 << n) - 1)
+    empty = v(0)
+    assert abs(sum(got.values()) - (full - empty)) < 1e-9
+    # monotone game -> nonnegative attributions
+    assert all(p >= -1e-12 for p in got.values())
+
+
+def test_krippendorff_matches_handrolled(spark, sf_dir):
+    """Recompute alpha in pure Python from the same md5 label/missing
+    streams and require exact agreement (all weights dyadic)."""
+    import hashlib as hl
+
+    import etl_lens_spark.queries.npipe6 as m
+
+    def md5long(s):
+        return int(hl.md5(s.encode()).hexdigest()[:13], 16)
+
+    SCALE = float(1 << 52)
+    n_docs = 500  # sf0.001 fixture
+    from etl_lens_spark.sources.tables import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    o: dict = {}
+    n_items = 0
+    for d in ids:
+        labs = []
+        for a in range(1, m._KRIPP_ANN + 1):
+            present = (
+                md5long(f"km{a}|{d}") / SCALE >= m._KRIPP_MISS
+            )
+            if present:
+                labs.append(md5long(f"kr{a}|{d}") % 3)
+        mm = len(labs)
+        if mm < 2:
+            continue
+        n_items += 1
+        for g in range(mm):
+            for h in range(mm):
+                if g != h:
+                    key = (labs[g], labs[h])
+                    o[key] = o.get(key, 0.0) + 1.0 / (mm - 1)
+    n = sum(o.values())
+    d_obs = sum(v for (c, k), v in o.items() if c != k)
+    nc: dict = {}
+    for (c, k), v_ in o.items():
+        nc[c] = nc.get(c, 0.0) + v_
+    cross = sum(
+        nc[c1] * nc[c2] for c1 in nc for c2 in nc if c1 != c2
+    )
+    d_exp = cross / (n - 1.0)
+    alpha = 1.0 - d_obs / d_exp
+    row = (
+        REGISTRY["label_agreement_krippendorff"].fn(spark, sf_dir).first()
+    )
+    assert row["n_items"] == n_items
+    assert abs(row["n_pairable"] - n) < 1e-9
+    assert abs(row["d_obs"] - d_obs) < 1e-9
+    assert abs(row["alpha"] - alpha) < 1e-12
+    # random labels with partial agreement-by-chance only: alpha ~ 0
+    assert -0.2 < row["alpha"] < 0.2
