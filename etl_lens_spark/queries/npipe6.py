@@ -1328,3 +1328,243 @@ def label_agreement_krippendorff(
             ).alias("alpha"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U two-sample test (distributed average ranks)
+# ---------------------------------------------------------------------------
+
+_MWU_A = "1-URGENT"
+_MWU_B = "3-MEDIUM"
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH src AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x,
+             CASE WHEN o_orderpriority = '{_MWU_A}' THEN 1 ELSE 0 END
+               AS ga
+      FROM orders
+      WHERE o_orderpriority IN ('{_MWU_A}', '{_MWU_B}')
+    ),
+    ranked AS (
+      SELECT ga,
+             2 * RANK() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS r2
+      FROM src
+    ),
+    ties AS (
+      SELECT SUM(c * c * c - c) AS t FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS c FROM src GROUP BY x
+      )
+    ),
+    agg AS (
+      SELECT CAST(SUM(ga) AS BIGINT) AS na,
+             CAST(COUNT(*) - SUM(ga) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ga = 1 THEN r2 END) AS BIGINT) AS r2a
+      FROM ranked
+    )
+    SELECT na, nb,
+           CAST((r2a - na * (na + 1)) / 2 AS BIGINT) AS u_a,
+           CAST((r2a - na * (na + 1)) AS DOUBLE) / 2
+             / (CAST(na AS DOUBLE) * nb) AS auc,
+           ((CAST(r2a - na * (na + 1) AS DOUBLE) / 2)
+              - CAST(na AS DOUBLE) * nb / 2)
+           / SQRT(CAST(na AS DOUBLE) * nb / 12.0
+                  * ((n + 1) - CAST((SELECT t FROM ties) AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * (n - 1)))) AS z
+    FROM agg
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U two-sample test ({_MWU_A} vs {_MWU_B} order
+    values) — the nonparametric location test completing the rank
+    family next to Spearman: tie-averaged ranks WITHOUT a row-scale
+    window (distinct-value counts + operators/prefix.ordered_prefix_
+    sum, the Spearman pattern), doubled so the rank sum is an exact
+    BIGINT, then U = R_A − n_A(n_A+1)/2, the AUC interpretation
+    U/(n_A·n_B) (probability a random A beats a random B — the
+    classifier-free AUC), and the tie-corrected normal z.
+
+    100 TB posture: one groupBy to distinct cents values, one range
+    exchange for the prefix sums, one broadcast-join back — no
+    global row sort, no single-reducer window; the moments are exact
+    integers so both engines agree bit-for-bit."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sum
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(_MWU_A, _MWU_B))
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x"),
+            F.when(F.col("o_orderpriority") == _MWU_A, 1)
+            .otherwise(0)
+            .alias("ga"),
+        )
+    )
+    counts = src.groupBy("x").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("ga").alias("ca"),
+    )
+    pre = ordered_prefix_sum(counts, [F.col("x")], "c", "cum")
+    # 2·avg_rank of every row with value x = 2·cum − c + 1
+    per_val = pre.select(
+        "x",
+        "c",
+        "ca",
+        (2 * F.col("cum") - F.col("c") + 1).alias("r2"),
+    )
+    agg = per_val.agg(
+        F.sum("ca").cast("long").alias("na"),
+        (F.sum("c") - F.sum("ca")).cast("long").alias("nb"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("ca") * F.col("r2")).cast("long").alias("r2a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = F.col("n").cast("double")
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)  # 2·U_A exact
+    sigma = F.sqrt(
+        na * nb / 12.0
+        * ((n + 1) - F.col("t").cast("double") / (n * (n - 1)))
+    )
+    return agg.select(
+        "na",
+        "nb",
+        (u2 / 2).cast("long").alias("u_a"),
+        (u2.cast("double") / 2 / (na * nb)).alias("auc"),
+        ((u2.cast("double") / 2 - na * nb / 2) / sigma).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified IPW average treatment effect with a planted effect
+# ---------------------------------------------------------------------------
+
+_ATE_EFFECT_C = 1000000  # planted +$10,000.00 in cents
+
+
+@query(
+    "causal_ipw_ate",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y0c,
+             CASE WHEN CAST({_md5_sql(
+                 "'tr|' || CAST(o_orderkey AS VARCHAR)"
+             )} AS DOUBLE) / {_MD5_SCALE!r}
+                  < 0.2 + 0.1 * (CAST(substr(o_orderpriority, 1, 1)
+                                      AS BIGINT) - 1)
+                  THEN 1 ELSE 0 END AS t
+      FROM orders
+    ),
+    obs AS (
+      SELECT stratum, t, y0c + t * {_ATE_EFFECT_C} AS yc FROM src
+    ),
+    per_stratum AS (
+      SELECT stratum,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(t) AS DOUBLE) / COUNT(*) AS e_hat,
+             CAST(SUM(CASE WHEN t = 1 THEN yc END) AS DOUBLE)
+               / SUM(t) / 100 AS y1_mean,
+             CAST(SUM(CASE WHEN t = 0 THEN yc END) AS DOUBLE)
+               / (COUNT(*) - SUM(t)) / 100 AS y0_mean
+      FROM obs GROUP BY stratum
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM per_stratum)
+    SELECT stratum, n, n_t, e_hat, y1_mean, y0_mean,
+           (y1_mean - y0_mean) AS diff,
+           CAST(n AS DOUBLE) / (SELECT nn FROM tot) * (y1_mean - y0_mean)
+             AS contribution
+    FROM per_stratum ORDER BY stratum
+    """,
+)
+def causal_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified inverse-propensity-weighted treatment-effect
+    estimation — the observational-causal member of the experiment
+    family (CUPED handles randomized A/B; this handles CONFOUNDED
+    assignment): treatment probability varies by order-priority
+    stratum (0.2…0.6, md5-deterministic), a +$10k effect is planted
+    on the treated, and the estimator recovers it from the data
+    alone via within-stratum propensity estimation — with estimated
+    ê_s the per-stratum IPW terms collapse to the stratified
+    difference-in-means, so each output row carries n, ê_s, both
+    arm means, the stratum effect, and its n_s/N contribution
+    (tests assert Σ contributions ≈ $10k within 4·SE and ê_s ≈ the planted
+    propensities).
+
+    100 TB posture: ONE map-side-combined aggregate per stratum
+    carries every moment (counts, treated counts, both arm sums);
+    the estimator is a 5-row reduction — no joins, no windows, no
+    second pass. Outcome sums stay exact integer cents until the
+    final divisions."""
+    pr = (
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long") - 1
+    ).cast("double")
+    t = (
+        F.when(
+            kmv_value(
+                F.concat(
+                    F.lit("tr|"), F.col("o_orderkey").cast("string")
+                )
+            ).cast("double")
+            / F.lit(_MD5_SCALE)
+            < F.lit(0.2) + F.lit(0.1) * pr,
+            1,
+        ).otherwise(0)
+    )
+    obs = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        t.alias("t"),
+        (
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+            + t * _ATE_EFFECT_C
+        ).alias("yc"),
+    )
+    per = obs.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("n_t"),
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("e_hat"),
+        (
+            F.sum(F.when(F.col("t") == 1, F.col("yc"))).cast("double")
+            / F.sum("t")
+            / 100
+        ).alias("y1_mean"),
+        (
+            F.sum(F.when(F.col("t") == 0, F.col("yc"))).cast("double")
+            / (F.count(F.lit(1)) - F.sum("t"))
+            / 100
+        ).alias("y0_mean"),
+    )
+    tot = per.agg(F.sum("n").cast("double").alias("nn"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n",
+            "n_t",
+            "e_hat",
+            "y1_mean",
+            "y0_mean",
+            (F.col("y1_mean") - F.col("y0_mean")).alias("diff"),
+            (
+                F.col("n").cast("double")
+                / F.col("nn")
+                * (F.col("y1_mean") - F.col("y0_mean"))
+            ).alias("contribution"),
+        )
+        .orderBy("stratum")
+    )

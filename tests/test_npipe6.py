@@ -388,3 +388,106 @@ def test_krippendorff_matches_handrolled(spark, sf_dir):
     assert abs(row["alpha"] - alpha) < 1e-12
     # random labels with partial agreement-by-chance only: alpha ~ 0
     assert -0.2 < row["alpha"] < 0.2
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark, sf_dir):
+    """Recompute U/AUC/z in pure Python (tie-averaged ranks) from the
+    same cents values and require exact agreement."""
+    from etl_lens_spark.sources.tables import load_table
+    import etl_lens_spark.queries.npipe6 as m
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(m._MWU_A, m._MWU_B))
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("x"),
+            (F.col("o_orderpriority") == m._MWU_A)
+            .cast("int")
+            .alias("ga"),
+        )
+        .collect()
+    )
+    xs = sorted({r["x"] for r in rows})
+    from collections import Counter
+
+    cnt = Counter(r["x"] for r in rows)
+    # tie-averaged rank per value
+    rank = {}
+    cum = 0
+    for x in xs:
+        c = cnt[x]
+        rank[x] = cum + (c + 1) / 2
+        cum += c
+    na = sum(r["ga"] for r in rows)
+    nb = len(rows) - na
+    ra = sum(rank[r["x"]] for r in rows if r["ga"])
+    u_a = ra - na * (na + 1) / 2
+    t = sum(c**3 - c for c in cnt.values())
+    n = len(rows)
+    sigma = (
+        na * nb / 12 * ((n + 1) - t / (n * (n - 1)))
+    ) ** 0.5
+    z = (u_a - na * nb / 2) / sigma
+    got = REGISTRY["stats_mann_whitney_u"].fn(spark, sf_dir).first()
+    assert got["na"] == na and got["nb"] == nb
+    assert got["u_a"] == int(u_a)
+    assert abs(got["auc"] - u_a / (na * nb)) < 1e-12
+    assert abs(got["z"] - z) < 1e-9
+    # similar distributions -> modest z, AUC near 0.5
+    assert 0.35 < got["auc"] < 0.65
+
+
+def test_ipw_ate_recovers_planted_effect(spark, sf_dir):
+    rows = REGISTRY["causal_ipw_ate"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    ate = sum(r["contribution"] for r in rows)
+    # planted +$10k per treated unit; the stratified estimator is
+    # unbiased, so recovery is asserted within 4 standard errors
+    # DERIVED FROM THE DATA (order-value variance is large relative
+    # to any fixed tolerance at sf0.001)
+    import etl_lens_spark.queries.npipe6 as m
+    from etl_lens_spark.operators.kmv import SCALE as MD5_SCALE
+    from etl_lens_spark.operators.kmv import kmv_value
+    from etl_lens_spark.sources.tables import load_table
+
+    pr = (
+        F.substring(F.col("o_orderpriority"), 1, 1).cast("long") - 1
+    ).cast("double")
+    t = F.when(
+        kmv_value(
+            F.concat(F.lit("tr|"), F.col("o_orderkey").cast("string"))
+        ).cast("double")
+        / F.lit(MD5_SCALE)
+        < F.lit(0.2) + F.lit(0.1) * pr,
+        1,
+    ).otherwise(0)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        t.alias("t"),
+        (
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            + t * m._ATE_EFFECT_C
+        ).alias("yc"),
+    )
+    st = base.groupBy("stratum", "t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_samp((F.col("yc") / 100).cast("double")).alias("v"),
+    ).collect()
+    arms = {(r["stratum"], r["t"]): (r["n"], r["v"]) for r in st}
+    n_total = sum(n for n, _ in arms.values())
+    se2 = 0.0
+    for s_ in {k[0] for k in arms}:
+        n1, v1 = arms[(s_, 1)]
+        n0, v0 = arms[(s_, 0)]
+        w = (n1 + n0) / n_total
+        se2 += w * w * (v1 / n1 + v0 / n0)
+    se = se2**0.5
+    planted = m._ATE_EFFECT_C / 100
+    assert abs(ate - planted) < 4 * se, (ate, planted, se)
+    for i, r in enumerate(sorted(rows, key=lambda r: r["stratum"])):
+        planted = 0.2 + 0.1 * i
+        assert abs(r["e_hat"] - planted) < 0.08
+        assert r["n_t"] < r["n"]
