@@ -594,3 +594,57 @@ def read_table_snapshot(
     if not files:
         raise ValueError(f"empty snapshot for table {table!r}")
     return spark.read.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (Delta-style metaData actions)
+# ---------------------------------------------------------------------------
+
+
+def table_schema(
+    table_dir: str, version: int | None = None
+) -> list[tuple[str, str]] | None:
+    """The table schema as of ``version``: the LAST ``metaData``
+    action at or before it wins (the Delta protocol's rule). Returns
+    ``[(name, sql_type), ...]`` or None if no metaData was ever
+    committed (pre-evolution tables keep their physical schema)."""
+    if version is None:
+        version = latest_version(table_dir)
+    schema = None
+    for v in range(version + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            for a in json.load(f):
+                if "metaData" in a:
+                    schema = [tuple(x) for x in a["metaData"]["fields"]]
+    return schema
+
+
+def read_snapshot_evolved(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read honoring the version's committed schema: files
+    written before a column existed surface it as NULL of the
+    declared type; columns dropped from the schema disappear even if
+    old files still carry them. ``mergeSchema`` unions the physical
+    schemas, then the committed schema conforms the frame — the
+    read-side half of schema evolution, version-accurate under time
+    travel."""
+    from pyspark.sql import functions as F
+
+    files = snapshot_files(table_dir, version)
+    if not files:
+        raise ValueError("empty snapshot")
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    schema = table_schema(table_dir, version)
+    if schema is None:
+        return df
+    cols = []
+    for name, typ in schema:
+        if name in df.columns:
+            cols.append(F.col(name).cast(typ).alias(name))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(name))
+    return df.select(*cols)

@@ -2236,3 +2236,125 @@ def lake_hilbert_cluster_stats(
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "lake_schema_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderpriority AS seg,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    v0 AS (SELECT k, cents FROM src WHERE d < DATE '1998-01-01'),
+    v1add AS (SELECT k, cents, seg FROM src
+              WHERE d >= DATE '1998-01-01')
+    SELECT 0 AS version,
+           CAST(3 AS BIGINT) AS n_cols,
+           CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(cents) FROM v0) AS BIGINT) AS cents_sum,
+           CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_null_seg
+    UNION ALL
+    SELECT 1,
+           CAST(3 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM src) AS BIGINT),
+           CAST((SELECT SUM(cents) FROM src) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM v0) AS BIGINT)
+    ORDER BY version
+    """,
+)
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the transaction log (the Delta
+    metaData-action protocol, the last DML-surface feature the lake
+    layer lacked): v0 commits files with (k, cents) under a 2-column
+    committed schema, v1 appends files CARRYING A NEW COLUMN (seg)
+    and commits the widened 3-column schema in the same atomic
+    commit. Reads honor the schema AS OF the version read —
+    ``read_snapshot_evolved`` unions physical file schemas with
+    mergeSchema, then conforms to the committed schema, so v0-era
+    rows surface seg as NULL at v1 while time-traveling to v0 shows
+    the original 2 columns (asserted in tests; this query reads BOTH
+    versions through the evolved reader with the v1 schema applied,
+    so n_cols is 3 and the null count localizes evolution to exactly
+    the pre-evolution rows).
+
+    100 TB posture: evolution is O(1) metadata — no file is
+    rewritten to add a column; old files are never touched and the
+    NULL materializes at scan time. The oracle recomputes every
+    aggregate analytically from the source split."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = sinks.scratch_path("lake_schema_evo")
+    shutil.rmtree(base, ignore_errors=True)
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    old = src.filter(F.col("d") < "1998-01-01").select("k", "cents")
+    new = src.filter(F.col("d") >= "1998-01-01").select(
+        "k", "cents", "seg"
+    )
+    old.write.mode("overwrite").parquet(f"{base}/file0")
+    new.write.mode("overwrite").parquet(f"{base}/file1")
+    lakelog.commit(
+        base,
+        0,
+        [
+            {"metaData": {"fields": [["k", "bigint"], ["cents", "bigint"]]}},
+            {"add": "file0"},
+        ],
+    )
+    lakelog.commit(
+        base,
+        1,
+        [
+            {
+                "metaData": {
+                    "fields": [
+                        ["k", "bigint"],
+                        ["cents", "bigint"],
+                        ["seg", "string"],
+                    ]
+                }
+            },
+            {"add": "file1"},
+        ],
+    )
+    outs = []
+    for v in (0, 1):
+        # both aggregates read through the LATEST (3-column) schema —
+        # a uniform output shape; the v0 slice is the evolved read
+        # restricted to v0's files (pre-evolution rows are exactly
+        # the NULL-seg rows). The 2-column v0-schema time travel is
+        # pinned separately in tests/test_lakelog.py.
+        snap = lakelog.read_snapshot_evolved(spark, base, None)
+        if v == 0:
+            snap = snap.filter(F.col("seg").isNull())
+        outs.append(
+            snap.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(3).cast("long").alias("n_cols"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+                F.sum(
+                    F.when(F.col("seg").isNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_null_seg"),
+            ).select(
+                "version", "n_cols", "n_rows", "cents_sum", "n_null_seg"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("version")

@@ -349,3 +349,53 @@ def test_multi_table_snapshot_projects_one_subtree(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         lakelog.read_table_snapshot(spark, base, "nope", 1)
+
+
+def test_schema_evolution_time_travel_and_conform(spark, sf_dir):
+    """metaData actions: the committed schema is version-accurate —
+    v0 reads show the original 2 columns, v1 reads surface the new
+    column with NULLs for pre-evolution files, and a column DROPPED
+    from the schema disappears even though old files carry it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources import sinks
+
+    base = sinks.scratch_path("lake_schema_evo_test")
+    shutil.rmtree(base, ignore_errors=True)
+    df0 = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("cents")
+    )
+    df1 = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("cents"),
+        F.lit("x").alias("seg"),
+    )
+    df0.write.mode("overwrite").parquet(f"{base}/f0")
+    df1.write.mode("overwrite").parquet(f"{base}/f1")
+    lakelog.commit(base, 0, [
+        {"metaData": {"fields": [["k", "bigint"], ["cents", "bigint"]]}},
+        {"add": "f0"},
+    ])
+    lakelog.commit(base, 1, [
+        {"metaData": {"fields": [
+            ["k", "bigint"], ["cents", "bigint"], ["seg", "string"]]}},
+        {"add": "f1"},
+    ])
+    v0 = lakelog.read_snapshot_evolved(spark, base, 0)
+    assert v0.columns == ["k", "cents"] and v0.count() == 5
+    v1 = lakelog.read_snapshot_evolved(spark, base, 1)
+    assert v1.columns == ["k", "cents", "seg"] and v1.count() == 8
+    assert v1.filter(F.col("seg").isNull()).count() == 5
+    # drop a column at v2: old files still carry cents, reads hide it
+    lakelog.commit(base, 2, [
+        {"metaData": {"fields": [["k", "bigint"], ["seg", "string"]]}},
+    ])
+    v2 = lakelog.read_snapshot_evolved(spark, base, 2)
+    assert v2.columns == ["k", "seg"] and v2.count() == 8
+    # schema as-of queries
+    assert lakelog.table_schema(base, 0) == [
+        ("k", "bigint"), ("cents", "bigint")]
+    assert len(lakelog.table_schema(base, 2)) == 2
