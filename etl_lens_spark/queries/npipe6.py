@@ -1568,3 +1568,264 @@ def causal_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (2x2 closed form with planted effect)
+# ---------------------------------------------------------------------------
+
+_DID_EFFECT_C = 800000  # planted +$8,000.00 in cents
+_DID_CUT = "1998-01-01"
+
+
+@query(
+    "causal_diff_in_diff",
+    oracle=f"""
+    WITH src AS (
+      SELECT CASE WHEN {_md5_sql(
+          "'dd|' || CAST(o_custkey AS VARCHAR)"
+      )} % 2 = 1 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{_DID_CUT}'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y0c
+      FROM orders
+    ),
+    obs AS (
+      SELECT treated, post,
+             y0c + treated * post * {_DID_EFFECT_C} AS yc
+      FROM src
+    ),
+    cells AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yc) AS DOUBLE) / COUNT(*) / 100 AS y_mean
+      FROM obs GROUP BY treated, post
+    )
+    SELECT CAST(treated AS BIGINT) AS treated,
+           CAST(post AS BIGINT) AS post,
+           n, y_mean
+    FROM cells ORDER BY treated, post
+    """,
+)
+def causal_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the panel-data causal estimator
+    next to causal_ipw_ate (cross-sectional confounding) and
+    stats_panel_fixed_effects (unit effects): customers split into
+    treated/control by an md5 coin, a +$8k effect planted ONLY on
+    treated×post-{_DID_CUT} orders, and the 2×2 cell means identify
+    it as (ȳ₁₁−ȳ₁₀)−(ȳ₀₁−ȳ₀₀) under parallel trends (which hold by
+    construction — both groups share the same pre/post drift). The
+    query emits the four cells; the DiD contrast and its recovery of
+    the planted effect within a data-derived SE are test-pinned.
+
+    100 TB posture: one map-side-combined aggregate to 4 cells —
+    the estimator is a scan, not a join; outcome sums stay exact
+    integer cents until the final division."""
+    treated = (
+        kmv_value(
+            F.concat(F.lit("dd|"), F.col("o_custkey").cast("string"))
+        )
+        % 2
+    )
+    post = (
+        F.col("o_orderdate").cast("date") >= F.lit(_DID_CUT)
+    ).cast("int")
+    obs = load_table(spark, sf_dir, "orders").select(
+        treated.alias("treated"),
+        post.alias("post"),
+        (
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+            + treated * post * _DID_EFFECT_C
+        ).alias("yc"),
+    )
+    return (
+        obs.groupBy("treated", "post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.sum("yc").cast("double") / F.count(F.lit(1)) / 100).alias(
+                "y_mean"
+            ),
+        )
+        .select(
+            F.col("treated").cast("long").alias("treated"),
+            F.col("post").cast("long").alias("post"),
+            "n",
+            "y_mean",
+        )
+        .orderBy("treated", "post")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining over the embedding corpus
+# ---------------------------------------------------------------------------
+
+_HNM_QUERIES = 20
+
+
+@query(
+    "emb_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {_HNM_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS q_label,
+             c.vec_id AS cid, c.label AS c_label,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS cos
+      FROM q JOIN v c ON c.label <> q.label
+    ),
+    best AS (
+      SELECT qid, q_label, cid AS hard_negative_id,
+             c_label AS negative_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rk
+      FROM scored
+    )
+    SELECT qid, q_label, hard_negative_id, negative_label, cos
+    FROM best WHERE rk = 1 ORDER BY qid
+    """,
+)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: for
+    each anchor, the most-similar vector with a DIFFERENT label (the
+    negative that actually teaches the margin, vs easy random
+    negatives). {_HNM_QUERIES} anchors against the full corpus,
+    cosine via the sequential fold (knn.dot ≡ list_dot_product),
+    deterministic ties by candidate id.
+
+    100 TB posture: anchors broadcast against the corpus exactly
+    like sim_bruteforce_topk's guarded anchor (per-pair work is one
+    dot product, WindowGroupLimit caps the shuffle at one row per
+    anchor); the production path swaps the scan for the IVF/LSH
+    bucketed candidates and keeps the same label-exclusion filter —
+    mining hardness is a ranking problem, so the ANN recall dials
+    (spark.etl_lens.ivf.*) apply unchanged."""
+    from etl_lens_spark.queries.npipe import parallelize_compute
+    from pyspark.sql import Window
+
+    emb = parallelize_compute(
+        load_table(spark, sf_dir, "embeddings")
+    ).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") < _HNM_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("c_label"),
+        F.col("e").alias("ce"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("c_label") != F.col("q_label"))
+        .select(
+            "qid",
+            "q_label",
+            "cid",
+            "c_label",
+            (
+                _dot(F.col("qe"), F.col("ce"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+                )
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "qid",
+            "q_label",
+            F.col("cid").alias("hard_negative_id"),
+            F.col("c_label").alias("negative_label"),
+            "cos",
+        )
+        .orderBy("qid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced reweighting (effective number of samples)
+# ---------------------------------------------------------------------------
+
+_CB_BETA = 0.999
+
+
+@query(
+    "ml_class_balance_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label
+    ),
+    w AS (
+      SELECT label, n,
+             (1.0 - {_CB_BETA!r})
+               / (1.0 - POWER({_CB_BETA!r}, n)) AS raw_w
+      FROM counts
+    ),
+    tot AS (SELECT SUM(raw_w * n) AS z, SUM(n) AS nn FROM w)
+    SELECT label, n, raw_w,
+           raw_w * (SELECT nn FROM tot) / (SELECT z FROM tot)
+             AS weight
+    FROM w ORDER BY label
+    """,
+)
+def ml_class_balance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-balanced loss weights by EFFECTIVE number of samples
+    (Cui et al. 2019): w_c ∝ (1−β)/(1−β^n_c) with β={_CB_BETA} —
+    the principled middle ground between no reweighting (β→0 …
+    all-equal) and inverse-frequency (β→1), normalized so the
+    weighted sample count equals the true count (Σ w·n = N, the
+    convention that keeps the loss scale unchanged). The standard
+    companion to the mixing/resampling ops when label imbalance,
+    not source imbalance, is the problem.
+
+    100 TB posture: one map-side-combined count per class + a
+    2-scalar normalizer — a scan and nothing else."""
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = counts.select(
+        "label",
+        "n",
+        (
+            F.lit(1.0 - _CB_BETA)
+            / (F.lit(1.0) - F.pow(F.lit(_CB_BETA), F.col("n")))
+        ).alias("raw_w"),
+    )
+    tot = w.agg(
+        F.sum(F.col("raw_w") * F.col("n")).alias("z"),
+        F.sum("n").cast("double").alias("nn"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n",
+            "raw_w",
+            (F.col("raw_w") * F.col("nn") / F.col("z")).alias("weight"),
+        )
+        .orderBy("label")
+    )

@@ -491,3 +491,97 @@ def test_ipw_ate_recovers_planted_effect(spark, sf_dir):
         planted = 0.2 + 0.1 * i
         assert abs(r["e_hat"] - planted) < 0.08
         assert r["n_t"] < r["n"]
+
+
+def test_did_recovers_planted_effect(spark, sf_dir):
+    """The 2x2 DiD contrast recovers the planted effect within a
+    data-derived 4-SE bound (parallel trends hold by construction)."""
+    import etl_lens_spark.queries.npipe6 as m
+    from etl_lens_spark.operators.kmv import SCALE as MD5_SCALE
+    from etl_lens_spark.operators.kmv import kmv_value
+    from etl_lens_spark.sources.tables import load_table
+
+    cells = {
+        (r["treated"], r["post"]): r
+        for r in REGISTRY["causal_diff_in_diff"].fn(spark, sf_dir).collect()
+    }
+    assert set(cells) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    did = (
+        cells[(1, 1)]["y_mean"] - cells[(1, 0)]["y_mean"]
+    ) - (cells[(0, 1)]["y_mean"] - cells[(0, 0)]["y_mean"])
+    treated = (
+        kmv_value(
+            F.concat(F.lit("dd|"), F.col("o_custkey").cast("string"))
+        )
+        % 2
+    )
+    post = (
+        F.col("o_orderdate").cast("date") >= F.lit(m._DID_CUT)
+    ).cast("int")
+    obs = load_table(spark, sf_dir, "orders").select(
+        treated.alias("t"),
+        post.alias("p"),
+        (
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            + treated * post * m._DID_EFFECT_C
+        ).alias("yc"),
+    )
+    st = obs.groupBy("t", "p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_samp((F.col("yc") / 100).cast("double")).alias("v"),
+    ).collect()
+    se = sum(r["v"] / r["n"] for r in st) ** 0.5
+    planted = m._DID_EFFECT_C / 100
+    assert abs(did - planted) < 4 * se, (did, planted, se)
+
+
+def test_hard_negatives_are_hardest_cross_label(spark, sf_dir):
+    """Each mined negative must (a) carry a different label than its
+    anchor and (b) beat every other cross-label candidate's cosine —
+    verified against a numpy brute force."""
+    import numpy as np
+
+    from etl_lens_spark.sources.tables import load_table
+
+    vecs = {
+        r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float64))
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    got = {
+        r["qid"]: r
+        for r in REGISTRY["emb_hard_negative_mining"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert len(got) == 20
+    for qid, r in got.items():
+        ql, qv = vecs[qid]
+        assert r["negative_label"] != r["q_label"] == ql
+        best_cos, best_id = None, None
+        for cid, (cl, cv) in vecs.items():
+            if cl == ql:
+                continue
+            cos = float(
+                qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))
+            )
+            key = (cos, -cid)
+            if best_cos is None or key > (best_cos, -best_id):
+                best_cos, best_id = cos, cid
+        assert r["hard_negative_id"] == best_id
+        assert abs(r["cos"] - best_cos) < 1e-9
+
+
+def test_class_balance_weights_properties(spark, sf_dir):
+    rows = REGISTRY["ml_class_balance_weights"].fn(spark, sf_dir).collect()
+    assert rows
+    # normalization: weighted sample count equals true count
+    assert (
+        abs(sum(r["weight"] * r["n"] for r in rows)
+            - sum(r["n"] for r in rows))
+        < 1e-6
+    )
+    # rarer classes never get SMALLER weights
+    by_n = sorted(rows, key=lambda r: r["n"])
+    ws = [r["weight"] for r in by_n]
+    assert all(a >= b - 1e-12 for a, b in zip(ws, ws[1:]))
