@@ -1049,6 +1049,7 @@ def _shap_mask_sql() -> str:
 
 @query(
     "events_shapley_attribution",
+    headline=True,
     oracle=f"""
     WITH fp AS (
       SELECT user_id, MIN(epoch_us(ts)) AS first_purchase_us
@@ -1339,6 +1340,7 @@ _MWU_B = "3-MEDIUM"
 
 @query(
     "stats_mann_whitney_u",
+    headline=True,
     oracle=f"""
     WITH src AS (
       SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

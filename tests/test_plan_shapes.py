@@ -261,6 +261,17 @@ HEADLINE_PINS = {
         set(),
     ),
     "group_quantiles_approx": (2, set(), set()),
+    # round-5 tranche representatives: Shapley rides the 16-row
+    # coalition lattice (per-channel marginal joins all broadcast);
+    # Mann-Whitney's BNLJ is the O(P) triangular offsets join of the
+    # range-partitioned prefix sum (operators/prefix.py), not a data
+    # join
+    "events_shapley_attribution": (8, {"BroadcastHashJoin"}, set()),
+    "stats_mann_whitney_u": (
+        6,
+        {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+        set(),
+    ),
     # DML headline: the returned frame is the collected audit row
     # (LocalTableScan) — the merge plan itself is pinned by the
     # files_rewritten oracle column, not by this final plan
