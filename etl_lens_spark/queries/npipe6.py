@@ -1831,3 +1831,100 @@ def ml_class_balance_weights(
         )
         .orderBy("label")
     )
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: inverse-propensity scoring vs replay
+# ---------------------------------------------------------------------------
+
+_OPE_REWARD_THRESH = 50.0
+
+
+@query(
+    "bandit_offpolicy_ips",
+    oracle=f"""
+    WITH logged AS (
+      SELECT user_id,
+             event_type AS action,
+             CASE WHEN value > {_OPE_REWARD_THRESH!r} THEN 1.0
+                  ELSE 0.0 END AS r,
+             CASE WHEN user_id % 2 = 0 THEN 'click'
+                  ELSE 'view' END AS target_action
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    prop AS (
+      SELECT action,
+             CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM logged) AS p0
+      FROM logged GROUP BY action
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           AVG(CASE WHEN l.action = l.target_action
+                    THEN 1.0 ELSE 0.0 END) AS match_rate,
+           SUM(CASE WHEN l.action = l.target_action
+                    THEN l.r / p.p0 ELSE 0.0 END) / COUNT(*)
+             AS ips_estimate,
+           SUM(CASE WHEN l.action = l.target_action THEN l.r END)
+             / SUM(CASE WHEN l.action = l.target_action
+                        THEN 1.0 END) AS replay_estimate,
+           AVG(l.r) AS logging_policy_reward
+    FROM logged l JOIN prop p ON l.action = p.action
+    """,
+)
+def bandit_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a TARGET policy from logged
+    interaction data — the counterfactual question every
+    recommendation/agent pipeline asks before an online test ("what
+    reward would policy π₁ have earned on last month's traffic"):
+    inverse-propensity scoring V̂_IPS = (1/N)Σ 1{{a_i=π₁(x_i)}}·r_i/
+    π̂₀(a_i) with the logging propensities ESTIMATED from the log
+    itself (context-free empirical frequencies), next to the replay
+    estimator (Li et al. 2011: mean reward over matching rows) and
+    the logging policy's own reward. The two estimators target the
+    same value and their agreement is test-pinned — a cheap internal
+    consistency check a real OPE harness always carries.
+
+    100 TB posture: propensities are one map-side-combined aggregate
+    over actions (|actions| rows, broadcast back); both estimators
+    then ride a single pass — no per-user state, no joins beyond the
+    tiny propensity broadcast."""
+    logged = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("action"),
+            F.when(F.col("value") > _OPE_REWARD_THRESH, 1.0)
+            .otherwise(0.0)
+            .alias("r"),
+            F.when(F.col("user_id") % 2 == 0, "click")
+            .otherwise("view")
+            .alias("target_action"),
+        )
+    )
+    tot = logged.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    prop = (
+        logged.groupBy("action")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select("action", (F.col("cnt") / F.col("nn")).alias("p0"))
+    )
+    match = F.col("action") == F.col("target_action")
+    return (
+        logged.join(F.broadcast(prop), "action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_logged"),
+            F.avg(F.when(match, 1.0).otherwise(0.0)).alias("match_rate"),
+            (
+                F.sum(
+                    F.when(match, F.col("r") / F.col("p0")).otherwise(
+                        0.0
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("ips_estimate"),
+            (
+                F.sum(F.when(match, F.col("r")))
+                / F.sum(F.when(match, 1.0))
+            ).alias("replay_estimate"),
+            F.avg("r").alias("logging_policy_reward"),
+        )
+    )

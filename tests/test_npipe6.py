@@ -585,3 +585,21 @@ def test_class_balance_weights_properties(spark, sf_dir):
     by_n = sorted(rows, key=lambda r: r["n"])
     ws = [r["weight"] for r in by_n]
     assert all(a >= b - 1e-12 for a, b in zip(ws, ws[1:]))
+
+
+def test_offpolicy_ips_consistency(spark, sf_dir):
+    """IPS with estimated context-free propensities and the replay
+    estimator target the same policy value: on this log (action
+    independent of the user-parity context by construction) they
+    must agree closely, and both must lie in [0, 1]."""
+    row = REGISTRY["bandit_offpolicy_ips"].fn(spark, sf_dir).first()
+    assert row["n_logged"] > 0
+    assert 0.0 <= row["replay_estimate"] <= 1.0
+    assert 0.0 <= row["logging_policy_reward"] <= 1.0
+    assert row["ips_estimate"] >= 0.0
+    # IPS = replay * (match_mass correction); with context-free
+    # propensities the two coincide up to the per-action mix
+    assert abs(row["ips_estimate"] - row["replay_estimate"]) < 0.05
+    # the deterministic target picks 1 of 5 actions per context:
+    # match rate ~ 1/5
+    assert 0.1 < row["match_rate"] < 0.3
