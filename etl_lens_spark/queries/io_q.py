@@ -2358,3 +2358,91 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("version")
+
+
+@query(
+    "lake_gdpr_erasure",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    victim AS (SELECT 7 AS uid),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t)
+    SELECT CAST((SELECT n FROM t WHERE user_id = 7) AS BIGINT)
+             AS n_erased,
+           CAST((SELECT total FROM tot)
+                - (SELECT n FROM t WHERE user_id = 7) AS BIGINT)
+             AS n_remaining,
+           CAST(0 AS BIGINT) AS n_after_erase,
+           CAST(4 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_rewritten,
+           CAST(1 AS BIGINT) AS time_travel_blocked
+    """,
+)
+def lake_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as a lakehouse workflow — the erasure
+    request every data platform must answer, composed ENTIRELY from
+    the existing DML primitives: (1) copy-on-write DELETE prunes to
+    the one hash-bucket file containing the subject's rows and
+    rewrites only it; (2) retention-0 VACUUM physically removes the
+    superseded bytes, so the data is gone from STORAGE, not just
+    from the latest snapshot; (3) the audit proves time travel to
+    the pre-erasure version now FAILS (that is the point — erasure
+    and immutable history are incompatible, and the vacuum makes the
+    choice explicit and logged). Output pins the erased/remaining
+    counts analytically against the source, the file-level prune
+    (4 bucket files, exactly 1 rewritten), and the blocked travel.
+
+    100 TB posture: erasure cost scales with the files the subject
+    touches (hash-bucketed layout → 1 of 4 here), never table size;
+    the vacuum is O(superseded files) metadata + deletes."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = sinks.scratch_path("lake_gdpr")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    # hash-bucketed layout: the subject lands in exactly one file
+    for b in range(4):
+        ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == b).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/bucket{b}")
+    lakelog.commit(
+        base, 0, [{"add": f"bucket{b}"} for b in range(4)]
+    )
+    before = lakelog.read_snapshot(spark, base)
+    n_before = before.count()
+    n_victim = before.filter(F.col("user_id") == 7).count()
+    stats = lakelog.delete_where(spark, base, F.col("user_id") == 7)
+    reclaim = lakelog.vacuum(base)
+    after = lakelog.read_snapshot(spark, base)
+    n_after = after.count()
+    n_after_victim = after.filter(F.col("user_id") == 7).count()
+    try:
+        lakelog.read_snapshot(spark, base, 0).count()
+        blocked = 0
+    except Exception:  # noqa: BLE001 — vacuumed files gone = blocked
+        blocked = 1
+    assert reclaim["n_dirs_deleted"] >= 1  # bytes actually reclaimed
+    assert n_before == n_after + n_victim
+    return spark.createDataFrame(
+        [
+            (
+                n_victim,
+                n_after,
+                n_after_victim,
+                4,
+                int(stats["n_files_rewritten"]),
+                blocked,
+            )
+        ],
+        "n_erased long, n_remaining long, n_after_erase long, "
+        "files_before long, files_rewritten long, "
+        "time_travel_blocked long",
+    )

@@ -1928,3 +1928,95 @@ def bandit_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("r").alias("logging_policy_reward"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox scan (planted sign reversal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_simpsons_paradox_scan",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) - 1 AS s,
+             CAST({_md5_sql(
+                 "'sp|' || CAST(o_orderkey AS VARCHAR)"
+             )} AS DOUBLE) / {_MD5_SCALE!r} AS u
+      FROM orders
+    ),
+    xy AS (
+      SELECT stratum, s + u AS x, 2.0 * s - u AS y FROM src
+    ),
+    pieces AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM xy GROUP BY stratum
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+             SUM(x), SUM(y), SUM(x * x), SUM(x * y)
+      FROM xy
+    )
+    SELECT stratum, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+    FROM pieces ORDER BY stratum
+    """,
+)
+def stats_simpsons_paradox_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox detection — the aggregation trap every
+    metrics pipeline must scan for before trusting a pooled trend:
+    per-stratum OLS slopes next to the pooled slope over the same
+    (x, y), with a PLANTED reversal (x = stratum + u, y = 2·stratum
+    − u: within every stratum the relationship is exactly −1, pooled
+    across strata it is strongly positive because the stratum drives
+    both). The test asserts the full reversal — all five
+    within-stratum slopes negative, the ALL row positive — so the
+    scan provably detects what it exists to detect.
+
+    100 TB posture: one scan feeds both granularities (Catalyst
+    shares it through the union), every slope from map-side-combined
+    OLS moment sums; magnitudes are O(10) so the moment sums are far
+    inside double exactness — partition-order stable (probed)."""
+    pr = F.substring(F.col("o_orderpriority"), 1, 1).cast("long") - 1
+    u = (
+        kmv_value(
+            F.concat(F.lit("sp|"), F.col("o_orderkey").cast("string"))
+        ).cast("double")
+        / F.lit(_MD5_SCALE)
+    )
+    xy = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        (pr.cast("double") + u).alias("x"),
+        (F.lit(2.0) * pr.cast("double") - u).alias("y"),
+    )
+
+    def moments(df, label_col):
+        return df.groupBy(label_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+
+    per = moments(xy, "stratum")
+    pooled = moments(
+        xy.withColumn("stratum", F.lit("ALL")), "stratum"
+    )
+    nd = F.col("n").cast("double")
+    return (
+        per.unionByName(pooled)
+        .select(
+            "stratum",
+            "n",
+            (
+                (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ).alias("slope"),
+        )
+        .orderBy("stratum")
+    )

@@ -399,3 +399,23 @@ def test_schema_evolution_time_travel_and_conform(spark, sf_dir):
     assert lakelog.table_schema(base, 0) == [
         ("k", "bigint"), ("cents", "bigint")]
     assert len(lakelog.table_schema(base, 2)) == 2
+
+
+def test_gdpr_erasure_blocks_history_and_removes_bytes(spark, sf_dir):
+    """After erasure + vacuum: the subject is gone from the latest
+    snapshot AND from storage (old version unreadable), while the
+    commit history metadata survives."""
+    import os
+
+    from etl_lens_spark.queries import REGISTRY, all_queries
+    from etl_lens_spark.sources import sinks
+
+    all_queries()
+    row = REGISTRY["lake_gdpr_erasure"].fn(spark, sf_dir).first()
+    assert row["n_erased"] > 0
+    assert row["n_after_erase"] == 0
+    assert row["files_rewritten"] == 1  # hash-bucket locality
+    assert row["time_travel_blocked"] == 1
+    base = sinks.scratch_path("lake_gdpr")
+    # the log survives (auditability) even though old bytes are gone
+    assert os.path.isdir(os.path.join(base, "_log"))

@@ -603,3 +603,20 @@ def test_offpolicy_ips_consistency(spark, sf_dir):
     # the deterministic target picks 1 of 5 actions per context:
     # match rate ~ 1/5
     assert 0.1 < row["match_rate"] < 0.3
+
+
+def test_simpsons_paradox_full_reversal(spark, sf_dir):
+    rows = {
+        r["stratum"]: r
+        for r in REGISTRY["stats_simpsons_paradox_scan"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    strata = [s for s in rows if s != "ALL"]
+    assert len(strata) == 5 and "ALL" in rows
+    # planted: within-stratum slope is exactly -1 (y = 2s - u,
+    # x = s + u, s constant within stratum)
+    for s in strata:
+        assert abs(rows[s]["slope"] - (-1.0)) < 1e-9
+    # pooled: stratum drives both -> strongly positive
+    assert rows["ALL"]["slope"] > 0.5
