@@ -87,6 +87,7 @@ def _load() -> None:
         mlprep_q,
         npipe5,
         npipe6,
+        npipe7,
         pca_q,
         quality_q,
         quant_q,

@@ -285,6 +285,25 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes BPE training distributable. Top-{_WP_OUT} most frequent
     words returned with their segmentations (deterministic
     freq-desc/word tie-break)."""
+    done = wordpiece_segment_words(spark, sf_dir)
+    return (
+        done.select(
+            "word",
+            "freq",
+            F.col("n").alias("n_pieces"),
+            F.col("toks").alias("pieces"),
+        )
+        .orderBy(F.desc("freq"), "word")
+        .limit(_WP_OUT)
+    )
+
+
+def wordpiece_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-distinct-word WordPiece greedy segmentation over the corpus
+    vocab (words ≤ _WP_MAXW chars): returns (word, freq, pos, toks, n)
+    with pos == len(word)+1 ⇔ fully segmented. Shared by the
+    oracle-checked text_wordpiece_tokenize and the tokenizer-fertility
+    comparison (npipe7)."""
     from etl_lens_spark.operators.fixpoint import iterate_fixpoint
 
     docs = load_table(spark, sf_dir, "documents")
@@ -371,14 +390,4 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     done = iterate_fixpoint(init, step, max_iter=_WP_MAXW + 1)
-    return (
-        done.filter(F.col("pos") == F.length("word") + 1)
-        .select(
-            "word",
-            "freq",
-            F.col("n").alias("n_pieces"),
-            F.col("toks").alias("pieces"),
-        )
-        .orderBy(F.desc("freq"), "word")
-        .limit(_WP_OUT)
-    )
+    return done.filter(F.col("pos") == F.length("word") + 1)

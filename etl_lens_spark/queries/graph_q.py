@@ -1086,3 +1086,142 @@ def graph_modularity_best_merge(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (restart vector at a seed node)
+# ---------------------------------------------------------------------------
+
+_PPR_SEED = 0  # seed nation
+_PPR_ALPHA = 0.85  # continuation probability
+_PPR_ITERS = 3
+
+
+def _ppr_iter_sql(prev: str, name: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT nd.node,
+               CASE WHEN nd.node = {_PPR_SEED}
+                    THEN {1.0 - _PPR_ALPHA!r} ELSE 0.0 END
+                 + {_PPR_ALPHA!r} * COALESCE(SUM(p.pr * e.share), 0) AS pr
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.node
+        LEFT JOIN {prev} p ON p.node = e.src
+        GROUP BY nd.node
+    )"""
+
+
+@query(
+    "graph_ppr_trade",
+    oracle=f"""
+    WITH edges_raw AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+             FROM edges_raw GROUP BY src),
+    edges AS (
+        SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS share
+        FROM edges_raw e JOIN outw o ON e.src = o.src
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges_raw
+              UNION SELECT DISTINCT dst FROM edges_raw),
+    it0 AS (
+        SELECT node,
+               CASE WHEN node = {_PPR_SEED} THEN 1.0 ELSE 0.0 END AS pr
+        FROM nodes
+    ),
+    {_ppr_iter_sql('it0', 'it1')},
+    {_ppr_iter_sql('it1', 'it2')},
+    {_ppr_iter_sql('it2', 'it3')}
+    SELECT node, pr FROM it3 ORDER BY node
+    """,
+)
+def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the trade graph: the restart vector
+    concentrates all teleport mass on ONE seed nation instead of the
+    uniform vector — the recommender-system primitive ("importance
+    relative to node s", the scorer behind who-to-follow / related-
+    item graphs), and the survey's round-6 candidate pulled forward.
+    Same unrolled-lazy-plan shape as graph_pagerank_trade: each of
+    the 3 synchronous iterations is one broadcast join of the rank
+    vector against the edge-share table plus a grouped sum; the only
+    change is the restart term e_s(node) = (1-α)·[node = s] (it0
+    starts as the indicator, so early iterations are SPARSE — at web
+    scale the rank frame starts as 1 row and grows by the frontier,
+    which is why PPR is the cheap member of the PageRank family).
+    No dangling-mass redistribution on either engine (identical
+    semantics, noted contract). Oracle replays the identical
+    recurrence as unrolled CTEs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges_raw = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    outw = edges_raw.groupBy("src").agg(
+        F.sum("w").cast("long").alias("ow")
+    )
+    edges = edges_raw.join(outw, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("share")
+    )
+    nodes = (
+        edges_raw.select(F.col("src").alias("node"))
+        .union(edges_raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    restart = F.when(
+        F.col("node") == _PPR_SEED, F.lit(1.0 - _PPR_ALPHA)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("node") == _PPR_SEED, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            F.broadcast(ranks)
+            .join(edges, ranks["node"] == edges["src"])
+            .select("dst", (F.col("pr") * F.col("share")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    restart
+                    + F.lit(_PPR_ALPHA)
+                    * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.orderBy("node")

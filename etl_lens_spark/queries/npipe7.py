@@ -1,0 +1,908 @@
+"""Round-5 continuation tranche: contrastive-batch construction
+(uniform-k negative sampling with positive exclusion — the cheap
+sibling of emb_hard_negative_mining), label-noise detection via k-NN
+disagreement (confident-learning-lite), and tokenizer fertility
+comparison across the BPE / unigram-LM / WordPiece trio on one corpus
+(the SURVEY round-6 candidate list, pulled forward).
+
+Same contract as every npipe tranche: PySpark plan + hand-written
+DuckDB oracle on identical parquet where the math is SQL-expressible;
+rows-only + pinned invariant tests where it is not (the BPE merge
+loop and the Viterbi DP are sequential-by-definition — their parity
+is already pinned vs pure-Python references in tests/test_bpe.py and
+tests/test_unigram.py; fertility composes those audited encoders).
+Randomness is LCG-style modular arithmetic over row ids — identical
+BIGINT math in both engines, never engine RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.similarity.knn import dot as _dot
+from etl_lens_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Uniform-k negative sampling with positive exclusion
+# ---------------------------------------------------------------------------
+
+_NS_ANCHORS = 16  # anchors: vec_id < 16
+_NS_K = 4  # negatives per anchor
+# Knuth's multiplicative-hash constant + odd mixers; all products stay
+# far inside int64 (2654435761 * (anchors+1) ≈ 4.5e10).
+_NS_A = 2654435761
+_NS_B = 40503
+_NS_C = 69621
+_NS_M = 1000000007
+
+
+@query(
+    "emb_negative_sampling",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, label AS q_label
+      FROM v WHERE vec_id < {_NS_ANCHORS}
+    ),
+    pairs AS (
+      SELECT q.qid, q.q_label, c.vec_id AS cid, c.label AS c_label,
+             (CAST({_NS_A} AS BIGINT) * (q.qid + 1)
+              + CAST({_NS_B} AS BIGINT) * (c.vec_id + 1)
+              + {_NS_C}) % {_NS_M} AS r
+      FROM q JOIN v c ON c.label <> q.q_label
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY r, cid) AS neg_rank
+      FROM pairs
+    )
+    SELECT qid, q_label, CAST(neg_rank AS BIGINT) AS neg_rank,
+           cid AS neg_id, c_label AS neg_label,
+           CAST(r AS BIGINT) AS sample_key
+    FROM rk WHERE neg_rank <= {_NS_K}
+    ORDER BY qid, neg_rank
+    """,
+)
+def emb_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Contrastive-batch negative sampling: for each anchor, k
+    negatives drawn UNIFORMLY from the corpus with positive exclusion
+    (label ≠ anchor label) — the standard easy-negative complement to
+    emb_hard_negative_mining's similarity-ranked hard negatives.
+    "Uniform" is a deterministic multiplicative-hash rank
+    r(qid, cid) = (A·(qid+1) + B·(cid+1) + C) mod M over pure BIGINT
+    arithmetic, so both engines draw the SAME sample and the draw is
+    replayable (re-running the pipeline on the same corpus snapshot
+    reproduces the training batches bit-for-bit — the property that
+    matters for data lineage).
+
+    100 TB posture: anchors broadcast against the corpus; the window
+    is per-anchor so the rank filter compiles to WindowGroupLimit —
+    each map task forwards at most k rows per anchor and the shuffle
+    is O(anchors × k), not O(anchors × corpus). The production swap
+    for billions of candidates is per-label-bucket pre-sampling (the
+    hash rank is order-free, so each bucket can pre-prune to its own
+    top-k before the union) — same operator shape, no new semantics.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = emb.filter(F.col("vec_id") < _NS_ANCHORS).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("q_label")
+    )
+    pairs = emb.select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("c_label")
+    ).join(F.broadcast(q), F.col("c_label") != F.col("q_label")).select(
+        "qid",
+        "q_label",
+        "cid",
+        "c_label",
+        (
+            (
+                F.lit(_NS_A).cast("long") * (F.col("qid") + 1)
+                + F.lit(_NS_B).cast("long") * (F.col("cid") + 1)
+                + F.lit(_NS_C)
+            )
+            % F.lit(_NS_M)
+        ).alias("r"),
+    )
+    w = Window.partitionBy("qid").orderBy("r", "cid")
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= _NS_K)
+        .select(
+            "qid",
+            "q_label",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("cid").alias("neg_id"),
+            F.col("c_label").alias("neg_label"),
+            F.col("r").cast("long").alias("sample_key"),
+        )
+        .orderBy("qid", "neg_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection via k-NN disagreement
+# ---------------------------------------------------------------------------
+
+_LN_K = 10  # neighbors per vector
+_LN_FLAG = 0.5  # disagreement fraction above which a label is flagged
+_LN_MAX = 20_000  # fail-fast guard on the O(n²) exact scan
+
+
+@query(
+    "ml_label_noise_knn",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
+      FROM v
+    ),
+    scored AS (
+      SELECT a.vec_id, a.label, b.vec_id AS nid, b.label AS n_label,
+             list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY cos DESC, nid) AS rnk
+      FROM scored
+    )
+    SELECT vec_id, label,
+           CAST(SUM(CASE WHEN n_label <> label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree,
+           CAST(SUM(CASE WHEN n_label <> label THEN 1 ELSE 0 END)
+                AS DOUBLE) / {_LN_K} AS disagreement,
+           (SUM(CASE WHEN n_label <> label THEN 1 ELSE 0 END)
+            > {_LN_K} * {_LN_FLAG!r}) AS flagged
+    FROM rk WHERE rnk <= {_LN_K}
+    GROUP BY vec_id, label
+    ORDER BY vec_id
+    """,
+)
+def ml_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Label-noise detection (confident-learning-lite): a label is
+    suspect when most of its k nearest neighbors carry a DIFFERENT
+    label. Per vector: the count and fraction of its {_LN_K} cosine
+    neighbors that disagree, and a flag at > {_LN_FLAG}. This is the
+    dataset-QA op a training pipeline runs before fitting anything —
+    mislabeled points are exactly the ones k-NN can't explain.
+
+    Exactness: brute-force all-pairs kNN through similarity.knn.
+    brute_force_topk (sequential-fold dot ≡ list_dot_product, so
+    ranks are bit-identical cross-engine; ties by neighbor id). The
+    corpus-as-queries scan is O(n²) — fail-fast guarded at
+    {_LN_MAX} rows, matching sim_bruteforce_topk's contract. The
+    production swap is the IVF/LSH candidate generator feeding the
+    SAME disagreement aggregate (ANN recall dials apply unchanged);
+    the exact form stays as the oracle anchor."""
+    from etl_lens_spark.similarity.knn import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    knn = brute_force_topk(
+        emb,
+        emb,
+        k=_LN_K,
+        query_id_col="qid",
+        max_queries=_LN_MAX,
+    )
+    n_labels = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    dis = (
+        knn.join(F.broadcast(labels), knn["qid"] == labels["vec_id"])
+        .join(F.broadcast(n_labels), "neighbor_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") != F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_disagree")
+        )
+    )
+    return dis.select(
+        "vec_id",
+        "label",
+        "n_disagree",
+        (F.col("n_disagree").cast("double") / F.lit(_LN_K)).alias(
+            "disagreement"
+        ),
+        (F.col("n_disagree") > F.lit(_LN_K * _LN_FLAG)).alias("flagged"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility comparison: BPE vs unigram-LM vs WordPiece
+# ---------------------------------------------------------------------------
+
+
+@query("text_tokenizer_fertility")
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Tokenizer fertility (tokens emitted per word) compared
+    across the three audited tokenizer families on the SAME corpus
+    vocabulary — the number a training pipeline uses to pick its
+    tokenizer (fertility × corpus words = context-window budget) and
+    to sanity-check a trained vocab (fertility near chars-per-word
+    means the vocab learned nothing).
+
+    Rows: whitespace (the identity anchor — fertility exactly 1.0),
+    chars (the upper anchor — fertility = mean word length), BPE with
+    the standard 8-merge vocab, unigram-LM Viterbi, WordPiece greedy
+    longest-match. All restricted to words ≤ 16 chars (WordPiece's
+    documented bound) so the comparison is apples-to-apples.
+    Fertility = Σ freq·pieces(word) / Σ freq over the (word, freq)
+    vocab — corpus-weighted, but computed at VOCAB scale: each
+    distinct word is encoded once per tokenizer (the same 100 TB
+    argument as the underlying encoders), and the final comparison is
+    a 5-row union of 1-row aggregates.
+
+    Rows-only by design: the BPE merge loop and the Viterbi DP are
+    sequential-by-definition (their exact parity is pinned vs
+    pure-Python references in tests/test_bpe.py / test_unigram.py;
+    WordPiece's full segmentation IS oracle-checked in
+    text_wordpiece_tokenize); invariants for this query —
+    whitespace ≡ 1, chars ≡ mean word length, 1 ≤ fertility ≤ chars
+    for every learned tokenizer — are pinned in tests/test_npipe7.py.
+    """
+    from etl_lens_spark.queries.bpe_q import (
+        _WP_MAXW,
+        N_MERGES,
+        wordpiece_segment_words,
+    )
+    from etl_lens_spark.text import bpe, unigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        bpe.word_freqs(docs)
+        .filter(F.length("word") <= _WP_MAXW)
+        .localCheckpoint(eager=False)
+    )
+
+    def summarize(per_word: DataFrame, name: str) -> DataFrame:
+        """(word, freq, n_tokens) → 1-row fertility summary."""
+        return per_word.agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_tokens"))
+            .cast("long")
+            .alias("n_tokens"),
+            (
+                F.sum(F.col("freq") * F.col("n_tokens")).cast("double")
+                / F.sum("freq")
+            ).alias("fertility"),
+            (
+                F.sum(F.col("freq") * F.length("word")).cast("double")
+                / F.sum(F.col("freq") * F.col("n_tokens"))
+            ).alias("chars_per_token"),
+        ).select(
+            F.lit(name).alias("tokenizer"),
+            "n_words",
+            "n_tokens",
+            "fertility",
+            "chars_per_token",
+        )
+
+    ws = wf.select("word", "freq", F.lit(1).alias("n_tokens"))
+    chars = wf.select(
+        "word", "freq", F.length("word").alias("n_tokens")
+    )
+    merges = bpe.train_merges(wf, N_MERGES)
+    bpe_pw = bpe.encode_words(wf, merges).select(
+        "word", "freq", F.col("n_tokens").alias("n_tokens")
+    )
+    vocab_rows = [
+        (r["piece"], r["freq"])
+        for r in unigram.select_vocab(
+            unigram.piece_candidates(wf)
+        ).collect()
+    ]
+    uni_pw = unigram.viterbi_encode(wf, vocab_rows).select(
+        "word", "freq", F.col("n_pieces").alias("n_tokens")
+    )
+    wp_pw = wordpiece_segment_words(spark, sf_dir).select(
+        "word", "freq", F.col("n").alias("n_tokens")
+    )
+    out = (
+        summarize(ws, "whitespace")
+        .unionByName(summarize(chars, "chars"))
+        .unionByName(summarize(bpe_pw, f"bpe_{N_MERGES}m"))
+        .unionByName(summarize(uni_pw, "unigram_lm"))
+        .unionByName(summarize(wp_pw, "wordpiece"))
+    )
+    return out.orderBy("tokenizer")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation audit (MRL-style prefix-dim quality)
+# ---------------------------------------------------------------------------
+
+_MT_SUBSET = 25  # audit anchors: vec_id < 25 (300 unordered pairs)
+_MT_DIMS = (32, 16, 8)  # prefix truncations of the 64-dim embedding
+
+
+def _mt_cos_sql(d: int) -> str:
+    return (
+        f"list_dot_product(a.e[1:{d}], b.e[1:{d}])"
+        f" / (sqrt(list_dot_product(a.e[1:{d}], a.e[1:{d}]))"
+        f" * sqrt(list_dot_product(b.e[1:{d}], b.e[1:{d}])))"
+    )
+
+
+def _mt_dim_sql(d: int) -> str:
+    return f"""
+    SELECT {d} AS dim,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM scored WHERE aid < bid)
+             AS n_pairs,
+           (SELECT AVG(ABS(cos{d} - cos64)) FROM scored WHERE aid < bid)
+             AS mean_abs_err,
+           (SELECT MAX(ABS(cos{d} - cos64)) FROM scored WHERE aid < bid)
+             AS max_abs_err,
+           (SELECT AVG(CASE WHEN nn{d} = nn64 THEN 1.0 ELSE 0.0 END)
+            FROM nn) AS nn_agreement
+    """
+
+
+@query(
+    "emb_matryoshka_truncation_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < {_MT_SUBSET}
+    ),
+    scored AS (
+      SELECT a.vec_id AS aid, b.vec_id AS bid,
+             {_mt_cos_sql(64)} AS cos64,
+             {_mt_cos_sql(32)} AS cos32,
+             {_mt_cos_sql(16)} AS cos16,
+             {_mt_cos_sql(8)} AS cos8
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    rk AS (
+      SELECT aid, bid,
+             row_number() OVER (PARTITION BY aid
+                 ORDER BY cos64 DESC, bid) AS r64,
+             row_number() OVER (PARTITION BY aid
+                 ORDER BY cos32 DESC, bid) AS r32,
+             row_number() OVER (PARTITION BY aid
+                 ORDER BY cos16 DESC, bid) AS r16,
+             row_number() OVER (PARTITION BY aid
+                 ORDER BY cos8 DESC, bid) AS r8
+      FROM scored
+    ),
+    nn AS (
+      SELECT aid,
+             MAX(CASE WHEN r64 = 1 THEN bid END) AS nn64,
+             MAX(CASE WHEN r32 = 1 THEN bid END) AS nn32,
+             MAX(CASE WHEN r16 = 1 THEN bid END) AS nn16,
+             MAX(CASE WHEN r8 = 1 THEN bid END) AS nn8
+      FROM rk GROUP BY aid
+    )
+    {_mt_dim_sql(32)} UNION ALL {_mt_dim_sql(16)}
+    UNION ALL {_mt_dim_sql(8)}
+    ORDER BY dim DESC
+    """,
+)
+def emb_matryoshka_truncation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[N] Matryoshka-truncation audit: how much retrieval quality
+    survives when the 64-dim embedding is truncated to its 32/16/8-dim
+    PREFIX — the measurement behind Matryoshka-representation-learning
+    deployments (serve short prefixes, re-rank with the full vector).
+    Per truncation: mean/max |cos_d − cos_64| over all 300 anchor
+    pairs, plus nearest-neighbor agreement (does the 1-NN under the
+    truncated metric match the full-dim 1-NN — the number that decides
+    whether the short prefix can serve first-stage retrieval).
+
+    One O(subset²) scored frame feeds every statistic (all four
+    cosines from a single pair visit — the histogram-pass shape);
+    sequential-fold dot ≡ list_dot_product keeps ranks bit-identical
+    cross-engine, ties by candidate id (arg_max on (cos, -bid)).
+    100 TB posture: the audit is a FIXED-size probe (guarded subset),
+    exactly like sim_bruteforce_topk's anchor — production truncation
+    decisions ride this probe's numbers, not a corpus scan."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _MT_SUBSET)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+
+    def cos(d: int) -> F.Column:
+        sa, sb = F.slice("ea", 1, d), F.slice("eb", 1, d)
+        return (
+            _dot(sa, sb)
+            / (F.sqrt(_dot(sa, sa)) * F.sqrt(_dot(sb, sb)))
+        ).alias(f"cos{d}")
+
+    a = emb.select(F.col("vec_id").alias("aid"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("bid"), F.col("e").alias("eb"))
+    scored = (
+        a.join(F.broadcast(b), F.col("aid") != F.col("bid"))
+        .select("aid", "bid", cos(64), cos(32), cos(16), cos(8))
+        .localCheckpoint(eager=False)
+    )
+    nn = scored.groupBy("aid").agg(
+        *[
+            F.max_by("bid", F.struct(F.col(f"cos{d}"), (-F.col("bid"))))
+            .alias(f"nn{d}")
+            for d in (64, *_MT_DIMS)
+        ]
+    )
+    pairs = scored.filter(F.col("aid") < F.col("bid"))
+    out = None
+    for d in _MT_DIMS:
+        err = F.abs(F.col(f"cos{d}") - F.col("cos64"))
+        stats = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.avg(err).alias("mean_abs_err"),
+            F.max(err).alias("max_abs_err"),
+        )
+        agree = nn.agg(
+            F.avg(
+                F.when(F.col(f"nn{d}") == F.col("nn64"), 1.0).otherwise(0.0)
+            ).alias("nn_agreement")
+        )
+        row = (
+            stats.crossJoin(F.broadcast(agree))
+            .select(
+                F.lit(d).alias("dim"),
+                "n_pairs",
+                "mean_abs_err",
+                "max_abs_err",
+                "nn_agreement",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.desc("dim"))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases (difficulty-ordered training schedule)
+# ---------------------------------------------------------------------------
+
+_CURR_PHASES = 4
+
+
+@query(
+    "dataset_curriculum_phases",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(len(word)) AS BIGINT) AS n_word_chars,
+             CAST(SUM(len(word)) AS DOUBLE) / COUNT(*) AS difficulty
+      FROM w WHERE word <> '' GROUP BY doc_id
+    ),
+    ph AS (
+      SELECT *, NTILE({_CURR_PHASES}) OVER (
+               ORDER BY difficulty, doc_id) AS phase
+      FROM d
+    ),
+    agg AS (
+      SELECT CAST(phase AS BIGINT) AS phase,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             MIN(difficulty) AS difficulty_min,
+             MAX(difficulty) AS difficulty_max
+      FROM ph GROUP BY phase
+    )
+    SELECT phase, n_docs, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY phase) AS BIGINT)
+             AS cum_tokens,
+           difficulty_min, difficulty_max
+    FROM agg ORDER BY phase
+    """,
+)
+def dataset_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Curriculum-learning schedule: order the corpus easy→hard
+    (difficulty = mean word length, the classic lexical-complexity
+    proxy; deterministic doc_id tie-break) and cut it into
+    {_CURR_PHASES} NTILE phases with per-phase and cumulative token
+    budgets — the table a curriculum trainer consumes directly
+    ("train on phases 1..k for the first epoch"). Difficulty is an
+    exact integer ratio (Σ word chars / Σ words), so the global order
+    is reproducible cross-engine.
+
+    100 TB posture: per-doc stats are one map-side-combined aggregate
+    off the word explode; the phase assignment does NOT use a global
+    NTILE window (that moves every doc through one reducer — the
+    WindowExec warning Spark itself raises) — instead the global rank
+    comes from operators/prefix.ordered_global_rank (range partition
+    + per-partition row_number + broadcast triangular offsets, zero
+    single-reducer stages) and NTILE's exact bucket arithmetic
+    (first n%P buckets get ⌈n/P⌉) is applied as a closed-form
+    expression on the rank. The oracle keeps DuckDB's native NTILE —
+    proving the distributed rewrite IS NTILE. Output is
+    {_CURR_PHASES} rows; the final cumulative window rides that
+    4-row frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    words = docs.select("doc_id", F.explode(toks).alias("word")).filter(
+        F.col("word") != ""
+    )
+    d = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+    ).withColumn(
+        "difficulty",
+        F.col("n_word_chars").cast("double") / F.col("n_tokens"),
+    )
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    ranked = ordered_global_rank(
+        d, [F.col("difficulty"), F.col("doc_id")], "rnk"
+    )
+    n_tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ph = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "phase",
+        F.when(
+            F.col("rnk")
+            <= (F.col("n_all") % _CURR_PHASES)
+            * ((F.col("n_all") / _CURR_PHASES).cast("long") + 1),
+            (F.col("rnk") - 1)
+            / ((F.col("n_all") / _CURR_PHASES).cast("long") + 1),
+        )
+        .otherwise(
+            (F.col("n_all") % _CURR_PHASES)
+            + (
+                F.col("rnk")
+                - (F.col("n_all") % _CURR_PHASES)
+                * ((F.col("n_all") / _CURR_PHASES).cast("long") + 1)
+                - 1
+            )
+            / (F.col("n_all") / _CURR_PHASES).cast("long"),
+        )
+        .cast("long")
+        + 1,
+    )
+    agg = ph.groupBy(F.col("phase").cast("long").alias("phase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("difficulty").alias("difficulty_min"),
+        F.max("difficulty").alias("difficulty_max"),
+    )
+    return agg.select(
+        "phase",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens")
+        .over(Window.orderBy("phase"))
+        .cast("long")
+        .alias("cum_tokens"),
+        "difficulty_min",
+        "difficulty_max",
+    ).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# GBDT histogram split finding (one boosting round, all features)
+# ---------------------------------------------------------------------------
+
+_GB_LAMBDA = 1.0  # L2 regularization on leaf weights
+
+
+@query(
+    "ml_gbdt_split_histogram",
+    headline=True,
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS y_cents,
+             CAST(l_quantity AS BIGINT) AS qty_bin,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_bin,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_bin
+      FROM lineitem
+    ),
+    melted AS (
+      SELECT 'quantity' AS feature, qty_bin AS bin, y_cents FROM pts
+      UNION ALL
+      SELECT 'discount', disc_bin, y_cents FROM pts
+      UNION ALL
+      SELECT 'tax', tax_bin, y_cents FROM pts
+    ),
+    hist AS (
+      SELECT feature, bin,
+             CAST(SUM(y_cents) AS BIGINT) AS gc,
+             CAST(COUNT(*) AS BIGINT) AS h
+      FROM melted GROUP BY feature, bin
+    ),
+    pre AS (
+      SELECT feature, bin,
+             CAST(SUM(gc) OVER (PARTITION BY feature
+                 ORDER BY bin) AS BIGINT) AS gcl,
+             CAST(SUM(h) OVER (PARTITION BY feature
+                 ORDER BY bin) AS BIGINT) AS hl,
+             CAST(SUM(gc) OVER (PARTITION BY feature) AS BIGINT) AS gct,
+             CAST(SUM(h) OVER (PARTITION BY feature) AS BIGINT) AS ht
+      FROM hist
+    ),
+    gains AS (
+      SELECT feature, bin, hl AS n_left, ht - hl AS n_right,
+             (gcl / 100000.0) AS g_left,
+             ((gct - gcl) / 100000.0) AS g_right,
+             POWER(gcl / 100000.0, 2) / (hl + {_GB_LAMBDA!r})
+               + POWER((gct - gcl) / 100000.0, 2)
+                 / (ht - hl + {_GB_LAMBDA!r})
+               - POWER(gct / 100000.0, 2) / (ht + {_GB_LAMBDA!r})
+               AS gain
+      FROM pre WHERE hl < ht
+    ),
+    best AS (
+      SELECT feature, bin, n_left, n_right, g_left, g_right, gain,
+             row_number() OVER (PARTITION BY feature
+                 ORDER BY gain DESC, bin) AS rk
+      FROM gains
+    )
+    SELECT feature, CAST(bin AS BIGINT) AS split_bin,
+           n_left, n_right, g_left, g_right, gain
+    FROM best WHERE rk = 1 ORDER BY feature
+    """,
+)
+def ml_gbdt_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Gradient-boosting split finding, the histogram pass
+    (XGBoost/LightGBM's core distributed primitive): one boosting
+    round with squared loss from init score 0 on the target
+    y = discount dollars per line item (l_extendedprice·l_discount —
+    the fixture's quantity/price columns are independent by
+    construction, so this is the target with learnable signal), so
+    the per-bin gradient sum G is Σy — kept EXACT as integer cents
+    until the one final division (no partition-order float drift,
+    the lesson of the ts_seasonal_strength fix). All three features (quantity, discount,
+    tax — pre-binned integer codes) melt into ONE (feature, bin)
+    histogram aggregate — a single scan and a single map-side-combined
+    shuffle builds every feature's histogram simultaneously, exactly
+    LightGBM's layout. Split gain = G_L²/(H_L+λ) + G_R²/(H_R+λ) −
+    G²/(H+λ) over ≤51-bin prefix sums (window over the tiny
+    histogram, not the data); argmax per feature with deterministic
+    bin tie-break. Gradients are reported in $100k units to keep
+    gain magnitudes O(10³) — inside the 6-decimal canonical hash.
+
+    100 TB posture: the heavy stage is the melted histogram groupBy —
+    3× the scan in flight but each reduces map-side to |features| ×
+    |bins| cells; per-feature totals come from a WINDOW over the
+    tiny histogram (not a re-aggregated join branch — the naive
+    hist⋈tot form re-scanned lineitem for the totals subtree, a 2×
+    scan caught in the plan audit); everything after is
+    volume-independent. Deeper
+    trees repeat the same pass per node on gradient-filtered rows
+    (same operator, different predicate)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("long")
+        .alias("y_cents"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    melted = li.select(
+        "y_cents",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.col(name).alias("bin"),
+                    )
+                    for name in ("quantity", "discount", "tax")
+                ]
+            )
+        ).alias("fb"),
+    ).select("y_cents", "fb.feature", "fb.bin")
+    hist = melted.groupBy("feature", "bin").agg(
+        F.sum("y_cents").cast("long").alias("gc"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+    )
+    wpre = Window.partitionBy("feature").orderBy("bin")
+    wtot = Window.partitionBy("feature")
+    pre = hist.select(
+        "feature",
+        "bin",
+        F.sum("gc").over(wpre).cast("long").alias("gcl"),
+        F.sum("h").over(wpre).cast("long").alias("hl"),
+        F.sum("gc").over(wtot).cast("long").alias("gct"),
+        F.sum("h").over(wtot).cast("long").alias("ht"),
+    )
+    scale = 100000.0
+    gl = F.col("gcl") / scale
+    gr = (F.col("gct") - F.col("gcl")) / scale
+    gt = F.col("gct") / scale
+    lam = F.lit(_GB_LAMBDA)
+    gains = pre.filter(F.col("hl") < F.col("ht")).select(
+        "feature",
+        "bin",
+        F.col("hl").alias("n_left"),
+        (F.col("ht") - F.col("hl")).alias("n_right"),
+        gl.alias("g_left"),
+        gr.alias("g_right"),
+        (
+            F.pow(gl, 2) / (F.col("hl") + lam)
+            + F.pow(gr, 2) / (F.col("ht") - F.col("hl") + lam)
+            - F.pow(gt, 2) / (F.col("ht") + lam)
+        ).alias("gain"),
+    )
+    wbest = Window.partitionBy("feature").orderBy(F.desc("gain"), "bin")
+    return (
+        gains.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "feature",
+            F.col("bin").cast("long").alias("split_bin"),
+            "n_left",
+            "n_right",
+            "g_left",
+            "g_right",
+            "gain",
+        )
+        .orderBy("feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic uniform reservoir sample (bottom-k by hash rank)
+# ---------------------------------------------------------------------------
+
+_RS_K = 20
+
+
+@query(
+    "sample_reservoir_uniform",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             list_reduce(list_transform(range(1, 14),
+               __hp -> CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), __hp, 1)) - 1
+                      AS BIGINT)),
+               (__ha, __hb) -> __ha * 16 + __hb) AS hv
+      FROM documents
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY hv, doc_id) AS sample_rank
+      FROM h
+    )
+    SELECT CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, source,
+           n_chars, hv
+    FROM rk WHERE sample_rank <= {_RS_K}
+    ORDER BY sample_rank
+    """,
+)
+def sample_reservoir_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Uniform k-sample without replacement, the distributed
+    reservoir: bottom-{_RS_K} rows by a uniform md5 hash of the key —
+    equivalent in distribution to a classic reservoir sample but
+    order-free, mergeable, and REPLAYABLE (same corpus snapshot →
+    same sample; growing the corpus only ever swaps members in via
+    strictly-smaller hashes — the property that lets a nightly
+    eval-set sample stay stable as shards append). This is the KMV
+    bottom-k machinery (operators/kmv.py) applied to sampling rather
+    than cardinality estimation.
+
+    100 TB posture: per-partition each task keeps its own bottom-k
+    (WindowGroupLimit on the global window is the local top-k
+    combine), the final exchange carries k rows per task, and the
+    driver never materializes more than the k winners. No shuffle of
+    the corpus, no RNG state to coordinate."""
+    from etl_lens_spark.operators.kmv import kmv_value
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = docs.withColumn("hv", kmv_value(F.col("doc_id")))
+    w = Window.orderBy("hv", "doc_id")
+    return (
+        h.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _RS_K)
+        .select(
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            "doc_id",
+            "source",
+            "n_chars",
+            "hv",
+        )
+        .orderBy("sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point selection)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # coreset size (selection steps)
+
+
+@query("dataset_kcenter_coreset")
+def dataset_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Greedy k-center coreset (farthest-point / Gonzalez
+    selection): pick vec_id 0, then {_KC_K - 1} times the point
+    FARTHEST (squared L2, deterministic vec_id tie-break) from the
+    selected set — the classic 2-approximation to k-center and the
+    standard diverse-subset selector for active learning / coreset
+    distillation. Output: selection order plus the covering radius
+    at each step (max-min distance — the number that says how well
+    the coreset covers the corpus; non-increasing by construction,
+    test-pinned with a dense numpy replica in tests/test_npipe7.py).
+
+    Rows-only by design: the selection is sequential-by-definition
+    (k dependent argmax steps — same contract as the BPE merge loop);
+    each step is ONE broadcast of the single new centroid + a
+    running-minimum column update + a max_by argmax, so the corpus
+    is never shuffled and driver state is one row per step. At 100 TB
+    the same loop runs over a cached mindist column (k linear passes,
+    the textbook distributed Gonzalez); the tie-break and the
+    sequential-fold dot keep the trajectory reproducible."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def d2(a, b):
+        dif = F.zip_with(a, b, lambda x, y: x - y)
+        return _dot(dif, dif)
+
+    first = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("ce")
+    )
+    cur = emb.crossJoin(F.broadcast(first)).select(
+        "vec_id", "e", d2(F.col("e"), F.col("ce")).alias("mindist")
+    )
+    picked = [(1, 0, None)]  # (rank, vec_id, radius_before)
+    for step in range(2, _KC_K + 1):
+        cur = cur.localCheckpoint(eager=True)
+        far = cur.agg(
+            F.max_by(
+                F.struct("vec_id", "e"),
+                F.struct(F.col("mindist"), (-F.col("vec_id"))),
+            ).alias("s"),
+            F.max("mindist").alias("radius"),
+        ).collect()[0]
+        picked.append((step, far["s"]["vec_id"], float(far["radius"])))
+        nxt = emb.sparkSession.createDataFrame(
+            [(far["s"]["e"],)], "ce array<double>"
+        )
+        cur = cur.crossJoin(F.broadcast(nxt)).select(
+            "vec_id",
+            "e",
+            F.least("mindist", d2(F.col("e"), F.col("ce"))).alias(
+                "mindist"
+            ),
+        )
+    final_radius = float(
+        cur.agg(F.max("mindist").alias("r")).collect()[0]["r"]
+    )
+    rows = [
+        (
+            rank,
+            vid,
+            picked[i + 1][2] if i + 1 < len(picked) else final_radius,
+        )
+        for i, (rank, vid, _) in enumerate(picked)
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "selection_rank int, vec_id long, covering_radius double",
+    ).select(
+        F.col("selection_rank").cast("long").alias("selection_rank"),
+        "vec_id",
+        "covering_radius",
+    )

@@ -1705,3 +1705,46 @@ def streaming_cms_sketch_live(
         )
         .orderBy("r")
     )
+
+
+@query("streaming_gk_quantiles_live")
+def streaming_gk_quantiles_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Live streaming quantiles: the Greenwald–Khanna ε-summary
+    (ε=0.01) as a custom stateful operator (stream_ops.
+    gk_quantiles_stateful) — per event_type, p50/p90/p99 of `value`
+    maintained with a few hundred tuples of state instead of the
+    unbounded buffer exact streaming percentiles need. The fourth
+    live sketch next to KMV (distinct), bitmap (exact distinct) and
+    CMS (frequency), and the survey's round-6 candidate pulled
+    forward.
+
+    Rows-only BY DESIGN — and deliberately so, as the registry's
+    documented example of a sketch whose update-mode state is not
+    replay-exact: GK tuple layout depends on arrival order and batch
+    boundaries, so unlike the KMV/bitmap/CMS live twins no oracle
+    can hash-check the state. What IS invariant — the ±εn rank-error
+    guarantee for every emitted estimate, any arrival order — is
+    pinned vs exact batch ranks in tests/test_streaming_gk.py.
+    Final row per key selected by the monotone events-seen counter;
+    sketch_size is emitted so the O((1/ε)·log(εn)) space claim is
+    itself observable (and asserted in the tests)."""
+    stream = so.gk_quantiles_stateful(so.events_stream(spark, sf_dir))
+    out = so.run_to_memory(stream, "q_stream_gk", output_mode="update")
+    final = F.max_by(
+        F.struct("sketch_size", "q50", "q90", "q99"), "n_seen"
+    ).alias("s")
+    return (
+        out.groupBy("event_type")
+        .agg(F.max("n_seen").alias("n_seen"), final)
+        .select(
+            "event_type",
+            F.col("n_seen").cast("long").alias("n_seen"),
+            F.col("s.sketch_size").cast("long").alias("sketch_size"),
+            "s.q50",
+            "s.q90",
+            "s.q99",
+        )
+        .orderBy("event_type")
+    )

@@ -1260,3 +1260,118 @@ def holt_winters_stateful(orders_joined: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+GK_OUTPUT = (
+    "event_type string, n_seen long, sketch_size long, "
+    "q50 double, q90 double, q99 double"
+)
+GK_STATE = "vs array<double>, gs array<long>, ds array<long>, n long"
+
+
+def gk_quantiles_stateful(
+    events: DataFrame, eps: float = 0.01
+) -> DataFrame:
+    """Live streaming quantiles per event_type: a Greenwald–Khanna
+    ε-approximate summary (SIGMOD'01) as a custom stateful operator —
+    O((1/ε)·log(εn)) tuples of (value, g, Δ) state per key replace
+    the unbounded buffer an exact streaming percentile would need.
+
+    Per micro-batch: sorted one-at-a-time inserts (new tuple g=1,
+    Δ=⌊2εn⌋−1 clamped ≥0, with exact min/max kept at the ends), then
+    one right-to-left compress pass merging tuple i into i+1 while
+    g_i + g_{i+1} + Δ_{i+1} ≤ 2εn. Quantile φ answers the first
+    tuple whose successor's max-rank overshoots ⌈φn⌉ + εn.
+
+    Unlike the KMV / bitmap / CMS live twins, a GK summary in update
+    mode is NOT replay-exact (tuple layout depends on arrival order
+    and batch boundaries), so the registry records rows-only; the
+    ±εn rank-error CONTRACT — the guarantee that survives any
+    arrival order — is pinned against exact batch ranks in
+    tests/test_streaming_gk.py.
+
+    Scale posture: keyed by event_type so state shards across
+    executors; per-key state is a few hundred tuples at ε=0.01
+    regardless of stream length (the point of the sketch)."""
+    import bisect
+    import math
+
+    import pandas as pd
+
+    def _compress(vs, gs, ds, n):
+        thresh = 2.0 * eps * n
+        i = len(vs) - 2
+        while i >= 1:
+            if gs[i] + gs[i + 1] + ds[i + 1] <= thresh:
+                gs[i + 1] += gs[i]
+                del vs[i], gs[i], ds[i]
+            i -= 1
+
+    def _insert(vs, gs, ds, n, v):
+        if not vs or v < vs[0]:
+            vs.insert(0, v), gs.insert(0, 1), ds.insert(0, 0)
+            return
+        if v >= vs[-1]:
+            vs.append(v), gs.append(1), ds.append(0)
+            return
+        i = bisect.bisect_right(vs, v)
+        d = max(0, int(math.floor(2.0 * eps * n)) - 1)
+        vs.insert(i, v), gs.insert(i, 1), ds.insert(i, d)
+
+    def _query(vs, gs, ds, n, phi):
+        # Among tuples whose [rmin, rmax] interval is fully inside
+        # r ± εn (the paper guarantees one exists for a valid
+        # summary), return the one whose rank-interval midpoint is
+        # closest to r — symmetric, so tail quantiles don't collapse
+        # onto the exact-max sentinel tuple.
+        r = max(1, int(math.ceil(phi * n)))
+        slack = eps * n
+        rmin, best, best_gap, fallback = 0, None, float("inf"), vs[0]
+        for v, g, d in zip(vs, gs, ds):
+            rmin += g
+            rmax = rmin + d
+            if rmin <= r:
+                fallback = v  # last tuple not past the target rank
+            if rmin >= r - slack and rmax <= r + slack:
+                gap = abs((rmin + rmax) / 2.0 - r)
+                if gap < best_gap:
+                    best, best_gap = v, gap
+            elif rmin > r + slack:
+                break
+        return best if best is not None else fallback
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            vs_t, gs_t, ds_t, n = state.get
+            vs, gs, ds = list(vs_t), list(gs_t), list(ds_t)
+        else:
+            vs, gs, ds, n = [], [], [], 0
+        for pdf in pdf_iter:
+            for v in pdf["value"].dropna():
+                _insert(vs, gs, ds, n, float(v))
+                n += 1
+            _compress(vs, gs, ds, n)
+        state.update((vs, gs, ds, n))
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "sketch_size": [len(vs)],
+                "q50": [_query(vs, gs, ds, n, 0.50)],
+                "q90": [_query(vs, gs, ds, n, 0.90)],
+                "q99": [_query(vs, gs, ds, n, 0.99)],
+            }
+        )
+
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    return vals.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=GK_OUTPUT,
+        stateStructType=GK_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

