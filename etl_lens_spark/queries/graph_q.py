@@ -1225,3 +1225,4 @@ def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.orderBy("node")
+

@@ -906,3 +906,171 @@ def dataset_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "covering_radius",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus BLEU-2 evaluation (clipped n-gram precision + brevity penalty)
+# ---------------------------------------------------------------------------
+
+_BLEU_TOK_SQL = """trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"""
+
+
+@query(
+    "text_bleu_ngram_eval",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_BLEU_TOK_SQL}, ' ') AS wl
+      FROM documents WHERE {_BLEU_TOK_SQL} <> ''
+    ),
+    pairs AS (
+      SELECT c.doc_id // 2 AS pair_id, c.wl AS cand_wl, r.wl AS ref_wl
+      FROM d c JOIN d r ON r.doc_id = c.doc_id + 1
+      WHERE c.doc_id % 2 = 0
+    ),
+    cand1 AS (
+      SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs, LATERAL (SELECT unnest(cand_wl) AS g) u
+      GROUP BY pair_id, g
+    ),
+    ref1 AS (
+      SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs, LATERAL (SELECT unnest(ref_wl) AS g) u
+      GROUP BY pair_id, g
+    ),
+    cand2 AS (
+      SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs, LATERAL (SELECT unnest(list_transform(
+          range(1, len(cand_wl)),
+          __i -> cand_wl[__i] || ' ' || cand_wl[__i + 1])) AS g) u
+      GROUP BY pair_id, g
+    ),
+    ref2 AS (
+      SELECT pair_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs, LATERAL (SELECT unnest(list_transform(
+          range(1, len(ref_wl)),
+          __i -> ref_wl[__i] || ' ' || ref_wl[__i + 1])) AS g) u
+      GROUP BY pair_id, g
+    ),
+    p1 AS (
+      SELECT CAST(SUM(LEAST(c.c, COALESCE(r.c, 0))) AS BIGINT)
+               AS clipped,
+             CAST(SUM(c.c) AS BIGINT) AS total
+      FROM cand1 c LEFT JOIN ref1 r USING (pair_id, g)
+    ),
+    p2 AS (
+      SELECT CAST(SUM(LEAST(c.c, COALESCE(r.c, 0))) AS BIGINT)
+               AS clipped,
+             CAST(SUM(c.c) AS BIGINT) AS total
+      FROM cand2 c LEFT JOIN ref2 r USING (pair_id, g)
+    ),
+    lens AS (
+      SELECT CAST(SUM(len(cand_wl)) AS BIGINT) AS cand_len,
+             CAST(SUM(len(ref_wl)) AS BIGINT) AS ref_len,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs
+    )
+    SELECT l.n_pairs, l.cand_len, l.ref_len,
+           round(CAST(p1.clipped AS DOUBLE) / p1.total, 6) AS prec1,
+           round(CAST(p2.clipped AS DOUBLE) / p2.total, 6) AS prec2,
+           round(exp(LEAST(0.0,
+               1.0 - CAST(l.ref_len AS DOUBLE) / l.cand_len)), 6)
+             AS brevity_penalty,
+           round(exp(LEAST(0.0,
+                     1.0 - CAST(l.ref_len AS DOUBLE) / l.cand_len))
+                 * exp(0.5 * ln(CAST(p1.clipped AS DOUBLE) / p1.total)
+                     + 0.5 * ln(CAST(p2.clipped AS DOUBLE) / p2.total)),
+                 6) AS bleu2
+    FROM lens l, p1, p2
+    """,
+)
+def text_bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Corpus-level BLEU-2 (Papineni et al.): clipped n-gram
+    precision for n=1,2 plus the brevity penalty, over even→odd
+    doc_id (candidate, reference) pairs — the eval-harness metric a
+    generation pipeline scores its outputs with, expressed fully
+    relationally: per-pair n-gram counts are grouped aggregates, the
+    clip is min(cand_count, ref_count) through one LEFT join per
+    order, and every precision is a ratio of two EXACT BIGINT sums
+    (floats appear only in the final exp/ln — cross-engine safe).
+
+    100 TB posture: n-gram counting is the map-side-combined explode
+    the tokenizer family already rides; the clip joins shuffle on
+    (pair_id, gram) — both sides pre-reduced to counts, so the join
+    input is bounded by vocabulary per pair, not token volume; the
+    corpus-level fold is a 1-row aggregate. Smoothed/weighted BLEU
+    variants change only the final expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    )
+    d = docs.filter(norm != "").select(
+        "doc_id", F.split(norm, " ").alias("wl")
+    )
+    cand = d.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("wl").alias("cand_wl"),
+        (F.col("doc_id") + 1).alias("ref_key"),
+    )
+    ref = d.select(
+        F.col("doc_id").alias("ref_key"), F.col("wl").alias("ref_wl")
+    )
+    pairs = cand.join(ref, "ref_key").select(
+        "pair_id", "cand_wl", "ref_wl"
+    )
+
+    def grams(col: str, n: int) -> F.Column:
+        if n == 1:
+            return F.col(col)
+        return F.expr(
+            f"transform(sequence(1, size({col}) - 1), "
+            f"__i -> concat({col}[__i - 1], ' ', {col}[__i]))"
+        )
+
+    def counts(col: str, n: int) -> DataFrame:
+        return (
+            pairs.select(
+                "pair_id", F.explode(grams(col, n)).alias("g")
+            )
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    def prec(n: int, out: str) -> DataFrame:
+        c = counts("cand_wl", n)
+        r = counts("ref_wl", n).withColumnRenamed("c", "cr")
+        return c.join(r, ["pair_id", "g"], "left").agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("cr"), F.lit(0))))
+            .cast("long")
+            .alias(f"clipped{n}"),
+            F.sum("c").cast("long").alias(f"total{n}"),
+        )
+    lens = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.size("cand_wl")).cast("long").alias("cand_len"),
+        F.sum(F.size("ref_wl")).cast("long").alias("ref_len"),
+    )
+    p1 = prec(1, "prec1")
+    p2 = prec(2, "prec2")
+    pr1 = F.col("clipped1").cast("double") / F.col("total1")
+    pr2 = F.col("clipped2").cast("double") / F.col("total2")
+    bp = F.exp(
+        F.least(
+            F.lit(0.0),
+            F.lit(1.0) - F.col("ref_len").cast("double") / F.col("cand_len"),
+        )
+    )
+    return (
+        lens.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(p2))
+        .select(
+            "n_pairs",
+            "cand_len",
+            "ref_len",
+            F.round(pr1, 6).alias("prec1"),
+            F.round(pr2, 6).alias("prec2"),
+            F.round(bp, 6).alias("brevity_penalty"),
+            F.round(
+                bp * F.exp(0.5 * F.log(pr1) + 0.5 * F.log(pr2)), 6
+            ).alias("bleu2"),
+        )
+    )

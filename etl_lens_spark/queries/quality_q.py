@@ -1738,3 +1738,120 @@ def ml_eval_ndcg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Active-learning batch selection (uncertainty sampling)
+# ---------------------------------------------------------------------------
+
+_AL_K = 16
+
+
+def _al_oracle() -> str:
+    base = _lr_oracle()
+    head = base[: base.rindex("SELECT")]
+    z = " + ".join(f"w.b{j} * f.x{j}" for j in range(4))
+    return f"""
+    {head}
+    , doc AS (
+        SELECT d.doc_id,
+               1.0 AS x0, d.n_chars / 500.0 AS x1,
+               len(string_split(trim(regexp_replace(lower(d.text), '\\s+',
+                   ' ', 'g')), ' ')) / 50.0 AS x2,
+               d.n_chars / (len(string_split(trim(regexp_replace(
+                   lower(d.text), '\\s+', ' ', 'g')), ' ')) * 10.0) AS x3
+        FROM documents d
+    ),
+    sc AS (
+        SELECT f.doc_id, round(1.0/(1.0+exp(-({z}))), 6) AS score,
+               1.0/(1.0+exp(-({z}))) AS p_raw
+        FROM doc f CROSS JOIN w{_LR_ITERS} w
+    ),
+    rk AS (
+        SELECT doc_id, score, ABS(score - 0.5) AS uncertainty,
+               round(-(p_raw * ln(p_raw)
+                       + (1.0 - p_raw) * ln(1.0 - p_raw)), 6) AS entropy,
+               row_number() OVER (
+                   ORDER BY ABS(score - 0.5), doc_id) AS al_rank
+        FROM sc
+    )
+    SELECT CAST(al_rank AS BIGINT) AS al_rank, doc_id, score,
+           uncertainty, entropy
+    FROM rk WHERE al_rank <= {_AL_K}
+    ORDER BY al_rank
+    """
+
+
+@query("ml_active_learning_batch", oracle=_al_oracle())
+def ml_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Active-learning batch selection by uncertainty sampling:
+    the {_AL_K} documents the trained quality filter (the 3-epoch
+    batch-GD logistic model of ml_logreg_quality, identical training
+    chain) is LEAST sure about — |p − ½| minimal, deterministic
+    doc_id tie-break — plus the predictive entropy each carries.
+    This is the labeling-budget allocator of a data-curation loop:
+    human labels go to the batch the current filter can't decide,
+    the filter retrains, repeat.
+
+    100 TB posture: training ships d=4 partial sums per partition
+    per epoch (row-count independent driver state); scoring is a
+    broadcast of 4 literals into row-local expressions; the top-k by
+    uncertainty compiles to WindowGroupLimit, so each task forwards
+    k rows and the corpus never sorts globally. The oracle replays
+    the identical training recurrence and selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    feat = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(toks) / F.lit(50.0)).alias("x2"),
+        (F.col("n_chars") / (F.size(toks) * F.lit(10.0))).alias("x3"),
+    )
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = sum(
+            (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = feat.agg(
+            *[F.avg((p - F.col("y")) * F.col(f"x{j}")) for j in range(4)]
+        ).first()
+        w = [round(w[j] - _LR_ETA * grads[j], 6) for j in range(4)]
+    z = sum(
+        (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
+        F.lit(w[0]) * F.col("x0"),
+    )
+    p_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    score = F.round(p_raw, 6)
+    from pyspark.sql import Window as _W
+
+    sc = feat.select(
+        "doc_id",
+        score.alias("score"),
+        F.abs(score - 0.5).alias("uncertainty"),
+        F.round(
+            -(
+                p_raw * F.log(p_raw)
+                + (F.lit(1.0) - p_raw) * F.log(F.lit(1.0) - p_raw)
+            ),
+            6,
+        ).alias("entropy"),
+    )
+    wd = _W.orderBy("uncertainty", "doc_id")
+    return (
+        sc.withColumn("al_rank", F.row_number().over(wd))
+        .filter(F.col("al_rank") <= _AL_K)
+        .select(
+            F.col("al_rank").cast("long").alias("al_rank"),
+            "doc_id",
+            "score",
+            "uncertainty",
+            "entropy",
+        )
+        .orderBy("al_rank")
+    )

@@ -437,3 +437,87 @@ def test_kcenter_radius_non_increasing(spark, sf_dir):
     radii = [r["covering_radius"] for r in rows]
     assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
     assert radii[-1] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# ml_active_learning_batch
+# ---------------------------------------------------------------------------
+
+
+def test_active_learning_batch_is_least_certain(spark, sf_dir):
+    from etl_lens_spark.queries.quality_q import _AL_K
+
+    rows = REGISTRY["ml_active_learning_batch"].fn(spark, sf_dir).collect()
+    assert [r["al_rank"] for r in rows] == list(range(1, _AL_K + 1))
+    unc = [r["uncertainty"] for r in rows]
+    assert unc == sorted(unc)
+    for r in rows:
+        assert abs(r["uncertainty"] - abs(r["score"] - 0.5)) < 1e-9
+        assert 0.0 <= r["entropy"] <= 0.6931472  # ≤ ln 2
+    # entropy is maximal where uncertainty is minimal: the batch's
+    # mean entropy must beat the corpus-wide mean
+    scored = REGISTRY["ml_logreg_score_filter"].fn(spark, sf_dir).collect()
+    import math
+
+    def ent(p):
+        p = min(max(p, 1e-12), 1 - 1e-12)
+        return -(p * math.log(p) + (1 - p) * math.log(1 - p))
+
+    corpus_mean = sum(ent(r["score"]) for r in scored) / len(scored)
+    batch_mean = sum(r["entropy"] for r in rows) / len(rows)
+    assert batch_mean > corpus_mean
+
+
+# ---------------------------------------------------------------------------
+# text_bleu_ngram_eval
+# ---------------------------------------------------------------------------
+
+
+def test_bleu_matches_pure_python(spark, sf_dir):
+    """Corpus BLEU-2 recomputed with a dict-based reference."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    toks = {
+        int(r.doc_id): _re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+        for r in pdf.itertuples()
+        if _re.sub(r"\s+", " ", r.text.lower()).strip()
+    }
+    clip = {1: [0, 0], 2: [0, 0]}
+    cand_len = ref_len = n_pairs = 0
+    for d, wl in toks.items():
+        if d % 2 or d + 1 not in toks:
+            continue
+        rl = toks[d + 1]
+        n_pairs += 1
+        cand_len += len(wl)
+        ref_len += len(rl)
+        for n in (1, 2):
+            cg = Counter(
+                tuple(wl[i : i + n]) for i in range(len(wl) - n + 1)
+            )
+            rg = Counter(
+                tuple(rl[i : i + n]) for i in range(len(rl) - n + 1)
+            )
+            clip[n][0] += sum(min(c, rg[g]) for g, c in cg.items())
+            clip[n][1] += sum(cg.values())
+    p1 = clip[1][0] / clip[1][1]
+    p2 = clip[2][0] / clip[2][1]
+    bp = math.exp(min(0.0, 1.0 - ref_len / cand_len))
+    bleu = bp * math.exp(0.5 * math.log(p1) + 0.5 * math.log(p2))
+    row = REGISTRY["text_bleu_ngram_eval"].fn(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n_pairs
+    assert row["cand_len"] == cand_len and row["ref_len"] == ref_len
+    assert abs(row["prec1"] - p1) < 1e-6
+    assert abs(row["prec2"] - p2) < 1e-6
+    assert abs(row["bleu2"] - bleu) < 1e-6
+    # identity pairs would score 1; distinct docs must score below
+    assert 0.0 < row["bleu2"] < 1.0
+    assert row["prec2"] <= row["prec1"]  # higher order is harder
+
