@@ -223,7 +223,7 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT strftime(o_orderdate, '%Y-%m') AS ym,
              o_orderkey % 2 AS batch_id,
              CAST(COUNT(*) AS BIGINT) AS p_cnt,
-             CAST(SUM(o_totalprice) AS DOUBLE) AS p_sum,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS p_sum,
              MIN(o_totalprice) AS p_min,
              MAX(o_totalprice) AS p_max
       FROM orders GROUP BY 1, 2
@@ -233,7 +233,8 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(p_sum) AS DOUBLE) AS total_price,
            MIN(p_min) AS min_price,
            MAX(p_max) AS max_price,
-           SUM(p_sum) / SUM(p_cnt) AS avg_price,
+           CAST(SUM(p_sum) AS DOUBLE) / CAST(SUM(p_cnt) AS BIGINT)
+             AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS n_partials
     FROM part GROUP BY ym
     ORDER BY ym
@@ -260,7 +261,12 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("p_cnt"),
-            F.sum("o_totalprice").cast("double").alias("p_sum"),
+            # DECIMAL partial state: the sum stays exact (and thus
+            # order/partition-independent) through the merge — the
+            # sf0.1 permutation probe caught the double form flaking
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "p_sum"
+            ),
             F.min("o_totalprice").alias("p_min"),
             F.max("o_totalprice").alias("p_max"),
         )
@@ -272,7 +278,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_sum").cast("double").alias("total_price"),
             F.min("p_min").alias("min_price"),
             F.max("p_max").alias("max_price"),
-            (F.sum("p_sum") / F.sum("p_cnt")).alias("avg_price"),
+            (
+                F.sum("p_sum").cast("double")
+                / F.sum("p_cnt").cast("long")
+            ).alias("avg_price"),
             F.count(F.lit(1)).cast("long").alias("n_partials"),
         )
         .orderBy("ym")

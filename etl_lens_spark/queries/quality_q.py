@@ -304,10 +304,16 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE 0 END) AS BIGINT) AS n_clipped_lo,
            CAST(SUM(CASE WHEN CAST(price_c AS DOUBLE) > hi THEN 1
                          ELSE 0 END) AS BIGINT) AS n_clipped_hi,
-           AVG(LEAST(GREATEST(CAST(price_c AS DOUBLE), lo), hi))
+           (CAST(SUM(CASE WHEN CAST(price_c AS DOUBLE) >= lo
+                           AND CAST(price_c AS DOUBLE) <= hi
+                          THEN price_c ELSE 0 END) AS DOUBLE)
+            + SUM(CASE WHEN CAST(price_c AS DOUBLE) < lo THEN 1
+                       ELSE 0 END) * lo
+            + SUM(CASE WHEN CAST(price_c AS DOUBLE) > hi THEN 1
+                       ELSE 0 END) * hi) / COUNT(*)
              AS mean_winsorized
     FROM t JOIN lims ON t.pri = lims.pri
-    GROUP BY t.pri ORDER BY t.pri
+    GROUP BY t.pri, lo, hi ORDER BY t.pri
     """,
 )
 def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,7 +337,11 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(pd_, F.lit(0.95)).alias("hi"),
     )
     j = t.join(F.broadcast(lims), "pri")
-    clipped = F.least(F.greatest(pd_, F.col("lo")), F.col("hi"))
+    # order-free winsorized mean: in-range cents sum exactly as
+    # BIGINT, the clipped tails contribute count·limit — only three
+    # deterministic double ops remain (the sf0.1 permutation probe
+    # caught AVG-of-clipped-doubles flaking with partition order)
+    inside = (pd_ >= F.col("lo")) & (pd_ <= F.col("hi"))
     return (
         j.groupBy("pri")
         .agg(
@@ -342,7 +352,22 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(pd_ > F.col("hi"), 1).otherwise(0))
             .cast("long")
             .alias("n_clipped_hi"),
-            F.avg(clipped).alias("mean_winsorized"),
+            (
+                (
+                    F.sum(
+                        F.when(inside, F.col("price_c")).otherwise(0)
+                    ).cast("double")
+                    + F.sum(
+                        F.when(pd_ < F.col("lo"), 1).otherwise(0)
+                    )
+                    * F.first("lo")
+                    + F.sum(
+                        F.when(pd_ > F.col("hi"), 1).otherwise(0)
+                    )
+                    * F.first("hi")
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
         )
         .orderBy("pri")
     )
