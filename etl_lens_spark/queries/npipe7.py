@@ -1074,3 +1074,356 @@ def text_bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bleu2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GBDT round 2: residual gradients, depth-2 tree
+# ---------------------------------------------------------------------------
+
+_GB2_SCALE = 100000.0  # y reported in $100k units (gain magnitude control)
+
+
+@query(
+    "ml_gbdt_boost_round2",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS y_cents,
+             CAST(l_quantity AS BIGINT) AS qty_bin,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_bin,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_bin
+      FROM lineitem
+    ),
+    melted AS (
+      SELECT 'quantity' AS feature, qty_bin AS bin, y_cents FROM pts
+      UNION ALL
+      SELECT 'discount', disc_bin, y_cents FROM pts
+      UNION ALL
+      SELECT 'tax', tax_bin, y_cents FROM pts
+    ),
+    hist AS (
+      SELECT feature, bin, CAST(SUM(y_cents) AS BIGINT) AS gc,
+             CAST(COUNT(*) AS BIGINT) AS h
+      FROM melted GROUP BY feature, bin
+    ),
+    pre AS (
+      SELECT feature, bin,
+             CAST(SUM(gc) OVER (PARTITION BY feature
+                 ORDER BY bin) AS BIGINT) AS gcl,
+             CAST(SUM(h) OVER (PARTITION BY feature
+                 ORDER BY bin) AS BIGINT) AS hl,
+             CAST(SUM(gc) OVER (PARTITION BY feature) AS BIGINT) AS gct,
+             CAST(SUM(h) OVER (PARTITION BY feature) AS BIGINT) AS ht
+      FROM hist
+    ),
+    gains AS (
+      SELECT feature, bin, hl, ht, gcl, gct,
+             POWER(gcl / {_GB2_SCALE!r}, 2) / (hl + {_GB_LAMBDA!r})
+               + POWER((gct - gcl) / {_GB2_SCALE!r}, 2)
+                 / (ht - hl + {_GB_LAMBDA!r})
+               - POWER(gct / {_GB2_SCALE!r}, 2) / (ht + {_GB_LAMBDA!r})
+               AS gain
+      FROM pre WHERE hl < ht
+    ),
+    root AS (
+      SELECT feature, bin, gain,
+             hl AS n_left, ht - hl AS n_right,
+             (gcl / {_GB2_SCALE!r}) / (hl + {_GB_LAMBDA!r}) AS w_left,
+             ((gct - gcl) / {_GB2_SCALE!r}) / (ht - hl + {_GB_LAMBDA!r})
+               AS w_right
+      FROM (SELECT *, row_number() OVER (
+                ORDER BY gain DESC, feature, bin) AS rk FROM gains)
+      WHERE rk = 1
+    ),
+    assigned AS (
+      SELECT p.*,
+             CASE WHEN (CASE r.feature
+                        WHEN 'quantity' THEN p.qty_bin
+                        WHEN 'discount' THEN p.disc_bin
+                        ELSE p.tax_bin END) <= r.bin
+                  THEN 'L' ELSE 'R' END AS node,
+             CASE WHEN (CASE r.feature
+                        WHEN 'quantity' THEN p.qty_bin
+                        WHEN 'discount' THEN p.disc_bin
+                        ELSE p.tax_bin END) <= r.bin
+                  THEN r.w_left ELSE r.w_right END AS w_node
+      FROM pts p CROSS JOIN root r
+    ),
+    melted2 AS (
+      SELECT node, w_node, 'quantity' AS feature, qty_bin AS bin,
+             y_cents FROM assigned
+      UNION ALL
+      SELECT node, w_node, 'discount', disc_bin, y_cents FROM assigned
+      UNION ALL
+      SELECT node, w_node, 'tax', tax_bin, y_cents FROM assigned
+    ),
+    hist2 AS (
+      SELECT node, w_node, feature, bin,
+             CAST(SUM(y_cents) AS BIGINT) AS gc,
+             CAST(COUNT(*) AS BIGINT) AS h
+      FROM melted2 GROUP BY node, w_node, feature, bin
+    ),
+    pre2 AS (
+      SELECT node, w_node, feature, bin,
+             CAST(SUM(gc) OVER (PARTITION BY node, feature
+                 ORDER BY bin) AS BIGINT) AS gcl,
+             CAST(SUM(h) OVER (PARTITION BY node, feature
+                 ORDER BY bin) AS BIGINT) AS hl,
+             CAST(SUM(gc) OVER (PARTITION BY node, feature)
+                 AS BIGINT) AS gct,
+             CAST(SUM(h) OVER (PARTITION BY node, feature)
+                 AS BIGINT) AS ht
+      FROM hist2
+    ),
+    gains2 AS (
+      SELECT node, feature, bin, hl AS n_left, ht - hl AS n_right,
+             POWER(hl * w_node - gcl / {_GB2_SCALE!r}, 2)
+               / (hl + {_GB_LAMBDA!r})
+               + POWER((ht - hl) * w_node
+                       - (gct - gcl) / {_GB2_SCALE!r}, 2)
+                 / (ht - hl + {_GB_LAMBDA!r})
+               - POWER(ht * w_node - gct / {_GB2_SCALE!r}, 2)
+                 / (ht + {_GB_LAMBDA!r}) AS gain
+      FROM pre2 WHERE hl < ht
+    ),
+    best2 AS (
+      SELECT node, feature, bin, n_left, n_right, gain,
+             row_number() OVER (PARTITION BY node
+                 ORDER BY gain DESC, feature, bin) AS rk
+      FROM gains2
+    )
+    SELECT 'root' AS node, feature, CAST(bin AS BIGINT) AS split_bin,
+           n_left, n_right, gain,
+           round(w_left, 6) AS w_left, round(w_right, 6) AS w_right
+    FROM root
+    UNION ALL
+    SELECT node, feature, CAST(bin AS BIGINT), n_left, n_right, gain,
+           NULL, NULL
+    FROM best2 WHERE rk = 1
+    ORDER BY node
+    """,
+)
+def ml_gbdt_boost_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] The boosting LOOP: round 2 of the GBDT trainer. Round 1
+    finds the best global split (argmax over the melted histogram of
+    ml_gbdt_split_histogram) and fits leaf weights w = G/(H+λ); the
+    model's predictions update; round 2 recomputes gradients against
+    the residuals and finds each child node's best split — the
+    depth-2 tree, i.e. one full iteration of the XGBoost/LightGBM
+    training loop rather than a single pass.
+
+    The residual gradient sums stay EXACT: per (node, feature, bin)
+    the round-2 gradient sum is h·w_node − Σy (one deterministic
+    double product over exact BIGINT h and Σy — no per-row float
+    accumulation anywhere in either round). Deeper trees repeat the
+    identical histogram→prefix→argmax pass per node; the oracle
+    replays both rounds as one CTE chain.
+
+    100 TB posture: round 2 adds exactly one more melted histogram
+    aggregate, now keyed by (node, feature, bin) — node count grows
+    the key space, never the scan count; per-node windows ride the
+    tiny histogram. The single root CROSS JOIN broadcasts a 1-row
+    frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+        .cast("long")
+        .alias("y_cents"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"),
+    )
+    lam = F.lit(_GB_LAMBDA)
+    scale = _GB2_SCALE
+
+    def melt(df: DataFrame, extra: list[str]) -> DataFrame:
+        return df.select(
+            *extra,
+            "y_cents",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("feature"),
+                            F.col(n).alias("bin"),
+                        )
+                        for n in ("quantity", "discount", "tax")
+                    ]
+                )
+            ).alias("fb"),
+        ).select(*extra, "y_cents", "fb.feature", "fb.bin")
+
+    def hist_pre(melted: DataFrame, keys: list[str]) -> DataFrame:
+        hist = melted.groupBy(*keys, "feature", "bin").agg(
+            F.sum("y_cents").cast("long").alias("gc"),
+            F.count(F.lit(1)).cast("long").alias("h"),
+        )
+        wp = Window.partitionBy(*keys, "feature").orderBy("bin")
+        wt = Window.partitionBy(*keys, "feature")
+        return hist.select(
+            *keys,
+            "feature",
+            "bin",
+            F.sum("gc").over(wp).cast("long").alias("gcl"),
+            F.sum("h").over(wp).cast("long").alias("hl"),
+            F.sum("gc").over(wt).cast("long").alias("gct"),
+            F.sum("h").over(wt).cast("long").alias("ht"),
+        )
+
+    pre = hist_pre(melt(li, []), [])
+    gl = F.col("gcl") / scale
+    gr = (F.col("gct") - F.col("gcl")) / scale
+    gt = F.col("gct") / scale
+    gains = pre.filter(F.col("hl") < F.col("ht")).select(
+        "feature",
+        "bin",
+        F.col("hl").alias("n_left"),
+        (F.col("ht") - F.col("hl")).alias("n_right"),
+        (
+            F.pow(gl, 2) / (F.col("hl") + lam)
+            + F.pow(gr, 2) / (F.col("ht") - F.col("hl") + lam)
+            - F.pow(gt, 2) / (F.col("ht") + lam)
+        ).alias("gain"),
+        (gl / (F.col("hl") + lam)).alias("w_left"),
+        (gr / (F.col("ht") - F.col("hl") + lam)).alias("w_right"),
+    )
+    wroot = Window.orderBy(F.desc("gain"), "feature", "bin")
+    root = (
+        gains.withColumn("rk", F.row_number().over(wroot))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    feat_bin = (
+        F.when(F.col("r_feature") == "quantity", F.col("quantity"))
+        .when(F.col("r_feature") == "discount", F.col("discount"))
+        .otherwise(F.col("tax"))
+    )
+    assigned = li.crossJoin(
+        F.broadcast(
+            root.select(
+                F.col("feature").alias("r_feature"),
+                F.col("bin").alias("r_bin"),
+                "w_left",
+                "w_right",
+            )
+        )
+    ).select(
+        "y_cents",
+        "quantity",
+        "discount",
+        "tax",
+        F.when(feat_bin <= F.col("r_bin"), F.lit("L"))
+        .otherwise(F.lit("R"))
+        .alias("node"),
+        F.when(feat_bin <= F.col("r_bin"), F.col("w_left"))
+        .otherwise(F.col("w_right"))
+        .alias("w_node"),
+    )
+    pre2 = hist_pre(melt(assigned, ["node", "w_node"]), ["node", "w_node"])
+    g2l = F.col("hl") * F.col("w_node") - F.col("gcl") / scale
+    g2r = (F.col("ht") - F.col("hl")) * F.col("w_node") - (
+        F.col("gct") - F.col("gcl")
+    ) / scale
+    g2t = F.col("ht") * F.col("w_node") - F.col("gct") / scale
+    gains2 = pre2.filter(F.col("hl") < F.col("ht")).select(
+        "node",
+        "feature",
+        "bin",
+        F.col("hl").alias("n_left"),
+        (F.col("ht") - F.col("hl")).alias("n_right"),
+        (
+            F.pow(g2l, 2) / (F.col("hl") + lam)
+            + F.pow(g2r, 2) / (F.col("ht") - F.col("hl") + lam)
+            - F.pow(g2t, 2) / (F.col("ht") + lam)
+        ).alias("gain"),
+    )
+    wnode = Window.partitionBy("node").orderBy(
+        F.desc("gain"), "feature", "bin"
+    )
+    best2 = (
+        gains2.withColumn("rk", F.row_number().over(wnode))
+        .filter(F.col("rk") == 1)
+        .select(
+            "node",
+            "feature",
+            F.col("bin").cast("long").alias("split_bin"),
+            "n_left",
+            "n_right",
+            "gain",
+            F.lit(None).cast("double").alias("w_left"),
+            F.lit(None).cast("double").alias("w_right"),
+        )
+    )
+    root_row = root.select(
+        F.lit("root").alias("node"),
+        "feature",
+        F.col("bin").cast("long").alias("split_bin"),
+        "n_left",
+        "n_right",
+        "gain",
+        F.round("w_left", 6).alias("w_left"),
+        F.round("w_right", 6).alias("w_right"),
+    )
+    return root_row.unionByName(best2).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# In-batch-negative packing (label-distinct contrastive batches)
+# ---------------------------------------------------------------------------
+
+_IBN_MIN = 8  # minimum batch size worth training on
+
+
+@query(
+    "dataset_inbatch_negative_packing",
+    oracle=f"""
+    WITH r AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+                 ORDER BY vec_id) AS batch_id
+      FROM embeddings
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS batch_size,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           (COUNT(*) = COUNT(DISTINCT label)) AS all_distinct,
+           (COUNT(*) >= {_IBN_MIN}) AS trainable,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+    FROM r GROUP BY batch_id ORDER BY batch_id
+    """,
+)
+def dataset_inbatch_negative_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[N] In-batch-negative batch construction: contrastive training
+    with in-batch negatives requires every example in a batch to
+    carry a DIFFERENT label (otherwise a "negative" is secretly a
+    positive and the loss is corrupted). The round-robin-by-label
+    assignment — item ranked r within its label goes to batch r —
+    guarantees label-distinctness BY CONSTRUCTION: a batch holds at
+    most one item per label. The audit emits per-batch size, distinct
+    labels, the all_distinct proof column, and the trainable flag
+    (batches shorter than {_IBN_MIN} waste step compute).
+
+    100 TB posture: ONE window per label (well-spread key, ranks are
+    per-label row_numbers — no global sort) + one grouped aggregate
+    over batch_id. The tail of small batches is the skew signature
+    of imbalanced labels — the same histogram ml_class_balance_weights
+    corrects; deterministic vec_id ordering makes batch membership
+    replayable across runs (data lineage for training batches)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    r = emb.withColumn("batch_id", F.row_number().over(w))
+    return (
+        r.groupBy(F.col("batch_id").cast("long").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("batch_size"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+            (F.count(F.lit(1)) == F.countDistinct("label")).alias(
+                "all_distinct"
+            ),
+            (F.count(F.lit(1)) >= _IBN_MIN).alias("trainable"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("batch_id")
+    )

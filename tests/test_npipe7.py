@@ -521,3 +521,102 @@ def test_bleu_matches_pure_python(spark, sf_dir):
     assert 0.0 < row["bleu2"] < 1.0
     assert row["prec2"] <= row["prec1"]  # higher order is harder
 
+
+
+# ---------------------------------------------------------------------------
+# ml_gbdt_boost_round2
+# ---------------------------------------------------------------------------
+
+
+def test_gbdt_round2_tree_consistency(spark, sf_dir):
+    """Root row matches round-1's winner; child splits cover the
+    node populations; every reported gain is recomputable."""
+    rows = {
+        r["node"]: r
+        for r in REGISTRY["ml_gbdt_boost_round2"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"root", "L", "R"}
+    r1 = {
+        r["feature"]: r
+        for r in REGISTRY["ml_gbdt_split_histogram"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    best1 = max(r1.values(), key=lambda r: r["gain"])
+    root = rows["root"]
+    assert (root["feature"], root["split_bin"]) == (
+        best1["feature"],
+        best1["split_bin"],
+    )
+    # children partition the root's two sides
+    assert (
+        rows["L"]["n_left"] + rows["L"]["n_right"] == root["n_left"]
+    )
+    assert (
+        rows["R"]["n_left"] + rows["R"]["n_right"] == root["n_right"]
+    )
+    # leaf weights only on the root row
+    assert root["w_left"] is not None and root["w_right"] is not None
+    assert rows["L"]["w_left"] is None and rows["R"]["w_left"] is None
+
+
+def test_gbdt_round2_residual_gain_numpy(spark, sf_dir):
+    """Node L's winning gain recomputed from raw residuals in numpy."""
+    import numpy as np
+
+    rows = {
+        r["node"]: r
+        for r in REGISTRY["ml_gbdt_boost_round2"].fn(spark, sf_dir).collect()
+    }
+    root = rows["root"]
+    pdf = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_extendedprice", "l_quantity", "l_discount", "l_tax"
+    ).toPandas()
+    y = np.floor(
+        pdf["l_extendedprice"].to_numpy()
+        * pdf["l_discount"].to_numpy()
+        * 100
+        + 0.5
+    ).astype(np.int64)
+    bins = {
+        "quantity": pdf["l_quantity"].to_numpy().astype(np.int64),
+        "discount": np.round(pdf["l_discount"].to_numpy() * 100).astype(
+            np.int64
+        ),
+        "tax": np.round(pdf["l_tax"].to_numpy() * 100).astype(np.int64),
+    }
+    lam, scale = 1.0, 100000.0
+    left = bins[root["feature"]] <= root["split_bin"]
+    w_node = (y[left].sum() / scale) / (left.sum() + lam)
+    assert abs(w_node - root["w_left"]) < 1e-5
+    # residual gradient g2 = w_node - y on node L; best split there
+    yl = y[left]
+    bl = bins[rows["L"]["feature"]][left]
+    s = rows["L"]["split_bin"]
+    sl, sr = bl <= s, bl > s
+    g2 = lambda m: m.sum() * w_node - y[left][m].sum() / scale
+    gain = (
+        g2(sl) ** 2 / (sl.sum() + lam)
+        + g2(sr) ** 2 / (sr.sum() + lam)
+        - g2(np.ones_like(sl, bool)) ** 2 / (len(yl) + lam)
+    )
+    assert abs(rows["L"]["gain"] - gain) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# dataset_inbatch_negative_packing
+# ---------------------------------------------------------------------------
+
+
+def test_inbatch_packing_label_distinct(spark, sf_dir):
+    rows = (
+        REGISTRY["dataset_inbatch_negative_packing"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["batch_size"] for r in rows) == n
+    assert all(r["all_distinct"] for r in rows)  # the construction proof
+    # batch sizes non-increasing in batch_id (round-robin property)
+    sizes = [r["batch_size"] for r in sorted(rows, key=lambda r: r["batch_id"])]
+    assert sizes == sorted(sizes, reverse=True)
