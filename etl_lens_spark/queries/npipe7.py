@@ -1427,3 +1427,122 @@ def dataset_inbatch_negative_packing(
         )
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste audit
+# ---------------------------------------------------------------------------
+
+_LB_BATCH = 32  # sequences per training batch
+
+
+@query(
+    "pack_length_bucket_padding",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+',
+                 ' ', 'g')), ' ')) AS n_tokens
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(POWER(2, CEIL(ln(n_tokens) / ln(2))) AS BIGINT)
+               AS bucket_len
+      FROM d
+    ),
+    naive AS (
+      SELECT MAX(n_tokens) AS max_len,
+             CAST(SUM(n_tokens) AS BIGINT) AS toks,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d
+    ),
+    per_bucket AS (
+      SELECT bucket_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(CEIL(COUNT(*) / {_LB_BATCH}.0) AS BIGINT) AS n_batches,
+             CAST(COUNT(*) * bucket_len - SUM(n_tokens) AS BIGINT)
+               AS padding_tokens,
+             1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                 / (COUNT(*) * bucket_len) AS padding_frac,
+             1.0 - (CAST((SELECT toks FROM naive) AS DOUBLE)
+                    / ((SELECT n FROM naive)
+                       * (SELECT max_len FROM naive)))
+               AS naive_padding_frac
+      FROM b GROUP BY bucket_len
+    )
+    SELECT bucket_len, n_docs, n_tokens, n_batches, padding_tokens,
+           round(padding_frac, 6) AS padding_frac,
+           round(naive_padding_frac, 6) AS naive_padding_frac
+    FROM per_bucket ORDER BY bucket_len
+    """,
+)
+def pack_length_bucket_padding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[N] Length-bucketed batching audit (HF group_by_length /
+    bucketed bucketing): sequences go to power-of-two length buckets,
+    every batch pads to its bucket length instead of the corpus max —
+    the table reports per-bucket doc/token/batch counts, padding
+    tokens and padding fraction, with the NAIVE (pad-everything-to-
+    global-max) fraction alongside, so the compute saved by bucketing
+    is directly readable (padding tokens are wasted FLOPs at training
+    time — at 100 TB this is the difference between paying for real
+    tokens and paying ~2-5× for padding).
+
+    One map-side-combined aggregate per bucket off the token-count
+    projection; the naive baseline is a 1-row aggregate folded in as
+    a scalar. Deterministic: bucket = 2^⌈log₂ len⌉ in exact integer
+    arithmetic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    d = docs.filter(norm != "").select(
+        "doc_id", F.size(F.split(norm, " ")).alias("n_tokens")
+    )
+    b = d.withColumn(
+        "bucket_len",
+        F.pow(
+            F.lit(2.0), F.ceil(F.log(F.col("n_tokens")) / F.log(F.lit(2.0)))
+        ).cast("long"),
+    )
+    naive = d.agg(
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("toks"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    per = (
+        b.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(_LB_BATCH)))
+            .cast("long")
+            .alias("n_batches"),
+            (F.count(F.lit(1)) * F.first("bucket_len") - F.sum("n_tokens"))
+            .cast("long")
+            .alias("padding_tokens"),
+            (
+                F.lit(1.0)
+                - F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.first("bucket_len"))
+            ).alias("padding_frac"),
+        )
+        .crossJoin(F.broadcast(naive))
+        .select(
+            "bucket_len",
+            "n_docs",
+            "n_tokens",
+            "n_batches",
+            "padding_tokens",
+            F.round("padding_frac", 6).alias("padding_frac"),
+            F.round(
+                F.lit(1.0)
+                - F.col("toks").cast("double")
+                / (F.col("n") * F.col("max_len")),
+                6,
+            ).alias("naive_padding_frac"),
+        )
+    )
+    return per.orderBy("bucket_len")

@@ -620,3 +620,45 @@ def test_inbatch_packing_label_distinct(spark, sf_dir):
     # batch sizes non-increasing in batch_id (round-robin property)
     sizes = [r["batch_size"] for r in sorted(rows, key=lambda r: r["batch_id"])]
     assert sizes == sorted(sizes, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# pack_length_bucket_padding
+# ---------------------------------------------------------------------------
+
+
+def test_length_bucket_padding_accounting(spark, sf_dir):
+    rows = (
+        REGISTRY["pack_length_bucket_padding"].fn(spark, sf_dir).collect()
+    )
+    import math
+
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = SF.trim(
+        SF.regexp_replace(SF.lower(SF.col("text")), r"\s+", " ")
+    )
+    d = [
+        r["n"]
+        for r in docs.filter(norm != "")
+        .select(SF.size(SF.split(norm, " ")).alias("n"))
+        .collect()
+    ]
+    assert sum(r["n_docs"] for r in rows) == len(d)
+    assert sum(r["n_tokens"] for r in rows) == sum(d)
+    naive = 1.0 - sum(d) / (len(d) * max(d))
+    for r in rows:
+        # bucket is the enclosing power of two
+        assert r["bucket_len"] == 2 ** math.ceil(
+            math.log2(r["bucket_len"])
+        )
+        assert 0.0 <= r["padding_frac"] < 1.0
+        # bucketing must beat padding-to-global-max in every bucket
+        assert r["padding_frac"] <= r["naive_padding_frac"] + 1e-9
+        assert abs(r["naive_padding_frac"] - naive) < 1e-6
+        # exact token accounting
+        assert (
+            r["padding_tokens"]
+            == r["n_docs"] * r["bucket_len"] - r["n_tokens"]
+        )
