@@ -1546,3 +1546,64 @@ def pack_length_bucket_padding(
         )
     )
     return per.orderBy("bucket_len")
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (deterministic mergeable summary)
+# ---------------------------------------------------------------------------
+
+_MG_K = 16
+
+
+@query("sketch_mg_heavy_hitters")
+def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Misra–Gries heavy hitters over event types — the
+    DETERMINISTIC member of the frequency-sketch family (CMS, its
+    probabilistic sibling, is cms_heavy_hitters): k−1 counters per
+    partition, then the Agarwal et al. mergeable-summaries combine
+    (counter sum, subtract the k-th largest, keep positives). Output:
+    the surviving candidates with their MG counts AND their exact
+    counts side by side, plus the guarantee columns (n/k bound, the
+    undercount, and the in-bound proof flag).
+
+    Rows-only BY DESIGN — summary membership depends on partitioning
+    (which ties get decremented), the same honest contract as the GK
+    live quantiles; the testable invariants are MG's theorems:
+    0 ≤ exact − ĉ ≤ n/k for every survivor, and every item with
+    exact > n/k present. Both are pinned in tests/test_mg.py and
+    emitted as columns so the driver's rows-check sees them too.
+
+    100 TB posture: one pass, O(k) state per task, raw items never
+    shuffle (only ≤ P·(k−1) partial rows move); the exact join-back
+    here is the demonstration anchor — at scale the summary IS the
+    answer, or pre-filters an exact count of just the candidates."""
+    from etl_lens_spark.operators.mg import mg_summarize
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("item")
+    )
+    sk = mg_summarize(events, "item", k=_MG_K)
+    exact = events.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    n = events.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        sk.join(exact, "item")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "mg_count",
+            "exact",
+            "n",
+            (F.col("n") / F.lit(_MG_K)).alias("bound"),
+            (F.col("exact") - F.col("mg_count")).alias("undercount"),
+            (
+                (F.col("exact") >= F.col("mg_count"))
+                & (
+                    (F.col("exact") - F.col("mg_count"))
+                    <= F.col("n") / F.lit(_MG_K)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("mg_count"), "item")
+    )
