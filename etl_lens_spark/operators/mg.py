@@ -62,11 +62,19 @@ def mg_summarize(
     partials = df.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
         per_partition, schema="item string, partial long"
     )
+    return mg_merge_partials(partials, k)
+
+
+def mg_merge_partials(partials: DataFrame, k: int) -> DataFrame:
+    """Agarwal et al. mergeable-summaries combine over (item, partial)
+    rows from any number of MG summaries: sum counters item-wise,
+    subtract the k-th largest combined counter (0 if fewer than k
+    items), keep positives. Runs relationally over the tiny partials
+    frame (≤ summaries·(k−1) rows); the rank window rides that
+    reduced frame, not data."""
     summed = partials.groupBy("item").agg(
         F.sum("partial").cast("long").alias("c")
     )
-    # merge rule: subtract the k-th largest combined counter (0 if
-    # fewer than k items) from every counter, keep positives
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("c"), "item")

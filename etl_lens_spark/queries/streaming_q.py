@@ -1748,3 +1748,64 @@ def streaming_gk_quantiles_live(
         )
         .orderBy("event_type")
     )
+
+
+@query("streaming_mg_heavy_live")
+def streaming_mg_heavy_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sharded Misra–Gries heavy hitters (stream_ops.
+    mg_heavy_stateful): 4 user-hash shards each maintain a k−1-counter
+    MG summary over the event-type stream; the reader applies the
+    Agarwal-et-al. mergeable combine (operators/mg.mg_merge_partials)
+    across the final per-shard summaries — the fifth live sketch, and
+    the deterministic-frequency twin of streaming_cms_sketch_live
+    exactly as the batch pair (sketch_mg_heavy_hitters vs
+    cms_heavy_hitters). Final state per shard selected by the
+    monotone events-seen counter; exact counts and the ≤ n/k
+    undercount theorem ride along as proof columns.
+
+    Rows-only BY DESIGN (summary membership depends on arrival
+    order — the GK contract); the bound columns are asserted in
+    tests/test_mg.py. State: ≤ k−1 counters + one long per shard."""
+    from etl_lens_spark.operators.mg import mg_merge_partials
+
+    # k chosen so the 5-type stream actually exercises the sketch:
+    # 4 counters force decrements (real undercounts) while every
+    # type with exact > n/5 = 2000 is THEOREM-guaranteed to survive
+    k = 5
+    stream = so.mg_heavy_stateful(so.events_stream(spark, sf_dir), k=k)
+    out = so.run_to_memory(stream, "q_stream_mg", output_mode="update")
+    from pyspark.sql import Window as _W
+
+    wmax = _W.partitionBy("shard")
+    final = (
+        out.withColumn("n_max", F.max("n_seen").over(wmax))
+        .filter(F.col("n_seen") == F.col("n_max"))
+        .select("item", F.col("partial").cast("long").alias("partial"))
+    )
+    merged = mg_merge_partials(final, k)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    n = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        merged.join(exact, "item")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item",
+            "mg_count",
+            "exact",
+            "n",
+            (F.col("n") / F.lit(k)).alias("bound"),
+            (
+                (F.col("exact") >= F.col("mg_count"))
+                & (
+                    (F.col("exact") - F.col("mg_count"))
+                    <= F.col("n") / F.lit(k)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy(F.desc("mg_count"), "item")
+    )

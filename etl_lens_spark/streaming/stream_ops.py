@@ -1375,3 +1375,66 @@ def gk_quantiles_stateful(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+MG_OUTPUT = "shard long, item string, partial long, n_seen long"
+MG_STATE = "items array<string>, counts array<long>, n long"
+
+
+def mg_heavy_stateful(
+    events: DataFrame, k: int = 8, n_shards: int = 4
+) -> DataFrame:
+    """Live Misra–Gries heavy hitters, sharded: each of ``n_shards``
+    keys maintains its own k−1-counter MG summary over the event_type
+    stream (operators/mg.py as a STREAMING state machine). Emits the
+    full per-shard summary each update so the reader can apply the
+    mergeable-summaries combine (mg.mg_merge_partials) across shards
+    — per-shard error ≤ n_shard/k and the merge preserves ≤ n/k over
+    the union, the Agarwal et al. result that makes MG shardable at
+    all.
+
+    State per key: ≤ k−1 (item, count) pairs + the monotone n —
+    bytes, regardless of stream length. Like GK (and unlike the
+    lossless KMV/bitmap live twins), summary CONTENTS depend on
+    arrival order, so the registry records rows-only; the theorem
+    columns are the contract (tests/test_mg.py)."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            items, counts, n = state.get
+            c = dict(zip(list(items), [int(x) for x in counts]))
+        else:
+            c, n = {}, 0
+        for pdf in pdf_iter:
+            for item in pdf["item"].dropna():
+                n += 1
+                if item in c:
+                    c[item] += 1
+                elif len(c) < k - 1:
+                    c[item] = 1
+                else:
+                    c = {i: v - 1 for i, v in c.items() if v > 1}
+        state.update((list(c), list(c.values()), n))
+        if not c:
+            return
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(c),
+                "item": list(c),
+                "partial": list(c.values()),
+                "n_seen": [n] * len(c),
+            }
+        )
+
+    keyed = events.select(
+        (F.col("user_id") % n_shards).alias("shard"),
+        F.col("event_type").alias("item"),
+    ).filter(F.col("shard").isNotNull())
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=MG_OUTPUT,
+        stateStructType=MG_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -53,3 +53,29 @@ def test_mg_skewed_stream_keeps_the_giant(spark):
     sk = {r["item"]: r["mg_count"] for r in mg_summarize(df, "item", k=10).collect()}
     assert "big" in sk
     assert 600 - 1000 / 10 <= sk["big"] <= 600
+
+
+def test_streaming_mg_live_theorems(spark, sf_dir):
+    """The live sharded summary obeys both MG theorems after the
+    cross-shard merge: bounded undercount, and no guaranteed-heavy
+    type missed."""
+    rows = (
+        REGISTRY["streaming_mg_heavy_live"].fn(spark, sf_dir).collect()
+    )
+    assert rows and all(r["within_bound"] for r in rows)
+    n = rows[0]["n"]
+    k = 5
+    got = {r["item"] for r in rows}
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("user_id IS NOT NULL")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    for r in exact:
+        if r["count"] > n / k:
+            assert r["event_type"] in got, "missed a guaranteed heavy"
+    # with 4 counters over 5 types, decrements must actually fire:
+    # at least one survivor is undercounted
+    assert any(r["mg_count"] < r["exact"] for r in rows)
