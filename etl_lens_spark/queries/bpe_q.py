@@ -298,16 +298,20 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def wordpiece_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def wordpiece_segment_words(
+    spark: SparkSession, sf_dir: str, wf: DataFrame | None = None
+) -> DataFrame:
     """Per-distinct-word WordPiece greedy segmentation over the corpus
     vocab (words ≤ _WP_MAXW chars): returns (word, freq, pos, toks, n)
     with pos == len(word)+1 ⇔ fully segmented. Shared by the
     oracle-checked text_wordpiece_tokenize and the tokenizer-fertility
-    comparison (npipe7)."""
+    comparison (npipe7) — pass a pre-built, pre-filtered (word, freq)
+    frame via ``wf`` to skip the corpus re-scan."""
     from etl_lens_spark.operators.fixpoint import iterate_fixpoint
 
-    docs = load_table(spark, sf_dir, "documents")
-    wf = bpe.word_freqs(docs).filter(F.length("word") <= _WP_MAXW)
+    if wf is None:
+        docs = load_table(spark, sf_dir, "documents")
+        wf = bpe.word_freqs(docs).filter(F.length("word") <= _WP_MAXW)
     pos = wf.select(
         "word",
         "freq",

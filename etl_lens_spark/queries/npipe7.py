@@ -305,7 +305,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni_pw = unigram.viterbi_encode(wf, vocab_rows).select(
         "word", "freq", F.col("n_pieces").alias("n_tokens")
     )
-    wp_pw = wordpiece_segment_words(spark, sf_dir).select(
+    wp_pw = wordpiece_segment_words(spark, sf_dir, wf=wf).select(
         "word", "freq", F.col("n").alias("n_tokens")
     )
     out = (
@@ -543,7 +543,7 @@ def dataset_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "difficulty",
         F.col("n_word_chars").cast("double") / F.col("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)  # branched into rank + count below
     from etl_lens_spark.operators.prefix import ordered_global_rank
 
     ranked = ordered_global_rank(
@@ -1021,9 +1021,16 @@ def text_bleu_ngram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     def grams(col: str, n: int) -> F.Column:
         if n == 1:
             return F.col(col)
-        return F.expr(
-            f"transform(sequence(1, size({col}) - 1), "
-            f"__i -> concat({col}[__i - 1], ' ', {col}[__i]))"
+        # guard: sequence(1, 0) DESCENDS in Spark, so a one-word doc
+        # would index wl[1]/wl[-1] (ANSI error / null grams) — emit
+        # the empty array instead, matching DuckDB's empty range(1,1)
+        return F.when(
+            F.size(col) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.expr(
+                f"transform(sequence(1, size({col}) - 1), "
+                f"__i -> concat({col}[__i - 1], ' ', {col}[__i]))"
+            )
         )
 
     def counts(col: str, n: int) -> DataFrame:

@@ -798,6 +798,47 @@ def _lr_oracle() -> str:
     """
 
 
+
+
+def _lr_feat(docs, *extra_cols):
+    """The shared feature projection of the quality-filter family:
+    y = [lang='en'], bias, and the three length/token-shape features.
+    One definition — ml_logreg_quality, ml_logreg_score_filter, and
+    ml_active_learning_batch must train the IDENTICAL chain."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    return docs.select(
+        *extra_cols,
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(toks) / F.lit(50.0)).alias("x2"),
+        (F.col("n_chars") / (F.size(toks) * F.lit(10.0))).alias("x3"),
+    )
+
+
+def _lr_z(w, prefix=""):
+    return sum(
+        (F.lit(w[j]) * F.col(f"{prefix}x{j}") for j in range(1, 4)),
+        F.lit(w[0]) * F.col(f"{prefix}x0"),
+    )
+
+
+def _lr_train(feat):
+    """Batch-GD training loop (3 epochs, lr=1.0, zero init, weights
+    rounded to 6 decimals per epoch — the cross-engine contract the
+    oracle replays). Ships d=4 partial sums per partition per epoch."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w)))
+        grads = feat.agg(
+            *[F.avg((p - F.col("y")) * F.col(f"x{j}")) for j in range(4)]
+        ).first()
+        w = [round(w[j] - _LR_ETA * grads[j], 6) for j in range(4)]
+    return w
+
+
 @query("ml_logreg_quality", oracle=_lr_oracle())
 def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression training (batch GD, 3 epochs,
@@ -805,33 +846,9 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     features, plus final train loss/accuracy. Per iteration the
     cluster ships exactly d=4 partial sums per partition; the weight
     update is O(d) driver arithmetic — row-count independent."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-    )
-    feat = docs.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (F.col("n_chars") / 500.0).alias("x1"),
-        (F.size(toks) / F.lit(50.0)).alias("x2"),
-        (F.col("n_chars") / (F.size(toks) * F.lit(10.0))).alias("x3"),
-    )
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(_LR_ITERS):
-        z = sum(
-            (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
-            F.lit(w[0]) * F.col("x0"),
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        grads = feat.agg(
-            *[F.avg((p - F.col("y")) * F.col(f"x{j}")) for j in range(4)]
-        ).first()
-        w = [round(w[j] - _LR_ETA * grads[j], 6) for j in range(4)]
-    z = sum(
-        (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
-        F.lit(w[0]) * F.col("x0"),
-    )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    feat = _lr_feat(load_table(spark, sf_dir, "documents"))
+    w = _lr_train(feat)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w)))
     pred = F.when(p >= 0.5, 1.0).otherwise(0.0)
     return feat.agg(
         *[F.lit(w[j]).alias(f"b{j}") for j in range(4)],
@@ -879,34 +896,9 @@ def ml_logreg_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     document with the 3-epoch weights and emit the keep decision —
     one broadcast of d=4 literals into a row-local expression, the
     filter pass that runs over the full 100 TB corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-    )
-    feat = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (F.col("n_chars") / 500.0).alias("x1"),
-        (F.size(toks) / F.lit(50.0)).alias("x2"),
-        (F.col("n_chars") / (F.size(toks) * F.lit(10.0))).alias("x3"),
-    )
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(_LR_ITERS):
-        z = sum(
-            (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
-            F.lit(w[0]) * F.col("x0"),
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        grads = feat.agg(
-            *[F.avg((p - F.col("y")) * F.col(f"x{j}")) for j in range(4)]
-        ).first()
-        w = [round(w[j] - _LR_ETA * grads[j], 6) for j in range(4)]
-    z = sum(
-        (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
-        F.lit(w[0]) * F.col("x0"),
-    )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    feat = _lr_feat(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = _lr_train(feat)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w)))
     return feat.select(
         "doc_id",
         F.round(p, 6).alias("score"),
@@ -1824,34 +1816,9 @@ def ml_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncertainty compiles to WindowGroupLimit, so each task forwards
     k rows and the corpus never sorts globally. The oracle replays
     the identical training recurrence and selection."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
-    )
-    feat = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (F.col("n_chars") / 500.0).alias("x1"),
-        (F.size(toks) / F.lit(50.0)).alias("x2"),
-        (F.col("n_chars") / (F.size(toks) * F.lit(10.0))).alias("x3"),
-    )
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(_LR_ITERS):
-        z = sum(
-            (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
-            F.lit(w[0]) * F.col("x0"),
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        grads = feat.agg(
-            *[F.avg((p - F.col("y")) * F.col(f"x{j}")) for j in range(4)]
-        ).first()
-        w = [round(w[j] - _LR_ETA * grads[j], 6) for j in range(4)]
-    z = sum(
-        (F.lit(w[j]) * F.col(f"x{j}") for j in range(1, 4)),
-        F.lit(w[0]) * F.col("x0"),
-    )
-    p_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    feat = _lr_feat(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = _lr_train(feat)
+    p_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w)))
     score = F.round(p_raw, 6)
     from pyspark.sql import Window as _W
 

@@ -1760,7 +1760,8 @@ def streaming_mg_heavy_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic-frequency twin of streaming_cms_sketch_live
     exactly as the batch pair (sketch_mg_heavy_hitters vs
     cms_heavy_hitters). Final state per shard selected by the
-    monotone events-seen counter; exact counts and the ≤ n/k
+    monotone emission sequence (n_seen can tie across updates — an
+    all-null batch re-emits unchanged — so it is not a selector); exact counts and the ≤ n/k
     undercount theorem ride along as proof columns.
 
     Rows-only BY DESIGN (summary membership depends on arrival
@@ -1778,8 +1779,8 @@ def streaming_mg_heavy_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wmax = _W.partitionBy("shard")
     final = (
-        out.withColumn("n_max", F.max("n_seen").over(wmax))
-        .filter(F.col("n_seen") == F.col("n_max"))
+        out.withColumn("s_max", F.max("emit_seq").over(wmax))
+        .filter(F.col("emit_seq") == F.col("s_max"))
         .select("item", F.col("partial").cast("long").alias("partial"))
     )
     merged = mg_merge_partials(final, k)

@@ -1346,10 +1346,18 @@ def gk_quantiles_stateful(
             vs, gs, ds = list(vs_t), list(gs_t), list(ds_t)
         else:
             vs, gs, ds, n = [], [], [], 0
+        period = max(1, int(1.0 / (2.0 * eps)))
         for pdf in pdf_iter:
             for v in pdf["value"].dropna():
                 _insert(vs, gs, ds, n, float(v))
                 n += 1
+                # the paper's schedule: compress every ⌊1/(2ε)⌋
+                # inserts — bounds LIVE summary size (and thus each
+                # O(size) list insert) at O((1/ε)·log(εn)) even
+                # inside a huge micro-batch, not just the persisted
+                # state between batches
+                if n % period == 0:
+                    _compress(vs, gs, ds, n)
             _compress(vs, gs, ds, n)
         state.update((vs, gs, ds, n))
         if n == 0:
@@ -1377,8 +1385,10 @@ def gk_quantiles_stateful(
     )
 
 
-MG_OUTPUT = "shard long, item string, partial long, n_seen long"
-MG_STATE = "items array<string>, counts array<long>, n long"
+MG_OUTPUT = (
+    "shard long, item string, partial long, n_seen long, emit_seq long"
+)
+MG_STATE = "items array<string>, counts array<long>, n long, seq long"
 
 
 def mg_heavy_stateful(
@@ -1402,10 +1412,10 @@ def mg_heavy_stateful(
 
     def update(key, pdf_iter, state):
         if state.exists:
-            items, counts, n = state.get
+            items, counts, n, seq = state.get
             c = dict(zip(list(items), [int(x) for x in counts]))
         else:
-            c, n = {}, 0
+            c, n, seq = {}, 0, 0
         for pdf in pdf_iter:
             for item in pdf["item"].dropna():
                 n += 1
@@ -1415,7 +1425,9 @@ def mg_heavy_stateful(
                     c[item] = 1
                 else:
                     c = {i: v - 1 for i, v in c.items() if v > 1}
-        state.update((list(c), list(c.values()), n))
+        seq += 1  # monotone per update — n_seen alone can tie (e.g.
+        # an all-null batch re-emits the prior summary unchanged)
+        state.update((list(c), list(c.values()), n, seq))
         if not c:
             return
         yield pd.DataFrame(
@@ -1424,6 +1436,7 @@ def mg_heavy_stateful(
                 "item": list(c),
                 "partial": list(c.values()),
                 "n_seen": [n] * len(c),
+                "emit_seq": [seq] * len(c),
             }
         )
 
