@@ -662,3 +662,34 @@ def test_length_bucket_padding_accounting(spark, sf_dir):
             r["padding_tokens"]
             == r["n_docs"] * r["bucket_len"] - r["n_tokens"]
         )
+
+
+def test_bleu_survives_one_word_docs(spark, tmp_path):
+    """Regression: Spark's sequence(1, 0) DESCENDS, so a one-word doc
+    used to index wl[1]/wl[-1] in the bigram transform (ANSI error).
+    The guard emits an empty bigram array instead — matching DuckDB's
+    empty range(1, 1)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["hello", "hello world", "a b c", "a"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [5, 11, 5, 1],
+        }
+    )
+    d = str(tmp_path / "bleu_fixture")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    row = REGISTRY["text_bleu_ngram_eval"].fn(spark, d).collect()[0]
+    # pair (0,1): cand "hello" (1 word, no bigrams) vs ref "hello world"
+    # pair (2,3): cand "a b c" vs ref "a"
+    assert row["n_pairs"] == 2
+    assert row["cand_len"] == 4 and row["ref_len"] == 3
+    # unigram clips: hello→1 of 1; a b c→1 of 3 ⇒ p1 = 2/4
+    assert abs(row["prec1"] - 0.5) < 1e-9
+    # bigrams: cand0 has none; cand2 has 2, ref3 none ⇒ p2 = 0/2 = 0
+    assert row["prec2"] == 0.0
