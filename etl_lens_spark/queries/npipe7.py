@@ -1614,3 +1614,295 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("mg_count"), "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier threshold sweep (precision/recall/F1 per cutoff)
+# ---------------------------------------------------------------------------
+
+_TS_CUTS = [i / 10.0 for i in range(1, 10)]  # 0.1 .. 0.9
+
+
+def _ts_sweep_oracle() -> str:
+    from etl_lens_spark.queries.quality_q import _LR_ITERS, _lr_oracle
+
+    base = _lr_oracle()
+    head = base[: base.rindex("SELECT")]
+    z = " + ".join(f"w.b{j} * f.x{j}" for j in range(4))
+    cuts = ", ".join(repr(t) for t in _TS_CUTS)
+    return f"""
+    {head}
+    , sc AS (
+        SELECT round(1.0/(1.0+exp(-({z}))), 6) AS score,
+               CAST(f.y AS BIGINT) AS y
+        FROM feat f CROSS JOIN w{_LR_ITERS} w
+    ),
+    sweep AS (
+        SELECT s.score, s.y, t.threshold
+        FROM sc s, LATERAL (SELECT CAST(unnest([{cuts}]) AS DOUBLE) AS threshold) t
+    ),
+    agg AS (
+        SELECT threshold,
+               CAST(SUM(CASE WHEN score >= threshold THEN y
+                             ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score >= threshold THEN 1 - y
+                             ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN score < threshold THEN y
+                             ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN score < threshold THEN 1 - y
+                             ELSE 0 END) AS BIGINT) AS tn
+        FROM sweep GROUP BY threshold
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           round(tp / GREATEST(tp + fp, 1), 6) AS precision,
+           round(tp / GREATEST(tp + fn, 1), 6) AS recall,
+           round(2 * (tp / GREATEST(tp + fp, 1))
+                   * (tp / GREATEST(tp + fn, 1))
+                 / GREATEST(tp / GREATEST(tp + fp, 1)
+                            + tp / GREATEST(tp + fn, 1), 1e-12),
+                 6) AS f1
+    FROM agg ORDER BY threshold
+    """
+
+
+@query("ml_threshold_sweep", oracle=_ts_sweep_oracle())
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Operating-point selection: the confusion matrix and
+    precision/recall/F1 of the trained quality filter at every
+    decision threshold 0.1..0.9 — the table that picks the deployed
+    cutoff (AUC ranks the model, THIS picks the operating point).
+    Rides the shared _lr_feat/_lr_train chain, so the scores are the
+    exact ones ml_logreg_score_filter ships; one scan computes all 9
+    thresholds simultaneously (threshold array explode over the
+    scored projection — a 9× map-side fan-out of 1-row-per-doc
+    aggregates, no rescans).
+
+    100 TB posture: scoring broadcasts 4 weight literals; the sweep
+    is one grouped aggregate keyed by the 9-value threshold column;
+    counts are exact BIGINTs, ratios derived once at the end."""
+    from etl_lens_spark.queries.quality_q import (
+        _lr_feat,
+        _lr_train,
+        _lr_z,
+    )
+
+    feat = _lr_feat(load_table(spark, sf_dir, "documents"))
+    w = _lr_train(feat)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(w)))
+    scored = feat.select(
+        F.round(p, 6).alias("score"), F.col("y").cast("long").alias("y")
+    )
+    sweep = scored.select(
+        "score",
+        "y",
+        F.explode(
+            F.array(*[F.lit(t) for t in _TS_CUTS])
+        ).alias("threshold"),
+    )
+    pred = (F.col("score") >= F.col("threshold")).cast("long")
+    agg = sweep.groupBy("threshold").agg(
+        F.sum(F.when(pred == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(pred == 1, 1 - F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(pred == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(pred == 0, 1 - F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            2 * prec * rec / F.greatest(prec + rec, F.lit(1e-12)), 6
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+
+
+# ---------------------------------------------------------------------------
+# Data-repetition budget (epochs per source under a token target)
+# ---------------------------------------------------------------------------
+
+_EP_BUDGET_X = 2.0  # train-token target as a multiple of corpus tokens
+_EP_ALPHA = 0.5  # temperature on source shares
+_EP_MAX_REP = 4.0  # repetition epochs before quality decays (rule of thumb)
+
+
+@query(
+    "mix_epoch_schedule",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(SUM(len(string_split(trim(regexp_replace(lower(text),
+                 '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS avail_tokens
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS corpus FROM d),
+    wts AS (
+      SELECT source, avail_tokens,
+             POWER(CAST(avail_tokens AS DOUBLE)
+                   / (SELECT corpus FROM tot), {_EP_ALPHA!r}) AS raw_w
+      FROM d
+    ),
+    norm AS (SELECT SUM(raw_w) AS z FROM wts)
+    SELECT source, avail_tokens,
+           round(raw_w / (SELECT z FROM norm), 6) AS mix_weight,
+           CAST(round({_EP_BUDGET_X!r} * (SELECT corpus FROM tot)
+                 * raw_w / (SELECT z FROM norm)) AS BIGINT)
+             AS requested_tokens,
+           round({_EP_BUDGET_X!r} * (SELECT corpus FROM tot)
+                 * raw_w / (SELECT z FROM norm) / avail_tokens, 6)
+             AS epochs,
+           ({_EP_BUDGET_X!r} * (SELECT corpus FROM tot)
+                 * raw_w / (SELECT z FROM norm) / avail_tokens
+            > {_EP_MAX_REP!r}) AS over_repeated
+    FROM wts ORDER BY source
+    """,
+)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Data-repetition budget: given a training-token target
+    ({_EP_BUDGET_X}× the corpus) and temperature-α={_EP_ALPHA} mixing
+    weights over sources, how many EPOCHS each source repeats before
+    the budget is met — the planning table behind "how many times can
+    we afford to see this data" (temperature up-weights small sources,
+    so THEY repeat first; sources past {_EP_MAX_REP} epochs get the
+    over_repeated flag the mixing design must resolve by lowering α
+    or the budget). Complements mix_temperature_alpha (the weights)
+    with the repetition consequence.
+
+    One token-count aggregate per source; everything downstream is
+    |sources|-row arithmetic. Exact-integer token counts; the only
+    doubles are the α-power and the final ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm_t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    d = (
+        docs.filter(norm_t != "")
+        .select("source", F.size(F.split(norm_t, " ")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("avail_tokens"))
+    )
+    tot = d.agg(F.sum("avail_tokens").cast("long").alias("corpus"))
+    wts = d.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tokens",
+        "corpus",
+        F.pow(
+            F.col("avail_tokens").cast("double") / F.col("corpus"),
+            F.lit(_EP_ALPHA),
+        ).alias("raw_w"),
+    )
+    z = wts.agg(F.sum("raw_w").alias("z"))
+    req = (
+        F.lit(_EP_BUDGET_X)
+        * F.col("corpus")
+        * F.col("raw_w")
+        / F.col("z")
+    )
+    return (
+        wts.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "avail_tokens",
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("mix_weight"),
+            F.round(req).cast("long").alias("requested_tokens"),
+            F.round(req / F.col("avail_tokens"), 6).alias("epochs"),
+            (req / F.col("avail_tokens") > _EP_MAX_REP).alias(
+                "over_repeated"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm QA (degenerate-vector audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_norm_outlier_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             sqrt(list_dot_product(
+               list_transform(embedding, __x -> CAST(__x AS DOUBLE)),
+               list_transform(embedding, __x -> CAST(__x AS DOUBLE))))
+               AS nrm
+      FROM embeddings
+    ),
+    cuts AS (
+      SELECT quantile_cont(nrm, 0.01) AS lo,
+             quantile_cont(nrm, 0.99) AS hi
+      FROM v
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm,
+           round(AVG(nrm), 6) AS mean_norm,
+           CAST(SUM(CASE WHEN nrm < (SELECT lo FROM cuts)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN nrm > (SELECT hi FROM cuts)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM v GROUP BY label ORDER BY label
+    """,
+)
+def emb_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Embedding-norm QA: per label, the L2-norm distribution of
+    the vectors plus counts outside the corpus-wide exact p01/p99
+    cutoffs — the degenerate-vector audit an embedding pipeline runs
+    before indexing (near-zero norms = failed encodes that poison
+    cosine math; exploded norms = numeric blowups; a label whose
+    norms cluster in a tail = an encoder/version skew signal).
+
+    Norms via the sequential-fold dot (bit-identical cross-engine);
+    cutpoints are one exact-percentile aggregate broadcast back over
+    the scan (the feature_winsorize shape — group-free here, and the
+    approx_percentile swap is the documented 100 TB path). Per-label
+    mean is an O(per-label-count) sum of O(1)-magnitude doubles —
+    orders below the 6-decimal horizon."""
+    from etl_lens_spark.similarity.knn import norm as _norm
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        _norm(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("nrm"),
+    )
+    cuts = v.agg(
+        F.percentile("nrm", F.lit(0.01)).alias("lo"),
+        F.percentile("nrm", F.lit(0.99)).alias("hi"),
+    )
+    return (
+        v.crossJoin(F.broadcast(cuts))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.sum(F.when(F.col("nrm") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("nrm") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .orderBy("label")
+    )

@@ -693,3 +693,63 @@ def test_bleu_survives_one_word_docs(spark, tmp_path):
     assert abs(row["prec1"] - 0.5) < 1e-9
     # bigrams: cand0 has none; cand2 has 2, ref3 none ⇒ p2 = 0/2 = 0
     assert row["prec2"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ml_threshold_sweep / mix_epoch_schedule / emb_norm_outlier_audit
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    rows = REGISTRY["ml_threshold_sweep"].fn(spark, sf_dir).collect()
+    assert [r["threshold"] for r in rows] == [
+        round(i / 10.0, 1) for i in range(1, 10)
+    ]
+    n = rows[0]["tp"] + rows[0]["fp"] + rows[0]["fn"] + rows[0]["tn"]
+    for r in rows:
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+    # raising the threshold can only shrink the predicted-positive set
+    pos = [r["tp"] + r["fp"] for r in rows]
+    assert pos == sorted(pos, reverse=True)
+    # recall is non-increasing in threshold
+    rec = [r["recall"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(rec, rec[1:]))
+
+
+def test_epoch_schedule_budget_accounting(spark, sf_dir):
+    from etl_lens_spark.queries.npipe7 import _EP_BUDGET_X
+
+    rows = REGISTRY["mix_epoch_schedule"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-5
+    corpus = sum(r["avail_tokens"] for r in rows)
+    requested = sum(r["requested_tokens"] for r in rows)
+    assert abs(requested - _EP_BUDGET_X * corpus) <= len(rows)
+    # temperature < 1 up-weights small sources: the smallest source
+    # must repeat at least as much as the largest
+    rows_by_size = sorted(rows, key=lambda r: r["avail_tokens"])
+    assert rows_by_size[0]["epochs"] >= rows_by_size[-1]["epochs"] - 1e-9
+    for r in rows:
+        # requested_tokens is rounded to an integer, epochs is not —
+        # they agree within half a token over the source size
+        assert abs(
+            r["epochs"] - r["requested_tokens"] / r["avail_tokens"]
+        ) <= 0.5 / r["avail_tokens"] + 1e-6
+
+
+def test_norm_audit_numpy(spark, sf_dir):
+    import numpy as np
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    nrm = np.linalg.norm(X, axis=1)
+    rows = REGISTRY["emb_norm_outlier_audit"].fn(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == len(nrm)
+    assert abs(min(r["min_norm"] for r in rows) - nrm.min()) < 1e-5
+    assert abs(max(r["max_norm"] for r in rows) - nrm.max()) < 1e-5
+    # p01/p99 cutoffs flag ~2% of the corpus in total
+    flagged = sum(r["n_low"] + r["n_high"] for r in rows)
+    assert 0 < flagged <= max(4, int(0.03 * len(nrm)) + 2)
