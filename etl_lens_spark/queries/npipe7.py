@@ -1906,3 +1906,203 @@ def emb_norm_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bot-traffic detection (behavioral-log QA before training)
+# ---------------------------------------------------------------------------
+
+_BOT_MIN_EVENTS = 12  # below this, rate/regularity stats are noise
+_BOT_RATE_S = 3600.0  # flag: sustained < 1 event per this many seconds
+_BOT_CV = 0.35  # flag: inter-arrival coefficient of variation below
+
+
+@query(
+    "events_bot_detection_heuristics",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    gaps AS (
+      SELECT user_id, us,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+               AS gap_us
+      FROM e
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             (MAX(us) - MIN(us)) / 1000000.0 AS span_s,
+             AVG(gap_us) / 1000000.0 AS mean_gap_s,
+             CASE WHEN AVG(gap_us) > 0
+                  THEN sqrt(GREATEST(var_pop(gap_us), 0.0)) / AVG(gap_us)
+                  ELSE 0.0 END AS gap_cv
+      FROM gaps GROUP BY user_id
+      HAVING COUNT(*) >= {_BOT_MIN_EVENTS}
+    )
+    SELECT user_id, n_events,
+           round(span_s, 6) AS span_s,
+           round(mean_gap_s, 6) AS mean_gap_s,
+           round(gap_cv, 6) AS gap_cv,
+           (mean_gap_s < {_BOT_RATE_S!r}) AS fast,
+           (gap_cv < {_BOT_CV!r}) AS regular,
+           (mean_gap_s < {_BOT_RATE_S!r} AND gap_cv < {_BOT_CV!r})
+             AS bot_flag
+    FROM per_user
+    ORDER BY gap_cv, user_id
+    LIMIT 50
+    """,
+)
+def events_bot_detection_heuristics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[N] Bot-traffic heuristics over the event log — the behavioral
+    data-curation gate (bot sessions poison engagement-trained
+    models the way boilerplate poisons text corpora): per user with
+    ≥ {_BOT_MIN_EVENTS} events, the sustained event rate and the
+    inter-arrival coefficient of variation. Humans are bursty
+    (CV ≳ 1, Poisson-ish); schedulers are metronomes (CV → 0) —
+    the classic signature. Flags: fast (mean gap below
+    {_BOT_RATE_S:.0f} s), regular (CV < {_BOT_CV}), bot = both. Top
+    50 most-regular users (deterministic ties).
+
+    One shuffle on user_id feeds the lag window AND the per-user
+    aggregate; var_pop (stable, both engines) avoids the
+    E[x²]−E[x]² cancellation on µs-scale gap values — the
+    ts_seasonal_strength lesson. WindowGroupLimit caps the top-50."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("us"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = e.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            ((F.max("us") - F.min("us")) / 1e6).alias("span_s"),
+            (F.avg("gap_us") / 1e6).alias("mean_gap_s"),
+            F.when(
+                F.avg("gap_us") > 0,
+                F.sqrt(F.greatest(F.var_pop("gap_us"), F.lit(0.0)))
+                / F.avg("gap_us"),
+            )
+            .otherwise(0.0)
+            .alias("gap_cv"),
+        )
+        .filter(F.col("n_events") >= _BOT_MIN_EVENTS)
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            F.round("span_s", 6).alias("span_s"),
+            F.round("mean_gap_s", 6).alias("mean_gap_s"),
+            F.round("gap_cv", 6).alias("gap_cv"),
+            (F.col("mean_gap_s") < _BOT_RATE_S).alias("fast"),
+            (F.col("gap_cv") < _BOT_CV).alias("regular"),
+            (
+                (F.col("mean_gap_s") < _BOT_RATE_S)
+                & (F.col("gap_cv") < _BOT_CV)
+            ).alias("bot_flag"),
+        )
+        .orderBy("gap_cv", "user_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Popularity-bias audit: Gini over item interaction counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "reco_gini_popularity",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, item) AS rk
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM ranked
+    )
+    SELECT t.n AS n_items, t.s AS n_interactions,
+           round((2.0 * SUM(CAST(r.rk AS DOUBLE) * r.c) / (t.n * t.s))
+                 - (CAST(t.n AS DOUBLE) + 1) / t.n, 6) AS gini,
+           CAST(SUM(CASE WHEN r.rk > t.n - CAST(ceil(t.n * 0.1)
+                          AS BIGINT) THEN r.c ELSE 0 END) AS BIGINT)
+             AS top_decile_interactions,
+           round(SUM(CASE WHEN r.rk > t.n - CAST(ceil(t.n * 0.1)
+                          AS BIGINT) THEN r.c ELSE 0 END)
+                 / CAST(t.s AS DOUBLE), 6) AS top_decile_share
+    FROM ranked r, tot t
+    GROUP BY t.n, t.s
+    """,
+)
+def reco_gini_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N] Popularity-bias audit: the Gini coefficient of item
+    interaction counts (lineitem per part) plus the top-decile
+    interaction share — the one-row fairness dashboard behind "is the
+    recommender/training corpus dominated by its head?" Gini from the
+    rank identity G = 2·Σ(rank·c)/(n·Σc) − (n+1)/n over counts sorted
+    ascending with deterministic item tie-break.
+
+    The global rank comes from operators/prefix.ordered_global_rank
+    (range partition + local row_number + broadcast triangular
+    offsets) — NO single-reducer window, same machinery as
+    exact_quantiles_distributed, so the Lorenz rank scales to
+    billions of items. Σ(rank·c) is a BIGINT-exact sum (rank and
+    count both integers) — the only doubles are the final three
+    divisions."""
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = ordered_global_rank(
+        counts, [F.col("c"), F.col("item")], "rk"
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    top_cut = F.col("n") - F.ceil(F.col("n") * 0.1).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n_items"),
+            F.first("s").alias("n_interactions"),
+            F.round(
+                (
+                    2.0
+                    * F.sum(F.col("rk") * F.col("c")).cast("double")
+                    / (F.first("n") * F.first("s"))
+                )
+                - (F.first("n").cast("double") + 1) / F.first("n"),
+                6,
+            ).alias("gini"),
+            F.sum(
+                F.when(F.col("rk") > top_cut, F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("top_decile_interactions"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") > top_cut, F.col("c")).otherwise(
+                        0
+                    )
+                )
+                / F.first("s").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+    )

@@ -753,3 +753,66 @@ def test_norm_audit_numpy(spark, sf_dir):
     # p01/p99 cutoffs flag ~2% of the corpus in total
     flagged = sum(r["n_low"] + r["n_high"] for r in rows)
     assert 0 < flagged <= max(4, int(0.03 * len(nrm)) + 2)
+
+
+# ---------------------------------------------------------------------------
+# events_bot_detection_heuristics / reco_gini_popularity
+# ---------------------------------------------------------------------------
+
+
+def test_bot_detection_planted_metronome(spark, tmp_path):
+    """A planted 1-event-per-second scheduler must be flagged; a
+    planted bursty human must not."""
+    import pandas as pd
+
+    base = pd.Timestamp("2025-01-01")
+    bot = [base + pd.Timedelta(seconds=i) for i in range(60)]
+    human = [
+        base + pd.Timedelta(seconds=s)
+        for s in [0, 1, 2, 300, 301, 7200, 7201, 7203, 50000, 50001,
+                  90000, 90005, 90007, 130000]
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(bot) + len(human)),
+            "ts": bot + human,
+            "user_id": [1] * len(bot) + [2] * len(human),
+            "event_type": ["view"] * (len(bot) + len(human)),
+            "value": [1.0] * (len(bot) + len(human)),
+            "props": ["{}"] * (len(bot) + len(human)),
+        }
+    )
+    d = str(tmp_path / "bot_fixture")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        f"{d}/events.parquet"
+    )
+    rows = {
+        r["user_id"]: r
+        for r in REGISTRY["events_bot_detection_heuristics"]
+        .fn(spark, d)
+        .collect()
+    }
+    assert rows[1]["bot_flag"] and rows[1]["gap_cv"] < 0.01
+    assert not rows[2]["bot_flag"] and rows[2]["gap_cv"] > 0.35
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_partkey")
+        .count()
+        .toPandas()
+        .sort_values(["count", "l_partkey"])
+    )
+    c = pdf["count"].to_numpy(dtype=np.float64)
+    n, s = len(c), c.sum()
+    rk = np.arange(1, n + 1)
+    gini = 2.0 * (rk * c).sum() / (n * s) - (n + 1) / n
+    row = REGISTRY["reco_gini_popularity"].fn(spark, sf_dir).collect()[0]
+    assert row["n_items"] == n and row["n_interactions"] == s
+    assert abs(row["gini"] - gini) < 1e-6
+    assert 0.0 <= row["gini"] < 1.0
+    # top decile can't hold less than a decile's uniform share
+    assert row["top_decile_share"] >= 0.1 - 1e-9
