@@ -44,7 +44,10 @@ def main() -> int:
     print(
         "[preflight] docs clean. Before the snapshot commit also need "
         "green: python tools/oracle_check.py  (full registry, ~13 min) "
-        "and python -m pytest tests/ -q",
+        "and python -m pytest tests/ -q. Once per round, ALSO run "
+        "ORACLE_SF_DIR=/root/testdata/sf0.1 python tools/"
+        "permutation_probe.py — magnitude-dependent float flakes "
+        "(round-5 PLANS.md) do not show at sf0.01.",
         flush=True,
     )
     return 0
