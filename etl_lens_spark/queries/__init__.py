@@ -40,6 +40,11 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
     """Register a declared query under ``name``."""
 
     def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already defined by {REGISTRY[name].fn.__module__})"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
         return fn
 

@@ -2367,12 +2367,15 @@ def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
       FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
-    victim AS (SELECT 7 AS uid),
+    victim AS (
+      SELECT user_id AS uid FROM t ORDER BY n DESC, user_id LIMIT 1
+    ),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM t)
-    SELECT CAST((SELECT n FROM t WHERE user_id = 7) AS BIGINT)
-             AS n_erased,
+    SELECT CAST((SELECT n FROM t WHERE user_id = (SELECT uid FROM victim))
+                AS BIGINT) AS n_erased,
            CAST((SELECT total FROM tot)
-                - (SELECT n FROM t WHERE user_id = 7) AS BIGINT)
+                - (SELECT n FROM t
+                   WHERE user_id = (SELECT uid FROM victim)) AS BIGINT)
              AS n_remaining,
            CAST(0 AS BIGINT) AS n_after_erase,
            CAST(4 AS BIGINT) AS files_before,
@@ -2418,12 +2421,24 @@ def lake_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     before = lakelog.read_snapshot(spark, base)
     n_before = before.count()
-    n_victim = before.filter(F.col("user_id") == 7).count()
-    stats = lakelog.delete_where(spark, base, F.col("user_id") == 7)
+    # erasure subject derived from the DATA (most-active user,
+    # user_id tie-break) — computed identically in the oracle, so
+    # the query is scale/fixture-portable instead of assuming a
+    # particular user_id exists
+    victim = (
+        before.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .first()["user_id"]
+    )
+    n_victim = before.filter(F.col("user_id") == victim).count()
+    stats = lakelog.delete_where(
+        spark, base, F.col("user_id") == victim
+    )
     reclaim = lakelog.vacuum(base)
     after = lakelog.read_snapshot(spark, base)
     n_after = after.count()
-    n_after_victim = after.filter(F.col("user_id") == 7).count()
+    n_after_victim = after.filter(F.col("user_id") == victim).count()
     try:
         lakelog.read_snapshot(spark, base, 0).count()
         blocked = 0

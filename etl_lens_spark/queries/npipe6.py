@@ -417,7 +417,7 @@ _TRI_BUCKET_US = 600_000_000  # 10-minute co-occurrence window
 
 
 @query(
-    "graph_triangle_count",
+    "graph_triangle_count_users",
     oracle=f"""
     WITH e AS MATERIALIZED (
       SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
@@ -443,7 +443,7 @@ _TRI_BUCKET_US = 600_000_000  # 10-minute co-occurrence window
     GROUP BY vertex ORDER BY vertex
     """,
 )
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangle_count_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts on the user co-occurrence graph
     (users sharing an (event_type, 10-minute bucket)) — the local
     clustering primitive behind community/cohesion features that
@@ -906,7 +906,7 @@ _RBO_P = 0.9
     oracle=f"""
     WITH m AS (
       SELECT event_type, user_id,
-             SUM(value) AS tot_value,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS tot_cents,
              CAST(COUNT(*) AS BIGINT) AS n_ev
       FROM events WHERE user_id IS NOT NULL
       GROUP BY event_type, user_id
@@ -914,7 +914,7 @@ _RBO_P = 0.9
     ranked AS (
       SELECT event_type, user_id,
              ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY tot_value DESC, user_id) AS ra,
+                                ORDER BY tot_cents DESC, user_id) AS ra,
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY n_ev DESC, user_id) AS rb
       FROM m
@@ -948,7 +948,10 @@ def rank_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, truncated RBO at k={_RBO_K} with persistence p={_RBO_P}
     (normalized by 1-p^k so identical rankings score exactly 1).
     Deterministic ties (user_id ascending) keep both engines'
-    rankings identical.
+    rankings identical, and the value ranking sums EXACT integer
+    cents (round(value*100) cast BIGINT) rather than doubles — a
+    float SUM's partial-order nondeterminism could flip adjacent
+    ranks for near-equal totals across engines/partitionings.
 
     100 TB posture: one aggregation collapses the corpus to
     (type, user) rows; both rankings ride ONE type-keyed shuffle
@@ -964,12 +967,14 @@ def rank_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .groupBy("event_type", "user_id")
         .agg(
-            F.sum("value").alias("tot_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "tot_cents"
+            ),
             F.count(F.lit(1)).cast("long").alias("n_ev"),
         )
     )
     wa = Window.partitionBy("event_type").orderBy(
-        F.col("tot_value").desc(), F.col("user_id")
+        F.col("tot_cents").desc(), F.col("user_id")
     )
     wb = Window.partitionBy("event_type").orderBy(
         F.col("n_ev").desc(), F.col("user_id")

@@ -1781,6 +1781,10 @@ def streaming_mg_heavy_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = (
         out.withColumn("s_max", F.max("emit_seq").over(wmax))
         .filter(F.col("emit_seq") == F.col("s_max"))
+        # null item = empty-summary tombstone (stream_ops emits one
+        # when decrements drain a shard, so a stale earlier snapshot
+        # can never masquerade as final) — drop after final-selection
+        .filter(F.col("item").isNotNull())
         .select("item", F.col("partial").cast("long").alias("partial"))
     )
     merged = mg_merge_partials(final, k)

@@ -1429,6 +1429,21 @@ def mg_heavy_stateful(
         # an all-null batch re-emits the prior summary unchanged)
         state.update((list(c), list(c.values()), n, seq))
         if not c:
+            # tombstone: a decrement cascade CAN empty the summary;
+            # emitting nothing would leave the reader's max(emit_seq)
+            # pointing at a stale non-empty snapshot, silently
+            # breaking the ≤ n/k contract. A null-item row keeps the
+            # emission sequence dense; readers drop null items after
+            # selecting the final sequence.
+            yield pd.DataFrame(
+                {
+                    "shard": [key[0]],
+                    "item": [None],
+                    "partial": [0],
+                    "n_seen": [n],
+                    "emit_seq": [seq],
+                }
+            )
             return
         yield pd.DataFrame(
             {

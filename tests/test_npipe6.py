@@ -115,7 +115,9 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
                     per_vertex[v] = per_vertex.get(v, 0) + 1
     got = {
         r["vertex"]: r["n_triangles"]
-        for r in REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["graph_triangle_count_users"]
+        .fn(spark, sf_dir)
+        .collect()
     }
     assert got == per_vertex
     assert sum(got.values()) == 3 * total
