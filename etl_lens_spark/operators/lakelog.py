@@ -252,6 +252,66 @@ def file_stats(spark: SparkSession, path: str, cols: list[str]) -> dict:
     return {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in cols}
 
 
+def file_stats_with_count(
+    spark: SparkSession, path: str, cols: list[str]
+) -> tuple[dict, int]:
+    """Like file_stats, plus the file's row count — the Delta
+    ``numRecords`` field. One agg job per file at write time buys
+    metadata-only COUNT/MIN/MAX forever after."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return (
+        {c: [row[f"mn_{c}"], row[f"mx_{c}"]] for c in cols},
+        int(row["__n"]),
+    )
+
+
+def stats_only_agg(
+    table_dir: str, cols: list[str], version: int | None = None
+) -> dict:
+    """Answer COUNT(*)/MIN/MAX purely from add-action metadata —
+    ZERO data files opened. The Delta/Iceberg footer-only trick: on
+    a 100 TB table a dashboard's COUNT/MIN/MAX is 10⁵ file opens as
+    a scan but a single log read as metadata, because every add
+    action already carries numRecords + per-column [min, max] and
+    COUNT/MIN/MAX distribute over the file partition of the table.
+
+    Raises if any active file lacks stats for a requested column —
+    metadata answering is only sound when the stats cover every
+    file; the caller falls back to a real scan in that case (the
+    same contract Delta's ``OPTIMIZE``-collected stats have)."""
+    active = snapshot_actions(table_dir, version)
+    n_rows = 0
+    mins: dict = {c: None for c in cols}
+    maxs: dict = {c: None for c in cols}
+    for rel, action in active.items():
+        nr = action.get("num_records")
+        if nr is None:
+            raise ValueError(
+                f"{rel}: no num_records — metadata-only agg unsound"
+            )
+        n_rows += int(nr)
+        for c in cols:
+            st = action.get("stats", {}).get(c)
+            if st is None or st[0] is None or st[1] is None:
+                raise ValueError(
+                    f"{rel}: no [min,max] for {c!r} — fall back to scan"
+                )
+            mins[c] = st[0] if mins[c] is None else min(mins[c], st[0])
+            maxs[c] = st[1] if maxs[c] is None else max(maxs[c], st[1])
+    return {
+        "n_files": len(active),
+        "n_rows": n_rows,
+        "min": mins,
+        "max": maxs,
+    }
+
+
 def snapshot_actions(
     table_dir: str, version: int | None = None
 ) -> dict[str, dict]:

@@ -2461,3 +2461,81 @@ def lake_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files_before long, files_rewritten long, "
         "time_travel_blocked long",
     )
+
+
+@query(
+    "lake_stats_only_agg",
+    oracle="""
+    SELECT 4 AS n_files_total, 0 AS n_files_opened,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS min_price_cents,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS max_price_cents
+    FROM orders
+    """,
+)
+def lake_stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query answering from the transaction log:
+    COUNT(*)/MIN/MAX over the whole table computed from add-action
+    stats (num_records + per-column [min, max]) WITHOUT opening a
+    single data file — the Delta/Iceberg footer-only trick that
+    turns a 100 TB dashboard aggregate from 10⁵ file opens into one
+    log read, because COUNT/MIN/MAX distribute over the file
+    partition of the table (lakelog.stats_only_agg).
+
+    The zero-open pin is physical, not asserted: after the commit
+    (whose add actions carry write-time stats), every data file is
+    DELETED from disk before the answer is computed. The numbers
+    below can only have come from the log — and they still
+    hash-match the oracle's full scan of the source table.
+    n_files_opened is 0 by construction."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    base = sinks.scratch_path("lake_statsonly")
+    shutil.rmtree(base, ignore_errors=True)
+    q = mx // 4
+    bounds = [(0, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, mx + 1)]
+    actions = []
+    for i, (lo, hi) in enumerate(bounds):
+        rel = f"range{i}"
+        orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).write.mode("overwrite").parquet(f"{base}/{rel}")
+        stats, n_rec = lakelog.file_stats_with_count(
+            spark, f"{base}/{rel}", ["o_orderkey", "price_cents"]
+        )
+        actions.append({"add": rel, "stats": stats, "num_records": n_rec})
+    lakelog.commit(base, 0, actions)
+    # burn the data: the answer below CANNOT come from a scan
+    for i in range(4):
+        shutil.rmtree(f"{base}/range{i}")
+    agg = lakelog.stats_only_agg(base, ["o_orderkey", "price_cents"])
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n_files"]),
+                0,
+                int(agg["n_rows"]),
+                int(agg["min"]["o_orderkey"]),
+                int(agg["max"]["o_orderkey"]),
+                int(agg["min"]["price_cents"]),
+                int(agg["max"]["price_cents"]),
+            )
+        ],
+        "n_files_total int, n_files_opened int, n_rows long, "
+        "min_key long, max_key long, min_price_cents long, "
+        "max_price_cents long",
+    )

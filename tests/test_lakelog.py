@@ -419,3 +419,40 @@ def test_gdpr_erasure_blocks_history_and_removes_bytes(spark, sf_dir):
     base = sinks.scratch_path("lake_gdpr")
     # the log survives (auditability) even though old bytes are gone
     assert os.path.isdir(os.path.join(base, "_log"))
+
+
+def test_stats_only_agg_matches_scan_and_guards(spark, tmp_path):
+    """Metadata COUNT/MIN/MAX == the real scan's answers, and the
+    soundness guard raises when any active file lacks stats (the
+    fall-back-to-scan contract)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 + 7).alias("v")
+    )
+    actions = []
+    for i in range(3):
+        rel = f"f{i}"
+        df.filter(F.col("k") % 3 == i).write.parquet(f"{base}/{rel}")
+        stats, n = lakelog.file_stats_with_count(
+            spark, f"{base}/{rel}", ["k", "v"]
+        )
+        actions.append({"add": rel, "stats": stats, "num_records": n})
+    lakelog.commit(base, 0, actions)
+    agg = lakelog.stats_only_agg(base, ["k", "v"])
+    scan = lakelog.read_snapshot(spark, base).agg(
+        F.count(F.lit(1)), F.min("k"), F.max("k"), F.min("v"), F.max("v")
+    ).first()
+    assert agg["n_files"] == 3
+    assert agg["n_rows"] == scan[0]
+    assert (agg["min"]["k"], agg["max"]["k"]) == (scan[1], scan[2])
+    assert (agg["min"]["v"], agg["max"]["v"]) == (scan[3], scan[4])
+    # a stats-less add poisons metadata answering: must raise, not lie
+    df.limit(5).write.parquet(f"{base}/bare")
+    lakelog.commit(base, 1, [{"add": "bare"}])
+    with _pytest.raises(ValueError):
+        lakelog.stats_only_agg(base, ["k"])

@@ -97,6 +97,12 @@ def main(names):
     from etl_lens_spark import get_spark
     from etl_lens_spark.queries import REGISTRY, _load
 
+    json_out = None
+    if "--json" in names:
+        i = names.index("--json")
+        json_out = names[i + 1]
+        names = names[:i] + names[i + 2 :]
+
     _load()
     spark = get_spark(shuffle_partitions=8)
 
@@ -108,6 +114,7 @@ def main(names):
 
     selected = names or list(REGISTRY)
     n_pass = n_fail = n_skip = 0
+    results = {}
     for name in selected:
         spec = REGISTRY[name]
         t0 = time.time()
@@ -119,10 +126,20 @@ def main(names):
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {
+                "status": "fail",
+                "detail": f"spark error: {type(e).__name__}",
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         if not spec.oracle:
             print(f"skip {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             n_skip += 1
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(s_rows),
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             res = con.sql(spec.oracle)
@@ -132,6 +149,11 @@ def main(names):
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {
+                "status": "fail",
+                "detail": f"duckdb error: {type(e).__name__}",
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         problems = []
         if len(s_rows) != len(d_rows):
@@ -162,10 +184,37 @@ def main(names):
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
+            results[name] = {
+                "status": "fail",
+                "detail": "; ".join(problems)[:300],
+                "sec": round(time.time() - t0, 2),
+            }
         else:
             print(f"PASS {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+            results[name] = {
+                "status": "pass",
+                "rows": len(s_rows),
+                "sec": round(time.time() - t0, 2),
+            }
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_skip,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"summary written to {json_out}")
     return 1 if n_fail else 0
 
 
