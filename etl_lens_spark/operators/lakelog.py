@@ -361,6 +361,40 @@ def read_snapshot_pruned(
     return df, len(active), len(kept)
 
 
+def read_snapshot_pruned_2d(
+    spark: SparkSession,
+    table_dir: str,
+    preds: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Multi-column zone-map pruning: keep a file only if EVERY
+    predicated column's [min, max] intersects its [lo, hi] — the
+    conjunction a 2-D box query needs, and the read path that makes
+    Z-order/Hilbert clustering pay off (after a curve-clustered
+    write each file has a tight bounding BOX, so both dimensions
+    prune; on a linear sort only the lead key does). Missing stats
+    → conservatively kept, same contract as read_snapshot_pruned."""
+    active = snapshot_actions(table_dir, version)
+    kept = []
+    for rel, action in active.items():
+        skip = False
+        for col, (lo, hi) in preds.items():
+            stats = action.get("stats", {}).get(col)
+            if stats is not None:
+                mn, mx = stats
+                if mn is not None and mx is not None and (mx < lo or mn > hi):
+                    skip = True
+                    break
+        if not skip:
+            kept.append(rel)
+    if not kept:
+        raise ValueError("predicate prunes every file")
+    df = spark.read.parquet(
+        *(os.path.join(table_dir, r) for r in kept)
+    )
+    return df, len(active), len(kept)
+
+
 def apply_cdc(
     spark: SparkSession,
     table_dir: str,

@@ -93,6 +93,7 @@ def _load() -> None:
         npipe5,
         npipe6,
         npipe7,
+        npipe8,
         pca_q,
         quality_q,
         quant_q,

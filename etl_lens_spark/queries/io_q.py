@@ -2539,3 +2539,176 @@ def lake_stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_key long, max_key long, min_price_cents long, "
         "max_price_cents long",
     )
+
+
+def _layout_compare_oracle() -> str:
+    from etl_lens_spark.operators.layout import hilbert_ctes_sql
+
+    ctes, last = hilbert_ctes_sql("scaled", _ZBITS)
+    shift = 2 * _ZBITS - 6
+    return f"""
+    WITH t AS (
+        SELECT o_orderkey AS rid, o_custkey AS xk,
+               datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS yk
+        FROM orders
+    ),
+    b AS (
+        SELECT MIN(xk) AS xlo, MAX(xk) AS xhi,
+               MIN(yk) AS ylo, MAX(yk) AS yhi
+        FROM t
+    ),
+    q AS (
+        SELECT xlo + ((xhi - xlo) * 25) // 100 AS qxlo,
+               xlo + ((xhi - xlo) * 30) // 100 AS qxhi,
+               ylo + ((yhi - ylo) * 25) // 100 AS qylo,
+               ylo + ((yhi - ylo) * 30) // 100 AS qyhi
+        FROM b
+    ),
+    scaled AS (
+        SELECT xk AS gx, yk AS gy, CAST(0 AS BIGINT) AS d,
+               CAST({_ZX} AS BIGINT) AS x, CAST({_ZY} AS BIGINT) AS y
+        FROM t CROSS JOIN b
+    ),
+    {ctes},
+    hb AS (SELECT d >> {shift} AS bucket, gx AS xk, gy AS yk
+           FROM {last}),
+    z AS (SELECT xk, yk, {_ZEXPR} AS zval FROM t CROSS JOIN b),
+    zb AS (SELECT zval >> {shift} AS bucket, xk, yk FROM z),
+    kb AS (SELECT rid % 64 AS bucket, xk, yk FROM t),
+    boxes AS (
+        SELECT 'hilbert' AS layout, bucket,
+               MIN(xk) AS mnx, MAX(xk) AS mxx,
+               MIN(yk) AS mny, MAX(yk) AS mxy
+        FROM hb GROUP BY bucket
+        UNION ALL
+        SELECT 'zorder', bucket, MIN(xk), MAX(xk), MIN(yk), MAX(yk)
+        FROM zb GROUP BY bucket
+        UNION ALL
+        SELECT 'scatter', bucket, MIN(xk), MAX(xk), MIN(yk), MAX(yk)
+        FROM kb GROUP BY bucket
+    ),
+    scan AS (
+        SELECT layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN mxx < qxlo OR mnx > qxhi
+                               OR mxy < qylo OR mny > qyhi
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS files_scanned
+        FROM boxes CROSS JOIN q GROUP BY layout
+    ),
+    inbox AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_in_box
+        FROM t CROSS JOIN q
+        WHERE xk BETWEEN qxlo AND qxhi AND yk BETWEEN qylo AND qyhi
+    )
+    SELECT layout, n_files, files_scanned, rows_in_box
+    FROM scan CROSS JOIN inbox ORDER BY layout
+    """
+
+
+@query("lake_layout_pruning_compare", oracle=_layout_compare_oracle())
+def lake_layout_pruning_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Files-opened under Z-order vs Hilbert vs key-scattered layout
+    for the SAME 2-D box query — the end-to-end composition of
+    operators/layout.py clustering with log-level zone-map skipping
+    that the per-layout stats queries (zorder_cluster_stats,
+    lake_hilbert_cluster_stats) measure only half of. Each layout
+    splits orders into 64 files (top-6 curve bits; rid%64 for the
+    scatter baseline); a file is opened iff its (custkey, orderday)
+    bounding box intersects a ~5%x5% box query; rows_in_box is
+    layout-invariant, proving all three answer identically — they
+    differ ONLY in files opened. Curve arithmetic is the shared
+    generated SQL (scale/interleave/masked-xy2d), so every count is
+    pinned cross-engine; the physical read path is
+    lakelog.read_snapshot_pruned_2d, test-pinned to agree with this
+    relational census (tests/test_layout.py).
+
+    At 100 TB this is THE layout decision measurement: scatter scans
+    everything; a space-filling-curve OPTIMIZE turns the box query
+    into O(intersecting files). PLANS.md records which curve wins at
+    which selectivity."""
+    from etl_lens_spark.operators import layout as _lay
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("rid"),
+        F.col("o_custkey").cast("long").alias("xk"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("yk"),
+    )
+    shift = 2 * _ZBITS - 6
+    hb = _lay.with_hilbert_value(o, "xk", "yk", bits=_ZBITS).select(
+        F.expr(f"hval >> {shift}").alias("bucket"), "xk", "yk"
+    )
+    zb = _lay.with_zvalue(o, "xk", "yk", bits=_ZBITS).select(
+        F.expr(f"zval >> {shift}").alias("bucket"), "xk", "yk"
+    )
+    kb = o.select((F.col("rid") % 64).alias("bucket"), "xk", "yk")
+
+    def boxes(df, name):
+        return df.groupBy("bucket").agg(
+            F.min("xk").alias("mnx"),
+            F.max("xk").alias("mxx"),
+            F.min("yk").alias("mny"),
+            F.max("yk").alias("mxy"),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    allb = (
+        boxes(hb, "hilbert")
+        .unionByName(boxes(zb, "zorder"))
+        .unionByName(boxes(kb, "scatter"))
+    )
+    bounds = o.agg(
+        F.min("xk").alias("xlo"),
+        F.max("xk").alias("xhi"),
+        F.min("yk").alias("ylo"),
+        F.max("yk").alias("yhi"),
+    )
+    qbox = bounds.select(
+        (F.col("xlo") + ((F.col("xhi") - F.col("xlo")) * 25) / 100)
+        .cast("long")
+        .alias("qxlo"),
+        (F.col("xlo") + ((F.col("xhi") - F.col("xlo")) * 30) / 100)
+        .cast("long")
+        .alias("qxhi"),
+        (F.col("ylo") + ((F.col("yhi") - F.col("ylo")) * 25) / 100)
+        .cast("long")
+        .alias("qylo"),
+        (F.col("ylo") + ((F.col("yhi") - F.col("ylo")) * 30) / 100)
+        .cast("long")
+        .alias("qyhi"),
+    )
+    scan = (
+        allb.crossJoin(F.broadcast(qbox))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("mxx") < F.col("qxlo"))
+                    | (F.col("mnx") > F.col("qxhi"))
+                    | (F.col("mxy") < F.col("qylo"))
+                    | (F.col("mny") > F.col("qyhi")),
+                    0,
+                ).otherwise(1)
+            )
+            .cast("long")
+            .alias("files_scanned"),
+        )
+    )
+    inbox = (
+        o.crossJoin(F.broadcast(qbox))
+        .filter(
+            F.col("xk").between(F.col("qxlo"), F.col("qxhi"))
+            & F.col("yk").between(F.col("qylo"), F.col("qyhi"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("rows_in_box"))
+    )
+    return (
+        scan.crossJoin(F.broadcast(inbox))
+        .select("layout", "n_files", "files_scanned", "rows_in_box")
+        .orderBy("layout")
+    )

@@ -1,0 +1,208 @@
+"""Round-6 tranche: hybrid-retrieval fusion (reciprocal-rank fusion
+of BM25 text rank and embedding cosine rank — the VERDICT r5 item 5),
+plus follow-on retrieval/curation operators added this round.
+
+Same contract as every npipe tranche: PySpark plan + hand-written
+DuckDB oracle on identical parquet where the math is SQL-expressible;
+rows-only + pinned invariant tests where it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.similarity.knn import dot as _dot
+from etl_lens_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of BM25 and embedding retrieval
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ["spark", "join", "filter"]  # same probe as text_bm25_search
+_RRF_K = 60  # the published RRF constant
+_RRF_TOPN = 50  # per-list depth
+_RRF_OUT = 20
+
+
+def _rrf_oracle() -> str:
+    vals = ", ".join(f"('{t}')" for t in _RRF_TERMS)
+    return f"""
+    WITH q(term) AS (VALUES {vals}),
+    toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    g AS (SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dl),
+    tf AS (
+        SELECT t.doc_id, t.w AS term, COUNT(*) AS tf
+        FROM toks t JOIN q ON t.w = q.term
+        GROUP BY t.doc_id, t.w
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(
+                 ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * dl.dlen / g.avgdl))
+               ) AS score
+        FROM tf
+        JOIN df ON tf.term = df.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN g
+        GROUP BY tf.doc_id
+    ),
+    tr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS text_rank
+        FROM scored
+        QUALIFY text_rank <= {_RRF_TOPN}
+    ),
+    qv AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id = 0
+    ),
+    es AS (
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(qe, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(qe, qe))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))))
+                 AS cs
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id <> 0
+    ),
+    er AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id)
+                 AS emb_rank
+        FROM es
+        QUALIFY emb_rank <= {_RRF_TOPN}
+    ),
+    fused AS (
+        SELECT COALESCE(tr.doc_id, er.doc_id) AS doc_id,
+               CAST(tr.text_rank AS BIGINT) AS text_rank,
+               CAST(er.emb_rank AS BIGINT) AS emb_rank,
+               COALESCE(1.0 / ({_RRF_K} + tr.text_rank), 0)
+               + COALESCE(1.0 / ({_RRF_K} + er.emb_rank), 0) AS rrf
+        FROM tr FULL OUTER JOIN er ON tr.doc_id = er.doc_id
+    )
+    SELECT doc_id, text_rank, emb_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+@query("rank_rrf_fusion", oracle=_rrf_oracle())
+def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009; similarity/fusion.py): the BM25 keyword ranking (identical
+    formula to text_bm25_search) and the embedding cosine ranking
+    (query = vec 0, the knn sequential-fold dot product) are each
+    truncated to their top-{_RRF_TOPN} and fused by
+    Σ 1/({_RRF_K}+rank) — the standard no-calibration baseline every
+    hybrid search deployment starts from, pure relational end to end.
+
+    100 TB posture: all corpus-sized work happens inside the two
+    retrievers with their own scale plans (inverted-index postings
+    filter for BM25; broadcast-query dot product, at scale the
+    IVF/LSH candidate path); fusion itself touches two ≤{_RRF_TOPN}-
+    row lists — broadcast full-outer join, no shuffle. The tiny
+    global row_number windows run over already-truncated lists.
+    Determinism: integer ranks make the two-term reciprocal sum
+    bit-identical cross-engine; planted-relevance uplift (fusion
+    beats both constituents) is pinned in tests/test_fusion.py."""
+    from etl_lens_spark.similarity.fusion import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(_RRF_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * (1.2 + 1.0)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (1.0 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    # truncate FIRST (TakeOrdered — no global sort materializes),
+    # then rank the driver-sized list with a tiny window
+    tr = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    qv = emb.filter(F.col("doc_id") == 0).select(
+        F.col("e").alias("qe")
+    )
+    es = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                _dot(F.col("qe"), F.col("e"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("e"), F.col("e")))
+                )
+            ).alias("cs"),
+        )
+    )
+    er = (
+        es.orderBy(F.col("cs").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cs").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse({"text": tr, "emb": er}, k=_RRF_K)
+    return (
+        fused.select("doc_id", "text_rank", "emb_rank", "rrf")
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_OUT)
+    )

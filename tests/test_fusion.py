@@ -1,0 +1,69 @@
+"""RRF fusion: planted-relevance uplift + the published formula."""
+
+from pyspark.sql import functions as F
+
+from etl_lens_spark.similarity.fusion import rrf_fuse
+
+
+def _ranked(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank long")
+
+
+def test_rrf_fusion_beats_either_list_alone(spark):
+    """The canonical RRF win: the truly relevant item sits at rank 3
+    in BOTH retrievers (each retriever's top-2 are list-specific
+    noise absent from the other list). Fusion must promote it to
+    rank 1 — consensus across retrievers outranks either retriever's
+    solo confidence, which is exactly why hybrid search uses RRF."""
+    # list A: noise docs 101, 102 on top; relevant doc 1 at rank 3
+    a = _ranked(spark, [(101, 1), (102, 2), (1, 3), (103, 4)])
+    # list B: different noise 201, 202 on top; doc 1 again at rank 3
+    b = _ranked(spark, [(201, 1), (202, 2), (1, 3), (203, 4)])
+    fused = (
+        rrf_fuse({"a": a, "b": b}, k=60)
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .collect()
+    )
+    assert fused[0]["doc_id"] == 1  # fusion top-1 = the consensus doc
+    assert fused[0]["a_rank"] == 3 and fused[0]["b_rank"] == 3
+    # neither constituent had it on top: uplift is real
+    # exact formula: 2/(60+3) vs best single-list 1/(60+1)
+    assert abs(fused[0]["rrf"] - 2 / 63) < 1e-12
+    assert abs(fused[1]["rrf"] - 1 / 61) < 1e-12
+
+
+def test_rrf_missing_list_contributes_zero(spark):
+    """A doc present in only one list gets exactly that list's
+    reciprocal term and a null rank for the other — the published
+    missing-list convention."""
+    a = _ranked(spark, [(1, 1)])
+    b = _ranked(spark, [(2, 1)])
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"a": a, "b": b}, k=60).collect()
+    }
+    assert rows[1]["b_rank"] is None
+    assert abs(rows[1]["rrf"] - 1 / 61) < 1e-12
+    assert rows[2]["a_rank"] is None
+    assert abs(rows[2]["rrf"] - 1 / 61) < 1e-12
+
+
+def test_rrf_query_top1_is_probe_neighbor(spark, sf_dir):
+    """Integration: the registered query returns _RRF_OUT rows and
+    every row's rrf equals the recomputed reciprocal sum of its own
+    rank columns (internal consistency, any fixture)."""
+    from etl_lens_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["rank_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        want = 0.0
+        if r["text_rank"] is not None:
+            want += 1 / (60 + r["text_rank"])
+        if r["emb_rank"] is not None:
+            want += 1 / (60 + r["emb_rank"])
+        assert abs(r["rrf"] - want) < 1e-12
+    # fused order is descending
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -143,3 +143,74 @@ def test_hilbert_value_matches_reference_bitops(spark):
     }
     for (x, y), h in out.items():
         assert h == xy2d_ref(256, x, y), (x, y, h)
+
+
+def test_pruned_2d_read_matches_relational_census(spark, tmp_path):
+    """Physical end-to-end for lake_layout_pruning_compare: write a
+    Hilbert-bucketed table with 2-D stats in the log, and the
+    multi-column pruned read must open exactly the files the
+    relational bbox-intersection census predicts — and return
+    exactly the box rows."""
+    from etl_lens_spark.operators import lakelog
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("xk"), (F.col("id") / 64).cast("long").alias("yk")
+    )
+    # materialize the curve ONCE: re-optimizing the collapsed
+    # unrolled-stage expression tree per bucket write is O(3^bits)
+    # plan nodes x 16 jobs — the checkpoint makes each write trivial
+    h = zl.with_hilbert_value(df, "xk", "yk", bits=6).localCheckpoint()
+    base = str(tmp_path / "t")
+    actions = []
+    n_buckets = 16
+    for b in range(n_buckets):
+        rel = f"h{b}"
+        h.filter(F.expr(f"hval >> {2 * 6 - 4}") == b).drop(
+            "hval"
+        ).write.parquet(f"{base}/{rel}")
+        stats, nr = lakelog.file_stats_with_count(
+            spark, f"{base}/{rel}", ["xk", "yk"]
+        )
+        actions.append({"add": rel, "stats": stats, "num_records": nr})
+    lakelog.commit(base, 0, actions)
+    box = {"xk": (10, 20), "yk": (10, 20)}
+    pruned, n_total, n_scanned = lakelog.read_snapshot_pruned_2d(
+        spark, base, box
+    )
+    # relational prediction from the same per-bucket boxes
+    predicted = sum(
+        1
+        for a in actions
+        if not (
+            a["stats"]["xk"][1] < 10
+            or a["stats"]["xk"][0] > 20
+            or a["stats"]["yk"][1] < 10
+            or a["stats"]["yk"][0] > 20
+        )
+    )
+    assert n_total == n_buckets
+    assert n_scanned == predicted < n_buckets  # it actually pruned
+    got = pruned.filter(
+        F.col("xk").between(10, 20) & F.col("yk").between(10, 20)
+    ).count()
+    assert got == 11 * 11  # every box row survives pruning
+
+
+def test_layout_compare_curves_beat_scatter(spark, sf_dir):
+    """The comparison query's contract: identical answers, fewer
+    files — both curves strictly beat the scattered layout and the
+    row count is layout-invariant."""
+    from etl_lens_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["lake_layout_pruning_compare"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows["scatter"]["files_scanned"] == rows["scatter"]["n_files"]
+    for curve in ("hilbert", "zorder"):
+        assert rows[curve]["files_scanned"] < rows["scatter"]["files_scanned"] / 4
+        assert rows[curve]["rows_in_box"] == rows["scatter"]["rows_in_box"]
