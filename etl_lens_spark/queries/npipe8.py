@@ -352,3 +352,197 @@ def view_maintain_distinct_agg(
         )
         .orderBy("ym")
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite: deterministic domain-mixture reweighting
+# ---------------------------------------------------------------------------
+
+_DM_ETA = 0.5  # EG step size
+_DM_EPS = 0.1  # uniform smoothing mass
+_DM_ITERS = 3
+
+_DM_TOKS_SQL = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+
+
+def _doremi_oracle() -> str:
+    loss_ctes = f"""
+    WITH toks AS (SELECT doc_id, source, {_DM_TOKS_SQL} AS t FROM documents),
+    bi AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(t[i:i+1], ' ')
+                     for i in range(1, len(t))]) AS g
+      FROM toks
+    ),
+    cb AS (
+      SELECT g, string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS cbi
+      FROM bi GROUP BY g
+    ),
+    cu AS (SELECT w1, CAST(SUM(cbi) AS BIGINT) AS cw1,
+                  CAST(COUNT(*) AS BIGINT) AS n1f
+           FROM cb GROUP BY w1),
+    pc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM cb GROUP BY w2),
+    ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb),
+    sc AS (
+      SELECT b.source,
+             ln((CAST(cb.cbi AS DOUBLE) - 0.75) / CAST(cu.cw1 AS DOUBLE)
+                + 0.75 * CAST(cu.n1f AS DOUBLE) / CAST(cu.cw1 AS DOUBLE)
+                  * (CAST(pc.n1r AS DOUBLE) / CAST(ty.t AS DOUBLE))) AS lp
+      FROM bi b
+      JOIN cb ON b.g = cb.g
+      JOIN cu ON cb.w1 = cu.w1
+      JOIN pc ON cb.w2 = pc.w2
+      CROSS JOIN ty
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_bi,
+             -CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS BIGINT) AS loss
+      FROM sc GROUP BY source
+    ),
+    u AS (
+      SELECT source, n_bi, loss,
+             MIN(loss) OVER () AS lmin,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nd,
+             1.0 / COUNT(*) OVER () AS w
+      FROM per
+    )"""
+    prev = "u"
+    steps = []
+    for t in range(1, _DM_ITERS + 1):
+        steps.append(f"""
+    e{t} AS (
+      SELECT source, n_bi, loss, lmin, nd,
+             w * exp({_DM_ETA} * (loss - lmin)) AS uw
+      FROM {prev}
+    ),
+    w{t} AS (
+      SELECT source, n_bi, loss, lmin, nd,
+             {1.0 - _DM_EPS} * uw / SUM(uw) OVER ()
+               + {_DM_EPS} / nd AS w
+      FROM e{t}
+    )""")
+        prev = f"w{t}"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {t} AS iter, source, n_bi, loss, w AS weight FROM w{t}"
+        for t in range(1, _DM_ITERS + 1)
+    )
+    return (
+        loss_ctes
+        + ","
+        + ",".join(steps)
+        + f"\n    {unions}\n    ORDER BY iter, source"
+    )
+
+
+@query("mix_doremi_reweight", oracle=_doremi_oracle())
+def mix_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain-mixture reweighting (Xie et al. 2023,
+    deterministic skeleton): per-source excess loss drives an
+    exponentiated-gradient update of the mixture weights,
+    w ← (1−ε)·softmax-step(w·e^{η·excess}) + ε/D, for 3 pinned
+    iterations. The loss proxy is the interpolated Kneser–Ney bigram
+    surprisal per source (the same audited chain as
+    text_lm_kneser_ney_score, aggregated by source instead of doc) —
+    exactly the 'small proxy model scores each domain' role the
+    paper's reference/proxy pair plays, minus the gradient training
+    this container can't do. High-surprisal (hard) domains gain
+    weight round over round; smoothing keeps every domain sampled —
+    the full weight trajectory is the output, oracle-pinned at both
+    scales.
+
+    Determinism: per-bigram lp accumulates in DECIMAL(18,9)
+    (order-independent; the functions/numeric.py discipline), the EG
+    chain is scalar arithmetic over ≤|sources| rows, and every
+    window runs over that same O(D) frame — no corpus-sized state
+    anywhere past the one (gram, count) shuffle shared with the KN
+    scorer. 100 TB: loss is one map-side-combined aggregate per
+    source; iterations touch D rows."""
+    from etl_lens_spark.text import pipeline as tp
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tp.ws_tokens(F.col("text"))
+    bi = docs.select(
+        "source", F.explode(tp.word_ngrams(toks, 2)).alias("g")
+    )
+    cb = (
+        bi.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cbi"))
+        .select(
+            "g",
+            F.split("g", " ").getItem(0).alias("w1"),
+            F.split("g", " ").getItem(1).alias("w2"),
+            "cbi",
+        )
+    )
+    cu = cb.groupBy("w1").agg(
+        F.sum("cbi").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    pc = cb.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1r")
+    )
+    ty = cb.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    lp = F.log(
+        (F.col("cbi").cast("double") - F.lit(0.75))
+        / F.col("cw1").cast("double")
+        + F.lit(0.75)
+        * F.col("n1f").cast("double")
+        / F.col("cw1").cast("double")
+        * (F.col("n1r").cast("double") / F.col("t").cast("double"))
+    )
+    sc = (
+        bi.join(cb, "g")
+        .join(cu, "w1")
+        .join(pc, "w2")
+        .crossJoin(F.broadcast(ty))
+        .select("source", lp.alias("lp"))
+    )
+    per = sc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bi"),
+        (
+            -F.sum(F.col("lp").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)).cast("long")
+        ).alias("loss"),
+    )
+    stats = per.agg(
+        F.min("loss").alias("lmin"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    cur = (
+        per.crossJoin(F.broadcast(stats))
+        .withColumn("w", F.lit(1.0) / F.col("nd"))
+    )
+    outs = []
+    for t in range(1, _DM_ITERS + 1):
+        stepped = cur.withColumn(
+            "uw",
+            F.col("w")
+            * F.exp(F.lit(_DM_ETA) * (F.col("loss") - F.col("lmin"))),
+        )
+        z = stepped.agg(F.sum("uw").alias("z"))
+        cur = (
+            stepped.crossJoin(F.broadcast(z))
+            .withColumn(
+                "w",
+                F.lit(1.0 - _DM_EPS) * F.col("uw") / F.col("z")
+                + F.lit(_DM_EPS) / F.col("nd"),
+            )
+            .drop("uw", "z")
+        )
+        outs.append(
+            cur.select(
+                F.lit(t).alias("iter"),
+                "source",
+                "n_bi",
+                "loss",
+                F.col("w").alias("weight"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("iter", "source")

@@ -67,3 +67,32 @@ def test_rrf_query_top1_is_probe_neighbor(spark, sf_dir):
     # fused order is descending
     scores = [r["rrf"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_doremi_reweight_trajectory_properties(spark, sf_dir):
+    """EG reweighting contract: weights are a distribution each
+    iteration, every domain keeps >= eps/D mass (smoothing), and the
+    highest-excess-loss domain's weight grows monotonically across
+    the 3 iterations while the lowest's shrinks."""
+    from etl_lens_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["mix_doremi_reweight"].fn(spark, sf_dir).collect()
+    iters = sorted({r["iter"] for r in rows})
+    assert iters == [1, 2, 3]
+    by_iter = {
+        t: {r["source"]: r for r in rows if r["iter"] == t} for t in iters
+    }
+    d = len(by_iter[1])
+    losses = {s: r["loss"] for s, r in by_iter[1].items()}
+    hardest = max(losses, key=losses.get)
+    easiest = min(losses, key=losses.get)
+    for t in iters:
+        ws = [r["weight"] for r in by_iter[t].values()]
+        assert abs(sum(ws) - 1.0) < 1e-9
+        assert min(ws) >= 0.1 / d - 1e-12
+    hw = [by_iter[t][hardest]["weight"] for t in iters]
+    ew = [by_iter[t][easiest]["weight"] for t in iters]
+    assert hw[0] < hw[1] < hw[2]
+    assert ew[0] > ew[1] > ew[2]
+    assert hw[2] > ew[2]
