@@ -546,3 +546,91 @@ def mix_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("iter", "source")
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter auto-tuning curve
+# ---------------------------------------------------------------------------
+
+_TUNE_BUDGET = 64
+_TUNE_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def _lsh_tune_oracle() -> str:
+    from etl_lens_spark.dedup.tuning import tune_lsh_params
+
+    rows = []
+    for t in _TUNE_THRESHOLDS:
+        b, r = tune_lsh_params(t, _TUNE_BUDGET)
+        rows.append(f"({t}, {b}, {r})")
+    vals = ", ".join(rows)
+    return f"""
+    WITH tuned(threshold, bands, rows_per_band) AS (VALUES {vals}),
+    pts AS (
+      SELECT threshold, bands, rows_per_band,
+             CAST(unnest([threshold - 0.15, threshold,
+                          threshold + 0.15]) AS DOUBLE) AS s
+      FROM tuned
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           s,
+           1.0 - POWER(1.0 - POWER(s, rows_per_band), bands)
+             AS p_candidate
+    FROM pts
+    ORDER BY threshold, s
+    """
+
+
+@query("dedup_lsh_tuning_curve", oracle=_lsh_tune_oracle())
+def dedup_lsh_tuning_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH banding auto-tuner audit (dedup/tuning.py): for each
+    target Jaccard threshold at a {_TUNE_BUDGET}-hash budget, the
+    tuner's chosen (bands, rows) and the resulting S-curve
+    P(candidate) = 1−(1−s^r)^b evaluated just below / at / just
+    above the threshold — the artifact that replaces hand-picked
+    ``spark.etl_lens.minhash.*`` knobs with math and makes the
+    choice reviewable in data. The t=0.5 row derives exactly the
+    repo's declared 16x4 default. The oracle recomputes the curve
+    with POWER on the same tuned constants, pinning the arithmetic
+    cross-engine; the recall behavior of a tuned banding on planted
+    pairs is pinned in tests/test_dedup.py. Pure O(1) arithmetic —
+    no corpus scan; at 100 TB the tune is free and decides the size
+    of the banded self-join."""
+    from etl_lens_spark.dedup.tuning import tune_lsh_params
+
+    base = []
+    for t in _TUNE_THRESHOLDS:
+        b, r = tune_lsh_params(t, _TUNE_BUDGET)
+        base.append((float(t), b, r))
+    tuned = spark.createDataFrame(
+        base, "threshold double, bands long, rows_per_band long"
+    )
+    pts = tuned.select(
+        "threshold",
+        "bands",
+        "rows_per_band",
+        F.explode(
+            F.array(
+                F.col("threshold") - 0.15,
+                F.col("threshold"),
+                F.col("threshold") + 0.15,
+            )
+        ).alias("s"),
+    )
+    return pts.select(
+        "threshold",
+        "bands",
+        "rows_per_band",
+        "s",
+        (
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow(F.col("s"), F.col("rows_per_band")),
+                F.col("bands"),
+            )
+        ).alias("p_candidate"),
+    ).orderBy("threshold", "s")

@@ -123,3 +123,59 @@ def test_minhash_knobs_change_signature_and_banding(spark, sf_dir):
     finally:
         spark.conf.unset("spark.etl_lens.minhash.num_hashes")
         spark.conf.unset("spark.etl_lens.minhash.bands")
+
+
+def test_lsh_tuner_matches_declared_default_and_monotone():
+    """tune_lsh_params(0.5, 64) must reproduce the repo's declared
+    banding (16 bands x r=4 — config.py's hand-picked default, now
+    derived), and the chosen rows-per-band must grow with the
+    threshold (steeper curves for stricter similarity)."""
+    from etl_lens_spark.dedup.tuning import (
+        lsh_collision_prob,
+        tune_lsh_params,
+    )
+
+    assert tune_lsh_params(0.5, 64) == (16, 4)
+    rows = [tune_lsh_params(t, 64)[1] for t in (0.2, 0.4, 0.6, 0.8)]
+    assert rows == sorted(rows)  # r monotone in threshold
+    # every returned pair factors the budget exactly
+    for t in (0.25, 0.5, 0.75):
+        b, r = tune_lsh_params(t, 96)
+        assert b * r == 96
+    # weighting toward FN-avoidance must not reduce recall at t
+    b0, r0 = tune_lsh_params(0.6, 64)
+    b1, r1 = tune_lsh_params(0.6, 64, fn_weight=10.0)
+    assert lsh_collision_prob(0.6, r1, b1) >= lsh_collision_prob(
+        0.6, r0, b0
+    )
+
+
+def test_lsh_tuner_hits_target_recall_on_planted_pairs(spark):
+    """Integration: tune for threshold 0.3 / 64 hashes, run the
+    banded LSH with the tuned (bands, rows) on a corpus with planted
+    near-pairs above threshold and decoys far below — every planted
+    pair must surface as a candidate (the S-curve says P >= 0.95 at
+    s = 0.3, and our planted pairs sit far above it), no decoy pair
+    may."""
+    from etl_lens_spark.dedup.tuning import tune_lsh_params
+
+    bands, rows = tune_lsh_params(0.3, 64)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = [(1, base), (2, base.replace("zeta", "zeeta"))]  # near pair
+    docs += [(3, base.replace("alpha", "omega"))]
+    docs += [
+        (10 + i, f"totally unrelated text number {i} " * 8 + "x " * i)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = mh.add_minhash_signature(
+        mh.add_shingles(df, n=3), num_hashes=64
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in mh.minhash_lsh_candidates(
+            sig, bands=bands, min_est_jaccard=0.3, cache=False
+        ).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got  # planted pairs recalled
+    assert not any(a >= 10 and b >= 10 for a, b in got)  # no decoys
