@@ -634,3 +634,241 @@ def dedup_lsh_tuning_curve(
             )
         ).alias("p_candidate"),
     ).orderBy("threshold", "s")
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta-sketch-style) set operations: intersection / difference
+# ---------------------------------------------------------------------------
+
+_SO_K = 256  # larger k than the union-merge demo: intersections
+# compound the error, so production sizes up
+
+_SO_V_SQL = """
+    list_reduce(list_transform(range(1, 14),
+      i -> CAST(strpos('0123456789abcdef',
+             substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+      (a, b) -> a * 16 + b)
+"""
+
+
+@query(
+    "sketch_kmv_set_operations",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type, {_SO_V_SQL} AS v, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    sk AS (
+      SELECT event_type, v FROM (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v)
+                 AS r
+        FROM (SELECT DISTINCT event_type, v FROM hv)
+      ) WHERE r <= {_SO_K}
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM hv) a
+      JOIN (SELECT DISTINCT event_type FROM hv) b
+        ON a.event_type < b.event_type
+    ),
+    uni AS (
+      SELECT p.ta, p.tb, s.v,
+             row_number() OVER (PARTITION BY p.ta, p.tb ORDER BY s.v)
+               AS r
+      FROM pairs p
+      JOIN (SELECT DISTINCT event_type, v FROM sk) s
+        ON s.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, s.v
+    ),
+    usk AS (
+      SELECT ta, tb,
+             CAST(COUNT(*) AS BIGINT) AS n_u,
+             MAX(CASE WHEN r = {_SO_K} THEN v END) AS kth,
+             CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both
+      FROM (
+        SELECT u.ta, u.tb, u.v, u.r,
+               EXISTS (SELECT 1 FROM sk WHERE sk.event_type = u.ta
+                       AND sk.v = u.v) AS in_a,
+               EXISTS (SELECT 1 FROM sk WHERE sk.event_type = u.tb
+                       AND sk.v = u.v) AS in_b
+        FROM uni u WHERE u.r <= {_SO_K}
+      ) GROUP BY ta, tb
+    ),
+    est AS (
+      SELECT ta, tb, n_u, n_both,
+             CASE WHEN n_u < {_SO_K} THEN CAST(n_u AS DOUBLE)
+                  ELSE {float(_SO_K - 1)} /
+                       (CAST(kth AS DOUBLE) / 4503599627370496.0)
+             END AS est_union
+      FROM usk
+    ),
+    ex AS (
+      SELECT p.ta, p.tb,
+             CAST(COUNT(DISTINCT CASE WHEN ha.user_id IS NOT NULL
+                        AND hb.user_id IS NOT NULL
+                        THEN ha.user_id END) AS BIGINT) AS exact_inter
+      FROM pairs p
+      LEFT JOIN (SELECT DISTINCT event_type, user_id FROM hv) ha
+             ON ha.event_type = p.ta
+      LEFT JOIN (SELECT DISTINCT event_type, user_id FROM hv) hb
+             ON hb.event_type = p.tb AND hb.user_id = ha.user_id
+      GROUP BY p.ta, p.tb
+    ),
+    exu AS (
+      SELECT p.ta, p.tb,
+             CAST(COUNT(DISTINCT h.user_id) AS BIGINT) AS exact_union
+      FROM pairs p
+      JOIN hv h ON h.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb
+    )
+    SELECT e.ta, e.tb, e.n_both,
+           e.est_union,
+           CAST(e.n_both AS DOUBLE) / e.n_u * e.est_union
+             AS est_inter,
+           e.est_union
+             - CAST(e.n_both AS DOUBLE) / e.n_u * e.est_union
+             AS est_sym_rest,
+           x.exact_inter, u.exact_union
+    FROM est e
+    JOIN ex x ON e.ta = x.ta AND e.tb = x.tb
+    JOIN exu u ON e.ta = u.ta AND e.tb = u.tb
+    ORDER BY e.ta, e.tb
+    """,
+)
+def sketch_kmv_set_operations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches (Beyer et
+    al. 2007 / the Apache DataSketches intersection rule): for every
+    pair of event types, estimate |A ∩ B| and the symmetric rest of
+    the union FROM THE k-MINIMUM-VALUE SKETCHES ALONE — the audience
+    -overlap question ('users who did A AND B') that at 100 TB must
+    never re-scan the corpus per pair. Estimator: build the pair's
+    union sketch (k smallest of the two sketch unions — lossless, the
+    merge law), let ρ = |union-sketch values present in BOTH input
+    sketches| / k, then est_inter = ρ · est_union. Exact
+    COUNT(DISTINCT) anchors ride along; tests bound the relative
+    error and pin the inclusion-exclusion consistency.
+
+    Determinism: md5-based 52-bit hash values (operators/kmv), ranks
+    and memberships are integer relational ops, and the estimator is
+    two-operand double arithmetic — hash-exact cross-engine. Scale:
+    per-type sketches are built once from ONE corpus dedup
+    ((type, v) pairs — map-side combined); every pairwise estimate
+    then touches only O(k) rows per pair: 10 pairs here, 10⁴ pairs
+    of O(k) state at production, no corpus pass either way."""
+    from etl_lens_spark.operators import kmv
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            kmv.kmv_value(F.col("user_id")).alias("v"),
+        )
+    )
+    hv = ev.dropDuplicates(["event_type", "v"])
+    sk = kmv.kmv_topk(hv, ["event_type"], _SO_K)
+    types = hv.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(
+            types.select(F.col("event_type").alias("tb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    # union sketch per pair: k smallest of the two sketches' union
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            sk.select("event_type", "v"),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .select("ta", "tb", "v")
+        .dropDuplicates(["ta", "tb", "v"])
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("v")
+    ur = uni.withColumn("r", F.row_number().over(wu)).filter(
+        F.col("r") <= _SO_K
+    )
+    ska = sk.select(
+        F.col("event_type").alias("ta"), F.col("v").alias("v"),
+        F.lit(1).alias("in_a"),
+    )
+    skb = sk.select(
+        F.col("event_type").alias("tb"), F.col("v").alias("v"),
+        F.lit(1).alias("in_b"),
+    )
+    marked = (
+        ur.join(ska, ["ta", "v"], "left")
+        .join(skb, ["tb", "v"], "left")
+    )
+    usk = marked.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.max(F.when(F.col("r") == _SO_K, F.col("v"))).alias("kth"),
+        F.sum(
+            F.when(
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_u") < _SO_K, F.col("n_u").cast("double")
+    ).otherwise(
+        F.lit(float(_SO_K - 1))
+        / (F.col("kth").cast("double") / F.lit(float(1 << 52)))
+    )
+    est = usk.select(
+        "ta", "tb", "n_u", "n_both", est_union.alias("est_union")
+    )
+    # exact anchors
+    du = ev.select("event_type", "user_id").dropDuplicates()
+    da = du.select(F.col("event_type").alias("ta"), "user_id")
+    db = du.select(F.col("event_type").alias("tb"), "user_id")
+    exact_i = (
+        F.broadcast(pairs)
+        .join(da, "ta", "left")
+        .join(db, ["tb", "user_id"], "left_semi")
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_inter"))
+    )
+    exact_u = (
+        F.broadcast(pairs)
+        .join(
+            du,
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_union"))
+    )
+    return (
+        est.join(exact_i, ["ta", "tb"])
+        .join(exact_u, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            "n_both",
+            "est_union",
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_u")
+                * F.col("est_union")
+            ).alias("est_inter"),
+            (
+                F.col("est_union")
+                - F.col("n_both").cast("double")
+                / F.col("n_u")
+                * F.col("est_union")
+            ).alias("est_sym_rest"),
+            "exact_inter",
+            "exact_union",
+        )
+        .orderBy("ta", "tb")
+    )

@@ -96,3 +96,21 @@ def test_doremi_reweight_trajectory_properties(spark, sf_dir):
     assert hw[0] < hw[1] < hw[2]
     assert ew[0] > ew[1] > ew[2]
     assert hw[2] > ew[2]
+
+
+def test_kmv_set_operations_error_bounds(spark, sf_dir):
+    """Theta-style KMV intersection: estimates stay within the
+    k=256 sketch's expected accuracy of the exact anchors, and
+    inclusion-exclusion holds internally (est_inter + est_sym_rest
+    == est_union exactly, by construction)."""
+    from etl_lens_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["sketch_kmv_set_operations"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert abs(r["est_inter"] + r["est_sym_rest"] - r["est_union"]) < 1e-9
+        # union estimator: ~1/sqrt(k) relative error, generous 5-sigma
+        assert abs(r["est_union"] - r["exact_union"]) <= 0.35 * r["exact_union"]
+        # intersection compounds union + rho error; bound vs union size
+        assert abs(r["est_inter"] - r["exact_inter"]) <= 0.20 * r["exact_union"]
