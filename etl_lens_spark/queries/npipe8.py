@@ -872,3 +872,271 @@ def sketch_kmv_set_operations(
         )
         .orderBy("ta", "tb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitors: PSI over exact deciles, two-sample KS
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-05-01"  # ref = orders before, cur = after
+# (fixture orders span 1995-01-01 .. 2001-08-01 at every sf; the
+# split is the approximate midpoint so both eras are populated)
+
+
+@query(
+    "feature_psi_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             o_orderkey,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT}'
+                  THEN 'ref' ELSE 'cur' END AS batch
+      FROM orders
+    ),
+    refb AS (SELECT price_c, o_orderkey FROM t WHERE batch = 'ref'),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM refb),
+    ranked AS (
+      SELECT price_c,
+             ROW_NUMBER() OVER (ORDER BY price_c, o_orderkey) AS rnk
+      FROM refb
+    ),
+    cuts AS (
+      SELECT list(r.price_c ORDER BY r.price_c) AS cs
+      FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d) ds
+      JOIN n ON TRUE
+      JOIN ranked r ON r.rnk = CAST(ceil(d * n.n / 10.0) AS BIGINT)
+    ),
+    binned AS (
+      SELECT batch,
+             len(list_filter(cs, c -> price_c > c)) AS bin
+      FROM t CROSS JOIN cuts
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN batch = 'ref' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN batch = 'cur' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                   CAST(SUM(n_cur) AS BIGINT) AS tc FROM cnt),
+    p AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 0.5) / (tr + 5.0) AS p_ref,
+             (n_cur + 0.5) / (tc + 5.0) AS p_cur
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur, p_ref, p_cur,
+           (p_ref - p_cur) * ln(p_ref / p_cur) AS psi_contrib,
+           SUM((p_ref - p_cur) * ln(p_ref / p_cur)) OVER () AS psi_total
+    FROM p ORDER BY bin
+    """,
+)
+def feature_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor — the standard
+    'did this feature's distribution move between training and
+    serving' check every feature store runs: order prices split into
+    a reference era (pre-{_PSI_SPLIT}) and a current era, binned by
+    the REFERENCE era's exact deciles (the ceil-rank rule on integer
+    cents via operators/prefix.ordered_global_rank — no sketch, no
+    single reducer), PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) with
+    +0.5 Laplace smoothing so an emptied bin reports a large finite
+    contribution instead of ∞. Per-bin contributions are the output
+    (the actionable part — WHICH decile moved), psi_total rides a
+    10-row window.
+
+    Determinism: boundaries are exact integer order statistics,
+    bin assignment and counts are integer relational ops, and the
+    PSI arithmetic is two-operand double — hash-exact cross-engine.
+    100 TB: one global-rank pass over the reference batch (range
+    exchange), one broadcast of 9 cutpoints, one binned count per
+    batch; nothing corpus-sized crosses the wire twice."""
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    t = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        "o_orderkey",
+        F.when(
+            F.to_date("o_orderdate") < F.lit(_PSI_SPLIT), "ref"
+        )
+        .otherwise("cur")
+        .alias("batch"),
+    )
+    refb = t.filter(F.col("batch") == "ref")
+    n = refb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = ordered_global_rank(
+        refb.select("price_c", "o_orderkey"),
+        [F.asc("price_c"), F.asc("o_orderkey")],
+        "rnk",
+    )
+    targets = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("d"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.ceil(F.col("d") * F.col("n") / 10.0)
+            .cast("long")
+            .alias("rnk")
+        )
+    )
+    cuts = (
+        ranked.join(F.broadcast(targets), "rnk")
+        .agg(F.sort_array(F.collect_list("price_c")).alias("cs"))
+    )
+    binned = t.crossJoin(F.broadcast(cuts)).select(
+        "batch",
+        F.size(
+            F.filter(F.col("cs"), lambda c: F.col("price_c") > c)
+        ).alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("batch") == "ref", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("batch") == "cur", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    p = cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)).alias("p_ref"),
+        ((F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)).alias("p_cur"),
+    )
+    contrib = (F.col("p_ref") - F.col("p_cur")) * F.log(
+        F.col("p_ref") / F.col("p_cur")
+    )
+    return (
+        p.withColumn("psi_contrib", contrib)
+        .withColumn(
+            "psi_total",
+            F.sum("psi_contrib").over(
+                Window.partitionBy()  # 10 bin rows — bounded frame
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_c,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT}'
+                  THEN 1 ELSE 0 END AS is_ref
+      FROM orders
+    ),
+    g AS (
+      SELECT price_c,
+             CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+      FROM t GROUP BY price_c
+    ),
+    tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS nr,
+                   CAST(SUM(c_cur) AS BIGINT) AS nc FROM g),
+    ecdf AS (
+      SELECT price_c,
+             SUM(c_ref) OVER (ORDER BY price_c) AS cum_ref,
+             SUM(c_cur) OVER (ORDER BY price_c) AS cum_cur
+      FROM g
+    ),
+    d AS (
+      SELECT price_c,
+             ABS(CAST(cum_ref AS DOUBLE) / nr
+                 - CAST(cum_cur AS DOUBLE) / nc) AS gap
+      FROM ecdf CROSS JOIN tot
+    ),
+    best AS (
+      SELECT price_c AS price_at_ks, gap AS ks_stat
+      FROM d ORDER BY gap DESC, price_c LIMIT 1
+    )
+    SELECT b.price_at_ks, b.ks_stat, tot.nr AS n_ref, tot.nc AS n_cur,
+           1.3581 * sqrt((CAST(tot.nr AS DOUBLE) + tot.nc)
+                         / (CAST(tot.nr AS DOUBLE) * tot.nc))
+             AS ks_crit_05,
+           CAST(b.ks_stat > 1.3581 * sqrt(
+                 (CAST(tot.nr AS DOUBLE) + tot.nc)
+                 / (CAST(tot.nr AS DOUBLE) * tot.nc)) AS BIGINT)
+             AS drift_flag
+    FROM best b CROSS JOIN tot
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the
+    reference-era and current-era price distributions — the
+    nonparametric companion to feature_psi_drift (PSI needs binning
+    choices; KS is the sup-norm ECDF gap, no bins at all). Both
+    empirical CDFs ride ONE distributed prefix-sum pass
+    (operators/prefix.ordered_prefix_sums — the two running totals
+    share a single range exchange, no single-reducer window), the
+    sup gap is one max-reduce, and the α=0.05 two-sample critical
+    value c(α)·√((n+m)/(n·m)) with c = 1.3581 turns it into a
+    drift flag.
+
+    Determinism: cumulative counts are exact integers, the gap is a
+    two-operand double of exact ints, ties on the gap break by the
+    lowest price — hash-exact cross-engine. 100 TB: the grouped
+    (value, counts) table is the only corpus-sized shuffle; the
+    prefix-sum operator's offsets join is O(P²) over partition
+    counts, measured in tools/probe_conf_tuning.py."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sums
+
+    t = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.when(F.to_date("o_orderdate") < F.lit(_PSI_SPLIT), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    g = t.groupBy("price_c").agg(
+        F.sum("is_ref").cast("long").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("c_cur"),
+    )
+    tot = g.agg(
+        F.sum("c_ref").cast("long").alias("nr"),
+        F.sum("c_cur").cast("long").alias("nc"),
+    )
+    ecdf = ordered_prefix_sums(
+        g,
+        [F.asc("price_c")],
+        {"cum_ref": "c_ref", "cum_cur": "c_cur"},
+    )
+    d = ecdf.crossJoin(F.broadcast(tot)).select(
+        "price_c",
+        F.abs(
+            F.col("cum_ref").cast("double") / F.col("nr")
+            - F.col("cum_cur").cast("double") / F.col("nc")
+        ).alias("gap"),
+    )
+    best = (
+        d.orderBy(F.col("gap").desc(), "price_c")
+        .limit(1)
+        .select(
+            F.col("price_c").alias("price_at_ks"),
+            F.col("gap").alias("ks_stat"),
+        )
+    )
+    crit = F.lit(1.3581) * F.sqrt(
+        (F.col("nr").cast("double") + F.col("nc"))
+        / (F.col("nr").cast("double") * F.col("nc"))
+    )
+    return best.crossJoin(F.broadcast(tot)).select(
+        "price_at_ks",
+        "ks_stat",
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cur"),
+        crit.alias("ks_crit_05"),
+        (F.col("ks_stat") > crit).cast("long").alias("drift_flag"),
+    )
