@@ -2712,3 +2712,142 @@ def lake_layout_pruning_compare(
         .select("layout", "n_files", "files_scanned", "rows_in_box")
         .orderBy("layout")
     )
+
+
+@query(
+    "lake_concurrent_writers",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey % 4 AS bucket, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    del_a AS (SELECT * FROM base
+              WHERE bucket = 0 AND o_orderpriority = '1-URGENT'),
+    del_b AS (SELECT * FROM base
+              WHERE bucket = 2 AND o_orderpriority = '5-LOW'),
+    del_c AS (SELECT * FROM base
+              WHERE bucket = 0 AND o_orderpriority = '2-HIGH'),
+    fin AS (
+      SELECT * FROM base
+      WHERE NOT (bucket = 0 AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        AND NOT (bucket = 2 AND o_orderpriority = '5-LOW')
+    )
+    SELECT CAST(1 AS BIGINT) AS version_a,
+           CAST(2 AS BIGINT) AS version_b,
+           CAST(1 AS BIGINT) AS b_rebased_over,
+           CAST(1 AS BIGINT) AS conflicts_detected,
+           CAST(3 AS BIGINT) AS version_c_after_retry,
+           CAST((SELECT COUNT(*) FROM del_a) AS BIGINT) AS n_del_a,
+           CAST((SELECT COUNT(*) FROM del_b) AS BIGINT) AS n_del_b,
+           CAST((SELECT COUNT(*) FROM del_c) AS BIGINT) AS n_del_c,
+           CAST((SELECT COUNT(*) FROM fin) AS BIGINT) AS n_rows_final,
+           CAST((SELECT SUM(cents) FROM fin) AS BIGINT) AS cents_final
+    """,
+)
+def lake_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent writers under optimistic concurrency — the Delta
+    commit protocol exercised end to end (lakelog.try_commit_rebase):
+    three transactions all prepare against version 0 of a 4-bucket
+    table. Writer A deletes urgent orders from bucket 0 and commits
+    first (v1). Writer B deletes low-priority orders from bucket 2 —
+    its files are DISJOINT from A's, so its stale commit REBASES
+    cleanly to v2 with no recompute (b_rebased_over = 1). Writer C
+    also rewrites bucket 0: the logical check sees its base file was
+    replaced by A → CommitConflict (conflicts_detected = 1), C
+    re-reads the v2 snapshot, recomputes its delete against A's
+    output file, and lands at v3. The final table must equal orders
+    minus all three delete sets — which is exactly what the oracle
+    computes analytically; any lost update, double delete, or
+    phantom rebase breaks the hash.
+
+    100 TB posture: conflict detection is O(intervening actions)
+    metadata — hundreds of writers on disjoint partitions commit
+    lock-free; only true same-file writers pay a recompute."""
+    import os
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = sinks.scratch_path("lake_concurrent")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(4)).alias("bucket"),
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    for b in range(4):
+        orders.filter(F.col("bucket") == b).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/bucket{b}")
+    lakelog.commit(base, 0, [{"add": f"bucket{b}"} for b in range(4)])
+
+    def rewrite_minus(src_rel: str, out_rel: str, pred) -> int:
+        df = spark.read.parquet(os.path.join(base, src_rel))
+        n_del = df.filter(pred).count()
+        df.filter(~pred).write.mode("overwrite").parquet(
+            os.path.join(base, out_rel)
+        )
+        return n_del
+
+    # all three writers prepare against v0
+    n_del_a = rewrite_minus(
+        "bucket0", "bucket0_a", F.col("o_orderpriority") == "1-URGENT"
+    )
+    n_del_b = rewrite_minus(
+        "bucket2", "bucket2_b", F.col("o_orderpriority") == "5-LOW"
+    )
+    # C prepares its bucket0 rewrite against v0 too (doomed)
+    rewrite_minus(
+        "bucket0", "bucket0_c", F.col("o_orderpriority") == "2-HIGH"
+    )
+    ra = lakelog.try_commit_rebase(
+        base, 0, [{"remove": "bucket0"}, {"add": "bucket0_a"}]
+    )
+    rb = lakelog.try_commit_rebase(
+        base, 0, [{"remove": "bucket2"}, {"add": "bucket2_b"}]
+    )
+    conflicts = 0
+    try:
+        lakelog.try_commit_rebase(
+            base, 0, [{"remove": "bucket0"}, {"add": "bucket0_c"}]
+        )
+    except lakelog.CommitConflict:
+        conflicts = 1
+    # C retries: re-read the current snapshot, recompute vs A's file
+    head = lakelog.latest_version(base)
+    n_del_c = rewrite_minus(
+        "bucket0_a", "bucket0_c2", F.col("o_orderpriority") == "2-HIGH"
+    )
+    rc = lakelog.try_commit_rebase(
+        base, head, [{"remove": "bucket0_a"}, {"add": "bucket0_c2"}]
+    )
+    fin = lakelog.read_snapshot(spark, base)
+    agg = fin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_final"),
+        F.sum("cents").cast("long").alias("cents_final"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                ra["version"],
+                rb["version"],
+                rb["n_rebased"],
+                conflicts,
+                rc["version"],
+                n_del_a,
+                n_del_b,
+                n_del_c,
+                agg["n_rows_final"],
+                agg["cents_final"],
+            )
+        ],
+        "version_a long, version_b long, b_rebased_over long, "
+        "conflicts_detected long, version_c_after_retry long, "
+        "n_del_a long, n_del_b long, n_del_c long, "
+        "n_rows_final long, cents_final long",
+    )

