@@ -104,6 +104,36 @@ def try_commit_rebase(
             continue  # lost the physical race; re-run the logical check
 
 
+def shallow_clone(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> dict:
+    """Zero-copy CLONE (the Delta SHALLOW CLONE): the clone's v0 add
+    actions REFERENCE the source snapshot's data files by relative
+    path ("../src/f") — no bytes move, the clone is O(files)
+    metadata, and it then evolves independently under its own log
+    (CoW DML in the clone writes replacement files into the CLONE's
+    directory and drops the reference; the source never changes).
+    Stats metadata rides along, so zone-map skipping works on the
+    clone immediately.
+
+    The documented Delta caveat applies identically: VACUUMing the
+    SOURCE can delete files the clone still references (clone-side
+    vacuum is safe — it only scans the clone's own directory).
+    At 100 TB this is how dev/test tables, experiment branches and
+    reproducible-snapshot handoffs are made: instant, free, isolated.
+    """
+    actions = []
+    for rel, action in snapshot_actions(src_dir, version).items():
+        new = dict(action)
+        new["add"] = os.path.relpath(
+            os.path.normpath(os.path.join(src_dir, rel)), dst_dir
+        )
+        actions.append(new)
+    os.makedirs(dst_dir, exist_ok=True)
+    commit(dst_dir, 0, actions)
+    return {"n_files_referenced": len(actions)}
+
+
 def latest_version(table_dir: str) -> int:
     files = [
         f for f in os.listdir(_log_dir(table_dir)) if f.endswith(".json")
@@ -154,19 +184,39 @@ def read_snapshot(
 # ---------------------------------------------------------------------------
 
 
-def _rel_file_expr(table_dir: str):
-    """Column mapping each row to the add-action relpath (the first
-    path segment under ``table_dir``) it was read from, via
-    ``input_file_name`` — file identity without one-DataFrame-per-file
-    plans (which would be O(files) plan nodes)."""
+def _rel_file_expr(table_dir: str, rels: list[str] | None = None):
+    """Column mapping each row to the add-action relpath it was read
+    from, via ``input_file_name`` — file identity without
+    one-DataFrame-per-file plans (which would be O(files) plan
+    nodes).
+
+    With ``rels`` (the active snapshot's add paths) identity is
+    resolved by the file's parent-directory ABSOLUTE path through a
+    literal map — correct even when a shallow clone references files
+    outside ``table_dir`` (add = "../src/f"), where the legacy
+    first-segment regex fails. The map is O(active files) literals;
+    production at 10⁵ files swaps it for a broadcast join — same
+    plan role, fixture file counts are ≤ hundreds. Without ``rels``
+    the legacy regex is kept (single-table layouts)."""
     import re
 
     from pyspark.sql import functions as F
 
-    base = os.path.basename(os.path.normpath(table_dir))
-    return F.regexp_extract(
-        F.input_file_name(), "/" + re.escape(base) + "/([^/]+)/", 1
+    if rels is None:
+        base = os.path.basename(os.path.normpath(table_dir))
+        return F.regexp_extract(
+            F.input_file_name(), "/" + re.escape(base) + "/([^/]+)/", 1
+        )
+    pairs = []
+    for r in rels:
+        abs_dir = os.path.normpath(os.path.join(table_dir, r))
+        pairs += [F.lit(abs_dir), F.lit(r)]
+    parent = F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:/*", "/"),
+        "/[^/]*$",
+        "",
     )
+    return F.create_map(*pairs)[parent]
 
 
 def _next_version(table_dir: str) -> int:
@@ -196,7 +246,10 @@ def merge_upsert(
     if not files:
         raise ValueError("merge into empty snapshot")
     snap = spark.read.parquet(*files).withColumn(
-        "_file", _rel_file_expr(table_dir)
+        "_file",
+        _rel_file_expr(
+            table_dir, [os.path.relpath(f, table_dir) for f in files]
+        ),
     )
     keys = source.select(*key_cols).distinct()
     touched = [
@@ -247,7 +300,10 @@ def delete_where(
     if not files:
         raise ValueError("delete from empty snapshot")
     snap = spark.read.parquet(*files).withColumn(
-        "_file", _rel_file_expr(table_dir)
+        "_file",
+        _rel_file_expr(
+            table_dir, [os.path.relpath(f, table_dir) for f in files]
+        ),
     )
     touched = [
         r[0]
@@ -464,7 +520,10 @@ def apply_cdc(
     if not files:
         raise ValueError("apply_cdc into empty snapshot")
     snap = spark.read.parquet(*files).withColumn(
-        "_file", _rel_file_expr(table_dir)
+        "_file",
+        _rel_file_expr(
+            table_dir, [os.path.relpath(f, table_dir) for f in files]
+        ),
     )
     keys = changes.select(*key_cols).distinct()
     touched = [

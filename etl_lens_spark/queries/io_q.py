@@ -2851,3 +2851,107 @@ def lake_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_del_a long, n_del_b long, n_del_c long, "
         "n_rows_final long, cents_final long",
     )
+
+
+@query(
+    "lake_shallow_clone",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey % 4 AS bucket, o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    clone_after AS (
+      SELECT * FROM base WHERE o_orderpriority <> '1-URGENT'
+    )
+    SELECT CAST(4 AS BIGINT) AS n_files_referenced,
+           CAST(0 AS BIGINT) AS bytes_copied_at_clone,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS src_rows,
+           CAST((SELECT SUM(cents) FROM base) AS BIGINT) AS src_cents,
+           CAST((SELECT COUNT(*) FROM clone_after) AS BIGINT)
+             AS clone_rows_after_delete,
+           CAST((SELECT SUM(cents) FROM clone_after) AS BIGINT)
+             AS clone_cents_after_delete,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT)
+             AS src_rows_after_delete
+    """,
+)
+def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy table clone + independent evolution
+    (lakelog.shallow_clone): the clone's v0 references the source's
+    4 bucket files by relative path — bytes_copied_at_clone is
+    literally zero, asserted by construction (the clone directory
+    contains only _log before the delete). A copy-on-write DELETE
+    then runs IN THE CLONE (delete_where — exercising the
+    cross-table-aware file-identity resolution): the rewrite lands
+    in the clone's directory, the reference to the shared file is
+    dropped, and the SOURCE still reads back byte-identical — the
+    oracle pins all three row/cents sets analytically, so any
+    write-through to the source or lost clone delete breaks the
+    hash.
+
+    100 TB: clone = O(files) metadata; experiment branches and
+    dev/test copies are instant and isolated, paying only for the
+    files they subsequently rewrite."""
+    import os
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    src = sinks.scratch_path("lake_clone_src")
+    dst = sinks.scratch_path("lake_clone_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.pmod(F.col("o_custkey"), F.lit(4)).alias("bucket"),
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    for b in range(4):
+        orders.filter(F.col("bucket") == b).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/bucket{b}")
+    lakelog.commit(src, 0, [{"add": f"bucket{b}"} for b in range(4)])
+    stats = lakelog.shallow_clone(src, dst)
+    # zero-copy pin: the clone dir holds ONLY the log at this point
+    data_dirs = [
+        e
+        for e in os.listdir(dst)
+        if e != "_log" and os.path.isdir(os.path.join(dst, e))
+    ]
+    assert data_dirs == [], data_dirs
+    src_before = lakelog.read_snapshot(spark, src).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    ).first()
+    lakelog.delete_where(
+        spark, dst, F.col("o_orderpriority") == "1-URGENT"
+    )
+    clone_after = lakelog.read_snapshot(spark, dst).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    ).first()
+    src_after = lakelog.read_snapshot(spark, src).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).first()
+    assert src_after["n"] == src_before["n"]  # isolation
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_files_referenced"],
+                0,
+                src_before["n"],
+                src_before["c"],
+                clone_after["n"],
+                clone_after["c"],
+                src_after["n"],
+            )
+        ],
+        "n_files_referenced long, bytes_copied_at_clone long, "
+        "src_rows long, src_cents long, clone_rows_after_delete long, "
+        "clone_cents_after_delete long, src_rows_after_delete long",
+    )

@@ -1140,3 +1140,163 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("ks_crit_05"),
         (F.col("ks_stat") > crit).cast("long").alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap windows), TWAP, and friends
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type
+      FROM events WHERE user_id IS NOT NULL AND user_id < 200
+    ),
+    flagged AS (
+      SELECT user_id, us, event_type,
+             CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_type)
+                       > {_SESS_GAP_US}
+                  OR LAG(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_type) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, us, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_type
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap — the
+    canonical clickstream primitive (the batch twin of
+    streaming_sessions_live's stateful session windows): a new
+    session starts where the gap to the previous event exceeds the
+    threshold; session ids are the running count of session starts.
+    Output is per-session length/duration/type-diversity — the
+    table funnel and retention analyses join against.
+
+    One (user_id)-partitioned window chain: lag → flag → running
+    sum all share the single user shuffle, then the per-session
+    aggregate rides the same partitioning — at 100 TB exactly one
+    corpus exchange keyed by the entity, the minimum possible.
+    Tie-break (us, event_type) makes simultaneous events
+    deterministic cross-engine; bounded to user_id < 200 for the
+    oracle fixture."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") < 200))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_type")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > _SESS_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+      SELECT event_type, v, us,
+             LEAD(us) OVER (PARTITION BY event_type
+                            ORDER BY us, v) - us AS dt
+      FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(CASE WHEN dt IS NULL THEN 0 ELSE dt END)
+                AS BIGINT) AS span_us,
+           CAST(SUM(v * dt) AS DOUBLE)
+             / CAST(SUM(CASE WHEN dt IS NULL THEN 0 ELSE dt END)
+                    AS DOUBLE) AS twap,
+           CAST(AVG(CAST(v AS DOUBLE)) AS DOUBLE) AS naive_avg
+    FROM seg
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) for irregularly-sampled series —
+    the correct 'average value over time' when observations arrive
+    at uneven intervals (a plain AVG over-weights bursts; the
+    naive_avg column rides along to show the bias): each observation
+    is weighted by its holding time until the next one (LEAD), the
+    last observation of each series contributes no duration — the
+    step-function integral divided by the span.
+
+    Exactness discipline: v is DECIMAL(18,6) and dt exact integer
+    µs, so Σ v·dt accumulates as exact DECIMAL (order-independent —
+    the functions/numeric.py rule) and only the final division is
+    floating point. One event_type-keyed window + aggregate — a
+    single corpus shuffle. Deterministic tie-break (us, v) for
+    simultaneous observations."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "v")
+    seg = e.withColumn("dt", F.lead("us").over(w) - F.col("us"))
+    dt0 = F.coalesce(F.col("dt"), F.lit(0)).cast("long")
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(dt0).cast("long").alias("span_us"),
+            (
+                F.sum(F.col("v") * F.col("dt")).cast("double")
+                / F.sum(dt0).cast("double")
+            ).alias("twap"),
+            F.avg(F.col("v").cast("double")).alias("naive_avg"),
+        )
+        .orderBy("event_type")
+    )
