@@ -2955,3 +2955,113 @@ def lake_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_rows long, src_cents long, clone_rows_after_delete long, "
         "clone_cents_after_delete long, src_rows_after_delete long",
     )
+
+
+@query(
+    "lake_change_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey % 4 AS bucket,
+             o_orderpriority AS pri,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    feed AS (
+      -- an inserted row that the later DELETE removes is absent
+      -- from BOTH endpoint snapshots: no feed row (the v0->v2 diff
+      -- semantics — intermediate churn collapses)
+      SELECT 'insert' AS _change_type,
+             k + 1000000000 AS k, cents + 7 AS cents
+      FROM base
+      WHERE k % 101 = 0
+        AND NOT (pri = '5-LOW' AND bucket = 3
+                 AND (k + 1000000000) % 97 <> 0)
+      UNION ALL
+      SELECT 'update_preimage', k, cents
+      FROM base WHERE k % 97 = 0
+      UNION ALL
+      SELECT 'update_postimage', k, cents + 500
+      FROM base WHERE k % 97 = 0
+      UNION ALL
+      SELECT 'delete', k, cents
+      FROM base
+      WHERE pri = '5-LOW' AND bucket = 3 AND k % 97 <> 0
+    )
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM feed
+    GROUP BY _change_type
+    ORDER BY _change_type
+    """,
+)
+def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed between table versions
+    (lakelog.change_feed — the Delta `table_changes` read, the
+    PRODUCER dual of apply_cdc): version 1 = MERGE that updates
+    every 97th order (+500 cents) and inserts shifted copies of
+    every 101st; version 2 = copy-on-write DELETE of low-priority
+    bucket-3 orders. The feed v0→v2 labels each changed row
+    insert / delete / update_preimage / update_postimage; the query
+    folds it to per-type counts + key/cents checksums, which the
+    oracle derives analytically from the same deterministic
+    predicates — a misclassified, lost, or double-counted change
+    breaks the hash. (Updated-then-deleted rows classify as updates
+    against v0's image iff they survive — the k%97 carve-out in the
+    delete set mirrors MERGE-before-DELETE ordering.)
+
+    100 TB: one key-partitioned full-outer join of two PRUNED
+    snapshots (the log bounds both reads to files touched between
+    the versions); updates explode into pre/post pairs row-locally."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base_dir = sinks.scratch_path("lake_cdf")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.pmod(F.col("o_custkey"), F.lit(4)).alias("bucket"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    for b in range(4):
+        orders.filter(F.col("bucket") == b).write.mode(
+            "overwrite"
+        ).parquet(f"{base_dir}/bucket{b}")
+    lakelog.commit(
+        base_dir, 0, [{"add": f"bucket{b}"} for b in range(4)]
+    )
+    updates = orders.filter(F.col("k") % 97 == 0).withColumn(
+        "cents", F.col("cents") + 500
+    )
+    inserts = orders.filter(F.col("k") % 101 == 0).select(
+        (F.col("k") + 1_000_000_000).alias("k"),
+        "bucket",
+        "pri",
+        (F.col("cents") + 7).alias("cents"),
+    )
+    lakelog.merge_upsert(
+        spark, base_dir, updates.unionByName(inserts), ["k"]
+    )
+    lakelog.delete_where(
+        spark,
+        base_dir,
+        (F.col("pri") == "5-LOW")
+        & (F.col("bucket") == 3)
+        & (F.col("k") % 97 != 0),
+    )
+    feed = lakelog.change_feed(spark, base_dir, ["k"], 0, 2)
+    return (
+        feed.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("_change_type")
+    )

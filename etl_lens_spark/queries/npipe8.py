@@ -1300,3 +1300,100 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build + lakehouse change data feed
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "warehouse_scd2_build",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type AS state
+      FROM events WHERE user_id IS NOT NULL AND user_id < 100
+    ),
+    dedup AS (
+      -- one row per (user, instant): deterministic state pick so
+      -- simultaneous events can't make the change-point set ambiguous
+      SELECT user_id, us, MIN(state) AS state
+      FROM e GROUP BY user_id, us
+    ),
+    chg AS (
+      SELECT user_id, us, state,
+             LAG(state) OVER (PARTITION BY user_id ORDER BY us)
+               AS prev_state
+      FROM dedup
+    ),
+    pts AS (
+      SELECT user_id, us AS valid_from_us, state
+      FROM chg
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from_us) AS BIGINT)
+             AS version_seq,
+           state,
+           valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us)
+             AS valid_to_us,
+           CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from_us)
+                IS NULL AS BIGINT) AS is_current
+    FROM pts
+    ORDER BY user_id, version_seq
+    """,
+)
+def warehouse_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change history —
+    the warehouse staple that turns an event stream into validity
+    intervals: per user, consecutive runs of the same state collapse
+    to one row with [valid_from, valid_to) bounds (valid_to = next
+    change, NULL = current) and a per-entity version sequence. This
+    is the BATCH builder whose output streaming_scd2_enrich_live
+    consumes as the enrich dimension, and the shape every as-of join
+    (asof_join_*) probes against.
+
+    One user-keyed shuffle carries the whole chain: instant-dedup →
+    lag change detection → change-point filter → lead/row_number on
+    the (much smaller) change-point set — the same partitioning
+    throughout, no second corpus exchange. Simultaneous events
+    resolve by MIN(state) so the interval set is deterministic
+    cross-engine; bounded to user_id < 100 for the oracle fixture."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") < 100))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.col("event_type").alias("state"),
+        )
+    )
+    dedup = e.groupBy("user_id", "us").agg(F.min("state").alias("state"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    pts = (
+        dedup.withColumn("prev_state", F.lag("state").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select("user_id", F.col("us").alias("valid_from_us"), "state")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return (
+        pts.select(
+            "user_id",
+            F.row_number().over(wv).cast("long").alias("version_seq"),
+            "state",
+            "valid_from_us",
+            F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        )
+        .withColumn(
+            "is_current",
+            F.col("valid_to_us").isNull().cast("long"),
+        )
+        .orderBy("user_id", "version_seq")
+    )
