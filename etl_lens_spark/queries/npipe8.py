@@ -1397,3 +1397,140 @@ def warehouse_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: MRR@k / recall@k with label relevance
+# ---------------------------------------------------------------------------
+
+_MRR_QUERIES = 20
+_MRR_K = 10
+
+
+@query(
+    "rank_mrr_recall_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {_MRR_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.label AS nlabel,
+             list_dot_product(qe, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(qe, qe))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))))
+               AS cs,
+             e.vec_id AS nid
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, qlabel, nlabel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cs DESC, nid) AS r
+      FROM scored
+    ),
+    rel_tot AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM ranked WHERE nlabel = qlabel GROUP BY qid
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= {_MRR_K}),
+    m AS (
+      SELECT qid,
+             MIN(CASE WHEN nlabel = qlabel THEN r END) AS first_rel,
+             CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel_topk
+      FROM top GROUP BY qid
+    )
+    SELECT m.qid,
+           CAST(m.first_rel AS BIGINT) AS first_rel_rank,
+           CASE WHEN m.first_rel IS NULL THEN 0.0
+                ELSE 1.0 / m.first_rel END AS mrr_at_k,
+           CAST(m.n_rel_topk AS DOUBLE)
+             / LEAST({_MRR_K}, rel_tot.n_rel) AS recall_at_k
+    FROM m JOIN rel_tot ON m.qid = rel_tot.qid
+    ORDER BY m.qid
+    """,
+)
+def rank_mrr_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — MRR@{_MRR_K} and
+    recall@{_MRR_K} for the cosine ranker with SAME-LABEL relevance
+    (the embeddings fixture's label column as ground truth): the
+    offline-eval loop every ANN deployment runs to compare index
+    configurations, here against the exact ranking so the metric
+    measures the EMBEDDING quality, not index loss (the ANN variants'
+    loss vs this exact baseline is separately pinned by the recall
+    tests in tests/test_knn.py). first_rel_rank is the raw signal,
+    1/rank the MRR contribution, recall normalized by
+    min(k, #relevant) so fully-retrievable queries score 1.0.
+
+    Same scale plan as sim_bruteforce_topk: broadcast the
+    {_MRR_QUERIES} queries, one corpus pass scores all of them, the
+    per-query window ranks partition by qid — at production size the
+    candidate stream comes from IVF/LSH instead of the cross
+    product, the eval aggregate is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") < _MRR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            F.col("vec_id").alias("nid"),
+            (
+                _dot(F.col("qe"), F.col("e"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("e"), F.col("e")))
+                )
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cs").desc(), "nid")
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    rel_tot = (
+        ranked.filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    )
+    m = (
+        ranked.filter(F.col("r") <= _MRR_K)
+        .groupBy("qid")
+        .agg(
+            F.min(
+                F.when(F.col("nlabel") == F.col("qlabel"), F.col("r"))
+            ).alias("first_rel"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rel_topk"),
+        )
+    )
+    return (
+        m.join(rel_tot, "qid")
+        .select(
+            "qid",
+            F.col("first_rel").cast("long").alias("first_rel_rank"),
+            F.when(F.col("first_rel").isNull(), 0.0)
+            .otherwise(F.lit(1.0) / F.col("first_rel"))
+            .alias("mrr_at_k"),
+            (
+                F.col("n_rel_topk").cast("double")
+                / F.least(F.lit(_MRR_K), F.col("n_rel"))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
