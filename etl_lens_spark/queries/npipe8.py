@@ -1534,3 +1534,89 @@ def rank_mrr_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@query(
+    "stats_chi2_drift",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < epoch_us(TIMESTAMP '{_PSI_SPLIT} 00:00:00')
+                  THEN 'ref' ELSE 'cur' END AS era
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, era, CAST(COUNT(*) AS BIGINT) AS o
+      FROM t GROUP BY event_type, era
+    ),
+    rows_ AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+              FROM cells GROUP BY event_type),
+    cols_ AS (SELECT era, CAST(SUM(o) AS BIGINT) AS ct
+              FROM cells GROUP BY era),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    x AS (
+      SELECT c.event_type, c.era, c.o,
+             CAST(r.rt AS DOUBLE) * ct.ct / n.n AS e
+      FROM cells c
+      JOIN rows_ r ON c.event_type = r.event_type
+      JOIN cols_ ct ON c.era = ct.era
+      CROSS JOIN n
+    )
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_categories,
+           CAST(COUNT(DISTINCT event_type) - 1 AS BIGINT) AS dof,
+           SUM((o - e) * (o - e) / e) AS chi2_stat,
+           CAST(SUM((o - e) * (o - e) / e) > 9.487729036781154
+                AS BIGINT) AS drift_flag_05
+    FROM x
+    """,
+)
+def stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity drift test for CATEGORICAL features —
+    completing the drift-monitor trio (PSI for binned numerics, KS
+    for continuous, χ² for categories): did the event-type mix shift
+    between the reference and current eras? Observed counts per
+    (category, era) cell vs the homogeneity expectation
+    row·col/N, χ² = Σ(O−E)²/E against the 0.05 critical value for
+    dof = k−1 = 4 (9.4877). The 2×k contingency table is ONE
+    map-side-combined aggregate over the corpus; everything after is
+    O(k) arithmetic over exact integer counts — deterministic
+    cross-engine, no corpus re-scan.
+
+    At 100 TB this runs per feature per day from the same grouped
+    pass a monitoring dashboard already takes; only the k-row cell
+    table moves."""
+    t = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.to_date("ts") < F.lit(_PSI_SPLIT), "ref")
+        .otherwise("cur")
+        .alias("era"),
+    )
+    cells = t.groupBy("event_type", "era").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cols_ = cells.groupBy("era").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    x = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "era")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "o",
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias(
+                "e"
+            ),
+        )
+    )
+    chi2 = F.sum(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    )
+    return x.agg(
+        F.countDistinct("event_type").cast("long").alias("n_categories"),
+        (F.countDistinct("event_type") - 1).cast("long").alias("dof"),
+        chi2.alias("chi2_stat"),
+        (chi2 > F.lit(9.487729036781154)).cast("long").alias("drift_flag_05"),
+    )
