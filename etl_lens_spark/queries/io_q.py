@@ -2465,6 +2465,7 @@ def lake_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lake_stats_only_agg",
+    headline=True,
     oracle="""
     SELECT 4 AS n_files_total, 0 AS n_files_opened,
            CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -97,7 +97,7 @@ def _rrf_oracle() -> str:
     """
 
 
-@query("rank_rrf_fusion", oracle=_rrf_oracle())
+@query("rank_rrf_fusion", oracle=_rrf_oracle(), headline=True)
 def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
     2009; similarity/fusion.py): the BM25 keyword ranking (identical
@@ -225,6 +225,7 @@ _VM_V_SQL = """
 
 @query(
     "view_maintain_distinct_agg",
+    headline=True,
     oracle=f"""
     WITH base AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS ym,
@@ -653,6 +654,7 @@ _SO_V_SQL = """
 
 @query(
     "sketch_kmv_set_operations",
+    headline=True,
     oracle=f"""
     WITH hv AS (
       SELECT DISTINCT event_type, {_SO_V_SQL} AS v, user_id
@@ -771,8 +773,14 @@ def sketch_kmv_set_operations(
         )
     )
     hv = ev.dropDuplicates(["event_type", "v"])
-    sk = kmv.kmv_topk(hv, ["event_type"], _SO_K)
-    types = hv.select("event_type").distinct()
+    # the per-type sketch is referenced THREE times (union build +
+    # both membership marks) and the distinct pair set twice more —
+    # materialize each once (O(types*k) and O(distinct pairs) rows)
+    # instead of re-running the corpus dedup per reference
+    sk = kmv.kmv_topk(hv, ["event_type"], _SO_K).localCheckpoint(
+        eager=False
+    )
+    types = sk.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("ta"))
         .join(
@@ -828,7 +836,11 @@ def sketch_kmv_set_operations(
         "ta", "tb", "n_u", "n_both", est_union.alias("est_union")
     )
     # exact anchors
-    du = ev.select("event_type", "user_id").dropDuplicates()
+    du = (
+        ev.select("event_type", "user_id")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
     da = du.select(F.col("event_type").alias("ta"), "user_id")
     db = du.select(F.col("event_type").alias("tb"), "user_id")
     exact_i = (

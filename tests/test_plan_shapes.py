@@ -283,6 +283,27 @@ HEADLINE_PINS = {
     # (LocalTableScan) — the merge plan itself is pinned by the
     # files_rewritten oracle column, not by this final plan
     "lake_merge_upsert": (0, set(), set()),
+    # --- round-6 headliners ---
+    # metadata-only agg: the answer is computed from the log on the
+    # driver (data files deleted first) — LocalTableScan, zero
+    # exchanges BY CONSTRUCTION; the zero-file-open claim is the pin
+    "lake_stats_only_agg": (0, set(), set()),
+    # RRF: two retriever pipelines (BM25 postings + broadcast-query
+    # cosine) then a 50-row fusion; the full-outer of the two tiny
+    # lists is SMJ (Spark cannot broadcast full-outer), scalar
+    # subqueries ride BNLJ — both bounded frames
+    "rank_rrf_fusion": (11, {"BroadcastHashJoin",
+                             "BroadcastNestedLoopJoin",
+                             "SortMergeJoin"}, set()),
+    # theta set-ops: per-type sketch checkpointed once, pair joins
+    # over O(k) state; the OR-membership pair fan-out is BNLJ over
+    # the broadcast 10-pair frame, anchors join SMJ at O(k) rows
+    "sketch_kmv_set_operations": (22, {"BroadcastHashJoin",
+                                       "BroadcastNestedLoopJoin",
+                                       "SortMergeJoin"}, set()),
+    # view maintenance: three partial-state families merge on ym —
+    # every join a broadcast (months-sized frames), no SMJ anywhere
+    "view_maintain_distinct_agg": (11, {"BroadcastHashJoin"}, set()),
 }
 
 
