@@ -1548,12 +1548,16 @@ def rank_mrr_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EV_SPLIT = "2024-01-16"  # events span 2024-01-01..2024-01-30 at
+# every sf; mid-month split so both eras are populated
+
+
 @query(
     "stats_chi2_drift",
     oracle=f"""
     WITH t AS (
       SELECT event_type,
-             CASE WHEN epoch_us(ts) < epoch_us(TIMESTAMP '{_PSI_SPLIT} 00:00:00')
+             CASE WHEN epoch_us(ts) < epoch_us(TIMESTAMP '{_EV_SPLIT} 00:00:00')
                   THEN 'ref' ELSE 'cur' END AS era
       FROM events
     ),
@@ -1599,7 +1603,7 @@ def stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     table moves."""
     t = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.when(F.to_date("ts") < F.lit(_PSI_SPLIT), "ref")
+        F.when(F.to_date("ts") < F.lit(_EV_SPLIT), "ref")
         .otherwise("cur")
         .alias("era"),
     )
@@ -1631,4 +1635,174 @@ def stats_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("event_type") - 1).cast("long").alias("dof"),
         chi2.alias("chi2_stat"),
         (chi2 > F.lit(9.487729036781154)).cast("long").alias("drift_flag_05"),
+    )
+
+
+@query(
+    "warehouse_scd2_pit_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type AS state,
+             CAST(value AS DECIMAL(18,6)) AS value
+      FROM events WHERE user_id IS NOT NULL AND user_id < 100
+    ),
+    dedup AS (
+      SELECT user_id, us, MIN(state) AS state
+      FROM e GROUP BY user_id, us
+    ),
+    chg AS (
+      SELECT user_id, us, state,
+             LAG(state) OVER (PARTITION BY user_id ORDER BY us)
+               AS prev_state
+      FROM dedup
+    ),
+    dim AS (
+      SELECT user_id, us AS valid_from_us,
+             LEAD(us) OVER (PARTITION BY user_id ORDER BY us)
+               AS valid_to_us,
+             state
+      FROM chg
+      WHERE prev_state IS NULL OR state <> prev_state
+    ),
+    facts AS (
+      SELECT user_id, us, value FROM e
+      WHERE value IS NOT NULL
+    ),
+    joined AS (
+      SELECT d.state, f.value
+      FROM facts f JOIN dim d
+        ON f.user_id = d.user_id
+       AND f.us >= d.valid_from_us
+       AND (d.valid_to_us IS NULL OR f.us < d.valid_to_us)
+    )
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(SUM(value) AS DOUBLE) AS value_sum
+    FROM joined
+    GROUP BY state ORDER BY state
+    """,
+)
+def warehouse_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts against the SCD2 dimension —
+    the USE side of warehouse_scd2_build: every fact row joins the
+    dimension version whose [valid_from, valid_to) interval contains
+    its timestamp, the query shape behind 'revenue by the customer
+    segment they were in AT PURCHASE TIME' (joining today's segment
+    would be temporal leakage — the exact bug the SCD2 pattern
+    exists to prevent). Implemented as the interval form of the
+    as-of join: equi-key on the entity plus the range predicate,
+    which Spark executes as a key-partitioned join with the interval
+    filter applied inside the matched group.
+
+    Every fact matches EXACTLY ONE version (intervals partition the
+    timeline per entity, the build's change-point filter guarantees
+    disjointness), so the aggregate is conservation-checked: total
+    joined facts == total facts (asserted in tests). One user-keyed
+    shuffle shared by build and join; value sums accumulate in
+    DECIMAL."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") < 100))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.col("event_type").alias("state"),
+            F.col("value").cast("decimal(18,6)").alias("value"),
+        )
+    )
+    dedup = (
+        e.groupBy("user_id", "us").agg(F.min("state").alias("state"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    dim = (
+        dedup.withColumn("prev_state", F.lag("state").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select(
+            "user_id",
+            F.col("us").alias("valid_from_us"),
+            "state",
+        )
+    )
+    # valid_to over the change-point set (post-filter, matching the
+    # SQL window-after-WHERE semantics)
+    wp = Window.partitionBy("user_id").orderBy("valid_from_us")
+    dim = dim.withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(wp)
+    )
+    facts = e.filter(F.col("value").isNotNull()).select(
+        "user_id", "us", "value"
+    )
+    joined = facts.join(dim, "user_id").filter(
+        (F.col("us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("us") < F.col("valid_to_us"))
+        )
+    )
+    return (
+        joined.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.sum("value").cast("double").alias("value_sum"),
+        )
+        .orderBy("state")
+    )
+
+
+@query(
+    "dq_freshness_sla",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    per AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           CAST(mx.now_us - per.last_us AS BIGINT) AS staleness_us,
+           CAST(mx.now_us - per.last_us
+                > CAST(21600000000 AS BIGINT) AS BIGINT) AS sla_breach_6h
+    FROM per CROSS JOIN mx
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA monitor — the first page of every pipeline
+    dashboard: per source (event type), how stale is the newest
+    record relative to the corpus watermark (max ts standing in for
+    'now' so the fixture stays deterministic), and does it breach a
+    6-hour freshness SLA. ONE map-side-combined aggregate produces
+    both the per-source watermarks and the global one; the flag is
+    O(sources) arithmetic. At 100 TB this is a footer-only question
+    when the table is the lake log (max-ts rides add-action stats —
+    see lake_stats_only_agg); here it is the single-pass corpus
+    form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("now_us"))
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("us").alias("last_us"),
+    )
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("now_us") - F.col("last_us"))
+            .cast("long")
+            .alias("staleness_us"),
+            (
+                (F.col("now_us") - F.col("last_us"))
+                > 6 * 3600 * 1_000_000
+            )
+            .cast("long")
+            .alias("sla_breach_6h"),
+        )
+        .orderBy("event_type")
     )

@@ -1814,3 +1814,157 @@ def streaming_mg_heavy_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("mg_count"), "item")
     )
+
+
+_SPSI_SPLIT = "2024-01-16"  # events-fixture midpoint (events span 2024-01-01..30)
+
+
+@query(
+    "streaming_psi_drift_live",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             event_id,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_SPSI_SPLIT}'
+                  THEN 'ref' ELSE 'cur' END AS era
+      FROM events WHERE value IS NOT NULL
+    ),
+    refb AS (SELECT cents, event_id FROM t WHERE era = 'ref'),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM refb),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, event_id) AS rnk
+      FROM refb
+    ),
+    cuts AS (
+      SELECT list(r.cents ORDER BY r.cents) AS cs
+      FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d) ds
+      JOIN n ON TRUE
+      JOIN ranked r ON r.rnk = CAST(ceil(d * n.n / 10.0) AS BIGINT)
+    ),
+    binned AS (
+      SELECT era, len(list_filter(cs, c -> cents > c)) AS bin
+      FROM t CROSS JOIN cuts
+    ),
+    cnt AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN era = 'ref' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN era = 'cur' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                   CAST(SUM(n_cur) AS BIGINT) AS tc FROM cnt),
+    p AS (
+      SELECT bin, n_ref, n_cur,
+             (n_ref + 0.5) / (tr + 5.0) AS p_ref,
+             (n_cur + 0.5) / (tc + 5.0) AS p_cur
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur, p_ref, p_cur,
+           SUM((p_ref - p_cur) * ln(p_ref / p_cur)) OVER () AS psi_total
+    FROM p ORDER BY bin
+    """,
+)
+def streaming_psi_drift_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE drift monitoring: the reference era's exact value-decile
+    bins are computed once batch-side (9 cutpoints — the broadcast
+    state every serving-time monitor carries), then the CURRENT era
+    arrives as a STREAM whose per-bin counts aggregate in complete
+    mode; the drained counts feed the same smoothed PSI as
+    feature_psi_drift. A full replay must equal the batch
+    computation, so the DuckDB oracle that validates the batch PSI
+    validates the streaming engine too — the same complete-mode
+    contract as the other _live twins.
+
+    Bin assignment is ROW-LOCAL on the stream (a 9-literal array
+    filter — no stream-static join needed, no shuffle before the
+    grouped count); state is O(bins) per the aggregation. This is
+    the shape a 100 TB serving pipeline runs continuously: reference
+    stats frozen, current window streaming, alert on psi_total."""
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    ref = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & (F.to_date("ts") < F.lit(_SPSI_SPLIT))
+        )
+        .select(cents.alias("cents"), "event_id")
+    )
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    n_ref_total = ref.count()
+    ranked = ordered_global_rank(
+        ref, [F.asc("cents"), F.asc("event_id")], "rnk"
+    )
+    targets = [
+        int(-(-d * n_ref_total // 10)) for d in range(1, 10)
+    ]  # ceil(d*n/10)
+    cut_rows = (
+        ranked.filter(F.col("rnk").isin(targets))
+        .select("cents")
+        .collect()
+    )
+    cuts = sorted(r["cents"] for r in cut_rows)  # 9 driver-side longs
+    cut_arr = F.array(*[F.lit(int(c)) for c in cuts])
+    bin_of = F.size(
+        F.filter(cut_arr, lambda c: F.col("cents") > c)
+    ).alias("bin")
+
+    stream = so.events_stream(spark, sf_dir)
+    cur_binned = (
+        stream.filter(
+            F.col("value").isNotNull()
+            & (F.to_date("ts") >= F.lit(_SPSI_SPLIT))
+        )
+        .select(cents.alias("cents"))
+        .select(bin_of)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    cur = so.run_to_memory(
+        cur_binned, "q_stream_psi", output_mode="complete"
+    )
+    refc = (
+        ref.select(bin_of)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    cnt = (
+        refc.join(
+            cur.select("bin", F.col("n_cur").cast("long").alias("n_cur")),
+            "bin",
+            "full_outer",
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+    )
+    p = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)).alias("p_ref"),
+        ((F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)).alias("p_cur"),
+    )
+    contrib = (F.col("p_ref") - F.col("p_cur")) * F.log(
+        F.col("p_ref") / F.col("p_cur")
+    )
+    return (
+        p.withColumn(
+            "psi_total",
+            F.sum(contrib).over(Window.partitionBy()),  # 10 bin rows
+        )
+        .orderBy("bin")
+    )

@@ -114,3 +114,35 @@ def test_kmv_set_operations_error_bounds(spark, sf_dir):
         assert abs(r["est_union"] - r["exact_union"]) <= 0.35 * r["exact_union"]
         # intersection compounds union + rho error; bound vs union size
         assert abs(r["est_inter"] - r["exact_inter"]) <= 0.20 * r["exact_union"]
+
+
+def test_scd2_pit_join_conservation(spark, sf_dir):
+    """Every fact joins exactly one SCD2 version: total joined facts
+    across states == total fact rows (interval disjointness +
+    coverage), and the dimension intervals for a sampled user tile
+    the timeline with no gaps/overlaps."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.queries import REGISTRY, all_queries
+    from etl_lens_spark.sources.tables import load_table
+
+    all_queries()
+    rows = REGISTRY["warehouse_scd2_pit_join"].fn(spark, sf_dir).collect()
+    total_joined = sum(r["n_facts"] for r in rows)
+    total_facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & (F.col("user_id") < 100)
+            & F.col("value").isNotNull()
+        )
+        .count()
+    )
+    assert total_joined == total_facts
+    dim = REGISTRY["warehouse_scd2_build"].fn(spark, sf_dir)
+    one = dim.filter(F.col("user_id") == dim.first()["user_id"]).orderBy(
+        "version_seq"
+    ).collect()
+    for a, b in zip(one, one[1:]):
+        assert a["valid_to_us"] == b["valid_from_us"]  # tiling
+    assert one[-1]["valid_to_us"] is None and one[-1]["is_current"] == 1
