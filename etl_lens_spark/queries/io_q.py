@@ -3066,3 +3066,75 @@ def lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+@query(
+    "lake_log_checkpoint",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey % 12 AS shard,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    fin AS (SELECT * FROM base WHERE shard <> 0)
+    SELECT CAST(12 AS BIGINT) AS n_commits,
+           CAST(9 AS BIGINT) AS checkpoint_version,
+           CAST(10 AS BIGINT) AS replay_start,
+           CAST(2 AS BIGINT) AS n_commits_replayed,
+           CAST((SELECT COUNT(*) FROM fin) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(cents) FROM fin) AS BIGINT) AS cents_sum
+    """,
+)
+def lake_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log checkpointing (lakelog.write_checkpoint — the Delta
+    checkpoint-parquet mechanism): 12 shard-append commits build the
+    table, commit 11 also DELETES shard 0 (so the checkpointed state
+    is not append-only), a checkpoint lands at version 9, and the
+    final read provably replays only commits 10..12 (replay_start /
+    n_commits_replayed come from the reader itself) while producing
+    the exact same rows as a full replay — the oracle pins the
+    content analytically. Without checkpoints a streaming table's
+    log replay is O(commits since creation) — 10⁵ file opens per
+    read after weeks of micro-batches; with them it is O(commits
+    since last checkpoint). Metadata-only: no data file is read or
+    written by the checkpoint itself."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = sinks.scratch_path("lake_ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.pmod(F.col("o_custkey"), F.lit(12)).alias("shard"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    for v in range(11):
+        orders.filter(F.col("shard") == v).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/shard{v}")
+        lakelog.commit(base, v, [{"add": f"shard{v}"}])
+    ck = lakelog.write_checkpoint(base, 9)
+    assert ck["version"] == 9 and ck["n_active_files"] == 10
+    # commit 11: append the last shard AND drop shard 0
+    orders.filter(F.col("shard") == 11).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/shard11")
+    lakelog.commit(
+        base, 11, [{"add": "shard11"}, {"remove": "shard0"}]
+    )
+    active, start, n_replayed = lakelog._replay(
+        base, lakelog.latest_version(base)
+    )
+    agg = lakelog.read_snapshot(spark, base).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    ).first()
+    return spark.createDataFrame(
+        [(12, ck["version"], start, n_replayed, agg["n"], agg["c"])],
+        "n_commits long, checkpoint_version long, replay_start long, "
+        "n_commits_replayed long, n_rows long, cents_sum long",
+    )

@@ -490,3 +490,33 @@ def test_try_commit_rebase_paths(spark, tmp_path):
         base, 2, [{"remove": "f0a"}, {"add": "f0c"}]
     )
     assert rc["version"] == 3
+
+
+def test_log_checkpoint_replay_equivalence(spark, tmp_path):
+    """write_checkpoint: reads after a checkpoint replay only the
+    commits past it, the reconstructed snapshot (files AND stats
+    metadata) is identical to the full replay, and time travel to
+    pre-checkpoint versions still works (their commits remain)."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    for v in range(12):
+        spark.range(v * 10, v * 10 + 10).write.parquet(f"{base}/f{v}")
+        acts = [{"add": f"f{v}", "num_records": 10}]
+        if v == 6:  # one remove so the checkpoint isn't append-only
+            acts.append({"remove": "f0"})
+        lakelog.commit(base, v, acts)
+    full = lakelog.snapshot_actions(base)  # no checkpoint yet
+    ck = lakelog.write_checkpoint(base, 9)
+    assert ck == {"version": 9, "n_active_files": 9}
+    # replay starts at the checkpoint: only commits 10, 11 re-read
+    active, start, n_replayed = lakelog._replay(
+        base, lakelog.latest_version(base)
+    )
+    assert (start, n_replayed) == (10, 2)
+    assert active == full  # identical snapshot incl. metadata
+    assert lakelog.read_snapshot(spark, base).count() == 110
+    # pre-checkpoint time travel unaffected
+    assert lakelog.read_snapshot(spark, base, 4).count() == 50
+    # checkpoint file must not confuse version discovery
+    assert lakelog.latest_version(base) == 11
