@@ -50,18 +50,35 @@ MINHASH_SHINGLE_N_DEFAULT = 3
 
 
 def minhash_params(spark: SparkSession) -> tuple[int, int, int]:
-    """(num_hashes, bands, shingle_n) for dedup_minhash_lsh."""
+    """(num_hashes, bands, shingle_n) for dedup_minhash_lsh.
+
+    Setting ``spark.etl_lens.minhash.target_jaccard`` DERIVES bands
+    from the S-curve error minimization (dedup/tuning.py) instead of
+    reading the bands knob — knobs-from-math rather than hand-tuning
+    (explicit ``...minhash.bands`` still wins if both are set)."""
     nh = int(
         spark.conf.get(
             "spark.etl_lens.minhash.num_hashes",
             str(MINHASH_NUM_HASHES_DEFAULT),
         )
     )
-    b = int(
-        spark.conf.get(
-            "spark.etl_lens.minhash.bands", str(MINHASH_BANDS_DEFAULT)
-        )
+    target = spark.conf.get(
+        "spark.etl_lens.minhash.target_jaccard", None
     )
+    if target is not None and spark.conf.get(
+        "spark.etl_lens.minhash.bands", None
+    ) is None:
+        from etl_lens_spark.dedup.tuning import tune_lsh_params
+
+        tuned_b, _ = tune_lsh_params(float(target), nh)
+        b = tuned_b
+    else:
+        b = int(
+            spark.conf.get(
+                "spark.etl_lens.minhash.bands",
+                str(MINHASH_BANDS_DEFAULT),
+            )
+        )
     n = int(
         spark.conf.get(
             "spark.etl_lens.minhash.shingle_n",
@@ -171,6 +188,11 @@ KNOBS: dict[str, tuple[str, str]] = {
     "spark.etl_lens.minhash.bands": (
         str(MINHASH_BANDS_DEFAULT),
         "LSH bands; rows-per-band = num_hashes/bands",
+    ),
+    "spark.etl_lens.minhash.target_jaccard": (
+        "(unset)",
+        "derive bands from the S-curve tuner (dedup/tuning.py) for "
+        "this similarity threshold; explicit bands wins if both set",
     ),
     "spark.etl_lens.minhash.shingle_n": (
         str(MINHASH_SHINGLE_N_DEFAULT),

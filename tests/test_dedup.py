@@ -179,3 +179,21 @@ def test_lsh_tuner_hits_target_recall_on_planted_pairs(spark):
     }
     assert (1, 2) in got and (1, 3) in got  # planted pairs recalled
     assert not any(a >= 10 and b >= 10 for a, b in got)  # no decoys
+
+
+def test_minhash_target_jaccard_derives_bands(spark):
+    """spark.etl_lens.minhash.target_jaccard derives bands from the
+    S-curve tuner; an explicit bands knob wins if both are set."""
+    from etl_lens_spark.config import minhash_params
+
+    try:
+        spark.conf.set("spark.etl_lens.minhash.target_jaccard", "0.5")
+        assert minhash_params(spark) == (64, 16, 3)  # tuner = default
+        spark.conf.set("spark.etl_lens.minhash.target_jaccard", "0.9")
+        nh, b, _ = minhash_params(spark)
+        assert (nh, b) == (64, 4)  # steeper curve: r=16
+        spark.conf.set("spark.etl_lens.minhash.bands", "32")
+        assert minhash_params(spark)[1] == 32  # explicit knob wins
+    finally:
+        spark.conf.unset("spark.etl_lens.minhash.target_jaccard")
+        spark.conf.unset("spark.etl_lens.minhash.bands")
