@@ -76,5 +76,5 @@ def curve_points(
 ) -> list[tuple[float, float]]:
     """(s, P(candidate)) samples of the S-curve — the audit artifact
     to log next to a chosen banding."""
-    ss = at or [i / 20 for i in range(1, 20)]
+    ss = at if at is not None else [i / 20 for i in range(1, 20)]
     return [(s, lsh_collision_prob(s, r, b)) for s in ss]

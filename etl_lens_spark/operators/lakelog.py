@@ -84,6 +84,8 @@ def try_commit_rebase(
         n_rebased = 0
         for v in range(base_version + 1, head + 1):
             path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+            if not os.path.exists(path):
+                raise ValueError(f"missing commit {v} (log has a hole)")
             with open(path) as f:
                 theirs = {
                     a.get("add") or a.get("remove")
@@ -133,11 +135,14 @@ def change_feed(
     val_cols = [c for c in old.columns if c not in key_cols]
 
     def canon(df):
-        h = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in val_cols]
-            ).cast("binary")
-        )
+        # concat_ws silently SKIPS nulls, which would hash
+        # (NULL, 'x') and ('x', NULL) identically and drop real
+        # updates — encode NULL as a sentinel no real value contains
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in val_cols
+        ]
+        h = F.md5(F.concat_ws("\x1f", *cols).cast("binary"))
         return df.withColumn("__h", h)
 
     o = canon(old).select(
@@ -196,6 +201,14 @@ def shallow_clone(
     reproducible-snapshot handoffs are made: instant, free, isolated.
     """
     actions = []
+    # carry the committed schema: snapshot_actions tracks only the
+    # file set, but a schema-evolved source's reads are governed by
+    # its last metaData action — a clone without it would silently
+    # fall back to the physical parquet schema (dropped columns
+    # reappearing), diverging from Delta SHALLOW CLONE semantics
+    schema = table_schema(src_dir, version)
+    if schema is not None:
+        actions.append({"metaData": {"fields": [list(x) for x in schema]}})
     for rel, action in snapshot_actions(src_dir, version).items():
         new = dict(action)
         new["add"] = os.path.relpath(
@@ -204,7 +217,10 @@ def shallow_clone(
         actions.append(new)
     os.makedirs(dst_dir, exist_ok=True)
     commit(dst_dir, 0, actions)
-    return {"n_files_referenced": len(actions)}
+    return {
+        "n_files_referenced": len(actions) - (schema is not None),
+        "schema_cloned": schema is not None,
+    }
 
 
 def latest_version(table_dir: str) -> int:

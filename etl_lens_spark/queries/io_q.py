@@ -2503,16 +2503,17 @@ def lake_stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
-    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
     base = sinks.scratch_path("lake_statsonly")
     shutil.rmtree(base, ignore_errors=True)
-    q = mx // 4
-    bounds = [(0, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, mx + 1)]
     actions = []
-    for i, (lo, hi) in enumerate(bounds):
+    # hash-bucket split (never empty on any fixture with >= 4 rows —
+    # a key-RANGE split can produce an empty file under skew, whose
+    # NULL min/max would poison metadata-only answering); COUNT/MIN/
+    # MAX folding needs no clustering, only per-file stats coverage
+    for i in range(4):
         rel = f"range{i}"
         orders.filter(
-            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            F.pmod(F.col("o_orderkey"), F.lit(4)) == i
         ).write.mode("overwrite").parquet(f"{base}/{rel}")
         stats, n_rec = lakelog.file_stats_with_count(
             spark, f"{base}/{rel}", ["o_orderkey", "price_cents"]

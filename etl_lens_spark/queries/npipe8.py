@@ -843,12 +843,22 @@ def sketch_kmv_set_operations(
     )
     da = du.select(F.col("event_type").alias("ta"), "user_id")
     db = du.select(F.col("event_type").alias("tb"), "user_id")
+    # left joins + conditional count so ZERO-overlap pairs survive
+    # with exact_inter = 0 (a left_semi would drop the pair row and
+    # desync from the oracle's LEFT JOIN shape on sparse fixtures)
+    db_m = db.withColumn("__hit", F.lit(1))
     exact_i = (
         F.broadcast(pairs)
         .join(da, "ta", "left")
-        .join(db, ["tb", "user_id"], "left_semi")
+        .join(db_m, ["tb", "user_id"], "left")
         .groupBy("ta", "tb")
-        .agg(F.countDistinct("user_id").cast("long").alias("exact_inter"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("__hit").isNotNull(), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("exact_inter")
+        )
     )
     exact_u = (
         F.broadcast(pairs)

@@ -1906,11 +1906,15 @@ def streaming_psi_drift_live(
         int(-(-d * n_ref_total // 10)) for d in range(1, 10)
     ]  # ceil(d*n/10)
     cut_rows = (
-        ranked.filter(F.col("rnk").isin(targets))
-        .select("cents")
+        ranked.filter(F.col("rnk").isin(list(set(targets))))
+        .select("rnk", "cents")
         .collect()
     )
-    cuts = sorted(r["cents"] for r in cut_rows)  # 9 driver-side longs
+    by_rank = {r["rnk"]: r["cents"] for r in cut_rows}
+    # duplicate target ranks (tiny ref eras) must contribute
+    # duplicate cutpoints — the oracle's JOIN keeps one row per
+    # decile, so a set-collapse here would shift every bin
+    cuts = sorted(by_rank[t] for t in targets)  # 9 driver-side longs
     cut_arr = F.array(*[F.lit(int(c)) for c in cuts])
     bin_of = F.size(
         F.filter(cut_arr, lambda c: F.col("cents") > c)

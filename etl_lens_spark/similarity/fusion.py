@@ -40,6 +40,8 @@ def rrf_fuse(
     Deterministic: ranks are integers, so the two-term reciprocal
     sum is bit-identical across engines and partitionings.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse requires at least one ranked list")
     sides = [
         df.select(
             F.col(id_col),

@@ -100,6 +100,9 @@ def main(names):
     json_out = None
     if "--json" in names:
         i = names.index("--json")
+        if i + 1 >= len(names):
+            print("usage: oracle_check.py [--json FILE] [query ...]")
+            return 2
         json_out = names[i + 1]
         names = names[:i] + names[i + 2 :]
 
