@@ -900,6 +900,11 @@ def sketch_kmv_set_operations(
 # Distribution-drift monitors: PSI over exact deciles, two-sample KS
 # ---------------------------------------------------------------------------
 
+from etl_lens_spark.operators.drift import (
+    psi_oracle_tail as _psi_oracle_tail,
+)
+
+_psi_tail = _psi_oracle_tail(10)
 _PSI_SPLIT = "1998-05-01"  # ref = orders before, cur = after
 # (fixture orders span 1995-01-01 .. 2001-08-01 at every sf; the
 # split is the approximate midpoint so both eras are populated)
@@ -942,18 +947,7 @@ _PSI_SPLIT = "1998-05-01"  # ref = orders before, cur = after
                   AS BIGINT) AS n_cur
       FROM binned GROUP BY bin
     ),
-    tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
-                   CAST(SUM(n_cur) AS BIGINT) AS tc FROM cnt),
-    p AS (
-      SELECT bin, n_ref, n_cur,
-             (n_ref + 0.5) / (tr + 5.0) AS p_ref,
-             (n_cur + 0.5) / (tc + 5.0) AS p_cur
-      FROM cnt CROSS JOIN tot
-    )
-    SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur, p_ref, p_cur,
-           (p_ref - p_cur) * ln(p_ref / p_cur) AS psi_contrib,
-           SUM((p_ref - p_cur) * ln(p_ref / p_cur)) OVER () AS psi_total
-    FROM p ORDER BY bin
+    {_psi_tail}
     """,
 )
 def feature_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,30 +1017,9 @@ def feature_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_cur"),
     )
-    tot = cnt.agg(
-        F.sum("n_ref").cast("long").alias("tr"),
-        F.sum("n_cur").cast("long").alias("tc"),
-    )
-    p = cnt.crossJoin(F.broadcast(tot)).select(
-        F.col("bin").cast("long").alias("bin"),
-        "n_ref",
-        "n_cur",
-        ((F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)).alias("p_ref"),
-        ((F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)).alias("p_cur"),
-    )
-    contrib = (F.col("p_ref") - F.col("p_cur")) * F.log(
-        F.col("p_ref") / F.col("p_cur")
-    )
-    return (
-        p.withColumn("psi_contrib", contrib)
-        .withColumn(
-            "psi_total",
-            F.sum("psi_contrib").over(
-                Window.partitionBy()  # 10 bin rows — bounded frame
-            ),
-        )
-        .orderBy("bin")
-    )
+    from etl_lens_spark.operators.drift import smoothed_psi_frame
+
+    return smoothed_psi_frame(cnt, n_bins=10)
 
 
 @query(

@@ -1816,6 +1816,11 @@ def streaming_mg_heavy_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from etl_lens_spark.operators.drift import (
+    psi_oracle_tail as _psi_oracle_tail,
+)
+
+_spsi_tail = _psi_oracle_tail(10)
 _SPSI_SPLIT = "2024-01-16"  # events-fixture midpoint (events span 2024-01-01..30)
 
 
@@ -1854,17 +1859,7 @@ _SPSI_SPLIT = "2024-01-16"  # events-fixture midpoint (events span 2024-01-01..3
                   AS BIGINT) AS n_cur
       FROM binned GROUP BY bin
     ),
-    tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
-                   CAST(SUM(n_cur) AS BIGINT) AS tc FROM cnt),
-    p AS (
-      SELECT bin, n_ref, n_cur,
-             (n_ref + 0.5) / (tr + 5.0) AS p_ref,
-             (n_cur + 0.5) / (tc + 5.0) AS p_cur
-      FROM cnt CROSS JOIN tot
-    )
-    SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur, p_ref, p_cur,
-           SUM((p_ref - p_cur) * ln(p_ref / p_cur)) OVER () AS psi_total
-    FROM p ORDER BY bin
+    {_spsi_tail}
     """,
 )
 def streaming_psi_drift_live(
@@ -1951,24 +1946,6 @@ def streaming_psi_drift_live(
             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         )
     )
-    tot = cnt.agg(
-        F.sum("n_ref").cast("long").alias("tr"),
-        F.sum("n_cur").cast("long").alias("tc"),
-    )
-    p = cnt.crossJoin(F.broadcast(tot)).select(
-        "bin",
-        "n_ref",
-        "n_cur",
-        ((F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)).alias("p_ref"),
-        ((F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)).alias("p_cur"),
-    )
-    contrib = (F.col("p_ref") - F.col("p_cur")) * F.log(
-        F.col("p_ref") / F.col("p_cur")
-    )
-    return (
-        p.withColumn(
-            "psi_total",
-            F.sum(contrib).over(Window.partitionBy()),  # 10 bin rows
-        )
-        .orderBy("bin")
-    )
+    from etl_lens_spark.operators.drift import smoothed_psi_frame
+
+    return smoothed_psi_frame(cnt, n_bins=10)
