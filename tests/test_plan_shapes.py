@@ -298,7 +298,9 @@ HEADLINE_PINS = {
     # theta set-ops: per-type sketch checkpointed once, pair joins
     # over O(k) state; the OR-membership pair fan-out is BNLJ over
     # the broadcast 10-pair frame, anchors join SMJ at O(k) rows
-    "sketch_kmv_set_operations": (22, {"BroadcastHashJoin",
+    # (21 after the review fix replaced the exact-anchor left_semi
+    # with a left join so zero-overlap pairs survive)
+    "sketch_kmv_set_operations": (21, {"BroadcastHashJoin",
                                        "BroadcastNestedLoopJoin",
                                        "SortMergeJoin"}, set()),
     # view maintenance: three partial-state families merge on ym —
