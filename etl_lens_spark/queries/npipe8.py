@@ -1789,3 +1789,215 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency quantiles + exact average precision
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_buy
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id, first_buy - first_view AS lat_us
+      FROM per
+      WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_view
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM conv),
+    ranked AS (
+      SELECT lat_us,
+             ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rnk
+      FROM conv
+    ),
+    viewers AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM per
+      WHERE first_view IS NOT NULL
+    )
+    SELECT n.n AS n_converted,
+           v.n_viewers,
+           CAST(n.n AS DOUBLE) / v.n_viewers AS conversion_rate,
+           (SELECT lat_us FROM ranked
+            WHERE rnk = CAST(ceil(0.50 * n.n) AS BIGINT)) AS p50_lat_us,
+           (SELECT lat_us FROM ranked
+            WHERE rnk = CAST(ceil(0.90 * n.n) AS BIGINT)) AS p90_lat_us
+    FROM n CROSS JOIN viewers v
+    """,
+)
+def events_conversion_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution — the funnel question
+    funnel_conversion's counts don't answer: among users whose first
+    purchase follows their first view, how LONG did conversion take
+    (exact p50/p90 of the latency) and what share of viewers ever
+    converted. One user-keyed aggregate builds both first-touch
+    timestamps (conditional MIN — no self-join), the latency set is
+    then tiny relative to the corpus, and the exact percentiles ride
+    the ceil-rank rule on the distributed global rank
+    (operators/prefix) — integer microseconds end to end, no float
+    anywhere, deterministic (lat, user) tie-break."""
+    from etl_lens_spark.operators.prefix import ordered_global_rank
+
+    per = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "view", F.unix_micros("ts")
+                )
+            ).alias("first_view"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros("ts"),
+                )
+            ).alias("first_buy"),
+        )
+    )
+    conv = per.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        "user_id",
+        (F.col("first_buy") - F.col("first_view")).alias("lat_us"),
+    )
+    n = conv.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    viewers = per.filter(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_viewers")
+    )
+    ranked = ordered_global_rank(
+        conv, [F.asc("lat_us"), F.asc("user_id")], "rnk"
+    )
+    targets = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(F.lit(0.50), F.lit(0.90))
+            ).alias("p")
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            F.ceil(F.col("p") * F.col("n")).cast("long").alias("rnk"),
+        )
+    )
+    qs = (
+        ranked.join(F.broadcast(targets), "rnk")
+        .groupBy()
+        .pivot("p", ["0.5", "0.9"])
+        .agg(F.first("lat_us"))
+        .withColumnRenamed("0.5", "p50_lat_us")
+        .withColumnRenamed("0.9", "p90_lat_us")
+    )
+    return (
+        n.crossJoin(F.broadcast(viewers))
+        .crossJoin(F.broadcast(qs))
+        .select(
+            F.col("n").alias("n_converted"),
+            "n_viewers",
+            (F.col("n").cast("double") / F.col("n_viewers")).alias(
+                "conversion_rate"
+            ),
+            "p50_lat_us",
+            "p90_lat_us",
+        )
+    )
+
+
+@query(
+    "ml_eval_average_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS k,
+             SUM(label) OVER (ORDER BY score DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos
+      FROM scored
+    ),
+    tot AS (SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs FROM ranked)
+    SELECT t.n_pos, t.n_docs,
+           CAST(SUM(CASE WHEN label = 1 THEN
+                 CAST(CAST(cum_pos AS DOUBLE) / k AS DECIMAL(18,9))
+               END) AS DOUBLE) / t.n_pos AS avg_precision,
+           CAST(t.n_pos AS DOUBLE) / t.n_docs AS prevalence
+    FROM ranked CROSS JOIN tot t
+    GROUP BY t.n_pos, t.n_docs
+    """,
+)
+def ml_eval_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact AVERAGE PRECISION (area under the precision-recall
+    curve by the standard step definition) — the imbalance-robust
+    companion to ml_eval_auc_rank's ROC AUC, on the same integer
+    scoring task (n_chars predicting lang='en'): AP = mean over
+    positive ranks k of precision@k. ROC AUC is blind to prevalence;
+    AP degrades toward the prevalence baseline (emitted alongside)
+    exactly when the ranker stops front-loading positives — the
+    metric retrieval and filtering pipelines actually tune.
+
+    Distributed form: the global ranking and the cumulative positive
+    count ride ONE range exchange (operators/prefix — rank and
+    prefix sum share the partitioning, no single-reducer window);
+    each positive's precision p/k is an IEEE-identical two-operand
+    division rounded into DECIMAL(18,9) so the sum is
+    order-independent (the functions/numeric.py discipline); one
+    final division by n_pos. Deterministic (score DESC, doc_id)
+    tie-break keeps both engines' rankings identical."""
+    from etl_lens_spark.operators.prefix import ordered_prefix_sums
+
+    scored = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    # rank = prefix sum of ones — BOTH running columns ride the one
+    # range exchange ordered_prefix_sums performs
+    ranked = ordered_prefix_sums(
+        scored.withColumn("__one", F.lit(1)),
+        [F.desc("score"), F.asc("doc_id")],
+        {"cum_pos": "label", "k": "__one"},
+    )
+    tot = scored.agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    contrib = F.when(
+        F.col("label") == 1,
+        (F.col("cum_pos").cast("double") / F.col("k")).cast(
+            "decimal(18,9)"
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_pos", "n_docs")
+        .agg(
+            (F.sum(contrib).cast("double") / F.first("n_pos")).alias(
+                "avg_precision"
+            ),
+            (
+                F.first("n_pos").cast("double") / F.first("n_docs")
+            ).alias("prevalence"),
+        )
+        .select("n_pos", "n_docs", "avg_precision", "prevalence")
+    )
