@@ -520,3 +520,28 @@ def test_log_checkpoint_replay_equivalence(spark, tmp_path):
     assert lakelog.read_snapshot(spark, base, 4).count() == 50
     # checkpoint file must not confuse version discovery
     assert lakelog.latest_version(base) == 11
+
+
+def test_change_feed_null_value_updates_detected(spark, tmp_path):
+    """Regression (review fix): a row whose update moves a value
+    BETWEEN columns with NULLs — (NULL,'x') -> ('x',NULL) — must
+    classify as an update; concat_ws-style null skipping would hash
+    both sides identically and silently drop it."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, None, "x"), (2, "a", "b")], "k long, c1 string, c2 string"
+    ).write.parquet(f"{base}/f0")
+    lakelog.commit(base, 0, [{"add": "f0"}])
+    spark.createDataFrame(
+        [(1, "x", None), (2, "a", "b")], "k long, c1 string, c2 string"
+    ).write.parquet(f"{base}/f1")
+    lakelog.commit(base, 1, [{"remove": "f0"}, {"add": "f1"}])
+    feed = {
+        (r["k"], r["_change_type"]): (r["c1"], r["c2"])
+        for r in lakelog.change_feed(spark, base, ["k"], 0, 1).collect()
+    }
+    assert feed[(1, "update_preimage")] == (None, "x")
+    assert feed[(1, "update_postimage")] == ("x", None)
+    assert not any(k == 2 for k, _ in feed)  # unchanged row absent
