@@ -2001,3 +2001,89 @@ def ml_eval_average_precision(
         )
         .select("n_pos", "n_docs", "avg_precision", "prevalence")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: Yule's K + hapax ratio per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_yule_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split(regexp_replace(trim(lower(text)),
+                                                '\\s+', ' ', 'g'),
+                    ' ')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM toks GROUP BY source, w
+    ),
+    spectrum AS (
+      SELECT source, m, CAST(COUNT(*) AS BIGINT) AS v_m
+      FROM tf GROUP BY source, m
+    )
+    SELECT source,
+           CAST(SUM(m * v_m) AS BIGINT) AS n_tokens,
+           CAST(SUM(v_m) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN m = 1 THEN v_m ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN m = 1 THEN v_m ELSE 0 END) AS DOUBLE)
+             / SUM(v_m) AS hapax_ratio,
+           10000.0 * (SUM(m * m * v_m) - SUM(m * v_m))
+             / (CAST(SUM(m * v_m) AS DOUBLE) * SUM(m * v_m))
+             AS yule_k
+    FROM spectrum
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_yule_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Yule's K and the hapax-legomena ratio per source — the
+    length-robust lexical-diversity pair (plain TTR shrinks with
+    corpus size; K = 10⁴·(Σm²V_m − N)/N² over the frequency
+    spectrum V_m is asymptotically length-free, and the hapax share
+    is the classic low-quality/boilerplate signal: templated spam
+    has few hapaxes, rich prose many). Complements text_zipf_fit
+    (rank-frequency slope) and text_token_entropy with the
+    repeated-draw view of the same distribution.
+
+    One (source, word) count, one spectrum fold, then O(distinct m)
+    arithmetic — every aggregate map-side combined, all integers
+    until the final two divisions (order-independent by
+    construction). The tokenizer is the shared normalized-whitespace
+    split used across the text family."""
+    from etl_lens_spark.text import pipeline as tp
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(tp.ws_tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    tf = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    spectrum = tf.groupBy("source", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("v_m")
+    )
+    n = F.sum(F.col("m") * F.col("v_m"))
+    m2 = F.sum(F.col("m") * F.col("m") * F.col("v_m"))
+    hapax = F.sum(F.when(F.col("m") == 1, F.col("v_m")).otherwise(0))
+    return (
+        spectrum.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.sum("v_m").cast("long").alias("n_types"),
+            hapax.cast("long").alias("n_hapax"),
+            (hapax.cast("double") / F.sum("v_m")).alias("hapax_ratio"),
+            (
+                F.lit(10000.0)
+                * (m2 - n)
+                / (n.cast("double") * n)
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )
