@@ -57,7 +57,10 @@ def commit(table_dir: str, version: int, actions: list[dict]) -> None:
 
 
 def try_commit_rebase(
-    table_dir: str, base_version: int, actions: list[dict]
+    table_dir: str,
+    base_version: int,
+    actions: list[dict],
+    read_files: set[str] | None = None,
 ) -> dict:
     """Optimistic concurrency with LOGICAL conflict detection — the
     Delta commit protocol on top of the O_EXCL physical race guard:
@@ -65,10 +68,23 @@ def try_commit_rebase(
     writers landed commits since, replay them and compare file sets.
     Disjoint files → REBASE (this commit is still valid, retry at
     the next version number, no recompute needed). Any intervening
-    commit touching a file this commit adds or removes → raise
-    CommitConflict (the transaction read state that no longer
-    exists; the caller must recompute against the new snapshot).
+    commit touching a conflicting file → raise CommitConflict (the
+    caller must recompute against the new snapshot).
     Returns {'version', 'n_rebased'} on success.
+
+    Isolation level is the caller's choice, mirroring Delta's two
+    documented levels:
+
+    - Default (``read_files=None``) = **WriteSerializable**: the
+      conflict check covers only this transaction's WRITE set (files
+      it adds/removes). A transaction whose *inputs* were replaced by
+      an intervening commit touching disjoint files rebases silently
+      with stale reads — write-skew is permitted, exactly as in
+      Delta's default level.
+    - Pass ``read_files`` (the snapshot files the transaction READ,
+      e.g. ``set(snapshot_actions(dir, base_version))``) =
+      **Serializable**: any intervening add/remove overlapping the
+      read set also conflicts, so stale-read rebases are refused.
 
     At 100 TB this is what lets hundreds of concurrent writers
     append/compact different partitions of one table without locks:
@@ -79,6 +95,8 @@ def try_commit_rebase(
         for a in actions
         if "add" in a or "remove" in a
     }
+    if read_files:
+        mine = mine | set(read_files)
     while True:
         head = latest_version(table_dir)
         n_rebased = 0
@@ -127,7 +145,15 @@ def change_feed(
     into their pre/post image pair. Cost is O(|old| + |new|) with
     one key-partitioned shuffle — and in production the log's
     add/remove lists first prune both reads to files touched between
-    the versions, so the join sees changed files only."""
+    the versions, so the join sees changed files only.
+
+    The join is NULL-SAFE on the key (``eqNullSafe``): a row whose
+    key contains NULL still matches itself across versions, so an
+    unchanged NULL-key row is suppressed rather than emitted as a
+    spurious delete+insert pair — apply_cdc-produced tables can
+    carry nullable keys."""
+    import functools
+
     from pyspark.sql import functions as F
 
     old = read_snapshot(spark, table_dir, v_from)
@@ -146,16 +172,32 @@ def change_feed(
         return df.withColumn("__h", h)
 
     o = canon(old).select(
-        *key_cols,
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"__old_{c}") for c in val_cols],
         F.col("__h").alias("__old_h"),
     )
     n = canon(new).select(
-        *key_cols,
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"__new_{c}") for c in val_cols],
         F.col("__h").alias("__new_h"),
     )
-    j = o.join(n, key_cols, "full_outer")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+            for k in key_cols
+        ],
+    )
+    j = o.join(n, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[F.col(f"__old_{c}") for c in val_cols],
+        *[F.col(f"__new_{c}") for c in val_cols],
+        "__old_h",
+        "__new_h",
+    )
     kind = (
         F.when(F.col("__old_h").isNull(), F.array(F.lit("insert")))
         .when(F.col("__new_h").isNull(), F.array(F.lit("delete")))
@@ -245,11 +287,18 @@ def write_checkpoint(table_dir: str, version: int | None = None) -> dict:
     if version is None:
         version = latest_version(table_dir)
     active = _replay(table_dir, version)[0]
-    path = os.path.join(
-        _log_dir(table_dir), f"{version:08d}.checkpoint.json"
-    )
-    with open(path, "w") as f:
+    log = _log_dir(table_dir)
+    path = os.path.join(log, f"{version:08d}.checkpoint.json")
+    # write-then-rename so a concurrent reader (the module's headline
+    # story) can never json.load a truncated checkpoint: os.rename
+    # within one directory is atomic on POSIX — readers see either no
+    # checkpoint or a complete one, never a partial write
+    tmp = os.path.join(log, f".{version:08d}.checkpoint.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(list(active.values()), f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
     return {"version": version, "n_active_files": len(active)}
 
 

@@ -1895,13 +1895,18 @@ def events_conversion_latency(
             F.ceil(F.col("p") * F.col("n")).cast("long").alias("rnk"),
         )
     )
-    qs = (
-        ranked.join(F.broadcast(targets), "rnk")
-        .groupBy()
-        .pivot("p", ["0.5", "0.9"])
-        .agg(F.first("lat_us"))
-        .withColumnRenamed("0.5", "p50_lat_us")
-        .withColumnRenamed("0.9", "p90_lat_us")
+    # global conditional agg, NOT groupBy().pivot(): a pivot over an
+    # empty frame yields 0 rows (making the final crossJoin empty)
+    # while the oracle still emits 1 row with NULL quantiles — the
+    # agg form always returns exactly one row, NULLs when no user
+    # converted
+    qs = ranked.join(F.broadcast(targets), "rnk").agg(
+        F.max(F.when(F.col("p") == 0.50, F.col("lat_us"))).alias(
+            "p50_lat_us"
+        ),
+        F.max(F.when(F.col("p") == 0.90, F.col("lat_us"))).alias(
+            "p90_lat_us"
+        ),
     )
     return (
         n.crossJoin(F.broadcast(viewers))

@@ -545,3 +545,92 @@ def test_change_feed_null_value_updates_detected(spark, tmp_path):
     assert feed[(1, "update_preimage")] == (None, "x")
     assert feed[(1, "update_postimage")] == ("x", None)
     assert not any(k == 2 for k, _ in feed)  # unchanged row absent
+
+
+def test_change_feed_null_key_rows_match_null_safely(spark, tmp_path):
+    """Regression (round-7 review fix): the snapshot diff joins with
+    eqNullSafe, so a row whose KEY is NULL matches itself across
+    versions — an unchanged NULL-key row is suppressed, a changed one
+    classifies as a normal update (not a spurious delete+insert)."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(None, "keep"), (7, "x")], "k long, v string"
+    ).write.parquet(f"{base}/f0")
+    lakelog.commit(base, 0, [{"add": "f0"}])
+    spark.createDataFrame(
+        [(None, "keep"), (7, "y")], "k long, v string"
+    ).write.parquet(f"{base}/f1")
+    lakelog.commit(base, 1, [{"remove": "f0"}, {"add": "f1"}])
+    feed = [
+        (r["k"], r["_change_type"], r["v"])
+        for r in lakelog.change_feed(spark, base, ["k"], 0, 1).collect()
+    ]
+    # the unchanged NULL-key row emits NOTHING (no delete+insert pair)
+    assert not any(k is None for k, _, _ in feed)
+    assert sorted(feed) == [
+        (7, "update_postimage", "y"),
+        (7, "update_preimage", "x"),
+    ]
+    # and a CHANGED NULL-key row classifies as an update
+    spark.createDataFrame(
+        [(None, "edit"), (7, "y")], "k long, v string"
+    ).write.parquet(f"{base}/f2")
+    lakelog.commit(base, 2, [{"remove": "f1"}, {"add": "f2"}])
+    feed2 = sorted(
+        (r["_change_type"], r["v"])
+        for r in lakelog.change_feed(spark, base, ["k"], 1, 2).collect()
+        if r["k"] is None
+    )
+    assert feed2 == [
+        ("update_postimage", "edit"),
+        ("update_preimage", "keep"),
+    ]
+
+
+def test_try_commit_rebase_read_set_serializable(tmp_path):
+    """Regression (round-7 review fix): passing read_files upgrades
+    the conflict check from WriteSerializable (write-set only) to
+    Serializable — an intervening commit that replaced a file this
+    transaction READ (but does not write) now conflicts instead of
+    rebasing with stale inputs (write-skew)."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    lakelog.commit(base, 0, [{"add": "b1"}, {"add": "b2"}])
+    # writer A compacts b1 -> b1a
+    lakelog.try_commit_rebase(base, 0, [{"remove": "b1"}, {"add": "b1a"}])
+    # writer B aggregated over b1+b2 at v0 and writes only b2's bucket:
+    # default (write-set-only) silently rebases over A's rewrite...
+    rb = lakelog.try_commit_rebase(
+        base, 0, [{"remove": "b2"}, {"add": "b2b"}]
+    )
+    assert rb["n_rebased"] == 1
+    # ...but with the read set declared, the same shape CONFLICTS
+    lakelog.commit(base, 3, [{"remove": "b1a"}, {"add": "b1c"}])
+    with pytest.raises(lakelog.CommitConflict):
+        lakelog.try_commit_rebase(
+            base,
+            2,
+            [{"remove": "b2b"}, {"add": "b2d"}],
+            read_files={"b1a", "b2b"},
+        )
+
+
+def test_write_checkpoint_is_atomic_rename(tmp_path):
+    """Regression (round-7 review fix): the checkpoint lands via
+    temp-file + os.rename, so no .tmp residue survives and the log
+    dir never exposes a partially-written checkpoint name."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    for v in range(4):
+        lakelog.commit(base, v, [{"add": f"f{v}"}])
+    ck = lakelog.write_checkpoint(base, 2)
+    assert ck["n_active_files"] == 3
+    log = os.path.join(base, "_log")
+    assert not [f for f in os.listdir(log) if f.endswith(".tmp")]
+    # replay from the checkpoint still yields the right snapshot
+    active, start, _ = lakelog._replay(base, 3)
+    assert start == 3 and sorted(active) == ["f0", "f1", "f2", "f3"]
