@@ -12,6 +12,29 @@ column is computed and every top-level sort actually runs, unlike
 A warm-up pass on the first query amortizes JVM/codegen startup so
 timings reflect steady-state engine throughput, matching how a
 resident cluster runs.
+
+Noise separation (round-7 verdict item): the box this bench runs on
+drifts in speed between rounds (a measured 1.32× slowdown once
+masqueraded as a code regression). Three additions make box drift
+separable from code drift by inspection of the JSON alone:
+
+- ``calibration_sec`` / ``calibration_runs``: a PINNED pure-Spark
+  synthetic workload (seeded ``spark.range`` scan → hash → shuffle
+  agg → sort) that never changes between rounds. Dividing two
+  rounds' calibration_sec gives the box-speed ratio; divide the
+  headline totals by it before reading anything as a regression.
+  DO NOT MODIFY ``_calibration_df`` — its stability across rounds
+  is the whole point.
+- ``runs``: per-query ALL run times (not just the min), so
+  one-off page-cache/GC outliers are visible rather than silently
+  folded away.
+- ``untimed_setup_sec`` + ``split_queries``: setup-dominated
+  headliners (in-query scratch-table fixture builds) registered in
+  ``queries.BENCH_SETUP`` run their fixture build untimed; the
+  timed number is the operator under test (a metadata-only answer
+  used to bench as its multi-second parquet write). Round-over-round
+  deltas on ``split_queries`` members vs pre-split rounds are
+  definitional, not regressions.
 """
 
 from __future__ import annotations
@@ -24,10 +47,38 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _calibration_df(spark):
+    """PINNED calibration anchor — never change between rounds.
+
+    Pure-Spark synthetic workload, independent of the fixture data
+    and of every query module: deterministic range scan (32 input
+    partitions), JVM hash, one shuffle into a 9973-key aggregate,
+    global sort. Exercises scan + codegen + exchange + agg + sort,
+    so its runtime tracks the box's effective Spark throughput.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            # modulo keeps the 20M-row sum far from long overflow
+            # (ANSI mode would raise on summing raw 64-bit hashes)
+            (F.xxhash64("id") % 1_000_003).alias("h"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("h").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("k")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_lens_spark import get_spark
-    from etl_lens_spark.queries import headline_queries
+    from etl_lens_spark.queries import BENCH_SETUP, headline_queries
 
     spark = get_spark(app_name="etl-lens-bench")
 
@@ -40,16 +91,38 @@ def main() -> None:
     first = next(iter(specs.values()))
     run_full(first.fn(spark, sf_dir))
 
+    # calibration anchor: 3 runs, all reported (min is the number to
+    # divide between rounds — see module docstring)
+    cal_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_full(_calibration_df(spark))
+        cal_runs.append(round(time.perf_counter() - t0, 3))
+
     # min of 2 runs per query: steady-state throughput (what a
-    # resident cluster delivers), robust to one-off JIT/GC noise
+    # resident cluster delivers), robust to one-off JIT/GC noise;
+    # every run's time is emitted so outliers stay visible
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    setup_secs: dict[str, list[float]] = {}
     for name, spec in specs.items():
-        best = float("inf")
+        prepare = BENCH_SETUP.get(name)
+        runs: list[float] = []
         for _ in range(2):
-            t0 = time.perf_counter()
-            run_full(spec.fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            if prepare is not None:
+                s0 = time.perf_counter()
+                thunk = prepare(spark, sf_dir)
+                setup_secs.setdefault(name, []).append(
+                    round(time.perf_counter() - s0, 3)
+                )
+                t0 = time.perf_counter()
+                run_full(thunk())
+            else:
+                t0 = time.perf_counter()
+                run_full(spec.fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -61,6 +134,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
+        "calibration_sec": min(cal_runs),
+        "calibration_runs": cal_runs,
+        "split_queries": sorted(BENCH_SETUP),
+        "untimed_setup_sec": setup_secs,
         "sf": sf_val,
     }
     print(json.dumps(out))

@@ -68,6 +68,29 @@ def headline_queries() -> dict[str, QuerySpec]:
     return {n: s for n, s in REGISTRY.items() if s.headline}
 
 
+# Setup/answer splits for setup-dominated headline queries: the
+# registered callable runs UNTIMED before each bench run (building
+# the in-query fixture — scratch-table writes, log commits) and
+# returns a zero-arg thunk producing the result DataFrame; bench.py
+# times only the thunk. Without the split, a metadata-only answer
+# (microseconds) benches as its multi-second parquet fixture build,
+# and round-over-round comparisons measure write throughput instead
+# of the operator under test.
+BENCH_SETUP: dict[
+    str, Callable[[SparkSession, str], Callable[[], DataFrame]]
+] = {}
+
+
+def bench_setup(name: str):
+    """Register a setup/answer split for headline query ``name``."""
+
+    def deco(fn):
+        BENCH_SETUP[name] = fn
+        return fn
+
+    return deco
+
+
 _loaded = False
 
 
