@@ -117,6 +117,7 @@ def _load() -> None:
         npipe6,
         npipe7,
         npipe8,
+        npipe9,
         pca_q,
         quality_q,
         quant_q,

@@ -1,0 +1,232 @@
+"""Round-7 tranche: incremental SCD2 maintenance from the change
+data feed (VERDICT r6 item 3), write-audit-publish on the lake log
+(item 4), k-core decomposition (item 6), partition evolution
+(item 7), and the ANN operating-curve artifact (item 8).
+
+Same contract as every npipe tranche: PySpark plan + hand-written
+DuckDB oracle on identical parquet where the math is SQL-expressible;
+rows-only + pinned invariant tests where it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import bench_setup, query
+from etl_lens_spark.sources import sinks
+from etl_lens_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Incremental SCD2 maintenance from the change data feed
+# ---------------------------------------------------------------------------
+
+_SCD2_T0 = 1000  # v0 rows become valid at this instant (µs)
+_SCD2_T1 = 2000  # the CDF batch's effective instant
+
+
+def _scd2_lake_build(spark: SparkSession, sf_dir: str) -> str:
+    """Two-version lakehouse table for the CDF→SCD2 pipeline:
+    v0 = every order (key, price_cents); v1 applies the canonical
+    mod-20 batch — keys %20==1 price-doubled (updates), %20==7
+    dropped (deletes), %20==3 re-keyed +1e8 copies (inserts)."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    v0 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    v1 = (
+        v0.filter(F.col("k") % 20 != 7)
+        .withColumn(
+            "price_cents",
+            F.when(
+                F.col("k") % 20 == 1, F.col("price_cents") * 2
+            ).otherwise(F.col("price_cents")),
+        )
+        .unionByName(
+            v0.filter(F.col("k") % 20 == 3).select(
+                (F.col("k") + 100000000).alias("k"), "price_cents"
+            )
+        )
+    )
+    base = sinks.scratch_path("scd2_cdf")
+    shutil.rmtree(base, ignore_errors=True)
+    v0.write.parquet(f"{base}/s0")
+    v1.write.parquet(f"{base}/s1")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.commit(base, 1, [{"remove": "s0"}, {"add": "s1"}])
+    return base
+
+
+def _scd2_incremental_answer(
+    spark: SparkSession, base: str
+) -> DataFrame:
+    """Read the CDF, apply it to the v0-seeded dimension with
+    cdc.scd2_apply_changes, SELF-AUDIT against a from-scratch rebuild
+    over both snapshots (symmetric exceptAll — an independent code
+    path), and aggregate the maintained dimension per key bucket."""
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.operators.cdc import scd2_apply_changes
+
+    feed = lakelog.change_feed(spark, base, ["k"], 0, 1)
+    v0 = lakelog.read_snapshot(spark, base, 0)
+    dim0 = v0.select(
+        "k",
+        F.lit(1).cast("long").alias("version_seq"),
+        "price_cents",
+        F.lit(_SCD2_T0).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    dim1 = scd2_apply_changes(
+        dim0, feed, ["k"], ["price_cents"], _SCD2_T1
+    )
+    # the maintained dimension feeds BOTH the rollup and the audit —
+    # materialize it once instead of re-running the apply per consumer
+    dim1 = dim1.localCheckpoint(eager=False)
+    # from-scratch rebuild on the SAME two snapshots, CDF-free:
+    # v0 rows close iff their key's value changed or vanished in v1;
+    # v1 rows open a new version iff their key is new or changed
+    v1 = lakelog.read_snapshot(spark, base, 1)
+    o = v0.select("k", F.col("price_cents").alias("__p0"))
+    n = v1.select("k", F.col("price_cents").alias("__p1"))
+    both = o.join(n, "k", "full_outer")
+    scratch_v0 = both.filter(F.col("__p0").isNotNull()).select(
+        "k",
+        F.lit(1).cast("long").alias("version_seq"),
+        F.col("__p0").alias("price_cents"),
+        F.lit(_SCD2_T0).cast("long").alias("valid_from_us"),
+        F.when(
+            F.col("__p1").isNull() | (F.col("__p1") != F.col("__p0")),
+            F.lit(_SCD2_T1).cast("long"),
+        ).alias("valid_to_us"),
+        (F.col("__p1").isNotNull() & (F.col("__p1") == F.col("__p0")))
+        .cast("long")
+        .alias("is_current"),
+    )
+    scratch_new = both.filter(
+        F.col("__p1").isNotNull()
+        & (F.col("__p0").isNull() | (F.col("__p0") != F.col("__p1")))
+    ).select(
+        "k",
+        F.when(F.col("__p0").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("version_seq"),
+        F.col("__p1").alias("price_cents"),
+        F.lit(_SCD2_T1).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(1).cast("long").alias("is_current"),
+    )
+    scratch = scratch_v0.unionByName(scratch_new)
+    # multiset equality in ONE pass: tag each side ±1, sum per full
+    # row; any nonzero sum is a disagreement. Cheaper than a double
+    # exceptAll, which would recompute both lineages (each rooted in
+    # the two-snapshot join) four times.
+    tagged = dim1.withColumn("__t", F.lit(1)).unionByName(
+        scratch.withColumn("__t", F.lit(-1))
+    )
+    audit = (
+        tagged.groupBy(tagged.columns[:-1])
+        .agg(F.sum("__t").alias("__s"))
+        .agg(
+            F.sum(F.when(F.col("__s") != 0, F.abs(F.col("__s"))).otherwise(0))
+            .cast("long")
+            .alias("audit_mismatch")
+        )
+    )
+    return (
+        dim1.groupBy((F.col("k") % 20).cast("int").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("is_current").cast("long").alias("n_current"),
+            F.sum("version_seq").cast("long").alias("seq_sum"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("price_cents").cast("long").alias("price_sum"),
+            F.sum(F.coalesce("valid_to_us", F.lit(0)))
+            .cast("long")
+            .alias("closed_at_sum"),
+        )
+        .crossJoin(F.broadcast(audit))
+        .orderBy("key_mod")
+    )
+
+
+@query(
+    "warehouse_scd2_incremental",
+    headline=True,
+    oracle=f"""
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    dim AS (
+      -- v0 seed rows: closed at T1 iff updated or deleted by the batch
+      SELECT k, CAST(1 AS BIGINT) AS version_seq, cents AS price_cents,
+             {_SCD2_T0} AS vf,
+             CASE WHEN k % 20 IN (1, 7) THEN {_SCD2_T1} END AS vt,
+             CASE WHEN k % 20 IN (1, 7) THEN 0 ELSE 1 END AS is_current
+      FROM v0
+      UNION ALL
+      -- updates open version 2 at T1
+      SELECT k, 2, cents * 2, {_SCD2_T1}, NULL, 1
+      FROM v0 WHERE k % 20 = 1
+      UNION ALL
+      -- inserts open version 1 at T1
+      SELECT k + 100000000, 1, cents, {_SCD2_T1}, NULL, 1
+      FROM v0 WHERE k % 20 = 3
+    )
+    SELECT CAST(k % 20 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_current) AS BIGINT) AS n_current,
+           CAST(SUM(version_seq) AS BIGINT) AS seq_sum,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(price_cents) AS BIGINT) AS price_sum,
+           CAST(SUM(COALESCE(vt, 0)) AS BIGINT) AS closed_at_sum,
+           CAST(0 AS BIGINT) AS audit_mismatch
+    FROM dim
+    GROUP BY k % 20
+    ORDER BY key_mod
+    """,
+)
+def warehouse_scd2_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental Type-2 SCD maintenance from a change data feed —
+    wiring round 6's two halves together (VERDICT r6 item 3): the
+    lake log's row-level CDF (lakelog.change_feed) feeds
+    cdc.scd2_apply_changes, which closes open rows and appends new
+    versions touching ONLY feed keys — never re-scanning dimension
+    history (warehouse_scd2_build is the from-scratch twin this
+    replaces for per-batch maintenance).
+
+    Three independent derivations must coincide: (1) the maintained
+    dimension, via feed → apply; (2) an in-query from-scratch rebuild
+    over both snapshots (symmetric exceptAll, pinned 0 in the
+    audit_mismatch column); (3) the DuckDB oracle's relational
+    reconstruction from the orders fixture. At 100 TB the apply cost
+    is O(|feed| × versions-per-touched-key) after a broadcast
+    semi-split of the dimension — the history partition is never
+    read, never shuffled, never rewritten."""
+    import shutil
+
+    base = _scd2_lake_build(spark, sf_dir)
+    out = _scd2_incremental_answer(spark, base)
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@bench_setup("warehouse_scd2_incremental")
+def _bench_scd2_incremental(spark: SparkSession, sf_dir: str):
+    # the two-version lake fixture is setup; the timed thunk is the
+    # CDF read + incremental apply + self-audit + rollup
+    base = _scd2_lake_build(spark, sf_dir)
+    return lambda: _scd2_incremental_answer(spark, base)
