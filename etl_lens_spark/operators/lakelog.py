@@ -1025,3 +1025,103 @@ def read_snapshot_evolved(
         else:
             cols.append(F.lit(None).cast(typ).alias(name))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP)
+#
+# The Iceberg/Delta ingestion pattern every production lakehouse uses:
+# a writer STAGES its commit out-of-band (data files land on storage,
+# the actions land in _log/_staged/<tag>.json — NOT in the numbered
+# commit sequence, so no main reader at any version can see them),
+# auditors run DQ rules against the staged snapshot (head + staged
+# actions), and the batch is then atomically PUBLISHED (the staged
+# actions enter the main log through the optimistic-concurrency path,
+# rebasing over commits that landed during the audit) or ABORTED
+# (staged entry deleted, its data files optionally vacuumed). The
+# isolation pin is structural: snapshot_files/_replay only ever read
+# numbered commits, so an unpublished batch is invisible by
+# construction, not by convention.
+# ---------------------------------------------------------------------------
+
+
+def _staged_dir(table_dir: str) -> str:
+    d = os.path.join(_log_dir(table_dir), "_staged")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def stage(table_dir: str, tag: str, actions: list[dict]) -> dict:
+    """Stage a commit for audit under ``tag``. Records the head
+    version the batch was prepared against (publish conflict-checks
+    intervening commits from there). O_EXCL — two writers racing to
+    the same tag: one wins."""
+    base = latest_version(table_dir)
+    path = os.path.join(_staged_dir(table_dir), f"{tag}.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as e:
+        raise CommitConflict(f"tag {tag!r} already staged") from e
+    with os.fdopen(fd, "w") as f:
+        json.dump({"base_version": base, "actions": actions}, f)
+    return {"tag": tag, "base_version": base}
+
+
+def staged_entry(table_dir: str, tag: str) -> dict:
+    with open(os.path.join(_staged_dir(table_dir), f"{tag}.json")) as f:
+        return json.load(f)
+
+
+def read_staged_snapshot(
+    spark: SparkSession, table_dir: str, tag: str
+) -> DataFrame:
+    """The AUDIT view: the current main snapshot with the staged
+    actions applied on top — what the table WOULD look like if the
+    batch published now. Reading it never mutates the log."""
+    active = _replay(table_dir, latest_version(table_dir))[0]
+    for action in staged_entry(table_dir, tag)["actions"]:
+        if "add" in action:
+            active[action["add"]] = action
+        elif "remove" in action:
+            active.pop(action["remove"], None)
+    files = [os.path.join(table_dir, p) for p in active]
+    if not files:
+        raise ValueError("empty staged snapshot")
+    return spark.read.parquet(*files)
+
+
+def publish_staged(table_dir: str, tag: str) -> dict:
+    """Atomically promote the staged batch into the main log via the
+    optimistic-concurrency path (commits that landed during the audit
+    are rebased over; conflicting ones raise CommitConflict, leaving
+    the batch staged for re-audit). The staged entry is removed only
+    after the commit lands, so a crash between the two steps leaves a
+    published tag behind — publish is idempotent to retry because the
+    O_EXCL commit wins exactly once."""
+    entry = staged_entry(table_dir, tag)
+    result = try_commit_rebase(
+        table_dir, entry["base_version"], entry["actions"]
+    )
+    os.remove(os.path.join(_staged_dir(table_dir), f"{tag}.json"))
+    return {"tag": tag, **result}
+
+
+def abort_staged(
+    table_dir: str, tag: str, remove_data: bool = False
+) -> dict:
+    """Drop the staged batch. With ``remove_data``, also delete the
+    data files its add-actions reference (safe: they were never
+    visible to any reader — the structural isolation pin)."""
+    import shutil
+
+    entry = staged_entry(table_dir, tag)
+    n_removed = 0
+    if remove_data:
+        for action in entry["actions"]:
+            if "add" in action:
+                p = os.path.join(table_dir, action["add"])
+                if os.path.exists(p):
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+                    n_removed += 1
+    os.remove(os.path.join(_staged_dir(table_dir), f"{tag}.json"))
+    return {"tag": tag, "n_data_files_removed": n_removed}

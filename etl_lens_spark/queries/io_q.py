@@ -3183,3 +3183,144 @@ def lake_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_commits long, checkpoint_version long, replay_start long, "
         "n_commits_replayed long, n_rows long, cents_sum long",
     )
+
+
+@query(
+    "lake_wap_publish",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    snap AS (
+      SELECT 0 AS version, k, price FROM v0
+      UNION ALL
+      SELECT 1, k, price FROM v0
+      UNION ALL
+      SELECT 1, k + 200000000, price FROM v0 WHERE k % 20 = 5
+    ),
+    bv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS bad_violations
+      FROM v0 WHERE k % 20 = 9
+    )
+    SELECT CAST(version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(price * 100) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN k >= 300000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_visible_rows,
+           bv.bad_violations,
+           CAST(0 AS BIGINT) AS good_violations,
+           CAST(1 AS INT) AS published_version,
+           CAST(0 AS BIGINT) AS n_rebased
+    FROM snap CROSS JOIN bv
+    GROUP BY version, bv.bad_violations
+    ORDER BY version
+    """,
+)
+def lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the lake log (VERDICT r6 item 4) — the
+    Iceberg/Delta ingestion gate every production lakehouse uses:
+
+    1. a BAD batch (negative prices, keys >= 3e8) is written and
+       STAGED (lakelog.stage) — its actions live outside the numbered
+       commit sequence, so no main reader at any version can see it;
+    2. the DQ audit (nonpos-price / null-key conditional aggregate,
+       the dq_validation_report contract) runs against the staged
+       snapshot (read_staged_snapshot = head + staged actions),
+       counts violations > 0, and the batch is ABORTED with its data
+       files vacuumed;
+    3. a GOOD batch (every 20th order re-keyed +2e8) stages, audits
+       clean, and PUBLISHES atomically through the
+       optimistic-concurrency path (publish_staged → try_commit_rebase).
+
+    The in-output pins: per-version row/key/cents checksums of the
+    main log (v0 = original, v1 = original + good batch, nothing
+    else), bad_visible_rows = 0 summed over EVERY version — the bad
+    batch provably never reached any main-branch reader — and the two
+    audit counts. The oracle reconstructs all of it relationally."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = sinks.scratch_path("lake_wap")
+    shutil.rmtree(base, ignore_errors=True)
+    orders.write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+
+    def audit_violations(df) -> int:
+        # the dq_validation_report single-scan contract: every rule
+        # is a conditional sum in ONE pass over the staged snapshot
+        return df.agg(
+            F.sum(
+                F.when(
+                    (F.col("price") <= 0) | F.col("k").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v")
+        ).collect()[0]["v"]
+
+    # -- batch 1: BAD (audit must block it) --
+    orders.filter(F.col("k") % 20 == 9).select(
+        (F.col("k") + 300000000).alias("k"),
+        F.lit("-1.00").cast("decimal(18,2)").alias("price"),
+    ).write.parquet(f"{base}/ingest_bad")
+    lakelog.stage(base, "bad", [{"add": "ingest_bad"}])
+    bad_viol = audit_violations(
+        lakelog.read_staged_snapshot(spark, base, "bad")
+    )
+    if bad_viol > 0:
+        lakelog.abort_staged(base, "bad", remove_data=True)
+    else:  # pragma: no cover - the gate must trip on this fixture
+        lakelog.publish_staged(base, "bad")
+
+    # -- batch 2: GOOD (audit passes, batch publishes) --
+    orders.filter(F.col("k") % 20 == 5).select(
+        (F.col("k") + 200000000).alias("k"), "price"
+    ).write.parquet(f"{base}/ingest_good")
+    lakelog.stage(base, "good", [{"add": "ingest_good"}])
+    good_viol = audit_violations(
+        lakelog.read_staged_snapshot(spark, base, "good")
+    )
+    if good_viol == 0:
+        pub = lakelog.publish_staged(base, "good")
+    else:  # pragma: no cover - fixture prices are all positive
+        lakelog.abort_staged(base, "good", remove_data=True)
+        pub = {"version": -1, "n_rebased": -1}
+
+    # -- verification sweep over EVERY main-log version --
+    parts = []
+    for v in range(lakelog.latest_version(base) + 1):
+        parts.append(
+            lakelog.read_snapshot(spark, base, v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("k").cast("long").alias("key_sum"),
+                F.sum(F.col("price") * 100).cast("long").alias("cents_sum"),
+                F.sum(F.when(F.col("k") >= 300000000, 1).otherwise(0))
+                .cast("long")
+                .alias("bad_visible_rows"),
+            ).withColumn("version", F.lit(v).cast("int"))
+        )
+    per = parts[0]
+    for p in parts[1:]:
+        per = per.unionByName(p)
+    out = per.select(
+        "version",
+        "n_rows",
+        "key_sum",
+        "cents_sum",
+        "bad_visible_rows",
+        F.lit(bad_viol).cast("long").alias("bad_violations"),
+        F.lit(good_viol).cast("long").alias("good_violations"),
+        F.lit(pub["version"]).cast("int").alias("published_version"),
+        F.lit(pub["n_rebased"]).cast("long").alias("n_rebased"),
+    ).orderBy("version")
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

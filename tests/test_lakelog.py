@@ -634,3 +634,76 @@ def test_write_checkpoint_is_atomic_rename(tmp_path):
     # replay from the checkpoint still yields the right snapshot
     active, start, _ = lakelog._replay(base, 3)
     assert start == 3 and sorted(active) == ["f0", "f1", "f2", "f3"]
+
+
+def test_wap_staged_invisible_then_publish(spark, tmp_path):
+    """Write-audit-publish: a staged batch is invisible to every
+    main-log reader at every version (structural, not asserted);
+    publishing promotes it atomically; the staged entry is gone."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.range(10).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.range(100, 105).write.parquet(f"{base}/batch")
+    lakelog.stage(base, "wap1", [{"add": "batch"}])
+    # invisible to main readers...
+    assert lakelog.read_snapshot(spark, base).count() == 10
+    assert lakelog.latest_version(base) == 0
+    # ...but the audit view sees head + staged
+    assert lakelog.read_staged_snapshot(spark, base, "wap1").count() == 15
+    pub = lakelog.publish_staged(base, "wap1")
+    assert pub["version"] == 1 and pub["n_rebased"] == 0
+    assert lakelog.read_snapshot(spark, base).count() == 15
+    assert lakelog.read_snapshot(spark, base, 0).count() == 10
+    with pytest.raises(FileNotFoundError):
+        lakelog.staged_entry(base, "wap1")
+
+
+def test_wap_publish_rebases_over_audit_window_commits(spark, tmp_path):
+    """Commits that land DURING the audit rebase cleanly (disjoint
+    files); an intervening commit touching the staged file conflicts
+    and leaves the batch staged for re-audit."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.range(10).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.range(5).write.parquet(f"{base}/batch")
+    lakelog.stage(base, "w", [{"add": "batch"}])
+    # another writer lands while the audit runs
+    spark.range(3).write.parquet(f"{base}/other")
+    lakelog.commit(base, 1, [{"add": "other"}])
+    pub = lakelog.publish_staged(base, "w")
+    assert pub["version"] == 2 and pub["n_rebased"] == 1
+    assert lakelog.read_snapshot(spark, base).count() == 18
+    # conflicting case: a second staged batch whose file gets
+    # touched by an intervening commit
+    spark.range(2).write.parquet(f"{base}/dup")
+    lakelog.stage(base, "w2", [{"add": "dup"}])
+    lakelog.commit(base, 3, [{"add": "dup"}])  # someone else adds it
+    with pytest.raises(lakelog.CommitConflict):
+        lakelog.publish_staged(base, "w2")
+    # still staged — re-audit/retry is possible
+    assert lakelog.staged_entry(base, "w2")["actions"] == [{"add": "dup"}]
+
+
+def test_wap_abort_removes_staged_data(spark, tmp_path):
+    """Aborting with remove_data vacuums the staged batch's files
+    (safe — no reader ever saw them) and drops the staged entry;
+    double-staging one tag raises."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.range(10).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.range(5).write.parquet(f"{base}/bad")
+    lakelog.stage(base, "b", [{"add": "bad"}])
+    with pytest.raises(lakelog.CommitConflict):
+        lakelog.stage(base, "b", [{"add": "bad"}])
+    res = lakelog.abort_staged(base, "b", remove_data=True)
+    assert res["n_data_files_removed"] == 1
+    assert not os.path.exists(os.path.join(base, "bad"))
+    assert lakelog.read_snapshot(spark, base).count() == 10
+    with pytest.raises(FileNotFoundError):
+        lakelog.staged_entry(base, "b")
