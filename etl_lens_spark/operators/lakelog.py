@@ -1125,3 +1125,196 @@ def abort_staged(
                     n_removed += 1
     os.remove(os.path.join(_staged_dir(table_dir), f"{tag}.json"))
     return {"tag": tag, "n_data_files_removed": n_removed}
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning & partition evolution (the Iceberg capability
+# Delta lacks)
+#
+# The partition layout is TABLE METADATA, not directory convention: a
+# partitionSpec action declares a transform over a source column
+# (year/month/day/identity), every add action records the spec it was
+# written under plus its partition value, and the spec can CHANGE
+# between versions — old files remain readable and are pruned under
+# THEIR OWN spec while new files prune under the new one. Queries
+# never name partitions ("hidden"): a predicate on the source column
+# prunes through whatever transforms the file set carries. Pruning is
+# pure driver-side metadata (O(files) interval tests); the scan opens
+# only surviving files.
+# ---------------------------------------------------------------------------
+
+_TRANSFORMS = ("year", "month", "day", "identity")
+
+
+def spec_action(spec_id: int, source_col: str, transform: str) -> dict:
+    """The partitionSpec action to include in a commit."""
+    if transform not in _TRANSFORMS:
+        raise ValueError(f"unknown transform {transform!r}")
+    return {
+        "partitionSpec": {
+            "spec_id": spec_id,
+            "source": source_col,
+            "transform": transform,
+        }
+    }
+
+
+def partition_specs(
+    table_dir: str, version: int | None = None
+) -> dict[int, dict]:
+    """All partitionSpec declarations at or before ``version``
+    (later re-declaration of an id wins, mirroring metaData)."""
+    if version is None:
+        version = latest_version(table_dir)
+    specs: dict[int, dict] = {}
+    for v in range(version + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            for a in json.load(f):
+                if "partitionSpec" in a:
+                    s = a["partitionSpec"]
+                    specs[int(s["spec_id"])] = s
+    return specs
+
+
+def _transform_col(transform: str, col):
+    from pyspark.sql import functions as F
+
+    if transform == "year":
+        return F.year(col)
+    if transform == "month":  # integer month index: year*12 + (m-1)
+        return F.year(col) * 12 + F.month(col) - 1
+    if transform == "day":  # days since epoch
+        return F.datediff(col, F.lit("1970-01-01").cast("date"))
+    if transform == "identity":
+        return col
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+def write_hidden_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    prefix: str,
+    spec_id: int,
+    source_col: str,
+    transform: str,
+) -> list[dict]:
+    """Write ``df`` laid out by the spec's transform (ONE partitioned
+    write job, one output file per partition value) and return the
+    add actions — each carrying its spec_id and partition value — for
+    the caller to commit (typically alongside spec_action(...) the
+    first time the spec is used)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(table_dir, prefix)
+    (
+        df.withColumn("__pk", _transform_col(transform, F.col(source_col)))
+        .repartition("__pk")
+        .write.partitionBy("__pk")
+        .parquet(out)
+    )
+    actions = []
+    for entry in sorted(os.listdir(out)):
+        if not entry.startswith("__pk="):
+            continue
+        actions.append(
+            {
+                "add": f"{prefix}/{entry}",
+                "spec_id": spec_id,
+                "pvalue": int(entry.split("=", 1)[1]),
+            }
+        )
+    return actions
+
+
+def _partition_interval(transform: str, pvalue: int):
+    """[lo, hi) date interval a partition value covers, as ISO
+    strings (identity/day handled by the caller's own key space)."""
+    import datetime as _dt
+
+    if transform == "year":
+        return (
+            _dt.date(pvalue, 1, 1),
+            _dt.date(pvalue + 1, 1, 1),
+        )
+    if transform == "month":
+        y, m0 = divmod(pvalue, 12)
+        lo = _dt.date(y, m0 + 1, 1)
+        hi = (
+            _dt.date(y + 1, 1, 1)
+            if m0 == 11
+            else _dt.date(y, m0 + 2, 1)
+        )
+        return lo, hi
+    if transform == "day":
+        lo = _dt.date(1970, 1, 1) + _dt.timedelta(days=pvalue)
+        return lo, lo + _dt.timedelta(days=1)
+    raise ValueError(f"transform {transform!r} has no date interval")
+
+
+def prune_date_range(
+    table_dir: str,
+    lo: str,
+    hi: str,
+    version: int | None = None,
+) -> dict:
+    """Metadata-only partition pruning for a [lo, hi) date predicate
+    on the specs' source column: every active file is tested against
+    the interval its OWN spec's transform covers — so a table whose
+    spec evolved (year → month) prunes each era correctly. Files
+    committed without spec info can't be pruned and always open.
+    Returns {'open_rels', 'opened_by_spec', 'pruned_by_spec',
+    'n_unprunable'} — O(active files) driver work, zero file opens.
+    """
+    import datetime as _dt
+
+    if version is None:
+        version = latest_version(table_dir)
+    specs = partition_specs(table_dir, version)
+    plo = _dt.date.fromisoformat(lo)
+    phi = _dt.date.fromisoformat(hi)
+    open_rels: list[str] = []
+    opened_by_spec: dict[int, int] = {}
+    pruned_by_spec: dict[int, int] = {}
+    n_unprunable = 0
+    for rel, action in _replay(table_dir, version)[0].items():
+        sid = action.get("spec_id")
+        if sid is None or int(sid) not in specs:
+            n_unprunable += 1
+            open_rels.append(rel)
+            continue
+        spec = specs[int(sid)]
+        flo, fhi = _partition_interval(
+            spec["transform"], int(action["pvalue"])
+        )
+        if flo < phi and fhi > plo:
+            opened_by_spec[int(sid)] = opened_by_spec.get(int(sid), 0) + 1
+            open_rels.append(rel)
+        else:
+            pruned_by_spec[int(sid)] = pruned_by_spec.get(int(sid), 0) + 1
+    return {
+        "open_rels": open_rels,
+        "opened_by_spec": opened_by_spec,
+        "pruned_by_spec": pruned_by_spec,
+        "n_unprunable": n_unprunable,
+    }
+
+
+def read_hidden_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    lo: str,
+    hi: str,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Snapshot read for a date-range predicate with hidden-partition
+    pruning applied first; the exact predicate must still be filtered
+    by the caller (partition intervals are coarser than row truth)."""
+    stats = prune_date_range(table_dir, lo, hi, version)
+    files = [os.path.join(table_dir, p) for p in stats["open_rels"]]
+    if not files:
+        raise ValueError("every file pruned — empty scan")
+    return spark.read.parquet(*files), stats

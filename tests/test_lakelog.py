@@ -707,3 +707,60 @@ def test_wap_abort_removes_staged_data(spark, tmp_path):
     assert lakelog.read_snapshot(spark, base).count() == 10
     with pytest.raises(FileNotFoundError):
         lakelog.staged_entry(base, "b")
+
+
+def test_hidden_partitioning_spec_evolution(spark, tmp_path):
+    """Partition evolution: year-spec files and month-spec files
+    coexist; a date-range predicate prunes each file under ITS OWN
+    spec; a legacy add without spec info is never pruned; boundary
+    intervals are half-open ([lo, hi))."""
+    import datetime as dt
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    rows = [
+        (1, dt.date(2020, 3, 15)), (2, dt.date(2021, 7, 1)),
+        (3, dt.date(2022, 1, 31)), (4, dt.date(2022, 6, 30)),
+    ]
+    df = spark.createDataFrame(rows, "k int, d date")
+    adds0 = lakelog.write_hidden_partitioned(
+        spark, df.filter("d < DATE '2022-01-01'"), base, "by_year",
+        spec_id=1, source_col="d", transform="year",
+    )
+    lakelog.commit(base, 0, [lakelog.spec_action(1, "d", "year"), *adds0])
+    adds1 = lakelog.write_hidden_partitioned(
+        spark, df.filter("d >= DATE '2022-01-01'"), base, "by_month",
+        spec_id=2, source_col="d", transform="month",
+    )
+    # plus one legacy (spec-less) file: must always open
+    spark.createDataFrame([(9, dt.date(2019, 1, 1))], "k int, d date")\
+        .write.parquet(f"{base}/legacy")
+    lakelog.commit(
+        base, 1,
+        [lakelog.spec_action(2, "d", "month"), *adds1, {"add": "legacy"}],
+    )
+    assert len(adds0) == 2 and len(adds1) == 2  # 2020,2021 / 01,06
+
+    # predicate covering 2021 H2 through Jan 2022
+    st = lakelog.prune_date_range(base, "2021-07-01", "2022-02-01")
+    assert st["opened_by_spec"] == {1: 1, 2: 1}  # year=2021, month=2022-01
+    assert st["pruned_by_spec"] == {1: 1, 2: 1}  # year=2020, month=2022-06
+    assert st["n_unprunable"] == 1               # legacy always opens
+    got, _ = lakelog.read_hidden_pruned(spark, base, "2021-07-01",
+                                        "2022-02-01")
+    keys = {
+        r["k"]
+        for r in got.filter(
+            "d >= DATE '2021-07-01' AND d < DATE '2022-02-01'"
+        ).collect()
+    }
+    assert keys == {2, 3}
+
+    # half-open boundary: hi == partition start must NOT open it
+    st2 = lakelog.prune_date_range(base, "2020-01-01", "2021-01-01")
+    assert st2["opened_by_spec"] == {1: 1}  # only year=2020
+    # time travel: at v0 the month files don't exist yet
+    st3 = lakelog.prune_date_range(base, "2022-01-01", "2023-01-01",
+                                   version=0)
+    assert st3["opened_by_spec"] == {} and st3["n_unprunable"] == 0
