@@ -580,6 +580,14 @@ def stats_only_agg(
     mins: dict = {c: None for c in cols}
     maxs: dict = {c: None for c in cols}
     for rel, action in active.items():
+        if action.get("dv"):
+            # a deletion vector makes the file's write-time stats
+            # stale (numRecords counts dead rows; min/max may be a
+            # deleted row's value) — metadata answering is unsound
+            raise ValueError(
+                f"{rel}: has a deletion vector — stats are stale, "
+                "fall back to a scan or materialize the DV first"
+            )
         nr = action.get("num_records")
         if nr is None:
             raise ValueError(
@@ -1318,3 +1326,218 @@ def read_hidden_pruned(
     if not files:
         raise ValueError("every file pruned — empty scan")
     return spark.read.parquet(*files), stats
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE)
+#
+# The Delta deletion-vector / Iceberg v2 position-delete capability:
+# instead of rewriting a 1 GB file to delete 10 of its rows
+# (copy-on-write, delete_where), the commit attaches a DELETION
+# VECTOR to the file — the positions of its dead rows — and readers
+# apply it as an anti-filter. DELETE cost becomes O(rows deleted)
+# metadata; the data file is never rewritten. Reads of DV-carrying
+# files pay one broadcast anti-join on (physical file, row position);
+# files without DVs read at full native speed. OPTIMIZE materializes
+# accumulated DVs back into clean files when read amplification
+# grows. Stored here as sorted position lists in JSON sidecars under
+# _dv/ (production would use roaring bitmaps — same semantics).
+# ---------------------------------------------------------------------------
+
+
+def _phys_rel_col(table_dir: str):
+    """Physical parquet path relative to ``table_dir``, derived from
+    the hidden ``_metadata.file_path`` column (scheme-normalized)."""
+    from pyspark.sql import functions as F
+
+    prefix = os.path.abspath(table_dir) + "/"
+    norm = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/+", "/"
+    )
+    return F.substring(norm, len(prefix) + 1, 1 << 20)
+
+
+def _load_dv_positions(
+    table_dir: str, active: dict[str, dict]
+) -> list[tuple[str, int]]:
+    """(physical_rel, row_index) pairs of every dead row across the
+    active file set — O(deleted rows), the read-side DV state."""
+    pairs: list[tuple[str, int]] = []
+    for action in active.values():
+        dv_rel = action.get("dv")
+        if not dv_rel:
+            continue
+        with open(os.path.join(table_dir, dv_rel)) as f:
+            for phys, positions in json.load(f).items():
+                pairs.extend((phys, int(p)) for p in positions)
+    return pairs
+
+
+def read_snapshot_mor(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Merge-on-read snapshot: files carrying deletion vectors are
+    read with row positions and anti-joined against their (tiny,
+    broadcast) dead-position set; DV-free files — at 100 TB, almost
+    all of them — read plain with zero overhead."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(table_dir)
+    active = _replay(table_dir, version)[0]
+    if not active:
+        raise ValueError("empty snapshot")
+    plain = [r for r, a in active.items() if not a.get("dv")]
+    dvd = [r for r, a in active.items() if a.get("dv")]
+    parts = []
+    if plain:
+        parts.append(
+            spark.read.parquet(
+                *[os.path.join(table_dir, r) for r in plain]
+            )
+        )
+    if dvd:
+        df = spark.read.parquet(
+            *[os.path.join(table_dir, r) for r in dvd]
+        )
+        cols = df.columns
+        dead = spark.createDataFrame(
+            _load_dv_positions(table_dir, active),
+            "__phys string, __ri long",
+        )
+        parts.append(
+            df.withColumn("__phys", _phys_rel_col(table_dir))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(dead), ["__phys", "__ri"], "left_anti")
+            .select(*cols)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delete_where_mor(
+    spark: SparkSession, table_dir: str, condition
+) -> dict:
+    """Merge-on-read DELETE: find the LIVE rows matching
+    ``condition``, record their (physical file, row position) pairs
+    in per-logical-file deletion vectors, and commit add-actions that
+    re-point each touched file at its (merged) DV — no data file is
+    read-rewritten, the commit is O(rows deleted) metadata. Repeated
+    deletes against the same file UNION into one DV. Positions flow
+    through the driver here (sorted JSON sidecar); production would
+    stream a roaring bitmap — identical semantics.
+
+    Not supported on shallow clones whose adds reference files
+    outside the table directory (materialize first)."""
+    from pyspark.sql import functions as F
+
+    version = _next_version(table_dir)
+    active = _replay(table_dir, version - 1)[0]
+    if any(rel.startswith("..") for rel in active):
+        raise ValueError(
+            "MOR delete on out-of-table references (shallow clone) "
+            "is unsupported — materialize the clone first"
+        )
+    # direct file scan (the hidden _metadata column only resolves on
+    # a physical scan, not through read_snapshot_mor's projection):
+    # tag positions, drop already-dead rows, then apply the predicate
+    scan = (
+        spark.read.parquet(
+            *[os.path.join(table_dir, r) for r in active]
+        )
+        .withColumn("__phys", _phys_rel_col(table_dir))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    already_dead = _load_dv_positions(table_dir, active)
+    if already_dead:
+        scan = scan.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    already_dead, "__phys string, __ri long"
+                )
+            ),
+            ["__phys", "__ri"],
+            "left_anti",
+        )
+    hits = scan.filter(condition).select("__phys", "__ri").collect()
+    if not hits:
+        return {"version": None, "n_files_touched": 0, "n_rows_deleted": 0}
+    # group dead positions by logical file (the add-action rel is the
+    # physical path's directory prefix)
+    by_rel: dict[str, dict[str, list[int]]] = {}
+    rels = sorted(active, key=len, reverse=True)
+    for r in hits:
+        rel = next(x for x in rels if r["__phys"].startswith(x + "/"))
+        by_rel.setdefault(rel, {}).setdefault(r["__phys"], []).append(
+            int(r["__ri"])
+        )
+    os.makedirs(os.path.join(table_dir, "_dv"), exist_ok=True)
+    actions = []
+    n_deleted = 0
+    for rel, new_pos in sorted(by_rel.items()):
+        merged: dict[str, set[int]] = {
+            p: set(v) for p, v in new_pos.items()
+        }
+        old_dv = active[rel].get("dv")
+        if old_dv:
+            with open(os.path.join(table_dir, old_dv)) as f:
+                for phys, positions in json.load(f).items():
+                    merged.setdefault(phys, set()).update(
+                        int(p) for p in positions
+                    )
+        dv_rel = f"_dv/{rel.replace('/', '__')}.v{version:08d}.json"
+        with open(os.path.join(table_dir, dv_rel), "w") as f:
+            json.dump(
+                {p: sorted(v) for p, v in sorted(merged.items())}, f
+            )
+        n_dead = sum(len(v) for v in merged.values())
+        n_deleted += sum(len(v) for v in new_pos.values())
+        new_action = dict(active[rel])
+        new_action["add"] = rel
+        new_action["dv"] = dv_rel
+        new_action["dv_count"] = n_dead
+        actions.append(new_action)
+    commit(table_dir, version, actions)
+    return {
+        "version": version,
+        "n_files_touched": len(by_rel),
+        "n_rows_deleted": n_deleted,
+    }
+
+
+def materialize_deletion_vectors(
+    spark: SparkSession, table_dir: str
+) -> dict:
+    """OPTIMIZE for DVs: rewrite every DV-carrying file without its
+    dead rows (one combined job), drop the vectors, commit the swap —
+    run when accumulated read amplification outweighs the rewrite,
+    exactly Delta's REORG TABLE ... APPLY (PURGE)."""
+    version = _next_version(table_dir)
+    active = _replay(table_dir, version - 1)[0]
+    dvd = [r for r, a in active.items() if a.get("dv")]
+    if not dvd:
+        return {"version": None, "n_files_rewritten": 0}
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*[os.path.join(table_dir, r) for r in dvd])
+    cols = df.columns
+    dead = spark.createDataFrame(
+        _load_dv_positions(
+            table_dir, {r: active[r] for r in dvd}
+        ),
+        "__phys string, __ri long",
+    )
+    live = (
+        df.withColumn("__phys", _phys_rel_col(table_dir))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(dead), ["__phys", "__ri"], "left_anti")
+        .select(*cols)
+    )
+    rewrite_rel = f"dvmat_{version:08d}"
+    live.write.parquet(os.path.join(table_dir, rewrite_rel))
+    actions = [{"remove": r} for r in dvd]
+    actions.append({"add": rewrite_rel})
+    commit(table_dir, version, actions)
+    return {"version": version, "n_files_rewritten": len(dvd)}

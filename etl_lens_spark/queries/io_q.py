@@ -3444,3 +3444,109 @@ def lake_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "lake_deletion_vectors",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    states(version, n_dv_files) AS (
+      VALUES (0, 0), (1, 1), (2, 1), (3, 0)
+    )
+    SELECT s.version, s.n_dv_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o.k) AS BIGINT) AS key_sum,
+           CAST(SUM(o.cents) AS BIGINT) AS cents_sum,
+           CAST(0 AS BIGINT) AS data_files_rewritten_by_mor
+    FROM states s JOIN o
+      ON (s.version = 0)
+         OR (s.version = 1 AND o.k % 8 <> 3)
+         OR (s.version >= 2 AND o.k % 8 <> 3 AND o.k % 8 <> 7)
+    GROUP BY s.version, s.n_dv_files
+    ORDER BY s.version
+    """,
+)
+def lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors — the Delta DV /
+    Iceberg v2 position-delete capability, completing the DML family:
+    where delete_where (CoW) rewrites every touched file,
+    delete_where_mor only RECORDS the dead rows' (physical file, row
+    position) pairs in a sidecar and re-points the file's add action
+    at it. Two sequential deletes (keys %8==3, then %8==7 — both
+    clustered in the same mod-4 file) union into ONE vector on one
+    file; materialize_deletion_vectors (OPTIMIZE/REORG-PURGE) then
+    rewrites the file clean and drops the vector.
+
+    The no-rewrite pin is PHYSICAL: every data part-file's
+    (path, size) inventory is snapshotted before the first MOR delete
+    and after the second — identical, so
+    data_files_rewritten_by_mor = 0 by observation, not assertion.
+    Every version stays time-travel readable through
+    read_snapshot_mor (v1 applies the first vector, v2 the union,
+    v3 the clean rewrite); the oracle replays each version's
+    predicate algebra. At 100 TB this is what makes a 10-row GDPR
+    delete on a 1 GB file an O(10) metadata commit, with the
+    stats-only fast path refusing stale DV'd files (guard pinned in
+    tests)."""
+    import os
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _lake_build_mod4(spark, sf_dir, "lake_dv")
+
+    def inventory():
+        inv = {}
+        for root, _dirs, files in os.walk(base):
+            if "_log" in root or "_dv" in root:
+                continue
+            for fn in files:
+                p = os.path.join(root, fn)
+                inv[os.path.relpath(p, base)] = os.path.getsize(p)
+        return inv
+
+    before = inventory()
+    d1 = lakelog.delete_where_mor(
+        spark, base, F.col("o_orderkey") % 8 == 3
+    )
+    d2 = lakelog.delete_where_mor(
+        spark, base, F.col("o_orderkey") % 8 == 7
+    )
+    rewritten = 0 if inventory() == before else 1
+    assert d1["n_files_touched"] == 1 and d2["n_files_touched"] == 1
+    lakelog.materialize_deletion_vectors(spark, base)
+
+    parts = []
+    for v in range(lakelog.latest_version(base) + 1):
+        active = lakelog.snapshot_actions(base, v)
+        n_dv = sum(1 for a in active.values() if a.get("dv"))
+        parts.append(
+            lakelog.read_snapshot_mor(spark, base, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.sum(F.col("price") * 100).cast("long").alias("cents_sum"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(n_dv).cast("int").alias("n_dv_files"),
+                "n_rows",
+                "key_sum",
+                "cents_sum",
+                F.lit(rewritten).cast("long").alias(
+                    "data_files_rewritten_by_mor"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.orderBy("version")
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

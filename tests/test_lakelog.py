@@ -764,3 +764,63 @@ def test_hidden_partitioning_spec_evolution(spark, tmp_path):
     st3 = lakelog.prune_date_range(base, "2022-01-01", "2023-01-01",
                                    version=0)
     assert st3["opened_by_spec"] == {} and st3["n_unprunable"] == 0
+
+
+def test_deletion_vectors_mor_roundtrip(spark, tmp_path):
+    """Merge-on-read DELETE: positions land in a sidecar, no data
+    file is rewritten, repeated deletes union into one vector, every
+    version stays time-travel readable, and OPTIMIZE materializes
+    the survivors and clears the vectors."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.range(20).selectExpr("id AS k").coalesce(1).write.parquet(
+        f"{base}/f0"
+    )
+    spark.range(100, 110).selectExpr("id AS k").coalesce(1)\
+        .write.parquet(f"{base}/f1")
+    lakelog.commit(base, 0, [{"add": "f0"}, {"add": "f1"}])
+    inv = {
+        os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(base) if "_log" not in r
+        for f in fs
+    }
+    from pyspark.sql import functions as F
+
+    d1 = lakelog.delete_where_mor(spark, base, F.col("k") % 5 == 3)
+    assert d1 == {"version": 1, "n_files_touched": 2,
+                  "n_rows_deleted": 6}  # 3,8,13,18,103,108
+    d2 = lakelog.delete_where_mor(spark, base, F.col("k") == 4)
+    assert d2["n_files_touched"] == 1 and d2["n_rows_deleted"] == 1
+    # physical pin: zero data bytes rewritten by either MOR delete
+    inv2 = {
+        os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(base)
+        if "_log" not in r and "_dv" not in r
+        for f in fs
+    }
+    assert inv2 == inv
+    # time travel applies each version's own vector
+    ks = lambda v: sorted(  # noqa: E731
+        r["k"] for r in lakelog.read_snapshot_mor(spark, base, v).collect()
+    )
+    assert ks(0) == list(range(20)) + list(range(100, 110))
+    assert ks(1) == [k for k in ks(0) if k % 5 != 3]
+    assert ks(2) == [k for k in ks(1) if k != 4]
+    # stats-only fast path must refuse stale DV'd files
+    with pytest.raises(ValueError, match="deletion vector"):
+        lakelog.stats_only_agg(base, [])
+    # no-op delete commits nothing
+    d3 = lakelog.delete_where_mor(spark, base, F.col("k") == 99999)
+    assert d3["version"] is None
+    assert lakelog.latest_version(base) == 2
+    # materialize: files rewritten clean, vectors gone, rows equal
+    m = lakelog.materialize_deletion_vectors(spark, base)
+    assert m["n_files_rewritten"] == 2
+    assert ks(lakelog.latest_version(base)) == ks(2)
+    active = lakelog.snapshot_actions(base)
+    assert not any(a.get("dv") for a in active.values())
+    # idempotent: nothing left to materialize
+    assert lakelog.materialize_deletion_vectors(spark, base) == {
+        "version": None, "n_files_rewritten": 0,
+    }
