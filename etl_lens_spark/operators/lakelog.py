@@ -1541,3 +1541,90 @@ def materialize_deletion_vectors(
     actions.append({"add": rewrite_rel})
     commit(table_dir, version, actions)
     return {"version": version, "n_files_rewritten": len(dvd)}
+
+
+# ---------------------------------------------------------------------------
+# Idempotent streaming commits (Delta's txn action) + orphan cleanup
+# ---------------------------------------------------------------------------
+
+
+def txn_version(table_dir: str, app_id: str) -> int | None:
+    """Highest transaction version recorded for ``app_id`` across
+    the whole log (Delta's ``txn`` action: the exactly-once
+    handshake between a streaming writer and the table)."""
+    best = None
+    for v in range(latest_version(table_dir) + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            for a in json.load(f):
+                t = a.get("txn")
+                if t and t.get("appId") == app_id:
+                    tv = int(t["version"])
+                    best = tv if best is None else max(best, tv)
+    return best
+
+
+def commit_idempotent(
+    table_dir: str, app_id: str, txn_ver: int, actions: list[dict]
+) -> dict:
+    """Exactly-once commit for streaming sinks: the commit carries a
+    ``txn`` action binding (app_id, txn_ver); if the log already
+    records a version >= txn_ver for this app, the commit is SKIPPED
+    — a restarted micro-batch retry becomes a no-op (its re-written
+    data files are left as orphans for find_orphans). The
+    check-and-commit is atomic through the O_EXCL race loop: a loser
+    re-reads the log INCLUDING the winner's txn action, so two
+    concurrent retries of one batch can never both land.
+
+    This is how a Structured Streaming foreachBatch sink gets
+    exactly-once on top of the lake log: source progress lives in the
+    stream's checkpoint, sink progress in the table's txn actions,
+    and a batch replayed after a crash between the two is absorbed
+    here instead of duplicating rows."""
+    acts = [{"txn": {"appId": app_id, "version": int(txn_ver)}}, *actions]
+    while True:
+        cur = txn_version(table_dir, app_id)
+        if cur is not None and txn_ver <= cur:
+            return {"skipped": True, "version": None, "recorded": cur}
+        head = latest_version(table_dir)
+        try:
+            commit(table_dir, head + 1, acts)
+            return {"skipped": False, "version": head + 1,
+                    "recorded": txn_ver}
+        except CommitConflict:
+            continue  # lost the race; re-check txn state and retry
+
+
+def find_orphans(table_dir: str) -> list[str]:
+    """Top-level data entries on disk that NO commit in the whole
+    log has ever referenced (failed/retried writer debris — e.g. the
+    files a skipped idempotent retry wrote). Distinct from vacuum's
+    job (removed-but-once-referenced files): an orphan was never
+    visible at ANY version, so deleting it can break no reader."""
+    referenced: set[str] = set()
+    for v in range(latest_version(table_dir) + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        with open(path) as f:
+            for a in json.load(f):
+                for key in ("add", "remove", "dv"):
+                    if key in a:
+                        referenced.add(a[key].split("/", 1)[0])
+    orphans = []
+    for entry in sorted(os.listdir(table_dir)):
+        if entry in ("_log", "_dv") or entry in referenced:
+            continue
+        orphans.append(entry)
+    return orphans
+
+
+def remove_orphans(table_dir: str) -> dict:
+    """Delete never-referenced data entries (see find_orphans)."""
+    import shutil
+
+    orphans = find_orphans(table_dir)
+    for entry in orphans:
+        p = os.path.join(table_dir, entry)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    return {"n_removed": len(orphans), "removed": orphans}

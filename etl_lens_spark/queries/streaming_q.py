@@ -1949,3 +1949,125 @@ def streaming_psi_drift_live(
     from etl_lens_spark.operators.drift import smoothed_psi_frame
 
     return smoothed_psi_frame(cnt, n_bins=10)
+
+
+@query(
+    "streaming_lake_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value,
+           CAST(1 AS BIGINT) AS all_batches_committed,
+           CAST(1 AS BIGINT) AS n_retries_skipped,
+           CAST(1 AS BIGINT) AS n_orphans_removed
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_lake_exactly_once_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACTLY-ONCE streaming ingestion into the lake log — the Delta
+    ``txn``-action handshake wired under a foreachBatch sink: every
+    micro-batch writes its parquet then commits with
+    lakelog.commit_idempotent(app_id, epoch_id); source progress
+    lives in the stream's checkpoint, sink progress in the table's
+    txn actions. The failure mode this closes: a crash AFTER the
+    table commit but BEFORE the checkpoint advances replays the
+    batch on restart — simulated here by re-writing the last batch's
+    output and re-attempting its txn version, which is SKIPPED (its
+    re-written files become orphans that find_orphans/remove_orphans
+    then reclaims, since no version ever referenced them).
+
+    The proof is the table itself: the final snapshot's per-type
+    counts, DISTINCT event_id count and value sums equal one exact
+    copy of the events fixture (the oracle's batch scan) — a
+    duplicated batch would double n against n_distinct_ids. Pins:
+    every live commit landed (all_batches_committed), exactly one
+    retry skipped, exactly one orphan reclaimed."""
+    import os
+    import shutil
+    import uuid
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    base = scratch_path("lake_xonce")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    app_id = "events_ingest"
+    ev = so.events_stream(spark, sf_dir).select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    results: list[dict] = []
+
+    def sink(batch_df, epoch_id):
+        rel = f"b{int(epoch_id):05d}"
+        batch_df.write.parquet(os.path.join(base, rel))
+        results.append(
+            lakelog.commit_idempotent(
+                base, app_id, int(epoch_id), [{"add": rel}]
+            )
+        )
+
+    ckpt = scratch_path(f"ckpt_xonce_{uuid.uuid4().hex}")
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    all_committed = int(
+        bool(results) and all(not r["skipped"] for r in results)
+    )
+    # crash-retry simulation: the restarted job re-writes the last
+    # batch's output under a fresh name, then re-attempts its txn
+    last_epoch = len(results) - 1
+    retry_rel = "b_retry"
+    spark.read.parquet(
+        os.path.join(base, f"b{last_epoch:05d}")
+    ).write.parquet(os.path.join(base, retry_rel))
+    retry = lakelog.commit_idempotent(
+        base, app_id, last_epoch, [{"add": retry_rel}]
+    )
+    n_skipped = int(retry["skipped"])
+    orphans = lakelog.remove_orphans(base)
+    assert orphans["removed"] == [retry_rel]
+
+    out = (
+        lakelog.read_snapshot(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("event_id").cast("long").alias(
+                "n_distinct_ids"
+            ),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_distinct_ids",
+            "total_value",
+            F.lit(all_committed).cast("long").alias(
+                "all_batches_committed"
+            ),
+            F.lit(n_skipped).cast("long").alias("n_retries_skipped"),
+            F.lit(orphans["n_removed"]).cast("long").alias(
+                "n_orphans_removed"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -824,3 +824,60 @@ def test_deletion_vectors_mor_roundtrip(spark, tmp_path):
     assert lakelog.materialize_deletion_vectors(spark, base) == {
         "version": None, "n_files_rewritten": 0,
     }
+
+
+def test_commit_idempotent_txn_dedup(tmp_path):
+    """Delta txn-action semantics: a replayed (app, version) commit
+    is skipped; higher versions land; independent apps don't
+    interfere; the recorded high-water mark is the MAX seen."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    r0 = lakelog.commit_idempotent(base, "appA", 0, [{"add": "b0"}])
+    assert r0 == {"skipped": False, "version": 0, "recorded": 0}
+    # retry of batch 0: absorbed
+    r0b = lakelog.commit_idempotent(base, "appA", 0, [{"add": "b0r"}])
+    assert r0b["skipped"] and r0b["recorded"] == 0
+    # next batch lands
+    r1 = lakelog.commit_idempotent(base, "appA", 1, [{"add": "b1"}])
+    assert not r1["skipped"] and r1["version"] == 1
+    # a LATE replay of batch 0 after batch 1: still absorbed
+    assert lakelog.commit_idempotent(base, "appA", 0, [{"add": "x"}])[
+        "skipped"
+    ]
+    # a different app has its own sequence
+    rb = lakelog.commit_idempotent(base, "appB", 0, [{"add": "c0"}])
+    assert not rb["skipped"] and rb["version"] == 2
+    assert lakelog.txn_version(base, "appA") == 1
+    assert lakelog.txn_version(base, "appB") == 0
+    assert lakelog.txn_version(base, "appC") is None
+    # snapshot contains exactly the committed batches
+    assert sorted(
+        __import__("os").path.basename(p)
+        for p in lakelog.snapshot_files(base)
+    ) == ["b0", "b1", "c0"]
+
+
+def test_find_orphans_only_never_referenced(spark, tmp_path):
+    """Orphan = on-disk entry NO version ever referenced. A
+    removed-but-once-referenced file is vacuum's job, not an orphan;
+    DV sidecars and nested rels are protected."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.range(5).selectExpr("id AS k").write.parquet(f"{base}/live")
+    spark.range(5).selectExpr("id AS k").write.parquet(f"{base}/gone")
+    spark.range(5).selectExpr("id AS k").write.parquet(f"{base}/debris")
+    lakelog.commit(base, 0, [{"add": "live"}, {"add": "gone"}])
+    lakelog.commit(base, 1, [{"remove": "gone"}])
+    lakelog.delete_where_mor(spark, base, F.col("k") == 2)  # makes _dv
+    assert lakelog.find_orphans(base) == ["debris"]
+    res = lakelog.remove_orphans(base)
+    assert res["n_removed"] == 1
+    import os as _os
+
+    assert _os.path.exists(f"{base}/gone")      # vacuum's job, kept
+    assert not _os.path.exists(f"{base}/debris")
+    assert lakelog.find_orphans(base) == []
