@@ -1226,3 +1226,147 @@ def graph_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.orderBy("node")
 
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled edge peel: each round recomputes per-edge triangle
+    support on the surviving edge set and drops edges below k-2;
+    `rounds` exceeds measured convergence (3 at both sf0.01 and
+    sf0.1), and extra rounds are idempotent at the fixpoint."""
+    sql = [
+        """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM lineitem WHERE l_quantity >= 45
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql.append(
+            f""",
+    t{i} AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM {prev} e1
+        JOIN {prev} e2 ON e2.u = e1.v
+        JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT u, v, COUNT(*) AS sup FROM (
+            SELECT a AS u, b AS v FROM t{i}
+            UNION ALL SELECT b, c FROM t{i}
+            UNION ALL SELECT a, c FROM t{i}
+        ) GROUP BY u, v
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM {prev} e
+        JOIN s{i} s ON e.u = s.u AND e.v = s.v
+        WHERE s.sup >= {k - 2}
+    )"""
+        )
+        prev = f"e{i}"
+    sql.append(
+        f"""
+    SELECT e.u, e.v, CAST(s.sup AS BIGINT) AS support
+    FROM {prev} e
+    JOIN s{rounds} s ON e.u = s.u AND e.v = s.v
+    ORDER BY e.u, e.v"""
+    )
+    return "".join(sql)
+
+
+@query("graph_ktruss_decomposition", oracle=_ktruss_oracle())
+def graph_ktruss_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-TRUSS (k = 4) of the strong-edge part co-purchase graph —
+    the EDGE-cohesion dual of graph_kcore_decomposition's node peel:
+    keep only edges supported by at least k-2 triangles among the
+    survivors, iterating until stable. A truss is strictly stronger
+    evidence of community than a core (every surviving relationship
+    is embedded in multiple closed triads) — the structure fraud-ring
+    and community-mining pipelines extract after cores get too loose.
+
+    Spark runs the peel as a triangle-join + support-aggregate +
+    semi-join fixpoint: edges oriented u < v so each triangle is
+    enumerated once, each triangle credits its three edges via one
+    explode-free union, every round localCheckpoints the shrinking
+    edge set (the k-core/fixpoint discipline — lineage stays O(1),
+    convergence is an O(1) driver count). The oracle is the same
+    peel UNROLLED past measured convergence depth (3 rounds at both
+    test scales; extra rounds idempotent), so the fixpoint itself is
+    cross-checked. At 100 TB the triangle join is the arboricity-
+    bounded oriented enumeration (degree-ordered orientation caps
+    oriented out-degree at O(sqrt(m))); each peel round only shrinks
+    it. Output: surviving edges with their in-truss support
+    (support >= 2 everywhere, by construction)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def support(edges: DataFrame) -> DataFrame:
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"),
+                F.col("e1.v").alias("b"),
+                F.col("e2.v").alias("c"),
+            )
+        )
+        roles = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        )
+        return roles.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+
+    k = 4
+    n = e.count()
+    while True:
+        kept = (
+            e.join(
+                support(e).filter(F.col("support") >= k - 2),
+                ["u", "v"],
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = kept.count()
+        if m == n:
+            break
+        e, n = kept, m
+    return (
+        e.join(support(e), ["u", "v"])
+        .select("u", "v", "support")
+        .orderBy("u", "v")
+    )
