@@ -343,3 +343,117 @@ def sim_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nprobe int, candidates_scanned long, "
         "avg_candidates_per_query double, recall_at_k double",
     ).orderBy("nprobe")
+
+
+_LSH_BITS = 4
+_LSH_PROBES = [1, 2, 3, 4, 5]  # max = n_bits + 1 (exact + flip-1)
+_LSH_DIM = 64
+
+
+@query("sim_ann_lsh_operating_curve")
+def sim_ann_lsh_operating_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LSH half of the ANN operating curve (VERDICT r6 item 8
+    named both index families): sweep MULTI-PROBE depth over one
+    4-bit SRP table and emit exact-ground-truth recall@10 vs
+    candidates scanned per probe count. Probe sets are PREFIX-ORDERED
+    (exact bucket, then single-bit flips by ascending |projection|),
+    so each sweep point's candidate set contains the previous one —
+    recall and scan cost are monotone by construction, which the
+    contract tests pin.
+
+    Deliberate contrast with sim_ann_operating_curve: flip-1
+    multi-probe tops out at n_bits+1 probes and NEVER covers all
+    2^n_bits buckets, so unlike IVF's nprobe=n_cells endpoint the
+    LSH curve plateaus BELOW recall 1.0 — the operational reason
+    production deployments pair multi-probe with multiple tables.
+    The plateau recall is itself part of the emitted artifact.
+
+    Same sweep discipline as the IVF curve: the corpus is hashed
+    ONCE (localCheckpointed); each point re-probes only the 20-query
+    side. Rows-only by design; contracts in tests/test_npipe9.py."""
+    from etl_lens_spark.similarity import knn
+    from etl_lens_spark.similarity.knn import (
+        _as_double,
+        _probe_buckets,
+        _srp_bits,
+        dot,
+        make_planes,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ)
+    truth = {
+        (r["qid"], r["neighbor_id"])
+        for r in knn.brute_force_topk(emb, queries, k=_ANN_K).collect()
+    }
+    planes = make_planes(_LSH_DIM, _LSH_BITS, seed=42)
+    corpus = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double(F.col("embedding")).alias("__cvec"),
+        )
+        .withColumn("__bucket", _srp_bits(F.col("__cvec"), planes))
+        .withColumn("__cnorm", norm(F.col("__cvec")))
+        .localCheckpoint()  # hashed once for the whole sweep
+    )
+    sizes = {
+        r["__bucket"]: r["n"]
+        for r in corpus.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out_rows = []
+    denom = len(truth)
+    for probes in _LSH_PROBES:
+        q = (
+            queries.select(
+                F.col("vec_id").alias("qid"),
+                _as_double(F.col("embedding")).alias("__qvec"),
+            )
+            .withColumn(
+                "__bucket",
+                F.explode(
+                    _probe_buckets(F.col("__qvec"), planes, probes)
+                ),
+            )
+            .withColumn("__qnorm", norm(F.col("__qvec")))
+        )
+        probed = q.select("qid", "__bucket").collect()
+        cands = sum(sizes.get(r["__bucket"], 0) for r in probed) - _ANN_NQ
+        scored = (
+            corpus.join(F.broadcast(q), "__bucket")
+            .filter(F.col("neighbor_id") != F.col("qid"))
+            .withColumn(
+                "cos_sim",
+                dot(F.col("__cvec"), F.col("__qvec"))
+                / (F.col("__cnorm") * F.col("__qnorm")),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        got = {
+            (r["qid"], r["neighbor_id"])
+            for r in scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _ANN_K)
+            .select("qid", "neighbor_id")
+            .collect()
+        }
+        out_rows.append(
+            (
+                probes,
+                int(cands),
+                float(cands) / _ANN_NQ,
+                len(got & truth) / denom,
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "probes int, candidates_scanned long, "
+        "avg_candidates_per_query double, recall_at_k double",
+    ).orderBy("probes")

@@ -52,3 +52,35 @@ def test_ann_curve_shape(curve):
         < 1e-6
         for r in curve
     )
+
+
+@pytest.fixture(scope="module")
+def lsh_curve(spark):
+    from etl_lens_spark.queries.npipe9 import sim_ann_lsh_operating_curve
+
+    rows = sim_ann_lsh_operating_curve(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    return sorted(rows, key=lambda r: r["probes"])
+
+
+def test_lsh_curve_monotone_by_prefix_property(lsh_curve):
+    """Probe sets are prefix-ordered (exact bucket, then flips by
+    ascending |projection|), so each point's candidate set contains
+    the previous one: candidates strictly grow, recall never drops."""
+    cands = [r["candidates_scanned"] for r in lsh_curve]
+    recalls = [r["recall_at_k"] for r in lsh_curve]
+    assert all(a < b for a, b in zip(cands, cands[1:]))
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_lsh_curve_plateaus_below_exact(lsh_curve):
+    """Flip-1 multi-probe never covers all 2^n_bits buckets, so the
+    max-probe endpoint must stay below recall 1.0 (the documented
+    contrast with the IVF curve's exact endpoint) while still
+    improving on single-probe."""
+    assert [r["probes"] for r in lsh_curve] == [1, 2, 3, 4, 5]
+    assert lsh_curve[-1]["recall_at_k"] < 1.0
+    assert lsh_curve[-1]["recall_at_k"] >= lsh_curve[0]["recall_at_k"]
+    # scan cost stays a small fraction of exhaustive (20 × 499)
+    assert lsh_curve[-1]["candidates_scanned"] < 20 * 499 * 0.5

@@ -306,6 +306,12 @@ HEADLINE_PINS = {
     # view maintenance: three partial-state families merge on ym —
     # every join a broadcast (months-sized frames), no SMJ anywhere
     "view_maintain_distinct_agg": (11, {"BroadcastHashJoin"}, set()),
+    # --- round-7 headliners ---
+    # incremental SCD2: the returned frame is the collected audit
+    # rollup (LocalTableScan) — the apply plan itself is pinned by
+    # the in-output audit_mismatch column and the unit tests, same
+    # convention as lake_merge_upsert
+    "warehouse_scd2_incremental": (0, set(), set()),
 }
 
 
