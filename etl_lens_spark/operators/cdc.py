@@ -196,9 +196,29 @@ def scd2_apply_changes(
     The feed must be a consistent CDF batch: an `insert` key has no
     open row, a `delete`/`update` key has exactly one. (Malformed
     feeds are not detected — garbage in, garbage out, same as Delta's
-    APPLY CHANGES.)"""
+    APPLY CHANGES.)
+
+    Every key join is NULL-SAFE (``eqNullSafe`` — round-7 review
+    fix), matching lakelog.change_feed's null-safe diff: a NULL-key
+    delete/update closes the NULL-key open row and a NULL-key update
+    continues that key's version sequence instead of colliding."""
+    import functools
+
     keys = list(key_cols)
     bc = F.broadcast if broadcast_feed else (lambda d: d)
+
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            *[F.col(k).alias(f"{prefix}{k}") for k in keys],
+            *[c for c in df.columns if c not in keys],
+        )
+
+    def key_cond(prefix: str):
+        return functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"{prefix}{k}")) for k in keys],
+        )
+
     if broadcast_feed:
         # the feed fans out into four derived frames (closers,
         # openers, feed_keys, max_seq join) — materialize its
@@ -218,13 +238,13 @@ def scd2_apply_changes(
     ).select(*keys, *attr_cols)
     feed_keys = closers.unionByName(openers.select(*keys)).distinct()
 
-    untouched = dim.join(bc(feed_keys), keys, "left_anti")
-    touched = dim.join(bc(feed_keys), keys, "left_semi")
+    fk = keyed(feed_keys, "__fk_")
+    untouched = dim.join(bc(fk), key_cond("__fk_"), "left_anti")
+    touched = dim.join(bc(fk), key_cond("__fk_"), "left_semi")
     # close the current row of every closing key; other touched rows
     # (closed history of the same keys) pass through unchanged
-    closing = touched.join(
-        bc(closers.withColumn("__close", F.lit(1))), keys, "left"
-    )
+    cl = keyed(closers, "__cl_").withColumn("__close", F.lit(1))
+    closing = touched.join(bc(cl), key_cond("__cl_"), "left")
     adjusted = closing.select(
         *keys,
         "version_seq",
@@ -244,10 +264,13 @@ def scd2_apply_changes(
         .cast("long")
         .alias("is_current"),
     )
-    max_seq = touched.groupBy(*keys).agg(
-        F.max("version_seq").alias("__prev_seq")
+    max_seq = keyed(
+        touched.groupBy(*keys).agg(
+            F.max("version_seq").alias("__prev_seq")
+        ),
+        "__ms_",
     )
-    new_rows = openers.join(bc(max_seq), keys, "left").select(
+    new_rows = openers.join(bc(max_seq), key_cond("__ms_"), "left").select(
         *keys,
         (F.coalesce(F.col("__prev_seq"), F.lit(0)) + 1)
         .cast("long")

@@ -242,6 +242,7 @@ def shallow_clone(
     At 100 TB this is how dev/test tables, experiment branches and
     reproducible-snapshot handoffs are made: instant, free, isolated.
     """
+    _assert_no_dv(snapshot_actions(src_dir, version), "shallow_clone")
     actions = []
     # carry the committed schema: snapshot_actions tracks only the
     # file set, but a schema-evolved source's reads are governed by
@@ -349,10 +350,27 @@ def snapshot_files(table_dir: str, version: int | None = None) -> list[str]:
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    files = snapshot_files(table_dir, version)
-    if not files:
+    """Snapshot read; deletion-vector-aware (round-7 review fix: a
+    plain ``spark.read.parquet`` here would silently resurrect
+    MOR-deleted rows — every file carrying a DV now routes through
+    the anti-join path, DV-free snapshots read exactly as before)."""
+    if version is None:
+        version = latest_version(table_dir)
+    active = _replay(table_dir, version)[0]
+    if not active:
         raise ValueError("empty snapshot")
-    return spark.read.parquet(*files)
+    return _read_active(spark, table_dir, active)
+
+
+def _assert_no_dv(active: dict[str, dict], op: str) -> None:
+    """Guard for paths that read or rewrite raw parquet and would
+    silently include MOR-deleted rows; materialize first."""
+    dvd = sorted(r for r, a in active.items() if a.get("dv"))
+    if dvd:
+        raise ValueError(
+            f"{op} does not support deletion-vector files {dvd} — "
+            "run materialize_deletion_vectors first"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -428,6 +446,9 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
+    _assert_no_dv(
+        _replay(table_dir, latest_version(table_dir))[0], "merge_upsert"
+    )
     files = snapshot_files(table_dir)
     if not files:
         raise ValueError("merge into empty snapshot")
@@ -482,6 +503,9 @@ def delete_where(
     is removed with no replacement (no empty-file litter)."""
     from pyspark.sql import functions as F
 
+    _assert_no_dv(
+        _replay(table_dir, latest_version(table_dir))[0], "delete_where"
+    )
     files = snapshot_files(table_dir)
     if not files:
         raise ValueError("delete from empty snapshot")
@@ -633,6 +657,7 @@ def read_snapshot_pruned(
     ``(df, n_files_total, n_files_scanned)``. The caller still
     applies the row-level predicate — pruning is file-granular."""
     active = snapshot_actions(table_dir, version)
+    _assert_no_dv(active, "read_snapshot_pruned")
     kept = []
     for rel, action in active.items():
         stats = action.get("stats", {}).get(col)
@@ -663,6 +688,7 @@ def read_snapshot_pruned_2d(
     prune; on a linear sort only the lead key does). Missing stats
     → conservatively kept, same contract as read_snapshot_pruned."""
     active = snapshot_actions(table_dir, version)
+    _assert_no_dv(active, "read_snapshot_pruned_2d")
     kept = []
     for rel, action in active.items():
         skip = False
@@ -824,6 +850,7 @@ def read_snapshot_bloom_pruned(
         .collect()[0]["p"]
     )
     active = snapshot_actions(table_dir, version)
+    _assert_no_dv(active, "read_snapshot_bloom_pruned")
     kept = []
     for rel, action in active.items():
         b64 = action.get(f"bloom_{col}")
@@ -856,6 +883,7 @@ def optimize_compact(
     contract). Readers keep snapshot isolation throughout: they
     either see the pre- or post-compaction version, never a mix."""
     active = snapshot_actions(table_dir)
+    _assert_no_dv(active, "optimize_compact")
     if max_small_rows is None:
         small = list(active)
     else:
@@ -900,7 +928,9 @@ def optimize_cluster(
     clustering a range predicate opens only its interval's file.
     (Production uses one repartitionByRange write instead of one
     scan per interval; the commit protocol is identical.)"""
-    active = list(snapshot_actions(table_dir))
+    active = snapshot_actions(table_dir)
+    _assert_no_dv(active, "optimize_cluster")
+    active = list(active)
     src = spark.read.parquet(
         *(os.path.join(table_dir, r) for r in active)
     )
@@ -931,20 +961,43 @@ def vacuum(table_dir: str) -> dict:
     pre-vacuum versions is intentionally sacrificed, exactly as
     documented for the real thing). The log itself is kept: history
     metadata (DESCRIBE HISTORY) survives even though old data bytes
-    are gone. Returns reclaim stats."""
+    are gone. Returns reclaim stats.
+
+    Protected from reclamation regardless of the latest snapshot's
+    add list (round-7 review fix — the original basename test would
+    have destroyed all three): ``_dv`` deletion-vector sidecars,
+    nested-rel data (hidden-partitioned adds like
+    ``era_year/__pk=1997`` whose top-level dir is not itself a
+    basename), and batches staged for a WAP audit (visible to the
+    auditor, not yet in any numbered commit)."""
     import shutil
 
-    active = {
-        os.path.basename(p) for p in snapshot_files(table_dir)
+    protected = {
+        a.split("/", 1)[0]
+        for a in _replay(table_dir, latest_version(table_dir))[0]
     }
+    # a DV sidecar rel rides in the action dict, not the key
+    for action in _replay(table_dir, latest_version(table_dir))[0].values():
+        if action.get("dv"):
+            protected.add(action["dv"].split("/", 1)[0])
+    staged_dir = os.path.join(_log_dir(table_dir), "_staged")
+    if os.path.isdir(staged_dir):
+        for f in os.listdir(staged_dir):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(staged_dir, f)) as fh:
+                for a in json.load(fh)["actions"]:
+                    for key in ("add", "dv"):
+                        if key in a:
+                            protected.add(a[key].split("/", 1)[0])
     deleted = kept = 0
     for entry in sorted(os.listdir(table_dir)):
-        if entry == "_log":
+        if entry == "_log" or entry == "_dv":
             continue
         full = os.path.join(table_dir, entry)
         if not os.path.isdir(full):
             continue
-        if entry in active:
+        if entry in protected:
             kept += 1
         else:
             shutil.rmtree(full)
@@ -971,6 +1024,9 @@ def read_table_snapshot(
     uniform / multi-table-txn property; single-table Delta gets this
     only within one table). State resolution is the same log replay;
     this just projects the active set onto one subtree."""
+    _assert_no_dv(
+        snapshot_actions(parent_dir, version), "read_table_snapshot"
+    )
     files = [
         f
         for f in snapshot_files(parent_dir, version)
@@ -1019,6 +1075,9 @@ def read_snapshot_evolved(
     travel."""
     from pyspark.sql import functions as F
 
+    _assert_no_dv(
+        snapshot_actions(table_dir, version), "read_snapshot_evolved"
+    )
     files = snapshot_files(table_dir, version)
     if not files:
         raise ValueError("empty snapshot")
@@ -1092,26 +1151,52 @@ def read_staged_snapshot(
             active[action["add"]] = action
         elif "remove" in action:
             active.pop(action["remove"], None)
-    files = [os.path.join(table_dir, p) for p in active]
-    if not files:
+    if not active:
         raise ValueError("empty staged snapshot")
-    return spark.read.parquet(*files)
+    # deletion-vector-aware (round-7 review fix): an audit over a
+    # DV-carrying table must not count dead rows as violations
+    return _read_active(spark, table_dir, active)
 
 
 def publish_staged(table_dir: str, tag: str) -> dict:
     """Atomically promote the staged batch into the main log via the
     optimistic-concurrency path (commits that landed during the audit
     are rebased over; conflicting ones raise CommitConflict, leaving
-    the batch staged for re-audit). The staged entry is removed only
-    after the commit lands, so a crash between the two steps leaves a
-    published tag behind — publish is idempotent to retry because the
-    O_EXCL commit wins exactly once."""
+    the batch staged for re-audit). The published commit carries a
+    ``{"wap": tag}`` marker, which is what makes retry IDEMPOTENT
+    (round-7 review fix): a crash between the commit landing and the
+    staged entry's removal leaves both behind — the retry finds the
+    marker in the log, cleans up the staged entry, and returns the
+    already-published version instead of raising a spurious
+    file-overlap CommitConflict against the batch's own commit."""
     entry = staged_entry(table_dir, tag)
+    published = _find_wap_commit(table_dir, entry["base_version"], tag)
+    if published is not None:
+        os.remove(os.path.join(_staged_dir(table_dir), f"{tag}.json"))
+        return {"tag": tag, "version": published, "n_rebased": 0,
+                "already_published": True}
     result = try_commit_rebase(
-        table_dir, entry["base_version"], entry["actions"]
+        table_dir,
+        entry["base_version"],
+        [{"wap": tag}, *entry["actions"]],
     )
     os.remove(os.path.join(_staged_dir(table_dir), f"{tag}.json"))
     return {"tag": tag, **result}
+
+
+def _find_wap_commit(
+    table_dir: str, base_version: int, tag: str
+) -> int | None:
+    """Version of the commit carrying {'wap': tag} after
+    ``base_version``, or None if the tag never published."""
+    for v in range(base_version + 1, latest_version(table_dir) + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            if any(a.get("wap") == tag for a in json.load(f)):
+                return v
+    return None
 
 
 def abort_staged(
@@ -1228,11 +1313,20 @@ def write_hidden_partitioned(
     for entry in sorted(os.listdir(out)):
         if not entry.startswith("__pk="):
             continue
+        raw = entry.split("=", 1)[1]
+        try:
+            # date transforms yield integer keys; identity over a
+            # non-integer column (or a NULL source value's
+            # __HIVE_DEFAULT_PARTITION__ dir) keeps the raw string —
+            # such files are simply unprunable by date-range tests
+            pvalue: int | str = int(raw)
+        except ValueError:
+            pvalue = raw
         actions.append(
             {
                 "add": f"{prefix}/{entry}",
                 "spec_id": spec_id,
-                "pvalue": int(entry.split("=", 1)[1]),
+                "pvalue": pvalue,
             }
         )
     return actions
@@ -1295,6 +1389,15 @@ def prune_date_range(
             open_rels.append(rel)
             continue
         spec = specs[int(sid)]
+        # non-date transforms (identity) and non-integer partition
+        # values (NULL source rows) carry no date interval: open
+        # conservatively instead of raising (round-7 review fix)
+        if spec["transform"] not in ("year", "month", "day") or not (
+            isinstance(action.get("pvalue"), int)
+        ):
+            n_unprunable += 1
+            open_rels.append(rel)
+            continue
         flo, fhi = _partition_interval(
             spec["transform"], int(action["pvalue"])
         )
@@ -1373,22 +1476,44 @@ def _load_dv_positions(
     return pairs
 
 
-def read_snapshot_mor(
-    spark: SparkSession, table_dir: str, version: int | None = None
+def _anti_join_dead(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    active: dict[str, dict],
 ) -> DataFrame:
-    """Merge-on-read snapshot: files carrying deletion vectors are
-    read with row positions and anti-joined against their (tiny,
-    broadcast) dead-position set; DV-free files — at 100 TB, almost
-    all of them — read plain with zero overhead."""
+    """Shared DV application: tag the physical scan with (file, row
+    position) and anti-join the (tiny, broadcast) dead-position set.
+    One definition for all three MOR paths (read / delete /
+    materialize) so position-matching fixes land once."""
     from pyspark.sql import functions as F
 
-    if version is None:
-        version = latest_version(table_dir)
-    active = _replay(table_dir, version)[0]
-    if not active:
-        raise ValueError("empty snapshot")
+    cols = df.columns
+    dead = spark.createDataFrame(
+        _load_dv_positions(table_dir, active),
+        "__phys string, __ri long",
+    )
+    return (
+        df.withColumn("__phys", _phys_rel_col(table_dir))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+        .join(F.broadcast(dead), ["__phys", "__ri"], "left_anti")
+        .select(*cols)
+    )
+
+
+def _read_active(
+    spark: SparkSession, table_dir: str, active: dict[str, dict]
+) -> DataFrame:
+    """Read an active action set: files carrying deletion vectors are
+    anti-joined against their dead positions; DV-free files — at
+    100 TB, almost all of them — read plain with zero overhead (a
+    fully DV-free set is exactly the pre-DV plain read)."""
     plain = [r for r, a in active.items() if not a.get("dv")]
-    dvd = [r for r, a in active.items() if a.get("dv")]
+    dvd = {r: a for r, a in active.items() if a.get("dv")}
+    if not dvd:
+        return spark.read.parquet(
+            *[os.path.join(table_dir, r) for r in plain]
+        )
     parts = []
     if plain:
         parts.append(
@@ -1396,25 +1521,29 @@ def read_snapshot_mor(
                 *[os.path.join(table_dir, r) for r in plain]
             )
         )
-    if dvd:
-        df = spark.read.parquet(
-            *[os.path.join(table_dir, r) for r in dvd]
+    parts.append(
+        _anti_join_dead(
+            spark,
+            table_dir,
+            spark.read.parquet(
+                *[os.path.join(table_dir, r) for r in dvd]
+            ),
+            dvd,
         )
-        cols = df.columns
-        dead = spark.createDataFrame(
-            _load_dv_positions(table_dir, active),
-            "__phys string, __ri long",
-        )
-        parts.append(
-            df.withColumn("__phys", _phys_rel_col(table_dir))
-            .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(F.broadcast(dead), ["__phys", "__ri"], "left_anti")
-            .select(*cols)
-        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_snapshot_mor(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Merge-on-read snapshot. Since the round-7 review fix
+    read_snapshot itself is DV-aware; this name is kept as the
+    explicit entry point."""
+    return read_snapshot(spark, table_dir, version)
 
 
 def delete_where_mor(
@@ -1469,7 +1598,21 @@ def delete_where_mor(
     by_rel: dict[str, dict[str, list[int]]] = {}
     rels = sorted(active, key=len, reverse=True)
     for r in hits:
-        rel = next(x for x in rels if r["__phys"].startswith(x + "/"))
+        # an add rel is usually a directory prefix of the physical
+        # path; a single-file add equals it exactly (review fix: a
+        # miss is a clear error, not a bare StopIteration)
+        rel = next(
+            (
+                x
+                for x in rels
+                if r["__phys"].startswith(x + "/") or r["__phys"] == x
+            ),
+            None,
+        )
+        if rel is None:
+            raise ValueError(
+                f"physical file {r['__phys']!r} matches no active rel"
+            )
         by_rel.setdefault(rel, {}).setdefault(r["__phys"], []).append(
             int(r["__ri"])
         )
@@ -1519,21 +1662,11 @@ def materialize_deletion_vectors(
     dvd = [r for r, a in active.items() if a.get("dv")]
     if not dvd:
         return {"version": None, "n_files_rewritten": 0}
-    from pyspark.sql import functions as F
-
-    df = spark.read.parquet(*[os.path.join(table_dir, r) for r in dvd])
-    cols = df.columns
-    dead = spark.createDataFrame(
-        _load_dv_positions(
-            table_dir, {r: active[r] for r in dvd}
-        ),
-        "__phys string, __ri long",
-    )
-    live = (
-        df.withColumn("__phys", _phys_rel_col(table_dir))
-        .withColumn("__ri", F.col("_metadata.row_index"))
-        .join(F.broadcast(dead), ["__phys", "__ri"], "left_anti")
-        .select(*cols)
+    live = _anti_join_dead(
+        spark,
+        table_dir,
+        spark.read.parquet(*[os.path.join(table_dir, r) for r in dvd]),
+        {r: active[r] for r in dvd},
     )
     rewrite_rel = f"dvmat_{version:08d}"
     live.write.parquet(os.path.join(table_dir, rewrite_rel))
@@ -1549,11 +1682,16 @@ def materialize_deletion_vectors(
 
 
 def txn_version(table_dir: str, app_id: str) -> int | None:
-    """Highest transaction version recorded for ``app_id`` across
-    the whole log (Delta's ``txn`` action: the exactly-once
-    handshake between a streaming writer and the table)."""
-    best = None
-    for v in range(latest_version(table_dir) + 1):
+    """Most recent transaction version recorded for ``app_id`` —
+    Delta's ``txn`` action, the exactly-once handshake between a
+    streaming writer and the table. Scans BACKWARD from head and
+    stops at the app's first (latest) txn action, so the per-commit
+    cost of a healthy stream is O(commits since that app's last
+    commit) ≈ O(1), not O(log length) (round-7 review fix — the
+    forward full scan made ingestion O(batches²)). Same semantics as
+    Delta: the latest writer's version is THE version; a production
+    log would also fold these high-water marks into checkpoints."""
+    for v in range(latest_version(table_dir), -1, -1):
         path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
         if not os.path.exists(path):
             raise ValueError(f"log hole at version {v}")
@@ -1561,9 +1699,8 @@ def txn_version(table_dir: str, app_id: str) -> int | None:
             for a in json.load(f):
                 t = a.get("txn")
                 if t and t.get("appId") == app_id:
-                    tv = int(t["version"])
-                    best = tv if best is None else max(best, tv)
-    return best
+                    return int(t["version"])
+    return None
 
 
 def commit_idempotent(
@@ -1602,7 +1739,10 @@ def find_orphans(table_dir: str) -> list[str]:
     log has ever referenced (failed/retried writer debris — e.g. the
     files a skipped idempotent retry wrote). Distinct from vacuum's
     job (removed-but-once-referenced files): an orphan was never
-    visible at ANY version, so deleting it can break no reader."""
+    visible at ANY version, so deleting it can break no reader.
+    Batches currently STAGED for a WAP audit are NOT orphans (the
+    auditor reads them and publish will reference them — round-7
+    review fix)."""
     referenced: set[str] = set()
     for v in range(latest_version(table_dir) + 1):
         path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
@@ -1611,6 +1751,16 @@ def find_orphans(table_dir: str) -> list[str]:
                 for key in ("add", "remove", "dv"):
                     if key in a:
                         referenced.add(a[key].split("/", 1)[0])
+    staged_dir = os.path.join(_log_dir(table_dir), "_staged")
+    if os.path.isdir(staged_dir):
+        for f in os.listdir(staged_dir):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(staged_dir, f)) as fh:
+                for a in json.load(fh)["actions"]:
+                    for key in ("add", "remove", "dv"):
+                        if key in a:
+                            referenced.add(a[key].split("/", 1)[0])
     orphans = []
     for entry in sorted(os.listdir(table_dir)):
         if entry in ("_log", "_dv") or entry in referenced:

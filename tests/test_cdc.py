@@ -233,3 +233,39 @@ def test_scd2_apply_changes_no_broadcast_path(spark):
     b = scd2_apply_changes(dim, feed, ["k"], ["v"], 200,
                            broadcast_feed=False)
     assert _scd2_rows(a) == _scd2_rows(b)
+
+
+def test_scd2_apply_changes_null_keys_null_safe(spark):
+    """Round-7 review fix: every key join is eqNullSafe, so a
+    NULL-key update closes the NULL-key open row and continues its
+    version sequence — no duplicate current rows, no seq collision."""
+    from etl_lens_spark.operators.cdc import scd2_apply_changes
+
+    dim = spark.createDataFrame(
+        [(None, 1, "a", 100, None, 1), (2, 1, "b", 100, None, 1)],
+        "k int, version_seq long, v string, valid_from_us long, "
+        "valid_to_us long, is_current long",
+    )
+    feed = spark.createDataFrame(
+        [(None, "a", "update_preimage"), (None, "a2", "update_postimage")],
+        "k int, v string, _change_type string",
+    )
+    out = scd2_apply_changes(dim, feed, ["k"], ["v"], 200)
+    rows = sorted(
+        [
+            (
+                r["k"],
+                r["version_seq"],
+                r["v"],
+                r["valid_to_us"],
+                r["is_current"],
+            )
+            for r in out.collect()
+        ],
+        key=lambda t: (t[0] is not None, t[1]),
+    )
+    assert rows == [
+        (None, 1, "a", 200, 0),    # closed, not duplicated
+        (None, 2, "a2", None, 1),  # sequence continued
+        (2, 1, "b", None, 1),      # untouched passthrough
+    ]

@@ -881,3 +881,166 @@ def test_find_orphans_only_never_referenced(spark, tmp_path):
     assert _os.path.exists(f"{base}/gone")      # vacuum's job, kept
     assert not _os.path.exists(f"{base}/debris")
     assert lakelog.find_orphans(base) == []
+
+
+def test_vacuum_protects_dv_nested_and_staged(spark, tmp_path):
+    """Round-7 review fix: vacuum must not reclaim DV sidecars,
+    hidden-partitioned nested rels, or WAP-staged batches — only
+    genuinely unreferenced-by-latest data dirs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    adds = lakelog.write_hidden_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, dt.date(2020, 2, 1)), (2, dt.date(2021, 3, 1))],
+            "k int, d date",
+        ),
+        base, "era", spec_id=1, source_col="d", transform="year",
+    )
+    lakelog.commit(base, 0, [lakelog.spec_action(1, "d", "year"), *adds])
+    lakelog.delete_where_mor(spark, base, F.col("k") == 1)  # makes _dv
+    spark.range(3).write.parquet(f"{base}/staged_batch")
+    lakelog.stage(base, "w", [{"add": "staged_batch"}])
+    spark.range(3).write.parquet(f"{base}/dead")
+    lakelog.commit(
+        base, lakelog._next_version(base), [{"add": "dead"}]
+    )
+    lakelog.commit(
+        base, lakelog._next_version(base), [{"remove": "dead"}]
+    )
+    res = lakelog.vacuum(base)
+    assert res["n_dirs_deleted"] == 1  # only 'dead'
+    assert os.path.exists(f"{base}/_dv")
+    assert os.path.exists(f"{base}/era")
+    assert os.path.exists(f"{base}/staged_batch")
+    assert not os.path.exists(f"{base}/dead")
+    # the MOR snapshot still reads correctly after vacuum
+    assert sorted(
+        r["k"] for r in lakelog.read_snapshot(spark, base).collect()
+    ) == [2]
+    # and find_orphans does NOT flag the staged batch
+    assert lakelog.find_orphans(base) == []
+
+
+def test_read_snapshot_is_dv_aware_and_guards_hold(spark, tmp_path):
+    """Round-7 review fix: plain read_snapshot (and thus change_feed
+    and staged reads) applies deletion vectors instead of silently
+    resurrecting dead rows; raw-parquet paths (CoW DML, pruned/
+    evolved/clone readers) refuse DV tables with a clear error."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k int, v string"
+    ).write.parquet(f"{base}/f0")
+    lakelog.commit(base, 0, [{"add": "f0"}])
+    lakelog.delete_where_mor(spark, base, F.col("k") % 2 == 0)
+    # plain reader applies the vector
+    assert sorted(
+        r["k"] for r in lakelog.read_snapshot(spark, base).collect()
+    ) == [1, 3, 5, 7, 9]
+    # change_feed between the versions sees exactly the deletes
+    feed = lakelog.change_feed(spark, base, ["k"], 0, 1)
+    assert sorted(
+        (r["k"], r["_change_type"]) for r in feed.collect()
+    ) == [(k, "delete") for k in (0, 2, 4, 6, 8)]
+    # staged-audit view applies the vector too
+    spark.createDataFrame([(100, "x")], "k int, v string").write.parquet(
+        f"{base}/b"
+    )
+    lakelog.stage(base, "w", [{"add": "b"}])
+    assert sorted(
+        r["k"]
+        for r in lakelog.read_staged_snapshot(spark, base, "w").collect()
+    ) == [1, 3, 5, 7, 9, 100]
+    lakelog.abort_staged(base, "w", remove_data=True)
+    # raw-parquet paths refuse
+    import pytest as _pytest
+
+    for op in (
+        lambda: lakelog.delete_where(spark, base, F.col("k") == 1),
+        lambda: lakelog.merge_upsert(
+            spark, base,
+            spark.createDataFrame([(1, "z")], "k int, v string"), ["k"],
+        ),
+        lambda: lakelog.optimize_compact(spark, base),
+        lambda: lakelog.shallow_clone(base, str(tmp_path / "c")),
+        lambda: lakelog.read_snapshot_evolved(spark, base),
+    ):
+        with _pytest.raises(ValueError, match="deletion-vector"):
+            op()
+
+
+def test_publish_staged_retry_is_idempotent(spark, tmp_path):
+    """Round-7 review fix: a crash between the publish commit and
+    the staged-entry removal must make retry a no-op returning the
+    published version — not a spurious CommitConflict against the
+    batch's own commit."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.range(5).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.range(5).write.parquet(f"{base}/batch")
+    lakelog.stage(base, "w", [{"add": "batch"}])
+    entry = lakelog.staged_entry(base, "w")
+    first = lakelog.publish_staged(base, "w")
+    assert first["version"] == 1
+    # simulate the crash: restore the staged entry post-commit
+    lakelog.stage(base, "w", entry["actions"]) if False else None
+    import json as _json
+
+    with open(
+        os.path.join(base, "_log", "_staged", "w.json"), "w"
+    ) as f:
+        _json.dump(entry, f)
+    retry = lakelog.publish_staged(base, "w")
+    assert retry["version"] == 1 and retry.get("already_published")
+    assert lakelog.latest_version(base) == 1  # no duplicate commit
+    with pytest.raises(FileNotFoundError):
+        lakelog.staged_entry(base, "w")
+
+
+def test_prune_date_range_identity_spec_unprunable(spark, tmp_path):
+    """Round-7 review fix: identity-transform files (no date
+    interval) count as unprunable and always open instead of
+    raising."""
+    import datetime as dt
+
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    adds = lakelog.write_hidden_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, dt.date(2020, 2, 1), 7)], "k int, d date, b int"
+        ),
+        base, "by_year", spec_id=1, source_col="d", transform="year",
+    )
+    adds2 = lakelog.write_hidden_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(2, dt.date(2021, 2, 1), 9)], "k int, d date, b int"
+        ),
+        base, "by_bucket", spec_id=2, source_col="b",
+        transform="identity",
+    )
+    lakelog.commit(
+        base, 0,
+        [lakelog.spec_action(1, "d", "year"),
+         lakelog.spec_action(2, "b", "identity"), *adds, *adds2],
+    )
+    st = lakelog.prune_date_range(base, "2020-01-01", "2021-01-01")
+    assert st["opened_by_spec"] == {1: 1}
+    assert st["n_unprunable"] == 1  # the identity file always opens
+    got, _ = lakelog.read_hidden_pruned(
+        spark, base, "2020-01-01", "2021-01-01"
+    )
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
