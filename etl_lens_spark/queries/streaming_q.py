@@ -2071,3 +2071,78 @@ def streaming_lake_exactly_once_sink(
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "streaming_lake_source_live",
+    oracle="""
+    SELECT CAST(o_orderkey % 4 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM orders
+    GROUP BY o_orderkey % 4
+    ORDER BY key_mod
+    """,
+)
+def streaming_lake_source_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LAKE LOG AS A STREAMING SOURCE through the live engine —
+    "Delta as a source", the streaming dual of the batch change
+    feed: a three-commit append-only table (orders split %3) is
+    tailed by sources/pyds.py::LakeLogStreamDataSource, whose
+    offsets are commit versions advancing ONE commit per
+    micro-batch (executors read each commit's added files with
+    pyarrow directly — no driver fan-in, no re-scan of earlier
+    commits). A complete-mode aggregate drains the stream; the
+    oracle recomputes it from the full orders scan, so a hash match
+    proves the version-by-version offset planning lost and
+    duplicated NOTHING across commit boundaries. The append-only
+    contract (removes raise without ignore_changes, deletion
+    vectors always raise) and one-version-per-batch stepping are
+    unit-pinned in tests/test_external_sources.py."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources.pyds import LakeLogStreamDataSource
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    base = scratch_path("lake_stream_src")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    for v in range(3):
+        orders.filter(F.col("k") % 3 == v).write.parquet(
+            f"{base}/b{v}"
+        )
+        lakelog.commit(base, v, [{"add": f"b{v}"}])
+
+    try:
+        spark.dataSource.register(LakeLogStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("lakelog_stream")
+        .option("path", base)
+        .option("schema_ddl", "k long, cents long")
+        .load()
+    )
+    agg = stream.groupBy(
+        (F.col("k") % 4).cast("int").alias("key_mod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("key_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+    )
+    out = so.run_to_memory(
+        agg, "q_stream_lakesrc", output_mode="complete"
+    )
+    rows = out.orderBy("key_mod").collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -209,3 +209,120 @@ class JsonLinesSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return JsonLinesWriter(self.options)
+
+
+# ---------------------------------------------------------------------------
+# The lake log as a STREAMING SOURCE ("Delta as a source"): offsets
+# are commit versions; each micro-batch reads the rows of the files
+# ADDED by exactly one commit. This is how incremental consumers
+# (downstream aggregations, CDC appliers, index maintainers) tail a
+# lakehouse table without re-scanning it — the streaming dual of
+# lakelog.change_feed's batch diff.
+# ---------------------------------------------------------------------------
+
+
+class _RelSlice(InputPartition):
+    def __init__(self, path: str, columns: list[str]):
+        self.path = path
+        self.columns = columns
+
+
+class LakeLogStreamReader(DataSourceStreamReader):
+    """Offsets are ``{"version": V}`` (initial = -1); latestOffset
+    advances ONE commit per micro-batch, so consumption is
+    version-by-version and restart-safe (Spark re-plans any
+    uncommitted (start, end] from the log — partitions() is a pure
+    function of the commit range). Contract mirrors Delta's
+    streaming source: the table must be APPEND-ONLY over the
+    consumed range — a remove action raises unless
+    ``ignore_changes=true`` (then adds from that commit still emit,
+    with Delta's documented ignoreChanges caveat: rewritten rows may
+    re-emit); deletion-vector actions always raise. Executors read
+    the added files with pyarrow directly — no driver fan-in."""
+
+    def __init__(self, options):
+        self.table_dir = options["path"]
+        self.columns = [
+            c.strip().split()[0]
+            for c in options["schema_ddl"].split(",")
+        ]
+        self.ignore_changes = (
+            str(options.get("ignore_changes", "false")).lower() == "true"
+        )
+
+    def initialOffset(self):
+        return {"version": -1}
+
+    def latestOffset(self):
+        from etl_lens_spark.operators import lakelog
+
+        head = lakelog.latest_version(self.table_dir)
+        cur = getattr(self, "_pos", -1)
+        self._pos = min(cur + 1, head)
+        return {"version": self._pos}
+
+    def partitions(self, start, end):
+        import json as _json
+        import os as _os
+
+        s, e = int(start["version"]), int(end["version"])
+        slices = []
+        for v in range(s + 1, e + 1):
+            path = _os.path.join(
+                self.table_dir, "_log", f"{v:08d}.json"
+            )
+            with open(path) as f:
+                actions = _json.load(f)
+            for a in actions:
+                if a.get("dv"):
+                    raise ValueError(
+                        f"commit {v} attached a deletion vector — "
+                        "not an append; stream from a materialized "
+                        "table"
+                    )
+                if "remove" in a and not self.ignore_changes:
+                    raise ValueError(
+                        f"commit {v} removed {a['remove']!r}: the "
+                        "streamed range must be append-only (set "
+                        "ignore_changes=true to accept Delta's "
+                        "ignoreChanges caveat)"
+                    )
+            slices.extend(
+                _RelSlice(
+                    _os.path.join(self.table_dir, a["add"]),
+                    self.columns,
+                )
+                for a in actions
+                if "add" in a
+            )
+        return slices
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            partition.path, columns=partition.columns
+        )
+        for batch in table.to_batches():
+            cols = [batch.column(i) for i in range(batch.num_columns)]
+            for i in range(batch.num_rows):
+                yield tuple(c[i].as_py() for c in cols)
+
+    def commit(self, end):
+        pass
+
+
+class LakeLogStreamDataSource(DataSource):
+    """``readStream.format("lakelog_stream").option("path", dir)
+    .option("schema_ddl", "k long, v string")`` — the lake log as a
+    streaming source (see LakeLogStreamReader)."""
+
+    @classmethod
+    def name(cls):
+        return "lakelog_stream"
+
+    def schema(self):
+        return self.options["schema_ddl"]
+
+    def streamReader(self, schema):
+        return LakeLogStreamReader(self.options)

@@ -196,3 +196,74 @@ def test_synth_events_empty_relation_n_rows_zero(spark):
     )
     assert df.count() == 0
     assert df.columns == ["rid", "h", "category", "score"]
+
+
+def _mk_lake(spark, base):
+    from etl_lens_spark.operators import lakelog
+
+    for v in range(3):
+        spark.createDataFrame(
+            [(v * 10 + i, f"v{v}") for i in range(3)],
+            "k long, tag string",
+        ).coalesce(1).write.parquet(f"{base}/b{v}")
+        lakelog.commit(base, v, [{"add": f"b{v}"}])
+    return lakelog
+
+
+def test_lakelog_stream_reader_offset_contract(spark, tmp_path):
+    """The lake-log streaming source's driver-side contract, driven
+    as plain Python (no engine needed): offsets advance ONE commit
+    per latestOffset call and stop at head; partitions(start, end]
+    yields exactly that range's added files; read() returns their
+    rows via pyarrow."""
+    from etl_lens_spark.sources.pyds import LakeLogStreamReader
+
+    base = str(tmp_path / "t")
+    _mk_lake(spark, base)
+    r = LakeLogStreamReader(
+        {"path": base, "schema_ddl": "k long, tag string"}
+    )
+    assert r.initialOffset() == {"version": -1}
+    # one commit per micro-batch, clamped at head
+    assert [r.latestOffset()["version"] for _ in range(5)] == [
+        0, 1, 2, 2, 2,
+    ]
+    parts = r.partitions({"version": -1}, {"version": 0})
+    assert len(parts) == 1 and parts[0].path.endswith("b0")
+    rows = sorted(r.read(parts[0]))
+    assert rows == [(0, "v0"), (1, "v0"), (2, "v0")]
+    # restart-safety: an uncommitted multi-version range re-plans
+    parts = r.partitions({"version": 0}, {"version": 2})
+    assert sorted(p.path[-2:] for p in parts) == ["b1", "b2"]
+    assert r.partitions({"version": 2}, {"version": 2}) == []
+
+
+def test_lakelog_stream_reader_append_only_contract(spark, tmp_path):
+    """Removes raise without ignore_changes (and pass with it,
+    emitting the commit's adds); deletion vectors always raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    lakelog = _mk_lake(spark, base)
+    lakelog.commit(base, 3, [{"remove": "b0"}, {"add": "b3x"}])
+    spark.createDataFrame([(99, "x")], "k long, tag string")\
+        .coalesce(1).write.parquet(f"{base}/b3x")
+    from etl_lens_spark.sources.pyds import LakeLogStreamReader
+
+    r = LakeLogStreamReader(
+        {"path": base, "schema_ddl": "k long, tag string"}
+    )
+    with _pytest.raises(ValueError, match="append-only"):
+        r.partitions({"version": 2}, {"version": 3})
+    r2 = LakeLogStreamReader(
+        {"path": base, "schema_ddl": "k long, tag string",
+         "ignore_changes": "true"}
+    )
+    parts = r2.partitions({"version": 2}, {"version": 3})
+    assert [p.path[-3:] for p in parts] == ["b3x"]
+    # a deletion-vector commit is never streamable
+    lakelog.delete_where_mor(spark, base, F.col("k") == 11)
+    with _pytest.raises(ValueError, match="deletion vector"):
+        r2.partitions({"version": 3}, {"version": 4})
