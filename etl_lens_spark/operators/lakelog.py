@@ -289,18 +289,66 @@ def write_checkpoint(table_dir: str, version: int | None = None) -> dict:
         version = latest_version(table_dir)
     active = _replay(table_dir, version)[0]
     log = _log_dir(table_dir)
+    # txn HIGH-WATER MARKS consolidate too (the Delta checkpoint
+    # carries setTransaction actions for exactly this reason): the
+    # streaming exactly-once check (txn_version) can then answer from
+    # the newest checkpoint + tail instead of walking the whole log —
+    # without this, a checkpointed table still paid O(log) per
+    # idempotent commit when the app had not written recently
+    txns = _txn_marks(table_dir, version)
     path = os.path.join(log, f"{version:08d}.checkpoint.json")
     # write-then-rename so a concurrent reader (the module's headline
     # story) can never json.load a truncated checkpoint: os.rename
     # within one directory is atomic on POSIX — readers see either no
     # checkpoint or a complete one, never a partial write
     tmp = os.path.join(log, f".{version:08d}.checkpoint.json.tmp")
+    entries = list(active.values())
+    if txns:
+        entries.append({"txns": txns})
     with open(tmp, "w") as f:
-        json.dump(list(active.values()), f)
+        json.dump(entries, f)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
-    return {"version": version, "n_active_files": len(active)}
+    return {
+        "version": version,
+        "n_active_files": len(active),
+        "n_txn_apps": len(txns),
+    }
+
+
+def _txn_marks(table_dir: str, version: int) -> dict[str, int]:
+    """Latest txn version per appId as of ``version``, itself
+    resolved checkpoint-first (newest checkpoint ≤ version, then the
+    tail commits) so consolidation never re-reads the whole log."""
+    log = _log_dir(table_dir)
+    ckpts = [
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".checkpoint.json")
+        and int(f.split(".")[0]) <= version
+    ]
+    marks: dict[str, int] = {}
+    start = 0
+    if ckpts:
+        cv = max(ckpts)
+        with open(os.path.join(log, f"{cv:08d}.checkpoint.json")) as f:
+            for entry in json.load(f):
+                if "txns" in entry:
+                    marks.update(
+                        {a: int(v) for a, v in entry["txns"].items()}
+                    )
+        start = cv + 1
+    for v in range(start, version + 1):
+        path = os.path.join(log, f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            for a in json.load(f):
+                t = a.get("txn")
+                if t:
+                    marks[t["appId"]] = int(t["version"])
+    return marks
 
 
 def _replay(
@@ -322,7 +370,8 @@ def _replay(
         cv = max(ckpts)
         with open(os.path.join(log, f"{cv:08d}.checkpoint.json")) as f:
             for action in json.load(f):
-                active[action["add"]] = action
+                if "add" in action:  # skip the txns summary entry
+                    active[action["add"]] = action
         start = cv + 1
     for v in range(start, version + 1):
         path = os.path.join(log, f"{v:08d}.json")
@@ -1691,8 +1740,16 @@ def txn_version(table_dir: str, app_id: str) -> int | None:
     forward full scan made ingestion O(batches²)). Same semantics as
     Delta: the latest writer's version is THE version; a production
     log would also fold these high-water marks into checkpoints."""
-    for v in range(latest_version(table_dir), -1, -1):
-        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+    log = _log_dir(table_dir)
+    head = latest_version(table_dir)
+    ckpts = [
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".checkpoint.json") and int(f.split(".")[0]) <= head
+    ]
+    floor = max(ckpts) if ckpts else -1
+    for v in range(head, floor, -1):
+        path = os.path.join(log, f"{v:08d}.json")
         if not os.path.exists(path):
             raise ValueError(f"log hole at version {v}")
         with open(path) as f:
@@ -1700,6 +1757,16 @@ def txn_version(table_dir: str, app_id: str) -> int | None:
                 t = a.get("txn")
                 if t and t.get("appId") == app_id:
                     return int(t["version"])
+    if floor >= 0:
+        # the checkpoint's consolidated high-water marks cover
+        # everything at or before it — no pre-checkpoint commit file
+        # is ever opened (the O(1) claim, physically pinned in tests
+        # by DELETING those files)
+        with open(os.path.join(log, f"{floor:08d}.checkpoint.json")) as f:
+            for entry in json.load(f):
+                if "txns" in entry:
+                    v = entry["txns"].get(app_id)
+                    return int(v) if v is not None else None
     return None
 
 

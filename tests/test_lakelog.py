@@ -508,7 +508,7 @@ def test_log_checkpoint_replay_equivalence(spark, tmp_path):
         lakelog.commit(base, v, acts)
     full = lakelog.snapshot_actions(base)  # no checkpoint yet
     ck = lakelog.write_checkpoint(base, 9)
-    assert ck == {"version": 9, "n_active_files": 9}
+    assert ck == {"version": 9, "n_active_files": 9, "n_txn_apps": 0}
     # replay starts at the checkpoint: only commits 10, 11 re-read
     active, start, n_replayed = lakelog._replay(
         base, lakelog.latest_version(base)
@@ -1044,3 +1044,53 @@ def test_prune_date_range_identity_spec_unprunable(spark, tmp_path):
         spark, base, "2020-01-01", "2021-01-01"
     )
     assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+
+def test_checkpoint_carries_txn_high_water_marks(tmp_path):
+    """Round-7 extension: log checkpoints consolidate per-app txn
+    high-water marks, so the exactly-once check answers from the
+    newest checkpoint + tail. The O(1) claim is PHYSICAL: every
+    pre-checkpoint commit file is DELETED and txn_version still
+    answers correctly for apps that wrote only before the
+    checkpoint."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    lakelog.commit_idempotent(base, "appA", 0, [{"add": "a0"}])
+    lakelog.commit_idempotent(base, "appA", 1, [{"add": "a1"}])
+    lakelog.commit_idempotent(base, "appB", 5, [{"add": "b0"}])
+    ck = lakelog.write_checkpoint(base)
+    assert ck["n_txn_apps"] == 2
+    # appB keeps writing after the checkpoint
+    lakelog.commit_idempotent(base, "appB", 6, [{"add": "b1"}])
+    # burn every pre-checkpoint commit: answers can only come from
+    # the checkpoint (+ the one tail commit)
+    for v in range(ck["version"] + 1):
+        os.remove(os.path.join(base, "_log", f"{v:08d}.json"))
+    assert lakelog.txn_version(base, "appA") == 1   # checkpoint only
+    assert lakelog.txn_version(base, "appB") == 6   # tail wins
+    assert lakelog.txn_version(base, "appC") is None
+    # a replayed pre-checkpoint batch is still absorbed
+    r = lakelog.commit_idempotent(base, "appA", 1, [{"add": "a1r"}])
+    assert r["skipped"]
+    # and the snapshot replay (checkpoint + tail) is intact
+    assert sorted(
+        os.path.basename(p) for p in lakelog.snapshot_files(base)
+    ) == ["a0", "a1", "b0", "b1"]
+    # a SECOND checkpoint consolidates checkpoint-first (its marks
+    # merge the first checkpoint's with the tail — the deleted
+    # pre-checkpoint commits are never needed again) and the merged
+    # high-water marks survive into it
+    ck2 = lakelog.write_checkpoint(base)
+    assert ck2["n_txn_apps"] == 2
+    import json as _json
+
+    with open(
+        os.path.join(
+            base, "_log", f"{ck2['version']:08d}.checkpoint.json"
+        )
+    ) as f:
+        marks = next(
+            e["txns"] for e in _json.load(f) if "txns" in e
+        )
+    assert marks == {"appA": 1, "appB": 6}
