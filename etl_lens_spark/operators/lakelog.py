@@ -926,40 +926,90 @@ def optimize_compact(
     """OPTIMIZE: rewrite the current snapshot's small files into one
     compacted file and commit the swap — bin-packing maintenance for
     the small-file problem streaming sinks create (one file per
-    micro-batch). Data is byte-identical before/after; only layout
-    changes. With ``max_small_rows`` set, files larger than that stay
-    untouched (compact only the long tail, the Delta OPTIMIZE
-    contract). Readers keep snapshot isolation throughout: they
-    either see the pre- or post-compaction version, never a mix."""
+    micro-batch). Logical data is identical before/after; only layout
+    changes, so the commit's actions are marked ``data_change: false``
+    (Delta's dataChange flag) and streaming consumers tailing the log
+    skip the commit entirely. With ``max_small_rows`` set, files
+    larger than that stay untouched (compact only the long tail, the
+    Delta OPTIMIZE contract). Readers keep snapshot isolation
+    throughout: they either see the pre- or post-compaction version,
+    never a mix.
+
+    DV-aware since round 8 (purge-on-compact): a file carrying a
+    deletion vector compacts through the anti-join read, so its dead
+    rows are dropped IN the compaction rewrite and the sidecar
+    reference disappears with the file — one pass where
+    materialize-then-compact paid two full rewrites (the
+    Delta/Iceberg rule: compaction purges DVs). Dead sidecars are
+    then vacuum-reclaimable.
+
+    Sizing reads the log's add-action stats (``num_records`` minus
+    ``dv_count`` = live rows) — ZERO Spark jobs; only stats-less
+    files fall back to ONE scan grouped by file identity (round-8
+    review fix: the per-file ``count()`` loop planned O(files) jobs —
+    at 10⁵ files, 10⁵ jobs). With stats present the whole operation
+    plans exactly one job (the rewrite), pinned in tests."""
     active = snapshot_actions(table_dir)
-    _assert_no_dv(active, "optimize_compact")
     if max_small_rows is None:
         small = list(active)
     else:
-        small = []
-        for rel in active:
-            n = (
-                spark.read.parquet(os.path.join(table_dir, rel))
+        sizes: dict[str, int] = {}
+        unsized: list[str] = []
+        for rel, action in active.items():
+            nr = action.get("num_records")
+            if nr is not None:
+                sizes[rel] = int(nr) - int(action.get("dv_count", 0))
+            else:
+                unsized.append(rel)
+        if unsized:
+            from pyspark.sql import functions as F
+
+            counts = (
+                spark.read.parquet(
+                    *(os.path.join(table_dir, r) for r in unsized)
+                )
+                .withColumn("_file", _rel_file_expr(table_dir, unsized))
+                .groupBy("_file")
                 .count()
+                .collect()
             )
-            if n <= max_small_rows:
-                small.append(rel)
+            for r in counts:
+                sizes[r["_file"]] = int(r["count"])
+            for rel in unsized:  # fully-empty rels group to nothing
+                sizes.setdefault(rel, 0)
+                # the raw scan counted MOR-dead rows too; size by
+                # live rows so purge-on-compact bins correctly
+                sizes[rel] = max(
+                    0, sizes[rel] - int(active[rel].get("dv_count", 0))
+                )
+        small = [r for r in active if sizes[r] <= max_small_rows]
     if len(small) < 2:
         return {"n_files_compacted": 0, "version": latest_version(table_dir)}
     version = _next_version(table_dir)
     rel = f"compact_{version:08d}"
-    df = spark.read.parquet(
-        *(os.path.join(table_dir, r) for r in small)
-    )
+    small_active = {r: active[r] for r in small}
+    df = _read_active(spark, table_dir, small_active)
     df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(table_dir, rel)
     )
+    add: dict = {"add": rel, "data_change": False}
+    if all(a.get("num_records") is not None for a in small_active.values()):
+        add["num_records"] = sum(
+            int(a["num_records"]) - int(a.get("dv_count", 0))
+            for a in small_active.values()
+        )
     commit(
         table_dir,
         version,
-        [{"remove": r} for r in small] + [{"add": rel}],
+        [{"remove": r, "data_change": False} for r in small] + [add],
     )
-    return {"n_files_compacted": len(small), "version": version}
+    return {
+        "n_files_compacted": len(small),
+        "version": version,
+        "n_dvs_purged": sum(
+            1 for a in small_active.values() if a.get("dv")
+        ),
+    }
 
 
 def optimize_cluster(
@@ -976,17 +1026,21 @@ def optimize_cluster(
     spans the full key range and min/max stats prune nothing, after
     clustering a range predicate opens only its interval's file.
     (Production uses one repartitionByRange write instead of one
-    scan per interval; the commit protocol is identical.)"""
+    scan per interval; the commit protocol is identical.)
+
+    DV-aware since round 8 (purge-on-compact, same rule as
+    optimize_compact): DV-carrying files re-cluster through the
+    anti-join read, dropping dead rows in the rewrite; actions are
+    marked ``data_change: false`` so streaming consumers skip the
+    commit."""
     active = snapshot_actions(table_dir)
-    _assert_no_dv(active, "optimize_cluster")
-    active = list(active)
-    src = spark.read.parquet(
-        *(os.path.join(table_dir, r) for r in active)
-    )
+    src = _read_active(spark, table_dir, active)
     from pyspark.sql import functions as F
 
     version = _next_version(table_dir)
-    actions: list[dict] = [{"remove": r} for r in active]
+    actions: list[dict] = [
+        {"remove": r, "data_change": False} for r in active
+    ]
     for i, (lo, hi) in enumerate(bounds):
         rel = f"cluster_{version:08d}_{i}"
         src.filter(
@@ -995,6 +1049,7 @@ def optimize_cluster(
         actions.append(
             {
                 "add": rel,
+                "data_change": False,
                 "stats": file_stats(
                     spark, os.path.join(table_dir, rel), [col]
                 ),
@@ -1014,31 +1069,30 @@ def vacuum(table_dir: str) -> dict:
 
     Protected from reclamation regardless of the latest snapshot's
     add list (round-7 review fix — the original basename test would
-    have destroyed all three): ``_dv`` deletion-vector sidecars,
+    have destroyed all three): LIVE ``_dv`` deletion-vector sidecars,
     nested-rel data (hidden-partitioned adds like
     ``era_year/__pk=1997`` whose top-level dir is not itself a
     basename), and batches staged for a WAP audit (visible to the
-    auditor, not yet in any numbered commit)."""
+    auditor, not yet in any numbered commit).
+
+    SUPERSEDED DV sidecars are reclaimed (round-8 review fix): every
+    ``delete_where_mor`` against an already-DV'd file writes a new
+    merged sidecar and materialize/compact drop the reference — on a
+    long-lived table dead sidecars would otherwise accumulate
+    unboundedly. A ``_dv`` file survives only while some latest-
+    snapshot action (or staged entry) references it."""
     import shutil
 
-    protected = {
-        a.split("/", 1)[0]
-        for a in _replay(table_dir, latest_version(table_dir))[0]
-    }
+    active = _replay(table_dir, latest_version(table_dir))[0]
+    protected = {a.split("/", 1)[0] for a in active}
     # a DV sidecar rel rides in the action dict, not the key
-    for action in _replay(table_dir, latest_version(table_dir))[0].values():
-        if action.get("dv"):
-            protected.add(action["dv"].split("/", 1)[0])
-    staged_dir = os.path.join(_log_dir(table_dir), "_staged")
-    if os.path.isdir(staged_dir):
-        for f in os.listdir(staged_dir):
-            if not f.endswith(".json"):
-                continue
-            with open(os.path.join(staged_dir, f)) as fh:
-                for a in json.load(fh)["actions"]:
-                    for key in ("add", "dv"):
-                        if key in a:
-                            protected.add(a[key].split("/", 1)[0])
+    live_dv = {a["dv"] for a in active.values() if a.get("dv")}
+    for entry in _staged_entries(table_dir):
+        for a in entry["actions"]:
+            if "add" in a:
+                protected.add(a["add"].split("/", 1)[0])
+            if a.get("dv"):
+                live_dv.add(a["dv"])
     deleted = kept = 0
     for entry in sorted(os.listdir(table_dir)):
         if entry == "_log" or entry == "_dv":
@@ -1051,7 +1105,18 @@ def vacuum(table_dir: str) -> dict:
         else:
             shutil.rmtree(full)
             deleted += 1
-    return {"n_dirs_deleted": deleted, "n_dirs_kept": kept}
+    n_dv_deleted = 0
+    dv_dir = os.path.join(table_dir, "_dv")
+    if os.path.isdir(dv_dir):
+        for f in sorted(os.listdir(dv_dir)):
+            if f"_dv/{f}" not in live_dv:
+                os.remove(os.path.join(dv_dir, f))
+                n_dv_deleted += 1
+    return {
+        "n_dirs_deleted": deleted,
+        "n_dirs_kept": kept,
+        "n_dv_sidecars_deleted": n_dv_deleted,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -1170,22 +1235,55 @@ def _staged_dir(table_dir: str) -> str:
 def stage(table_dir: str, tag: str, actions: list[dict]) -> dict:
     """Stage a commit for audit under ``tag``. Records the head
     version the batch was prepared against (publish conflict-checks
-    intervening commits from there). O_EXCL — two writers racing to
-    the same tag: one wins."""
+    intervening commits from there).
+
+    The entry lands ATOMICALLY (round-8 review fix): content is
+    written to a dot-tmp file, fsynced, then ``os.link``ed into
+    place — link fails with FileExistsError if the tag exists (the
+    same two-writers-one-wins guard O_EXCL gave), and the final
+    ``.json`` appears with complete content or not at all, so a
+    crash mid-stage can never leave a truncated entry that turns
+    vacuum / find_orphans / publish into a JSONDecodeError outage."""
     base = latest_version(table_dir)
-    path = os.path.join(_staged_dir(table_dir), f"{tag}.json")
+    d = _staged_dir(table_dir)
+    path = os.path.join(d, f"{tag}.json")
+    tmp = os.path.join(d, f".{tag}.json.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"base_version": base, "actions": actions}, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.link(tmp, path)
     except FileExistsError as e:
         raise CommitConflict(f"tag {tag!r} already staged") from e
-    with os.fdopen(fd, "w") as f:
-        json.dump({"base_version": base, "actions": actions}, f)
+    finally:
+        os.remove(tmp)
     return {"tag": tag, "base_version": base}
 
 
 def staged_entry(table_dir: str, tag: str) -> dict:
     with open(os.path.join(_staged_dir(table_dir), f"{tag}.json")) as f:
         return json.load(f)
+
+
+def _staged_entries(table_dir: str) -> list[dict]:
+    """Every parseable staged entry. Unparseable ``.json`` files
+    (crash debris from pre-atomic ``stage`` writers) are skipped
+    defensively so one truncated entry can never turn table-wide
+    maintenance (vacuum / find_orphans) into a JSON outage; since
+    stage() became atomic such files cannot be produced anymore."""
+    staged_dir = os.path.join(_log_dir(table_dir), "_staged")
+    out: list[dict] = []
+    if os.path.isdir(staged_dir):
+        for f in sorted(os.listdir(staged_dir)):
+            if not f.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(staged_dir, f)) as fh:
+                    out.append(json.load(fh))
+            except (json.JSONDecodeError, OSError):
+                continue
+    return out
 
 
 def read_staged_snapshot(
@@ -1472,12 +1570,25 @@ def read_hidden_pruned(
 ) -> tuple[DataFrame, dict]:
     """Snapshot read for a date-range predicate with hidden-partition
     pruning applied first; the exact predicate must still be filtered
-    by the caller (partition intervals are coarser than row truth)."""
+    by the caller (partition intervals are coarser than row truth).
+
+    Deletion-vector-aware (round-8 review fix): the surviving file
+    set routes through ``_read_active``, so a hidden-partitioned
+    table that received a ``delete_where_mor`` does not silently
+    resurrect its dead rows — the same guarantee every other
+    snapshot-read path already carries."""
+    if version is None:
+        version = latest_version(table_dir)
     stats = prune_date_range(table_dir, lo, hi, version)
-    files = [os.path.join(table_dir, p) for p in stats["open_rels"]]
-    if not files:
+    if not stats["open_rels"]:
         raise ValueError("every file pruned — empty scan")
-    return spark.read.parquet(*files), stats
+    active = _replay(table_dir, version)[0]
+    return (
+        _read_active(
+            spark, table_dir, {r: active[r] for r in stats["open_rels"]}
+        ),
+        stats,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1603,9 +1714,17 @@ def delete_where_mor(
     in per-logical-file deletion vectors, and commit add-actions that
     re-point each touched file at its (merged) DV — no data file is
     read-rewritten, the commit is O(rows deleted) metadata. Repeated
-    deletes against the same file UNION into one DV. Positions flow
-    through the driver here (sorted JSON sidecar); production would
-    stream a roaring bitmap — identical semantics.
+    deletes against the same file UNION into one DV.
+
+    Positions are grouped EXECUTOR-SIDE (round-8 review fix): the
+    matched rows fold into one sorted position array per physical
+    file before anything crosses to the driver, so driver traffic is
+    O(files touched) rows — a 100 TB "delete one tenant" collects
+    thousands of file rows, not 10⁹ position rows. (The arrays still
+    carry the positions — the JSON sidecar is driver-written;
+    production would have the same applyInPandas stage write roaring
+    bitmaps directly to storage and collect only file→sidecar
+    mappings.)
 
     Not supported on shallow clones whose adds reference files
     outside the table directory (materialize first)."""
@@ -1639,7 +1758,12 @@ def delete_where_mor(
             ["__phys", "__ri"],
             "left_anti",
         )
-    hits = scan.filter(condition).select("__phys", "__ri").collect()
+    hits = (
+        scan.filter(condition)
+        .groupBy("__phys")
+        .agg(F.sort_array(F.collect_list("__ri")).alias("__pos"))
+        .collect()
+    )
     if not hits:
         return {"version": None, "n_files_touched": 0, "n_rows_deleted": 0}
     # group dead positions by logical file (the add-action rel is the
@@ -1662,9 +1786,9 @@ def delete_where_mor(
             raise ValueError(
                 f"physical file {r['__phys']!r} matches no active rel"
             )
-        by_rel.setdefault(rel, {}).setdefault(r["__phys"], []).append(
-            int(r["__ri"])
-        )
+        by_rel.setdefault(rel, {})[r["__phys"]] = [
+            int(p) for p in r["__pos"]
+        ]
     os.makedirs(os.path.join(table_dir, "_dv"), exist_ok=True)
     actions = []
     n_deleted = 0
@@ -1818,16 +1942,11 @@ def find_orphans(table_dir: str) -> list[str]:
                 for key in ("add", "remove", "dv"):
                     if key in a:
                         referenced.add(a[key].split("/", 1)[0])
-    staged_dir = os.path.join(_log_dir(table_dir), "_staged")
-    if os.path.isdir(staged_dir):
-        for f in os.listdir(staged_dir):
-            if not f.endswith(".json"):
-                continue
-            with open(os.path.join(staged_dir, f)) as fh:
-                for a in json.load(fh)["actions"]:
-                    for key in ("add", "remove", "dv"):
-                        if key in a:
-                            referenced.add(a[key].split("/", 1)[0])
+    for entry in _staged_entries(table_dir):
+        for a in entry["actions"]:
+            for key in ("add", "remove", "dv"):
+                if key in a:
+                    referenced.add(a[key].split("/", 1)[0])
     orphans = []
     for entry in sorted(os.listdir(table_dir)):
         if entry in ("_log", "_dv") or entry in referenced:

@@ -229,16 +229,33 @@ class _RelSlice(InputPartition):
 
 class LakeLogStreamReader(DataSourceStreamReader):
     """Offsets are ``{"version": V}`` (initial = -1); latestOffset
-    advances ONE commit per micro-batch, so consumption is
-    version-by-version and restart-safe (Spark re-plans any
-    uncommitted (start, end] from the log — partitions() is a pure
-    function of the commit range). Contract mirrors Delta's
-    streaming source: the table must be APPEND-ONLY over the
-    consumed range — a remove action raises unless
-    ``ignore_changes=true`` (then adds from that commit still emit,
-    with Delta's documented ignoreChanges caveat: rewritten rows may
-    re-emit); deletion-vector actions always raise. Executors read
-    the added files with pyarrow directly — no driver fan-in."""
+    advances up to ``max_commits_per_batch`` commits per micro-batch
+    (default 1 — version-by-version consumption; raise it so a
+    consumer starting against a deep commit backlog catches up in
+    O(backlog / N) micro-batches instead of one batch per commit,
+    mirroring maxFilesPerTrigger).
+
+    Restart-safe (round-8 review fix — the in-memory cursor seeded
+    at -1 used to climb back through versions BELOW the
+    checkpoint's committed offset, regressing the offset log and
+    re-emitting already-delivered commits): the cursor starts
+    UNKNOWN; a fresh query (Spark calls ``initialOffset``) paces
+    from -1 as before, while a restarted query (Spark reads the
+    checkpoint instead — ``initialOffset`` never fires) answers its
+    first ``latestOffset`` with head, which is always ≥ committed
+    progress since the log never shrinks — one possibly-large
+    catch-up batch, never a duplicate. Thereafter the cursor clamps
+    up to every (start, end] bound ``partitions`` observes, so an
+    uncommitted-batch replay also re-anchors pacing correctly.
+    Contract mirrors Delta's streaming
+    source: the table must be APPEND-ONLY over the consumed range —
+    a remove action raises unless ``ignore_changes=true`` (then adds
+    from that commit still emit, with Delta's documented
+    ignoreChanges caveat: rewritten rows may re-emit); data-
+    preserving commits (``data_change: false`` — OPTIMIZE) never
+    emit and never raise; deletion-vector actions always raise.
+    Executors read the added files with pyarrow directly — no
+    driver fan-in."""
 
     def __init__(self, options):
         self.table_dir = options["path"]
@@ -249,16 +266,28 @@ class LakeLogStreamReader(DataSourceStreamReader):
         self.ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
+        self.max_commits = int(options.get("max_commits_per_batch", 1))
+        if self.max_commits < 1:
+            raise ValueError("max_commits_per_batch must be >= 1")
+        self._pos: int | None = None  # unknown until initial/partitions
 
     def initialOffset(self):
+        # only a FRESH query reaches here (a restart reads the
+        # checkpoint instead) — safe to pace from the very beginning
+        self._pos = -1
         return {"version": -1}
 
     def latestOffset(self):
         from etl_lens_spark.operators import lakelog
 
         head = lakelog.latest_version(self.table_dir)
-        cur = getattr(self, "_pos", -1)
-        self._pos = min(cur + 1, head)
+        if self._pos is None:
+            # restarted query, committed progress not yet observed:
+            # any paced offset below it would regress the offset log
+            # and re-emit commits — head is always >= committed
+            self._pos = head
+        else:
+            self._pos = min(self._pos + self.max_commits, head)
         return {"version": self._pos}
 
     def partitions(self, start, end):
@@ -266,6 +295,9 @@ class LakeLogStreamReader(DataSourceStreamReader):
         import os as _os
 
         s, e = int(start["version"]), int(end["version"])
+        # clamp the pacing cursor to observed progress: an
+        # uncommitted-batch replay after restart re-anchors here
+        self._pos = max(self._pos if self._pos is not None else -1, s, e)
         slices = []
         for v in range(s + 1, e + 1):
             path = _os.path.join(
@@ -273,6 +305,16 @@ class LakeLogStreamReader(DataSourceStreamReader):
             )
             with open(path) as f:
                 actions = _json.load(f)
+            if actions and all(
+                a.get("data_change") is False
+                for a in actions
+                if "add" in a or "remove" in a
+            ):
+                # a data-preserving commit (OPTIMIZE compaction /
+                # re-clustering) rearranges bytes without changing
+                # the logical table: nothing to emit, nothing to
+                # violate — exactly Delta's dataChange=false rule
+                continue
             for a in actions:
                 if a.get("dv"):
                     raise ValueError(

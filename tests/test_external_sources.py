@@ -267,3 +267,72 @@ def test_lakelog_stream_reader_append_only_contract(spark, tmp_path):
     lakelog.delete_where_mor(spark, base, F.col("k") == 11)
     with _pytest.raises(ValueError, match="deletion vector"):
         r2.partitions({"version": 3}, {"version": 4})
+
+
+def test_lakelog_stream_restart_safety_and_pacing(spark, tmp_path):
+    """Round-8 review fix: a RESTARTED reader (initialOffset never
+    called — Spark reads the checkpoint instead) must never return a
+    latest offset below committed progress; its first answer is head.
+    A FRESH reader (initialOffset called) paces one commit per batch
+    as before, and max_commits_per_batch widens the stride."""
+    from etl_lens_spark.sources.pyds import LakeLogStreamReader
+
+    base = str(tmp_path / "t")
+    _mk_lake(spark, base)  # commits 0..2
+    opts = {"path": base, "schema_ddl": "k long, tag string"}
+
+    # restarted reader, fully-committed checkpoint at version 1:
+    # latestOffset fires FIRST and must jump to head (2), never 0
+    r = LakeLogStreamReader(opts)
+    assert r.latestOffset() == {"version": 2}
+    assert [p.path[-2:] for p in r.partitions(
+        {"version": 1}, {"version": 2})] == ["b2"]
+
+    # restarted reader, uncommitted last batch: Spark replays it via
+    # partitions(logged start, logged end) BEFORE any latestOffset —
+    # the cursor re-anchors there and pacing resumes without regress
+    r2 = LakeLogStreamReader(opts)
+    r2.partitions({"version": 1}, {"version": 2})
+    assert r2.latestOffset() == {"version": 2}  # head; no regress
+
+    # fresh reader paces 1/batch (the original pinned contract)
+    r3 = LakeLogStreamReader(opts)
+    assert r3.initialOffset() == {"version": -1}
+    assert [r3.latestOffset()["version"] for _ in range(4)] == [
+        0, 1, 2, 2,
+    ]
+
+    # max_commits_per_batch strides the backlog
+    r4 = LakeLogStreamReader({**opts, "max_commits_per_batch": "2"})
+    assert r4.initialOffset() == {"version": -1}
+    assert [r4.latestOffset()["version"] for _ in range(3)] == [1, 2, 2]
+    parts = r4.partitions({"version": -1}, {"version": 1})
+    assert sorted(p.path[-2:] for p in parts) == ["b0", "b1"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_commits_per_batch"):
+        LakeLogStreamReader({**opts, "max_commits_per_batch": "0"})
+
+
+def test_lakelog_stream_skips_data_change_false(spark, tmp_path):
+    """An OPTIMIZE commit (every add/remove marked data_change false)
+    is a pure layout change: the streaming source emits nothing for
+    it and does NOT raise the append-only error."""
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources.pyds import LakeLogStreamReader
+
+    base = str(tmp_path / "t")
+    _mk_lake(spark, base)  # commits 0..2, files b0..b2
+    st = lakelog.optimize_compact(spark, base)  # commit 3
+    assert st["version"] == 3
+    r = LakeLogStreamReader(
+        {"path": base, "schema_ddl": "k long, tag string"}
+    )
+    assert r.partitions({"version": 2}, {"version": 3}) == []
+    # a real append after the compaction still emits
+    spark.createDataFrame([(99, "x")], "k long, tag string")\
+        .coalesce(1).write.parquet(f"{base}/b4")
+    lakelog.commit(base, 4, [{"add": "b4"}])
+    parts = r.partitions({"version": 3}, {"version": 4})
+    assert [p.path[-2:] for p in parts] == ["b4"]

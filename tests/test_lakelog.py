@@ -141,7 +141,11 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
     t = _build(spark, tmp_path)
     lakelog.delete_where(spark, t, F.col("k") == 3)  # odd → rewritten
     stats = lakelog.vacuum(t)
-    assert stats == {"n_dirs_deleted": 1, "n_dirs_kept": 2}
+    assert stats == {
+        "n_dirs_deleted": 1,
+        "n_dirs_kept": 2,
+        "n_dv_sidecars_deleted": 0,
+    }
     # latest still reads byte-identically
     assert _state(spark, t) == [
         (k, k * 10) for k in range(8) if k != 3
@@ -970,7 +974,6 @@ def test_read_snapshot_is_dv_aware_and_guards_hold(spark, tmp_path):
             spark, base,
             spark.createDataFrame([(1, "z")], "k int, v string"), ["k"],
         ),
-        lambda: lakelog.optimize_compact(spark, base),
         lambda: lakelog.shallow_clone(base, str(tmp_path / "c")),
         lambda: lakelog.read_snapshot_evolved(spark, base),
     ):
@@ -1094,3 +1097,219 @@ def test_checkpoint_carries_txn_high_water_marks(tmp_path):
             e["txns"] for e in _json.load(f) if "txns" in e
         )
     assert marks == {"appA": 1, "appB": 6}
+
+
+# ---------------------------------------------------------------------------
+# Round 8: DV-aware OPTIMIZE (purge-on-compact), stats-based sizing,
+# executor-side DV construction, sidecar reclamation, atomic staging
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, name="t"):
+    """3-file table, keys 0..29, MOR-deletes hitting f0 and f2."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / name)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, (i * 10 + j) * 2) for j in range(10)],
+            "k long, v long",
+        ).coalesce(1).write.parquet(f"{base}/f{i}")
+    lakelog.commit(
+        base, 0, [{"add": f"f{i}"} for i in range(3)]
+    )
+    lakelog.delete_where_mor(spark, base, F.col("k").isin(3, 8, 24))
+    return base
+
+
+def test_optimize_compact_purges_dvs(spark, tmp_path):
+    """Compacting a DV'd table applies the vectors IN the rewrite
+    (one pass) — same rows as materialize-then-compact on a twin,
+    with half the rewrite commits; the compaction commit is marked
+    data_change false; vacuum then reclaims the dead sidecars."""
+    base = _dv_table(spark, tmp_path, "one_pass")
+    twin = _dv_table(spark, tmp_path, "two_pass")
+
+    st = lakelog.optimize_compact(spark, base)
+    assert st["n_files_compacted"] == 3 and st["n_dvs_purged"] == 2
+    lakelog.materialize_deletion_vectors(spark, twin)
+    lakelog.optimize_compact(spark, twin)
+    one = sorted(
+        (r.k, r.v) for r in lakelog.read_snapshot(spark, base).collect()
+    )
+    two = sorted(
+        (r.k, r.v) for r in lakelog.read_snapshot(spark, twin).collect()
+    )
+    assert one == two and all(k not in (3, 8, 24) for k, _ in one)
+    # one-pass wrote ONE rewrite commit where the twin wrote two
+    assert lakelog.latest_version(base) == 2
+    assert lakelog.latest_version(twin) == 3
+    # no DV references survive compaction; vacuum reclaims sidecars
+    assert not any(
+        a.get("dv") for a in lakelog.snapshot_actions(base).values()
+    )
+    vst = lakelog.vacuum(base)
+    assert vst["n_dv_sidecars_deleted"] >= 1
+    assert os.listdir(os.path.join(base, "_dv")) == []
+    # the compaction commit carries data_change: false throughout
+    with open(os.path.join(base, "_log", "00000002.json")) as f:
+        acts = json.load(f)
+    assert acts and all(a.get("data_change") is False for a in acts)
+
+
+def test_optimize_compact_sizes_from_log_stats(spark, tmp_path):
+    """With num_records in every add action, sizing is metadata-only:
+    the whole OPTIMIZE plans exactly ONE Spark job (the rewrite),
+    regardless of file count; stats-less tables fall back to ONE
+    grouped scan, never a per-file count() loop."""
+    base = str(tmp_path / "t")
+    n_files = 6
+    actions = []
+    for i in range(n_files):
+        n = 2 if i < 5 else 50
+        spark.createDataFrame(
+            [(i * 100 + j,) for j in range(n)], "k long"
+        ).coalesce(1).write.parquet(f"{base}/f{i}")
+        actions.append({"add": f"f{i}", "num_records": n})
+    lakelog.commit(base, 0, actions)
+    sc = spark.sparkContext
+    sc.setJobGroup("opt_stats", "optimize sizing probe")
+    st = lakelog.optimize_compact(spark, base, max_small_rows=10)
+    sc.setJobGroup("idle", "")
+    assert st["n_files_compacted"] == 5
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+        "opt_stats"
+    )
+    assert len(jobs) <= 2, f"stats-sized OPTIMIZE planned {len(jobs)} jobs"
+    # the compacted add carries the summed live num_records forward
+    active = lakelog.snapshot_actions(base)
+    rel = next(r for r in active if r.startswith("compact_"))
+    assert active[rel]["num_records"] == 10
+    # fallback path: stats-less table → ONE grouped scan + write,
+    # never a per-file count() loop: job count must not scale with
+    # file count (12 files would be >= 13 jobs under the old loop)
+    base2 = str(tmp_path / "t2")
+    n2 = 12
+    for i in range(n2):
+        spark.createDataFrame([(j,) for j in range(3)], "k long")\
+            .coalesce(1).write.parquet(f"{base2}/f{i}")
+    lakelog.commit(base2, 0, [{"add": f"f{i}"} for i in range(n2)])
+    sc.setJobGroup("opt_scan", "optimize fallback probe")
+    st2 = lakelog.optimize_compact(spark, base2, max_small_rows=10)
+    sc.setJobGroup("idle", "")
+    assert st2["n_files_compacted"] == n2
+    jobs2 = spark.sparkContext.statusTracker().getJobIdsForGroup(
+        "opt_scan"
+    )
+    assert len(jobs2) <= 6, f"fallback OPTIMIZE planned {len(jobs2)} jobs"
+
+
+def test_delete_where_mor_driver_traffic_per_file(spark, tmp_path, monkeypatch):
+    """The round-8 executor-side DV build: delete_where_mor's collect
+    returns one row PER PHYSICAL FILE (positions pre-grouped and
+    sorted executor-side), not one row per deleted row."""
+    from pyspark.sql import functions as F
+
+    # patch the CONCRETE class (Spark 4's classic session returns a
+    # subclass that overrides collect — patching the base misses it)
+    DataFrame = type(spark.range(1))
+
+    base = str(tmp_path / "t")
+    for i in range(2):
+        spark.createDataFrame(
+            [(i * 100 + j,) for j in range(100)], "k long"
+        ).coalesce(1).write.parquet(f"{base}/f{i}")
+    lakelog.commit(base, 0, [{"add": "f0"}, {"add": "f1"}])
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    st = lakelog.delete_where_mor(spark, base, F.col("k") % 2 == 0)
+    monkeypatch.undo()
+    assert st["n_rows_deleted"] == 100 and st["n_files_touched"] == 2
+    assert sizes and max(sizes) <= 2, (
+        f"driver collected {max(sizes)} rows — not O(files)"
+    )
+    ks = sorted(r.k for r in lakelog.read_snapshot(spark, base).collect())
+    assert ks == [k for k in list(range(100)) + list(range(100, 200))
+                  if k % 2 == 1]
+
+
+def test_vacuum_reclaims_superseded_dv_sidecars(spark, tmp_path):
+    """Repeated MOR deletes supersede sidecars; only the newest per
+    file is referenced — vacuum deletes the dead ones and keeps the
+    live one; after materialize it reclaims the rest."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    spark.range(30).selectExpr("id AS k").coalesce(1).write.parquet(
+        f"{base}/f0"
+    )
+    lakelog.commit(base, 0, [{"add": "f0"}])
+    lakelog.delete_where_mor(spark, base, F.col("k") == 1)
+    lakelog.delete_where_mor(spark, base, F.col("k") == 2)
+    assert len(os.listdir(os.path.join(base, "_dv"))) == 2
+    vst = lakelog.vacuum(base)
+    assert vst["n_dv_sidecars_deleted"] == 1
+    live = os.listdir(os.path.join(base, "_dv"))
+    assert len(live) == 1 and "v00000002" in live[0]
+    # the live vector still applies after the reclaim
+    ks = sorted(r.k for r in lakelog.read_snapshot(spark, base).collect())
+    assert ks == [k for k in range(30) if k not in (1, 2)]
+    lakelog.materialize_deletion_vectors(spark, base)
+    assert lakelog.vacuum(base)["n_dv_sidecars_deleted"] == 1
+    assert os.listdir(os.path.join(base, "_dv")) == []
+
+
+def test_stage_atomic_and_unparseable_staged_skipped(spark, tmp_path):
+    """stage() lands atomically (no tmp debris, full content); a
+    truncated staged entry from a pre-fix crash no longer turns
+    vacuum / find_orphans into a JSONDecodeError outage."""
+    base = str(tmp_path / "t")
+    spark.range(3).write.parquet(f"{base}/f0")
+    lakelog.commit(base, 0, [{"add": "f0"}])
+    lakelog.stage(base, "good", [{"add": "b1"}])
+    staged = os.path.join(base, "_log", "_staged")
+    assert sorted(os.listdir(staged)) == ["good.json"]  # no tmp left
+    with pytest.raises(lakelog.CommitConflict, match="already staged"):
+        lakelog.stage(base, "good", [{"add": "b2"}])
+    # simulate pre-fix crash debris: a truncated entry
+    with open(os.path.join(staged, "crashed.json"), "w") as f:
+        f.write('{"base_version": 0, "actions": [{"ad')
+    assert lakelog.find_orphans(base) == []
+    st = lakelog.vacuum(base)
+    assert st["n_dirs_kept"] == 1
+
+
+def test_read_hidden_pruned_is_dv_aware(spark, tmp_path):
+    """A hidden-partitioned table that received a MOR delete must not
+    resurrect dead rows through the pruned read path (round-8 review
+    fix — every other raw-read path already guarded or applied)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, dt.date(1996 + i % 2, 3, 1 + i)) for i in range(10)],
+        "k long, d date",
+    )
+    actions = lakelog.write_hidden_partitioned(
+        spark, df, base, "era_year", 1, "d", "year"
+    )
+    lakelog.commit(
+        base, 0, [lakelog.spec_action(1, "d", "year"), *actions]
+    )
+    lakelog.delete_where_mor(spark, base, F.col("k") % 2 == 0)
+    out, stats = lakelog.read_hidden_pruned(
+        spark, base, "1996-01-01", "1998-01-01"
+    )
+    ks = sorted(r.k for r in out.collect())
+    assert ks == [1, 3, 5, 7, 9]
+    assert stats["opened_by_spec"] == {1: 2}
