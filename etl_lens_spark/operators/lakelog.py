@@ -476,11 +476,33 @@ def _next_version(table_dir: str) -> int:
     return latest_version(table_dir) + 1
 
 
+def _write_cdc(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    changes: DataFrame,
+) -> dict:
+    """Persist a commit's row-level change record under ``_cdc/`` and
+    return the {"cdc": rel} action to ride in the commit — the Delta
+    ``_change_data`` mechanism: for DML whose row-level effect is not
+    derivable from add/remove actions alone (MERGE, predicate
+    DELETE), the WRITER records the changes so CDF readers never
+    re-diff snapshots. ``changes`` must carry the table columns plus
+    ``_change_type``."""
+    rel = f"_cdc/cdc_{version:08d}"
+    cols = [c for c in changes.columns if c != "_change_type"]
+    changes.select(*cols, "_change_type").write.mode("overwrite").parquet(
+        os.path.join(table_dir, rel)
+    )
+    return {"cdc": rel}
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
     key_cols: list[str],
+    cdf: bool = False,
 ) -> dict:
     """Copy-on-write MERGE (upsert): rows of ``source`` replace
     table rows with matching ``key_cols``; unmatched source rows are
@@ -492,6 +514,15 @@ def merge_upsert(
     only file names cross to the driver. The rewrite reads ONLY the
     touched files; at 100 TB with key-clustered data that is a tiny
     fraction of the table. Source rows travel once.
+
+    With ``cdf=True`` the commit also records its row-level change
+    feed (matched old rows → ``update_preimage``, their source rows →
+    ``update_postimage``, unmatched source rows → ``insert``) as a
+    ``_cdc`` file — O(|source| + rows-in-touched-files) extra work
+    against the SAME touched-file reads, never the whole table — so
+    table_changes / the CDF streaming source can serve this commit
+    without diffing snapshots (a CoW rewrite commit without a change
+    record is not CDF-servable, exactly as in Delta).
     """
     from pyspark.sql import functions as F
 
@@ -517,6 +548,7 @@ def merge_upsert(
     ]
     version = _next_version(table_dir)
     actions: list[dict] = []
+    ct = "_change_type"
     if touched:
         touched_paths = [os.path.join(table_dir, f) for f in touched]
         survivors = (
@@ -529,12 +561,40 @@ def merge_upsert(
         )
         actions += [{"remove": f} for f in touched]
         actions.append({"add": rewrite_rel})
+        if cdf:
+            pre = spark.read.parquet(*touched_paths).join(
+                F.broadcast(keys), key_cols, "left_semi"
+            )
+            mk = pre.select(*key_cols).distinct()
+            changes = (
+                pre.withColumn(ct, F.lit("update_preimage"))
+                .unionByName(
+                    source.join(
+                        F.broadcast(mk), key_cols, "left_semi"
+                    ).withColumn(ct, F.lit("update_postimage"))
+                )
+                .unionByName(
+                    source.join(
+                        F.broadcast(mk), key_cols, "left_anti"
+                    ).withColumn(ct, F.lit("insert"))
+                )
+            )
+            actions.append(_write_cdc(spark, table_dir, version, changes))
     else:
         insert_rel = f"merge_{version:08d}"
         source.write.mode("overwrite").parquet(
             os.path.join(table_dir, insert_rel)
         )
         actions.append({"add": insert_rel})
+        if cdf:
+            actions.append(
+                _write_cdc(
+                    spark,
+                    table_dir,
+                    version,
+                    source.withColumn(ct, F.lit("insert")),
+                )
+            )
     commit(table_dir, version, actions)
     return {
         "version": version,
@@ -544,12 +604,15 @@ def merge_upsert(
 
 
 def delete_where(
-    spark: SparkSession, table_dir: str, condition
+    spark: SparkSession, table_dir: str, condition, cdf: bool = False
 ) -> dict:
     """Copy-on-write DELETE: prune to the files containing any row
     matching ``condition`` (a Column), rewrite only those files with
     the survivors, commit the swap. A file whose rows are all deleted
-    is removed with no replacement (no empty-file litter)."""
+    is removed with no replacement (no empty-file litter). With
+    ``cdf=True`` the deleted rows are recorded as a ``_cdc`` change
+    file (``_change_type`` = delete) riding the same touched-file
+    read, so CDF consumers can serve the commit (see merge_upsert)."""
     from pyspark.sql import functions as F
 
     _assert_no_dv(
@@ -581,6 +644,13 @@ def delete_where(
             )
             actions.append({"add": rewrite_rel})
             n_rewritten = 1
+        if cdf:
+            deleted = (
+                spark.read.parquet(*touched_paths)
+                .filter(condition)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            actions.append(_write_cdc(spark, table_dir, version, deleted))
     commit(table_dir, version, actions)
     return {
         "version": version,
@@ -1095,7 +1165,10 @@ def vacuum(table_dir: str) -> dict:
                 live_dv.add(a["dv"])
     deleted = kept = 0
     for entry in sorted(os.listdir(table_dir)):
-        if entry == "_log" or entry == "_dv":
+        # _cdc is protected wholesale: change records are HISTORY
+        # (like the log itself), never part of the latest snapshot —
+        # a retention-0 data vacuum must not sever running CDF tails
+        if entry in ("_log", "_dv", "_cdc"):
             continue
         full = os.path.join(table_dir, entry)
         if not os.path.isdir(full):
@@ -1843,8 +1916,14 @@ def materialize_deletion_vectors(
     )
     rewrite_rel = f"dvmat_{version:08d}"
     live.write.parquet(os.path.join(table_dir, rewrite_rel))
-    actions = [{"remove": r} for r in dvd]
-    actions.append({"add": rewrite_rel})
+    # materialization rearranges bytes without changing the logical
+    # table (dead rows were already logically deleted when their DV
+    # committed) — data_change false, so CDF/streaming consumers
+    # skip the commit instead of re-emitting survivors
+    actions: list[dict] = [
+        {"remove": r, "data_change": False} for r in dvd
+    ]
+    actions.append({"add": rewrite_rel, "data_change": False})
     commit(table_dir, version, actions)
     return {"version": version, "n_files_rewritten": len(dvd)}
 
@@ -1939,17 +2018,17 @@ def find_orphans(table_dir: str) -> list[str]:
         path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
         with open(path) as f:
             for a in json.load(f):
-                for key in ("add", "remove", "dv"):
+                for key in ("add", "remove", "dv", "cdc"):
                     if key in a:
                         referenced.add(a[key].split("/", 1)[0])
     for entry in _staged_entries(table_dir):
         for a in entry["actions"]:
-            for key in ("add", "remove", "dv"):
+            for key in ("add", "remove", "dv", "cdc"):
                 if key in a:
                     referenced.add(a[key].split("/", 1)[0])
     orphans = []
     for entry in sorted(os.listdir(table_dir)):
-        if entry in ("_log", "_dv") or entry in referenced:
+        if entry in ("_log", "_dv", "_cdc") or entry in referenced:
             continue
         orphans.append(entry)
     return orphans
@@ -1964,3 +2043,229 @@ def remove_orphans(table_dir: str) -> dict:
         p = os.path.join(table_dir, entry)
         shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     return {"n_removed": len(orphans), "removed": orphans}
+
+
+# ---------------------------------------------------------------------------
+# Change data feed served PER COMMIT (Delta's table_changes)
+#
+# change_feed (above) DIFFS two snapshots — O(|old| + |new|) — which
+# is the right tool when the log recorded nothing about the change.
+# The per-commit CDF below is the production path: each commit is
+# classified into a change PLAN whose cost is O(rows actually
+# changed), never O(table):
+#   - a commit carrying "cdc" actions (written by cdf=True DML) IS
+#     its own change record — read those files;
+#   - data_change:false everywhere (OPTIMIZE / DV materialization) →
+#     no logical change, emit nothing;
+#   - pure appends → added files are inserts;
+#   - remove-only commits → removed files are deletes;
+#   - DV re-points (delete_where_mor) → the sidecar DIFF (newly-dead
+#     positions per physical file) are deletes;
+#   - a CoW rewrite WITHOUT a cdc record mixes surviving and new
+#     rows indistinguishably → raise, exactly Delta's behavior when
+#     CDF was not enabled at write time.
+# The plan is pure driver-side metadata (os + json, zero Spark jobs)
+# so the batch reader (table_changes) and the streaming source
+# (sources/pyds.py::LakeLogCDFStreamDataSource) share one
+# classification and can never disagree.
+# ---------------------------------------------------------------------------
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    """Physical parquet files under an add-rel (file or directory)."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in sorted(files)
+            if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def commit_change_plan(table_dir: str, version: int) -> dict:
+    """Classify commit ``version`` for CDF serving (see section
+    comment). Returns absolute physical paths::
+
+        {"cdc_files": [path, ...],          # rows carry _change_type
+         "insert_files": [path, ...],       # whole file = inserts
+         "delete_files": [(path, exclude_positions), ...],
+                                            # whole file = deletes,
+                                            # minus already-dead rows
+         "position_deletes": [(path, positions), ...]}
+                                            # listed rows = deletes
+
+    Raises ValueError for a CoW rewrite commit with no cdc record.
+    """
+    path = os.path.join(_log_dir(table_dir), f"{version:08d}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"missing commit {version} (log has a hole)")
+    with open(path) as f:
+        actions = json.load(f)
+    plan: dict = {
+        "cdc_files": [],
+        "insert_files": [],
+        "delete_files": [],
+        "position_deletes": [],
+    }
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    if cdc:
+        for rel in cdc:
+            plan["cdc_files"].extend(
+                _list_parquet_files(os.path.join(table_dir, rel))
+            )
+        return plan
+    dc = [
+        a
+        for a in actions
+        if ("add" in a or "remove" in a)
+        and a.get("data_change") is not False
+    ]
+    if not dc:
+        return plan  # metadata-only or layout-only commit
+    prev = _replay(table_dir, version - 1)[0] if version > 0 else {}
+    adds_new = [a for a in dc if "add" in a and a["add"] not in prev]
+    repoints = [a for a in dc if "add" in a and a["add"] in prev]
+    removes = [a for a in dc if "remove" in a]
+    if adds_new and removes:
+        raise ValueError(
+            f"commit {version} rewrote files without a change record "
+            "— its row-level changes are not derivable; write it with "
+            "cdf=True (merge_upsert/delete_where) to serve CDF"
+        )
+    for a in adds_new:
+        if a.get("dv"):
+            raise ValueError(
+                f"commit {version}: new file {a['add']!r} arrived "
+                "with a deletion vector — not CDF-derivable"
+            )
+        plan["insert_files"].extend(
+            _list_parquet_files(os.path.join(table_dir, a["add"]))
+        )
+    for a in removes:
+        old = prev.get(a["remove"], {})
+        exclude = _dv_positions_by_phys(table_dir, old.get("dv"))
+        base = os.path.join(table_dir, a["remove"])
+        for p in _list_parquet_files(base):
+            rel_phys = os.path.relpath(p, table_dir)
+            plan["delete_files"].append(
+                (p, sorted(exclude.get(rel_phys, ())))
+            )
+    for a in repoints:
+        old = prev.get(a["add"], {})
+        old_pos = _dv_positions_by_phys(table_dir, old.get("dv"))
+        new_pos = _dv_positions_by_phys(table_dir, a.get("dv"))
+        for phys, positions in sorted(new_pos.items()):
+            fresh = sorted(set(positions) - set(old_pos.get(phys, ())))
+            if fresh:
+                plan["position_deletes"].append(
+                    (os.path.join(table_dir, phys), fresh)
+                )
+    return plan
+
+
+def _dv_positions_by_phys(
+    table_dir: str, dv_rel: str | None
+) -> dict[str, list[int]]:
+    if not dv_rel:
+        return {}
+    with open(os.path.join(table_dir, dv_rel)) as f:
+        return {p: [int(x) for x in v] for p, v in json.load(f).items()}
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Batch CDF read over commits (``v_from``, ``v_to``] served from
+    the per-commit plans — the Delta ``table_changes`` shape. Output:
+    the table columns + ``_change_type`` + ``_commit_version``. Cost
+    is O(rows changed in the range): only cdc/added/removed/DV-hit
+    files are opened, untouched files never are."""
+    from pyspark.sql import functions as F
+
+    parts: list[DataFrame] = []
+    norm_path = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/+", "/"
+    )
+    for v in range(v_from + 1, v_to + 1):
+        plan = commit_change_plan(table_dir, v)
+        ver = F.lit(v).cast("long").alias("_commit_version")
+        if plan["cdc_files"]:
+            parts.append(
+                spark.read.parquet(*plan["cdc_files"]).select(
+                    "*", ver
+                )
+            )
+        if plan["insert_files"]:
+            parts.append(
+                spark.read.parquet(*plan["insert_files"]).select(
+                    "*",
+                    F.lit("insert").alias("_change_type"),
+                    ver,
+                )
+            )
+        full_deletes = [p for p, ex in plan["delete_files"] if not ex]
+        excl_deletes = [(p, ex) for p, ex in plan["delete_files"] if ex]
+        if full_deletes:
+            parts.append(
+                spark.read.parquet(*full_deletes).select(
+                    "*",
+                    F.lit("delete").alias("_change_type"),
+                    ver,
+                )
+            )
+        pairs = [
+            (p, int(pos)) for p, ex in excl_deletes for pos in ex
+        ]
+        if excl_deletes:
+            dead = spark.createDataFrame(
+                pairs, "__p string, __ri long"
+            )
+            df = spark.read.parquet(*[p for p, _ in excl_deletes])
+            cols = df.columns
+            parts.append(
+                df.withColumn("__p", norm_path)
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(dead), ["__p", "__ri"], "left_anti")
+                .select(
+                    *cols,
+                    F.lit("delete").alias("_change_type"),
+                    ver,
+                )
+            )
+        pd_pairs = [
+            (p, int(pos))
+            for p, positions in plan["position_deletes"]
+            for pos in positions
+        ]
+        if pd_pairs:
+            hit = spark.createDataFrame(
+                pd_pairs, "__p string, __ri long"
+            )
+            df = spark.read.parquet(
+                *sorted({p for p, _ in plan["position_deletes"]})
+            )
+            cols = df.columns
+            parts.append(
+                df.withColumn("__p", norm_path)
+                .withColumn("__ri", F.col("_metadata.row_index"))
+                .join(F.broadcast(hit), ["__p", "__ri"], "left_semi")
+                .select(
+                    *cols,
+                    F.lit("delete").alias("_change_type"),
+                    ver,
+                )
+            )
+    if not parts:
+        raise ValueError(
+            f"no changes recorded in ({v_from}, {v_to}]"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -118,6 +118,7 @@ def _load() -> None:
         npipe7,
         npipe8,
         npipe9,
+        npipe10,
         pca_q,
         quality_q,
         quant_q,

@@ -1,0 +1,272 @@
+"""Round-8 tranche: the change data feed served PER COMMIT — batch
+(lakelog.table_changes) and as a STREAMING SOURCE
+(sources/pyds.py::LakeLogCDFStreamDataSource) — closing the
+lake → CDF → incrementally-maintained-SCD2 loop (VERDICT r7 item 1),
+plus the multi-table LSH ANN retriever (item 6).
+
+Same contract as every npipe tranche: PySpark plan + hand-written
+DuckDB oracle on identical parquet where the math is SQL-expressible;
+rows-only + pinned invariant tests where it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import query
+from etl_lens_spark.sources import sinks
+from etl_lens_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# CDF per commit: the canonical four-commit lake fixture
+#
+# v0 seed (append), v1 MERGE with cdf=True (keys %20==1 price-doubled
+# = updates; %20==3 re-keyed +1e8 copies = inserts), v2 predicate
+# DELETE with cdf=True (%20==7), v3 merge-on-read DELETE via deletion
+# vectors (%20==11 — its CDF rows are DERIVED from the sidecar diff,
+# no change record needed, mirroring Delta's DV-commit handling).
+# ---------------------------------------------------------------------------
+
+
+def _cdf_lake_build(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    v0 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    base = sinks.scratch_path(tag)
+    shutil.rmtree(base, ignore_errors=True)
+    v0.write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    src = (
+        v0.filter(F.col("k") % 20 == 1)
+        .select("k", (F.col("price_cents") * 2).alias("price_cents"))
+        .unionByName(
+            v0.filter(F.col("k") % 20 == 3).select(
+                (F.col("k") + 100000000).alias("k"), "price_cents"
+            )
+        )
+    )
+    lakelog.merge_upsert(spark, base, src, ["k"], cdf=True)
+    lakelog.delete_where(spark, base, F.col("k") % 20 == 7, cdf=True)
+    lakelog.delete_where_mor(spark, base, F.col("k") % 20 == 11)
+    return base
+
+
+_CDF_ORACLE_CHANGES = """
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    ch AS (
+      SELECT k, cents, 'update_preimage' AS ct, 1 AS v
+      FROM v0 WHERE k % 20 = 1
+      UNION ALL
+      SELECT k, cents * 2, 'update_postimage', 1 FROM v0 WHERE k % 20 = 1
+      UNION ALL
+      SELECT k + 100000000, cents, 'insert', 1 FROM v0 WHERE k % 20 = 3
+      UNION ALL
+      SELECT k, cents, 'delete', 2 FROM v0 WHERE k % 20 = 7
+      UNION ALL
+      SELECT k, cents, 'delete', 3 FROM v0 WHERE k % 20 = 11
+    )
+    SELECT ct AS change_type,
+           CAST(v AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM ch
+    GROUP BY ct, v
+    ORDER BY change_type, commit_version
+"""
+
+
+@query("lake_cdf_table_changes", oracle=_CDF_ORACLE_CHANGES)
+def lake_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED SERVED PER COMMIT (lakelog.table_changes —
+    the Delta ``table_changes`` read): the four-commit fixture's
+    post-seed changes, one row per changed row with its change type
+    and commit version. Each commit is served from what its writer
+    recorded — the MERGE and predicate DELETE from their ``_cdc``
+    change files (written by ``cdf=True`` against the same
+    touched-file reads the DML already did), the MOR delete DERIVED
+    from its deletion-vector sidecar diff — so serving cost is
+    O(rows changed), never O(table), and a CoW rewrite without a
+    change record refuses with a clear error instead of guessing
+    (contract tests in tests/test_lakelog.py). The oracle recomputes
+    every change row relationally from the orders fixture.
+
+    Reference analog: the reference re-scans its one file per query
+    (src/main.cpp:1081) — no notion of incremental change serving;
+    this is [L]/[N] lakehouse surface."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _cdf_lake_build(spark, sf_dir, "cdf_batch")
+    out = (
+        lakelog.table_changes(spark, base, 0, 3)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("price_cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("change_type", "commit_version")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SCD2_SCHEMA = (
+    "k long, version_seq long, price_cents long, "
+    "valid_from_us long, valid_to_us long, is_current long"
+)
+
+
+@query(
+    "streaming_lake_cdf_live",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    dim AS (
+      -- seed rows (streamed as commit-0 inserts, applied at 1000):
+      -- closed when later updated (2000) / CoW-deleted (3000) /
+      -- MOR-deleted (4000)
+      SELECT k, CAST(1 AS BIGINT) AS version_seq, cents AS price_cents,
+             1000 AS vf,
+             CASE WHEN k % 20 = 1 THEN 2000
+                  WHEN k % 20 = 7 THEN 3000
+                  WHEN k % 20 = 11 THEN 4000 END AS vt,
+             CASE WHEN k % 20 IN (1, 7, 11) THEN 0 ELSE 1 END
+               AS is_current
+      FROM v0
+      UNION ALL
+      SELECT k, 2, cents * 2, 2000, NULL, 1 FROM v0 WHERE k % 20 = 1
+      UNION ALL
+      SELECT k + 100000000, 1, cents, 2000, NULL, 1
+      FROM v0 WHERE k % 20 = 3
+    )
+    SELECT CAST(k % 20 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_current) AS BIGINT) AS n_current,
+           CAST(SUM(version_seq) AS BIGINT) AS seq_sum,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(price_cents) AS BIGINT) AS price_sum,
+           CAST(SUM(COALESCE(vt, 0)) AS BIGINT) AS closed_at_sum,
+           CAST(0 AS BIGINT) AS read_mismatch
+    FROM dim
+    GROUP BY k % 20
+    ORDER BY key_mod
+    """,
+)
+def streaming_lake_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF AS A STREAMING SOURCE feeding live SCD2 maintenance — the
+    loop VERDICT r7 item 1 asked to close: the four-commit lake
+    fixture is tailed by ``lakelog_cdf`` (offsets = commit versions,
+    same pacing/restart contract as the plain lake source), emitting
+    row-level insert / update_pre/postimage / delete rows per commit
+    — including the MOR-delete commit, whose rows come from the
+    deletion-vector sidecar diff with no change record needed. The
+    streamed feed then drives cdc.scd2_apply_changes batch-by-batch
+    (commit v applied at instant (v+1)·1000 µs) from an EMPTY
+    dimension, so the maintained dimension's entire history is
+    stream-derived.
+
+    Three independent derivations must coincide: (1) the stream-fed
+    maintained dimension (this query's rollup); (2) the batch
+    table_changes read — ``read_mismatch`` multiset-compares the
+    streamed rows against it in one ±1-tagged aggregation, pinned 0;
+    (3) the DuckDB oracle's relational reconstruction from orders.
+
+    At 100 TB this is the production shape: writers commit to the
+    lake with CDF enabled; a resident stream tails commit versions,
+    reading only each commit's change record (O(rows changed) per
+    batch, zero re-scans); the SCD2 apply touches only feed keys."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.operators.cdc import scd2_apply_changes
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamDataSource
+
+    base = _cdf_lake_build(spark, sf_dir, "cdf_live")
+    try:
+        spark.dataSource.register(LakeLogCDFStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    from etl_lens_spark.streaming import stream_ops as so
+
+    stream = (
+        spark.readStream.format("lakelog_cdf")
+        .option("path", base)
+        .option("schema_ddl", "k long, price_cents long")
+        .load()
+    )
+    streamed = so.run_to_memory(stream, "q_stream_cdf").localCheckpoint()
+
+    # read-path audit: streamed rows ≡ batch table_changes rows as a
+    # MULTISET (±1 tag + one grouped sum — one shuffle, no exceptAll
+    # double-lineage), including the commit-0 seed inserts
+    batch = lakelog.table_changes(spark, base, -1, 3).select(
+        "k", "price_cents", "_change_type", "_commit_version"
+    )
+    tagged = streamed.withColumn("__t", F.lit(1)).unionByName(
+        batch.withColumn("__t", F.lit(-1))
+    )
+    audit = (
+        tagged.groupBy("k", "price_cents", "_change_type", "_commit_version")
+        .agg(F.sum("__t").alias("__s"))
+        .agg(
+            F.sum(
+                F.when(F.col("__s") != 0, F.abs(F.col("__s"))).otherwise(0)
+            )
+            .cast("long")
+            .alias("read_mismatch")
+        )
+    )
+
+    # stream-fed incremental SCD2: apply each commit's feed in order
+    dim = spark.createDataFrame([], _SCD2_SCHEMA)
+    for v in range(4):
+        feed = streamed.filter(F.col("_commit_version") == v).select(
+            "k", "price_cents", "_change_type"
+        )
+        dim = scd2_apply_changes(
+            dim, feed, ["k"], ["price_cents"], (v + 1) * 1000
+        ).localCheckpoint()
+
+    out = (
+        dim.groupBy((F.col("k") % 20).cast("int").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("is_current").cast("long").alias("n_current"),
+            F.sum("version_seq").cast("long").alias("seq_sum"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("price_cents").cast("long").alias("price_sum"),
+            F.sum(F.coalesce("valid_to_us", F.lit(0)))
+            .cast("long")
+            .alias("closed_at_sum"),
+        )
+        .crossJoin(F.broadcast(audit))
+        .orderBy("key_mod")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

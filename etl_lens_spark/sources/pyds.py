@@ -368,3 +368,117 @@ class LakeLogStreamDataSource(DataSource):
 
     def streamReader(self, schema):
         return LakeLogStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# The change data feed as a STREAMING SOURCE ("CDF as a source"): the
+# streaming dual of lakelog.table_changes, and the completion of the
+# lake → CDF → incrementally-maintained-consumer loop (the batch SCD2
+# maintainer operators/cdc.py::scd2_apply_changes consumes exactly
+# this row vocabulary). Offsets are commit versions with the same
+# pacing / restart-safety as LakeLogStreamReader; each micro-batch
+# emits the ROW-LEVEL changes of its commits — inserts from appends,
+# update pre/post-images and predicate-delete rows from cdc records,
+# deletes derived from deletion-vector sidecar diffs — with
+# _change_type and _commit_version columns appended. Classification
+# is lakelog.commit_change_plan, shared verbatim with the batch
+# reader, so the two can never disagree; a CoW rewrite commit
+# without a cdc record raises there (Delta's rule when CDF was not
+# enabled at write time), and data_change:false commits (OPTIMIZE,
+# DV materialization) emit nothing.
+# ---------------------------------------------------------------------------
+
+
+class _CdfFileSlice(InputPartition):
+    """Whole-file emission: change_type None → the file carries its
+    own _change_type column (a cdc record); else the literal type."""
+
+    def __init__(self, path, columns, change_type, version,
+                 exclude_positions=None):
+        self.path = path
+        self.columns = columns
+        self.change_type = change_type
+        self.version = version
+        self.exclude_positions = exclude_positions or []
+
+
+class _CdfPositionsSlice(InputPartition):
+    """Emit only the listed row positions of one physical file
+    (deletion-vector-derived deletes)."""
+
+    def __init__(self, path, positions, columns, version):
+        self.path = path
+        self.positions = positions
+        self.columns = columns
+        self.version = version
+
+
+class LakeLogCDFStreamReader(LakeLogStreamReader):
+    def partitions(self, start, end):
+        from etl_lens_spark.operators import lakelog
+
+        s, e = int(start["version"]), int(end["version"])
+        self._pos = max(self._pos if self._pos is not None else -1, s, e)
+        slices: list[InputPartition] = []
+        for v in range(s + 1, e + 1):
+            plan = lakelog.commit_change_plan(self.table_dir, v)
+            for p in plan["cdc_files"]:
+                slices.append(
+                    _CdfFileSlice(p, self.columns, None, v)
+                )
+            for p in plan["insert_files"]:
+                slices.append(
+                    _CdfFileSlice(p, self.columns, "insert", v)
+                )
+            for p, exclude in plan["delete_files"]:
+                slices.append(
+                    _CdfFileSlice(p, self.columns, "delete", v, exclude)
+                )
+            for p, positions in plan["position_deletes"]:
+                slices.append(
+                    _CdfPositionsSlice(p, positions, self.columns, v)
+                )
+        return slices
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        if isinstance(partition, _CdfPositionsSlice):
+            table = pq.read_table(
+                partition.path, columns=partition.columns
+            ).take(partition.positions)
+            for row in zip(*[c.to_pylist() for c in table.columns]):
+                yield (*row, "delete", partition.version)
+            return
+        cdc = partition.change_type is None
+        cols = partition.columns + (["_change_type"] if cdc else [])
+        table = pq.read_table(partition.path, columns=cols)
+        exclude = set(partition.exclude_positions)
+        data = [c.to_pylist() for c in table.columns]
+        for i, row in enumerate(zip(*data)):
+            if i in exclude:
+                continue
+            if cdc:
+                yield (*row[:-1], row[-1], partition.version)
+            else:
+                yield (*row, partition.change_type, partition.version)
+
+
+class LakeLogCDFStreamDataSource(DataSource):
+    """``readStream.format("lakelog_cdf").option("path", dir)
+    .option("schema_ddl", "k long, v string")`` — row-level change
+    feed as a streaming source; result schema appends
+    ``_change_type string, _commit_version long``."""
+
+    @classmethod
+    def name(cls):
+        return "lakelog_cdf"
+
+    def schema(self):
+        return (
+            self.options["schema_ddl"]
+            + ", _change_type string, _commit_version long"
+        )
+
+    def streamReader(self, schema):
+        return LakeLogCDFStreamReader(self.options)

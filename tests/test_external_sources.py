@@ -336,3 +336,53 @@ def test_lakelog_stream_skips_data_change_false(spark, tmp_path):
     lakelog.commit(base, 4, [{"add": "b4"}])
     parts = r.partitions({"version": 3}, {"version": 4})
     assert [p.path[-2:] for p in parts] == ["b4"]
+
+
+def test_lakelog_cdf_stream_matches_batch(spark, tmp_path):
+    """The CDF streaming source's driver-side contract: partitions()
+    over any commit range emits exactly lakelog.table_changes' rows
+    (shared classification — lakelog.commit_change_plan), including
+    derived MOR-delete rows; layout-only commits emit nothing; the
+    restart/pacing behavior is inherited from LakeLogStreamReader."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamReader
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(8)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.merge_upsert(
+        spark, base,
+        spark.createDataFrame([(1, 99), (50, 500)], "k long, c long"),
+        ["k"], cdf=True,
+    )
+    lakelog.delete_where_mor(spark, base, F.col("k").isin(2, 3))
+    head = lakelog.latest_version(base)
+
+    r = LakeLogCDFStreamReader(
+        {"path": base, "schema_ddl": "k long, c long"}
+    )
+    parts = r.partitions({"version": -1}, {"version": head})
+    got = sorted(t for p in parts for t in r.read(p))
+    want = sorted(
+        (x.k, x.c, x._change_type, x._commit_version)
+        for x in lakelog.table_changes(spark, base, -1, head).collect()
+    )
+    assert got == want
+    assert (2, 20, "delete", 2) in got and (1, 10, "update_preimage", 1) in got
+    # per-commit pacing and restart clamp inherited
+    r2 = LakeLogCDFStreamReader(
+        {"path": base, "schema_ddl": "k long, c long"}
+    )
+    assert r2.latestOffset() == {"version": head}  # restart-safe jump
+    r3 = LakeLogCDFStreamReader(
+        {"path": base, "schema_ddl": "k long, c long"}
+    )
+    r3.initialOffset()
+    assert [r3.latestOffset()["version"] for _ in range(2)] == [0, 1]
+    # a layout-only commit emits nothing
+    lakelog.materialize_deletion_vectors(spark, base)
+    assert r.partitions({"version": head}, {"version": head + 1}) == []

@@ -1313,3 +1313,117 @@ def test_read_hidden_pruned_is_dv_aware(spark, tmp_path):
     ks = sorted(r.k for r in out.collect())
     assert ks == [1, 3, 5, 7, 9]
     assert stats["opened_by_spec"] == {1: 2}
+
+
+# ---------------------------------------------------------------------------
+# Round 8: change data feed served per commit (table_changes)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_fixture(spark, tmp_path):
+    """Seed + cdf-merge + cdf-delete + MOR-delete + append + optimize:
+    every commit class the CDF reader must handle."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(10)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    src = spark.createDataFrame(
+        [(1, 12), (2, 22), (100, 1000)], "k long, c long"
+    )
+    lakelog.merge_upsert(spark, base, src, ["k"], cdf=True)  # v1
+    lakelog.delete_where(spark, base, F.col("k").isin(3, 4), cdf=True)  # v2
+    lakelog.delete_where_mor(spark, base, F.col("k").isin(5, 6))  # v3
+    spark.createDataFrame([(200, 2000)], "k long, c long")\
+        .coalesce(1).write.parquet(f"{base}/s4")
+    lakelog.commit(base, 4, [{"add": "s4"}])
+    lakelog.materialize_deletion_vectors(spark, base)  # v5: layout only
+    lakelog.optimize_compact(spark, base)  # v6: layout only
+    return base
+
+
+_CDF_EXPECT = sorted(
+    [(k, k * 10, "insert", 0) for k in range(10)]
+    + [(1, 10, "update_preimage", 1), (1, 12, "update_postimage", 1),
+       (2, 20, "update_preimage", 1), (2, 22, "update_postimage", 1),
+       (100, 1000, "insert", 1)]
+    + [(3, 30, "delete", 2), (4, 40, "delete", 2)]
+    + [(5, 50, "delete", 3), (6, 60, "delete", 3)]
+    + [(200, 2000, "insert", 4)]
+)
+
+
+def test_cdf_table_changes_per_commit(spark, tmp_path):
+    """Every commit class serves correctly: appends → inserts, cdc
+    records → their recorded rows, MOR deletes → sidecar-diff rows,
+    layout-only commits (materialize/compact) → nothing."""
+    base = _cdf_fixture(spark, tmp_path)
+    got = sorted(
+        (r.k, r.c, r._change_type, r._commit_version)
+        for r in lakelog.table_changes(
+            spark, base, -1, lakelog.latest_version(base)
+        ).collect()
+    )
+    assert got == _CDF_EXPECT
+    # sub-ranges serve independently (the streaming consumer's view)
+    v2 = sorted(
+        (r.k, r._change_type)
+        for r in lakelog.table_changes(spark, base, 1, 2).collect()
+    )
+    assert v2 == [(3, "delete"), (4, "delete")]
+    # layout-only range has no changes — explicit, not empty-frame
+    with pytest.raises(ValueError, match="no changes"):
+        lakelog.table_changes(spark, base, 4, 6)
+
+
+def test_cdf_plan_refuses_underivable_commits(spark, tmp_path):
+    """A CoW rewrite without a cdc record (cdf=False MERGE/DELETE)
+    is not CDF-servable and must refuse, mirroring Delta's
+    enableChangeDataFeed rule; a new file arriving WITH a deletion
+    vector likewise."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame([(1, 1), (2, 2)], "k long, c long")\
+        .coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.merge_upsert(
+        spark, base,
+        spark.createDataFrame([(1, 9)], "k long, c long"), ["k"],
+    )  # v1: rewrite, no cdc
+    with pytest.raises(ValueError, match="without a change record"):
+        lakelog.commit_change_plan(base, 1)
+    # delete_where without cdf that only REMOVES files stays derivable
+    base2 = str(tmp_path / "t2")
+    spark.createDataFrame([(1, 1)], "k long, c long")\
+        .coalesce(1).write.parquet(f"{base2}/a")
+    spark.createDataFrame([(2, 2)], "k long, c long")\
+        .coalesce(1).write.parquet(f"{base2}/b")
+    lakelog.commit(base2, 0, [{"add": "a"}, {"add": "b"}])
+    lakelog.delete_where(spark, base2, F.col("k") == 2)  # drops file b
+    plan = lakelog.commit_change_plan(base2, 1)
+    assert len(plan["delete_files"]) == 1 and not plan["insert_files"]
+    # a brand-new add carrying a dv is not derivable
+    lakelog.commit(
+        base2, 2, [{"add": "ghost", "dv": "_dv/ghost.json"}]
+    )
+    with pytest.raises(ValueError, match="deletion vector"):
+        lakelog.commit_change_plan(base2, 2)
+
+
+def test_cdf_files_protected_from_vacuum_and_orphans(spark, tmp_path):
+    """_cdc change records are table history: retention-0 vacuum
+    must not delete them and find_orphans must not flag them."""
+    base = _cdf_fixture(spark, tmp_path)
+    assert lakelog.find_orphans(base) == []
+    lakelog.vacuum(base)
+    assert os.path.isdir(os.path.join(base, "_cdc"))
+    got = sorted(
+        (r.k, r.c, r._change_type, r._commit_version)
+        for r in lakelog.table_changes(spark, base, 0, 2).collect()
+    )
+    assert [g for g in got if g[3] == 1] == [
+        g for g in _CDF_EXPECT if g[3] == 1
+    ]
