@@ -2269,3 +2269,152 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: RENAME / DROP / ADD COLUMN as O(1) metadata
+#
+# The Delta column-mapping ('name' mode) / Iceberg name-mapping
+# capability — the schema-evolution piece metaData actions alone
+# cannot give: a columnMapping action binds LOGICAL column names
+# (what queries see) to immutable PHYSICAL names (what parquet files
+# carry). RENAME edits the logical side of one mapping entry; DROP
+# removes the entry; ADD binds a fresh logical name to a NEVER-USED
+# physical name. No data file is ever rewritten — old files stay
+# readable under whatever mapping is current, and time travel reads
+# each version under ITS OWN mapping (the same spec-versioning
+# pattern as hidden partitioning above). The never-reuse rule for
+# physical names is what makes drop-then-re-add safe: the re-added
+# column reads NULL from old files instead of resurrecting the
+# dropped column's bytes — exactly Delta's semantics.
+# ---------------------------------------------------------------------------
+
+
+def mapping_action(fields: list[tuple[str, str, str]]) -> dict:
+    """The columnMapping action for a commit: ``fields`` is
+    [(logical, physical, sql_type), ...]."""
+    return {"columnMapping": {"fields": [list(f) for f in fields]}}
+
+
+def column_mapping(
+    table_dir: str, version: int | None = None
+) -> list[tuple[str, str, str]] | None:
+    """The mapping as of ``version``: the LAST columnMapping action
+    at or before it wins (same rule as metaData / partitionSpec).
+    None if the table never enabled mapping."""
+    if version is None:
+        version = latest_version(table_dir)
+    fields = None
+    for v in range(version + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            for a in json.load(f):
+                if "columnMapping" in a:
+                    fields = [
+                        tuple(x) for x in a["columnMapping"]["fields"]
+                    ]
+    return fields
+
+
+def _commit_mapping(table_dir: str, fields) -> dict:
+    res = try_commit_rebase(
+        table_dir, latest_version(table_dir), [mapping_action(fields)]
+    )
+    return {"version": res["version"], "fields": fields}
+
+
+def rename_column(table_dir: str, old: str, new: str) -> dict:
+    """RENAME COLUMN — one metadata commit, zero file rewrites: the
+    mapping entry's logical name changes, its physical name (what
+    every existing file carries) never does."""
+    fields = column_mapping(table_dir)
+    if fields is None:
+        raise ValueError("table has no column mapping enabled")
+    if any(logical == new for logical, _, _ in fields):
+        raise ValueError(f"column {new!r} already exists")
+    if not any(logical == old for logical, _, _ in fields):
+        raise ValueError(f"no such column {old!r}")
+    out = [
+        (new if logical == old else logical, phys, typ)
+        for logical, phys, typ in fields
+    ]
+    return _commit_mapping(table_dir, out)
+
+
+def drop_column(table_dir: str, name: str) -> dict:
+    """DROP COLUMN — one metadata commit: the mapping entry is
+    removed; old files keep the physical bytes but no read under
+    this or any later mapping selects them."""
+    fields = column_mapping(table_dir)
+    if fields is None:
+        raise ValueError("table has no column mapping enabled")
+    if not any(logical == name for logical, _, _ in fields):
+        raise ValueError(f"no such column {name!r}")
+    out = [f for f in fields if f[0] != name]
+    return _commit_mapping(table_dir, out)
+
+
+def add_column(table_dir: str, name: str, sql_type: str) -> dict:
+    """ADD COLUMN — one metadata commit binding the logical name to a
+    FRESH physical name (``<name>__p<version>``), so files written
+    before the add surface it as NULL and a column dropped earlier
+    under the same logical name can never resurrect its old bytes."""
+    fields = column_mapping(table_dir)
+    if fields is None:
+        raise ValueError("table has no column mapping enabled")
+    if any(logical == name for logical, _, _ in fields):
+        raise ValueError(f"column {name!r} already exists")
+    phys = f"{name}__p{latest_version(table_dir) + 1}"
+    used = {p for _, p, _ in fields}
+    while phys in used:  # paranoia: physical names are never reused
+        phys += "_"
+    return _commit_mapping(table_dir, [*fields, (name, phys, sql_type)])
+
+
+def to_physical(df: DataFrame, fields) -> DataFrame:
+    """Writer-side translation: project the logical frame onto
+    physical column names for a parquet write into a mapped table.
+    Mapped columns absent from ``df`` are simply not written (old
+    readers conform them to NULL)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(logical).cast(typ).alias(phys)
+        for logical, phys, typ in fields
+        if logical in df.columns
+    ]
+    return df.select(*cols)
+
+
+def read_snapshot_mapped(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read under the version's column mapping: files are
+    read by PHYSICAL name (mergeSchema unions the physical eras),
+    then projected onto the mapping's logical names — a physical
+    column missing from older files surfaces as NULL of the declared
+    type, and physical columns outside the mapping (dropped ones)
+    disappear. Version-accurate under time travel: each version
+    reads under ITS OWN mapping."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(table_dir)
+    fields = column_mapping(table_dir, version)
+    if fields is None:
+        raise ValueError("table has no column mapping enabled")
+    active = _replay(table_dir, version)[0]
+    _assert_no_dv(active, "read_snapshot_mapped")
+    files = [os.path.join(table_dir, r) for r in active]
+    if not files:
+        raise ValueError("empty snapshot")
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    cols = []
+    for logical, phys, typ in fields:
+        if phys in df.columns:
+            cols.append(F.col(phys).cast(typ).alias(logical))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(logical))
+    return df.select(*cols)

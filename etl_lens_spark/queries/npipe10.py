@@ -270,3 +270,260 @@ def streaming_lake_cdf_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: rename / drop / add as O(1) metadata
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_column_mapping",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS k,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS bal,
+             c_mktsegment AS seg
+      FROM customer
+    ),
+    final AS (
+      SELECT k, bal, CAST(NULL AS BIGINT) AS vip FROM c
+      UNION ALL
+      SELECT k + 10000000, bal, CAST(NULL AS BIGINT) FROM c
+      UNION ALL
+      SELECT k + 20000000, bal, k % 3 FROM c
+    )
+    SELECT CAST(k % 10 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(bal) AS BIGINT) AS bal_sum,
+           CAST(SUM(COALESCE(vip, 0)) AS BIGINT) AS vip_sum,
+           CAST(SUM(CASE WHEN vip IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vip,
+           CAST((SELECT COUNT(*) FROM c) * 2 AS BIGINT) AS rows_at_v2,
+           CAST((SELECT COUNT(DISTINCT seg) FROM c) AS BIGINT)
+             AS seg_kinds_at_v2
+    FROM final
+    GROUP BY k % 10
+    ORDER BY key_mod
+    """,
+)
+def lake_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING — RENAME / DROP / ADD COLUMN as O(1) metadata
+    commits with ZERO file rewrites (the Delta column-mapping /
+    Iceberg name-mapping capability; lakelog.rename_column /
+    drop_column / add_column / read_snapshot_mapped): logical names
+    bind to immutable physical parquet names, renames edit only the
+    binding, drops remove it, adds bind a NEVER-USED physical name
+    so a re-added column cannot resurrect dropped bytes.
+
+    The fixture exercises every operation against customer: v0 seeds
+    (k, bal_cents, seg) under an identity mapping; v1 RENAMEs
+    bal_cents → balance; v2 appends re-keyed copies WRITTEN UNDER
+    PHYSICAL NAMES (to_physical — the file carries ``bal_cents``,
+    queries see ``balance``); v3 DROPs seg; v4 ADDs vip and appends
+    rows carrying it (old files surface vip as NULL). The final
+    mapped read rolls up per key bucket; rows_at_v2 / seg_kinds_at_v2
+    pin TIME TRAVEL under the v2-era mapping (seg still visible
+    then). The zero-rewrite guarantee is pinned physically in
+    tests/test_lakelog.py (byte-identical file inventory across all
+    three metadata commits)."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    base = sinks.scratch_path("colmap")
+    shutil.rmtree(base, ignore_errors=True)
+    c.write.parquet(f"{base}/s0")
+    lakelog.commit(
+        base,
+        0,
+        [
+            lakelog.mapping_action(
+                [("k", "k", "long"), ("bal_cents", "bal_cents", "long"),
+                 ("seg", "seg", "string")]
+            ),
+            {"add": "s0"},
+        ],
+    )
+    lakelog.rename_column(base, "bal_cents", "balance")  # v1
+    fields_v1 = lakelog.column_mapping(base)
+    appended = c.select(
+        (F.col("k") + 10000000).alias("k"),
+        F.col("bal_cents").alias("balance"),
+        "seg",
+    )
+    lakelog.to_physical(appended, fields_v1).write.parquet(f"{base}/s2")
+    lakelog.commit(base, 2, [{"add": "s2"}])
+    lakelog.drop_column(base, "seg")  # v3
+    lakelog.add_column(base, "vip", "long")  # v4
+    fields_v4 = lakelog.column_mapping(base)
+    vip_rows = c.select(
+        (F.col("k") + 20000000).alias("k"),
+        F.col("bal_cents").alias("balance"),
+        (F.col("k") % 3).cast("long").alias("vip"),
+    )
+    lakelog.to_physical(vip_rows, fields_v4).write.parquet(f"{base}/s5")
+    lakelog.commit(base, 5, [{"add": "s5"}])
+
+    at_v2 = lakelog.read_snapshot_mapped(spark, base, 2)
+    pins = at_v2.agg(
+        F.count(F.lit(1)).cast("long").alias("rows_at_v2"),
+        F.countDistinct("seg").cast("long").alias("seg_kinds_at_v2"),
+    )
+    final = lakelog.read_snapshot_mapped(spark, base)
+    out = (
+        final.groupBy((F.col("k") % 10).cast("int").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("balance").cast("long").alias("bal_sum"),
+            F.sum(F.coalesce("vip", F.lit(0))).cast("long").alias("vip_sum"),
+            F.sum(F.col("vip").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_vip"),
+        )
+        .crossJoin(F.broadcast(pins))
+        .orderBy("key_mod")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table LSH ANN retriever: the plateau-breaker (VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+_MT_K = 10
+_MT_NQ = 20
+_MT_BITS = 4
+_MT_DIM = 64
+_MT_PROBES = 5  # exact bucket + all flip-1 = the single-table plateau
+_MT_TABLES = [1, 2, 3, 4]
+
+
+@query("sim_ann_lsh_multitable")
+def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE LSH RETRIEVER — the deployment answer to the
+    single-table plateau sim_ann_lsh_operating_curve recorded:
+    flip-1 multi-probe tops out below recall 1.0 because it never
+    leaves the neighborhood of ONE hash geometry; L INDEPENDENT
+    hyperplane tables (seeds 42..42+L−1) union their candidate sets,
+    deduplicate the (query, neighbor) pairs BEFORE scoring, and lift
+    the plateau at the same per-table probe depth. Emitted per L:
+    candidates actually scored (post-dedup — the honest scan cost;
+    overlap between tables is free) and exact-ground-truth recall@10.
+
+    Sweep discipline (the 100 TB posture): ALL max-L bucket columns
+    are hashed onto the corpus in ONE pass and localCheckpointed once
+    — at scale the corpus shuffle is the whole cost, and the L-axis
+    sweep re-probes only the 20-query side; candidate sets are
+    PREFIX-UNIONS (tables 0..L−1), so recall and candidates are
+    monotone in L by construction — contract-tested with the L=1
+    point pinned ≡ the single-table curve's plateau point (same seed,
+    same probes). Rows-only by design (probe internals are not
+    SQL-expressible); contracts in tests/test_npipe9.py."""
+    from etl_lens_spark.similarity import knn
+    from etl_lens_spark.similarity.knn import (
+        _as_double,
+        _probe_buckets,
+        _srp_bits,
+        dot,
+        make_planes,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _MT_NQ)
+    truth = {
+        (r["qid"], r["neighbor_id"])
+        for r in knn.brute_force_topk(
+            emb, queries_df, k=_MT_K
+        ).collect()
+    }
+    max_l = max(_MT_TABLES)
+    planes = [
+        make_planes(_MT_DIM, _MT_BITS, seed=42 + t) for t in range(max_l)
+    ]
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("__cvec"),
+    )
+    for t in range(max_l):
+        corpus = corpus.withColumn(
+            f"__b{t}", _srp_bits(F.col("__cvec"), planes[t])
+        )
+    corpus = corpus.withColumn(
+        "__cnorm", norm(F.col("__cvec"))
+    ).localCheckpoint()  # hashed ONCE for every table and every L
+
+    qbase = queries_df.select(
+        F.col("vec_id").alias("qid"),
+        _as_double(F.col("embedding")).alias("__qvec"),
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+
+    from pyspark.sql import Window
+
+    per_table = []
+    for t in range(max_l):
+        qt = qbase.withColumn(
+            "__b",
+            F.explode(
+                _probe_buckets(F.col("__qvec"), planes[t], _MT_PROBES)
+            ),
+        )
+        per_table.append(
+            corpus.join(
+                F.broadcast(qt), corpus[f"__b{t}"] == qt["__b"]
+            )
+            .filter(F.col("neighbor_id") != F.col("qid"))
+            .select(
+                "qid", "neighbor_id", "__qvec", "__qnorm",
+                "__cvec", "__cnorm",
+            )
+        )
+    out_rows = []
+    denom = len(truth)
+    for n_tables in _MT_TABLES:
+        cands = per_table[0]
+        for t in range(1, n_tables):
+            cands = cands.unionByName(per_table[t])
+        deduped = cands.dropDuplicates(["qid", "neighbor_id"])
+        scored = deduped.withColumn(
+            "cos_sim",
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        top = scored.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= _MT_K
+        )
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("n_cand")
+        ).collect()[0]
+        got = {
+            (r["qid"], r["neighbor_id"])
+            for r in top.select("qid", "neighbor_id").collect()
+        }
+        out_rows.append(
+            (
+                n_tables,
+                int(agg["n_cand"]),
+                float(agg["n_cand"]) / _MT_NQ,
+                len(got & truth) / denom,
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "n_tables int, candidates_scored long, "
+        "avg_candidates_per_query double, recall_at_k double",
+    ).orderBy("n_tables")

@@ -1427,3 +1427,84 @@ def test_cdf_files_protected_from_vacuum_and_orphans(spark, tmp_path):
     assert [g for g in got if g[3] == 1] == [
         g for g in _CDF_EXPECT if g[3] == 1
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round 8: column mapping (rename/drop/add as O(1) metadata)
+# ---------------------------------------------------------------------------
+
+
+def _inventory(base):
+    return {
+        os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(base)
+        if "_log" not in r
+        for f in fs
+    }
+
+
+def test_column_mapping_rename_drop_add_zero_rewrite(spark, tmp_path):
+    """RENAME / DROP / ADD COLUMN are metadata-only: the data-file
+    inventory is byte-identical across all three commits; reads
+    resolve under the version's own mapping (time travel included);
+    a column dropped then re-added under the same logical name reads
+    NULL from old files — never the dropped bytes."""
+    from etl_lens_spark.operators import lakelog
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k long, v long, s string"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(
+        base,
+        0,
+        [
+            lakelog.mapping_action(
+                [("k", "k", "long"), ("v", "v", "long"),
+                 ("s", "s", "string")]
+            ),
+            {"add": "s0"},
+        ],
+    )
+    inv0 = _inventory(base)
+    lakelog.rename_column(base, "v", "value")  # v1
+    lakelog.drop_column(base, "s")  # v2
+    lakelog.add_column(base, "s", "string")  # v3: same logical name!
+    assert _inventory(base) == inv0  # zero rewrites, zero new files
+    # new physical name differs from the dropped one
+    fields = dict(
+        (logical, phys)
+        for logical, phys, _ in lakelog.column_mapping(base)
+    )
+    assert fields["s"] != "s" and fields["value"] == "v"
+    # final read: renamed column resolves, re-added 's' is NULL
+    rows = sorted(
+        (r.k, r.value, r.s)
+        for r in lakelog.read_snapshot_mapped(spark, base).collect()
+    )
+    assert rows == [(1, 10, None), (2, 20, None)]
+    # time travel: v0 mapping shows original names and the old bytes
+    rows0 = sorted(
+        (r.k, r.v, r.s)
+        for r in lakelog.read_snapshot_mapped(spark, base, 0).collect()
+    )
+    assert rows0 == [(1, 10, "a"), (2, 20, "b")]
+    # a post-rename append written physically reads under logical names
+    fields_v1 = lakelog.column_mapping(base, 1)
+    app = spark.createDataFrame([(3, 30, "c")], "k long, value long, s string")
+    lakelog.to_physical(app, fields_v1).coalesce(1).write.parquet(
+        f"{base}/s4"
+    )
+    lakelog.commit(base, 4, [{"add": "s4"}])
+    got = sorted(
+        (r.k, r.value) for r in
+        lakelog.read_snapshot_mapped(spark, base).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # guard rails
+    with pytest.raises(ValueError, match="already exists"):
+        lakelog.rename_column(base, "k", "value")
+    with pytest.raises(ValueError, match="no such column"):
+        lakelog.drop_column(base, "ghost")
+    with pytest.raises(ValueError, match="already exists"):
+        lakelog.add_column(base, "k", "long")

@@ -84,3 +84,50 @@ def test_lsh_curve_plateaus_below_exact(lsh_curve):
     assert lsh_curve[-1]["recall_at_k"] >= lsh_curve[0]["recall_at_k"]
     # scan cost stays a small fraction of exhaustive (20 × 499)
     assert lsh_curve[-1]["candidates_scanned"] < 20 * 499 * 0.5
+
+
+# ---------------------------------------------------------------------------
+# Round 8: multi-table LSH retriever contracts
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mt_curve(spark):
+    from etl_lens_spark.queries.npipe10 import sim_ann_lsh_multitable
+
+    rows = sim_ann_lsh_multitable(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    return sorted(rows, key=lambda r: r["n_tables"])
+
+
+def test_lsh_multitable_monotone_in_tables(mt_curve):
+    """Candidate sets are PREFIX-UNIONS over tables 0..L−1, so both
+    recall and post-dedup scan cost are nondecreasing in L by
+    construction — the contract that makes the tables axis a tuning
+    knob."""
+    recalls = [r["recall_at_k"] for r in mt_curve]
+    cands = [r["candidates_scored"] for r in mt_curve]
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    assert all(a <= b for a, b in zip(cands, cands[1:]))
+
+
+def test_lsh_multitable_l1_equals_single_table_plateau(
+    mt_curve, lsh_curve
+):
+    """The L=1 point IS the single-table curve's plateau point (same
+    seed-42 planes, same probes=5 flip-1 depth) — pins the two
+    artifacts to one geometry so the tables-axis lift is measured
+    from the recorded plateau, not a lookalike."""
+    l1 = mt_curve[0]
+    plateau = lsh_curve[-1]
+    assert l1["n_tables"] == 1 and plateau["probes"] == 5
+    assert abs(l1["recall_at_k"] - plateau["recall_at_k"]) < 1e-12
+    assert l1["candidates_scored"] == plateau["candidates_scanned"]
+
+
+def test_lsh_multitable_lifts_the_plateau(mt_curve):
+    """The deployment claim the round-7 curve recorded ('deploy
+    multiple tables'): more independent tables strictly lift recall
+    above the single-table plateau on this fixture."""
+    assert mt_curve[-1]["recall_at_k"] > mt_curve[0]["recall_at_k"]
