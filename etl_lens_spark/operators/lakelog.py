@@ -834,6 +834,7 @@ def apply_cdc(
     changes: DataFrame,
     key_cols: list[str],
     op_col: str = "op",
+    cdf: bool = False,
 ) -> dict:
     """Apply a CDC change feed in ONE copy-on-write pass: rows with
     ``op_col`` = 'D' delete their match, anything else upserts. The
@@ -842,7 +843,14 @@ def apply_cdc(
     file-identity join, one rewrite job, one commit, regardless of
     how the feed mixes operations. This is the Delta
     CHANGE-DATA-FEED apply shape: feed size bounds the work, table
-    size never does."""
+    size never does.
+
+    With ``cdf=True`` the commit also records its OUTGOING row-level
+    change feed (see merge_upsert): matched old rows become
+    ``update_preimage`` (upsert keys) or ``delete`` (op='D' keys),
+    matched upserts ``update_postimage``, unmatched upserts
+    ``insert`` — so a CDC-applied table can itself be tailed by
+    downstream CDF consumers (feed chaining)."""
     from pyspark.sql import functions as F
 
     files = snapshot_files(table_dir)
@@ -879,6 +887,34 @@ def apply_cdc(
             os.path.join(table_dir, rewrite_rel)
         )
         actions.append({"add": rewrite_rel})
+    if cdf:
+        ct = "_change_type"
+        up_keys = changes.filter(F.col(op_col) != "D").select(
+            *key_cols
+        ).distinct()
+        del_keys = changes.filter(F.col(op_col) == "D").select(
+            *key_cols
+        ).distinct()
+        if touched:
+            touched_paths = [os.path.join(table_dir, f) for f in touched]
+            old = spark.read.parquet(*touched_paths)
+            pre = old.join(
+                F.broadcast(up_keys), key_cols, "left_semi"
+            ).withColumn(ct, F.lit("update_preimage"))
+            dels = old.join(
+                F.broadcast(del_keys), key_cols, "left_semi"
+            ).withColumn(ct, F.lit("delete"))
+            mk = pre.select(*key_cols).distinct()
+            post = upserts.join(
+                F.broadcast(mk), key_cols, "left_semi"
+            ).withColumn(ct, F.lit("update_postimage"))
+            ins = upserts.join(
+                F.broadcast(mk), key_cols, "left_anti"
+            ).withColumn(ct, F.lit("insert"))
+            rec = pre.unionByName(dels).unionByName(post).unionByName(ins)
+        else:
+            rec = upserts.withColumn(ct, F.lit("insert"))
+        actions.append(_write_cdc(spark, table_dir, version, rec))
     commit(table_dir, version, actions)
     return {"version": version, "n_files_rewritten": len(touched)}
 

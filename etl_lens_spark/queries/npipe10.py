@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_lens_spark.queries import query
+from etl_lens_spark.queries import bench_setup, query
 from etl_lens_spark.sources import sinks
 from etl_lens_spark.sources.tables import load_table
 
@@ -89,7 +89,7 @@ _CDF_ORACLE_CHANGES = """
 """
 
 
-@query("lake_cdf_table_changes", oracle=_CDF_ORACLE_CHANGES)
+@query("lake_cdf_table_changes", headline=True, oracle=_CDF_ORACLE_CHANGES)
 def lake_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED SERVED PER COMMIT (lakelog.table_changes —
     the Delta ``table_changes`` read): the four-commit fixture's
@@ -128,6 +128,29 @@ def lake_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@bench_setup("lake_cdf_table_changes")
+def _bench_cdf_table_changes(spark: SparkSession, sf_dir: str):
+    # the four-commit lake fixture (three DML rewrites) is setup; the
+    # timed thunk is the operator under test — per-commit CDF serving
+    # (cdc records + sidecar-diff deletes) and the rollup
+    from etl_lens_spark.operators import lakelog
+
+    base = _cdf_lake_build(spark, sf_dir, "cdf_bench")
+    return lambda: (
+        lakelog.table_changes(spark, base, 0, 3)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("price_cents").cast("long").alias("cents_sum"),
+        )
+        .orderBy("change_type", "commit_version")
+    )
 
 
 _SCD2_SCHEMA = (

@@ -1508,3 +1508,36 @@ def test_column_mapping_rename_drop_add_zero_rewrite(spark, tmp_path):
         lakelog.drop_column(base, "ghost")
     with pytest.raises(ValueError, match="already exists"):
         lakelog.add_column(base, "k", "long")
+
+
+def test_apply_cdc_records_outgoing_cdf(spark, tmp_path):
+    """cdf=True on apply_cdc: the commit's OUTGOING change record
+    reflects what the apply did (feed chaining) — existing upsert
+    keys emit pre/post images, op='D' keys emit deletes, new keys
+    emit inserts, and a 'D' on a nonexistent key emits nothing."""
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    feed = spark.createDataFrame(
+        [(1, 11, "U"), (2, None, "D"), (9, 90, "U"), (99, None, "D")],
+        "k long, v long, op string",
+    )
+    st = lakelog.apply_cdc(spark, base, feed, ["k"], cdf=True)
+    assert st["version"] == 1
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in lakelog.table_changes(spark, base, 0, 1).collect()
+    )
+    assert got == [
+        (1, 10, "update_preimage"),
+        (1, 11, "update_postimage"),
+        (2, 20, "delete"),
+        (9, 90, "insert"),
+    ]
+    # the applied snapshot agrees with the chained feed
+    ks = sorted(
+        (r.k, r.v) for r in lakelog.read_snapshot(spark, base).collect()
+    )
+    assert ks == [(1, 11), (3, 30), (9, 90)]

@@ -312,6 +312,13 @@ HEADLINE_PINS = {
     # the in-output audit_mismatch column and the unit tests, same
     # convention as lake_merge_upsert
     "warehouse_scd2_incremental": (0, set(), set()),
+    # --- round-8 headliners ---
+    # per-commit CDF serving: the returned frame is the collected
+    # rollup (LocalTableScan) — the serving plan (cdc-record reads +
+    # broadcast sidecar-diff semi-join, O(rows changed)) is pinned by
+    # the oracle and the per-commit classification unit tests, same
+    # convention as lake_merge_upsert
+    "lake_cdf_table_changes": (0, set(), set()),
 }
 
 
