@@ -1165,13 +1165,19 @@ def optimize_cluster(
     return {"version": version, "n_files_out": len(bounds)}
 
 
-def vacuum(table_dir: str) -> dict:
-    """Physically delete data directories no longer referenced by the
-    LATEST snapshot (Delta VACUUM with retention 0 — time travel to
-    pre-vacuum versions is intentionally sacrificed, exactly as
-    documented for the real thing). The log itself is kept: history
-    metadata (DESCRIBE HISTORY) survives even though old data bytes
-    are gone. Returns reclaim stats.
+def vacuum(table_dir: str, retain_versions: int = 0) -> dict:
+    """Physically delete data directories referenced by NO retained
+    snapshot. ``retain_versions`` is the time-travel horizon (the
+    Delta VACUUM retention window expressed in versions instead of
+    hours): the union of the active file sets of versions
+    ``head − retain_versions .. head`` is protected, so time travel
+    within the horizon keeps working byte-for-byte while older
+    versions' exclusive files are reclaimed. The default 0 retains
+    only the latest snapshot — time travel to pre-vacuum versions is
+    intentionally sacrificed, exactly as documented for the real
+    thing. The log itself is kept: history metadata (DESCRIBE
+    HISTORY) survives even though old data bytes are gone. Returns
+    reclaim stats.
 
     Protected from reclamation regardless of the latest snapshot's
     add list (round-7 review fix — the original basename test would
@@ -1189,10 +1195,14 @@ def vacuum(table_dir: str) -> dict:
     snapshot action (or staged entry) references it."""
     import shutil
 
-    active = _replay(table_dir, latest_version(table_dir))[0]
-    protected = {a.split("/", 1)[0] for a in active}
-    # a DV sidecar rel rides in the action dict, not the key
-    live_dv = {a["dv"] for a in active.values() if a.get("dv")}
+    head = latest_version(table_dir)
+    protected: set[str] = set()
+    live_dv: set[str] = set()
+    for v in range(max(0, head - retain_versions), head + 1):
+        active = _replay(table_dir, v)[0]
+        protected |= {a.split("/", 1)[0] for a in active}
+        # a DV sidecar rel rides in the action dict, not the key
+        live_dv |= {a["dv"] for a in active.values() if a.get("dv")}
     for entry in _staged_entries(table_dir):
         for a in entry["actions"]:
             if "add" in a:
@@ -2454,3 +2464,117 @@ def read_snapshot_mapped(
         else:
             cols.append(F.lit(None).cast(typ).alias(logical))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: data-quality rules as table metadata
+#
+# The Delta ALTER TABLE ADD CONSTRAINT capability: a constraint
+# action binds a name to a SQL boolean expression; ADD scans the
+# CURRENT snapshot once and refuses if any existing row violates
+# (so a committed constraint is a table-wide invariant, not a
+# from-now-on hope); writers validate each batch against the
+# constraints as of their snapshot BEFORE committing, so a violating
+# batch never becomes visible. Enforcement cost: O(batch) per write
+# plus one column of JVM-side predicate evaluation — no extra
+# shuffle, no extra scan (the count rides the write's own read).
+# Constraints drop by name (metadata-only).
+# ---------------------------------------------------------------------------
+
+
+class ConstraintViolation(Exception):
+    """A batch (or the existing table) violates a CHECK constraint."""
+
+
+def table_constraints(
+    table_dir: str, version: int | None = None
+) -> dict[str, str]:
+    """Active constraints as of ``version``: name → SQL expression
+    (constraint adds minus dropConstraint actions, in log order)."""
+    if version is None:
+        version = latest_version(table_dir)
+    out: dict[str, str] = {}
+    for v in range(version + 1):
+        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            for a in json.load(f):
+                if "constraint" in a:
+                    c = a["constraint"]
+                    out[c["name"]] = c["expr"]
+                elif "dropConstraint" in a:
+                    out.pop(a["dropConstraint"], None)
+    return out
+
+
+def _count_violations(df: DataFrame, constraints: dict[str, str]):
+    """One-pass violation counts per constraint (a NULL predicate
+    result counts as a violation, matching Delta CHECK semantics:
+    the constraint must evaluate TRUE)."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {name: int(row[name] or 0) for name in constraints}
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> dict:
+    """ADD CONSTRAINT: validate the CURRENT snapshot (one scan),
+    refuse with ConstraintViolation if any row fails, else commit
+    the constraint action (metadata-only)."""
+    if name in table_constraints(table_dir):
+        raise ValueError(f"constraint {name!r} already exists")
+    counts = _count_violations(
+        read_snapshot(spark, table_dir), {name: expr}
+    )
+    if counts[name]:
+        raise ConstraintViolation(
+            f"cannot add {name!r}: {counts[name]} existing row(s) "
+            f"violate ({expr})"
+        )
+    res = try_commit_rebase(
+        table_dir,
+        latest_version(table_dir),
+        [{"constraint": {"name": name, "expr": expr}}],
+    )
+    return {"version": res["version"], "name": name}
+
+
+def drop_constraint(table_dir: str, name: str) -> dict:
+    if name not in table_constraints(table_dir):
+        raise ValueError(f"no such constraint {name!r}")
+    res = try_commit_rebase(
+        table_dir, latest_version(table_dir), [{"dropConstraint": name}]
+    )
+    return {"version": res["version"], "name": name}
+
+
+def constrained_append(
+    spark: SparkSession, table_dir: str, df: DataFrame, rel: str
+) -> dict:
+    """Append a batch under the table's constraints: validate BEFORE
+    any commit — a violating batch raises ConstraintViolation with
+    per-constraint counts and never becomes visible (its parquet is
+    not written). The violation counts ride one aggregate over the
+    batch itself; the table is never re-scanned."""
+    constraints = table_constraints(table_dir)
+    if constraints:
+        counts = _count_violations(df, constraints)
+        bad = {n: c for n, c in counts.items() if c}
+        if bad:
+            raise ConstraintViolation(
+                f"append rejected: violations {bad}"
+            )
+    df.write.parquet(os.path.join(table_dir, rel))
+    res = try_commit_rebase(
+        table_dir, latest_version(table_dir), [{"add": rel}]
+    )
+    return {"version": res["version"], "rel": rel}

@@ -550,3 +550,300 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tables int, candidates_scored long, "
         "avg_candidates_per_query double, recall_at_k double",
     ).orderBy("n_tables")
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: data-quality rules as table metadata
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_check_constraints",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    final AS (
+      SELECT k, cents FROM v0
+      UNION ALL
+      SELECT k + 10000000, cents FROM v0   -- the clean append only
+    )
+    SELECT CAST(k % 10 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(1 AS BIGINT) AS n_constraints_active,
+           CAST(1 AS BIGINT) AS add_rejected,
+           CAST(1 AS BIGINT) AS append_rejected,
+           CAST((SELECT COUNT(*) FILTER (WHERE k % 5 = 0) FROM v0)
+                AS BIGINT) AS bad_rows_blocked
+    FROM final
+    GROUP BY k % 10
+    ORDER BY key_mod
+    """,
+)
+def lake_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS as table metadata (lakelog.add_constraint /
+    constrained_append — the Delta ALTER TABLE ADD CONSTRAINT
+    capability): ``cents >= 0`` commits after ONE validating scan of
+    the current snapshot; a second constraint existing rows violate
+    is REFUSED at add time (a committed constraint is a table-wide
+    invariant, never a from-now-on hope); a clean re-keyed append
+    passes its O(batch) validation; an append with negated prices on
+    k%5==0 is rejected BEFORE its parquet is written, so nothing of
+    it is ever visible. The rollup proves exactly the seed + the
+    clean append landed; bad_rows_blocked pins how many rows the
+    gate stopped. The oracle recomputes the surviving table and the
+    blocked count relationally from orders."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    v0 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = sinks.scratch_path("constraints")
+    shutil.rmtree(base, ignore_errors=True)
+    v0.write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.add_constraint(spark, base, "cents_nonneg", "cents >= 0")
+    add_rejected = 0
+    try:  # existing rows violate — must refuse
+        lakelog.add_constraint(spark, base, "cents_tiny", "cents < 100")
+    except lakelog.ConstraintViolation:
+        add_rejected = 1
+    clean = v0.select((F.col("k") + 10000000).alias("k"), "cents")
+    lakelog.constrained_append(spark, base, clean, "s_clean")
+    bad = v0.select(
+        (F.col("k") + 20000000).alias("k"),
+        F.when(F.col("k") % 5 == 0, -F.col("cents"))
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    append_rejected = 0
+    try:
+        lakelog.constrained_append(spark, base, bad, "s_bad")
+    except lakelog.ConstraintViolation:
+        append_rejected = 1
+    bad_blocked = bad.filter(F.col("cents") < 0).count()
+    flags = spark.createDataFrame(
+        [(len(lakelog.table_constraints(base)), add_rejected,
+          append_rejected, bad_blocked)],
+        "n_constraints_active long, add_rejected long, "
+        "append_rejected long, bad_rows_blocked long",
+    )
+    out = (
+        lakelog.read_snapshot(spark, base)
+        .groupBy((F.col("k") % 10).cast("int").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .crossJoin(F.broadcast(flags))
+        .orderBy("key_mod")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# The full production loop: lake A → CDF stream → foreachBatch SCD2
+# apply → exactly-once commits into lake B
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_lake_cdf_exactly_once",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    dim AS (
+      SELECT k, CAST(1 AS BIGINT) AS version_seq, cents AS price_cents,
+             1000 AS vf,
+             CASE WHEN k % 20 = 1 THEN 2000
+                  WHEN k % 20 = 7 THEN 3000
+                  WHEN k % 20 = 11 THEN 4000 END AS vt,
+             CASE WHEN k % 20 IN (1, 7, 11) THEN 0 ELSE 1 END
+               AS is_current
+      FROM v0
+      UNION ALL
+      SELECT k, 2, cents * 2, 2000, NULL, 1 FROM v0 WHERE k % 20 = 1
+      UNION ALL
+      SELECT k + 100000000, 1, cents, 2000, NULL, 1
+      FROM v0 WHERE k % 20 = 3
+    )
+    SELECT CAST(k % 20 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_current) AS BIGINT) AS n_current,
+           CAST(SUM(version_seq) AS BIGINT) AS seq_sum,
+           CAST(SUM(price_cents) AS BIGINT) AS price_sum,
+           CAST(1 AS BIGINT) AS all_batches_committed,
+           CAST(1 AS BIGINT) AS retry_skipped,
+           CAST(1 AS BIGINT) AS orphans_removed
+    FROM dim
+    GROUP BY k % 20
+    ORDER BY key_mod
+    """,
+)
+def streaming_lake_cdf_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE FULL PRODUCTION LOOP, end to end in one query: lake A's
+    commits are tailed by the CDF streaming source; a foreachBatch
+    sink applies each micro-batch's row-level changes to an SCD2
+    dimension MAINTAINED IN A SECOND LAKE TABLE, committing through
+    commit_idempotent (the Delta txn handshake) — so a crash-replayed
+    batch is absorbed, not double-applied. The crash is then actually
+    simulated: the last epoch's sink work (dimension rewrite + txn
+    commit) is re-executed verbatim — the retry is SKIPPED by the
+    recorded high-water mark, its orphaned rewrite reclaimed by
+    remove_orphans, and the dimension provably unharmed (the oracle
+    would hash-mismatch on any duplicate application: a re-applied
+    delete batch would close nothing but a re-applied update batch
+    would open spurious version-3 rows).
+
+    At 100 TB this is the architecture: source progress in the
+    stream's checkpoint, sink progress in lake B's txn actions, each
+    micro-batch O(rows changed in its commits), the dimension update
+    touching only feed keys (scd2_apply_changes' broadcast
+    semi-split)."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.operators.cdc import scd2_apply_changes
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamDataSource
+    from etl_lens_spark.sources.sinks import scratch_path
+
+    src_base = _cdf_lake_build(spark, sf_dir, "cdf_x1_src")
+    dim_base = scratch_path("cdf_x1_dim")
+    shutil.rmtree(dim_base, ignore_errors=True)
+    import os as _os
+
+    _os.makedirs(dim_base)
+    try:
+        spark.dataSource.register(LakeLogCDFStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    app_id = "scd2_maintainer"
+    sink_log: list[dict] = []
+
+    def _apply_batch(batch_df, epoch_id: int):
+        """The sink body, factored so the crash-retry can re-run it
+        verbatim: apply the batch's commits IN VERSION ORDER to the
+        current dimension, write the new dimension, commit with the
+        epoch as the txn version."""
+        versions = sorted(
+            r["_commit_version"]
+            for r in batch_df.select("_commit_version")
+            .distinct()
+            .collect()
+        )
+        if not versions:
+            return None
+        prev = lakelog.snapshot_actions(dim_base) if (
+            lakelog.latest_version(dim_base) >= 0
+        ) else {}
+        dim = (
+            lakelog.read_snapshot(spark, dim_base)
+            if prev
+            else spark.createDataFrame([], _SCD2_SCHEMA)
+        )
+        for v in versions:
+            feed = batch_df.filter(
+                F.col("_commit_version") == v
+            ).select("k", "price_cents", "_change_type")
+            dim = scd2_apply_changes(
+                dim, feed, ["k"], ["price_cents"], (v + 1) * 1000
+            )
+        rel = f"dim_{int(epoch_id):05d}_{versions[-1]}"
+        # bound the dimension's file count: the apply's three-way
+        # union tripled the shuffle partitioning each epoch — at
+        # fixture scale one digit of files is right (production
+        # would repartition by key into its bucketing layout)
+        dim.coalesce(8).write.mode("overwrite").parquet(
+            _os.path.join(dim_base, rel)
+        )
+        actions = [{"remove": r} for r in prev] + [{"add": rel}]
+        return lakelog.commit_idempotent(
+            dim_base, app_id, int(epoch_id), actions
+        )
+
+    def sink(batch_df, epoch_id):
+        res = _apply_batch(
+            batch_df.localCheckpoint(), int(epoch_id)
+        )
+        if res is not None:
+            sink_log.append({"epoch": int(epoch_id), **res})
+
+    stream = (
+        spark.readStream.format("lakelog_cdf")
+        .option("path", src_base)
+        .option("schema_ddl", "k long, price_cents long")
+        .load()
+    )
+    import uuid
+
+    ckpt = scratch_path(f"ckpt_cdf_x1_{uuid.uuid4().hex}")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    all_committed = int(
+        bool(sink_log) and all(not r["skipped"] for r in sink_log)
+    )
+    # crash-retry: re-run the LAST epoch's sink work verbatim — the
+    # txn high-water mark absorbs it
+    last = sink_log[-1]
+    replay = lakelog.table_changes(
+        spark, src_base, -1, lakelog.latest_version(src_base)
+    ).filter(F.col("_commit_version") <= last["epoch"])
+    # the replayed batch re-writes its output under a fresh name but
+    # the idempotent commit must skip (same app, same txn version)
+    pre_head = lakelog.latest_version(dim_base)
+    retry = _apply_batch(
+        replay.filter(
+            F.col("_commit_version")
+            == F.lit(last["epoch"])
+        ),
+        last["epoch"],
+    )
+    retry_skipped = int(bool(retry and retry["skipped"]))
+    assert lakelog.latest_version(dim_base) == pre_head
+    orphans = lakelog.remove_orphans(dim_base)
+
+    flags = spark.createDataFrame(
+        [(all_committed, retry_skipped, int(bool(orphans["n_removed"])))],
+        "all_batches_committed long, retry_skipped long, "
+        "orphans_removed long",
+    )
+    out = (
+        lakelog.read_snapshot(spark, dim_base)
+        .groupBy((F.col("k") % 20).cast("int").alias("key_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("is_current").cast("long").alias("n_current"),
+            F.sum("version_seq").cast("long").alias("seq_sum"),
+            F.sum("price_cents").cast("long").alias("price_sum"),
+        )
+        .crossJoin(F.broadcast(flags))
+        .orderBy("key_mod")
+    )
+    rows = out.collect()
+    shutil.rmtree(src_base, ignore_errors=True)
+    shutil.rmtree(dim_base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

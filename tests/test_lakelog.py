@@ -1541,3 +1541,77 @@ def test_apply_cdc_records_outgoing_cdf(spark, tmp_path):
         (r.k, r.v) for r in lakelog.read_snapshot(spark, base).collect()
     )
     assert ks == [(1, 11), (3, 30), (9, 90)]
+
+
+# ---------------------------------------------------------------------------
+# Round 8: CHECK constraints and retention-aware vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_enforced_on_add_and_append(spark, tmp_path):
+    """ADD CONSTRAINT scans once and refuses if existing rows
+    violate; a violating append is rejected BEFORE anything becomes
+    visible; NULL predicate results count as violations (Delta CHECK
+    semantics); drop is metadata-only and re-opens the gate."""
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.add_constraint(spark, base, "v_pos", "v > 0")
+    assert lakelog.table_constraints(base) == {"v_pos": "v > 0"}
+    # an add whose rule existing data violates refuses
+    with pytest.raises(lakelog.ConstraintViolation, match="existing"):
+        lakelog.add_constraint(spark, base, "v_small", "v < 15")
+    # violating append (one bad row) rejected atomically
+    head = lakelog.latest_version(base)
+    bad = spark.createDataFrame([(3, 30), (4, -1)], "k long, v long")
+    with pytest.raises(lakelog.ConstraintViolation, match="v_pos"):
+        lakelog.constrained_append(spark, base, bad, "s_bad")
+    assert lakelog.latest_version(base) == head  # nothing committed
+    assert not os.path.exists(os.path.join(base, "s_bad"))
+    # NULL evaluates as a violation
+    nullish = spark.createDataFrame([(5, None)], "k long, v long")
+    with pytest.raises(lakelog.ConstraintViolation):
+        lakelog.constrained_append(spark, base, nullish, "s_null")
+    # clean append passes
+    ok = spark.createDataFrame([(6, 60)], "k long, v long")
+    st = lakelog.constrained_append(spark, base, ok, "s_ok")
+    assert st["rel"] == "s_ok"
+    # drop, then the previously-rejected batch is accepted
+    lakelog.drop_constraint(base, "v_pos")
+    assert lakelog.table_constraints(base) == {}
+    lakelog.constrained_append(spark, base, bad, "s_bad2")
+    ks = sorted(r.k for r in lakelog.read_snapshot(spark, base).collect())
+    assert ks == [1, 2, 3, 4, 6]
+    with pytest.raises(ValueError, match="no such constraint"):
+        lakelog.drop_constraint(base, "ghost")
+
+
+def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
+    """retain_versions keeps every file any retained snapshot
+    references: time travel inside the horizon reads byte-for-byte,
+    versions beyond it lose their exclusive files."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    for v in range(3):
+        spark.createDataFrame(
+            [(v * 10 + i,) for i in range(3)], "k long"
+        ).coalesce(1).write.parquet(f"{base}/f{v}")
+    lakelog.commit(base, 0, [{"add": "f0"}])
+    lakelog.commit(base, 1, [{"remove": "f0"}, {"add": "f1"}])
+    lakelog.commit(base, 2, [{"remove": "f1"}, {"add": "f2"}])
+    st = lakelog.vacuum(base, retain_versions=1)
+    # f1 (v1's file) survives the horizon; f0 (v0-only) reclaimed
+    assert st["n_dirs_deleted"] == 1 and st["n_dirs_kept"] == 2
+    assert sorted(
+        r.k for r in lakelog.read_snapshot(spark, base, 1).collect()
+    ) == [10, 11, 12]
+    assert not os.path.exists(os.path.join(base, "f0"))
+    # retention-0 afterwards reclaims the rest of history
+    st2 = lakelog.vacuum(base)
+    assert st2["n_dirs_deleted"] == 1
+    assert sorted(
+        r.k for r in lakelog.read_snapshot(spark, base).collect()
+    ) == [20, 21, 22]
