@@ -305,6 +305,13 @@ def write_checkpoint(table_dir: str, version: int | None = None) -> dict:
     entries = list(active.values())
     if txns:
         entries.append({"txns": txns})
+    # table METADATA consolidates too (round-8 review fix — Delta
+    # checkpoints carry metaData for the same reason): schema /
+    # column-mapping / partition-spec / constraint resolution then
+    # starts from the checkpoint instead of replaying every commit
+    # since table creation — O(tail) per read instead of O(log), and
+    # still answerable after pre-checkpoint commit files are retired
+    entries.append({"metaState": _meta_state(table_dir, version)})
     with open(tmp, "w") as f:
         json.dump(entries, f)
         f.flush()
@@ -315,6 +322,65 @@ def write_checkpoint(table_dir: str, version: int | None = None) -> dict:
         "n_active_files": len(active),
         "n_txn_apps": len(txns),
     }
+
+
+def _meta_state(table_dir: str, version: int) -> dict:
+    """Consolidated table metadata as of ``version`` — the last-wins
+    state of every metadata action family, resolved CHECKPOINT-FIRST
+    (newest checkpoint ≤ version, then the tail commits), so every
+    metadata reader is O(commits since last checkpoint) and survives
+    retirement of pre-checkpoint commit files. Returns::
+
+        {"metaData": fields|None, "columnMapping": fields|None,
+         "partitionSpecs": {spec_id: spec}, "constraints": {name: expr}}
+    """
+    log = _log_dir(table_dir)
+    ckpts = [
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".checkpoint.json")
+        and int(f.split(".")[0]) <= version
+    ]
+    state: dict = {
+        "metaData": None,
+        "columnMapping": None,
+        "partitionSpecs": {},
+        "constraints": {},
+    }
+    start = 0
+    if ckpts:
+        cv = max(ckpts)
+        with open(os.path.join(log, f"{cv:08d}.checkpoint.json")) as f:
+            for entry in json.load(f):
+                if "metaState" in entry:
+                    s = entry["metaState"]
+                    state["metaData"] = s.get("metaData")
+                    state["columnMapping"] = s.get("columnMapping")
+                    state["partitionSpecs"] = {
+                        int(k): v
+                        for k, v in s.get("partitionSpecs", {}).items()
+                    }
+                    state["constraints"] = dict(s.get("constraints", {}))
+        start = cv + 1
+    for v in range(start, version + 1):
+        path = os.path.join(log, f"{v:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"log hole at version {v}")
+        with open(path) as f:
+            for a in json.load(f):
+                if "metaData" in a:
+                    state["metaData"] = a["metaData"]["fields"]
+                elif "columnMapping" in a:
+                    state["columnMapping"] = a["columnMapping"]["fields"]
+                elif "partitionSpec" in a:
+                    s = a["partitionSpec"]
+                    state["partitionSpecs"][int(s["spec_id"])] = s
+                elif "constraint" in a:
+                    c = a["constraint"]
+                    state["constraints"][c["name"]] = c["expr"]
+                elif "dropConstraint" in a:
+                    state["constraints"].pop(a["dropConstraint"], None)
+    return state
 
 
 def _txn_marks(table_dir: str, version: int) -> dict[str, int]:
@@ -850,9 +916,16 @@ def apply_cdc(
     ``update_preimage`` (upsert keys) or ``delete`` (op='D' keys),
     matched upserts ``update_postimage``, unmatched upserts
     ``insert`` — so a CDC-applied table can itself be tailed by
-    downstream CDF consumers (feed chaining)."""
+    downstream CDF consumers (feed chaining). A key carrying BOTH a
+    delete and an upsert in one feed nets to an update (matched rows
+    are dropped once, the upsert appended once), and the change
+    record says exactly that — update pre/post, never a
+    contradictory delete+preimage pair for one old row."""
     from pyspark.sql import functions as F
 
+    _assert_no_dv(
+        _replay(table_dir, latest_version(table_dir))[0], "apply_cdc"
+    )
     files = snapshot_files(table_dir)
     if not files:
         raise ValueError("apply_cdc into empty snapshot")
@@ -892,9 +965,15 @@ def apply_cdc(
         up_keys = changes.filter(F.col(op_col) != "D").select(
             *key_cols
         ).distinct()
-        del_keys = changes.filter(F.col(op_col) == "D").select(
-            *key_cols
-        ).distinct()
+        # a key that both deletes and upserts NETS to an update —
+        # emitting its old row as delete AND update_preimage would
+        # double-count it in any downstream multiset audit
+        del_keys = (
+            changes.filter(F.col(op_col) == "D")
+            .select(*key_cols)
+            .distinct()
+            .join(up_keys, key_cols, "left_anti")
+        )
         if touched:
             touched_paths = [os.path.join(table_dir, f) for f in touched]
             old = spark.read.parquet(*touched_paths)
@@ -1191,8 +1270,16 @@ def vacuum(table_dir: str, retain_versions: int = 0) -> dict:
     ``delete_where_mor`` against an already-DV'd file writes a new
     merged sidecar and materialize/compact drop the reference — on a
     long-lived table dead sidecars would otherwise accumulate
-    unboundedly. A ``_dv`` file survives only while some latest-
-    snapshot action (or staged entry) references it."""
+    unboundedly. A ``_dv`` file survives only while some RETAINED
+    snapshot's action (or a staged entry) references it.
+
+    CDF caveat, same as Delta's: serving a historical MOR-delete
+    commit needs BOTH adjacent versions' sidecars (the diff), so
+    vacuum bounds CDF serving of DV-derived commits to the retention
+    horizon — a tail further behind than ``retain_versions`` fails
+    on the reclaimed sidecar instead of emitting wrong rows. ``_cdc``
+    change RECORDS, by contrast, are self-contained history and are
+    protected wholesale."""
     import shutil
 
     head = latest_version(table_dir)
@@ -1281,19 +1368,12 @@ def table_schema(
     """The table schema as of ``version``: the LAST ``metaData``
     action at or before it wins (the Delta protocol's rule). Returns
     ``[(name, sql_type), ...]`` or None if no metaData was ever
-    committed (pre-evolution tables keep their physical schema)."""
+    committed (pre-evolution tables keep their physical schema).
+    Checkpoint-aware via _meta_state (round-8 review fix)."""
     if version is None:
         version = latest_version(table_dir)
-    schema = None
-    for v in range(version + 1):
-        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
-        if not os.path.exists(path):
-            raise ValueError(f"log hole at version {v}")
-        with open(path) as f:
-            for a in json.load(f):
-                if "metaData" in a:
-                    schema = [tuple(x) for x in a["metaData"]["fields"]]
-    return schema
+    fields = _meta_state(table_dir, version)["metaData"]
+    return [tuple(x) for x in fields] if fields is not None else None
 
 
 def read_snapshot_evolved(
@@ -1390,7 +1470,12 @@ def _staged_entries(table_dir: str) -> list[dict]:
     (crash debris from pre-atomic ``stage`` writers) are skipped
     defensively so one truncated entry can never turn table-wide
     maintenance (vacuum / find_orphans) into a JSON outage; since
-    stage() became atomic such files cannot be produced anymore."""
+    stage() became atomic such files cannot be produced anymore.
+
+    Only PARSE failures are skipped: an entry that cannot even be
+    READ (EACCES, I/O error) propagates — deleting data because its
+    protection record was temporarily unreadable would be
+    fail-unsafe (round-8 review fix)."""
     staged_dir = os.path.join(_log_dir(table_dir), "_staged")
     out: list[dict] = []
     if os.path.isdir(staged_dir):
@@ -1400,7 +1485,7 @@ def _staged_entries(table_dir: str) -> list[dict]:
             try:
                 with open(os.path.join(staged_dir, f)) as fh:
                     out.append(json.load(fh))
-            except (json.JSONDecodeError, OSError):
+            except (json.JSONDecodeError, UnicodeDecodeError):
                 continue
     return out
 
@@ -1522,20 +1607,11 @@ def partition_specs(
     table_dir: str, version: int | None = None
 ) -> dict[int, dict]:
     """All partitionSpec declarations at or before ``version``
-    (later re-declaration of an id wins, mirroring metaData)."""
+    (later re-declaration of an id wins, mirroring metaData).
+    Checkpoint-aware via _meta_state (round-8 review fix)."""
     if version is None:
         version = latest_version(table_dir)
-    specs: dict[int, dict] = {}
-    for v in range(version + 1):
-        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
-        if not os.path.exists(path):
-            raise ValueError(f"log hole at version {v}")
-        with open(path) as f:
-            for a in json.load(f):
-                if "partitionSpec" in a:
-                    s = a["partitionSpec"]
-                    specs[int(s["spec_id"])] = s
-    return specs
+    return _meta_state(table_dir, version)["partitionSpecs"]
 
 
 def _transform_col(transform: str, col):
@@ -2145,9 +2221,18 @@ def commit_change_plan(table_dir: str, version: int) -> dict:
 
     Raises ValueError for a CoW rewrite commit with no cdc record.
     """
+    # absolute from the start: the batch reader compares these paths
+    # against _metadata.file_path (always absolute) — a relative
+    # table_dir would silently match nothing (round-8 review fix)
+    table_dir = os.path.abspath(table_dir)
     path = os.path.join(_log_dir(table_dir), f"{version:08d}.json")
     if not os.path.exists(path):
-        raise ValueError(f"missing commit {version} (log has a hole)")
+        raise ValueError(
+            f"commit {version} is not in the log (hole, or its file "
+            "was retired after a checkpoint) — CDF can only serve "
+            "commit ranges whose files survive, exactly like Delta "
+            "after log cleanup"
+        )
     with open(path) as f:
         actions = json.load(f)
     plan: dict = {
@@ -2350,18 +2435,8 @@ def column_mapping(
     None if the table never enabled mapping."""
     if version is None:
         version = latest_version(table_dir)
-    fields = None
-    for v in range(version + 1):
-        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
-        if not os.path.exists(path):
-            raise ValueError(f"log hole at version {v}")
-        with open(path) as f:
-            for a in json.load(f):
-                if "columnMapping" in a:
-                    fields = [
-                        tuple(x) for x in a["columnMapping"]["fields"]
-                    ]
-    return fields
+    fields = _meta_state(table_dir, version)["columnMapping"]
+    return [tuple(x) for x in fields] if fields is not None else None
 
 
 def _commit_mapping(table_dir: str, fields) -> dict:
@@ -2493,19 +2568,7 @@ def table_constraints(
     (constraint adds minus dropConstraint actions, in log order)."""
     if version is None:
         version = latest_version(table_dir)
-    out: dict[str, str] = {}
-    for v in range(version + 1):
-        path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
-        if not os.path.exists(path):
-            raise ValueError(f"log hole at version {v}")
-        with open(path) as f:
-            for a in json.load(f):
-                if "constraint" in a:
-                    c = a["constraint"]
-                    out[c["name"]] = c["expr"]
-                elif "dropConstraint" in a:
-                    out.pop(a["dropConstraint"], None)
-    return out
+    return dict(_meta_state(table_dir, version)["constraints"])
 
 
 def _count_violations(df: DataFrame, constraints: dict[str, str]):
@@ -2529,11 +2592,19 @@ def add_constraint(
 ) -> dict:
     """ADD CONSTRAINT: validate the CURRENT snapshot (one scan),
     refuse with ConstraintViolation if any row fails, else commit
-    the constraint action (metadata-only)."""
+    the constraint action. The commit passes the validated
+    snapshot's file set as its READ SET (serializable isolation,
+    round-8 review fix): a data commit landing between the
+    validation scan and the metadata commit raises CommitConflict
+    instead of rebasing past it — otherwise a concurrently-appended
+    violating batch and the constraint could BOTH land, committing
+    an invariant existing rows already break. The caller re-runs
+    add_constraint to re-validate against the new snapshot."""
     if name in table_constraints(table_dir):
         raise ValueError(f"constraint {name!r} already exists")
+    base = latest_version(table_dir)
     counts = _count_violations(
-        read_snapshot(spark, table_dir), {name: expr}
+        read_snapshot(spark, table_dir, base), {name: expr}
     )
     if counts[name]:
         raise ConstraintViolation(
@@ -2542,8 +2613,9 @@ def add_constraint(
         )
     res = try_commit_rebase(
         table_dir,
-        latest_version(table_dir),
+        base,
         [{"constraint": {"name": name, "expr": expr}}],
+        read_files=set(snapshot_actions(table_dir, base)),
     )
     return {"version": res["version"], "name": name}
 
@@ -2563,18 +2635,49 @@ def constrained_append(
     """Append a batch under the table's constraints: validate BEFORE
     any commit — a violating batch raises ConstraintViolation with
     per-constraint counts and never becomes visible (its parquet is
-    not written). The violation counts ride one aggregate over the
-    batch itself; the table is never re-scanned."""
-    constraints = table_constraints(table_dir)
-    if constraints:
-        counts = _count_violations(df, constraints)
-        bad = {n: c for n, c in counts.items() if c}
-        if bad:
-            raise ConstraintViolation(
-                f"append rejected: violations {bad}"
-            )
-    df.write.parquet(os.path.join(table_dir, rel))
-    res = try_commit_rebase(
-        table_dir, latest_version(table_dir), [{"add": rel}]
-    )
-    return {"version": res["version"], "rel": rel}
+    removed if it was already staged). The violation counts ride one
+    aggregate over the batch itself; the table is never re-scanned.
+
+    Race-closed against concurrent ADD CONSTRAINT (round-8 review
+    fix, the mirror of add_constraint's serializable read set): the
+    commit loop re-reads the constraint set at the head it is about
+    to commit onto and re-validates any constraints that appeared
+    since the last check — so a batch can never slip in under a rule
+    committed during its own validation."""
+    import shutil
+
+    validated: dict[str, str] = {}
+
+    def _check(constraints: dict[str, str]) -> None:
+        fresh = {
+            n: e for n, e in constraints.items() if n not in validated
+        }
+        if fresh:
+            counts = _count_violations(df, fresh)
+            bad = {n: c for n, c in counts.items() if c}
+            if bad:
+                raise ConstraintViolation(
+                    f"append rejected: violations {bad}"
+                )
+            validated.update(fresh)
+
+    _check(table_constraints(table_dir))  # fast-path, before any write
+    written = False
+    while True:
+        head = latest_version(table_dir)
+        try:
+            _check(table_constraints(table_dir, head))
+        except ConstraintViolation:
+            if written:
+                shutil.rmtree(
+                    os.path.join(table_dir, rel), ignore_errors=True
+                )
+            raise
+        if not written:
+            df.write.parquet(os.path.join(table_dir, rel))
+            written = True
+        try:
+            commit(table_dir, head + 1, [{"add": rel}])
+            return {"version": head + 1, "rel": rel}
+        except CommitConflict:
+            continue  # lost the race; re-check constraints and retry

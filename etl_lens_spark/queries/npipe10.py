@@ -766,7 +766,16 @@ def streaming_lake_cdf_exactly_once(
             dim = scd2_apply_changes(
                 dim, feed, ["k"], ["price_cents"], (v + 1) * 1000
             )
-        rel = f"dim_{int(epoch_id):05d}_{versions[-1]}"
+        # the rel must be UNIQUE PER ATTEMPT (round-8 review fix): a
+        # crash-replayed epoch re-runs this body — a deterministic
+        # name would overwrite the live dimension file the replay is
+        # simultaneously reading, BEFORE commit_idempotent can skip;
+        # a fresh name makes the replay's write harmless debris that
+        # remove_orphans reclaims (the exactly-once story this query
+        # pins)
+        import uuid as _uuid
+
+        rel = f"dim_{int(epoch_id):05d}_{_uuid.uuid4().hex[:8]}"
         # bound the dimension's file count: the apply's three-way
         # union tripled the shuffle partitioning each epoch — at
         # fixture scale one digit of files is right (production
@@ -775,9 +784,12 @@ def streaming_lake_cdf_exactly_once(
             _os.path.join(dim_base, rel)
         )
         actions = [{"remove": r} for r in prev] + [{"add": rel}]
-        return lakelog.commit_idempotent(
-            dim_base, app_id, int(epoch_id), actions
-        )
+        return {
+            "versions": versions,
+            **lakelog.commit_idempotent(
+                dim_base, app_id, int(epoch_id), actions
+            ),
+        }
 
     def sink(batch_df, epoch_id):
         res = _apply_batch(
@@ -806,22 +818,17 @@ def streaming_lake_cdf_exactly_once(
     all_committed = int(
         bool(sink_log) and all(not r["skipped"] for r in sink_log)
     )
-    # crash-retry: re-run the LAST epoch's sink work verbatim — the
-    # txn high-water mark absorbs it
+    # crash-retry: re-run the LAST epoch's sink work with the SAME
+    # batch content (the versions that epoch actually carried — under
+    # the availableNow single-batch fallback that is all of them) —
+    # the txn high-water mark absorbs it; its fresh-named rewrite
+    # becomes debris for remove_orphans
     last = sink_log[-1]
     replay = lakelog.table_changes(
         spark, src_base, -1, lakelog.latest_version(src_base)
-    ).filter(F.col("_commit_version") <= last["epoch"])
-    # the replayed batch re-writes its output under a fresh name but
-    # the idempotent commit must skip (same app, same txn version)
+    ).filter(F.col("_commit_version").isin([int(v) for v in last["versions"]]))
     pre_head = lakelog.latest_version(dim_base)
-    retry = _apply_batch(
-        replay.filter(
-            F.col("_commit_version")
-            == F.lit(last["epoch"])
-        ),
-        last["epoch"],
-    )
+    retry = _apply_batch(replay, last["epoch"])
     retry_skipped = int(bool(retry and retry["skipped"]))
     assert lakelog.latest_version(dim_base) == pre_head
     orphans = lakelog.remove_orphans(dim_base)

@@ -221,6 +221,27 @@ class JsonLinesSinkDataSource(DataSource):
 # ---------------------------------------------------------------------------
 
 
+def _ddl_column_names(ddl: str) -> list[str]:
+    """Column names from a DDL string, splitting on TOP-LEVEL commas
+    only — ``decimal(18,2)`` / ``map<string,int>`` / ``struct<...>``
+    carry commas inside their type parameters that a naive
+    ``split(',')`` would turn into phantom columns (round-8 review
+    fix)."""
+    cols, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur))
+    return [c.strip().split()[0] for c in cols if c.strip()]
+
+
 class _RelSlice(InputPartition):
     def __init__(self, path: str, columns: list[str]):
         self.path = path
@@ -247,6 +268,19 @@ class LakeLogStreamReader(DataSourceStreamReader):
     catch-up batch, never a duplicate. Thereafter the cursor clamps
     up to every (start, end] bound ``partitions`` observes, so an
     uncommitted-batch replay also re-anchors pacing correctly.
+
+    Engine caveat (observed live, round-8 review): under
+    ``Trigger.AvailableNow`` Spark logs "source does not support
+    Trigger.AvailableNow. Falling back to single batch execution"
+    for Python sources without admission control and asks
+    latestOffset ONCE without calling initialOffset — the reader
+    takes the restart path and the whole backlog drains as one
+    batch. That matches AvailableNow's documented fallback semantics
+    (process everything present, then stop); pacing applies under
+    continuous / processAllAvailable triggers, where initialOffset
+    does fire first on a fresh query (pinned live by
+    streaming_lake_source_live's hash-matched oracle, which consumed
+    its three commits version-by-version).
     Contract mirrors Delta's streaming
     source: the table must be APPEND-ONLY over the consumed range —
     a remove action raises unless ``ignore_changes=true`` (then adds
@@ -259,10 +293,7 @@ class LakeLogStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self.table_dir = options["path"]
-        self.columns = [
-            c.strip().split()[0]
-            for c in options["schema_ddl"].split(",")
-        ]
+        self.columns = _ddl_column_names(options["schema_ddl"])
         self.ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )

@@ -386,3 +386,15 @@ def test_lakelog_cdf_stream_matches_batch(spark, tmp_path):
     # a layout-only commit emits nothing
     lakelog.materialize_deletion_vectors(spark, base)
     assert r.partitions({"version": head}, {"version": head + 1}) == []
+
+
+def test_ddl_column_names_handles_parametrized_types():
+    """Round-8 review fix: top-level-comma splitting — decimal/map/
+    struct type parameters must not become phantom columns."""
+    from etl_lens_spark.sources.pyds import _ddl_column_names
+
+    assert _ddl_column_names(
+        "k long, price decimal(18,2), m map<string,int>, "
+        "s struct<a:int,b:string>, v string"
+    ) == ["k", "price", "m", "s", "v"]
+    assert _ddl_column_names("k long") == ["k"]

@@ -1615,3 +1615,151 @@ def test_vacuum_retention_preserves_time_travel(spark, tmp_path):
     assert sorted(
         r.k for r in lakelog.read_snapshot(spark, base).collect()
     ) == [20, 21, 22]
+
+
+def test_metadata_consolidates_into_checkpoints(spark, tmp_path):
+    """Round-8 review fix: schema / column-mapping / partition-spec /
+    constraint resolution is checkpoint-first — after a checkpoint,
+    pre-checkpoint commit files can be retired and every metadata
+    reader still answers (physically pinned by DELETING them), and
+    per-read cost is O(tail), not O(log)."""
+    import datetime as dt
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10, dt.date(2020, 1, 2))], "k long, v long, d date"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(
+        base,
+        0,
+        [
+            {"add": "s0"},
+            {"metaData": {"fields": [["k", "long"], ["v", "long"],
+                                     ["d", "date"]]}},
+            lakelog.mapping_action(
+                [("k", "k", "long"), ("v", "v", "long"),
+                 ("d", "d", "date")]
+            ),
+            lakelog.spec_action(1, "d", "year"),
+        ],
+    )
+    lakelog.add_constraint(spark, base, "v_pos", "v > 0")  # v1
+    lakelog.rename_column(base, "v", "value")  # v2
+    lakelog.write_checkpoint(base)
+    # retire every pre-checkpoint commit file (keep the newest —
+    # latest_version needs one numbered file)
+    lakelog.commit(base, 3, [])  # empty marker commit = new head
+    for v in range(3):
+        os.remove(os.path.join(base, "_log", f"{v:08d}.json"))
+    assert lakelog.table_schema(base)[0] == ("k", "long")
+    assert dict(
+        (logical, phys)
+        for logical, phys, _ in lakelog.column_mapping(base)
+    )["value"] == "v"
+    assert lakelog.partition_specs(base)[1]["transform"] == "year"
+    assert lakelog.table_constraints(base) == {"v_pos": "v > 0"}
+    # reads still work end-to-end through the consolidated state
+    rows = [
+        (r.k, r.value)
+        for r in lakelog.read_snapshot_mapped(spark, base).collect()
+    ]
+    assert rows == [(1, 10)]
+    # constrained appends keep enforcing from the checkpointed state
+    with pytest.raises(lakelog.ConstraintViolation):
+        lakelog.constrained_append(
+            spark,
+            base,
+            spark.createDataFrame([(2, -5, dt.date(2021, 1, 1))],
+                                  "k long, v long, d date"),
+            "s_bad",
+        )
+
+
+def test_apply_cdc_cdf_same_key_delete_and_upsert_nets_update(
+    spark, tmp_path
+):
+    """Round-8 review fix: a key carrying BOTH 'D' and an upsert in
+    one feed nets to an update — the change record emits one
+    pre/post pair, never a contradictory delete+preimage double."""
+    base = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10)], "k long, v long")\
+        .coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    feed = spark.createDataFrame(
+        [(1, None, "D"), (1, 99, "U")], "k long, v long, op string"
+    )
+    lakelog.apply_cdc(spark, base, feed, ["k"], cdf=True)
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in lakelog.table_changes(spark, base, 0, 1).collect()
+    )
+    assert got == [
+        (1, 10, "update_preimage"),
+        (1, 99, "update_postimage"),
+    ]
+
+
+def test_apply_cdc_refuses_dv_tables(spark, tmp_path):
+    """Round-8 review fix: apply_cdc reads/rewrites raw parquet —
+    on a DV'd table it must refuse instead of resurrecting
+    MOR-deleted rows into the table AND the change record."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, k) for k in range(6)], "k long, v long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.delete_where_mor(spark, base, F.col("k") == 5)
+    feed = spark.createDataFrame([(5, 55, "U")], "k long, v long, op string")
+    with pytest.raises(ValueError, match="deletion-vector"):
+        lakelog.apply_cdc(spark, base, feed, ["k"], cdf=True)
+
+
+def test_table_changes_relative_table_dir(spark, tmp_path):
+    """Round-8 review fix: a relative table_dir must serve
+    DV-derived deletes identically to an absolute one (paths are
+    compared against the absolute _metadata.file_path)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, k) for k in range(6)], "k long, v long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.delete_where_mor(spark, base, F.col("k").isin(1, 3))
+    cwd = _os.getcwd()
+    try:
+        _os.chdir(str(tmp_path))
+        got = sorted(
+            (r.k, r._change_type)
+            for r in lakelog.table_changes(spark, "t", 0, 1).collect()
+        )
+    finally:
+        _os.chdir(cwd)
+    assert got == [(1, "delete"), (3, "delete")]
+
+
+def test_unreadable_staged_entry_fails_safe(spark, tmp_path):
+    """Round-8 review fix: an entry that cannot be READ (vs parsed)
+    must propagate — vacuum deleting data because its protection
+    record was temporarily unreadable would be fail-unsafe."""
+    base = str(tmp_path / "t")
+    spark.range(3).write.parquet(f"{base}/f0")
+    lakelog.commit(base, 0, [{"add": "f0"}])
+    lakelog.stage(base, "w", [{"add": "b1"}])
+    p = os.path.join(base, "_log", "_staged", "w.json")
+    os.chmod(p, 0)
+    try:
+        if os.geteuid() != 0:  # root bypasses file modes
+            with pytest.raises(OSError):
+                lakelog.vacuum(base)
+        # parse failures are still skipped (crash debris)
+        os.chmod(p, 0o644)
+        with open(p, "w") as f:
+            f.write("{broken")
+        lakelog.vacuum(base)
+    finally:
+        os.chmod(p, 0o644)
