@@ -2248,6 +2248,13 @@ def commit_change_plan(table_dir: str, version: int) -> dict:
                 _list_parquet_files(os.path.join(table_dir, rel))
             )
         return plan
+    if any("restore" in a for a in actions):
+        raise ValueError(
+            f"commit {version} is a RESTORE without a change record "
+            "— its row-level effect can include DV resurrections the "
+            "add/remove shape cannot express; run restore_table with "
+            "cdf=True to serve CDF over it"
+        )
     dc = [
         a
         for a in actions
@@ -2681,3 +2688,276 @@ def constrained_append(
             return {"version": head + 1, "rel": rel}
         except CommitConflict:
             continue  # lost the race; re-check constraints and retry
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (time-travel rollback) + queryable metadata tables
+#
+# Delta's RESTORE TABLE ... TO VERSION AS OF v: a new commit whose
+# actions reset the ACTIVE SET to what it was at v — re-add the files
+# that v had and head lost, remove the files head gained, repoint
+# files whose action changed in between (a DV that grew since v
+# shrinks back by re-committing v's action). No parquet is read or
+# written unless the caller asks for the row-level change record —
+# rollback of a 100 TB table is O(files changed) metadata. History
+# after a restore keeps ALL versions: restore is a new commit, not a
+# log truncation, so the mistake stays auditable and time travel to
+# the pre-restore head still works.
+# ---------------------------------------------------------------------------
+
+
+def restore_table(
+    spark: SparkSession,
+    table_dir: str,
+    to_version: int,
+    cdf: bool = False,
+) -> dict:
+    """Roll the table back to ``to_version`` as a NEW commit.
+
+    With ``cdf=True`` the restore also writes the row-level change
+    record CDF consumers need (Delta emits change data for RESTORE
+    when CDF is enabled): rows of re-added files are inserts, rows of
+    removed files are deletes (minus rows already dead under head's
+    DVs — they were never visible, so they don't "un-delete"), and
+    rows resurrected by a shrinking deletion vector are inserts read
+    back by position. Without ``cdf`` the commit carries only the
+    metadata swap and ``table_changes`` over it refuses — same rule
+    as a CoW rewrite without a record.
+
+    Raises if any file ``to_version`` needs was vacuumed away — the
+    restore window is bounded by the vacuum retention horizon,
+    exactly like Delta."""
+    head = latest_version(table_dir)
+    if to_version < 0 or to_version > head:
+        raise ValueError(
+            f"restore target {to_version} outside log [0, {head}]"
+        )
+    target = _replay(table_dir, to_version)[0]
+    current = _replay(table_dir, head)[0]
+    re_add = {
+        r: a for r, a in target.items() if r not in current
+    }
+    removes = sorted(r for r in current if r not in target)
+    repoints = {
+        r: a
+        for r, a in target.items()
+        if r in current and current[r] != a
+    }
+    if not re_add and not removes and not repoints:
+        return {
+            "version": None,
+            "n_readded": 0,
+            "n_removed": 0,
+            "n_repointed": 0,
+        }
+    missing = sorted(
+        r
+        for r, a in {**re_add, **repoints}.items()
+        if not os.path.exists(os.path.join(table_dir, r))
+        or (
+            a.get("dv")
+            and not os.path.exists(os.path.join(table_dir, a["dv"]))
+        )
+    )
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {to_version}: files {missing} "
+            "were vacuumed — the restore window is bounded by the "
+            "vacuum retention horizon"
+        )
+    version = head + 1
+    actions: list[dict] = [
+        {"restore": {"from": head, "to": to_version}}
+    ]
+    if cdf:
+        record = _restore_change_record(
+            spark, table_dir, re_add, removes, repoints, current
+        )
+        if record is not None:
+            actions.append(_write_cdc(spark, table_dir, version, record))
+    actions.extend(dict(re_add[r]) for r in sorted(re_add))
+    actions.extend({"remove": r} for r in removes)
+    actions.extend(dict(repoints[r]) for r in sorted(repoints))
+    commit(table_dir, version, actions)
+    return {
+        "version": version,
+        "n_readded": len(re_add),
+        "n_removed": len(removes),
+        "n_repointed": len(repoints),
+    }
+
+
+def _restore_change_record(
+    spark: SparkSession,
+    table_dir: str,
+    re_add: dict[str, dict],
+    removes: list[str],
+    repoints: dict[str, dict],
+    current: dict[str, dict],
+) -> DataFrame | None:
+    """Row-level changes a restore implies, reading ONLY the files
+    the restore touches (O(changed data), never the table)."""
+    from pyspark.sql import functions as F
+
+    parts: list[DataFrame] = []
+    if re_add:
+        parts.append(
+            _read_active(spark, table_dir, re_add).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    if removes:
+        parts.append(
+            _read_active(
+                spark, table_dir, {r: current[r] for r in removes}
+            ).withColumn("_change_type", F.lit("delete"))
+        )
+    # resurrected rows: positions dead at head but alive at the
+    # restore target (DVs only grow forward, so target ⊆ head)
+    res_pairs: list[tuple[str, int]] = []
+    for r, tgt_action in repoints.items():
+        head_pos = _dv_positions_by_phys(
+            table_dir, current[r].get("dv")
+        )
+        tgt_pos = _dv_positions_by_phys(table_dir, tgt_action.get("dv"))
+        for phys, positions in head_pos.items():
+            back = sorted(set(positions) - set(tgt_pos.get(phys, ())))
+            res_pairs.extend((phys, p) for p in back)
+    if res_pairs:
+        raw = spark.read.parquet(
+            *[os.path.join(table_dir, r) for r in sorted(repoints)]
+        )
+        cols = raw.columns
+        alive = spark.createDataFrame(
+            res_pairs, "__phys string, __ri long"
+        )
+        parts.append(
+            raw.withColumn("__phys", _phys_rel_col(table_dir))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(alive), ["__phys", "__ri"], "left_semi")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a DataFrame — one row per surviving commit
+    file: (version, operation, n_add, n_remove, n_meta, data_change,
+    has_cdc). Operation is classified from the actions themselves
+    (marker actions first, then add/remove shape), so history needs
+    no writer cooperation and is O(log) driver-side metadata — the
+    Delta/Iceberg history and snapshots metadata-table shape."""
+    log = _log_dir(table_dir)
+    rows = []
+    for fname in sorted(os.listdir(log)):
+        if not fname.endswith(".json") or ".checkpoint." in fname:
+            continue
+        v = int(fname.split(".")[0])
+        with open(os.path.join(log, fname)) as f:
+            actions = json.load(f)
+        rows.append((v, *_classify_commit(actions)))
+    return spark.createDataFrame(
+        rows,
+        "version int, operation string, n_add int, n_remove int, "
+        "n_meta int, data_change boolean, has_cdc boolean",
+    )
+
+
+_META_KEYS = (
+    "metaData",
+    "columnMapping",
+    "partitionSpec",
+    "constraint",
+    "dropConstraint",
+    "txn",
+)
+
+
+def _classify_commit(
+    actions: list[dict],
+) -> tuple[str, int, int, int, bool, bool]:
+    adds = [a for a in actions if "add" in a]
+    rems = [a for a in actions if "remove" in a]
+    metas = [
+        a for a in actions if any(k in a for k in _META_KEYS)
+    ]
+    has_cdc = any("cdc" in a for a in actions)
+    data_change = any(
+        a.get("data_change") is not False for a in adds + rems
+    )
+    if any("restore" in a for a in actions):
+        op = "RESTORE"
+    elif any("wap" in a for a in actions):
+        op = "WAP PUBLISH"
+    elif any("constraint" in a for a in actions):
+        op = "ADD CONSTRAINT"
+    elif any("dropConstraint" in a for a in actions):
+        op = "DROP CONSTRAINT"
+    elif any("columnMapping" in a for a in actions):
+        op = "ALTER COLUMNS"
+    elif any("partitionSpec" in a for a in actions):
+        op = "SET PARTITION SPEC"
+    elif adds and rems and not data_change:
+        op = "OPTIMIZE"
+    elif adds and rems:
+        op = "MERGE" if has_cdc else "REWRITE"
+    elif rems and has_cdc:
+        op = "DELETE"
+    elif rems and any(a.get("dv") for a in rems):  # pragma: no cover
+        op = "DELETE"
+    elif adds and any(a.get("dv") for a in adds):
+        op = "DELETE (MOR)"
+    elif adds:
+        op = "WRITE"
+    elif rems:
+        op = "DELETE FILES"
+    else:
+        op = "METADATA"
+    return (
+        op,
+        len(adds),
+        len(rems),
+        len(metas),
+        bool(data_change),
+        bool(has_cdc),
+    )
+
+
+def table_files(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The files metadata table — one row per ACTIVE add action at
+    ``version``: (rel, n_records from write-time stats or -1 when the
+    writer recorded none, dv_count, spec_id). Pure log replay, zero
+    parquet opens — the Iceberg ``table$files`` / Delta detail shape,
+    and the same numbers OPTIMIZE's zero-job sizing reads."""
+    if version is None:
+        version = latest_version(table_dir)
+    active = _replay(table_dir, version)[0]
+    rows = []
+    for rel in sorted(active):
+        a = active[rel]
+        n = a.get("num_records")
+        dv_count = 0
+        if a.get("dv"):
+            for positions in _dv_positions_by_phys(
+                table_dir, a["dv"]
+            ).values():
+                dv_count += len(positions)
+        rows.append(
+            (
+                rel,
+                int(n) if n is not None else -1,
+                dv_count,
+                int(a.get("spec_id", 0)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "rel string, n_records long, dv_count long, spec_id int"
+    )

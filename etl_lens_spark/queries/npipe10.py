@@ -854,3 +854,254 @@ def streaming_lake_cdf_exactly_once(
     shutil.rmtree(src_base, ignore_errors=True)
     shutil.rmtree(dim_base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# RESTORE (time-travel rollback) + metadata tables — round-8 tranche 2
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_restore_rollback",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT k, cents FROM v0
+      UNION ALL
+      SELECT k + 200000000, cents FROM v0 WHERE k % 20 = 5
+    ),
+    v2 AS (SELECT k, cents FROM v1 WHERE k % 7 <> 0),
+    snap AS (
+      SELECT 0 AS v, k, cents FROM v0
+      UNION ALL SELECT 1, k, cents FROM v1
+      UNION ALL SELECT 2, k, cents FROM v2
+      UNION ALL SELECT 3, k, cents FROM v1
+    ),
+    c AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS cdf_ins,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS cdf_del
+    )
+    SELECT CAST(v AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(2 AS INT) AS n_readded,
+           CAST(1 AS INT) AS n_removed,
+           c.cdf_ins AS cdf_restore_inserts,
+           c.cdf_del AS cdf_restore_deletes,
+           'RESTORE' AS op_restore
+    FROM snap CROSS JOIN c
+    GROUP BY v, c.cdf_ins, c.cdf_del
+    ORDER BY version
+    """,
+)
+def lake_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF — Delta's rollback verb,
+    closing the lake DML loop: a bad predicate DELETE (v2) is undone
+    by a restore commit (v3) that re-adds v1's files and removes the
+    delete's rewrite output. The pins:
+
+    - per-version row/key/cents checksums over the WHOLE log prove
+      head == v1 exactly while v2 (the mistake) stays time-travelable
+      — restore is a new commit, never a log truncation;
+    - a physical-inventory assertion (in-test and implicitly here:
+      the restore commit re-reads nothing and rewrites nothing — the
+      v3 checksums come from the SAME parquet bytes v1's did);
+    - the restore's own change record (cdf=True) serves through
+      table_changes at FILE granularity, Delta's documented RESTORE
+      CDF shape: re-added files' rows are inserts (= all of v1),
+      removed rewrite files' rows are deletes (= v2's survivors);
+    - the history row classifies the commit as RESTORE.
+
+    100 TB posture: rollback cost is O(files changed between the two
+    versions) driver-side metadata — zero parquet reads unless the
+    caller asks for the row-level change record, and even then only
+    the CHANGED files are read, never the table."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = sinks.scratch_path("lake_restore")
+    shutil.rmtree(base, ignore_errors=True)
+    orders.coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    orders.filter(F.col("k") % 20 == 5).select(
+        (F.col("k") + 200000000).alias("k"), "cents"
+    ).coalesce(1).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 1, [{"add": "s1"}])
+    lakelog.delete_where(spark, base, F.col("k") % 7 == 0, cdf=True)
+    res = lakelog.restore_table(spark, base, 1, cdf=True)
+
+    cdf = (
+        lakelog.table_changes(spark, base, 2, 3)
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
+            .cast("long")
+            .alias("cdf_restore_inserts"),
+            F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
+            .cast("long")
+            .alias("cdf_restore_deletes"),
+        )
+        .collect()[0]
+    )
+    op = {
+        r.version: r.operation
+        for r in lakelog.table_history(spark, base).collect()
+    }[res["version"]]
+
+    parts = []
+    for v in range(4):
+        parts.append(
+            lakelog.read_snapshot(spark, base, v)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("k").cast("long").alias("key_sum"),
+                F.sum("cents").cast("long").alias("cents_sum"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+        )
+    per = parts[0]
+    for p in parts[1:]:
+        per = per.unionByName(p)
+    return per.select(
+        "version",
+        "n_rows",
+        "key_sum",
+        "cents_sum",
+        F.lit(res["n_readded"]).cast("int").alias("n_readded"),
+        F.lit(res["n_removed"]).cast("int").alias("n_removed"),
+        F.lit(cdf["cdf_restore_inserts"])
+        .cast("long")
+        .alias("cdf_restore_inserts"),
+        F.lit(cdf["cdf_restore_deletes"])
+        .cast("long")
+        .alias("cdf_restore_deletes"),
+        F.lit(op).alias("op_restore"),
+    ).orderBy("version")
+
+
+@query(
+    "lake_metadata_tables",
+    oracle="""
+    WITH v0 AS (SELECT o_orderkey AS k FROM orders),
+    h(version, operation, n_add, n_remove, data_change, has_cdc) AS (
+      VALUES (0, 'WRITE',        2, 0, TRUE,  FALSE),
+             (1, 'MERGE',        1, 1, TRUE,  TRUE),
+             (2, 'DELETE (MOR)', 1, 0, TRUE,  FALSE)
+    ),
+    s0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS live
+      FROM v0 WHERE k % 2 = 0 AND k % 20 <> 4
+    )
+    SELECT CAST(version AS INT) AS version,
+           operation,
+           CAST(n_add AS INT) AS n_add,
+           CAST(n_remove AS INT) AS n_remove,
+           data_change,
+           has_cdc,
+           CAST(2 AS INT) AS n_active_files,
+           s0.live AS live_known_rows,
+           CAST(1 AS INT) AS n_files_unknown_stats
+    FROM h CROSS JOIN s0
+    ORDER BY version
+    """,
+)
+def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY + the files metadata table as DataFrames —
+    the Iceberg ``table$history``/``table$files`` (Delta DESCRIBE
+    HISTORY / DETAIL) surface. Fixture: even-key and odd-key orders
+    land as two stats-carrying files in one WRITE commit; a MERGE
+    (cdf=True, keys %20==1 — all odd) rewrites ONLY the odd file; a
+    merge-on-read DELETE (%20==4 — all even) pins a deletion vector
+    onto the even file without touching parquet.
+
+    The output joins both metadata tables: per-commit operation
+    classification with action counts and cdf flags (history), plus
+    head-state aggregates from the files table — active file count,
+    live rows among stats-carrying files computed as num_records
+    MINUS dv_count straight from the log (zero parquet opens; the
+    same numbers the zero-job OPTIMIZE sizing reads), and the count
+    of files whose writer recorded no stats (the merge rewrite,
+    sentinel -1). The oracle pins history structurally (the DML
+    sequence fixes it) and live_known_rows relationally.
+
+    100 TB posture: both tables are pure driver-side log replay —
+    O(commits) and O(active files) metadata with zero data reads,
+    which is what makes DESCRIBE HISTORY instant on a 10⁹-row
+    table."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = sinks.scratch_path("lake_meta")
+    shutil.rmtree(base, ignore_errors=True)
+    orders.filter(F.col("k") % 2 == 0).coalesce(1).write.parquet(
+        f"{base}/s0"
+    )
+    orders.filter(F.col("k") % 2 == 1).coalesce(1).write.parquet(
+        f"{base}/s1"
+    )
+    acts = []
+    for rel in ("s0", "s1"):
+        stats, n = lakelog.file_stats_with_count(
+            spark, f"{base}/{rel}", ["k"]
+        )
+        acts.append({"add": rel, "stats": stats, "num_records": n})
+    lakelog.commit(base, 0, acts)
+    lakelog.merge_upsert(
+        spark,
+        base,
+        orders.filter(F.col("k") % 20 == 1).select(
+            "k", (F.col("cents") * 2).alias("cents")
+        ),
+        ["k"],
+        cdf=True,
+    )
+    lakelog.delete_where_mor(spark, base, F.col("k") % 20 == 4)
+
+    files = lakelog.table_files(spark, base)
+    agg = files.agg(
+        F.count(F.lit(1)).cast("int").alias("n_active_files"),
+        F.sum(
+            F.when(
+                F.col("n_records") >= 0,
+                F.col("n_records") - F.col("dv_count"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("live_known_rows"),
+        F.sum(F.when(F.col("n_records") < 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_files_unknown_stats"),
+    )
+    return (
+        lakelog.table_history(spark, base)
+        .select(
+            "version",
+            "operation",
+            "n_add",
+            "n_remove",
+            "data_change",
+            "has_cdc",
+        )
+        .crossJoin(F.broadcast(agg))
+        .orderBy("version")
+    )

@@ -1763,3 +1763,168 @@ def test_unreadable_staged_entry_fails_safe(spark, tmp_path):
         lakelog.vacuum(base)
     finally:
         os.chmod(p, 0o644)
+
+
+# ---------------------------------------------------------------------------
+# RESTORE + metadata tables
+# ---------------------------------------------------------------------------
+
+
+def _restore_fixture(spark, tmp_path):
+    """v0: rows 1-4; v1: append rows 5-6; v2: CoW delete k<=2."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "rt")
+    spark.createDataFrame(
+        [(k, k * 10) for k in (1, 2, 3, 4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.createDataFrame(
+        [(5, 50), (6, 60)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 1, [{"add": "s1"}])
+    lakelog.delete_where(spark, base, F.col("k") <= 2, cdf=True)
+    return base
+
+
+def _rows(spark, base, v=None):
+    return sorted(
+        (r.k, r.c)
+        for r in lakelog.read_snapshot(spark, base, v).collect()
+    )
+
+
+def test_restore_rolls_back_and_preserves_history(spark, tmp_path):
+    base = _restore_fixture(spark, tmp_path)
+    at_v1 = _rows(spark, base, 1)
+    at_v2 = _rows(spark, base, 2)
+    assert at_v2 == [(3, 30), (4, 40), (5, 50), (6, 60)]
+
+    import glob
+
+    inventory_before = set(glob.glob(f"{base}/**/*.parquet", recursive=True))
+    res = lakelog.restore_table(spark, base, 1)
+    assert res["version"] == 3
+    assert res["n_readded"] == 1  # s0 comes back
+    assert res["n_removed"] == 1  # the delete's rewrite file goes
+    # zero parquet written or destroyed: pure metadata rollback
+    assert (
+        set(glob.glob(f"{base}/**/*.parquet", recursive=True))
+        == inventory_before
+    )
+    # head now reads exactly as v1 did
+    assert _rows(spark, base) == at_v1 == [(k, k * 10) for k in range(1, 7)]
+    # the pre-restore head stays time-travelable (audit trail kept)
+    assert _rows(spark, base, 2) == at_v2
+    # restoring to the current state is a no-op, not an empty commit
+    assert lakelog.restore_table(spark, base, 3)["version"] is None
+    assert lakelog.latest_version(base) == 3
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    import pytest as _pytest
+
+    base = _restore_fixture(spark, tmp_path)
+    lakelog.vacuum(base)  # retention 0: drops s0 (inactive at head)
+    with _pytest.raises(ValueError, match="vacuum"):
+        lakelog.restore_table(spark, base, 1)
+
+
+def test_restore_cdf_record_including_dv_resurrection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "rdv")
+    spark.createDataFrame(
+        [(k, k * 10) for k in (1, 2, 3, 4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.delete_where_mor(spark, base, F.col("k") == 2)  # v1: DV
+    spark.createDataFrame(
+        [(5, 50)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 2, [{"add": "s1"}])
+
+    res = lakelog.restore_table(spark, base, 0, cdf=True)
+    assert res["version"] == 3 and res["n_repointed"] == 1
+    got = sorted(
+        (r.k, r.c, r._change_type)
+        for r in lakelog.table_changes(spark, base, 2, 3).collect()
+    )
+    # k=5 (appended after the target) deletes; k=2 resurrects from
+    # the shrinking deletion vector — by position, not a table diff
+    assert got == [(2, 20, "insert"), (5, 50, "delete")]
+    assert _rows(spark, base) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_restore_without_cdf_refuses_cdf_serving(spark, tmp_path):
+    import pytest as _pytest
+
+    base = _restore_fixture(spark, tmp_path)
+    lakelog.restore_table(spark, base, 1)  # v3, no change record
+    with _pytest.raises(ValueError, match="RESTORE without a change"):
+        lakelog.commit_change_plan(base, 3)
+
+
+def test_table_history_classifies_operations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "hist")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 9)], "k long, c long"
+    )
+    df.coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.merge_upsert(
+        spark,
+        base,
+        spark.createDataFrame([(1, 99)], "k long, c long"),
+        ["k"],
+        cdf=True,
+    )  # v1
+    lakelog.delete_where_mor(spark, base, F.col("k") == 3)  # v2
+    lakelog.materialize_deletion_vectors(spark, base)  # v3 layout-only
+    lakelog.restore_table(spark, base, 1, cdf=True)  # v4
+    h = {
+        r.version: (r.operation, r.data_change, r.has_cdc)
+        for r in lakelog.table_history(spark, base).collect()
+    }
+    assert h[0] == ("WRITE", True, False)
+    assert h[1] == ("MERGE", True, True)
+    assert h[2] == ("DELETE (MOR)", True, False)
+    assert h[3] == ("OPTIMIZE", False, False)
+    assert h[4] == ("RESTORE", True, True)
+
+
+def test_table_files_reports_stats_and_dv(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "files")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 9)], "k long, c long"
+    )
+    df.coalesce(1).write.parquet(f"{base}/s0")
+    stats, n = lakelog.file_stats_with_count(spark, f"{base}/s0", ["k"])
+    lakelog.commit(
+        base, 0, [{"add": "s0", "stats": stats, "num_records": n}]
+    )
+    spark.createDataFrame(
+        [(9, 90)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 1, [{"add": "s1"}])  # no stats recorded
+    lakelog.delete_where_mor(spark, base, F.col("k") <= 2)
+    rows = {
+        r.rel: (r.n_records, r.dv_count)
+        for r in lakelog.table_files(spark, base).collect()
+    }
+    assert rows["s0"] == (8, 2)
+    assert rows["s1"] == (-1, 0)  # writer recorded no count → sentinel
+
+
+def test_table_files_missing_stats_sentinel(spark, tmp_path):
+    base = str(tmp_path / "nofstats")
+    spark.createDataFrame(
+        [(1, 1)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/a")
+    lakelog.commit(base, 0, [{"add": "a"}])
+    [r] = lakelog.table_files(spark, base).collect()
+    assert (r.rel, r.n_records, r.dv_count, r.spec_id) == ("a", -1, 0, 0)
