@@ -1105,3 +1105,178 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(agg))
         .orderBy("version")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance from the CDF (operators/ivm.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "warehouse_ivm_join_view",
+    headline=True,
+    oracle="""
+    WITH o0 AS (
+      SELECT o_orderkey AS k, o_custkey AS custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    o1 AS (
+      SELECT k, custkey,
+             CASE WHEN k % 20 = 1 THEN cents * 2 ELSE cents END AS cents
+      FROM o0
+      UNION ALL
+      SELECT k + 300000000, custkey, cents FROM o0 WHERE k % 20 = 3
+    ),
+    ofin AS (SELECT * FROM o1 WHERE k % 13 <> 0),
+    c0 AS (
+      SELECT c_custkey AS custkey, c_nationkey AS nk FROM customer
+    ),
+    cfin AS (
+      SELECT custkey,
+             CASE WHEN custkey % 10 = 7 THEN (nk + 7) % 25
+                  ELSE nk END AS nk
+      FROM c0
+    )
+    SELECT CAST(cfin.nk AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ofin.cents) AS BIGINT) AS cents_sum,
+           CAST(0 AS BIGINT) AS audit_mismatch
+    FROM ofin JOIN cfin USING (custkey)
+    GROUP BY cfin.nk
+    ORDER BY nationkey
+    """,
+)
+def warehouse_ivm_join_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a materialized join-aggregate
+    view from BOTH base tables' change data feeds — the delta-rule /
+    Z-set algebra (operators/ivm.py) closing the warehouse loop the
+    round opened with CDF-as-a-source: two lake tables (orders facts,
+    customer dim) each take real DML with cdf=True, the view
+    ``γ_nationkey(count, sum cents)(orders ⋈ customer)`` is
+    materialized once at v0, and every later change reaches it ONLY
+    through table_changes:
+
+    - orders v1 MERGE: %20==1 cents doubled (update image pairs) +
+      %20==3 re-keyed copies (inserts); v2 DELETE %13==0 — the
+      re-keyed inserts shift mod 13, so some v1 inserts die at v2,
+      exercising insert-then-delete netting through the feed;
+    - customer v1 MERGE: %10==7 moved to (nk+7)%25 — every matching
+      order's contribution must LEAVE one nation group and ENTER
+      another (the group-moving update delta rules exist for);
+    - maintenance: Δ(O⋈C) = ΔO⋈C₀ + O₀⋈ΔC + ΔO⋈ΔC with multiplied
+      weights (both deltas broadcast), folded into the view as
+      Σw / Σw·cents per group.
+
+    Three-way agreement, the warehouse_scd2_incremental pattern: the
+    maintained view is hash-matched against the DuckDB oracle's
+    from-final-states recompute, and audit_mismatch counts rows where
+    a full Spark recompute from the head snapshots disagrees — pinned
+    0 in-output, so a silent algebra bug cannot pass.
+
+    100 TB posture: the recompute path re-joins and re-shuffles both
+    full tables; the maintained path shuffles ONLY the delta
+    aggregate (rows ≤ groups touched) after broadcast-probing the old
+    states where the delta's keys hit — O(changes), the entire point
+    of IVM. consolidate() nets same-row churn before the three-way
+    fan-out."""
+    import shutil
+
+    from etl_lens_spark.operators import ivm, lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("int").alias("nk"),
+    )
+    ot = sinks.scratch_path("ivm_orders")
+    ct = sinks.scratch_path("ivm_cust")
+    shutil.rmtree(ot, ignore_errors=True)
+    shutil.rmtree(ct, ignore_errors=True)
+    orders.write.parquet(f"{ot}/s0")
+    lakelog.commit(ot, 0, [{"add": "s0"}])
+    cust.write.parquet(f"{ct}/s0")
+    lakelog.commit(ct, 0, [{"add": "s0"}])
+
+    # v0 snapshots and the materialized view
+    o0 = lakelog.read_snapshot(spark, ot, 0)
+    c0 = lakelog.read_snapshot(spark, ct, 0)
+    view0 = (
+        o0.join(c0, "custkey")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .localCheckpoint()  # materialized: later DML must not leak in
+    )
+
+    # real DML, all through the lake log with cdf=True
+    src = (
+        o0.filter(F.col("k") % 20 == 1)
+        .select("k", "custkey", (F.col("cents") * 2).alias("cents"))
+        .unionByName(
+            o0.filter(F.col("k") % 20 == 3).select(
+                (F.col("k") + 300000000).alias("k"), "custkey", "cents"
+            )
+        )
+    )
+    lakelog.merge_upsert(spark, ot, src, ["k"], cdf=True)
+    lakelog.delete_where(spark, ot, F.col("k") % 13 == 0, cdf=True)
+    csrc = c0.filter(F.col("custkey") % 10 == 7).select(
+        "custkey", ((F.col("nk") + 7) % 25).cast("int").alias("nk")
+    )
+    lakelog.merge_upsert(spark, ct, csrc, ["custkey"], cdf=True)
+
+    # maintenance: the view sees ONLY the change feeds
+    dz_o = ivm.consolidate(
+        ivm.changes_to_zset(
+            lakelog.table_changes(spark, ot, 0, 2),
+            ["k", "custkey", "cents"],
+        )
+    )
+    dz_c = ivm.consolidate(
+        ivm.changes_to_zset(
+            lakelog.table_changes(spark, ct, 0, 1), ["custkey", "nk"]
+        )
+    )
+    delta = ivm.delta_join(o0, dz_o, c0, dz_c, ["custkey"])
+    maintained = ivm.maintain_agg(
+        view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
+    )
+
+    # audit: full recompute from the head snapshots must agree
+    recompute = (
+        lakelog.read_snapshot(spark, ot)
+        .join(lakelog.read_snapshot(spark, ct), "custkey")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("r_n"),
+            F.sum("cents").cast("long").alias("r_s"),
+        )
+    )
+    audit = (
+        maintained.join(recompute, "nk", "full_outer")
+        .filter(
+            ~(
+                F.col("n_orders").eqNullSafe(F.col("r_n"))
+                & F.col("cents_sum").eqNullSafe(F.col("r_s"))
+            )
+        )
+        .count()
+    )
+    return maintained.select(
+        F.col("nk").cast("int").alias("nationkey"),
+        "n_orders",
+        "cents_sum",
+        F.lit(audit).cast("long").alias("audit_mismatch"),
+    ).orderBy("nationkey")

@@ -319,6 +319,17 @@ HEADLINE_PINS = {
     # the oracle and the per-commit classification unit tests, same
     # convention as lake_merge_upsert
     "lake_cdf_table_changes": (0, set(), set()),
+    # IVM delta rules: both change feeds broadcast into the old
+    # states (BHJ), the delta aggregate shuffles O(groups touched)
+    # rows, and the view merge is a full-outer on the 25-row nation
+    # frames — SMJ because Spark cannot broadcast full-outer (the
+    # rank_rrf_fusion precedent); recompute/audit jobs run eagerly
+    # and are not part of the returned plan. No Python anywhere.
+    "warehouse_ivm_join_view": (
+        10,
+        {"BroadcastHashJoin", "SortMergeJoin"},
+        set(),
+    ),
 }
 
 
