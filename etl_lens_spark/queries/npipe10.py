@@ -1112,10 +1112,58 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "warehouse_ivm_join_view",
-    headline=True,
-    oracle="""
+def _ivm_lake_build(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[str, str]:
+    """Two-table IVM fixture: orders facts (v0 seed; v1 MERGE with
+    %20==1 cents doubled + %20==3 re-keyed inserts; v2 DELETE
+    %13==0) and customer dim (v0 seed; v1 MERGE moving %10==7 to
+    (nk+7)%25) — every change with cdf=True. Returns (orders_table,
+    customer_table)."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("int").alias("nk"),
+    )
+    ot = sinks.scratch_path(f"{tag}_orders")
+    ct = sinks.scratch_path(f"{tag}_cust")
+    shutil.rmtree(ot, ignore_errors=True)
+    shutil.rmtree(ct, ignore_errors=True)
+    orders.write.parquet(f"{ot}/s0")
+    lakelog.commit(ot, 0, [{"add": "s0"}])
+    cust.write.parquet(f"{ct}/s0")
+    lakelog.commit(ct, 0, [{"add": "s0"}])
+    o0 = lakelog.read_snapshot(spark, ot, 0)
+    c0 = lakelog.read_snapshot(spark, ct, 0)
+    src = (
+        o0.filter(F.col("k") % 20 == 1)
+        .select("k", "custkey", (F.col("cents") * 2).alias("cents"))
+        .unionByName(
+            o0.filter(F.col("k") % 20 == 3).select(
+                (F.col("k") + 300000000).alias("k"), "custkey", "cents"
+            )
+        )
+    )
+    lakelog.merge_upsert(spark, ot, src, ["k"], cdf=True)
+    lakelog.delete_where(spark, ot, F.col("k") % 13 == 0, cdf=True)
+    csrc = c0.filter(F.col("custkey") % 10 == 7).select(
+        "custkey", ((F.col("nk") + 7) % 25).cast("int").alias("nk")
+    )
+    lakelog.merge_upsert(spark, ct, csrc, ["custkey"], cdf=True)
+    return ot, ct
+
+
+_IVM_VIEW_ORACLE = """
     WITH o0 AS (
       SELECT o_orderkey AS k, o_custkey AS custkey,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -1146,7 +1194,13 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ofin JOIN cfin USING (custkey)
     GROUP BY cfin.nk
     ORDER BY nationkey
-    """,
+"""
+
+
+@query(
+    "warehouse_ivm_join_view",
+    headline=True,
+    oracle=_IVM_VIEW_ORACLE,
 )
 def warehouse_ivm_join_view(
     spark: SparkSession, sf_dir: str
@@ -1183,29 +1237,9 @@ def warehouse_ivm_join_view(
     states where the delta's keys hit — O(changes), the entire point
     of IVM. consolidate() nets same-row churn before the three-way
     fan-out."""
-    import shutil
-
     from etl_lens_spark.operators import ivm, lakelog
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_custkey").alias("custkey"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"),
-        F.col("c_nationkey").cast("int").alias("nk"),
-    )
-    ot = sinks.scratch_path("ivm_orders")
-    ct = sinks.scratch_path("ivm_cust")
-    shutil.rmtree(ot, ignore_errors=True)
-    shutil.rmtree(ct, ignore_errors=True)
-    orders.write.parquet(f"{ot}/s0")
-    lakelog.commit(ot, 0, [{"add": "s0"}])
-    cust.write.parquet(f"{ct}/s0")
-    lakelog.commit(ct, 0, [{"add": "s0"}])
+    ot, ct = _ivm_lake_build(spark, sf_dir, "ivm")
 
     # v0 snapshots and the materialized view
     o0 = lakelog.read_snapshot(spark, ot, 0)
@@ -1219,23 +1253,6 @@ def warehouse_ivm_join_view(
         )
         .localCheckpoint()  # materialized: later DML must not leak in
     )
-
-    # real DML, all through the lake log with cdf=True
-    src = (
-        o0.filter(F.col("k") % 20 == 1)
-        .select("k", "custkey", (F.col("cents") * 2).alias("cents"))
-        .unionByName(
-            o0.filter(F.col("k") % 20 == 3).select(
-                (F.col("k") + 300000000).alias("k"), "custkey", "cents"
-            )
-        )
-    )
-    lakelog.merge_upsert(spark, ot, src, ["k"], cdf=True)
-    lakelog.delete_where(spark, ot, F.col("k") % 13 == 0, cdf=True)
-    csrc = c0.filter(F.col("custkey") % 10 == 7).select(
-        "custkey", ((F.col("nk") + 7) % 25).cast("int").alias("nk")
-    )
-    lakelog.merge_upsert(spark, ct, csrc, ["custkey"], cdf=True)
 
     # maintenance: the view sees ONLY the change feeds
     dz_o = ivm.consolidate(
@@ -1280,3 +1297,121 @@ def warehouse_ivm_join_view(
         "cents_sum",
         F.lit(audit).cast("long").alias("audit_mismatch"),
     ).orderBy("nationkey")
+
+
+@query("streaming_ivm_live", oracle=_IVM_VIEW_ORACLE)
+def streaming_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE twin of warehouse_ivm_join_view: the SAME materialized
+    join-aggregate view maintained from the CDF STREAMING source
+    (``lakelog_cdf``), one maintenance step per commit epoch in true
+    commit order (orders v1, orders v2, customer v1) — the resident-
+    stream deployment of the delta rules, where each epoch joins that
+    commit's (broadcast) change batch against the OTHER side's
+    snapshot as of that moment:
+
+    - orders epochs: ``ΔO_v ⋈ C₀`` (the customer update commits
+      later in wall time, so the dim state is still v0);
+    - customer epoch: ``O_head ⋈ ΔC`` (orders already at head);
+    - each delta folds into the view as Σw / Σw·cents per group.
+
+    The per-epoch single-sided rule telescopes to the batch trilinear
+    form (bilinearity), so three derivations must coincide: the
+    stream-maintained view, the full recompute from head snapshots
+    (audit_mismatch, pinned 0 in-output), and the DuckDB oracle — the
+    SAME oracle the batch twin hashes against, so batch and stream
+    maintenance cannot drift apart without one of them failing.
+
+    100 TB posture: the stream reads each commit's change record only
+    (O(rows changed) per micro-batch, offsets = commit versions, the
+    restart-safe pacing the source pins in its own tests); each
+    epoch's view update shuffles only the delta aggregate. The other
+    side's snapshot is broadcast-probed where the delta's keys hit —
+    never re-joined in full."""
+    import shutil
+
+    from etl_lens_spark.operators import ivm, lakelog
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamDataSource
+    from etl_lens_spark.streaming import stream_ops as so
+
+    ot, ct = _ivm_lake_build(spark, sf_dir, "sivm")
+    try:
+        spark.dataSource.register(LakeLogCDFStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    def tail(base: str, ddl: str, name: str) -> DataFrame:
+        stream = (
+            spark.readStream.format("lakelog_cdf")
+            .option("path", base)
+            .option("schema_ddl", ddl)
+            .load()
+        )
+        return so.run_to_memory(stream, name).localCheckpoint()
+
+    so_feed = tail(ot, "k long, custkey long, cents long", "q_sivm_o")
+    sc_feed = tail(ct, "custkey long, nk int", "q_sivm_c")
+
+    o0 = lakelog.read_snapshot(spark, ot, 0)
+    c0 = lakelog.read_snapshot(spark, ct, 0)
+    view = (
+        o0.join(c0, "custkey")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .localCheckpoint()
+    )
+
+    # one maintenance step per commit epoch, in true commit order
+    for v in (1, 2):
+        dz = ivm.consolidate(
+            ivm.changes_to_zset(
+                so_feed.filter(F.col("_commit_version") == v),
+                ["k", "custkey", "cents"],
+            )
+        )
+        delta = F.broadcast(dz).join(c0, ["custkey"])
+        view = ivm.maintain_agg(
+            view, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
+        ).localCheckpoint()
+    dzc = ivm.consolidate(
+        ivm.changes_to_zset(
+            sc_feed.filter(F.col("_commit_version") == 1),
+            ["custkey", "nk"],
+        )
+    )
+    o_head = lakelog.read_snapshot(spark, ot)
+    delta = o_head.join(F.broadcast(dzc), ["custkey"])
+    view = ivm.maintain_agg(
+        view, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
+    ).localCheckpoint()
+
+    recompute = (
+        o_head.join(lakelog.read_snapshot(spark, ct), "custkey")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("r_n"),
+            F.sum("cents").cast("long").alias("r_s"),
+        )
+    )
+    audit = (
+        view.join(recompute, "nk", "full_outer")
+        .filter(
+            ~(
+                F.col("n_orders").eqNullSafe(F.col("r_n"))
+                & F.col("cents_sum").eqNullSafe(F.col("r_s"))
+            )
+        )
+        .count()
+    )
+    out = view.select(
+        F.col("nk").cast("int").alias("nationkey"),
+        "n_orders",
+        "cents_sum",
+        F.lit(audit).cast("long").alias("audit_mismatch"),
+    ).orderBy("nationkey")
+    rows = out.collect()
+    shutil.rmtree(ot, ignore_errors=True)
+    shutil.rmtree(ct, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
