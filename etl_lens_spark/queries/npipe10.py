@@ -1415,3 +1415,112 @@ def streaming_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ot, ignore_errors=True)
     shutil.rmtree(ct, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Governance: row-level security + column masking (operators/governance.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gov_rls_column_masking",
+    oracle="""
+    WITH roles(role) AS (VALUES ('admin'), ('analyst')),
+    v AS (
+      SELECT role,
+             CASE WHEN role = 'analyst' THEN sha256(c_name)
+                  ELSE c_name END AS name_repr,
+             CASE WHEN role = 'analyst'
+                  THEN '***-' || right(c_mktsegment, 4)
+                  ELSE c_mktsegment END AS seg_repr,
+             CASE WHEN role = 'analyst' THEN NULL
+                  ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                            AS BIGINT) END AS bal_cents
+      FROM customer CROSS JOIN roles
+      WHERE role = 'admin' OR c_nationkey < 10
+    )
+    SELECT role,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT name_repr) AS BIGINT) AS n_names,
+           MIN(name_repr) AS min_name_repr,
+           MIN(seg_repr) AS min_seg_repr,
+           CAST(SUM(COALESCE(bal_cents, 0)) AS BIGINT)
+             AS visible_bal_cents,
+           CAST(SUM(CASE WHEN seg_repr LIKE '***-%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_masked_segs
+    FROM v
+    GROUP BY role
+    ORDER BY role
+    """,
+)
+def gov_rls_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOVERNED READS — row-level security + column masking policies
+    (operators/governance.py), the Unity/Snowflake governance shape:
+    the analyst role sees only nations 0-9 (row access policy),
+    sha2-256-masked names (deterministic, still joinable), partial
+    market segments (last 4), and NULLed balances; admin sees all.
+    Both roles read through the SAME apply_governance call — the
+    policy map, not the query, decides what each role gets.
+
+    The oracle replays both roles relationally (DuckDB sha256 and
+    Spark sha2(...,256) both emit lowercase hex, so even the hashed
+    representations hash-match cross-engine). Pins: per-role row
+    counts (RLS), min masked representations (exact mask
+    expressions), visible balance cents (redaction), and the
+    masked-segment count == analyst rows (every row masked).
+
+    100 TB posture: masks are projection rewrites (zero extra cost,
+    whole-stage codegen); the row policy is an ordinary predicate
+    that reaches the parquet scan — PushedFilters pinned in
+    tests/test_governance.py — so a governed read scans exactly what
+    the hand-filtered query would."""
+    from etl_lens_spark.operators import governance as gov
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        "c_nationkey",
+    )
+    masks = {
+        "c_name": gov.unless_role({"admin"}, gov.mask_hash()),
+        "c_mktsegment": gov.unless_role({"admin"}, gov.mask_partial(4)),
+        "bal_cents": gov.unless_role({"admin"}, gov.mask_null()),
+    }
+
+    def row_policy(role):
+        return None if role == "admin" else F.col("c_nationkey") < 10
+
+    parts = []
+    for role in ("admin", "analyst"):
+        g = gov.apply_governance(cust, role, masks, row_policy)
+        parts.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("c_name").cast("long").alias("n_names"),
+                F.min("c_name").alias("min_name_repr"),
+                F.min("c_mktsegment").alias("min_seg_repr"),
+                F.sum(F.coalesce("bal_cents", F.lit(0)))
+                .cast("long")
+                .alias("visible_bal_cents"),
+                F.sum(
+                    F.when(
+                        F.col("c_mktsegment").startswith("***-"), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_masked_segs"),
+            ).withColumn("role", F.lit(role))
+        )
+    out = parts[0].unionByName(parts[1])
+    return out.select(
+        "role",
+        "n_rows",
+        "n_names",
+        "min_name_repr",
+        "min_seg_repr",
+        "visible_bal_cents",
+        "n_masked_segs",
+    ).orderBy("role")
