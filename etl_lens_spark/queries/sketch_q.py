@@ -355,3 +355,67 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query("sketch_tdigest_quantiles")
+def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch t-digest quantiles (operators/tdigest.py) per
+    event type — the mergeable-quantile counterpart of the KMV/HLL
+    distinct sketches: partial digests fold each Arrow batch to ≤ 2δ
+    centroids (mapInPandas, values never shuffle), one groupBy
+    merges the centroid multisets, and the merge is DETERMINISTIC
+    (centroids sorted by (mean, weight) before the single
+    compression pass — partial arrival order cannot change the
+    digest, unlike the two standing order-dependent sketches).
+
+    Rows-only by the sketch-family convention (no engine reproduces
+    the estimator), but self-auditing: for every (event_type, q) the
+    output carries the estimate's TRUE rank — computed exactly with
+    one broadcast join back to the values — and ``within_bound`` =
+    |rank − q| ≤ 1%, pinned all-true, so the driver's rows-only run
+    still fails if accuracy regresses. The merge law and multiset
+    determinism are pinned in tests/test_tdigest.py.
+
+    100 TB posture: the partial pass is map-side-complete; the merge
+    touches O(partitions × δ) centroid rows per key; appending a new
+    partition to a stored year-long digest is a partial merge, not a
+    re-scan — the reason warehouses persist digests, not
+    percentiles."""
+    from etl_lens_spark.operators import tdigest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    partials = tdigest.partial_digests(ev, ["event_type"], "v", delta=100)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    est = tdigest.merge_quantiles(partials, ["event_type"], qs, delta=100)
+
+    # exact rank of each estimate: one aggregate over the values per
+    # (type, q) via a broadcast of the 5·|types| estimate rows
+    ranked = (
+        ev.join(
+            F.broadcast(est.select("event_type", "q", "est")),
+            "event_type",
+        )
+        .groupBy("event_type", "q", "est")
+        .agg(
+            (
+                F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("true_rank")
+        )
+    )
+    return (
+        est.join(ranked, ["event_type", "q", "est"])
+        .select(
+            "event_type",
+            "q",
+            F.round("est", 6).alias("est"),
+            F.round("true_rank", 4).alias("true_rank"),
+            (F.abs(F.col("true_rank") - F.col("q")) <= 0.01).alias(
+                "within_bound"
+            ),
+            "n_centroids",
+        )
+        .orderBy("event_type", "q")
+    )
