@@ -398,3 +398,61 @@ def test_ddl_column_names_handles_parametrized_types():
         "s struct<a:int,b:string>, v string"
     ) == ["k", "price", "m", "s", "v"]
     assert _ddl_column_names("k long") == ["k"]
+
+
+def test_lakelog_cdf_stream_serves_restore_commits(spark, tmp_path):
+    """A cdf=True RESTORE streams its change record (inserts for
+    re-added files, deletes for removed ones, DV resurrections by
+    position) exactly as the batch read serves it; a cdf=False
+    restore refuses at planning time — the CoW-rewrite-without-
+    record rule extended to rollback."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamReader
+
+    base = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.delete_where_mor(spark, base, F.col("k") == 2)  # v1: DV
+    spark.createDataFrame(
+        [(9, 90)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 2, [{"add": "s1"}])
+    lakelog.restore_table(spark, base, 0, cdf=True)  # v3
+
+    r = LakeLogCDFStreamReader(
+        {"path": base, "schema_ddl": "k long, c long"}
+    )
+    got = sorted(
+        t
+        for p in r.partitions({"version": 2}, {"version": 3})
+        for t in r.read(p)
+    )
+    want = sorted(
+        (x.k, x.c, x._change_type, x._commit_version)
+        for x in lakelog.table_changes(spark, base, 2, 3).collect()
+    )
+    assert got == want
+    assert (2, 20, "insert", 3) in got  # the DV resurrection
+    assert (9, 90, "delete", 3) in got  # the un-appended row
+
+    # cdf=False restore: the stream refuses instead of guessing
+    base2 = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [(1, 1)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base2}/a")
+    lakelog.commit(base2, 0, [{"add": "a"}])
+    spark.createDataFrame(
+        [(2, 2)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base2}/b")
+    lakelog.commit(base2, 1, [{"add": "b"}])
+    lakelog.restore_table(spark, base2, 0)  # no change record
+    r2 = LakeLogCDFStreamReader(
+        {"path": base2, "schema_ddl": "k long, c long"}
+    )
+    with pytest.raises(ValueError, match="RESTORE without a change"):
+        r2.partitions({"version": 1}, {"version": 2})

@@ -1928,3 +1928,24 @@ def test_table_files_missing_stats_sentinel(spark, tmp_path):
     lakelog.commit(base, 0, [{"add": "a"}])
     [r] = lakelog.table_files(spark, base).collect()
     assert (r.rel, r.n_records, r.dv_count, r.spec_id) == ("a", -1, 0, 0)
+
+
+def test_vacuum_after_restore_keeps_head_reads(spark, tmp_path):
+    """Retention-0 vacuum after a restore reclaims the undone
+    rewrite file (inactive at head) while every file the restored
+    head needs survives; time travel to the vacuumed version then
+    fails on read (files gone), not silently wrong."""
+    base = _restore_fixture(spark, tmp_path)
+    at_v1 = _rows(spark, base, 1)
+    lakelog.restore_table(spark, base, 1)  # v3 == v1
+    import glob
+
+    lakelog.vacuum(base)  # retention 0: only head is protected
+    assert _rows(spark, base) == at_v1  # head intact
+    # the CoW delete's rewrite output was reclaimed
+    rewrites = [
+        p
+        for p in glob.glob(f"{base}/delete_*/**", recursive=True)
+        if p.endswith(".parquet")
+    ]
+    assert rewrites == []
