@@ -1524,3 +1524,69 @@ def gov_rls_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "visible_bal_cents",
         "n_masked_segs",
     ).orderBy("role")
+
+
+@bench_setup("warehouse_ivm_join_view")
+def _bench_ivm_join_view(spark: SparkSession, sf_dir: str):
+    # the two-table lake fixture (two seeds + three cdf=True DML
+    # rewrites) and the v0 view materialization are setup; the timed
+    # thunk is the operator under test — CDF reads, the trilinear
+    # delta join, the view merge, and the recompute audit
+    from etl_lens_spark.operators import ivm, lakelog
+
+    ot, ct = _ivm_lake_build(spark, sf_dir, "ivm_bench")
+    o0 = lakelog.read_snapshot(spark, ot, 0)
+    c0 = lakelog.read_snapshot(spark, ct, 0)
+    view0 = (
+        o0.join(c0, "custkey")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .localCheckpoint()
+    )
+
+    def answer() -> DataFrame:
+        dz_o = ivm.consolidate(
+            ivm.changes_to_zset(
+                lakelog.table_changes(spark, ot, 0, 2),
+                ["k", "custkey", "cents"],
+            )
+        )
+        dz_c = ivm.consolidate(
+            ivm.changes_to_zset(
+                lakelog.table_changes(spark, ct, 0, 1), ["custkey", "nk"]
+            )
+        )
+        delta = ivm.delta_join(o0, dz_o, c0, dz_c, ["custkey"])
+        maintained = ivm.maintain_agg(
+            view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
+        )
+        recompute = (
+            lakelog.read_snapshot(spark, ot)
+            .join(lakelog.read_snapshot(spark, ct), "custkey")
+            .groupBy("nk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("r_n"),
+                F.sum("cents").cast("long").alias("r_s"),
+            )
+        )
+        audit = (
+            maintained.join(recompute, "nk", "full_outer")
+            .filter(
+                ~(
+                    F.col("n_orders").eqNullSafe(F.col("r_n"))
+                    & F.col("cents_sum").eqNullSafe(F.col("r_s"))
+                )
+            )
+            .count()
+        )
+        return maintained.select(
+            F.col("nk").cast("int").alias("nationkey"),
+            "n_orders",
+            "cents_sum",
+            F.lit(audit).cast("long").alias("audit_mismatch"),
+        ).orderBy("nationkey")
+
+    return answer
