@@ -1590,3 +1590,169 @@ def _bench_ivm_join_view(spark: SparkSession, sf_dir: str):
         ).orderBy("nationkey")
 
     return answer
+
+
+@query(
+    "warehouse_ivm_three_table",
+    oracle="""
+    WITH l0 AS (
+      SELECT l_orderkey AS okey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             l_linenumber AS ln
+      FROM lineitem
+    ),
+    lfin AS (SELECT * FROM l0 WHERE (okey + ln) % 11 <> 0),
+    o0 AS (SELECT o_orderkey AS okey, o_custkey AS custkey FROM orders),
+    ofin AS (
+      SELECT okey,
+             CASE WHEN okey % 20 = 1
+                  THEN ((custkey + 3) % 1500) + 1
+                  ELSE custkey END AS custkey
+      FROM o0
+    ),
+    c0 AS (
+      SELECT c_custkey AS custkey, c_nationkey AS nk FROM customer
+    ),
+    cfin AS (
+      SELECT custkey,
+             CASE WHEN custkey % 10 = 7 THEN (nk + 7) % 25
+                  ELSE nk END AS nk
+      FROM c0
+    )
+    SELECT CAST(cfin.nk AS INT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(lfin.price_cents) AS BIGINT) AS cents_sum,
+           CAST(0 AS BIGINT) AS audit_mismatch
+    FROM lfin JOIN ofin USING (okey) JOIN cfin USING (custkey)
+    GROUP BY cfin.nk
+    ORDER BY nationkey
+    """,
+)
+def warehouse_ivm_three_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVM COMPOSES: a three-table join-aggregate view
+    ``γ_nk(count, sum price)(L ⋈ O ⋈ C)`` maintained by applying the
+    bilinear delta rule TWICE — ``Δ(L⋈O)`` from the lineitem and
+    orders deltas, then that result fed as the R-side delta of
+    ``(L⋈O) ⋈ C`` — the associativity that lets delta rules cover an
+    arbitrary join tree with one two-input primitive (DBSP's circuit
+    composition, built from this repo's operators/ivm.py alone).
+
+    All three tables change: lineitem loses every (okey+ln)%11==0
+    line (delete), orders %20==1 re-point to a different customer
+    (update — the line's contribution must move nations), customer
+    %10==7 moves nations (update). Deltas here are synthetic CDF
+    frames (the lake-log plumbing is already pinned by the two-table
+    twins); the algebra under test is the composition.
+
+    Pins: maintained == DuckDB final-state recompute (hash) ==
+    full Spark recompute (audit_mismatch 0 in-output).
+
+    100 TB posture: the composed rule needs the INTERMEDIATE old
+    state (L⋈O)₀ only where ΔC's keys probe it — production keeps
+    that probe pruned by the broadcast delta (never materializes the
+    full intermediate); every delta stays broadcast-sized end to
+    end, and the view merge shuffles only the touched groups."""
+    from etl_lens_spark.operators import ivm
+
+    l0 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    o0 = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    c0 = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("int").alias("nk"),
+    )
+
+    # synthetic change feeds (CDF image-pair shape)
+    ct = "_change_type"
+    dl = l0.filter((F.col("okey") + F.col("ln")) % 11 == 0).withColumn(
+        ct, F.lit("delete")
+    )
+    o_touched = o0.filter(F.col("okey") % 20 == 1)
+    do = o_touched.withColumn(ct, F.lit("update_preimage")).unionByName(
+        o_touched.select(
+            "okey",
+            (((F.col("custkey") + 3) % 1500) + 1).alias("custkey"),
+        ).withColumn(ct, F.lit("update_postimage"))
+    )
+    c_touched = c0.filter(F.col("custkey") % 10 == 7)
+    dc = c_touched.withColumn(ct, F.lit("update_preimage")).unionByName(
+        c_touched.select(
+            "custkey", ((F.col("nk") + 7) % 25).cast("int").alias("nk")
+        ).withColumn(ct, F.lit("update_postimage"))
+    )
+
+    dz_l = ivm.changes_to_zset(dl, ["okey", "price_cents", "ln"])
+    dz_o = ivm.changes_to_zset(do, ["okey", "custkey"])
+    dz_c = ivm.changes_to_zset(dc, ["custkey", "nk"])
+
+    # level 1: Δ(L⋈O); level 2: feed it as the R-delta of (L⋈O)⋈C
+    r1_old = l0.join(o0, "okey")
+    d_r1 = ivm.delta_join(l0, dz_l, o0, dz_o, ["okey"]).localCheckpoint()
+    d_view = ivm.delta_join(r1_old, d_r1, c0, dz_c, ["custkey"])
+
+    view0 = (
+        r1_old.join(c0, "custkey")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("price_cents").cast("long").alias("cents_sum"),
+        )
+        .localCheckpoint()
+    )
+    maintained = ivm.maintain_agg(
+        view0, d_view, ["nk"], "n_lines", {"cents_sum": F.col("price_cents")}
+    )
+
+    # final states for the audit recompute
+    lf = l0.filter((F.col("okey") + F.col("ln")) % 11 != 0)
+    of = o0.select(
+        "okey",
+        F.when(
+            F.col("okey") % 20 == 1, ((F.col("custkey") + 3) % 1500) + 1
+        )
+        .otherwise(F.col("custkey"))
+        .alias("custkey"),
+    )
+    cf = c0.select(
+        "custkey",
+        F.when(F.col("custkey") % 10 == 7, (F.col("nk") + 7) % 25)
+        .otherwise(F.col("nk"))
+        .cast("int")
+        .alias("nk"),
+    )
+    recompute = (
+        lf.join(of, "okey")
+        .join(cf, "custkey")
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("r_n"),
+            F.sum("price_cents").cast("long").alias("r_s"),
+        )
+    )
+    audit = (
+        maintained.join(recompute, "nk", "full_outer")
+        .filter(
+            ~(
+                F.col("n_lines").eqNullSafe(F.col("r_n"))
+                & F.col("cents_sum").eqNullSafe(F.col("r_s"))
+            )
+        )
+        .count()
+    )
+    return maintained.select(
+        F.col("nk").cast("int").alias("nationkey"),
+        "n_lines",
+        "cents_sum",
+        F.lit(audit).cast("long").alias("audit_mismatch"),
+    ).orderBy("nationkey")
