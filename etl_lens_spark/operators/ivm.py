@@ -42,6 +42,7 @@ __all__ = [
     "consolidate",
     "delta_join",
     "maintain_agg",
+    "maintain_distinct",
 ]
 
 _WEIGHT = {
@@ -136,3 +137,54 @@ def maintain_agg(
         ],
     ]
     return merged.select(*out_cols).filter(F.col(count_col) != 0)
+
+
+def maintain_distinct(
+    support_old: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_col: str,
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Maintain the SUPPORT of COUNT(DISTINCT value) per group under
+    inserts AND deletes — the aggregate delta rules can't fold as a
+    scalar (distinct is not linear): keep one reference count per
+    (group, value); a value leaves the group when its count reaches
+    zero, and the distinct count is simply the surviving row count
+    per group (derive with ``groupBy(keys).count()``).
+
+    ``support_old`` carries keys + value_col + ``cnt_col``;
+    ``delta`` is a Z-set over keys + value_col. Raises if a merged
+    count goes negative — the feed claimed a delete of a value the
+    support never held, which means the feed and the view have
+    diverged and silent clamping would hide it.
+
+    100 TB posture: the support table is the view's own state (rows =
+    live (group, value) pairs, the same cardinality an exact
+    distinct needs anywhere); the merge shuffles only the delta
+    aggregate and full-outer-joins it against the support on the
+    (group, value) key — O(changes) against the state, never a
+    re-scan of the corpus."""
+    d = delta.groupBy(*keys, value_col).agg(
+        F.sum("__w").cast("long").alias("__dw")
+    )
+    zero = F.lit(0).cast("long")
+    merged = (
+        support_old.join(d, [*keys, value_col], "full_outer")
+        .select(
+            *keys,
+            value_col,
+            (
+                F.coalesce(F.col(cnt_col), zero)
+                + F.coalesce(F.col("__dw"), zero)
+            ).alias(cnt_col),
+        )
+    )
+    neg = merged.filter(F.col(cnt_col) < 0).count()
+    if neg:
+        raise ValueError(
+            f"distinct-support underflow on {neg} (group, value) "
+            "pairs — the change feed deleted values the view never "
+            "held; refusing to clamp"
+        )
+    return merged.filter(F.col(cnt_col) != 0)

@@ -1112,14 +1112,12 @@ def lake_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivm_lake_build(
+def _ivm_orders_build(
     spark: SparkSession, sf_dir: str, tag: str
-) -> tuple[str, str]:
-    """Two-table IVM fixture: orders facts (v0 seed; v1 MERGE with
-    %20==1 cents doubled + %20==3 re-keyed inserts; v2 DELETE
-    %13==0) and customer dim (v0 seed; v1 MERGE moving %10==7 to
-    (nk+7)%25) — every change with cdf=True. Returns (orders_table,
-    customer_table)."""
+) -> str:
+    """Orders-side IVM fixture: v0 seed; v1 MERGE with %20==1 cents
+    doubled + %20==3 re-keyed inserts; v2 DELETE %13==0 — all with
+    cdf=True."""
     import shutil
 
     from etl_lens_spark.operators import lakelog
@@ -1131,20 +1129,11 @@ def _ivm_lake_build(
         .cast("long")
         .alias("cents"),
     )
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"),
-        F.col("c_nationkey").cast("int").alias("nk"),
-    )
     ot = sinks.scratch_path(f"{tag}_orders")
-    ct = sinks.scratch_path(f"{tag}_cust")
     shutil.rmtree(ot, ignore_errors=True)
-    shutil.rmtree(ct, ignore_errors=True)
     orders.write.parquet(f"{ot}/s0")
     lakelog.commit(ot, 0, [{"add": "s0"}])
-    cust.write.parquet(f"{ct}/s0")
-    lakelog.commit(ct, 0, [{"add": "s0"}])
     o0 = lakelog.read_snapshot(spark, ot, 0)
-    c0 = lakelog.read_snapshot(spark, ct, 0)
     src = (
         o0.filter(F.col("k") % 20 == 1)
         .select("k", "custkey", (F.col("cents") * 2).alias("cents"))
@@ -1156,6 +1145,30 @@ def _ivm_lake_build(
     )
     lakelog.merge_upsert(spark, ot, src, ["k"], cdf=True)
     lakelog.delete_where(spark, ot, F.col("k") % 13 == 0, cdf=True)
+    return ot
+
+
+def _ivm_lake_build(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[str, str]:
+    """Two-table IVM fixture: the orders facts (_ivm_orders_build)
+    plus a customer dim (v0 seed; v1 MERGE moving %10==7 to
+    (nk+7)%25) — every change with cdf=True. Returns (orders_table,
+    customer_table)."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    ot = _ivm_orders_build(spark, sf_dir, tag)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").cast("int").alias("nk"),
+    )
+    ct = sinks.scratch_path(f"{tag}_cust")
+    shutil.rmtree(ct, ignore_errors=True)
+    cust.write.parquet(f"{ct}/s0")
+    lakelog.commit(ct, 0, [{"add": "s0"}])
+    c0 = lakelog.read_snapshot(spark, ct, 0)
     csrc = c0.filter(F.col("custkey") % 10 == 7).select(
         "custkey", ((F.col("nk") + 7) % 25).cast("int").alias("nk")
     )
@@ -1756,3 +1769,105 @@ def warehouse_ivm_three_table(
         "cents_sum",
         F.lit(audit).cast("long").alias("audit_mismatch"),
     ).orderBy("nationkey")
+
+
+@query(
+    "warehouse_ivm_distinct_view",
+    oracle="""
+    WITH o0 AS (
+      SELECT o_orderkey AS k, o_custkey AS custkey FROM orders
+    ),
+    o1 AS (
+      SELECT k, custkey FROM o0
+      UNION ALL
+      SELECT k + 300000000, custkey FROM o0 WHERE k % 20 = 3
+    ),
+    ofin AS (SELECT * FROM o1 WHERE k % 13 <> 0)
+    SELECT CAST(k % 50 AS INT) AS bucket,
+           CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_refs,
+           CAST(0 AS BIGINT) AS audit_mismatch
+    FROM ofin
+    GROUP BY k % 50
+    ORDER BY bucket
+    """,
+)
+def warehouse_ivm_distinct_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT(DISTINCT) maintained under DELETES from the change feed
+    (ivm.maintain_distinct) — the aggregate the linear delta rules
+    can't fold as a scalar, and the case the merge-only
+    view_maintain_distinct_agg deliberately stops short of: the view
+    keeps one REFERENCE COUNT per (bucket, custkey); the orders lake
+    table's CDF (same fixture as the join-view twins: re-keyed
+    inserts at v1, %13 deletes at v2) drives the support table, a
+    customer leaves a bucket only when its last order there dies,
+    and the distinct count is the surviving support row count.
+
+    The fixture exercises both non-trivial paths: re-keyed inserts
+    land in the SAME (bucket, custkey) cell (+3·10⁸ ≡ 0 mod 50), so
+    refs grow while distinct does not; the %13 deletes then take
+    some cells to zero, shrinking distinct. Underflow (a feed delete
+    of a value the support never held) refuses loudly — divergence
+    detection, tested in tests/test_ivm.py.
+
+    Pins: maintained == DuckDB recompute (hash) == full Spark
+    recompute (audit_mismatch 0), and n_refs doubles as the linear-
+    count cross-check on the same support.
+
+    100 TB posture: the support table IS the exact-distinct state any
+    engine needs (live (group, value) pairs); maintenance shuffles
+    only the delta aggregate and full-outer-probes the support on
+    (group, value) — O(changes), never a corpus re-scan. The update
+    image pairs (cents doubled) net to zero weight on (bucket,
+    custkey) and vanish in consolidate() before touching state."""
+    from etl_lens_spark.operators import ivm, lakelog
+
+    ot = _ivm_orders_build(spark, sf_dir, "ivmd")
+    o0 = lakelog.read_snapshot(spark, ot, 0)
+    bucket = (F.col("k") % 50).cast("int").alias("bucket")
+    support0 = (
+        o0.select(bucket, "custkey")
+        .groupBy("bucket", "custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    dz = ivm.consolidate(
+        ivm.changes_to_zset(
+            lakelog.table_changes(spark, ot, 0, 2).select(
+                bucket, "custkey", "_change_type"
+            ),
+            ["bucket", "custkey"],
+        )
+    )
+    support1 = ivm.maintain_distinct(support0, dz, ["bucket"], "custkey")
+    maintained = support1.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cnt").cast("long").alias("n_refs"),
+    )
+    recompute = (
+        lakelog.read_snapshot(spark, ot)
+        .select(bucket, "custkey")
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("custkey").cast("long").alias("r_d"),
+            F.count(F.lit(1)).cast("long").alias("r_n"),
+        )
+    )
+    audit = (
+        maintained.join(recompute, "bucket", "full_outer")
+        .filter(
+            ~(
+                F.col("n_cust").eqNullSafe(F.col("r_d"))
+                & F.col("n_refs").eqNullSafe(F.col("r_n"))
+            )
+        )
+        .count()
+    )
+    return maintained.select(
+        "bucket",
+        "n_cust",
+        "n_refs",
+        F.lit(audit).cast("long").alias("audit_mismatch"),
+    ).orderBy("bucket")

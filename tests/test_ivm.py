@@ -164,3 +164,42 @@ def test_ivm_random_soak_matches_recompute(spark):
     )
     got = _rows(_maintained(spark, o0, c0, o1, c1, do_rows, dc_rows))
     assert got == _rows(_view(o1, c1))
+
+
+def test_maintain_distinct_support_and_underflow(spark):
+    import pytest
+
+    support0 = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (2, 10, 1)],
+        "g long, v long, cnt long",
+    )
+    # delete one of g=1's two refs to v=10 (distinct unchanged),
+    # delete g=1's only ref to v=11 (distinct drops), insert a new
+    # value into g=2 (distinct grows)
+    delta = spark.createDataFrame(
+        [
+            (1, 10, "delete"),
+            (1, 11, "delete"),
+            (2, 12, "insert"),
+        ],
+        "g long, v long, _change_type string",
+    )
+    from etl_lens_spark.operators import ivm
+
+    dz = ivm.changes_to_zset(delta, ["g", "v"])
+    new = ivm.maintain_distinct(support0, dz, ["g"], "v")
+    got = sorted(tuple(r) for r in new.collect())
+    assert got == [(1, 10, 1), (2, 10, 1), (2, 12, 1)]
+    dcounts = {
+        r.g: r["count"] for r in new.groupBy("g").count().collect()
+    }
+    assert dcounts == {1: 1, 2: 2}
+    # deleting a value the support never held must refuse, not clamp
+    bad = ivm.changes_to_zset(
+        spark.createDataFrame(
+            [(9, 99, "delete")], "g long, v long, _change_type string"
+        ),
+        ["g", "v"],
+    )
+    with pytest.raises(ValueError, match="underflow"):
+        ivm.maintain_distinct(support0, bad, ["g"], "v")
