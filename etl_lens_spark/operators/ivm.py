@@ -55,13 +55,23 @@ _WEIGHT = {
 
 def changes_to_zset(changes: DataFrame, cols: list[str]) -> DataFrame:
     """Project a CDF frame (``_change_type`` labelled) to a Z-set:
-    ``cols`` + integer weight column ``__w``."""
+    ``cols`` + integer weight column ``__w``. An unknown (or NULL)
+    change type raises AT SCAN TIME rather than silently dropping the
+    row — a typo'd label in a hand-built feed or a future new change
+    type must not make the maintained view quietly diverge (the same
+    refuse-don't-clamp stance as maintain_distinct)."""
     w = F.when(F.lit(False), F.lit(0))
     for ct, wt in _WEIGHT.items():
         w = w.when(F.col("_change_type") == ct, F.lit(wt))
-    return changes.select(*cols, w.cast("long").alias("__w")).filter(
-        F.col("__w").isNotNull()
+    w = w.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("changes_to_zset: unknown _change_type "),
+                F.coalesce(F.col("_change_type"), F.lit("NULL")),
+            )
+        ).cast("int")
     )
+    return changes.select(*cols, w.cast("long").alias("__w"))
 
 
 def consolidate(zset: DataFrame) -> DataFrame:
@@ -179,6 +189,10 @@ def maintain_distinct(
                 + F.coalesce(F.col("__dw"), zero)
             ).alias(cnt_col),
         )
+        # materialize once: the underflow guard below is an eager
+        # action, and without this the full-outer merge (plus its
+        # CDF lineage) would recompute on every downstream action
+        .localCheckpoint()
     )
     neg = merged.filter(F.col(cnt_col) < 0).count()
     if neg:

@@ -661,6 +661,7 @@ def merge_upsert(
                     source.withColumn(ct, F.lit("insert")),
                 )
             )
+    actions.append({"op": "MERGE"})
     commit(table_dir, version, actions)
     return {
         "version": version,
@@ -717,6 +718,7 @@ def delete_where(
                 .withColumn("_change_type", F.lit("delete"))
             )
             actions.append(_write_cdc(spark, table_dir, version, deleted))
+    actions.append({"op": "DELETE"})
     commit(table_dir, version, actions)
     return {
         "version": version,
@@ -2010,6 +2012,7 @@ def delete_where_mor(
         new_action["dv"] = dv_rel
         new_action["dv_count"] = n_dead
         actions.append(new_action)
+    actions.append({"op": "DELETE (MOR)"})
     commit(table_dir, version, actions)
     return {
         "version": version,
@@ -2812,34 +2815,61 @@ def _restore_change_record(
                 spark, table_dir, {r: current[r] for r in removes}
             ).withColumn("_change_type", F.lit("delete"))
         )
-    # resurrected rows: positions dead at head but alive at the
-    # restore target (DVs only grow forward, so target ⊆ head)
+    # DV repoints, BOTH directions (a prior restore can shrink a
+    # vector, so neither side's dead set need contain the other):
+    # positions dead at head but alive at the target resurrect as
+    # inserts; positions alive at head but dead at the target emit
+    # as deletes — one-directional diffing here silently omitted the
+    # delete rows and poisoned every CDF consumer (review fix).
     res_pairs: list[tuple[str, int]] = []
+    dead_pairs: list[tuple[str, int]] = []
     for r, tgt_action in repoints.items():
         head_pos = _dv_positions_by_phys(
             table_dir, current[r].get("dv")
         )
         tgt_pos = _dv_positions_by_phys(table_dir, tgt_action.get("dv"))
-        for phys, positions in head_pos.items():
-            back = sorted(set(positions) - set(tgt_pos.get(phys, ())))
-            res_pairs.extend((phys, p) for p in back)
-    if res_pairs:
+        for phys in set(head_pos) | set(tgt_pos):
+            h = set(head_pos.get(phys, ()))
+            t = set(tgt_pos.get(phys, ()))
+            res_pairs.extend((phys, p) for p in sorted(h - t))
+            dead_pairs.extend((phys, p) for p in sorted(t - h))
+
+    def _positions_part(pairs: list[tuple[str, int]], label: str):
+        # scan only the rels that own a contributing physical file
+        phys_set = {p for p, _ in pairs}
+        rels = sorted(
+            r
+            for r in repoints
+            if any(p == r or p.startswith(r + "/") for p in phys_set)
+        )
         raw = spark.read.parquet(
-            *[os.path.join(table_dir, r) for r in sorted(repoints)]
+            *[os.path.join(table_dir, r) for r in rels]
         )
         cols = raw.columns
-        alive = spark.createDataFrame(
-            res_pairs, "__phys string, __ri long"
-        )
-        parts.append(
+        hit = spark.createDataFrame(pairs, "__phys string, __ri long")
+        return (
             raw.withColumn("__phys", _phys_rel_col(table_dir))
             .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(F.broadcast(alive), ["__phys", "__ri"], "left_semi")
+            .join(F.broadcast(hit), ["__phys", "__ri"], "left_semi")
             .select(*cols)
+            .withColumn("_change_type", F.lit(label))
+        )
+
+    if res_pairs:
+        parts.append(_positions_part(res_pairs, "insert"))
+    if dead_pairs:
+        parts.append(_positions_part(dead_pairs, "delete"))
+    if not parts:
+        # cdf=True with no row-level changes (e.g. a repoint whose
+        # action differs only in metadata): record an EMPTY change
+        # set rather than omitting the cdc action — a later CDF read
+        # over the commit must serve zero rows, not refuse
+        some_rel = next(iter({**re_add, **repoints, **current}))
+        return (
+            spark.read.parquet(os.path.join(table_dir, some_rel))
+            .limit(0)
             .withColumn("_change_type", F.lit("insert"))
         )
-    if not parts:
-        return None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -2891,7 +2921,13 @@ def _classify_commit(
     data_change = any(
         a.get("data_change") is not False for a in adds + rems
     )
-    if any("restore" in a for a in actions):
+    stamped = [a["op"] for a in actions if "op" in a]
+    if stamped:
+        # writer-stamped verb (merge_upsert/delete_where/
+        # delete_where_mor) — the shape heuristic below cannot tell a
+        # cdf=True DELETE's rewrite from a MERGE's (review fix)
+        op = stamped[0]
+    elif any("restore" in a for a in actions):
         op = "RESTORE"
     elif any("wap" in a for a in actions):
         op = "WAP PUBLISH"
@@ -2944,8 +2980,11 @@ def table_files(
     for rel in sorted(active):
         a = active[rel]
         n = a.get("num_records")
-        dv_count = 0
-        if a.get("dv"):
+        # the action's dv_count field first (pure log replay, the
+        # same number the zero-job OPTIMIZE sizing reads); parse the
+        # sidecar only for legacy actions that never recorded it
+        dv_count = int(a.get("dv_count", 0))
+        if not dv_count and a.get("dv"):
             for positions in _dv_positions_by_phys(
                 table_dir, a["dv"]
             ).values():

@@ -116,7 +116,7 @@ def partial_digests(
             pdf = pdf.dropna(subset=[value_col])
             if pdf.empty:
                 continue
-            for kvals, grp in pdf.groupby(keys, sort=False):
+            for kvals, grp in pdf.groupby(keys, sort=False, dropna=False):
                 if not isinstance(kvals, tuple):
                     kvals = (kvals,)
                 v = grp[value_col].to_numpy(dtype=float)

@@ -1176,6 +1176,46 @@ def _ivm_lake_build(
     return ot, ct
 
 
+
+def _ivm_maintained_view(spark, ot: str, ct: str, o0, c0, view0):
+    """Shared batch maintenance for the IVM twins: consolidated CDF
+    Z-sets from both lake tables, the trilinear delta join, and the
+    view merge — one definition so the bench thunk and the query
+    cannot drift (review fix)."""
+    from etl_lens_spark.operators import ivm, lakelog
+
+    dz_o = ivm.consolidate(
+        ivm.changes_to_zset(
+            lakelog.table_changes(spark, ot, 0, 2),
+            ["k", "custkey", "cents"],
+        )
+    )
+    dz_c = ivm.consolidate(
+        ivm.changes_to_zset(
+            lakelog.table_changes(spark, ct, 0, 1), ["custkey", "nk"]
+        )
+    )
+    delta = ivm.delta_join(o0, dz_o, c0, dz_c, ["custkey"])
+    return ivm.maintain_agg(
+        view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
+    )
+
+
+def _ivm_audit(
+    maintained, recompute, key: str, pairs: list[tuple[str, str]]
+) -> int:
+    """Rows where the maintained view disagrees with the recompute,
+    full-outer on ``key`` and NULL-safe on every compared pair — the
+    in-output audit column every IVM query pins to 0."""
+    import functools
+
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(m).eqNullSafe(F.col(r)) for m, r in pairs],
+    )
+    return maintained.join(recompute, key, "full_outer").filter(~cond).count()
+
+
 _IVM_VIEW_ORACLE = """
     WITH o0 AS (
       SELECT o_orderkey AS k, o_custkey AS custkey,
@@ -1250,7 +1290,7 @@ def warehouse_ivm_join_view(
     states where the delta's keys hit — O(changes), the entire point
     of IVM. consolidate() nets same-row churn before the three-way
     fan-out."""
-    from etl_lens_spark.operators import ivm, lakelog
+    from etl_lens_spark.operators import lakelog
 
     ot, ct = _ivm_lake_build(spark, sf_dir, "ivm")
 
@@ -1268,21 +1308,7 @@ def warehouse_ivm_join_view(
     )
 
     # maintenance: the view sees ONLY the change feeds
-    dz_o = ivm.consolidate(
-        ivm.changes_to_zset(
-            lakelog.table_changes(spark, ot, 0, 2),
-            ["k", "custkey", "cents"],
-        )
-    )
-    dz_c = ivm.consolidate(
-        ivm.changes_to_zset(
-            lakelog.table_changes(spark, ct, 0, 1), ["custkey", "nk"]
-        )
-    )
-    delta = ivm.delta_join(o0, dz_o, c0, dz_c, ["custkey"])
-    maintained = ivm.maintain_agg(
-        view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
-    )
+    maintained = _ivm_maintained_view(spark, ot, ct, o0, c0, view0)
 
     # audit: full recompute from the head snapshots must agree
     recompute = (
@@ -1294,15 +1320,9 @@ def warehouse_ivm_join_view(
             F.sum("cents").cast("long").alias("r_s"),
         )
     )
-    audit = (
-        maintained.join(recompute, "nk", "full_outer")
-        .filter(
-            ~(
-                F.col("n_orders").eqNullSafe(F.col("r_n"))
-                & F.col("cents_sum").eqNullSafe(F.col("r_s"))
-            )
-        )
-        .count()
+    audit = _ivm_audit(
+        maintained, recompute, "nk",
+        [("n_orders", "r_n"), ("cents_sum", "r_s")],
     )
     return maintained.select(
         F.col("nk").cast("int").alias("nationkey"),
@@ -1408,15 +1428,9 @@ def streaming_ivm_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("r_s"),
         )
     )
-    audit = (
-        view.join(recompute, "nk", "full_outer")
-        .filter(
-            ~(
-                F.col("n_orders").eqNullSafe(F.col("r_n"))
-                & F.col("cents_sum").eqNullSafe(F.col("r_s"))
-            )
-        )
-        .count()
+    audit = _ivm_audit(
+        view, recompute, "nk",
+        [("n_orders", "r_n"), ("cents_sum", "r_s")],
     )
     out = view.select(
         F.col("nk").cast("int").alias("nationkey"),
@@ -1545,7 +1559,7 @@ def _bench_ivm_join_view(spark: SparkSession, sf_dir: str):
     # rewrites) and the v0 view materialization are setup; the timed
     # thunk is the operator under test — CDF reads, the trilinear
     # delta join, the view merge, and the recompute audit
-    from etl_lens_spark.operators import ivm, lakelog
+    from etl_lens_spark.operators import lakelog
 
     ot, ct = _ivm_lake_build(spark, sf_dir, "ivm_bench")
     o0 = lakelog.read_snapshot(spark, ot, 0)
@@ -1561,21 +1575,7 @@ def _bench_ivm_join_view(spark: SparkSession, sf_dir: str):
     )
 
     def answer() -> DataFrame:
-        dz_o = ivm.consolidate(
-            ivm.changes_to_zset(
-                lakelog.table_changes(spark, ot, 0, 2),
-                ["k", "custkey", "cents"],
-            )
-        )
-        dz_c = ivm.consolidate(
-            ivm.changes_to_zset(
-                lakelog.table_changes(spark, ct, 0, 1), ["custkey", "nk"]
-            )
-        )
-        delta = ivm.delta_join(o0, dz_o, c0, dz_c, ["custkey"])
-        maintained = ivm.maintain_agg(
-            view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
-        )
+        maintained = _ivm_maintained_view(spark, ot, ct, o0, c0, view0)
         recompute = (
             lakelog.read_snapshot(spark, ot)
             .join(lakelog.read_snapshot(spark, ct), "custkey")
@@ -1585,15 +1585,9 @@ def _bench_ivm_join_view(spark: SparkSession, sf_dir: str):
                 F.sum("cents").cast("long").alias("r_s"),
             )
         )
-        audit = (
-            maintained.join(recompute, "nk", "full_outer")
-            .filter(
-                ~(
-                    F.col("n_orders").eqNullSafe(F.col("r_n"))
-                    & F.col("cents_sum").eqNullSafe(F.col("r_s"))
-                )
-            )
-            .count()
+        audit = _ivm_audit(
+            maintained, recompute, "nk",
+            [("n_orders", "r_n"), ("cents_sum", "r_s")],
         )
         return maintained.select(
             F.col("nk").cast("int").alias("nationkey"),
@@ -1753,15 +1747,9 @@ def warehouse_ivm_three_table(
             F.sum("price_cents").cast("long").alias("r_s"),
         )
     )
-    audit = (
-        maintained.join(recompute, "nk", "full_outer")
-        .filter(
-            ~(
-                F.col("n_lines").eqNullSafe(F.col("r_n"))
-                & F.col("cents_sum").eqNullSafe(F.col("r_s"))
-            )
-        )
-        .count()
+    audit = _ivm_audit(
+        maintained, recompute, "nk",
+        [("n_lines", "r_n"), ("cents_sum", "r_s")],
     )
     return maintained.select(
         F.col("nk").cast("int").alias("nationkey"),
@@ -1855,15 +1843,9 @@ def warehouse_ivm_distinct_view(
             F.count(F.lit(1)).cast("long").alias("r_n"),
         )
     )
-    audit = (
-        maintained.join(recompute, "bucket", "full_outer")
-        .filter(
-            ~(
-                F.col("n_cust").eqNullSafe(F.col("r_d"))
-                & F.col("n_refs").eqNullSafe(F.col("r_n"))
-            )
-        )
-        .count()
+    audit = _ivm_audit(
+        maintained, recompute, "bucket",
+        [("n_cust", "r_d"), ("n_refs", "r_n")],
     )
     return maintained.select(
         "bucket",

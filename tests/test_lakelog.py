@@ -1949,3 +1949,55 @@ def test_vacuum_after_restore_keeps_head_reads(spark, tmp_path):
         if p.endswith(".parquet")
     ]
     assert rewrites == []
+
+
+def test_restore_cdf_re_death_direction(spark, tmp_path):
+    """Review regression: after a restore SHRINKS a deletion vector,
+    head and a later restore target can each hold positions the
+    other lacks — the change record must emit BOTH directions:
+    resurrections (head-dead, target-alive) as inserts AND re-deaths
+    (target-dead, head-alive) as deletes."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "redeath")
+    spark.createDataFrame(
+        [(k, k * 10) for k in (0, 1, 2, 3)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.delete_where_mor(spark, base, F.col("k") == 1)  # v1 dv{1}
+    lakelog.restore_table(spark, base, 0, cdf=True)  # v2: dv-free
+    lakelog.delete_where_mor(spark, base, F.col("k") == 2)  # v3 dv{2}
+    # restore to v1: k=2 resurrects (head-dead, target-alive) AND
+    # k=1 re-dies (target-dead, head-alive)
+    lakelog.restore_table(spark, base, 1, cdf=True)  # v4
+    got = sorted(
+        (r.k, r._change_type)
+        for r in lakelog.table_changes(spark, base, 3, 4).collect()
+    )
+    assert got == [(1, "delete"), (2, "insert")]
+    assert _rows(spark, base) == [(0, 0), (2, 20), (3, 30)]
+
+
+def test_restore_cdf_writes_empty_record_when_no_row_changes(
+    spark, tmp_path
+):
+    """cdf=True with no row-level effect still writes a (zero-row)
+    change record so a later CDF read over the commit serves zero
+    rows instead of refusing (review fix: record=None used to skip
+    the cdc action entirely)."""
+    base = str(tmp_path / "norows")
+    spark.createDataFrame(
+        [(1, 10)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0", "num_records": 1}])
+    # metadata-only repoint: same rel, action differs (stats added)
+    lakelog.commit(
+        base, 1, [{"add": "s0", "num_records": 1, "stats": {"k": [1, 1]}}]
+    )
+    res = lakelog.restore_table(spark, base, 0, cdf=True)
+    assert res["n_repointed"] == 1
+    plan = lakelog.commit_change_plan(base, res["version"])
+    assert plan["cdc_files"]  # the record exists...
+    served = lakelog.table_changes(spark, base, 1, 2)
+    assert served.collect() == []  # ...and serves zero rows
+    assert "_change_type" in served.columns
