@@ -369,12 +369,19 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest, unlike the two standing order-dependent sketches).
 
     Rows-only by the sketch-family convention (no engine reproduces
-    the estimator), but self-auditing: for every (event_type, q) the
-    output carries the estimate's TRUE rank — computed exactly with
-    one broadcast join back to the values — and ``within_bound`` =
-    |rank − q| ≤ 1%, pinned all-true, so the driver's rows-only run
-    still fails if accuracy regresses. The merge law and multiset
-    determinism are pinned in tests/test_tdigest.py.
+    the estimator), and the OUTPUT exposes only the
+    partition-invariant contracts: for every (event_type, q) the
+    estimate's TRUE rank is computed exactly with one broadcast join
+    back to the values, and ``within_bound`` = |rank − q| ≤ 1% plus
+    ``centroids_bounded`` = size ≤ 2δ ride the output pinned
+    all-true. The raw estimates themselves are deliberately NOT
+    emitted: a t-digest's centroids depend on partial BOUNDARIES
+    (inherent to the sketch — the merge is arrival-order invariant
+    given fixed partials, but repartitioning the input changes the
+    partials), so emitting them would make the query
+    permutation-unstable while the accuracy contract is invariant.
+    Exact merge determinism and the rank bound are pinned in
+    tests/test_tdigest.py.
 
     100 TB posture: the partial pass is map-side-complete; the merge
     touches O(partitions × δ) centroid rows per key; appending a new
@@ -410,12 +417,10 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "q",
-            F.round("est", 6).alias("est"),
-            F.round("true_rank", 4).alias("true_rank"),
             (F.abs(F.col("true_rank") - F.col("q")) <= 0.01).alias(
                 "within_bound"
             ),
-            "n_centroids",
+            (F.col("n_centroids") <= 2 * 100).alias("centroids_bounded"),
         )
         .orderBy("event_type", "q")
     )
