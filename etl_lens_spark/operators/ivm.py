@@ -43,6 +43,7 @@ __all__ = [
     "delta_join",
     "maintain_agg",
     "maintain_distinct",
+    "maintain_minmax",
 ]
 
 _WEIGHT = {
@@ -202,3 +203,46 @@ def maintain_distinct(
             "held; refusing to clamp"
         )
     return merged.filter(F.col(cnt_col) != 0)
+
+
+def maintain_minmax(
+    view_old: DataFrame,
+    support_new: DataFrame,
+    touched: DataFrame,
+    keys: list[str],
+    value_col: str,
+    cnt_col: str = "cnt",
+    vmin_col: str = "vmin",
+    vmax_col: str = "vmax",
+    n_col: str = "n",
+) -> DataFrame:
+    """Maintain MIN/MAX (+ count) per group under inserts AND
+    deletes — the EXTREMAL aggregates, which no scalar delta can
+    fold (deleting the current minimum says nothing about the next
+    one): the auxiliary state is the refcounted (group, value)
+    support ``maintain_distinct`` already maintains, and the update
+    rule is hierarchical — groups untouched by the delta keep their
+    old extrema verbatim (at 100 TB: almost all of them), while each
+    TOUCHED group re-aggregates only ITS OWN support slice, which is
+    exactly the set any engine must examine once its minimum dies.
+
+    ``view_old`` carries keys + vmin/vmax/n; ``support_new`` is the
+    already-maintained support (keys, value, cnt); ``touched`` is
+    the delta's distinct key set (broadcast). A touched group whose
+    support emptied disappears from the view.
+
+    100 TB posture: cost = O(changes) for the support merge (done by
+    the caller via maintain_distinct) + O(support of touched groups)
+    for the re-aggregation — never a corpus scan, never a re-read of
+    untouched groups' state."""
+    rec = (
+        support_new.join(F.broadcast(touched), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.min(value_col).alias(vmin_col),
+            F.max(value_col).alias(vmax_col),
+            F.sum(cnt_col).cast("long").alias(n_col),
+        )
+    )
+    keep = view_old.join(F.broadcast(touched), keys, "left_anti")
+    return keep.unionByName(rec)

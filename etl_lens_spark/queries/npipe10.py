@@ -1853,3 +1853,108 @@ def warehouse_ivm_distinct_view(
         "n_refs",
         F.lit(audit).cast("long").alias("audit_mismatch"),
     ).orderBy("bucket")
+
+
+@query(
+    "warehouse_ivm_minmax_view",
+    oracle="""
+    WITH o0 AS (
+      SELECT o_orderkey AS k, o_custkey AS custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    o1 AS (
+      SELECT k, custkey,
+             CASE WHEN k % 20 = 1 THEN cents * 2 ELSE cents END AS cents
+      FROM o0
+      UNION ALL
+      SELECT k + 300000000, custkey, cents FROM o0 WHERE k % 20 = 3
+    ),
+    ofin AS (SELECT * FROM o1 WHERE k % 13 <> 0)
+    SELECT CAST(custkey % 25 AS INT) AS bucket,
+           CAST(MIN(cents) AS BIGINT) AS vmin,
+           CAST(MAX(cents) AS BIGINT) AS vmax,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS audit_mismatch
+    FROM ofin
+    GROUP BY custkey % 25
+    ORDER BY bucket
+    """,
+)
+def warehouse_ivm_minmax_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX maintained under DELETES from the change feed
+    (ivm.maintain_minmax) — the EXTREMAL aggregates no scalar delta
+    can fold (deleting the current minimum says nothing about the
+    next one): the auxiliary state is the refcounted (bucket, cents)
+    support maintain_distinct already maintains, and the update is
+    hierarchical — buckets untouched by the delta keep their old
+    extrema VERBATIM (pass-through, no recompute; at 100 TB that is
+    almost every group), touched buckets re-aggregate only their own
+    support slice, the exact set any engine must examine once a
+    minimum dies.
+
+    The orders lake CDF drives it (same fixture as the other IVM
+    twins): the v1 cents-doubling updates can raise maxima, the v2
+    %13 deletes can kill minima (update image pairs move the support
+    refs between cents values; a (bucket, cents) cell dying moves
+    the min to the next survivor). Three-way agreement pinned —
+    DuckDB final-state recompute (hash) + full Spark recompute
+    (audit_mismatch 0). Extrema movement, group death, and
+    untouched-group pass-through pinned in tests/test_ivm.py.
+
+    100 TB posture: O(changes) support merge + O(touched groups'
+    support) re-aggregation; untouched groups cost zero — neither
+    read nor shuffled."""
+    from etl_lens_spark.operators import ivm, lakelog
+
+    ot = _ivm_orders_build(spark, sf_dir, "ivmm")
+    o0 = lakelog.read_snapshot(spark, ot, 0)
+    bucket = (F.col("custkey") % 25).cast("int").alias("bucket")
+    support0 = (
+        o0.select(bucket, "cents")
+        .groupBy("bucket", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    view0 = support0.groupBy("bucket").agg(
+        F.min("cents").alias("vmin"),
+        F.max("cents").alias("vmax"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    dz = ivm.consolidate(
+        ivm.changes_to_zset(
+            lakelog.table_changes(spark, ot, 0, 2).select(
+                bucket, "cents", "_change_type"
+            ),
+            ["bucket", "cents"],
+        )
+    ).localCheckpoint()
+    support1 = ivm.maintain_distinct(support0, dz, ["bucket"], "cents")
+    touched = dz.select("bucket").distinct()
+    maintained = ivm.maintain_minmax(
+        view0, support1, touched, ["bucket"], "cents"
+    )
+    recompute = (
+        lakelog.read_snapshot(spark, ot)
+        .select(bucket, "cents")
+        .groupBy("bucket")
+        .agg(
+            F.min("cents").alias("r_min"),
+            F.max("cents").alias("r_max"),
+            F.count(F.lit(1)).cast("long").alias("r_n"),
+        )
+    )
+    audit = _ivm_audit(
+        maintained, recompute, "bucket",
+        [("vmin", "r_min"), ("vmax", "r_max"), ("n", "r_n")],
+    )
+    return maintained.select(
+        "bucket",
+        "vmin",
+        "vmax",
+        "n",
+        F.lit(audit).cast("long").alias("audit_mismatch"),
+    ).orderBy("bucket")

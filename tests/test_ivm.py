@@ -203,3 +203,56 @@ def test_maintain_distinct_support_and_underflow(spark):
     )
     with pytest.raises(ValueError, match="underflow"):
         ivm.maintain_distinct(support0, bad, ["g"], "v")
+
+
+def test_maintain_minmax_extrema_move_and_group_death(spark):
+    support0 = spark.createDataFrame(
+        [(1, 5, 1), (1, 9, 2), (2, 7, 1)], "g long, v long, cnt long"
+    )
+    view0 = spark.createDataFrame(
+        [(1, 5, 9, 3), (2, 7, 7, 1)],
+        "g long, vmin long, vmax long, n long",
+    )
+    # kill g=1's minimum (min must move to 9), kill g=2 entirely,
+    # create g=3
+    delta = ivm.changes_to_zset(
+        spark.createDataFrame(
+            [
+                (1, 5, "delete"),
+                (2, 7, "delete"),
+                (3, 4, "insert"),
+            ],
+            "g long, v long, _change_type string",
+        ),
+        ["g", "v"],
+    )
+    support1 = ivm.maintain_distinct(support0, delta, ["g"], "v")
+    touched = delta.select("g").distinct()
+    view1 = ivm.maintain_minmax(view0, support1, touched, ["g"], "v")
+    got = sorted(tuple(r) for r in view1.collect())
+    assert got == [(1, 9, 9, 2), (3, 4, 4, 1)]
+
+
+def test_maintain_minmax_untouched_groups_pass_through(spark):
+    support0 = spark.createDataFrame(
+        [(g, v, 1) for g in range(5) for v in (g, g + 10)],
+        "g long, v long, cnt long",
+    )
+    view0 = support0.groupBy("g").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    delta = ivm.changes_to_zset(
+        spark.createDataFrame(
+            [(0, 0, "delete")], "g long, v long, _change_type string"
+        ),
+        ["g", "v"],
+    )
+    support1 = ivm.maintain_distinct(support0, delta, ["g"], "v")
+    touched = delta.select("g").distinct()
+    view1 = ivm.maintain_minmax(view0, support1, touched, ["g"], "v")
+    got = {r.g: (r.vmin, r.vmax, r.n) for r in view1.collect()}
+    assert got[0] == (10, 10, 1)  # min moved
+    for g in range(1, 5):  # untouched groups identical
+        assert got[g] == (g, g + 10, 2)
