@@ -3000,3 +3000,83 @@ def table_files(
     return spark.createDataFrame(
         rows, "rel string, n_records long, dv_count long, spec_id int"
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR: purge a subject's rows from recorded change data
+# ---------------------------------------------------------------------------
+
+
+def gdpr_purge_change_records(
+    spark: SparkSession, table_dir: str, condition
+) -> dict:
+    """Right-to-be-forgotten for the CHANGE DATA FEED: rewrite every
+    recorded ``_cdc`` change file dropping rows matching
+    ``condition`` (a Column over the table's columns), in place —
+    log references stay valid, surviving rows keep serving, and a
+    marker commit (``{"gdprPurge": {...}}``, data_change false, op
+    "GDPR PURGE") audits THAT a purge happened without re-recording
+    any row content. This is the piece plain DML cannot reach: a
+    cdf=True DELETE of the subject writes a change record that
+    itself CARRIES the subject's data, and time travel keeps serving
+    every older record.
+
+    The full GDPR recipe, in order (each step covers what the others
+    cannot):
+    1. ``delete_where(..., cdf=True)`` — removes the subject from
+       the live table;
+    2. this function — removes the subject from every recorded
+       change file, INCLUDING step 1's own delete record;
+    3. ``vacuum`` past the retention horizon — reclaims pre-delete
+       data files that time travel could still read. Derived CDF
+       rows (deletion-vector diffs) read from DATA files, not
+       records, so step 3 is what erases them.
+
+    Cost: O(change records), two jobs per record holding a match
+    (count + rewrite); untouched records are read once and left
+    byte-identical. Never touches data files or the main log chain."""
+    import shutil
+
+    head = latest_version(table_dir)
+    log = _log_dir(table_dir)
+    total = 0
+    n_files = 0
+    for v in range(head + 1):
+        path = os.path.join(log, f"{v:08d}.json")
+        if not os.path.exists(path):
+            continue  # retired behind a checkpoint: its cdc rel is
+            # unreachable by any CDF read, vacuum owns its cleanup
+        with open(path) as f:
+            actions = json.load(f)
+        for rel in (a["cdc"] for a in actions if "cdc" in a):
+            from pyspark.sql import functions as F
+
+            full = os.path.join(table_dir, rel)
+            df = spark.read.parquet(full)
+            # NULL-safe: a NULL predicate result must neither purge
+            # the row nor drop it from the kept set
+            cond = F.coalesce(condition, F.lit(False))
+            hits = df.filter(cond).count()
+            if not hits:
+                continue
+            keep = df.filter(~cond)
+            tmp = full + ".purge_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            keep.write.parquet(tmp)
+            shutil.rmtree(full)
+            os.rename(tmp, full)
+            total += hits
+            n_files += 1
+    commit(
+        table_dir,
+        head + 1,
+        [
+            {"gdprPurge": {"n_rows": int(total), "n_records": n_files}},
+            {"op": "GDPR PURGE"},
+        ],
+    )
+    return {
+        "version": head + 1,
+        "n_rows_purged": int(total),
+        "n_records_rewritten": n_files,
+    }

@@ -1958,3 +1958,118 @@ def warehouse_ivm_minmax_view(
         "n",
         F.lit(audit).cast("long").alias("audit_mismatch"),
     ).orderBy("bucket")
+
+
+@query(
+    "lake_gdpr_cdf_purge",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    surviving AS (
+      SELECT k + 100000000 AS k, cents, 'insert' AS ct, 1 AS v
+      FROM v0 WHERE k % 20 = 3
+      UNION ALL
+      SELECT k, cents, 'delete', 2 FROM v0 WHERE k % 20 = 7
+      UNION ALL
+      SELECT k, cents, 'delete', 3 FROM v0 WHERE k % 20 = 11
+    ),
+    purged AS (
+      -- v1 image pair (2 rows/key) + v4's own delete record (1)
+      SELECT CAST(3 * COUNT(*) AS BIGINT) AS purged_rows
+      FROM v0 WHERE k % 20 = 1
+    ),
+    fin AS (
+      SELECT k, cents FROM v0 WHERE k % 20 NOT IN (1, 7, 11)
+      UNION ALL
+      SELECT k + 100000000, cents FROM v0 WHERE k % 20 = 3
+    ),
+    fsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS final_n,
+             CAST(SUM(cents) AS BIGINT) AS final_cents
+      FROM fin
+    )
+    SELECT ct AS change_type,
+           CAST(v AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           purged.purged_rows,
+           fsum.final_n,
+           fsum.final_cents
+    FROM surviving CROSS JOIN purged CROSS JOIN fsum
+    GROUP BY ct, v, purged.purged_rows, fsum.final_n, fsum.final_cents
+    ORDER BY change_type, commit_version
+    """,
+)
+def lake_gdpr_cdf_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN vs the change data feed — the tension
+    every CDF deployment hits: a cdf=True DELETE of the subject
+    writes a change record that itself CARRIES the subject's data,
+    and time travel keeps serving every older record. The recipe
+    (lakelog.gdpr_purge_change_records): (1) delete the %20==1
+    subject keys from the live table with cdf=True; (2) purge
+    the subject from EVERY recorded change file in place — v1's
+    update image pairs and the delete's own just-written record —
+    leaving log references valid and an audit marker commit with
+    counts but no row content; (3, outside this fixture) vacuum
+    reclaims pre-delete data files, which is also what erases
+    DV-DERIVED change rows (they read from data files, not records —
+    the %20==11 MOR delete here is disjoint from the subject and
+    keeps serving untouched).
+
+    Pins: the post-purge feed over ALL commits grouped by
+    (change_type, version) — the subject appears NOWHERE, survivors'
+    checksums intact, the delete commit serves zero rows from its
+    emptied record, the materialize commit serves nothing —
+    plus the purge row count (3 per subject key: image pair + delete
+    record) and the final-table checksum, all against the relational
+    oracle.
+
+    100 TB posture: O(change records) with two jobs per record
+    holding a match; untouched records and all data files are never
+    rewritten; the main log chain is untouched so concurrent readers
+    never see a hole."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    base = _cdf_lake_build(spark, sf_dir, "gdpr_cdf")
+    # v4: REORG-PURGE the fixture's deletion vectors first — CoW
+    # DELETE refuses DV'd files, and a real forget-me run wants the
+    # subject's bytes out of the rewritten files anyway; the commit
+    # is data_change=false, so the feed serves nothing for it
+    lakelog.materialize_deletion_vectors(spark, base)
+    lakelog.delete_where(spark, base, F.col("k") % 20 == 1, cdf=True)  # v5
+    purge = lakelog.gdpr_purge_change_records(
+        spark, base, F.col("k") % 20 == 1
+    )  # v6 marker
+    head = lakelog.latest_version(base)
+    served = lakelog.table_changes(spark, base, 0, head)
+    fin = lakelog.read_snapshot(spark, base).agg(
+        F.count(F.lit(1)).cast("long").alias("final_n"),
+        F.sum("price_cents").cast("long").alias("final_cents"),
+    )
+    out = (
+        served.groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+            F.sum("price_cents").cast("long").alias("cents_sum"),
+        )
+        .withColumn(
+            "purged_rows",
+            F.lit(purge["n_rows_purged"]).cast("long"),
+        )
+        .crossJoin(F.broadcast(fin))
+        .orderBy("change_type", "commit_version")
+    )
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

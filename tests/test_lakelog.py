@@ -2001,3 +2001,47 @@ def test_restore_cdf_writes_empty_record_when_no_row_changes(
     served = lakelog.table_changes(spark, base, 1, 2)
     assert served.collect() == []  # ...and serves zero rows
     assert "_change_type" in served.columns
+
+
+def test_gdpr_purge_change_records(spark, tmp_path):
+    """The forget-me recipe's CDF half: after a cdf=True DELETE of
+    the subject, every recorded change file — including that
+    delete's own record — drops the subject's rows in place; other
+    rows keep serving; the audit marker commits no row content; a
+    re-purge is a no-op."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "gdpr")
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(8)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.merge_upsert(
+        spark,
+        base,
+        spark.createDataFrame([(1, 99), (2, 88)], "k long, c long"),
+        ["k"],
+        cdf=True,
+    )  # v1: updates for k=1 (the subject) and k=2
+    lakelog.delete_where(spark, base, F.col("k") == 1, cdf=True)  # v2
+    res = lakelog.gdpr_purge_change_records(
+        spark, base, F.col("k") == 1
+    )
+    # v1 pre+post for k=1, v2's delete record row: 3 purged rows
+    assert res["n_rows_purged"] == 3
+    assert res["n_records_rewritten"] == 2
+    served = lakelog.table_changes(spark, base, 0, 2)
+    ks = sorted((r.k, r._change_type) for r in served.collect())
+    assert all(k != 1 for k, _ in ks)  # subject gone from the feed
+    assert (2, "update_preimage") in ks  # others intact
+    # the marker commit classifies and carries no row content
+    h = {
+        r.version: r.operation
+        for r in lakelog.table_history(spark, base).collect()
+    }
+    assert h[res["version"]] == "GDPR PURGE"
+    # idempotent: nothing left to purge
+    res2 = lakelog.gdpr_purge_change_records(
+        spark, base, F.col("k") == 1
+    )
+    assert res2["n_rows_purged"] == 0
