@@ -2776,8 +2776,7 @@ def restore_table(
         record = _restore_change_record(
             spark, table_dir, re_add, removes, repoints, current
         )
-        if record is not None:
-            actions.append(_write_cdc(spark, table_dir, version, record))
+        actions.append(_write_cdc(spark, table_dir, version, record))
     actions.extend(dict(re_add[r]) for r in sorted(re_add))
     actions.extend({"remove": r} for r in removes)
     actions.extend(dict(repoints[r]) for r in sorted(repoints))
@@ -2797,9 +2796,11 @@ def _restore_change_record(
     removes: list[str],
     repoints: dict[str, dict],
     current: dict[str, dict],
-) -> DataFrame | None:
+) -> DataFrame:
     """Row-level changes a restore implies, reading ONLY the files
-    the restore touches (O(changed data), never the table)."""
+    the restore touches (O(changed data), never the table); a
+    restore with no row-level effect returns an empty frame (the
+    cdc action is ALWAYS written under cdf=True)."""
     from pyspark.sql import functions as F
 
     parts: list[DataFrame] = []
@@ -2834,9 +2835,15 @@ def _restore_change_record(
             res_pairs.extend((phys, p) for p in sorted(h - t))
             dead_pairs.extend((phys, p) for p in sorted(t - h))
 
-    def _positions_part(pairs: list[tuple[str, int]], label: str):
-        # scan only the rels that own a contributing physical file
-        phys_set = {p for p, _ in pairs}
+    labelled = [(p, ri, "insert") for p, ri in res_pairs] + [
+        (p, ri, "delete") for p, ri in dead_pairs
+    ]
+    if labelled:
+        # ONE scan serves both directions (the two position sets are
+        # disjoint — a position cannot resurrect and re-die in the
+        # same restore): scan only the rels that own a contributing
+        # physical file, inner-join the broadcast labelled set
+        phys_set = {p for p, _, _ in labelled}
         rels = sorted(
             r
             for r in repoints
@@ -2846,19 +2853,15 @@ def _restore_change_record(
             *[os.path.join(table_dir, r) for r in rels]
         )
         cols = raw.columns
-        hit = spark.createDataFrame(pairs, "__phys string, __ri long")
-        return (
+        hit = spark.createDataFrame(
+            labelled, "__phys string, __ri long, _change_type string"
+        )
+        parts.append(
             raw.withColumn("__phys", _phys_rel_col(table_dir))
             .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(F.broadcast(hit), ["__phys", "__ri"], "left_semi")
-            .select(*cols)
-            .withColumn("_change_type", F.lit(label))
+            .join(F.broadcast(hit), ["__phys", "__ri"])
+            .select(*cols, "_change_type")
         )
-
-    if res_pairs:
-        parts.append(_positions_part(res_pairs, "insert"))
-    if dead_pairs:
-        parts.append(_positions_part(dead_pairs, "delete"))
     if not parts:
         # cdf=True with no row-level changes (e.g. a repoint whose
         # action differs only in metadata): record an EMPTY change
@@ -3034,47 +3037,70 @@ def gdpr_purge_change_records(
 
     Cost: O(change records), two jobs per record holding a match
     (count + rewrite); untouched records are read once and left
-    byte-identical. Never touches data files or the main log chain."""
+    byte-identical. Never touches data files or the main log chain.
+
+    Review-hardened: the purge walks the ``_cdc`` DIRECTORY, not the
+    surviving log files — records of commits retired behind a
+    checkpoint would otherwise be skipped while vacuum protects
+    ``_cdc`` wholesale, leaving the subject on disk forever. The
+    in-place swap parks the old record as ``<rel>.old`` before
+    renaming the rewrite in (a crash window leaves BOTH versions on
+    disk rather than neither; stale ``.old``/``.purge_tmp`` debris
+    from a prior crash is reclaimed on the next purge). The audit
+    marker commit retries through CommitConflict so a concurrent
+    writer cannot leave a completed purge unaudited."""
     import shutil
 
-    head = latest_version(table_dir)
-    log = _log_dir(table_dir)
+    from pyspark.sql import functions as F
+
     total = 0
     n_files = 0
-    for v in range(head + 1):
-        path = os.path.join(log, f"{v:08d}.json")
-        if not os.path.exists(path):
-            continue  # retired behind a checkpoint: its cdc rel is
-            # unreachable by any CDF read, vacuum owns its cleanup
-        with open(path) as f:
-            actions = json.load(f)
-        for rel in (a["cdc"] for a in actions if "cdc" in a):
-            from pyspark.sql import functions as F
-
-            full = os.path.join(table_dir, rel)
-            df = spark.read.parquet(full)
-            # NULL-safe: a NULL predicate result must neither purge
-            # the row nor drop it from the kept set
-            cond = F.coalesce(condition, F.lit(False))
-            hits = df.filter(cond).count()
-            if not hits:
-                continue
-            keep = df.filter(~cond)
-            tmp = full + ".purge_tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            keep.write.parquet(tmp)
-            shutil.rmtree(full)
-            os.rename(tmp, full)
-            total += hits
-            n_files += 1
-    commit(
-        table_dir,
-        head + 1,
-        [
-            {"gdprPurge": {"n_rows": int(total), "n_records": n_files}},
-            {"op": "GDPR PURGE"},
-        ],
-    )
+    cdc_dir = os.path.join(table_dir, "_cdc")
+    entries = sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []
+    for entry in entries:
+        full = os.path.join(cdc_dir, entry)
+        if entry.endswith((".purge_tmp", ".old")):
+            shutil.rmtree(full, ignore_errors=True)  # prior-crash debris
+            continue
+        if not os.path.isdir(full):
+            continue
+        df = spark.read.parquet(full)
+        # NULL-safe: a NULL predicate result must neither purge the
+        # row nor drop it from the kept set
+        cond = F.coalesce(condition, F.lit(False))
+        hits = df.filter(cond).count()
+        if not hits:
+            continue
+        keep = df.filter(~cond)
+        tmp = full + ".purge_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        keep.write.parquet(tmp)
+        old = full + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(full, old)
+        os.rename(tmp, full)
+        shutil.rmtree(old)
+        total += hits
+        n_files += 1
+    while True:
+        head = latest_version(table_dir)
+        try:
+            commit(
+                table_dir,
+                head + 1,
+                [
+                    {
+                        "gdprPurge": {
+                            "n_rows": int(total),
+                            "n_records": n_files,
+                        }
+                    },
+                    {"op": "GDPR PURGE"},
+                ],
+            )
+            break
+        except CommitConflict:
+            continue  # metadata-only marker: safe to retry at new head
     return {
         "version": head + 1,
         "n_rows_purged": int(total),

@@ -390,12 +390,17 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles."""
     from etl_lens_spark.operators import tdigest
 
+    DELTA = 100
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.col("value").cast("double").alias("v")
     )
-    partials = tdigest.partial_digests(ev, ["event_type"], "v", delta=100)
+    partials = tdigest.partial_digests(
+        ev, ["event_type"], "v", delta=DELTA
+    )
     qs = [0.05, 0.25, 0.5, 0.75, 0.95]
-    est = tdigest.merge_quantiles(partials, ["event_type"], qs, delta=100)
+    est = tdigest.merge_quantiles(
+        partials, ["event_type"], qs, delta=DELTA
+    )
 
     # exact rank of each estimate: one aggregate over the values per
     # (type, q) via a broadcast of the 5·|types| estimate rows
@@ -420,7 +425,7 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("true_rank") - F.col("q")) <= 0.01).alias(
                 "within_bound"
             ),
-            (F.col("n_centroids") <= 2 * 100).alias("centroids_bounded"),
+            (F.col("n_centroids") <= 2 * DELTA).alias("centroids_bounded"),
         )
         .orderBy("event_type", "q")
     )

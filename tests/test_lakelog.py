@@ -2045,3 +2045,35 @@ def test_gdpr_purge_change_records(spark, tmp_path):
         spark, base, F.col("k") == 1
     )
     assert res2["n_rows_purged"] == 0
+
+
+def test_gdpr_purge_covers_checkpoint_retired_records(spark, tmp_path):
+    """Review regression: records of commits retired behind a
+    checkpoint must still purge — vacuum protects _cdc wholesale, so
+    nothing else would ever erase the subject from them."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "gdpr_ckpt")
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.merge_upsert(
+        spark,
+        base,
+        spark.createDataFrame([(1, 99)], "k long, c long"),
+        ["k"],
+        cdf=True,
+    )  # v1: subject's image pair in _cdc/cdc_00000001
+    lakelog.write_checkpoint(base)
+    for f in glob.glob(f"{base}/_log/0000000[01].json"):
+        _os.remove(f)  # retire pre-checkpoint commits (supported)
+    res = lakelog.gdpr_purge_change_records(
+        spark, base, F.col("k") == 1
+    )
+    assert res["n_rows_purged"] == 2  # pre+post image, found via _cdc walk
+    left = spark.read.parquet(f"{base}/_cdc/cdc_00000001")
+    assert left.filter(F.col("k") == 1).count() == 0
