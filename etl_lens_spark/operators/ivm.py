@@ -124,10 +124,14 @@ def maintain_agg(
     groups the delta creates appear, groups whose count reaches zero
     disappear. One shuffle of the (tiny) delta aggregate; the old
     view joins it full-outer on the group key."""
+    # Sum deltas keep the measure expression's own type (a double
+    # measure stays double — round-9 review fix: the old unconditional
+    # cast('long') silently truncated fractional deltas per step);
+    # only the count, integral by construction, is pinned to long.
     d = delta.groupBy(*keys).agg(
         F.sum("__w").cast("long").alias(f"__d_{count_col}"),
         *[
-            F.sum(expr * F.col("__w")).cast("long").alias(f"__d_{a}")
+            F.sum(expr * F.col("__w")).alias(f"__d_{a}")
             for a, expr in sums.items()
         ],
     )
@@ -141,8 +145,8 @@ def maintain_agg(
         ).alias(count_col),
         *[
             (
-                F.coalesce(F.col(a), zero)
-                + F.coalesce(F.col(f"__d_{a}"), zero)
+                F.coalesce(F.col(a), F.lit(0))
+                + F.coalesce(F.col(f"__d_{a}"), F.lit(0))
             ).alias(a)
             for a in sums
         ],
@@ -180,28 +184,39 @@ def maintain_distinct(
         F.sum("__w").cast("long").alias("__dw")
     )
     zero = F.lit(0).cast("long")
-    merged = (
-        support_old.join(d, [*keys, value_col], "full_outer")
-        .select(
-            *keys,
-            value_col,
-            (
-                F.coalesce(F.col(cnt_col), zero)
-                + F.coalesce(F.col("__dw"), zero)
-            ).alias(cnt_col),
-        )
-        # materialize once: the underflow guard below is an eager
-        # action, and without this the full-outer merge (plus its
-        # CDF lineage) would recompute on every downstream action
-        .localCheckpoint()
+    cnt_new = F.coalesce(F.col(cnt_col), zero) + F.coalesce(
+        F.col("__dw"), zero
     )
-    neg = merged.filter(F.col(cnt_col) < 0).count()
-    if neg:
-        raise ValueError(
-            f"distinct-support underflow on {neg} (group, value) "
-            "pairs — the change feed deleted values the view never "
-            "held; refusing to clamp"
-        )
+    # Round-9 review fix: the underflow guard rides INSIDE the count
+    # column (raise_error fires during the same localCheckpoint job
+    # that materializes the merge) instead of a second eager
+    # .filter().count() job — at streaming rates that was one extra
+    # job per epoch for a check the materialization can carry.
+    guarded = F.when(
+        cnt_new < 0,
+        F.raise_error(
+            F.lit(
+                "distinct-support underflow — the change feed "
+                "deleted values the view never held; refusing to "
+                "clamp"
+            )
+        ).cast("long"),
+    ).otherwise(cnt_new)
+    plan = support_old.join(d, [*keys, value_col], "full_outer").select(
+        *keys, value_col, guarded.alias(cnt_col)
+    )
+    try:
+        # materialize once: without this the full-outer merge (plus
+        # its CDF lineage) would recompute on every downstream action
+        merged = plan.localCheckpoint()
+    except Exception as exc:  # translate the in-plan raise back
+        if "distinct-support underflow" in str(exc):
+            raise ValueError(
+                "distinct-support underflow — the change feed "
+                "deleted values the view never held; refusing to "
+                "clamp"
+            ) from None
+        raise
     return merged.filter(F.col(cnt_col) != 0)
 
 

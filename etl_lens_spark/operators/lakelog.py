@@ -3045,23 +3045,51 @@ def gdpr_purge_change_records(
     ``_cdc`` wholesale, leaving the subject on disk forever. The
     in-place swap parks the old record as ``<rel>.old`` before
     renaming the rewrite in (a crash window leaves BOTH versions on
-    disk rather than neither; stale ``.old``/``.purge_tmp`` debris
-    from a prior crash is reclaimed on the next purge). The audit
-    marker commit retries through CommitConflict so a concurrent
-    writer cannot leave a completed purge unaudited."""
+    disk rather than neither). A recovery pre-pass runs BEFORE the
+    purge walk: a ``.old``/``.purge_tmp`` entry is debris ONLY while
+    its base record still exists — when the base is missing (a crash
+    landed between the two renames), the pre-pass RESTORES it
+    (``.old`` renamed back, else a completed ``.purge_tmp`` promoted)
+    so the record re-enters this run's purge instead of being
+    reclaimed into nonexistence; debris removal dispatches on
+    file-vs-directory so a plain-file leftover is actually removed.
+    The audit marker commit retries through CommitConflict so a
+    concurrent writer cannot leave a completed purge unaudited."""
     import shutil
 
     from pyspark.sql import functions as F
 
+    def _reclaim(path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
     total = 0
     n_files = 0
     cdc_dir = os.path.join(table_dir, "_cdc")
+    # Recovery pre-pass: sorted order visits <rel>.old before
+    # <rel>.purge_tmp, so when a crash left both with no base, the
+    # original is restored first and the purged copy then reclaims as
+    # ordinary debris (its base exists again).
+    for entry in sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []:
+        if not entry.endswith((".purge_tmp", ".old")):
+            continue
+        full = os.path.join(cdc_dir, entry)
+        suffix = ".purge_tmp" if entry.endswith(".purge_tmp") else ".old"
+        base = full[: -len(suffix)]
+        if os.path.exists(base):
+            _reclaim(full)  # base survived the swap: true debris
+        else:
+            os.rename(full, base)  # crash between renames: recover
     entries = sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []
     for entry in entries:
         full = os.path.join(cdc_dir, entry)
         if entry.endswith((".purge_tmp", ".old")):
-            shutil.rmtree(full, ignore_errors=True)  # prior-crash debris
-            continue
+            continue  # unreachable after the pre-pass; never purge data
         if not os.path.isdir(full):
             continue
         df = spark.read.parquet(full)

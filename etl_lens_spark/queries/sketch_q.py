@@ -372,7 +372,7 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimator), and the OUTPUT exposes only the
     partition-invariant contracts: for every (event_type, q) the
     estimate's TRUE rank is computed exactly with one broadcast join
-    back to the values, and ``within_bound`` = |rank − q| ≤ 1% plus
+    back to the values, and ``within_bound`` = |rank − q| ≤ 1.5% plus
     ``centroids_bounded`` = size ≤ 2δ ride the output pinned
     all-true. The raw estimates themselves are deliberately NOT
     emitted: a t-digest's centroids depend on partial BOUNDARIES
@@ -422,7 +422,11 @@ def sketch_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "q",
-            (F.abs(F.col("true_rank") - F.col("q")) <= 0.01).alias(
+            # 1.5% — the same tolerance tests/test_tdigest.py uses
+            # for merged-from-partials digests (round-9 review fix:
+            # the tighter 1% bound the single-pass digest earns can
+            # flake for the two-level merge on other distributions)
+            (F.abs(F.col("true_rank") - F.col("q")) <= 0.015).alias(
                 "within_bound"
             ),
             (F.col("n_centroids") <= 2 * DELTA).alias("centroids_bounded"),

@@ -2077,3 +2077,61 @@ def test_gdpr_purge_covers_checkpoint_retired_records(spark, tmp_path):
     assert res["n_rows_purged"] == 2  # pre+post image, found via _cdc walk
     left = spark.read.parquet(f"{base}/_cdc/cdc_00000001")
     assert left.filter(F.col("k") == 1).count() == 0
+
+
+def test_gdpr_purge_recovers_mid_swap_crash(spark, tmp_path):
+    """Round-9 review regression: a crash BETWEEN the purge's two
+    renames leaves the record only as <rel>.old (original) plus
+    <rel>.purge_tmp (purged copy) with the base dir absent. The next
+    purge must RECOVER the record — restore it and re-purge — not
+    reclaim both copies as debris (which destroyed the only copies:
+    non-subject rows were lost forever and table_changes over that
+    commit broke). Plain-file debris must also actually be removed
+    (rmtree silently no-ops on files)."""
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "gdpr_crash")
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.merge_upsert(
+        spark,
+        base,
+        spark.createDataFrame([(1, 99), (2, 88)], "k long, c long"),
+        ["k"],
+        cdf=True,
+    )  # v1: image pairs for k=1 (subject) and k=2 (bystander)
+    rec = f"{base}/_cdc/cdc_00000001"
+    # simulate the crash window: purged copy staged, original parked,
+    # base dir gone
+    purged = (
+        spark.read.parquet(rec).filter(F.col("k") != 1)
+    )
+    purged.write.parquet(rec + ".purge_tmp")
+    _os.rename(rec, rec + ".old")
+    assert not _os.path.exists(rec)
+    # plus a stray plain-file debris entry (old code's rmtree
+    # silently failed on files)
+    stray = f"{base}/_cdc/cdc_00000000.old"
+    with open(stray, "w") as fh:
+        fh.write("stray")
+    res = lakelog.gdpr_purge_change_records(
+        spark, base, F.col("k") == 1
+    )
+    # the record was recovered and THIS run purged the subject from it
+    assert res["n_rows_purged"] == 2
+    assert _os.path.isdir(rec)
+    assert not _os.path.exists(rec + ".old")
+    assert not _os.path.exists(rec + ".purge_tmp")
+    assert not _os.path.exists(stray)
+    left = spark.read.parquet(rec)
+    assert left.filter(F.col("k") == 1).count() == 0
+    # the bystander's change rows survived the recovery
+    assert left.filter(F.col("k") == 2).count() == 2
+    served = lakelog.table_changes(spark, base, 0, 1)
+    assert sorted(r.k for r in served.collect()) == [2, 2]
+    _sh.rmtree(base, ignore_errors=True)
