@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1246,7 +1247,11 @@ def optimize_cluster(
     return {"version": version, "n_files_out": len(bounds)}
 
 
-def vacuum(table_dir: str, retain_versions: int = 0) -> dict:
+def vacuum(
+    table_dir: str,
+    retain_versions: int = 0,
+    cdf_retain_versions: int | None = None,
+) -> dict:
     """Physically delete data directories referenced by NO retained
     snapshot. ``retain_versions`` is the time-travel horizon (the
     Delta VACUUM retention window expressed in versions instead of
@@ -1279,9 +1284,22 @@ def vacuum(table_dir: str, retain_versions: int = 0) -> dict:
     commit needs BOTH adjacent versions' sidecars (the diff), so
     vacuum bounds CDF serving of DV-derived commits to the retention
     horizon — a tail further behind than ``retain_versions`` fails
-    on the reclaimed sidecar instead of emitting wrong rows. ``_cdc``
-    change RECORDS, by contrast, are self-contained history and are
-    protected wholesale."""
+    on the reclaimed sidecar instead of emitting wrong rows.
+
+    ``_cdc`` change RECORDS are self-contained history and by default
+    protected wholesale (``cdf_retain_versions=None``) — but on a
+    long-lived streaming table that is the one unbounded-state path
+    in the log: a table committing every minute accumulates change
+    records forever. ``cdf_retain_versions=N`` mirrors the snapshot
+    horizon for recorded change data (Delta expires CDF with the
+    table retention): records of commits at or below ``head − N − 1``
+    are reclaimed, and ``table_changes`` / the ``lakelog_cdf``
+    streaming source REFUSE a range that touches a reclaimed record
+    (``commit_change_plan`` raises) instead of silently serving an
+    empty or partial feed. Retained-range serving stays
+    byte-identical. Note the horizons are independent dials: CDF
+    records of a commit can outlive (or predecease) that commit's
+    time-travel snapshot."""
     import shutil
 
     head = latest_version(table_dir)
@@ -1320,10 +1338,23 @@ def vacuum(table_dir: str, retain_versions: int = 0) -> dict:
             if f"_dv/{f}" not in live_dv:
                 os.remove(os.path.join(dv_dir, f))
                 n_dv_deleted += 1
+    n_cdc_deleted = 0
+    if cdf_retain_versions is not None:
+        if cdf_retain_versions < 0:
+            raise ValueError("cdf_retain_versions must be >= 0")
+        cdc_dir = os.path.join(table_dir, "_cdc")
+        horizon = head - cdf_retain_versions
+        if os.path.isdir(cdc_dir):
+            for f in sorted(os.listdir(cdc_dir)):
+                m = re.fullmatch(r"cdc_(\d{8})", f)
+                if m and int(m.group(1)) < horizon:
+                    shutil.rmtree(os.path.join(cdc_dir, f))
+                    n_cdc_deleted += 1
     return {
         "n_dirs_deleted": deleted,
         "n_dirs_kept": kept,
         "n_dv_sidecars_deleted": n_dv_deleted,
+        "n_cdc_records_deleted": n_cdc_deleted,
     }
 
 
@@ -2247,9 +2278,16 @@ def commit_change_plan(table_dir: str, version: int) -> dict:
     cdc = [a["cdc"] for a in actions if "cdc" in a]
     if cdc:
         for rel in cdc:
-            plan["cdc_files"].extend(
-                _list_parquet_files(os.path.join(table_dir, rel))
-            )
+            full = os.path.join(table_dir, rel)
+            if not os.path.isdir(full):
+                raise ValueError(
+                    f"commit {version}'s change record {rel!r} was "
+                    "reclaimed by CDF retention (vacuum "
+                    "cdf_retain_versions) — the range is no longer "
+                    "servable; start the read above the retention "
+                    "horizon, exactly like Delta after CDF expiry"
+                )
+            plan["cdc_files"].extend(_list_parquet_files(full))
         return plan
     if any("restore" in a for a in actions):
         raise ValueError(
@@ -2316,6 +2354,83 @@ def _dv_positions_by_phys(
         return {p: [int(x) for x in v] for p, v in json.load(f).items()}
 
 
+def _commit_change_frames(
+    spark: SparkSession, table_dir: str, v: int
+) -> list[DataFrame]:
+    """One commit's change rows as DataFrames (table columns +
+    ``_change_type`` + ``_commit_version``), served from its plan.
+    Factored out of table_changes so the column-mapped reader can
+    project each commit's frame from physical to logical names
+    BEFORE the cross-era union."""
+    from pyspark.sql import functions as F
+
+    norm_path = F.regexp_replace(
+        F.col("_metadata.file_path"), "^file:/+", "/"
+    )
+    plan = commit_change_plan(table_dir, v)
+    ver = F.lit(v).cast("long").alias("_commit_version")
+    parts: list[DataFrame] = []
+    if plan["cdc_files"]:
+        parts.append(
+            spark.read.parquet(*plan["cdc_files"]).select("*", ver)
+        )
+    if plan["insert_files"]:
+        parts.append(
+            spark.read.parquet(*plan["insert_files"]).select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                ver,
+            )
+        )
+    full_deletes = [p for p, ex in plan["delete_files"] if not ex]
+    excl_deletes = [(p, ex) for p, ex in plan["delete_files"] if ex]
+    if full_deletes:
+        parts.append(
+            spark.read.parquet(*full_deletes).select(
+                "*",
+                F.lit("delete").alias("_change_type"),
+                ver,
+            )
+        )
+    pairs = [(p, int(pos)) for p, ex in excl_deletes for pos in ex]
+    if excl_deletes:
+        dead = spark.createDataFrame(pairs, "__p string, __ri long")
+        df = spark.read.parquet(*[p for p, _ in excl_deletes])
+        cols = df.columns
+        parts.append(
+            df.withColumn("__p", norm_path)
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(dead), ["__p", "__ri"], "left_anti")
+            .select(
+                *cols,
+                F.lit("delete").alias("_change_type"),
+                ver,
+            )
+        )
+    pd_pairs = [
+        (p, int(pos))
+        for p, positions in plan["position_deletes"]
+        for pos in positions
+    ]
+    if pd_pairs:
+        hit = spark.createDataFrame(pd_pairs, "__p string, __ri long")
+        df = spark.read.parquet(
+            *sorted({p for p, _ in plan["position_deletes"]})
+        )
+        cols = df.columns
+        parts.append(
+            df.withColumn("__p", norm_path)
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(hit), ["__p", "__ri"], "left_semi")
+            .select(
+                *cols,
+                F.lit("delete").alias("_change_type"),
+                ver,
+            )
+        )
+    return parts
+
+
 def table_changes(
     spark: SparkSession,
     table_dir: str,
@@ -2327,80 +2442,58 @@ def table_changes(
     the table columns + ``_change_type`` + ``_commit_version``. Cost
     is O(rows changed in the range): only cdc/added/removed/DV-hit
     files are opened, untouched files never are."""
+    parts: list[DataFrame] = []
+    for v in range(v_from + 1, v_to + 1):
+        parts.extend(_commit_change_frames(spark, table_dir, v))
+    if not parts:
+        raise ValueError(
+            f"no changes recorded in ({v_from}, {v_to}]"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def table_changes_mapped(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    version: int | None = None,
+) -> DataFrame:
+    """CDF read over a COLUMN-MAPPED table: each commit's change rows
+    (data files and ``_cdc`` records alike carry PHYSICAL column
+    names — immutable, never rewritten) are projected onto the
+    LOGICAL names of the mapping as of ``version`` (default: the
+    current head) BEFORE the cross-era union, so records written
+    before a RENAME surface under the current logical name, columns
+    dropped from the mapping disappear, and columns added after a
+    record was written surface as NULL of the declared type —
+    exactly how ``read_snapshot_mapped`` treats data files. Delta
+    parity: table_changes on a column-mapping table serves history
+    under the CURRENT schema.
+
+    Cost shape is table_changes' own (O(rows changed), per-commit
+    plans); the mapping projection is a zero-cost select. The
+    ``_change_type`` / ``_commit_version`` columns ride outside the
+    mapping, like Delta's CDF metadata columns."""
     from pyspark.sql import functions as F
 
+    fields = column_mapping(table_dir, version)
+    if fields is None:
+        raise ValueError("table has no column mapping enabled")
     parts: list[DataFrame] = []
-    norm_path = F.regexp_replace(
-        F.col("_metadata.file_path"), "^file:/+", "/"
-    )
     for v in range(v_from + 1, v_to + 1):
-        plan = commit_change_plan(table_dir, v)
-        ver = F.lit(v).cast("long").alias("_commit_version")
-        if plan["cdc_files"]:
+        for df in _commit_change_frames(spark, table_dir, v):
+            cols = []
+            for logical, phys, typ in fields:
+                if phys in df.columns:
+                    cols.append(F.col(phys).cast(typ).alias(logical))
+                else:
+                    cols.append(F.lit(None).cast(typ).alias(logical))
             parts.append(
-                spark.read.parquet(*plan["cdc_files"]).select(
-                    "*", ver
-                )
-            )
-        if plan["insert_files"]:
-            parts.append(
-                spark.read.parquet(*plan["insert_files"]).select(
-                    "*",
-                    F.lit("insert").alias("_change_type"),
-                    ver,
-                )
-            )
-        full_deletes = [p for p, ex in plan["delete_files"] if not ex]
-        excl_deletes = [(p, ex) for p, ex in plan["delete_files"] if ex]
-        if full_deletes:
-            parts.append(
-                spark.read.parquet(*full_deletes).select(
-                    "*",
-                    F.lit("delete").alias("_change_type"),
-                    ver,
-                )
-            )
-        pairs = [
-            (p, int(pos)) for p, ex in excl_deletes for pos in ex
-        ]
-        if excl_deletes:
-            dead = spark.createDataFrame(
-                pairs, "__p string, __ri long"
-            )
-            df = spark.read.parquet(*[p for p, _ in excl_deletes])
-            cols = df.columns
-            parts.append(
-                df.withColumn("__p", norm_path)
-                .withColumn("__ri", F.col("_metadata.row_index"))
-                .join(F.broadcast(dead), ["__p", "__ri"], "left_anti")
-                .select(
-                    *cols,
-                    F.lit("delete").alias("_change_type"),
-                    ver,
-                )
-            )
-        pd_pairs = [
-            (p, int(pos))
-            for p, positions in plan["position_deletes"]
-            for pos in positions
-        ]
-        if pd_pairs:
-            hit = spark.createDataFrame(
-                pd_pairs, "__p string, __ri long"
-            )
-            df = spark.read.parquet(
-                *sorted({p for p, _ in plan["position_deletes"]})
-            )
-            cols = df.columns
-            parts.append(
-                df.withColumn("__p", norm_path)
-                .withColumn("__ri", F.col("_metadata.row_index"))
-                .join(F.broadcast(hit), ["__p", "__ri"], "left_semi")
-                .select(
-                    *cols,
-                    F.lit("delete").alias("_change_type"),
-                    ver,
-                )
+                df.select(*cols, "_change_type", "_commit_version")
             )
     if not parts:
         raise ValueError(
@@ -2727,6 +2820,21 @@ def restore_table(
     metadata swap and ``table_changes`` over it refuses — same rule
     as a CoW rewrite without a record.
 
+    METADATA rolls back with the data (Delta parity: RESTORE
+    "restores the table to an earlier state including data and
+    schema"): when the target version's columnMapping or metaData
+    state differs from head's, the restore commit re-emits the
+    TARGET's action so later reads (read_snapshot_mapped,
+    table_schema) see the pre-restore-point definitions — a RESTORE
+    across a RENAME rolls the rename back. One stricter stance,
+    documented: a target that predates mapping/schema ENABLEMENT
+    cannot be expressed (last-wins metadata has no "unset" action —
+    the same reason Delta cannot disable column mapping), so that
+    restore refuses rather than leaving head's metadata silently in
+    force. Partition specs are NOT rolled back: files carry their
+    spec_id permanently (spec-versioned reads), so old specs stay
+    correct without any rollback.
+
     Raises if any file ``to_version`` needs was vacuumed away — the
     restore window is bounded by the vacuum retention horizon,
     exactly like Delta."""
@@ -2746,12 +2854,30 @@ def restore_table(
         for r, a in target.items()
         if r in current and current[r] != a
     }
-    if not re_add and not removes and not repoints:
+    meta_t = _meta_state(table_dir, to_version)
+    meta_h = _meta_state(table_dir, head)
+    meta_actions: list[dict] = []
+    for key, action_key in (
+        ("columnMapping", "columnMapping"),
+        ("metaData", "metaData"),
+    ):
+        if meta_t[key] != meta_h[key]:
+            if meta_t[key] is None:
+                raise ValueError(
+                    f"cannot restore to version {to_version}: it "
+                    f"predates {key} enablement and last-wins "
+                    "metadata cannot be unset (the same reason "
+                    "Delta cannot disable column mapping) — "
+                    "restore to a version at or after enablement"
+                )
+            meta_actions.append({action_key: {"fields": meta_t[key]}})
+    if not re_add and not removes and not repoints and not meta_actions:
         return {
             "version": None,
             "n_readded": 0,
             "n_removed": 0,
             "n_repointed": 0,
+            "n_meta_restored": 0,
         }
     missing = sorted(
         r
@@ -2777,6 +2903,7 @@ def restore_table(
             spark, table_dir, re_add, removes, repoints, current
         )
         actions.append(_write_cdc(spark, table_dir, version, record))
+    actions.extend(meta_actions)
     actions.extend(dict(re_add[r]) for r in sorted(re_add))
     actions.extend({"remove": r} for r in removes)
     actions.extend(dict(repoints[r]) for r in sorted(repoints))
@@ -2786,6 +2913,7 @@ def restore_table(
         "n_readded": len(re_add),
         "n_removed": len(removes),
         "n_repointed": len(repoints),
+        "n_meta_restored": len(meta_actions),
     }
 
 
@@ -3029,7 +3157,10 @@ def gdpr_purge_change_records(
     1. ``delete_where(..., cdf=True)`` — removes the subject from
        the live table;
     2. this function — removes the subject from every recorded
-       change file, INCLUDING step 1's own delete record;
+       change file, INCLUDING step 1's own delete record (with CDF
+       retention in force — ``vacuum(cdf_retain_versions=N)`` — only
+       the retained window still holds records to rewrite; expired
+       records were already reclaimed wholesale);
     3. ``vacuum`` past the retention horizon — reclaims pre-delete
        data files that time travel could still read. Derived CDF
        rows (deletion-vector diffs) read from DATA files, not
@@ -3037,7 +3168,15 @@ def gdpr_purge_change_records(
 
     Cost: O(change records), two jobs per record holding a match
     (count + rewrite); untouched records are read once and left
-    byte-identical. Never touches data files or the main log chain.
+    byte-identical. Never touches COMMITTED data files or the main
+    log chain. STAGED WAP batches are the one exception (round-9
+    review fix): a batch staged for audit but never published is
+    invisible to committed readers yet its files can carry the
+    subject, and nothing else would ever erase it — the purge
+    rewrites each staged entry's add/cdc rels in place too (rels
+    also present in the head snapshot are skipped: live data belongs
+    to steps 1 and 3). ``read_staged_snapshot`` after a purge serves
+    the staged batch without the subject.
 
     Review-hardened: the purge walks the ``_cdc`` DIRECTORY, not the
     surviving log files — records of commits retired behind a
@@ -3068,37 +3207,35 @@ def gdpr_purge_change_records(
             except OSError:
                 pass
 
-    total = 0
-    n_files = 0
-    cdc_dir = os.path.join(table_dir, "_cdc")
-    # Recovery pre-pass: sorted order visits <rel>.old before
-    # <rel>.purge_tmp, so when a crash left both with no base, the
-    # original is restored first and the purged copy then reclaims as
-    # ordinary debris (its base exists again).
-    for entry in sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []:
-        if not entry.endswith((".purge_tmp", ".old")):
-            continue
-        full = os.path.join(cdc_dir, entry)
-        suffix = ".purge_tmp" if entry.endswith(".purge_tmp") else ".old"
-        base = full[: -len(suffix)]
-        if os.path.exists(base):
-            _reclaim(full)  # base survived the swap: true debris
-        else:
-            os.rename(full, base)  # crash between renames: recover
-    entries = sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []
-    for entry in entries:
-        full = os.path.join(cdc_dir, entry)
-        if entry.endswith((".purge_tmp", ".old")):
-            continue  # unreachable after the pre-pass; never purge data
-        if not os.path.isdir(full):
-            continue
+    def _recover_debris(dir_path: str) -> None:
+        # Recovery pre-pass: sorted order visits <rel>.old before
+        # <rel>.purge_tmp, so when a crash left both with no base,
+        # the original is restored first and the purged copy then
+        # reclaims as ordinary debris (its base exists again).
+        if not os.path.isdir(dir_path):
+            return
+        for entry in sorted(os.listdir(dir_path)):
+            if not entry.endswith((".purge_tmp", ".old")):
+                continue
+            full = os.path.join(dir_path, entry)
+            suffix = (
+                ".purge_tmp" if entry.endswith(".purge_tmp") else ".old"
+            )
+            base = full[: -len(suffix)]
+            if os.path.exists(base):
+                _reclaim(full)  # base survived the swap: true debris
+            else:
+                os.rename(full, base)  # crash between renames: recover
+
+    # NULL-safe: a NULL predicate result must neither purge the row
+    # nor drop it from the kept set
+    cond = F.coalesce(condition, F.lit(False))
+
+    def _purge_dir(full: str) -> int:
         df = spark.read.parquet(full)
-        # NULL-safe: a NULL predicate result must neither purge the
-        # row nor drop it from the kept set
-        cond = F.coalesce(condition, F.lit(False))
         hits = df.filter(cond).count()
         if not hits:
-            continue
+            return 0
         keep = df.filter(~cond)
         tmp = full + ".purge_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3108,8 +3245,52 @@ def gdpr_purge_change_records(
         os.rename(full, old)
         os.rename(tmp, full)
         shutil.rmtree(old)
-        total += hits
-        n_files += 1
+        return int(hits)
+
+    total = 0
+    n_files = 0
+    cdc_dir = os.path.join(table_dir, "_cdc")
+    _recover_debris(cdc_dir)
+    entries = sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []
+    for entry in entries:
+        full = os.path.join(cdc_dir, entry)
+        if entry.endswith((".purge_tmp", ".old")):
+            continue  # unreachable after the pre-pass; never purge data
+        if not os.path.isdir(full):
+            continue
+        hits = _purge_dir(full)
+        if hits:
+            total += hits
+            n_files += 1
+    # Staged WAP sweep (round-9 review fix): a batch staged for audit
+    # but never published is invisible to every committed reader, yet
+    # its data files can carry the subject — and neither vacuum (which
+    # protects staged adds) nor DML (which never sees them) would ever
+    # erase it. Rewrite each staged entry's add/cdc rels in place with
+    # the same swap protocol; rels that ALSO appear in the head
+    # snapshot are skipped (live data belongs to steps 1 and 3 of the
+    # recipe, never to this function).
+    n_staged = 0
+    staged_rels: set[str] = set()
+    for entry in _staged_entries(table_dir):
+        for a in entry["actions"]:
+            for key in ("add", "cdc"):
+                if key in a:
+                    staged_rels.add(a[key].split("/", 1)[0])
+    if staged_rels:
+        live = {
+            r.split("/", 1)[0]
+            for r in _replay(table_dir, latest_version(table_dir))[0]
+        }
+        _recover_debris(table_dir)
+        for rel in sorted(staged_rels - live):
+            full = os.path.join(table_dir, rel)
+            if not os.path.isdir(full):
+                continue
+            hits = _purge_dir(full)
+            if hits:
+                total += hits
+                n_staged += 1
     while True:
         head = latest_version(table_dir)
         try:
@@ -3121,6 +3302,7 @@ def gdpr_purge_change_records(
                         "gdprPurge": {
                             "n_rows": int(total),
                             "n_records": n_files,
+                            "n_staged_rels": n_staged,
                         }
                     },
                     {"op": "GDPR PURGE"},
@@ -3133,4 +3315,5 @@ def gdpr_purge_change_records(
         "version": head + 1,
         "n_rows_purged": int(total),
         "n_records_rewritten": n_files,
+        "n_staged_rels_rewritten": n_staged,
     }

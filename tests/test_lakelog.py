@@ -145,6 +145,7 @@ def test_vacuum_reclaims_only_unreferenced(spark, tmp_path):
         "n_dirs_deleted": 1,
         "n_dirs_kept": 2,
         "n_dv_sidecars_deleted": 0,
+        "n_cdc_records_deleted": 0,
     }
     # latest still reads byte-identically
     assert _state(spark, t) == [
@@ -2077,6 +2078,200 @@ def test_gdpr_purge_covers_checkpoint_retired_records(spark, tmp_path):
     assert res["n_rows_purged"] == 2  # pre+post image, found via _cdc walk
     left = spark.read.parquet(f"{base}/_cdc/cdc_00000001")
     assert left.filter(F.col("k") == 1).count() == 0
+
+
+def test_cdf_retention_vacuum_reclaims_and_refuses(spark, tmp_path):
+    """CDF retention (the Delta changeDataFeed-expires-with-retention
+    contract): vacuum(cdf_retain_versions=N) reclaims change records
+    of commits older than head−N; serving a range that touches a
+    reclaimed record REFUSES with a clear error instead of silently
+    emitting an empty/partial feed; serving entirely inside the
+    retained window stays byte-identical to pre-vacuum."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "cdf_ret")
+    spark.createDataFrame(
+        [(k, 0) for k in range(4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    horizon = 3
+    for i in range(1, 2 * horizon + 1):  # v1..v6: 2×horizon commits
+        lakelog.merge_upsert(
+            spark,
+            base,
+            spark.createDataFrame([(i % 4, i)], "k long, c long"),
+            ["k"],
+            cdf=True,
+        )
+    head = lakelog.latest_version(base)
+    assert head == 2 * horizon
+    before = sorted(
+        tuple(r)
+        for r in lakelog.table_changes(
+            spark, base, head - horizon, head
+        ).collect()
+    )
+    res = lakelog.vacuum(base, cdf_retain_versions=horizon)
+    # records v1..v(head-horizon-1) reclaimed, the rest survive
+    assert res["n_cdc_records_deleted"] == head - horizon - 1
+    for v in range(1, head + 1):
+        exists = _os.path.isdir(f"{base}/_cdc/cdc_{v:08d}")
+        assert exists == (v >= head - horizon)
+    # retained window serves byte-identical
+    after = sorted(
+        tuple(r)
+        for r in lakelog.table_changes(
+            spark, base, head - horizon, head
+        ).collect()
+    )
+    assert after == before
+    # a range touching a reclaimed record refuses loudly
+    with pytest.raises(ValueError, match="reclaimed by CDF retention"):
+        lakelog.table_changes(spark, base, 0, head).count()
+    # default vacuum still protects _cdc wholesale
+    res2 = lakelog.vacuum(base)
+    assert res2["n_cdc_records_deleted"] == 0
+
+
+def test_gdpr_purge_sweeps_staged_wap_batches(spark, tmp_path):
+    """Round-9 review fix: a batch staged for a WAP audit but never
+    published is invisible to committed readers, yet its data files
+    can carry the subject — and neither vacuum (which protects staged
+    adds) nor DML (which never sees them) erases it. The purge must
+    rewrite staged add rels in place so every serving path, including
+    read_staged_snapshot, is subject-free."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "gdpr_wap")
+    spark.createDataFrame(
+        [(k, k * 10) for k in range(6)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    # stage a batch containing the subject (k=1) and a bystander
+    spark.createDataFrame(
+        [(1, 77), (5, 55)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s_wap")
+    lakelog.stage(base, "audit1", [{"add": "s_wap"}])
+    res = lakelog.gdpr_purge_change_records(
+        spark, base, F.col("k") == 1
+    )
+    assert res["n_staged_rels_rewritten"] == 1
+    assert res["n_rows_purged"] == 1
+    staged = lakelog.read_staged_snapshot(spark, base, "audit1")
+    assert staged.filter(F.col("k") == 1).count() == 1  # s0's row only
+    left = spark.read.parquet(f"{base}/s_wap")
+    assert sorted(tuple(r) for r in left.collect()) == [(5, 55)]
+    # live snapshot rels are never rewritten by the purge
+    assert spark.read.parquet(f"{base}/s0").count() == 6
+
+
+def test_table_changes_mapped_across_rename(spark, tmp_path):
+    """CDF × column mapping: change records and data files carry
+    immutable PHYSICAL names; serving projects them onto the mapping
+    as of the requested version — appends before a RENAME surface
+    under the NEW logical name, and a column added later reads NULL
+    from older records."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "map_cdf")
+    spark.createDataFrame(
+        [(k, k * 100) for k in range(4)], "k__p0 long, cents__p0 long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(
+        base,
+        0,
+        [
+            lakelog.mapping_action(
+                [("k", "k__p0", "bigint"), ("cents", "cents__p0", "bigint")]
+            ),
+            {"add": "s0"},
+        ],
+    )
+    spark.createDataFrame(
+        [(10, 1000)], "k__p0 long, cents__p0 long"
+    ).coalesce(1).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 1, [{"add": "s1"}])  # v1: insert commit
+    lakelog.rename_column(base, "cents", "price_cents")  # v2
+    lakelog.add_column(base, "note", "string")  # v3
+    # v4: append under the post-rename mapping (same physical names,
+    # plus the new column's fresh physical name)
+    spark.createDataFrame(
+        [(20, 2000, "late")],
+        "k__p0 long, cents__p0 long, note__p3 string",
+    ).coalesce(1).write.parquet(f"{base}/s4")
+    lakelog.commit(base, 4, [{"add": "s4"}])
+    got = lakelog.table_changes_mapped(spark, base, 0, 4)
+    assert set(got.columns) == {
+        "k", "price_cents", "note", "_change_type", "_commit_version",
+    }
+    rows = sorted(
+        (r.k, r.price_cents, r.note, r._change_type, r._commit_version)
+        for r in got.collect()
+    )
+    assert rows == [
+        (10, 1000, None, "insert", 1),
+        (20, 2000, "late", "insert", 4),
+    ]
+    # serving under the PRE-rename mapping (version 1) keeps the old
+    # logical names — each version reads under its own mapping
+    old = lakelog.table_changes_mapped(spark, base, 0, 1, version=1)
+    assert set(old.columns) == {
+        "k", "cents", "_change_type", "_commit_version",
+    }
+    # unmapped table refuses
+    plain = str(tmp_path / "map_cdf_plain")
+    spark.createDataFrame([(1,)], "k long").coalesce(1).write.parquet(
+        f"{plain}/s0"
+    )
+    lakelog.commit(plain, 0, [{"add": "s0"}])
+    with pytest.raises(ValueError, match="no column mapping"):
+        lakelog.table_changes_mapped(spark, plain, -1, 0)
+
+
+def test_restore_rolls_back_column_mapping(spark, tmp_path):
+    """RESTORE × column mapping: restoring to a pre-rename version
+    re-emits the target's mapping action (Delta restores schema with
+    data); restoring to a version that predates mapping enablement
+    refuses (last-wins metadata cannot be unset)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "map_restore")
+    spark.createDataFrame(
+        [(k, k * 100) for k in range(4)], "k__p0 long, cents__p0 long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])  # v0: pre-mapping
+    lakelog.commit(
+        base,
+        1,
+        [
+            lakelog.mapping_action(
+                [("k", "k__p0", "bigint"), ("cents", "cents__p0", "bigint")]
+            )
+        ],
+    )  # v1: mapping enabled
+    lakelog.rename_column(base, "cents", "price_cents")  # v2
+    spark.createDataFrame(
+        [(10, 1000)], "k__p0 long, cents__p0 long"
+    ).coalesce(1).write.parquet(f"{base}/s3")
+    lakelog.commit(base, 3, [{"add": "s3"}])  # v3: post-rename data
+    res = lakelog.restore_table(spark, base, 1)
+    assert res["n_meta_restored"] == 1
+    assert res["n_removed"] == 1  # s3 gone with the rollback
+    cur = lakelog.read_snapshot_mapped(spark, base)
+    assert set(cur.columns) == {"k", "cents"}  # rename rolled back
+    assert cur.count() == 4
+    # the pre-restore history still reads under ITS mapping
+    old = lakelog.read_snapshot_mapped(spark, base, 3)
+    assert set(old.columns) == {"k", "price_cents"}
+    assert old.count() == 5
+    # restoring to the pre-mapping version refuses, loudly
+    with pytest.raises(ValueError, match="predates columnMapping"):
+        lakelog.restore_table(spark, base, 0)
 
 
 def test_gdpr_purge_recovers_mid_swap_crash(spark, tmp_path):
