@@ -73,33 +73,20 @@ def add_minhash_signature(
     return df.withColumn(out_col, sig)
 
 
-def minhash_lsh_candidates(
+def banded_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     bands: int = 16,
-    max_bucket: int = 1000,
-    min_est_jaccard: float = 0.5,
-    cache: bool = True,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH, with the
-    estimated Jaccard (fraction of equal signature components).
-
-    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, filtered to
-    ``min_est_jaccard``. Plan: explode bands → self-join on band key →
-    distinct pairs → signature compare (signatures ride along the
-    join, so no extra lookup join is needed).
-
-    ``cache=True`` persists the (id, sig, band) frame: the self-join
-    references it on both sides and the skew guard once more, and
-    without a persist each reference re-runs the whole shingle+
-    signature pipeline. Persisted size is ~(8*k + 16) bytes/doc/band —
-    negligible next to the corpus — and it's exactly what you'd
-    materialize as an intermediate table in a 100 TB run.
-    """
+    """The banding step alone: explode each signature into ``bands``
+    (band_id, band_hash) bucket keys — (__id, __sig, band_id,
+    band_hash) rows. Factored out of minhash_lsh_candidates so an
+    INCREMENTAL consumer (a maintained band-index table probed by
+    delta documents) shares the exact banding definition with the
+    batch path and the two can never hash into different buckets."""
     rows_per_band = F.size(F.col(sig_col)) / bands
-
-    banded = df.select(
+    return df.select(
         F.col(id_col).alias("__id"),
         F.col(sig_col).alias("__sig"),
         F.explode(
@@ -124,6 +111,95 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select("__id", "__sig", "band.band_id", "band.band_hash")
+
+
+def pairs_from_bands(
+    left_banded: DataFrame,
+    right_banded: DataFrame | None = None,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded rows: join on the band key,
+    canonicalize (doc_a < doc_b), dedup, estimate Jaccard from the
+    riding signatures. One frame = self-join (the batch shape); two
+    frames = cross-join of a delta against a standing index (the
+    incremental shape — delta-vs-corpus candidates only, never a
+    corpus re-self-join). No skew guard here: callers that want the
+    degenerate-bucket drop apply it to the banded frame first (as
+    minhash_lsh_candidates does) — and must apply it to BOTH paths
+    or the incremental and batch pair sets diverge by construction."""
+    self_join = right_banded is None
+    if self_join:
+        right_banded = left_banded
+    left = left_banded.select(
+        "band_id",
+        "band_hash",
+        F.col("__id").alias("__ida"),
+        F.col("__sig").alias("__siga"),
+    )
+    right = right_banded.select(
+        "band_id",
+        "band_hash",
+        F.col("__id").alias("__idb"),
+        F.col("__sig").alias("__sigb"),
+    )
+    joined = left.join(right, ["band_id", "band_hash"])
+    if self_join:
+        joined = joined.filter(F.col("__ida") < F.col("__idb"))
+    else:
+        joined = joined.filter(F.col("__ida") != F.col("__idb"))
+    pairs = (
+        joined.select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            F.when(F.col("__ida") < F.col("__idb"), F.col("__siga"))
+            .otherwise(F.col("__sigb"))
+            .alias("sig_a"),
+            F.when(F.col("__ida") < F.col("__idb"), F.col("__sigb"))
+            .otherwise(F.col("__siga"))
+            .alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = (matches.cast("double") / F.size(F.col("sig_a"))).alias(
+        "est_jaccard"
+    )
+    return (
+        pairs.select("doc_a", "doc_b", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    max_bucket: int = 1000,
+    min_est_jaccard: float = 0.5,
+    cache: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH, with the
+    estimated Jaccard (fraction of equal signature components).
+
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, filtered to
+    ``min_est_jaccard``. Plan: explode bands → self-join on band key →
+    distinct pairs → signature compare (signatures ride along the
+    join, so no extra lookup join is needed).
+
+    ``cache=True`` persists the (id, sig, band) frame: the self-join
+    references it on both sides and the skew guard once more, and
+    without a persist each reference re-runs the whole shingle+
+    signature pipeline. Persisted size is ~(8*k + 16) bytes/doc/band —
+    negligible next to the corpus — and it's exactly what you'd
+    materialize as an intermediate table in a 100 TB run.
+    """
+    banded = banded_rows(df, id_col, sig_col, bands)
     if cache:
         banded = banded.persist()
 
@@ -137,35 +213,7 @@ def minhash_lsh_candidates(
         F.col("__bn") <= max_bucket
     ).drop("__bn")
 
-    left = banded.select(
-        "band_id",
-        "band_hash",
-        F.col("__id").alias("doc_a"),
-        F.col("__sig").alias("sig_a"),
-    )
-    right = banded.select(
-        "band_id",
-        "band_hash",
-        F.col("__id").alias("doc_b"),
-        F.col("__sig").alias("sig_b"),
-    )
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    est = (matches.cast("double") / F.size(F.col("sig_a"))).alias("est_jaccard")
-    return (
-        pairs.select("doc_a", "doc_b", est)
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-    )
+    return pairs_from_bands(banded, min_est_jaccard=min_est_jaccard)
 
 
 def ngram_jaccard_pairs(

@@ -119,6 +119,7 @@ def _load() -> None:
         npipe8,
         npipe9,
         npipe10,
+        npipe11,
         pca_q,
         quality_q,
         quant_q,

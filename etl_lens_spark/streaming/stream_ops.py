@@ -1385,6 +1385,88 @@ def gk_quantiles_stateful(
     )
 
 
+TDIGEST_OUTPUT = (
+    "event_type string, n_seen long, n_centroids long, "
+    "q05 double, q25 double, q50 double, q75 double, q95 double"
+)
+TDIGEST_STATE = "means array<double>, weights array<double>, n long"
+
+
+def tdigest_stateful(
+    events: DataFrame, delta: int = 100
+) -> DataFrame:
+    """Live t-digest quantiles per event_type — the SIXTH live
+    sketch twin (KMV, bitmap, CMS, GK, MG): per-key state is the
+    digest's centroid arrays (≤ ~2δ rows regardless of stream
+    length), each micro-batch folds its values in with ONE
+    deterministic compress pass over (state centroids ∪ batch values
+    at weight 1) — operators/tdigest.compress, the same kernel the
+    batch two-level digest uses, so the live and batch paths cannot
+    drift algorithmically.
+
+    Like the GK twin (and unlike the linear KMV/bitmap/CMS ones), a
+    fold-as-you-go digest is NOT replay-exact: centroid boundaries
+    depend on batch boundaries, so the registry records rows-only
+    and the emitted output carries only the ARRIVAL-ORDER-INVARIANT
+    contracts (rank error ≤ 1.5%, centroid bound) — the raw
+    estimates stay out of the hashed surface, exactly the
+    sketch_tdigest_quantiles convention.
+
+    Scale posture: keyed state shards across executors; per-key
+    state is O(δ) doubles; fold cost per batch is
+    O((batch + δ)·log) for the sort inside compress — no values
+    retained, no unbounded buffers."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_lens_spark.operators.tdigest import _quantile, compress
+
+    qs = [0.05, 0.25, 0.50, 0.75, 0.95]
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            means_t, weights_t, n = state.get
+            means = np.asarray(means_t, dtype=float)
+            weights = np.asarray(weights_t, dtype=float)
+        else:
+            means = np.empty(0)
+            weights = np.empty(0)
+            n = 0
+        for pdf in pdf_iter:
+            v = pdf["value"].dropna().to_numpy(dtype=float)
+            if not len(v):
+                continue
+            n += len(v)
+            means = np.concatenate([means, v])
+            weights = np.concatenate([weights, np.ones_like(v)])
+            means, weights = compress(means, weights, delta)
+        state.update((means.tolist(), weights.tolist(), n))
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "n_centroids": [len(means)],
+                **{
+                    f"q{int(q * 100):02d}": [_quantile(means, weights, q)]
+                    for q in qs
+                },
+            }
+        )
+
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    return vals.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=TDIGEST_OUTPUT,
+        stateStructType=TDIGEST_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 MG_OUTPUT = (
     "shard long, item string, partial long, n_seen long, emit_seq long"
 )

@@ -197,3 +197,37 @@ def test_minhash_target_jaccard_derives_bands(spark):
     finally:
         spark.conf.unset("spark.etl_lens.minhash.target_jaccard")
         spark.conf.unset("spark.etl_lens.minhash.bands")
+
+
+def test_pairs_from_bands_incremental_equals_batch(spark):
+    """The incremental decomposition the CDF dedup query leans on:
+    seed self-join ∪ (delta vs seed index) ∪ delta self-join must
+    equal the full-corpus self-join EXACTLY — bands shared via
+    banded_rows, so the two paths cannot hash into different
+    buckets."""
+    from etl_lens_spark.dedup import minhash as mh
+
+    base = "the quick brown fox jumps over the lazy dog again and "
+    docs = [(i, base + f"tail {i % 3}") for i in range(12)] + [
+        (100 + i, f"completely different text body number {i} "
+                  f"with its own words {i * 7}") for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = mh.add_minhash_signature(mh.add_shingles(df, n=3), num_hashes=64)
+    banded = mh.banded_rows(sig, "doc_id", "minhash", bands=16)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in mh.pairs_from_bands(banded, min_est_jaccard=0.3).collect()
+    }
+    seed_b = banded.filter(F.col("__id") % 2 == 0)
+    delta_b = banded.filter(F.col("__id") % 2 == 1)
+    seed = mh.pairs_from_bands(seed_b, min_est_jaccard=0.3)
+    cross = mh.pairs_from_bands(delta_b, seed_b, min_est_jaccard=0.3)
+    within = mh.pairs_from_bands(delta_b, min_est_jaccard=0.3)
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for part in (seed, cross, within)
+        for r in part.collect()
+    }
+    assert full  # the fixture plants real near-dups
+    assert inc == full

@@ -330,6 +330,14 @@ HEADLINE_PINS = {
         {"BroadcastHashJoin", "SortMergeJoin"},
         set(),
     ),
+    # --- round-9 headliners ---
+    # incremental LSH dedup from the CDF: the returned frame is the
+    # collected proof row (LocalTableScan) — the maintenance plan
+    # (delta-vs-index band probe, broadcast anti-join deletes, never
+    # a corpus re-self-join) is pinned by the exact-equality oracle
+    # columns and the bench_setup split times exactly that
+    # incremental path, same convention as lake_merge_upsert
+    "dedup_incremental_lsh_cdf": (0, set(), set()),
 }
 
 

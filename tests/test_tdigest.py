@@ -76,3 +76,33 @@ def test_partials_carry_only_bounded_state(spark):
     # under 8 * 2δ rows per key, never O(values)
     for r in per_part:
         assert r["count"] <= 8 * 2 * 100
+
+
+def test_incremental_fold_rank_accuracy_and_bounded_state():
+    """The streaming twin's fold pattern (stream_ops.tdigest_stateful):
+    compress(state ∪ batch values) chained across micro-batches. Not
+    replay-exact vs the two-level batch digest (centroid boundaries
+    depend on batch splits), but the rank-error contract the live
+    query pins (1.5%) must hold for any batch slicing, and the
+    carried state must stay ≤ ~2δ centroids after every fold."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3.0, 1.0, size=30000)
+    delta = 100
+    for n_batches in (1, 7, 30):
+        means = np.empty(0)
+        weights = np.empty(0)
+        for chunk in np.array_split(vals, n_batches):
+            means = np.concatenate([means, chunk])
+            weights = np.concatenate(
+                [weights, np.ones_like(chunk)]
+            )
+            means, weights = tdigest.compress(means, weights, delta)
+            assert len(means) <= 2 * delta
+        assert weights.sum() == len(vals)  # weight conservation
+        s = np.sort(vals)
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+            est = tdigest._quantile(means, weights, q)
+            rank = np.searchsorted(s, est) / len(s)
+            assert abs(rank - q) <= 0.015, (n_batches, q, rank)
