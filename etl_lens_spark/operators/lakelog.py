@@ -1247,6 +1247,47 @@ def optimize_cluster(
     return {"version": version, "n_files_out": len(bounds)}
 
 
+def _reclaim_path(path: str) -> None:
+    """Remove a debris entry whatever its kind — rmtree silently
+    no-ops on plain files, so dispatch (round-9 review fix)."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def _recover_purge_debris(dir_path: str) -> None:
+    """Recovery pre-pass for the GDPR purge's in-place swap protocol,
+    shared by EVERY maintenance entry point that walks a directory
+    the purge may have crashed in (the purge itself, vacuum,
+    remove_orphans — round-9 review fix: table-root debris from a
+    crashed staged-batch rewrite was previously exposed to routine
+    vacuum/orphan cleanup, which would have deleted the batch's ONLY
+    copies). A ``<rel>.old``/``<rel>.purge_tmp`` entry is debris ONLY
+    while its base still exists; when the base is missing (a crash
+    landed between the swap's two renames) the base is RESTORED —
+    sorted order visits ``.old`` before ``.purge_tmp``, so the
+    original wins and the purged copy then reclaims as ordinary
+    debris."""
+    if not os.path.isdir(dir_path):
+        return
+    for entry in sorted(os.listdir(dir_path)):
+        if not entry.endswith((".purge_tmp", ".old")):
+            continue
+        full = os.path.join(dir_path, entry)
+        suffix = ".purge_tmp" if entry.endswith(".purge_tmp") else ".old"
+        base = full[: -len(suffix)]
+        if os.path.exists(base):
+            _reclaim_path(full)  # base survived the swap: true debris
+        else:
+            os.rename(full, base)  # crash between renames: recover
+
+
 def vacuum(
     table_dir: str,
     retain_versions: int = 0,
@@ -1302,6 +1343,15 @@ def vacuum(
     time-travel snapshot."""
     import shutil
 
+    # crashed-purge recovery BEFORE any reclamation decision: a
+    # mid-swap crash leaves a rel only as .old/.purge_tmp, and the
+    # loops below must see the restored base (protected if staged/
+    # retained) rather than deletable-looking debris. Running it on
+    # _cdc too means a below-horizon record restored from debris is
+    # immediately re-reclaimed by the retention pass below — debris
+    # can never resurrect a record past its retention decision.
+    _recover_purge_debris(table_dir)
+    _recover_purge_debris(os.path.join(table_dir, "_cdc"))
     head = latest_version(table_dir)
     protected: set[str] = set()
     live_dv: set[str] = set()
@@ -2186,13 +2236,26 @@ def find_orphans(table_dir: str) -> list[str]:
     for entry in sorted(os.listdir(table_dir)):
         if entry in ("_log", "_dv", "_cdc") or entry in referenced:
             continue
+        if entry.endswith((".purge_tmp", ".old")):
+            # GDPR-purge swap artifacts, never writer debris: either
+            # ordinary debris of a still-present rel or the ONLY
+            # copies after a mid-swap crash — recovery (vacuum /
+            # the next purge) owns them, orphan cleanup must not
+            # (round-9 review fix)
+            continue
         orphans.append(entry)
     return orphans
 
 
 def remove_orphans(table_dir: str) -> dict:
-    """Delete never-referenced data entries (see find_orphans)."""
+    """Delete never-referenced data entries (see find_orphans).
+    Runs the crashed-purge recovery first so a mid-swap crash's
+    ``.old``/``.purge_tmp`` copies are restored to their base name
+    (and thereby protected by its reference) before anything is
+    classified as deletable."""
     import shutil
+
+    _recover_purge_debris(table_dir)
 
     orphans = find_orphans(table_dir)
     for entry in orphans:
@@ -2285,7 +2348,9 @@ def commit_change_plan(table_dir: str, version: int) -> dict:
                     "reclaimed by CDF retention (vacuum "
                     "cdf_retain_versions) — the range is no longer "
                     "servable; start the read above the retention "
-                    "horizon, exactly like Delta after CDF expiry"
+                    "horizon (batch: v_from; streaming: the "
+                    "starting_version option), exactly like Delta "
+                    "after CDF expiry"
                 )
             plan["cdc_files"].extend(_list_parquet_files(full))
         return plan
@@ -2314,6 +2379,21 @@ def commit_change_plan(table_dir: str, version: int) -> dict:
             "— its row-level changes are not derivable; write it with "
             "cdf=True (merge_upsert/delete_where) to serve CDF"
         )
+    def _require_on_disk(rel: str) -> str:
+        # round-9 review fix: _list_parquet_files of a vacuumed dir
+        # returns [] — an insert/delete-classified commit whose data
+        # was reclaimed would otherwise serve SILENTLY EMPTY, the
+        # exact partial-feed failure the cdc-record refusal prevents
+        full = os.path.join(table_dir, rel)
+        if not os.path.exists(full):
+            raise ValueError(
+                f"commit {version}'s data {rel!r} was vacuumed — its "
+                "row-level changes are no longer derivable; CDF "
+                "serving of data-derived commits is bounded by the "
+                "vacuum retention horizon, exactly like Delta"
+            )
+        return full
+
     for a in adds_new:
         if a.get("dv"):
             raise ValueError(
@@ -2321,12 +2401,12 @@ def commit_change_plan(table_dir: str, version: int) -> dict:
                 "with a deletion vector — not CDF-derivable"
             )
         plan["insert_files"].extend(
-            _list_parquet_files(os.path.join(table_dir, a["add"]))
+            _list_parquet_files(_require_on_disk(a["add"]))
         )
     for a in removes:
         old = prev.get(a["remove"], {})
         exclude = _dv_positions_by_phys(table_dir, old.get("dv"))
-        base = os.path.join(table_dir, a["remove"])
+        base = _require_on_disk(a["remove"])
         for p in _list_parquet_files(base):
             rel_phys = os.path.relpath(p, table_dir)
             plan["delete_files"].append(
@@ -2478,23 +2558,17 @@ def table_changes_mapped(
     plans); the mapping projection is a zero-cost select. The
     ``_change_type`` / ``_commit_version`` columns ride outside the
     mapping, like Delta's CDF metadata columns."""
-    from pyspark.sql import functions as F
-
     fields = column_mapping(table_dir, version)
     if fields is None:
         raise ValueError("table has no column mapping enabled")
     parts: list[DataFrame] = []
     for v in range(v_from + 1, v_to + 1):
-        for df in _commit_change_frames(spark, table_dir, v):
-            cols = []
-            for logical, phys, typ in fields:
-                if phys in df.columns:
-                    cols.append(F.col(phys).cast(typ).alias(logical))
-                else:
-                    cols.append(F.lit(None).cast(typ).alias(logical))
-            parts.append(
-                df.select(*cols, "_change_type", "_commit_version")
+        parts.extend(
+            _project_mapping(
+                df, fields, ["_change_type", "_commit_version"]
             )
+            for df in _commit_change_frames(spark, table_dir, v)
+        )
     if not parts:
         raise ValueError(
             f"no changes recorded in ({v_from}, {v_to}]"
@@ -2597,6 +2671,28 @@ def add_column(table_dir: str, name: str, sql_type: str) -> dict:
     return _commit_mapping(table_dir, [*fields, (name, phys, sql_type)])
 
 
+def _project_mapping(
+    df: DataFrame, fields, extra_cols: list[str] = ()
+) -> DataFrame:
+    """Reader-side translation, shared by read_snapshot_mapped and
+    table_changes_mapped so the snapshot and CDF readers can never
+    diverge on the same mapping (round-9 review fix): each mapping
+    entry's PHYSICAL column projects to its LOGICAL name (cast to
+    the declared type); a physical column absent from ``df`` (older
+    files) surfaces as NULL of that type; physical columns outside
+    the mapping (dropped) disappear. ``extra_cols`` ride through
+    unmapped (CDF metadata columns)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for logical, phys, typ in fields:
+        if phys in df.columns:
+            cols.append(F.col(phys).cast(typ).alias(logical))
+        else:
+            cols.append(F.lit(None).cast(typ).alias(logical))
+    return df.select(*cols, *extra_cols)
+
+
 def to_physical(df: DataFrame, fields) -> DataFrame:
     """Writer-side translation: project the logical frame onto
     physical column names for a parquet write into a mapped table.
@@ -2635,13 +2731,7 @@ def read_snapshot_mapped(
     if not files:
         raise ValueError("empty snapshot")
     df = spark.read.option("mergeSchema", "true").parquet(*files)
-    cols = []
-    for logical, phys, typ in fields:
-        if phys in df.columns:
-            cols.append(F.col(phys).cast(typ).alias(logical))
-        else:
-            cols.append(F.lit(None).cast(typ).alias(logical))
-    return df.select(*cols)
+    return _project_mapping(df, fields)
 
 
 # ---------------------------------------------------------------------------
@@ -2826,7 +2916,10 @@ def restore_table(
     state differs from head's, the restore commit re-emits the
     TARGET's action so later reads (read_snapshot_mapped,
     table_schema) see the pre-restore-point definitions — a RESTORE
-    across a RENAME rolls the rename back. One stricter stance,
+    across a RENAME rolls the rename back. CHECK constraints roll
+    back the same way (drop what head added since the target, re-add
+    what head dropped): restoring across an ADD CONSTRAINT must not
+    leave a standing constraint that the resurrected rows violate. One stricter stance,
     documented: a target that predates mapping/schema ENABLEMENT
     cannot be expressed (last-wins metadata has no "unset" action —
     the same reason Delta cannot disable column mapping), so that
@@ -2871,6 +2964,21 @@ def restore_table(
                     "restore to a version at or after enablement"
                 )
             meta_actions.append({action_key: {"fields": meta_t[key]}})
+    # constraints roll back too (round-9 review fix: restoring
+    # across an ADD CONSTRAINT would otherwise resurrect rows that
+    # violate a STANDING committed CHECK — the "table-wide
+    # invariant" contract silently broken). Unlike mapping/metaData,
+    # constraints have drop actions, so any target state is
+    # expressible: drop what head added since the target, re-add
+    # what head dropped (target-time expressions win on change).
+    cons_t, cons_h = meta_t["constraints"], meta_h["constraints"]
+    for name in sorted(set(cons_h) - set(cons_t)):
+        meta_actions.append({"dropConstraint": name})
+    for name in sorted(cons_t):
+        if cons_h.get(name) != cons_t[name]:
+            meta_actions.append(
+                {"constraint": {"name": name, "expr": cons_t[name]}}
+            )
     if not re_add and not removes and not repoints and not meta_actions:
         return {
             "version": None,
@@ -3173,10 +3281,13 @@ def gdpr_purge_change_records(
     review fix): a batch staged for audit but never published is
     invisible to committed readers yet its files can carry the
     subject, and nothing else would ever erase it — the purge
-    rewrites each staged entry's add/cdc rels in place too (rels
-    also present in the head snapshot are skipped: live data belongs
-    to steps 1 and 3). ``read_staged_snapshot`` after a purge serves
-    the staged batch without the subject.
+    rewrites each staged entry's add rels in place too (full rel
+    paths; staged cdc rels live under ``_cdc`` where the wholesale
+    walk already covers them; rels also present in the head snapshot
+    are skipped: live data belongs to steps 1 and 3; a rewritten
+    rel's staged action drops its stats-bearing keys so a later
+    publish cannot serve pre-purge counts). ``read_staged_snapshot``
+    after a purge serves the staged batch without the subject.
 
     Review-hardened: the purge walks the ``_cdc`` DIRECTORY, not the
     surviving log files — records of commits retired behind a
@@ -3198,40 +3309,16 @@ def gdpr_purge_change_records(
 
     from pyspark.sql import functions as F
 
-    def _reclaim(path: str) -> None:
-        if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
-        else:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
-
-    def _recover_debris(dir_path: str) -> None:
-        # Recovery pre-pass: sorted order visits <rel>.old before
-        # <rel>.purge_tmp, so when a crash left both with no base,
-        # the original is restored first and the purged copy then
-        # reclaims as ordinary debris (its base exists again).
-        if not os.path.isdir(dir_path):
-            return
-        for entry in sorted(os.listdir(dir_path)):
-            if not entry.endswith((".purge_tmp", ".old")):
-                continue
-            full = os.path.join(dir_path, entry)
-            suffix = (
-                ".purge_tmp" if entry.endswith(".purge_tmp") else ".old"
-            )
-            base = full[: -len(suffix)]
-            if os.path.exists(base):
-                _reclaim(full)  # base survived the swap: true debris
-            else:
-                os.rename(full, base)  # crash between renames: recover
-
     # NULL-safe: a NULL predicate result must neither purge the row
     # nor drop it from the kept set
     cond = F.coalesce(condition, F.lit(False))
 
     def _purge_dir(full: str) -> int:
+        # handles dir AND plain-file rels (the log supports both —
+        # round-9 review fix: the isdir-only sweep silently skipped
+        # single-file staged adds, leaving the subject on disk while
+        # reporting success); a purged file rel becomes a dir rel,
+        # which every reader already handles via _list_parquet_files
         df = spark.read.parquet(full)
         hits = df.filter(cond).count()
         if not hits:
@@ -3241,16 +3328,16 @@ def gdpr_purge_change_records(
         shutil.rmtree(tmp, ignore_errors=True)
         keep.write.parquet(tmp)
         old = full + ".old"
-        shutil.rmtree(old, ignore_errors=True)
+        _reclaim_path(old)
         os.rename(full, old)
         os.rename(tmp, full)
-        shutil.rmtree(old)
+        _reclaim_path(old)
         return int(hits)
 
     total = 0
     n_files = 0
     cdc_dir = os.path.join(table_dir, "_cdc")
-    _recover_debris(cdc_dir)
+    _recover_purge_debris(cdc_dir)
     entries = sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []
     for entry in entries:
         full = os.path.join(cdc_dir, entry)
@@ -3266,31 +3353,61 @@ def gdpr_purge_change_records(
     # but never published is invisible to every committed reader, yet
     # its data files can carry the subject — and neither vacuum (which
     # protects staged adds) nor DML (which never sees them) would ever
-    # erase it. Rewrite each staged entry's add/cdc rels in place with
-    # the same swap protocol; rels that ALSO appear in the head
+    # erase it. Rewrite each staged entry's FULL add rel in place with
+    # the same swap protocol (full rel, not its top segment — a
+    # truncated nested rel would rewrite the wrong directory, and a
+    # staged 'cdc' rel lives under _cdc where the wholesale walk
+    # above already covered it). Rels that ALSO appear in the head
     # snapshot are skipped (live data belongs to steps 1 and 3 of the
-    # recipe, never to this function).
+    # recipe, never to this function). A rewritten rel's staged
+    # action drops its stats-bearing keys — write-time num_records/
+    # stats describe the pre-purge bytes and a later publish must not
+    # serve them (stats-only reads would report purged rows).
     n_staged = 0
-    staged_rels: set[str] = set()
-    for entry in _staged_entries(table_dir):
+    live = set(_replay(table_dir, latest_version(table_dir))[0])
+    staged_dir = os.path.join(_log_dir(table_dir), "_staged")
+    tags = (
+        sorted(f for f in os.listdir(staged_dir) if f.endswith(".json"))
+        if os.path.isdir(staged_dir)
+        else []
+    )
+    if tags:
+        _recover_purge_debris(table_dir)
+    for tag_file in tags:
+        path = os.path.join(staged_dir, tag_file)
+        try:
+            with open(path) as fh:
+                entry = json.load(fh)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            continue  # pre-atomic crash debris, skipped everywhere
+        rewritten_rels: set[str] = set()
         for a in entry["actions"]:
-            for key in ("add", "cdc"):
-                if key in a:
-                    staged_rels.add(a[key].split("/", 1)[0])
-    if staged_rels:
-        live = {
-            r.split("/", 1)[0]
-            for r in _replay(table_dir, latest_version(table_dir))[0]
-        }
-        _recover_debris(table_dir)
-        for rel in sorted(staged_rels - live):
+            rel = a.get("add")
+            if (
+                not rel
+                or rel in live
+                or rel.split("/", 1)[0] in ("_log", "_dv", "_cdc")
+            ):
+                continue
             full = os.path.join(table_dir, rel)
-            if not os.path.isdir(full):
+            if not os.path.exists(full):
                 continue
             hits = _purge_dir(full)
             if hits:
                 total += hits
                 n_staged += 1
+                rewritten_rels.add(rel)
+        if rewritten_rels:
+            for a in entry["actions"]:
+                if a.get("add") in rewritten_rels:
+                    a.pop("num_records", None)
+                    a.pop("stats", None)
+            tmp = path + ".purging"
+            with open(tmp, "w") as fh:
+                json.dump(entry, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
     while True:
         head = latest_version(table_dir)
         try:

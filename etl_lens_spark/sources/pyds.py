@@ -300,13 +300,21 @@ class LakeLogStreamReader(DataSourceStreamReader):
         self.max_commits = int(options.get("max_commits_per_batch", 1))
         if self.max_commits < 1:
             raise ValueError("max_commits_per_batch must be >= 1")
+        # Delta's startingVersion (round-9 review fix): after
+        # vacuum(cdf_retain_versions=N) reclaims a record, a fresh
+        # consumer pacing from -1 would plan the reclaimed commit
+        # and raise forever — this is the documented way to start
+        # the read above the retention horizon. The first served
+        # commit is starting_version + 1 (offsets are exclusive
+        # lower bounds, matching table_changes' v_from).
+        self.starting_version = int(options.get("starting_version", -1))
         self._pos: int | None = None  # unknown until initial/partitions
 
     def initialOffset(self):
         # only a FRESH query reaches here (a restart reads the
-        # checkpoint instead) — safe to pace from the very beginning
-        self._pos = -1
-        return {"version": -1}
+        # checkpoint instead) — safe to pace from the declared start
+        self._pos = self.starting_version
+        return {"version": self.starting_version}
 
     def latestOffset(self):
         from etl_lens_spark.operators import lakelog

@@ -388,6 +388,49 @@ def test_lakelog_cdf_stream_matches_batch(spark, tmp_path):
     assert r.partitions({"version": head}, {"version": head + 1}) == []
 
 
+def test_lakelog_cdf_stream_starting_version_after_retention(
+    spark, tmp_path
+):
+    """Round-9 review fix: after vacuum(cdf_retain_versions=N)
+    reclaims a record, a FRESH consumer pacing from -1 plans the
+    reclaimed commit and raises — the starting_version option
+    (Delta's startingVersion) is the documented way to begin above
+    the horizon, and the first served commit is starting_version+1."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamReader
+
+    base = str(tmp_path / "sv")
+    spark.createDataFrame(
+        [(k, k) for k in range(6)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    for i in (1, 2, 3):
+        lakelog.merge_upsert(
+            spark,
+            base,
+            spark.createDataFrame([(i, i * 100)], "k long, c long"),
+            ["k"],
+            cdf=True,
+        )
+    lakelog.vacuum(base, retain_versions=3, cdf_retain_versions=1)
+    head = lakelog.latest_version(base)  # 3; records v1 reclaimed
+    opts = {"path": base, "schema_ddl": "k long, c long"}
+    fresh = LakeLogCDFStreamReader(opts)
+    assert fresh.initialOffset() == {"version": -1}
+    with pytest.raises(ValueError, match="reclaimed by CDF retention"):
+        fresh.partitions({"version": -1}, {"version": head})
+    above = LakeLogCDFStreamReader({**opts, "starting_version": 1})
+    start = above.initialOffset()
+    assert start == {"version": 1}
+    parts = above.partitions(start, {"version": head})
+    got = sorted(t for p in parts for t in above.read(p))
+    assert {t[3] for t in got} == {2, 3}  # commits above the horizon
+    assert (2, 200, "update_postimage", 2) in got
+
+
 def test_ddl_column_names_handles_parametrized_types():
     """Round-8 review fix: top-level-comma splitting — decimal/map/
     struct type parameters must not become phantom columns."""

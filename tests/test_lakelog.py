@@ -2168,6 +2168,155 @@ def test_gdpr_purge_sweeps_staged_wap_batches(spark, tmp_path):
     assert spark.read.parquet(f"{base}/s0").count() == 6
 
 
+def test_vacuum_and_orphans_recover_mid_swap_staged_debris(
+    spark, tmp_path
+):
+    """Round-9 review fix: a purge crash mid-swap on a STAGED rel
+    leaves the batch's only copies as <rel>.old/<rel>.purge_tmp in
+    the table root — vacuum and remove_orphans must RESTORE the base
+    (then protect it as a staged add), never reclaim the copies; and
+    find_orphans must not list purge artifacts as writer debris."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "wap_crash")
+    spark.createDataFrame(
+        [(k, k) for k in range(4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.createDataFrame(
+        [(9, 90), (8, 80)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s_wap")
+    lakelog.stage(base, "t1", [{"add": "s_wap"}])
+    # simulate the purge's mid-swap crash on the staged rel
+    purged = spark.read.parquet(f"{base}/s_wap").filter(F.col("k") != 9)
+    purged.write.parquet(f"{base}/s_wap.purge_tmp")
+    _os.rename(f"{base}/s_wap", f"{base}/s_wap.old")
+    assert "s_wap.old" not in lakelog.find_orphans(base)
+    assert "s_wap.purge_tmp" not in lakelog.find_orphans(base)
+    stats = lakelog.vacuum(base)
+    assert _os.path.isdir(f"{base}/s_wap")  # base restored
+    assert not _os.path.exists(f"{base}/s_wap.old")
+    assert not _os.path.exists(f"{base}/s_wap.purge_tmp")
+    assert stats["n_dirs_kept"] >= 2  # s0 + the restored staged rel
+    got = sorted(
+        tuple(r)
+        for r in lakelog.read_staged_snapshot(spark, base, "t1")
+        .filter(F.col("k") >= 8)
+        .collect()
+    )
+    assert got == [(8, 80), (9, 90)]  # nothing lost
+    # remove_orphans also recovers instead of deleting
+    _os.rename(f"{base}/s_wap", f"{base}/s_wap.old")
+    lakelog.remove_orphans(base)
+    assert _os.path.isdir(f"{base}/s_wap")
+
+
+def test_gdpr_purge_staged_full_rels_files_and_stats(spark, tmp_path):
+    """Round-9 review fixes, three at once: (a) staged rels purge by
+    FULL path (a nested rel must rewrite its own directory, not its
+    truncated top segment); (b) plain-FILE staged adds are rewritten,
+    not silently skipped; (c) a rewritten rel's staged action drops
+    stats-bearing keys so a later publish cannot serve pre-purge
+    counts."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "wap_full")
+    spark.createDataFrame(
+        [(k, k) for k in range(4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    # nested staged rel
+    spark.createDataFrame(
+        [(1, 11), (5, 55)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/era/part=1")
+    # plain-file staged rel
+    spark.createDataFrame(
+        [(1, 12), (6, 66)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/tmp_single")
+    src = glob.glob(f"{base}/tmp_single/*.parquet")[0]
+    _os.rename(src, f"{base}/one.parquet")
+    import shutil as _sh
+
+    _sh.rmtree(f"{base}/tmp_single")
+    lakelog.stage(
+        base,
+        "t2",
+        [
+            {"add": "era/part=1", "num_records": 2, "stats": {"k": [1, 5]}},
+            {"add": "one.parquet", "num_records": 2},
+        ],
+    )
+    res = lakelog.gdpr_purge_change_records(spark, base, F.col("k") == 1)
+    assert res["n_staged_rels_rewritten"] == 2
+    assert res["n_rows_purged"] == 2
+    assert (
+        spark.read.parquet(f"{base}/era/part=1")
+        .filter(F.col("k") == 1)
+        .count()
+        == 0
+    )
+    left = spark.read.parquet(f"{base}/one.parquet")
+    assert sorted(tuple(r) for r in left.collect()) == [(6, 66)]
+    entry = lakelog.staged_entry(base, "t2")
+    for a in entry["actions"]:
+        assert "num_records" not in a and "stats" not in a
+    # the untouched live rel is intact
+    assert spark.read.parquet(f"{base}/s0").count() == 4
+
+
+def test_table_changes_refuses_vacuumed_data_commits(spark, tmp_path):
+    """Round-9 review fix: insert/delete-classified commits whose
+    data dirs were vacuumed must REFUSE (like reclaimed cdc records),
+    never serve silently empty."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "vac_feed")
+    spark.createDataFrame(
+        [(k, k) for k in range(4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.createDataFrame(
+        [(10, 100)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 1, [{"add": "s1"}])  # insert commit
+    lakelog.delete_where(spark, base, F.col("k") == 10)  # v2 rewrites s1
+    lakelog.vacuum(base)  # retain head only: s1 reclaimed
+    with pytest.raises(ValueError, match="was vacuumed"):
+        lakelog.table_changes(spark, base, 0, 1).count()
+
+
+def test_restore_rolls_back_constraints(spark, tmp_path):
+    """Round-9 review fix: RESTORE across an ADD CONSTRAINT must not
+    resurrect rows a STANDING committed CHECK forbids — the
+    constraint rolls back with the data (and a dropped-then-restored
+    constraint comes back)."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "cons_restore")
+    spark.createDataFrame(
+        [(1, -5), (2, 3)], "k long, x long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    lakelog.delete_where(spark, base, F.col("x") < 0)  # v1: clean
+    lakelog.add_constraint(spark, base, "x_pos", "x >= 0")  # v2
+    res = lakelog.restore_table(spark, base, 0)  # resurrects x=-5
+    assert res["version"] is not None
+    assert "x_pos" not in lakelog.table_constraints(base)
+    assert (
+        lakelog.read_snapshot(spark, base).filter(F.col("x") < 0).count()
+        == 1
+    )
+    # and the other direction: restore back to v2 re-adds it
+    lakelog.restore_table(spark, base, 2)
+    assert lakelog.table_constraints(base) == {"x_pos": "x >= 0"}
+
+
 def test_table_changes_mapped_across_rename(spark, tmp_path):
     """CDF × column mapping: change records and data files carry
     immutable PHYSICAL names; serving projects them onto the mapping
