@@ -44,6 +44,7 @@ __all__ = [
     "maintain_agg",
     "maintain_distinct",
     "maintain_minmax",
+    "maintain_topk",
 ]
 
 _WEIGHT = {
@@ -258,6 +259,55 @@ def maintain_minmax(
             F.max(value_col).alias(vmax_col),
             F.sum(cnt_col).cast("long").alias(n_col),
         )
+    )
+    keep = view_old.join(F.broadcast(touched), keys, "left_anti")
+    return keep.unionByName(rec)
+
+
+def maintain_topk(
+    view_old: DataFrame,
+    support_new: DataFrame,
+    touched: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int,
+    cnt_col: str = "cnt",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Maintain the per-group TOP-K distinct values under inserts AND
+    deletes — the RANKING aggregate, whose delta is non-monotone in
+    the same way MIN/MAX's is (deleting the current 3rd-largest pulls
+    the invisible 4th into the view; no scalar folded state can know
+    it): the auxiliary state is again the refcounted (group, value)
+    support ``maintain_distinct`` maintains, and the update rule is
+    the same hierarchical split as ``maintain_minmax`` — groups the
+    delta never touched keep their old top-k rows VERBATIM (at
+    100 TB: almost all of them), while each TOUCHED group re-ranks
+    only ITS OWN support slice, which is exactly the candidate set
+    any engine must examine once a ranked value dies.
+
+    ``view_old`` carries keys + rank_col + value_col + cnt_col
+    (ranks 1..k, densest-first); ``support_new`` is the
+    already-maintained support; ``touched`` is the delta's distinct
+    key set (broadcast). Ranking is by ``value_col`` DESC — the
+    support holds DISTINCT values per group, so the order is total
+    and the result deterministic without a tie-break column. A
+    touched group with fewer than k surviving values shrinks; one
+    whose support emptied disappears.
+
+    100 TB posture: cost = O(changes) for the support merge (the
+    caller's maintain_distinct) + a window over ONLY the touched
+    groups' support slices — never a corpus scan, never a re-rank of
+    untouched groups. The window's shuffle carries only those
+    slices."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc(value_col))
+    rec = (
+        support_new.join(F.broadcast(touched), keys, "left_semi")
+        .withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+        .select(*keys, rank_col, value_col, cnt_col)
     )
     keep = view_old.join(F.broadcast(touched), keys, "left_anti")
     return keep.unionByName(rec)

@@ -256,3 +256,42 @@ def test_maintain_minmax_untouched_groups_pass_through(spark):
     assert got[0] == (10, 10, 1)  # min moved
     for g in range(1, 5):  # untouched groups identical
         assert got[g] == (g, g + 10, 2)
+
+
+def test_maintain_topk_rank_movement_and_pass_through(spark):
+    """Deleting a ranked value must pull the invisible next one into
+    the view; untouched groups keep their rows verbatim; a group
+    shrinks below k when its support does."""
+    support0 = spark.createDataFrame(
+        [(1, v, 1) for v in (50, 40, 30, 20)]
+        + [(2, 9, 1), (2, 8, 1)]
+        + [(3, 7, 2)],
+        "g long, v long, cnt long",
+    )
+    w_rows = [
+        (1, 1, 50, 1), (1, 2, 40, 1), (1, 3, 30, 1),
+        (2, 1, 9, 1), (2, 2, 8, 1),
+        (3, 1, 7, 2),
+    ]
+    view0 = spark.createDataFrame(
+        w_rows, "g long, rank long, v long, cnt long"
+    )
+    # kill g=1's 2nd-largest (40): 20 must surface at rank 3;
+    # kill one of g=3's two refs to 7 (view row survives, cnt drops);
+    # g=2 untouched
+    delta = ivm.changes_to_zset(
+        spark.createDataFrame(
+            [(1, 40, "delete"), (3, 7, "delete")],
+            "g long, v long, _change_type string",
+        ),
+        ["g", "v"],
+    )
+    support1 = ivm.maintain_distinct(support0, delta, ["g"], "v")
+    touched = delta.select("g").distinct()
+    view1 = ivm.maintain_topk(view0, support1, touched, ["g"], "v", 3)
+    got = sorted(tuple(r) for r in view1.collect())
+    assert got == [
+        (1, 1, 50, 1), (1, 2, 30, 1), (1, 3, 20, 1),
+        (2, 1, 9, 1), (2, 2, 8, 1),
+        (3, 1, 7, 1),
+    ]
