@@ -438,6 +438,37 @@ def _lsh_dedup_build(spark: SparkSession, sf_dir: str, tag: str) -> str:
     return base
 
 
+def _lsh_delta_pairs(
+    delta_banded: DataFrame, index_banded: DataFrame | None = None
+) -> DataFrame:
+    """ONE definition of the insert rule's candidate algebra, shared
+    by the batch query, its bench thunk, and the streaming twin so
+    the three cannot drift (the npipe10 _ivm_maintained_view
+    precedent — review fix): a delta self-join plus, when a standing
+    index exists, delta-vs-index probing. The corpus is never
+    re-self-joined."""
+    from etl_lens_spark.dedup.minhash import pairs_from_bands
+
+    within = pairs_from_bands(delta_banded, min_est_jaccard=_LSH_THETA)
+    if index_banded is None:
+        return within
+    cross = pairs_from_bands(
+        delta_banded, index_banded, min_est_jaccard=_LSH_THETA
+    )
+    return within.unionByName(cross)
+
+
+def _lsh_drop_pairs(pairs: DataFrame, gone: DataFrame) -> DataFrame:
+    """ONE definition of the delete rule: every maintained pair
+    touching a deleted id leaves — two broadcast anti-joins. ``gone``
+    carries one ``__gone`` column."""
+    return pairs.join(
+        F.broadcast(gone), F.col("doc_a") == F.col("__gone"), "left_anti"
+    ).join(
+        F.broadcast(gone), F.col("doc_b") == F.col("__gone"), "left_anti"
+    )
+
+
 @query(
     "dedup_incremental_lsh_cdf",
     headline=True,
@@ -505,9 +536,7 @@ def dedup_incremental_lsh_cdf(
     ).localCheckpoint()
     seed_banded.write.parquet(f"{bt}/s0")
     lakelog.commit(bt, 0, [{"add": "s0"}])
-    pairs = pairs_from_bands(
-        seed_banded, min_est_jaccard=_LSH_THETA
-    ).localCheckpoint()
+    pairs = _lsh_delta_pairs(seed_banded).localCheckpoint()
 
     # --- v1 inserts: probe the index, then append to it
     ins = (
@@ -517,13 +546,8 @@ def dedup_incremental_lsh_cdf(
     )
     delta_banded = _lsh_banded(ins).localCheckpoint()
     index0 = spark.read.parquet(*lakelog.snapshot_files(bt, 0))
-    cross = pairs_from_bands(
-        delta_banded, index0, min_est_jaccard=_LSH_THETA
-    )
-    within = pairs_from_bands(delta_banded, min_est_jaccard=_LSH_THETA)
     pairs = (
-        pairs.unionByName(cross)
-        .unionByName(within)
+        pairs.unionByName(_lsh_delta_pairs(delta_banded, index0))
         .dropDuplicates(["doc_a", "doc_b"])
         .localCheckpoint()
     )
@@ -549,25 +573,19 @@ def dedup_incremental_lsh_cdf(
         2,
         [{"remove": r} for r in idx_old] + [{"add": "s2"}],
     )
-    pairs = (
-        pairs.join(
-            F.broadcast(dels), F.col("doc_a") == F.col("__gone"), "left_anti"
-        )
-        .join(
-            F.broadcast(dels), F.col("doc_b") == F.col("__gone"), "left_anti"
-        )
-        .localCheckpoint()
-    )
+    pairs = _lsh_drop_pairs(pairs, dels).localCheckpoint()
 
-    # --- proof: from-scratch LSH over the head snapshot
+    # --- proof: from-scratch LSH over the head snapshot (read ONCE;
+    # the count rides the same checkpointed frame — review fix)
+    head_docs = lakelog.read_snapshot(spark, dt).localCheckpoint()
     scratch = pairs_from_bands(
-        _lsh_banded(lakelog.read_snapshot(spark, dt)).localCheckpoint(),
+        _lsh_banded(head_docs).localCheckpoint(),
         min_est_jaccard=_LSH_THETA,
     ).localCheckpoint()
     key = ["doc_a", "doc_b"]
     missing = scratch.join(pairs, key, "left_anti").count()
     extra = pairs.join(scratch, key, "left_anti").count()
-    n_head = lakelog.read_snapshot(spark, dt).count()
+    n_head = head_docs.count()
     n_index = lakelog.read_snapshot(spark, bt).count()
     n_pairs = pairs.count()
 
@@ -622,35 +640,14 @@ def _bench_dedup_incremental(spark: SparkSession, sf_dir: str):
     )
 
     def _maintained() -> DataFrame:
-        delta_banded = _lsh_banded(ins)
-        cross = pairs_from_bands(
-            delta_banded, seed_banded, min_est_jaccard=_LSH_THETA
-        )
-        within = pairs_from_bands(
-            delta_banded, min_est_jaccard=_LSH_THETA
-        )
-        pairs = (
-            seed_pairs.unionByName(cross)
-            .unionByName(within)
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        return (
-            pairs.join(
-                F.broadcast(dels),
-                F.col("doc_a") == F.col("__gone"),
-                "left_anti",
-            )
-            .join(
-                F.broadcast(dels),
-                F.col("doc_b") == F.col("__gone"),
-                "left_anti",
-            )
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_pairs"),
-                F.sum(F.col("doc_a") + F.col("doc_b"))
-                .cast("long")
-                .alias("pair_checksum"),
-            )
+        pairs = seed_pairs.unionByName(
+            _lsh_delta_pairs(_lsh_banded(ins), seed_banded)
+        ).dropDuplicates(["doc_a", "doc_b"])
+        return _lsh_drop_pairs(pairs, dels).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("doc_a") + F.col("doc_b"))
+            .cast("long")
+            .alias("pair_checksum"),
         )
 
     return _maintained
@@ -693,12 +690,19 @@ def streaming_dedup_lsh_live(
     apart without one of them failing.
 
     100 TB posture: identical to the batch twin per epoch
-    (O(delta × matching bands), the corpus never re-self-joined);
-    state is the index + pair set, exactly what the batch variant
-    persists as lake tables — the persist/exactly-once story is
-    proven separately by warehouse_ivm_restartable, so this twin
-    keeps its state in checkpointed frames and spends its pins on
-    the maintenance algebra."""
+    (O(delta × matching bands), the corpus never re-self-joined) —
+    and per-epoch MATERIALIZATION is O(delta + pairs), never
+    O(index): the index state is a LIST of per-epoch checkpointed
+    delta frames plus delete tombstones, unioned lazily only where a
+    probe or the final count needs the view (review fix — the first
+    cut re-checkpointed the whole index every epoch). The batch
+    variant persists the same state as lake tables
+    (append-per-epoch, the durable production shape); the
+    persist/exactly-once story is proven separately by
+    warehouse_ivm_restartable, so this twin spends its pins on the
+    maintenance algebra (shared: _lsh_delta_pairs /
+    _lsh_drop_pairs)."""
+    import functools
     import shutil
 
     from etl_lens_spark.dedup.minhash import pairs_from_bands
@@ -711,7 +715,21 @@ def streaming_dedup_lsh_live(
     except Exception:
         pass  # already registered in this session
 
-    state: dict = {"index": None, "pairs": None}
+    state: dict = {"index_parts": [], "tombstones": [], "pairs": None}
+
+    def _index_view():
+        if not state["index_parts"]:
+            return None
+        view = functools.reduce(
+            lambda a, b: a.unionByName(b), state["index_parts"]
+        )
+        for gone in state["tombstones"]:
+            view = view.join(
+                F.broadcast(gone),
+                F.col("__id") == F.col("__gone"),
+                "left_anti",
+            )
+        return view
 
     def _apply_version(vdf) -> None:
         ins = vdf.filter(F.col("_change_type") == "insert").select(
@@ -719,22 +737,8 @@ def streaming_dedup_lsh_live(
         )
         if not ins.isEmpty():
             delta_banded = _lsh_banded(ins).localCheckpoint()
-            within = pairs_from_bands(
-                delta_banded, min_est_jaccard=_LSH_THETA
-            )
-            if state["index"] is None:
-                new_pairs = within
-                state["index"] = delta_banded
-            else:
-                cross = pairs_from_bands(
-                    delta_banded,
-                    state["index"],
-                    min_est_jaccard=_LSH_THETA,
-                )
-                new_pairs = within.unionByName(cross)
-                state["index"] = state["index"].unionByName(
-                    delta_banded
-                ).localCheckpoint()
+            new_pairs = _lsh_delta_pairs(delta_banded, _index_view())
+            state["index_parts"].append(delta_banded)
             prev = state["pairs"]
             merged = (
                 new_pairs
@@ -751,29 +755,10 @@ def streaming_dedup_lsh_live(
         )
         if not gone.isEmpty():
             gone = gone.localCheckpoint()
-            state["index"] = (
-                state["index"]
-                .join(
-                    F.broadcast(gone),
-                    F.col("__id") == F.col("__gone"),
-                    "left_anti",
-                )
-                .localCheckpoint()
-            )
-            state["pairs"] = (
-                state["pairs"]
-                .join(
-                    F.broadcast(gone),
-                    F.col("doc_a") == F.col("__gone"),
-                    "left_anti",
-                )
-                .join(
-                    F.broadcast(gone),
-                    F.col("doc_b") == F.col("__gone"),
-                    "left_anti",
-                )
-                .localCheckpoint()
-            )
+            state["tombstones"].append(gone)
+            state["pairs"] = _lsh_drop_pairs(
+                state["pairs"], gone
+            ).localCheckpoint()
 
     def sink(batch_df, epoch_id):
         b = batch_df.localCheckpoint()
@@ -799,15 +784,16 @@ def streaming_dedup_lsh_live(
     )
     q.awaitTermination()
 
+    head_docs = lakelog.read_snapshot(spark, dt).localCheckpoint()
     scratch = pairs_from_bands(
-        _lsh_banded(lakelog.read_snapshot(spark, dt)).localCheckpoint(),
+        _lsh_banded(head_docs).localCheckpoint(),
         min_est_jaccard=_LSH_THETA,
     ).localCheckpoint()
     key = ["doc_a", "doc_b"]
     missing = scratch.join(state["pairs"], key, "left_anti").count()
     extra = state["pairs"].join(scratch, key, "left_anti").count()
-    n_head = lakelog.read_snapshot(spark, dt).count()
-    n_index = state["index"].count()
+    n_head = head_docs.count()
+    n_index = _index_view().count()
     n_pairs = state["pairs"].count()
     out = spark.createDataFrame(
         [
