@@ -1288,6 +1288,33 @@ def _recover_purge_debris(dir_path: str) -> None:
             os.rename(full, base)  # crash between renames: recover
 
 
+def _recover_staged_rel_debris(table_dir: str) -> None:
+    """Nested-rel debris recovery for staged WAP batches (round-10
+    review fix): the purge's in-place swap operates at the FULL
+    staged-rel path, so a mid-swap crash on a NESTED rel (e.g.
+    ``era/part=1``) parks ``era/part=1.old`` in a directory that
+    neither the table-root nor the ``_cdc`` pre-pass visits — the
+    next purge's ``os.path.exists`` check would then silently skip
+    the rel (reporting success while the subject persists in the
+    ``.old`` copy) and ``read_staged_snapshot``/``publish`` would
+    fail on the missing base. Resolve per rel: run the shared
+    base-missing rule in each staged add rel's PARENT directory.
+    Top-level rels are covered by the root pre-pass; this visits
+    only the extra nesting levels, once per distinct parent."""
+    seen: set[str] = set()
+    for entry in _staged_entries(table_dir):
+        for a in entry["actions"]:
+            rel = a.get("add")
+            if not rel or "/" not in rel:
+                continue
+            if rel.split("/", 1)[0] in ("_log", "_dv", "_cdc"):
+                continue
+            parent = os.path.dirname(os.path.join(table_dir, rel))
+            if parent not in seen:
+                seen.add(parent)
+                _recover_purge_debris(parent)
+
+
 def vacuum(
     table_dir: str,
     retain_versions: int = 0,
@@ -1352,6 +1379,7 @@ def vacuum(
     # can never resurrect a record past its retention decision.
     _recover_purge_debris(table_dir)
     _recover_purge_debris(os.path.join(table_dir, "_cdc"))
+    _recover_staged_rel_debris(table_dir)
     head = latest_version(table_dir)
     protected: set[str] = set()
     live_dv: set[str] = set()
@@ -1396,7 +1424,10 @@ def vacuum(
         horizon = head - cdf_retain_versions
         if os.path.isdir(cdc_dir):
             for f in sorted(os.listdir(cdc_dir)):
-                m = re.fullmatch(r"cdc_(\d{8})", f)
+                # \d{8,}: cdc_{v:08d} grows past 8 digits at v >=
+                # 10^8 — an exact-8 match would never reclaim such
+                # records (round-10 review fix)
+                m = re.fullmatch(r"cdc_(\d{8,})", f)
                 if m and int(m.group(1)) < horizon:
                     shutil.rmtree(os.path.join(cdc_dir, f))
                     n_cdc_deleted += 1
@@ -3303,6 +3334,11 @@ def gdpr_purge_change_records(
     so the record re-enters this run's purge instead of being
     reclaimed into nonexistence; debris removal dispatches on
     file-vs-directory so a plain-file leftover is actually removed.
+    The pre-pass covers the table ROOT unconditionally (round-10
+    fix: root debris whose staged tag was since removed must not
+    wait for vacuum) and every NESTED staged rel's parent directory
+    (round-10 fix: the swap operates at the full rel path, so
+    ``era/part=1.old`` lives where no directory-level pass looks).
     The audit marker commit retries through CommitConflict so a
     concurrent writer cannot leave a completed purge unaudited."""
     import shutil
@@ -3337,7 +3373,14 @@ def gdpr_purge_change_records(
     total = 0
     n_files = 0
     cdc_dir = os.path.join(table_dir, "_cdc")
+    # Recovery pre-pass BEFORE the purge walk — unconditional for the
+    # table root too (round-10 review fix: root-level debris from a
+    # crashed staged-rel purge whose staged entry was since removed
+    # must not wait for vacuum), and per-parent for NESTED staged
+    # rels, whose debris lives where no directory-level pass looks.
     _recover_purge_debris(cdc_dir)
+    _recover_purge_debris(table_dir)
+    _recover_staged_rel_debris(table_dir)
     entries = sorted(os.listdir(cdc_dir)) if os.path.isdir(cdc_dir) else []
     for entry in entries:
         full = os.path.join(cdc_dir, entry)
@@ -3371,8 +3414,6 @@ def gdpr_purge_change_records(
         if os.path.isdir(staged_dir)
         else []
     )
-    if tags:
-        _recover_purge_debris(table_dir)
     for tag_file in tags:
         path = os.path.join(staged_dir, tag_file)
         try:

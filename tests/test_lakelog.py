@@ -2269,6 +2269,121 @@ def test_gdpr_purge_staged_full_rels_files_and_stats(spark, tmp_path):
     assert spark.read.parquet(f"{base}/s0").count() == 4
 
 
+def test_gdpr_purge_recovers_nested_staged_rel_crash(spark, tmp_path):
+    """Round-10 review regression: the purge swaps at the FULL
+    staged-rel path, so a mid-swap crash on a NESTED rel (era/part=1)
+    parks era/part=1.old one level below anywhere the root/_cdc
+    recovery pre-passes look. The old code's exists-check then
+    silently skipped the rel — purge reported success while the
+    subject persisted in the .old copy, vacuum never restored the
+    base, and read_staged_snapshot/publish failed on the missing
+    rel. Both the purge AND vacuum must now resolve debris per
+    staged rel."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "wap_nested_crash")
+    spark.createDataFrame(
+        [(k, k) for k in range(4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    rel = f"{base}/era/part=1"
+    spark.createDataFrame(
+        [(1, 11), (5, 55), (7, 77)], "k long, c long"
+    ).coalesce(1).write.parquet(rel)
+    lakelog.stage(base, "t_nested", [{"add": "era/part=1"}])
+    # simulate the crash window of a previous purge run: purged copy
+    # staged, original parked, base gone
+    spark.read.parquet(rel).filter(F.col("k") != 1).write.parquet(
+        rel + ".purge_tmp"
+    )
+    _os.rename(rel, rel + ".old")
+    assert not _os.path.exists(rel)
+    res = lakelog.gdpr_purge_change_records(spark, base, F.col("k") == 1)
+    # the rel was RECOVERED (original restored, purged copy reclaimed)
+    # and THIS run re-purged the subject from it
+    assert res["n_staged_rels_rewritten"] == 1
+    assert res["n_rows_purged"] == 1
+    assert _os.path.isdir(rel)
+    assert not _os.path.exists(rel + ".old")
+    assert not _os.path.exists(rel + ".purge_tmp")
+    left = spark.read.parquet(rel)
+    assert sorted(tuple(r) for r in left.collect()) == [(5, 55), (7, 77)]
+    got = sorted(
+        tuple(r)
+        for r in lakelog.read_staged_snapshot(spark, base, "t_nested")
+        .filter(F.col("k") >= 5)
+        .collect()
+    )
+    assert got == [(5, 55), (7, 77)]  # non-subject rows survived
+    # vacuum's pass recovers the same window instead of losing the rel
+    _os.rename(rel, rel + ".old")
+    lakelog.vacuum(base, retain_versions=0)
+    assert _os.path.isdir(rel)
+    assert spark.read.parquet(rel).count() == 2
+
+
+def test_gdpr_purge_recovers_root_debris_without_staged_tags(
+    spark, tmp_path
+):
+    """Round-10 review regression: the root recovery pre-pass ran
+    only when staged tags existed, so root-level .old debris from a
+    crashed staged-rel purge whose tag was since removed waited for
+    vacuum. The purge itself must recover it unconditionally."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "root_debris")
+    spark.createDataFrame(
+        [(k, k) for k in range(4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    spark.createDataFrame(
+        [(1, 11), (9, 99)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s_gone")
+    # crash window on a formerly-staged root rel; its tag is gone
+    _os.rename(f"{base}/s_gone", f"{base}/s_gone.old")
+    res = lakelog.gdpr_purge_change_records(spark, base, F.col("k") == 1)
+    assert res["version"] >= 1
+    assert _os.path.isdir(f"{base}/s_gone")
+    assert not _os.path.exists(f"{base}/s_gone.old")
+
+
+def test_cdf_retention_reclaims_nine_digit_versions(tmp_path):
+    """Round-10 review fix: cdc_{v:08d} grows past 8 digits at
+    v >= 10^8, so the exact-8 regex never reclaimed such records —
+    unbounded _cdc growth returned exactly on the long-lived tables
+    retention exists for. Simulate a 10^8+ head cheaply via a
+    hand-planted checkpoint (replay is checkpoint-first, zero log
+    walks) and pin that a 9-digit record below the horizon is
+    reclaimed. Driver-side only, no Spark."""
+    import os as _os
+    import shutil as _sh
+
+    base = str(tmp_path / "nine_digits")
+    lakelog.commit(base, 0, [{"op": "CREATE"}])
+    lakelog.write_checkpoint(base, 0)
+    log = f"{base}/_log"
+    big = 100_000_005
+    _sh.copy(
+        f"{log}/00000000.checkpoint.json",
+        f"{log}/{big:08d}.checkpoint.json",
+    )
+    with open(f"{log}/{big:08d}.json", "w") as fh:
+        fh.write('[{"op": "NOOP"}]')
+    assert lakelog.latest_version(base) == big
+    # 8-digit and 9-digit records, both below horizon; one above
+    for name in ("cdc_00000007", "cdc_100000000", f"cdc_{big:08d}"):
+        _os.makedirs(f"{base}/_cdc/{name}")
+    stats = lakelog.vacuum(base, cdf_retain_versions=0)
+    assert stats["n_cdc_records_deleted"] == 2
+    assert not _os.path.isdir(f"{base}/_cdc/cdc_00000007")
+    assert not _os.path.isdir(f"{base}/_cdc/cdc_100000000")
+    assert _os.path.isdir(f"{base}/_cdc/cdc_{big:08d}")
+
+
 def test_table_changes_refuses_vacuumed_data_commits(spark, tmp_path):
     """Round-9 review fix: insert/delete-classified commits whose
     data dirs were vacuumed must REFUSE (like reclaimed cdc records),
