@@ -113,20 +113,20 @@ def banded_rows(
     ).select("__id", "__sig", "band.band_id", "band.band_hash")
 
 
-def pairs_from_bands(
+def bucket_pairs(
     left_banded: DataFrame,
     right_banded: DataFrame | None = None,
     min_est_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Candidate pairs from banded rows: join on the band key,
-    canonicalize (doc_a < doc_b), dedup, estimate Jaccard from the
-    riding signatures. One frame = self-join (the batch shape); two
-    frames = cross-join of a delta against a standing index (the
-    incremental shape — delta-vs-corpus candidates only, never a
-    corpus re-self-join). No skew guard here: callers that want the
-    degenerate-bucket drop apply it to the banded frame first (as
-    minhash_lsh_candidates does) — and must apply it to BOTH paths
-    or the incremental and batch pair sets diverge by construction."""
+    """Per-BUCKET candidate pairs, WITHOUT cross-bucket dedup:
+    (doc_a, doc_b, est_jaccard, band_id, band_hash), one row per
+    bucket that brings the pair together. This is the support-level
+    view the GUARDED incremental maintenance needs — a pair's
+    refcount is the number of small buckets containing both docs, so
+    the bucket each pair came from must survive to the consumer.
+    ``pairs_from_bands`` is exactly this with the buckets deduped
+    away. One frame = self-join; two frames = delta-vs-index probe
+    (the incremental shape — never a corpus re-self-join)."""
     self_join = right_banded is None
     if self_join:
         right_banded = left_banded
@@ -147,18 +147,17 @@ def pairs_from_bands(
         joined = joined.filter(F.col("__ida") < F.col("__idb"))
     else:
         joined = joined.filter(F.col("__ida") != F.col("__idb"))
-    pairs = (
-        joined.select(
-            F.least("__ida", "__idb").alias("doc_a"),
-            F.greatest("__ida", "__idb").alias("doc_b"),
-            F.when(F.col("__ida") < F.col("__idb"), F.col("__siga"))
-            .otherwise(F.col("__sigb"))
-            .alias("sig_a"),
-            F.when(F.col("__ida") < F.col("__idb"), F.col("__sigb"))
-            .otherwise(F.col("__siga"))
-            .alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    pairs = joined.select(
+        "band_id",
+        "band_hash",
+        F.least("__ida", "__idb").alias("doc_a"),
+        F.greatest("__ida", "__idb").alias("doc_b"),
+        F.when(F.col("__ida") < F.col("__idb"), F.col("__siga"))
+        .otherwise(F.col("__sigb"))
+        .alias("sig_a"),
+        F.when(F.col("__ida") < F.col("__idb"), F.col("__sigb"))
+        .otherwise(F.col("__siga"))
+        .alias("sig_b"),
     )
     matches = F.size(
         F.filter(
@@ -170,9 +169,250 @@ def pairs_from_bands(
         "est_jaccard"
     )
     return (
-        pairs.select("doc_a", "doc_b", est)
+        pairs.select("doc_a", "doc_b", est, "band_id", "band_hash")
         .filter(F.col("est_jaccard") >= min_est_jaccard)
     )
+
+
+def pairs_from_bands(
+    left_banded: DataFrame,
+    right_banded: DataFrame | None = None,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded rows: join on the band key,
+    canonicalize (doc_a < doc_b), dedup, estimate Jaccard from the
+    riding signatures. One frame = self-join (the batch shape); two
+    frames = cross-join of a delta against a standing index (the
+    incremental shape — delta-vs-corpus candidates only, never a
+    corpus re-self-join). No skew guard here: callers that want the
+    degenerate-bucket drop apply it to the banded frame first (as
+    minhash_lsh_candidates does via ``guard_banded``) — and must
+    apply it to BOTH paths or the incremental and batch pair sets
+    diverge by construction (the guarded incremental rules below do
+    exactly that via per-bucket support refcounts)."""
+    return (
+        bucket_pairs(left_banded, right_banded, min_est_jaccard)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def guard_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """The degenerate-bucket skew guard as a reusable step: drop
+    every row of a bucket holding more than ``max_bucket`` banded
+    rows (boilerplate collisions — the docs are caught by other
+    bands or by exact dedup). The window count shares the
+    (band_id, band_hash) shuffle partitioning with the join that
+    follows — one extra pass, no extra join. Factored out of
+    minhash_lsh_candidates so the from-scratch audit inside the
+    incremental queries applies the IDENTICAL rule."""
+    bn = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+    return (
+        banded.withColumn("__bn", bn)
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
+
+
+def guarded_insert_support(
+    delta_banded: DataFrame,
+    index_banded: DataFrame | None,
+    max_bucket: int,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Pair-support DELTAS (doc_a, doc_b, est_jaccard, d_support)
+    for an INSERT batch under the degenerate-bucket guard. The
+    maintained view is {pair : n_support > 0} where n_support = the
+    number of SMALL buckets (≤ max_bucket rows) containing both
+    docs — exactly the guarded from-scratch semantics
+    (guard_banded → pairs_from_bands), kept incrementally:
+
+    - buckets that STAY small after the delta lands: +1 per
+      delta-vs-delta and delta-vs-index pair inside them;
+    - buckets the delta pushes OVER the guard: −1 per pair among the
+      OLD members (the support this bucket granted when it was
+      small — by induction exactly 1 each); pairs involving the
+      delta's own rows in such buckets are never granted;
+    - buckets already over: nothing (their support was already
+      retracted or never granted).
+
+    Cost: O(delta × matching band rows). Bucket occupancies are NOT
+    a separate maintained table — the counts are computed from the
+    same pruned probe rows the candidate join already reads (the
+    index restricted to the delta's bucket keys), so the guard adds
+    zero extra state and zero extra scans; with the index bucketed
+    by band_hash the probe is a pruned read at any scale. The
+    retraction term is bounded by max_bucket² per newly-over bucket
+    — the guard's own threshold caps its maintenance cost."""
+    key = ["band_id", "band_hash"]
+    # Plan shape (deliberate, bench-tuned): ONE broadcast-pruned
+    # index probe (the delta's bucket keys are O(delta × bands) and
+    # broadcast, so the standing index is never shuffled — a pruned
+    # read when the index is bucketed by band_hash), then ONE window
+    # over the combined delta∪probe rows computes both occupancies
+    # and the bucket class per row — the window shares the band-key
+    # shuffle with the self-join that follows (the guard_banded
+    # trick), and the self-join's two sides share one exchange
+    # (ReusedExchange). Three rules, one join.
+    delta = delta_banded.withColumn("__new", F.lit(1))
+    if index_banded is not None:
+        dkeys = delta_banded.select(*key).distinct()
+        probe = index_banded.join(
+            F.broadcast(dkeys), key, "left_semi"
+        ).withColumn("__new", F.lit(0))
+        combined = delta.unionByName(probe)
+    else:
+        combined = delta
+    w = Window.partitionBy(*key)
+    tagged = combined.withColumn(
+        "__dn", F.sum("__new").over(w)
+    ).withColumn("__on", F.sum(1 - F.col("__new")).over(w))
+    stay = F.col("__on") + F.col("__dn") <= max_bucket
+    over = (F.col("__on") <= max_bucket) & (
+        F.col("__on") + F.col("__dn") > max_bucket
+    )
+    tagged = (
+        tagged.withColumn(
+            "__cls",
+            F.when(stay, F.lit(1)).when(over, F.lit(-1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .filter(F.col("__cls") != 0)  # already-over: contributes 0
+        .drop("__dn", "__on")
+    )
+    left = tagged.select(
+        *key,
+        "__cls",
+        F.col("__id").alias("__ida"),
+        F.col("__sig").alias("__siga"),
+        F.col("__new").alias("__newa"),
+    )
+    right = tagged.select(
+        *key,
+        F.col("__id").alias("__idb"),
+        F.col("__sig").alias("__sigb"),
+        F.col("__new").alias("__newb"),
+    )
+    joined = left.join(right, key).filter(F.col("__ida") < F.col("__idb"))
+    ds = F.when(
+        (F.col("__cls") == 1)
+        & ((F.col("__newa") == 1) | (F.col("__newb") == 1)),
+        F.lit(1),  # stay-small bucket, pair touches the delta: grant
+    ).when(
+        (F.col("__cls") == -1)
+        & (F.col("__newa") == 0)
+        & (F.col("__newb") == 0),
+        F.lit(-1),  # newly-over bucket, pair among OLD members: retract
+    )
+    joined = joined.withColumn("__ds", ds).filter(F.col("__ds").isNotNull())
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__siga"), F.col("__sigb"), lambda x, y: x == y
+            ),
+            lambda eq: eq,
+        )
+    )
+    est = (matches.cast("double") / F.size(F.col("__siga"))).alias(
+        "est_jaccard"
+    )
+    return (
+        joined.select(
+            F.col("__ida").alias("doc_a"),
+            F.col("__idb").alias("doc_b"),
+            est,
+            "__ds",
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("est_jaccard").alias("est_jaccard"),
+            F.sum("__ds").cast("long").alias("d_support"),
+        )
+    )
+
+
+def guarded_delete_support(
+    gone_banded: DataFrame,
+    index_banded: DataFrame,
+    gone_ids: DataFrame,
+    max_bucket: int,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Pair-support deltas for a DELETE batch under the guard: a
+    bucket the departures shrink back to ≤ max_bucket re-grants +1
+    to every pair among its REMAINING members (the bucket was over,
+    so none of those pairs held its support). Pairs touching the
+    deleted ids themselves are dropped wholesale by the caller's
+    drop rule — their bookkeeping leaves with them. ``index_banded``
+    is the PRE-delete index; ``gone_ids`` carries one ``__gone``
+    column. Cost: O(departures × matching band rows), re-grant term
+    bounded by max_bucket² per newly-small bucket."""
+    key = ["band_id", "band_hash"]
+    # same one-window-one-join shape as the insert rule: the
+    # departures' bucket keys broadcast to prune the index read (the
+    # index never shuffles), a departing-member flag rides each row,
+    # and one window computes occupancy + departures per bucket
+    gkeys = gone_banded.select(*key).distinct()
+    members = index_banded.join(
+        F.broadcast(gkeys), key, "left_semi"
+    ).join(
+        F.broadcast(gone_ids),
+        F.col("__id") == F.col("__gone"),
+        "left",
+    ).withColumn(
+        "__going", F.col("__gone").isNotNull().cast("int")
+    ).drop("__gone")
+    w = Window.partitionBy(*key)
+    tagged = members.withColumn(
+        "__on", F.count(F.lit(1)).over(w)
+    ).withColumn("__gn", F.sum("__going").over(w))
+    remaining = (
+        tagged.filter(
+            (F.col("__on") > max_bucket)
+            & (F.col("__on") - F.col("__gn") <= max_bucket)
+            & (F.col("__going") == 0)
+        )
+        .select("__id", "__sig", *key)
+    )
+    return bucket_pairs(remaining, None, min_est_jaccard).groupBy(
+        "doc_a", "doc_b"
+    ).agg(
+        F.first("est_jaccard").alias("est_jaccard"),
+        F.sum(F.lit(1)).cast("long").alias("d_support"),
+    )
+
+
+def merge_support(
+    pairs_state: DataFrame | None, deltas: DataFrame
+) -> DataFrame:
+    """Fold support deltas into the maintained pair state
+    (doc_a, doc_b, est_jaccard, n_support): full-outer merge on the
+    pair key, sum the refcounts, keep the positive ones. O(state +
+    deltas); in a lake-table deployment the deltas APPEND and this
+    fold runs at read/compaction time, so the per-epoch write stays
+    O(changes)."""
+    if pairs_state is None:
+        return deltas.filter(F.col("d_support") > 0).select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.col("d_support").alias("n_support"),
+        )
+    joined = pairs_state.alias("s").join(
+        deltas.alias("d"), ["doc_a", "doc_b"], "full_outer"
+    )
+    n = F.coalesce(F.col("s.n_support"), F.lit(0)) + F.coalesce(
+        F.col("d.d_support"), F.lit(0)
+    )
+    est = F.coalesce(F.col("s.est_jaccard"), F.col("d.est_jaccard"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        est.alias("est_jaccard"),
+        n.cast("long").alias("n_support"),
+    ).filter(F.col("n_support") > 0)
 
 
 def minhash_lsh_candidates(
@@ -202,17 +442,7 @@ def minhash_lsh_candidates(
     banded = banded_rows(df, id_col, sig_col, bands)
     if cache:
         banded = banded.persist()
-
-    # Skew guard: drop degenerate buckets (boilerplate collisions).
-    # Window count shares the (band_id, band_hash) shuffle partitioning
-    # with the join below — one extra pass, no extra join.
-    bn = F.count(F.lit(1)).over(
-        Window.partitionBy("band_id", "band_hash")
-    )
-    banded = banded.withColumn("__bn", bn).filter(
-        F.col("__bn") <= max_bucket
-    ).drop("__bn")
-
+    banded = guard_banded(banded, max_bucket)
     return pairs_from_bands(banded, min_est_jaccard=min_est_jaccard)
 
 
