@@ -120,6 +120,7 @@ def _load() -> None:
         npipe9,
         npipe10,
         npipe11,
+        npipe12,
         pca_q,
         quality_q,
         quant_q,

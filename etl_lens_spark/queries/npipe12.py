@@ -1,0 +1,406 @@
+"""Round-10 tranche: the SIMILARITY index joins the maintained-
+lake-table loop (VERDICT r9 item 1) — IVF cell assignments and
+SRP-LSH bucket tables persisted as lake tables and kept current from
+the embeddings table's CDF (inserts append their assigned rows,
+deletes leave by anti-join, centroids FIXED between re-trains), plus
+the drift contract made measurable (stale_fraction / refine_centroids
+in similarity/ivf.py); restartable top-k IVM with its refcounted
+support persisted through one atomic multi-table commit (item 4);
+OPTIMIZE-invisibility and retention × GDPR erasure proofs (items 5,
+7).
+
+Same contract as every npipe tranche: PySpark plan + hand-written
+DuckDB oracle on identical parquet where the math is SQL-expressible;
+rows-only + pinned invariant contracts where it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lens_spark.queries import bench_setup, query
+from etl_lens_spark.sources import sinks
+from etl_lens_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance from the CDF.
+#
+# The round-9 dedup loop pattern applied to the last [N] family
+# without it: the ANN index is a SECOND lake table maintained from
+# the embeddings table's change feed. The DRIFT CONTRACT (documented
+# here, measured in-query):
+#   - the coarse quantizer (IVF centroids) is trained once and FIXED
+#     between periodic re-trains, so cell assignment is a pure
+#     deterministic function of the vector — an appended vector's
+#     index row is computable from the delta alone, and maintained ≡
+#     rebuilt holds EXACTLY (the equality pin below);
+#   - what degrades between re-trains is not correctness but recall:
+#     as the corpus distribution drifts away from the centroids,
+#     cells lose cohesion. The dial is similarity.ivf.stale_fraction
+#     against CANDIDATE centroids (one Lloyd step from the serving
+#     matrix over the current corpus — ids stay aligned): the
+#     fraction of indexed vectors now closer to a non-assigned
+#     centroid. Against the SERVING matrix it is 0 by construction
+#     (pinned); when the candidate fraction crosses the operator's
+#     threshold, re-train + rebuild (the from-scratch path this
+#     query keeps as its audit).
+#   - SRP-LSH has no drift dial at all: hyperplanes are immutable
+#     for the index's lifetime, so the bucket of a vector can never
+#     go stale — the SRP twin pins the same equality with no
+#     staleness caveat.
+# ---------------------------------------------------------------------------
+
+_ANN_QUERIES = 10  # head vectors with vec_id < 10 serve as queries
+_ANN_K = 5
+
+
+def _ann_build(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Embeddings lake fixture: v0 seed (vec_id % 10 < 8), v1 append
+    (the other 20%), v2 predicate DELETE (% 17 == 3) with cdf=True —
+    the same change mix as the LSH dedup fixture, on vectors."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = sinks.scratch_path(tag)
+    shutil.rmtree(base, ignore_errors=True)
+    emb.filter(F.col("vec_id") % 10 < 8).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    emb.filter(F.col("vec_id") % 10 >= 8).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 1, [{"add": "s1"}])  # insert commit
+    lakelog.delete_where(spark, base, F.col("vec_id") % 17 == 3, cdf=True)
+    return base
+
+
+def _ann_feeds(spark: SparkSession, et: str):
+    """(inserts, delete_ids) from the embeddings lake's change feed."""
+    from etl_lens_spark.operators import lakelog
+
+    ins = (
+        lakelog.table_changes(spark, et, 0, 1)
+        .filter(F.col("_change_type") == "insert")
+        .select("vec_id", "embedding")
+    )
+    dels = (
+        lakelog.table_changes(spark, et, 1, 2)
+        .filter(F.col("_change_type") == "delete")
+        .select(F.col("vec_id").alias("__gone"))
+        .distinct()
+    )
+    return ins, dels
+
+
+def _ann_key_diff(left: DataFrame, right: DataFrame, key: list[str]):
+    missing = right.join(left, key, "left_anti").count()
+    extra = left.join(right, key, "left_anti").count()
+    return missing, extra
+
+
+_ANN_ORACLE = """
+    WITH head AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_head_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_index_rows,
+           CAST(0 AS BIGINT) AS idx_missing,
+           CAST(0 AS BIGINT) AS idx_extra,
+           CAST(0 AS BIGINT) AS topk_missing,
+           CAST(0 AS BIGINT) AS topk_extra,
+           CAST(1 AS BIGINT) AS recall_ok,
+           CAST(0 AS BIGINT) AS stale_serving,
+           CAST(1 AS BIGINT) AS stale_candidate_ok
+    FROM head
+"""
+
+
+@query("sim_ann_incremental_cdf", headline=True, oracle=_ANN_ORACLE)
+def sim_ann_incremental_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL IVF ANN INDEX FROM THE CDF (VERDICT r9 item 1) —
+    the similarity family's index becomes a maintained lake table,
+    closing the last [N] loop: centroids are trained ONCE on the v0
+    seed and FIXED (the drift contract at the top of this module),
+    the cell-index lake table holds (vec_id, embedding, cell), and
+    the embeddings table's change feed maintains it:
+
+    - v1 inserts: the delta's rows are assigned by the SAME fixed
+      centroids (one vectorized matmul pass over the delta only) and
+      APPEND to the index — the standing corpus is never reassigned;
+    - v2 deletes: the ids' index rows leave by one broadcast
+      anti-join rewrite.
+
+    Proofs, pinned in-output: (a) the maintained index equals a
+    from-scratch reassignment of the head snapshot EXACTLY on
+    (vec_id, cell) — idx_missing = idx_extra = 0; (b) top-5 served
+    from the maintained index (similarity.ivf.ivf_probe_topk — the
+    probe half of ivf_topk, shared code) equals top-5 from the
+    rebuilt index EXACTLY on (qid, neighbor_id, rank_n); (c) recall
+    vs exact brute-force cosine >= 0.6 RE-CHECKED on the maintained
+    index (recall_ok — the r9 ask); (d) staleness against the
+    SERVING centroids is 0 by construction (stale_serving), and the
+    re-train dial — stale_fraction against candidate centroids one
+    Lloyd step ahead — is a sane fraction (stale_candidate_ok:
+    0 <= frac <= 0.5).
+
+    100 TB posture: nightly cost is O(delta) — assignment is a
+    per-batch numpy matmul against the broadcast k × dim matrix,
+    index update is an append plus an O(changes) anti-join; the
+    probe join reads only the queries' nprobe cells (with the index
+    table bucketed by cell, a pruned read). The corpus is reassigned
+    ONLY by the audit (and by a real re-train, on the operator's
+    staleness threshold)."""
+    import shutil
+
+    from etl_lens_spark.config import ivf_params
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.similarity import ivf, knn
+
+    n_cells, nprobe, train_iters = ivf_params(spark)
+    et = _ann_build(spark, sf_dir, "iann_emb")
+    it = sinks.scratch_path("iann_index")
+    shutil.rmtree(it, ignore_errors=True)
+
+    # --- train once on the seed; FIXED between re-trains
+    seed = lakelog.read_snapshot(spark, et, 0)
+    centroids = ivf.train_centroids(
+        seed, k=n_cells, iters=train_iters
+    )
+
+    # --- seed index
+    ivf.assign_cells(seed, centroids).write.parquet(f"{it}/s0")
+    lakelog.commit(it, 0, [{"add": "s0"}])
+
+    # --- v1 inserts: assign the DELTA only, append
+    ins, dels = _ann_feeds(spark, et)
+    ivf.assign_cells(ins, centroids).write.parquet(f"{it}/s1")
+    lakelog.commit(it, 1, [{"add": "s1"}])
+
+    # --- v2 deletes: index rows leave by one anti-join rewrite
+    dels = dels.localCheckpoint()
+    idx_old = lakelog.snapshot_actions(it)
+    idx_new = lakelog.read_snapshot(spark, it).join(
+        F.broadcast(dels), F.col("vec_id") == F.col("__gone"), "left_anti"
+    )
+    idx_new.write.parquet(f"{it}/s2")
+    lakelog.commit(it, 2, [{"remove": r} for r in idx_old] + [{"add": "s2"}])
+
+    maintained = lakelog.read_snapshot(spark, it).localCheckpoint()
+    head = lakelog.read_snapshot(spark, et).localCheckpoint()
+    queries = head.filter(F.col("vec_id") < _ANN_QUERIES)
+
+    # --- audits: rebuilt index, top-k equality, recall, staleness
+    rebuilt = ivf.assign_cells(head, centroids).localCheckpoint()
+    idx_missing, idx_extra = _ann_key_diff(
+        maintained, rebuilt, ["vec_id", "cell"]
+    )
+    m_topk = ivf.ivf_probe_topk(
+        maintained, queries, centroids, k=_ANN_K, nprobe=nprobe
+    ).localCheckpoint()
+    r_topk = ivf.ivf_probe_topk(
+        rebuilt, queries, centroids, k=_ANN_K, nprobe=nprobe
+    )
+    topk_missing, topk_extra = _ann_key_diff(
+        m_topk, r_topk, ["qid", "neighbor_id", "rank_n"]
+    )
+    bf = knn.brute_force_topk(head, queries, k=_ANN_K)
+    hits = m_topk.join(bf, ["qid", "neighbor_id"], "left_semi").count()
+    recall = hits / max(bf.count(), 1)
+    serving = ivf.stale_fraction(maintained, centroids).first()
+    candidate = ivf.refine_centroids(head, centroids)
+    cand = ivf.stale_fraction(maintained, candidate).first()
+    cand_frac = cand["n_stale"] / max(cand["n_total"], 1)
+
+    out = spark.createDataFrame(
+        [
+            (
+                int(head.count()),
+                int(maintained.count()),
+                int(idx_missing),
+                int(idx_extra),
+                int(topk_missing),
+                int(topk_extra),
+                int(recall >= 0.6),
+                int(serving["n_stale"]),
+                int(0.0 <= cand_frac <= 0.5),
+            )
+        ],
+        "n_head_vecs long, n_index_rows long, idx_missing long, "
+        "idx_extra long, topk_missing long, topk_extra long, "
+        "recall_ok long, stale_serving long, stale_candidate_ok long",
+    )
+    rows = out.collect()
+    shutil.rmtree(et, ignore_errors=True)
+    shutil.rmtree(it, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@bench_setup("sim_ann_incremental_cdf")
+def _bench_sim_ann_incremental(spark: SparkSession, sf_dir: str):
+    # setup: the embeddings lake, centroid training, the seed index,
+    # and the change feeds; timed: the INCREMENTAL work — delta
+    # assignment, anti-join delete, and serving top-k from the
+    # maintained index — the nightly cost the query exists to
+    # measure (rebuild + audits are the query's proof, not the
+    # operator)
+    from etl_lens_spark.config import ivf_params
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.similarity import ivf
+
+    n_cells, nprobe, train_iters = ivf_params(spark)
+    et = _ann_build(spark, sf_dir, "iann_bench_emb")
+    seed = lakelog.read_snapshot(spark, et, 0)
+    centroids = ivf.train_centroids(seed, k=n_cells, iters=train_iters)
+    seed_index = ivf.assign_cells(seed, centroids).localCheckpoint()
+    ins, dels = _ann_feeds(spark, et)
+    ins = ins.localCheckpoint()
+    dels = dels.localCheckpoint()
+    head = lakelog.read_snapshot(spark, et)
+    queries = head.filter(
+        F.col("vec_id") < _ANN_QUERIES
+    ).localCheckpoint()
+
+    def _maintained() -> DataFrame:
+        delta = ivf.assign_cells(ins, centroids)
+        index = seed_index.unionByName(delta).join(
+            F.broadcast(dels),
+            F.col("vec_id") == F.col("__gone"),
+            "left_anti",
+        )
+        topk = ivf.ivf_probe_topk(
+            index, queries, centroids, k=_ANN_K, nprobe=nprobe
+        )
+        return topk.agg(
+            F.count(F.lit(1)).cast("long").alias("n_results"),
+            F.sum(F.col("qid") * 1000 + F.col("neighbor_id"))
+            .cast("long")
+            .alias("topk_checksum"),
+        )
+
+    return _maintained
+
+
+_SRP_ORACLE = """
+    WITH head AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_head_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_index_rows,
+           CAST(0 AS BIGINT) AS idx_missing,
+           CAST(0 AS BIGINT) AS idx_extra,
+           CAST(0 AS BIGINT) AS topk_missing,
+           CAST(0 AS BIGINT) AS topk_extra,
+           CAST(1 AS BIGINT) AS recall_parity,
+           CAST(1 AS BIGINT) AS cand_budget_ok
+    FROM head
+"""
+
+
+@query("sim_srp_incremental_cdf", oracle=_SRP_ORACLE)
+def sim_srp_incremental_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SRP-LSH twin of sim_ann_incremental_cdf: the bucket-index
+    lake table (vec_id, embedding, bucket) maintained from the same
+    CDF. Hyperplanes are immutable for the index's lifetime, so this
+    family has NO drift dial — a stored bucket can never go stale —
+    and maintained ≡ rebuilt is pure determinism of srp_bucket_index
+    (shared code with the build-once lsh_topk path). Proofs: index
+    equality on (vec_id, bucket), top-5 equality via lsh_probe_topk
+    on (qid, neighbor_id, rank_n), and the two contracts that fit
+    this family honestly in place of IVF's absolute recall bound
+    (this fixture's embeddings are not SRP-friendly at 8 bits —
+    absolute recall here is an operating-point property, charted by
+    the operating-curve query, not a maintenance property):
+    recall_parity — serving from the MAINTAINED index loses zero
+    recall vs the build-once lsh_topk over the head snapshot — and
+    cand_budget_ok — the maintained index still bounds the scored
+    candidate set to <= 1/4 of the brute-force pair count, the
+    quantity SRP exists to control.
+
+    100 TB posture: identical to the IVF twin — O(delta) hashing
+    (codegen'd sign projections, no Python), append + one anti-join
+    per maintenance run, probe join reads only matching buckets."""
+    import shutil
+
+    from etl_lens_spark.config import srp_params
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.similarity import knn
+
+    n_bits, probes = srp_params(spark)
+    planes = knn.make_planes(64, n_bits)
+    et = _ann_build(spark, sf_dir, "isrp_emb")
+    it = sinks.scratch_path("isrp_index")
+    shutil.rmtree(it, ignore_errors=True)
+
+    seed = lakelog.read_snapshot(spark, et, 0)
+    knn.srp_bucket_index(seed, planes).write.parquet(f"{it}/s0")
+    lakelog.commit(it, 0, [{"add": "s0"}])
+    ins, dels = _ann_feeds(spark, et)
+    knn.srp_bucket_index(ins, planes).write.parquet(f"{it}/s1")
+    lakelog.commit(it, 1, [{"add": "s1"}])
+    dels = dels.localCheckpoint()
+    idx_old = lakelog.snapshot_actions(it)
+    idx_new = lakelog.read_snapshot(spark, it).join(
+        F.broadcast(dels), F.col("vec_id") == F.col("__gone"), "left_anti"
+    )
+    idx_new.write.parquet(f"{it}/s2")
+    lakelog.commit(it, 2, [{"remove": r} for r in idx_old] + [{"add": "s2"}])
+
+    maintained = lakelog.read_snapshot(spark, it).localCheckpoint()
+    head = lakelog.read_snapshot(spark, et).localCheckpoint()
+    queries = head.filter(F.col("vec_id") < _ANN_QUERIES)
+
+    rebuilt = knn.srp_bucket_index(head, planes).localCheckpoint()
+    idx_missing, idx_extra = _ann_key_diff(
+        maintained, rebuilt, ["vec_id", "bucket"]
+    )
+    m_topk = knn.lsh_probe_topk(
+        maintained, queries, planes, k=_ANN_K, probes=probes
+    ).localCheckpoint()
+    r_topk = knn.lsh_probe_topk(
+        rebuilt, queries, planes, k=_ANN_K, probes=probes
+    )
+    topk_missing, topk_extra = _ann_key_diff(
+        m_topk, r_topk, ["qid", "neighbor_id", "rank_n"]
+    )
+    bf = knn.brute_force_topk(head, queries, k=_ANN_K).localCheckpoint()
+    n_bf = bf.count()
+    m_hits = m_topk.join(bf, ["qid", "neighbor_id"], "left_semi").count()
+    build_once = knn.lsh_topk(
+        head, queries, dim=64, k=_ANN_K, n_bits=n_bits, probes=probes
+    )
+    b_hits = build_once.join(
+        bf, ["qid", "neighbor_id"], "left_semi"
+    ).count()
+    n_head = head.count()
+    n_q = queries.count()
+    cand_n = knn.lsh_candidates(
+        maintained, queries, planes, probes=probes
+    ).count()
+
+    out = spark.createDataFrame(
+        [
+            (
+                int(n_head),
+                int(maintained.count()),
+                int(idx_missing),
+                int(idx_extra),
+                int(topk_missing),
+                int(topk_extra),
+                int(m_hits >= b_hits and n_bf > 0),
+                int(cand_n * 4 <= n_head * n_q),
+            )
+        ],
+        "n_head_vecs long, n_index_rows long, idx_missing long, "
+        "idx_extra long, topk_missing long, topk_extra long, "
+        "recall_parity long, cand_budget_ok long",
+    )
+    rows = out.collect()
+    shutil.rmtree(et, ignore_errors=True)
+    shutil.rmtree(it, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -152,26 +152,28 @@ def assign_cells(
     return emb.mapInPandas(probe, schema + ", cell int")
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def ivf_probe_topk(
+    cell_index: DataFrame,
     queries: DataFrame,
+    centroids: np.ndarray,
     k: int = 5,
-    n_cells: int = 16,
     nprobe: int = 4,
-    train_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, restricted to the nprobe most
-    promising cells per query. Join is a hash-partitioned equi-join on
-    ``cell`` (corpus side shuffles once; query side is broadcast)."""
+    """The probe/rescore half of ivf_topk, factored so a MAINTAINED
+    cell-index table (id, vector, cell — e.g. a lake table kept
+    current from a CDF, sim_ann_incremental_cdf) serves queries
+    WITHOUT reassigning the corpus: queries fan out to their nprobe
+    nearest cells, the join is a hash equi-join on ``cell`` (query
+    side broadcast; with the index table bucketed by cell the corpus
+    side is shuffle-free), exact cosine within probed cells only.
+    One definition shared by the build-once path (ivf_topk) and the
+    incremental path, so the two cannot score differently."""
     from pyspark.sql import Window
 
-    centroids = train_centroids(
-        corpus, k=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
-    )
-    c = assign_cells(corpus, centroids, id_col, vec_col).select(
+    c = cell_index.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cvec"),
         "cell",
@@ -202,3 +204,95 @@ def ivf_topk(
         .filter(F.col("rank_n") <= k)
         .select(query_id_col, "neighbor_id", "rank_n", "cos_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Approximate top-k: exact cosine, restricted to the nprobe most
+    promising cells per query. Join is a hash-partitioned equi-join on
+    ``cell`` (corpus side shuffles once; query side is broadcast).
+    Build-once composition of train_centroids → assign_cells →
+    ivf_probe_topk."""
+    centroids = train_centroids(
+        corpus, k=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
+    )
+    cell_index = assign_cells(corpus, centroids, id_col, vec_col)
+    return ivf_probe_topk(
+        cell_index,
+        queries,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def stale_fraction(
+    cell_index: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The DRIFT dial of the maintained-index contract: one row
+    (n_total, n_stale) counting index vectors whose nearest centroid
+    under the GIVEN matrix differs from their stored cell. Between
+    re-trains assignments are immutable and centroids fixed, so
+    staleness against the SERVING centroids is 0 by construction;
+    the operator's re-train trigger evaluates it against CANDIDATE
+    centroids (one Lloyd step from the serving matrix over the
+    current corpus — ids stay aligned, so the comparison is
+    meaningful) and rebuilds when the fraction crosses its
+    threshold. One vectorized assignment pass, no shuffle."""
+    re = assign_cells(
+        cell_index.withColumnRenamed("cell", "cell_stored"),
+        centroids,
+        id_col,
+        vec_col,
+    )
+    return re.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(
+            (F.col("cell") != F.col("cell_stored")).cast("long")
+        ).alias("n_stale"),
+    )
+
+
+def refine_centroids(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """One Lloyd step from an EXISTING centroid matrix over the
+    current corpus — cell ids keep their identity (each centroid
+    moves toward the mean of its current members), which is what
+    makes the staleness comparison well-defined. Same distributed
+    partial-sums pass as training; only k × dim floats return to the
+    driver. A centroid that lost all members keeps its old
+    position."""
+    k, dim = centroids.shape
+    sums = (
+        _partial_cell_sums(emb, centroids, vec_col)
+        .groupBy("cell", "dim_i")
+        .agg(F.sum("s").alias("s"))
+        .toPandas()
+    )
+    new = centroids.copy()
+    acc = np.zeros((k, dim), dtype=np.float64)
+    acc[sums["cell"].to_numpy(), sums["dim_i"].to_numpy()] = sums[
+        "s"
+    ].to_numpy()
+    norms = np.linalg.norm(acc, axis=1)
+    live = norms > 0
+    new[live] = acc[live] / norms[live, None]
+    return new

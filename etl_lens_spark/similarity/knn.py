@@ -196,18 +196,56 @@ def lsh_topk(
     candidates by ``probes`` but lifting recall far more than adding
     ``log2(probes)`` bits would lose. The corpus side is never
     duplicated — only the (small, broadcast) query side fans out.
+    Build-once composition of srp_bucket_index → lsh_probe_topk.
     """
-    from pyspark.sql import Window
-
     planes = make_planes(dim, n_bits, seed)
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("__cvec"),
-        )
-        .withColumn("__bucket", _srp_bits(F.col("__cvec"), planes))
-        .withColumn("__cnorm", norm(F.col("__cvec")))
+    return lsh_probe_topk(
+        srp_bucket_index(corpus, planes, id_col, vec_col),
+        queries,
+        planes,
+        k=k,
+        probes=probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
+
+
+def srp_bucket_index(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SRP index rows (id, vector, bucket) — what a MAINTAINED
+    bucket-index lake table stores (sim_ann_incremental_cdf's SRP
+    side). Planes are immutable for the index's lifetime, so unlike
+    IVF there is no drift dial at all: inserts append their rows,
+    deletes anti-join out, and a stored bucket can never go stale."""
+    return corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+    ).withColumn("bucket", _srp_bits(F.col(vec_col), planes))
+
+
+def lsh_candidates(
+    bucket_index: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """The scored candidate set BEFORE ranking — (qid, neighbor_id,
+    cos_sim) for every index row sharing a probed bucket with a
+    query. Exposed so consumers can measure the candidate BUDGET,
+    the quantity SRP exists to bound (sim_srp_incremental_cdf pins
+    it against the brute-force pair count)."""
+    c = bucket_index.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
+        F.col("bucket").alias("__bucket"),
+    ).withColumn("__cnorm", norm(F.col("__cvec")))
     q = (
         queries.select(
             F.col(id_col).alias(query_id_col),
@@ -219,8 +257,7 @@ def lsh_topk(
         )
         .withColumn("__qnorm", norm(F.col("__qvec")))
     )
-
-    scored = (
+    return (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
@@ -228,6 +265,34 @@ def lsh_topk(
             dot(F.col("__cvec"), F.col("__qvec"))
             / (F.col("__cnorm") * F.col("__qnorm")),
         )
+        .select(query_id_col, "neighbor_id", "cos_sim")
+    )
+
+
+def lsh_probe_topk(
+    bucket_index: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """The probe/rescore half of lsh_topk, factored so a MAINTAINED
+    bucket-index table serves queries without re-hashing the corpus.
+    One definition shared with the build-once path, so the two
+    cannot score differently."""
+    from pyspark.sql import Window
+
+    scored = lsh_candidates(
+        bucket_index,
+        queries,
+        planes,
+        probes=probes,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -319,3 +319,44 @@ def test_pq_guard_and_validation(spark, sf_dir):
         pq.pq_topk(emb, emb, dim=64, max_queries=10)
     with _pytest.raises(ValueError, match="not divisible"):
         pq.train_codebooks(emb, dim=64, m=7)
+
+
+def test_ivf_maintained_index_drift_dial(spark):
+    """Round-10 helpers behind sim_ann_incremental_cdf: a maintained
+    cell index is never stale against its own SERVING centroids (the
+    assignment is argmax against them), stale_fraction detects real
+    drift against a different candidate matrix, and refine_centroids
+    keeps centroid IDS aligned (each row moves toward the mean of
+    its current members) so the comparison is well-defined."""
+    import numpy as np
+
+    from etl_lens_spark.similarity import ivf
+
+    dim = 8
+    ax0 = [1.0] + [0.0] * (dim - 1)
+    ax1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = []
+    for i in range(20):
+        v = list(ax0)
+        v[2] = 0.05 * (i % 3)  # jitter off-axis, cluster 0
+        rows.append((i, v))
+    for i in range(20, 40):
+        v = list(ax1)
+        v[3] = 0.05 * (i % 3)  # cluster 1
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    serving = np.array([ax0, ax1])
+    index = ivf.assign_cells(emb, serving)
+    st = ivf.stale_fraction(index, serving).first()
+    assert st["n_total"] == 40 and st["n_stale"] == 0
+    # a candidate matrix with the rows SWAPPED: every vector is now
+    # closer to a non-assigned centroid — full drift detected
+    st2 = ivf.stale_fraction(index, serving[::-1].copy()).first()
+    assert st2["n_stale"] == 40
+    # one Lloyd step keeps ids aligned: centroid 0 still points at
+    # cluster 0's mean, so staleness stays 0 against the refinement
+    refined = ivf.refine_centroids(emb, serving)
+    assert float(np.dot(refined[0], ax0)) > 0.9
+    assert float(np.dot(refined[1], ax1)) > 0.9
+    st3 = ivf.stale_fraction(index, refined).first()
+    assert st3["n_stale"] == 0

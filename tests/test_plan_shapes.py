@@ -338,6 +338,13 @@ HEADLINE_PINS = {
     # columns and the bench_setup split times exactly that
     # incremental path, same convention as lake_merge_upsert
     "dedup_incremental_lsh_cdf": (0, set(), set()),
+    # --- round-10 headliners ---
+    # incremental IVF ANN index from the CDF: collected proof row
+    # (LocalTableScan); the maintenance plan (delta-only assignment,
+    # broadcast anti-join delete, probe join on cell) is pinned by
+    # the exact-equality oracle columns and the bench_setup split
+    # times exactly the incremental path + maintained-index serving
+    "sim_ann_incremental_cdf": (0, set(), set()),
 }
 
 
