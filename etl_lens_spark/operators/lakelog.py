@@ -2242,14 +2242,24 @@ def commit_idempotent(
 
 
 def find_orphans(table_dir: str) -> list[str]:
-    """Top-level data entries on disk that NO commit in the whole
-    log has ever referenced (failed/retried writer debris — e.g. the
-    files a skipped idempotent retry wrote). Distinct from vacuum's
-    job (removed-but-once-referenced files): an orphan was never
-    visible at ANY version, so deleting it can break no reader.
-    Batches currently STAGED for a WAP audit are NOT orphans (the
-    auditor reads them and publish will reference them — round-7
-    review fix)."""
+    """Data entries on disk that NO commit in the whole log has ever
+    referenced (failed/retried writer debris — e.g. the files a
+    skipped idempotent retry wrote). Distinct from vacuum's job
+    (removed-but-once-referenced files): an orphan was never visible
+    at ANY version, so deleting it can break no reader. Batches
+    currently STAGED for a WAP audit are NOT orphans (the auditor
+    reads them and publish will reference them — round-7 review
+    fix).
+
+    NESTED rels are resolved correctly (round-10 fix for multi-table
+    logs and hidden-partitioned adds): a directory that is itself an
+    ANCESTOR of referenced rels (a multi-table subtree like ``view/``
+    or a partition parent like ``era_year/``) is never an orphan —
+    the walk recurses into it and applies the same rule one level
+    down, so ``view/v_00003_deadbeef`` left by a replayed streaming
+    epoch is found while its committed siblings are protected.
+    Previously only top-level entries were classified, so such
+    debris accumulated invisibly."""
     referenced: set[str] = set()
     for v in range(latest_version(table_dir) + 1):
         path = os.path.join(_log_dir(table_dir), f"{v:08d}.json")
@@ -2257,36 +2267,59 @@ def find_orphans(table_dir: str) -> list[str]:
             for a in json.load(f):
                 for key in ("add", "remove", "dv", "cdc"):
                     if key in a:
-                        referenced.add(a[key].split("/", 1)[0])
+                        referenced.add(a[key])
     for entry in _staged_entries(table_dir):
         for a in entry["actions"]:
             for key in ("add", "remove", "dv", "cdc"):
                 if key in a:
-                    referenced.add(a[key].split("/", 1)[0])
-    orphans = []
-    for entry in sorted(os.listdir(table_dir)):
-        if entry in ("_log", "_dv", "_cdc") or entry in referenced:
-            continue
-        if entry.endswith((".purge_tmp", ".old")):
-            # GDPR-purge swap artifacts, never writer debris: either
-            # ordinary debris of a still-present rel or the ONLY
-            # copies after a mid-swap crash — recovery (vacuum /
-            # the next purge) owns them, orphan cleanup must not
-            # (round-9 review fix)
-            continue
-        orphans.append(entry)
+                    referenced.add(a[key])
+    # every strict ancestor of a referenced rel protects a subtree
+    ancestors: set[str] = set()
+    for r in referenced:
+        parts = r.split("/")
+        for i in range(1, len(parts)):
+            ancestors.add("/".join(parts[:i]))
+
+    orphans: list[str] = []
+
+    def walk(dir_path: str, prefix: str) -> None:
+        for entry in sorted(os.listdir(dir_path)):
+            rel = prefix + entry
+            if prefix == "" and entry in ("_log", "_dv", "_cdc"):
+                continue
+            if entry.startswith((".", "_")):
+                # Hadoop-invisible markers (_SUCCESS, .crc): writer
+                # metadata inside a rel's parent, never orphan data
+                continue
+            if entry.endswith((".purge_tmp", ".old")):
+                # GDPR-purge swap artifacts, never writer debris:
+                # either ordinary debris of a still-present rel or
+                # the ONLY copies after a mid-swap crash — recovery
+                # (vacuum / the next purge) owns them, orphan
+                # cleanup must not (round-9 review fix)
+                continue
+            if rel in referenced:
+                continue  # a live or once-referenced rel: protected
+            if rel in ancestors:
+                walk(os.path.join(dir_path, entry), rel + "/")
+                continue  # subtree holder, judged by its children
+            orphans.append(rel)
+
+    walk(table_dir, "")
     return orphans
 
 
 def remove_orphans(table_dir: str) -> dict:
     """Delete never-referenced data entries (see find_orphans).
-    Runs the crashed-purge recovery first so a mid-swap crash's
-    ``.old``/``.purge_tmp`` copies are restored to their base name
-    (and thereby protected by its reference) before anything is
-    classified as deletable."""
+    Runs the crashed-purge recovery first — table root, nested
+    staged rels, and the parents of every referenced nested rel —
+    so a mid-swap crash's ``.old``/``.purge_tmp`` copies are
+    restored to their base name (and thereby protected by its
+    reference) before anything is classified as deletable."""
     import shutil
 
     _recover_purge_debris(table_dir)
+    _recover_staged_rel_debris(table_dir)
 
     orphans = find_orphans(table_dir)
     for entry in orphans:

@@ -404,3 +404,297 @@ def sim_srp_incremental_cdf(
     shutil.rmtree(et, ignore_errors=True)
     shutil.rmtree(it, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Restartable IVM for AUXILIARY-STATE aggregates: the top-k view AND
+# its refcounted support persisted as two member tables of ONE
+# multi-table log, refreshed exactly-once through the same crash
+# window warehouse_ivm_restartable proved for the scalar aggregate.
+# ---------------------------------------------------------------------------
+
+_IVM_RESTART_TOPK_ORACLE = """
+    WITH o0 AS (
+      SELECT o_orderkey AS k, o_custkey AS custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    o1 AS (
+      SELECT k, custkey,
+             CASE WHEN k % 20 = 1 THEN cents * 2 ELSE cents END AS cents
+      FROM o0
+      UNION ALL
+      SELECT k + 300000000, custkey, cents FROM o0 WHERE k % 20 = 3
+    ),
+    ofin AS (SELECT * FROM o1 WHERE k % 13 <> 0),
+    support AS (
+      SELECT custkey % 25 AS bucket, cents,
+             CAST(COUNT(*) AS BIGINT) AS n_refs
+      FROM ofin GROUP BY custkey % 25, cents
+    ),
+    ranked AS (
+      SELECT bucket, cents, n_refs,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket ORDER BY cents DESC
+             ) AS rnk
+      FROM support
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(rnk AS BIGINT) AS rank,
+           cents,
+           n_refs,
+           CAST(0 AS BIGINT) AS audit_mismatch,
+           CAST(1 AS BIGINT) AS replay_absorbed,
+           CAST(1 AS BIGINT) AS orphans_removed,
+           CAST(1 AS BIGINT) AS txn_high_water,
+           CAST(0 AS BIGINT) AS torn_versions
+    FROM ranked WHERE rnk <= 3
+    ORDER BY bucket, rank
+"""
+
+
+@query("warehouse_ivm_restartable_topk", oracle=_IVM_RESTART_TOPK_ORACLE)
+def warehouse_ivm_restartable_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTARTABLE TOP-K IVM (VERDICT r9 item 4) — the round-9
+    restartable materialized view covered the FOLDED aggregates
+    (COUNT/SUM, scalar state inside the view row); the ranking
+    family needs AUXILIARY state, the refcounted (bucket, cents)
+    support, and a crash must never tear the two apart. So the view
+    and its support live as two member tables of ONE multi-table
+    lake log (``view/`` and ``support/`` subtrees, the round-4
+    atomic-transaction machinery): every refresh epoch writes both
+    rels and commits them in a SINGLE ``commit_idempotent`` — a
+    reader at ANY version sees view and support from the same epoch,
+    never a torn mix, pinned in-output by re-ranking the support AT
+    EVERY COMMITTED VERSION and matching the view there
+    (``torn_versions`` = 0).
+
+    The crash window is the REAL one warehouse_ivm_restartable
+    proved, re-run against the stateful aggregate: run 1 sees v0+v1,
+    the injected crash lands AFTER epoch 0's atomic commit but
+    BEFORE the stream checkpoint marks the batch; the v2 DELETE
+    commits while the maintainer is down; run 2 resumes from the
+    SAME checkpoint — the replayed epoch recomputes a would-be-
+    double-applied state whose commit the txn high-water mark
+    absorbs (``replay_absorbed`` = 1), and its orphaned view+support
+    rels — NESTED under the subtrees — are found and reclaimed by
+    the round-10 nested-aware ``find_orphans``
+    (``orphans_removed`` = 1). ``audit_mismatch`` = 0 re-ranks the
+    head snapshot from scratch; the DuckDB oracle hash-matches the
+    persisted final view.
+
+    100 TB posture: per-epoch cost is the support merge (O(changes)
+    full-outer against the support on the (bucket, cents) key) plus
+    a re-rank of ONLY the touched buckets' support slices — the
+    round-9 maintain_topk plan, now with its state durable; the
+    atomic two-table commit costs one log record, not a second
+    write barrier; a crash at any point replays at most one epoch."""
+    import os as _os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from etl_lens_spark.operators import ivm, lakelog
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamDataSource
+
+    K = 3
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    ot = sinks.scratch_path("rtopk_orders")
+    shutil.rmtree(ot, ignore_errors=True)
+    orders.write.parquet(f"{ot}/s0")
+    lakelog.commit(ot, 0, [{"add": "s0"}])
+    o0 = lakelog.read_snapshot(spark, ot, 0)
+    src = (
+        o0.filter(F.col("k") % 20 == 1)
+        .select("k", "custkey", (F.col("cents") * 2).alias("cents"))
+        .unionByName(
+            o0.filter(F.col("k") % 20 == 3).select(
+                (F.col("k") + 300000000).alias("k"), "custkey", "cents"
+            )
+        )
+    )
+    lakelog.merge_upsert(spark, ot, src, ["k"], cdf=True)  # v1
+    pt = sinks.scratch_path("rtopk_state")
+    shutil.rmtree(pt, ignore_errors=True)
+    _os.makedirs(pt)
+    try:
+        spark.dataSource.register(LakeLogCDFStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    app_id = "topk_refresh"
+    sink_log: list[dict] = []
+    crash = {"armed": True}
+    empty_view = spark.createDataFrame(
+        [], "bucket long, rank long, cents long, cnt long"
+    )
+    empty_support = spark.createDataFrame(
+        [], "bucket long, cents long, cnt long"
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("cents"))
+
+    def _refresh(batch_df, epoch: int) -> dict:
+        has_log = lakelog.latest_version(pt) >= 0
+        prev = lakelog.snapshot_actions(pt) if has_log else {}
+        view_old = (
+            lakelog.read_table_snapshot(spark, pt, "view")
+            if has_log
+            else empty_view
+        )
+        support_old = (
+            lakelog.read_table_snapshot(spark, pt, "support")
+            if has_log
+            else empty_support
+        )
+        dz = ivm.consolidate(
+            ivm.changes_to_zset(
+                batch_df.withColumn("bucket", F.col("custkey") % 25),
+                ["bucket", "cents"],
+            )
+        )
+        support_new = ivm.maintain_distinct(
+            support_old, dz, ["bucket"], "cents"
+        )
+        # fresh rels per attempt: a replayed epoch's writes must be
+        # harmless (nested) debris, never an overwrite
+        sfx = uuid.uuid4().hex[:8]
+        srel = f"support/s_{epoch:05d}_{sfx}"
+        vrel = f"view/v_{epoch:05d}_{sfx}"
+        support_new.coalesce(4).write.parquet(_os.path.join(pt, srel))
+        # the view derives from the exact persisted support bytes —
+        # one compute, and view/support cannot disagree at birth
+        support_written = spark.read.parquet(_os.path.join(pt, srel))
+        touched = dz.select("bucket").distinct()
+        view_new = ivm.maintain_topk(
+            view_old, support_written, touched, ["bucket"], "cents", K
+        )
+        view_new.coalesce(4).write.parquet(_os.path.join(pt, vrel))
+        actions = [{"remove": r} for r in prev] + [
+            {"add": vrel},
+            {"add": srel},
+        ]
+        return lakelog.commit_idempotent(pt, app_id, epoch, actions)
+
+    def sink(batch_df, epoch_id):
+        res = _refresh(batch_df.localCheckpoint(), int(epoch_id))
+        sink_log.append({"epoch": int(epoch_id), **res})
+        if int(epoch_id) == 0 and crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError(
+                "injected crash: atomic view+support commit landed, "
+                "batch not yet marked complete"
+            )
+
+    ckpt = sinks.scratch_path(f"ckpt_rtopk_{uuid.uuid4().hex}")
+
+    def _run() -> None:
+        q = (
+            spark.readStream.format("lakelog_cdf")
+            .option("path", ot)
+            .option("schema_ddl", "k long, custkey long, cents long")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass  # run 1 dies on the injected crash — the point
+        finally:
+            q.stop()
+
+    _run()  # run 1: epoch 0 (v0+v1) commits atomically, then dies
+    lakelog.delete_where(spark, ot, F.col("k") % 13 == 0, cdf=True)  # v2
+    _run()  # run 2: SAME checkpoint — replay 0 (absorbed), then v2
+
+    by_epoch: dict[int, list[dict]] = {}
+    for entry in sink_log:
+        by_epoch.setdefault(entry["epoch"], []).append(entry)
+    replay_absorbed = int(
+        len(by_epoch.get(0, [])) == 2
+        and not by_epoch[0][0]["skipped"]
+        and by_epoch[0][1]["skipped"]
+    )
+    txn_high = lakelog.txn_version(pt, app_id)
+    orphans = lakelog.remove_orphans(pt)
+
+    # torn-read proof: at EVERY committed version, the view equals a
+    # full re-rank of the support AT THAT VERSION — the two member
+    # tables moved in lockstep through every epoch and the replay
+    torn = 0
+    for v in range(lakelog.latest_version(pt) + 1):
+        sup_v = lakelog.read_table_snapshot(spark, pt, "support", v)
+        view_v = lakelog.read_table_snapshot(spark, pt, "view", v)
+        rerank = (
+            sup_v.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= K)
+            .select("bucket", "rank", "cents", "cnt")
+        )
+        got = view_v.select("bucket", "rank", "cents", "cnt")
+        if (
+            rerank.exceptAll(got).count()
+            or got.exceptAll(rerank).count()
+        ):
+            torn += 1
+
+    view = lakelog.read_table_snapshot(spark, pt, "view")
+    recompute = (
+        lakelog.read_snapshot(spark, ot)
+        .groupBy((F.col("custkey") % 25).alias("bucket"), "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("r_cnt"))
+        .withColumn("r_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("r_rank") <= K)
+    )
+    audit = (
+        view.join(
+            recompute,
+            (view["bucket"] == recompute["bucket"])
+            & (view["rank"] == recompute["r_rank"]),
+            "full_outer",
+        )
+        .filter(
+            ~(
+                view["cents"].eqNullSafe(recompute["cents"])
+                & view["cnt"].eqNullSafe(recompute["r_cnt"])
+            )
+        )
+        .count()
+    )
+    flags = spark.createDataFrame(
+        [
+            (
+                int(audit),
+                replay_absorbed,
+                int(bool(orphans["n_removed"])),
+                int(txn_high if txn_high is not None else -1),
+                int(torn),
+            )
+        ],
+        "audit_mismatch long, replay_absorbed long, "
+        "orphans_removed long, txn_high_water long, torn_versions long",
+    )
+    out = (
+        view.select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "rank",
+            "cents",
+            F.col("cnt").alias("n_refs"),
+        )
+        .crossJoin(F.broadcast(flags))
+        .orderBy("bucket", "rank")
+    )
+    rows = out.collect()
+    for d in (ot, pt, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

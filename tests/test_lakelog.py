@@ -2594,3 +2594,45 @@ def test_gdpr_purge_recovers_mid_swap_crash(spark, tmp_path):
     served = lakelog.table_changes(spark, base, 0, 1)
     assert sorted(r.k for r in served.collect()) == [2, 2]
     _sh.rmtree(base, ignore_errors=True)
+
+
+def test_find_orphans_resolves_nested_rels(spark, tmp_path):
+    """Round-10 fix: orphan detection recurses into directories that
+    are ancestors of referenced rels (multi-table subtrees, hidden
+    partition parents), so a replayed streaming epoch's abandoned
+    nested write (view/v_x) is reclaimed while committed siblings
+    and the subtree holder survive. Previously only top-level
+    entries were classified and nested debris accumulated
+    invisibly."""
+    import os as _os
+
+    base = str(tmp_path / "nested_orphans")
+    one = spark.createDataFrame([(1, 1)], "k long, c long").coalesce(1)
+    one.write.parquet(f"{base}/view/v_00000_live")
+    one.write.parquet(f"{base}/support/s_00000_live")
+    lakelog.commit(
+        base,
+        0,
+        [{"add": "view/v_00000_live"}, {"add": "support/s_00000_live"}],
+    )
+    # debris: a replayed epoch's abandoned nested writes + a stray
+    # top-level dir (the old behavior's only catch)
+    one.write.parquet(f"{base}/view/v_00000_replay")
+    one.write.parquet(f"{base}/support/s_00000_replay")
+    one.write.parquet(f"{base}/stray_top")
+    got = set(lakelog.find_orphans(base))
+    assert got == {
+        "view/v_00000_replay",
+        "support/s_00000_replay",
+        "stray_top",
+    }
+    res = lakelog.remove_orphans(base)
+    assert res["n_removed"] == 3
+    assert _os.path.isdir(f"{base}/view/v_00000_live")
+    assert _os.path.isdir(f"{base}/support/s_00000_live")
+    assert not _os.path.exists(f"{base}/view/v_00000_replay")
+    # both member tables still read
+    assert lakelog.read_table_snapshot(spark, base, "view").count() == 1
+    assert (
+        lakelog.read_table_snapshot(spark, base, "support").count() == 1
+    )
