@@ -437,3 +437,99 @@ def test_lsh_live_state_bounded_plan_depth(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in state.pairs.collect()}
     assert want  # the fixture plants real near-dups
     assert got == want
+
+
+def test_optimize_index_table_invisible_to_maintainer(spark, tmp_path):
+    """VERDICT r9 item 5: per-epoch appends fragment a maintained
+    index table into many small files; OPTIMIZE (data_change:false)
+    must be invisible to BOTH consumers — the CDF feed emits nothing
+    for the compaction commit, and the maintainer's next epoch
+    probes the compacted index to the same pair set the uncompacted
+    path yields (equality vs from-scratch still holds)."""
+    import pytest
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.queries.npipe11 import (
+        _LSH_MAX_BUCKET,
+        _LSH_THETA,
+        _lsh_banded,
+        _lsh_drop_pairs,
+        _lsh_insert_deltas,
+    )
+
+    tmpl = (
+        "shared corpus phrasing about subject %d with a long tail "
+        "of section %d words to shingle over "
+    )
+    docs = {i: tmpl % (i % 3, 1) for i in range(9)}
+    docs.update({i: tmpl % (90 + i, i) for i in range(9, 12)})
+    bt = str(tmp_path / "opt_index")
+
+    def mk(ids):
+        return spark.createDataFrame(
+            sorted((i, docs[i]) for i in ids),
+            "doc_id long, text string",
+        )
+
+    # epoch 0: seed index (first fragment)
+    seed_banded = _lsh_banded(mk(range(6))).localCheckpoint()
+    seed_banded.write.parquet(f"{bt}/s0")
+    lakelog.commit(bt, 0, [{"add": "s0"}])
+    pairs = mh.merge_support(
+        None, _lsh_insert_deltas(seed_banded)
+    ).localCheckpoint()
+    # epoch 1: append (second fragment)
+    d1 = _lsh_banded(mk(range(6, 9))).localCheckpoint()
+    pairs = mh.merge_support(
+        pairs, _lsh_insert_deltas(d1, lakelog.read_snapshot(spark, bt))
+    ).localCheckpoint()
+    d1.write.parquet(f"{bt}/s1")
+    lakelog.commit(bt, 1, [{"add": "s1"}])
+
+    before = lakelog.read_snapshot(spark, bt).localCheckpoint()
+    res = lakelog.optimize_compact(spark, bt)
+    ov = res["version"]
+    after = lakelog.read_snapshot(spark, bt)
+    # (a) byte-identical index content across the compaction
+    assert after.exceptAll(before).isEmpty()
+    assert before.exceptAll(after).isEmpty()
+    # (b) the CDF feed emits NOTHING for the compaction commit —
+    # the range is refused as change-free, Delta's contract for a
+    # data_change:false commit (the streaming source shares the same
+    # classification and skips it)
+    with pytest.raises(ValueError, match="no changes recorded"):
+        lakelog.table_changes(spark, bt, ov - 1, ov)
+    # (c) the maintainer's next epochs run against the compacted
+    # index: insert probe + delete rewrite, equality still exact
+    d2 = _lsh_banded(mk(range(9, 12))).localCheckpoint()
+    pairs = mh.merge_support(
+        pairs, _lsh_insert_deltas(d2, lakelog.read_snapshot(spark, bt))
+    ).localCheckpoint()
+    d2.write.parquet(f"{bt}/s2")
+    lakelog.commit(bt, lakelog.latest_version(bt) + 1, [{"add": "s2"}])
+    gone_ids = [1, 9]
+    gone = spark.createDataFrame(
+        [(i,) for i in gone_ids], "__gone long"
+    )
+    regrants = mh.guarded_delete_support(
+        _lsh_banded(mk(gone_ids)),
+        lakelog.read_snapshot(spark, bt),
+        gone,
+        max_bucket=_LSH_MAX_BUCKET,
+        min_est_jaccard=_LSH_THETA,
+    )
+    pairs = mh.merge_support(
+        _lsh_drop_pairs(pairs, gone), regrants
+    ).localCheckpoint()
+    live = [i for i in docs if i not in gone_ids]
+    scratch = mh.pairs_from_bands(
+        mh.guard_banded(_lsh_banded(mk(live)), _LSH_MAX_BUCKET),
+        min_est_jaccard=_LSH_THETA,
+    )
+    want = {(r["doc_a"], r["doc_b"]) for r in scratch.collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert want and got == want
+    # (d) a stale maintainer pinned at the pre-OPTIMIZE version still
+    # reads the SAME logical content (snapshot isolation held)
+    pre = lakelog.read_snapshot(spark, bt, ov - 1)
+    assert pre.count() == before.count()

@@ -2636,3 +2636,116 @@ def test_find_orphans_resolves_nested_rels(spark, tmp_path):
     assert (
         lakelog.read_table_snapshot(spark, base, "support").count() == 1
     )
+
+
+def test_gdpr_erasure_end_to_end_zero_subject_bytes(spark, tmp_path):
+    """VERDICT r9 item 7: retention × GDPR as one recipe, proven
+    FROM THE ARTIFACT (the round-6 lake_stats_only_agg discipline
+    applied to erasure): the subject's marker string is spread
+    across change records that fall BELOW the CDF retention horizon
+    (reclaimed wholesale by vacuum) AND records ABOVE it (rewritten
+    in place by the purge), plus the pre-delete data files (vacuumed
+    past the snapshot horizon). After DELETE → purge → vacuum, a
+    filesystem-level walk reads EVERY remaining file under the table
+    — parquet values and log/metadata bytes alike — and finds zero
+    subject bytes, zero swap debris."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    marker = "subject-erase-me@example.invalid"
+    base = str(tmp_path / "gdpr_e2e")
+    rows = [
+        (k, marker if k % 10 == 7 else f"user-{k}@example.invalid", k * 10)
+        for k in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "k long, email string, cents long"
+    ).coalesce(2).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    subj = F.col("email") == marker
+    o0 = lakelog.read_snapshot(spark, base, 0)
+    # v1: update touching the SUBJECT (cdc_1 carries the marker) —
+    # this record will fall BELOW the retention horizon
+    lakelog.merge_upsert(
+        spark,
+        base,
+        o0.filter(subj).select("k", "email", (F.col("cents") + 1).alias("cents")),
+        ["k"],
+        cdf=True,
+    )
+    # v2, v3: unrelated churn (keep the horizon moving)
+    lakelog.merge_upsert(
+        spark,
+        base,
+        o0.filter(F.col("k") % 10 == 2).select(
+            "k", "email", (F.col("cents") * 3).alias("cents")
+        ),
+        ["k"],
+        cdf=True,
+    )
+    lakelog.delete_where(spark, base, F.col("k") % 10 == 4, cdf=True)
+    # v4: another subject-touching update — this record stays ABOVE
+    # the horizon and must be rewritten in place by the purge
+    lakelog.merge_upsert(
+        spark,
+        base,
+        lakelog.read_snapshot(spark, base)
+        .filter(subj)
+        .select("k", "email", (F.col("cents") + 2).alias("cents")),
+        ["k"],
+        cdf=True,
+    )
+    # --- the erasure recipe ---
+    lakelog.delete_where(spark, base, subj, cdf=True)  # v5: step 1
+    # v6: unrelated churn after the subject left — the retained
+    # window must keep serving REAL rows post-erasure
+    lakelog.merge_upsert(
+        spark,
+        base,
+        lakelog.read_snapshot(spark, base)
+        .filter(F.col("k") % 10 == 6)
+        .select("k", "email", (F.col("cents") * 5).alias("cents")),
+        ["k"],
+        cdf=True,
+    )
+    res = lakelog.gdpr_purge_change_records(spark, base, subj)  # step 2
+    assert res["n_rows_purged"] > 0  # v4's and v5's records rewritten
+    stats = lakelog.vacuum(
+        base, retain_versions=1, cdf_retain_versions=2
+    )  # step 3: cdc_1 (marker-bearing) reclaimed WHOLESALE, pre-
+    # delete data dirs past the snapshot horizon reclaimed
+    assert stats["n_cdc_records_deleted"] >= 1
+    assert stats["n_dirs_deleted"] >= 1
+    # the live table still serves, subject-free
+    live = lakelog.read_snapshot(spark, base)
+    assert live.filter(subj).count() == 0
+    assert live.count() == 32  # 40 - 4 (%10==4) - 4 (subject)
+    # --- prove it from the artifact: walk EVERYTHING left on disk
+    hits, n_parquet, n_meta = [], 0, 0
+    for root, _dirs, files in _os.walk(base):
+        for fname in files:
+            full = _os.path.join(root, fname)
+            assert not fname.endswith((".old", ".purge_tmp"))
+            if fname.endswith(".parquet"):
+                n_parquet += 1
+                tbl = _pq.read_table(full)
+                for col in tbl.column_names:
+                    vals = tbl.column(col).to_pylist()
+                    if any(v == marker for v in vals if isinstance(v, str)):
+                        hits.append((full, col))
+            elif fname.endswith(".json"):
+                n_meta += 1
+                with open(full) as fh:
+                    if marker in fh.read():
+                        hits.append((full, "<log>"))
+    assert n_parquet > 0 and n_meta > 0  # the walk saw real content
+    assert hits == [], f"subject bytes survived erasure: {hits}"
+    # retained, subject-free serving is intact: the retained window
+    # still answers (refusing only the reclaimed range) — cdc_5 is
+    # the purged-to-empty subject delete, cdc_6 the unrelated churn
+    served = lakelog.table_changes(spark, base, 4, 6)
+    assert served.filter(subj).count() == 0
+    assert served.count() > 0
