@@ -1289,30 +1289,40 @@ def _recover_purge_debris(dir_path: str) -> None:
 
 
 def _recover_staged_rel_debris(table_dir: str) -> None:
-    """Nested-rel debris recovery for staged WAP batches (round-10
-    review fix): the purge's in-place swap operates at the FULL
-    staged-rel path, so a mid-swap crash on a NESTED rel (e.g.
-    ``era/part=1``) parks ``era/part=1.old`` in a directory that
-    neither the table-root nor the ``_cdc`` pre-pass visits — the
-    next purge's ``os.path.exists`` check would then silently skip
-    the rel (reporting success while the subject persists in the
-    ``.old`` copy) and ``read_staged_snapshot``/``publish`` would
-    fail on the missing base. Resolve per rel: run the shared
-    base-missing rule in each staged add rel's PARENT directory.
+    """Nested-rel debris recovery (round-10 review fix, twice over):
+    the purge's in-place swap operates at the FULL rel path, so a
+    mid-swap crash on a NESTED rel (e.g. ``era/part=1``) parks
+    ``era/part=1.old`` in a directory that neither the table-root
+    nor the ``_cdc`` pre-pass visits — the next purge's
+    ``os.path.exists`` check would then silently skip the rel
+    (reporting success while the subject persists in the ``.old``
+    copy) and readers would fail on the missing base. Resolve per
+    rel: run the shared base-missing rule in each nested add rel's
+    PARENT directory — for rels in CURRENTLY STAGED entries *and*
+    for rels the HEAD SNAPSHOT references (second review fix: a
+    ``publish_staged`` after the crash commits the actions and
+    deletes the tag without checking the base exists, so tag-only
+    coverage stranded the committed rel's only copy forever).
     Top-level rels are covered by the root pre-pass; this visits
     only the extra nesting levels, once per distinct parent."""
-    seen: set[str] = set()
+    rels: set[str] = set()
     for entry in _staged_entries(table_dir):
         for a in entry["actions"]:
-            rel = a.get("add")
-            if not rel or "/" not in rel:
-                continue
-            if rel.split("/", 1)[0] in ("_log", "_dv", "_cdc"):
-                continue
-            parent = os.path.dirname(os.path.join(table_dir, rel))
-            if parent not in seen:
-                seen.add(parent)
-                _recover_purge_debris(parent)
+            if a.get("add"):
+                rels.add(a["add"])
+    head = latest_version(table_dir)
+    if head >= 0:
+        rels |= set(_replay(table_dir, head)[0])
+    seen: set[str] = set()
+    for rel in rels:
+        if "/" not in rel:
+            continue
+        if rel.split("/", 1)[0] in ("_log", "_dv", "_cdc"):
+            continue
+        parent = os.path.dirname(os.path.join(table_dir, rel))
+        if parent not in seen:
+            seen.add(parent)
+            _recover_purge_debris(parent)
 
 
 def vacuum(
@@ -2241,6 +2251,40 @@ def commit_idempotent(
             continue  # lost the race; re-check txn state and retry
 
 
+def rewrite_minus_ids(
+    spark: SparkSession,
+    table_dir: str,
+    gone: DataFrame,
+    id_col: str,
+    gone_col: str = "__gone",
+) -> dict:
+    """Full-table rewrite dropping rows whose ``id_col`` appears in
+    ``gone`` (one broadcast anti-join) — the join-based MERGE DELETE
+    shape every maintained INDEX table uses when its source's CDF
+    reports departures (the LSH band index, the IVF cell index, the
+    SRP bucket index). One definition so the maintenance paths
+    cannot drift (round-10 review fix: the same six lines were
+    copy-pasted per index). O(index) rewrite, O(changes) join
+    build-side; at 100 TB you'd shard this by the index's bucket
+    column — the anti-join itself already prunes to matching
+    partitions when the index is bucketed by id."""
+    from pyspark.sql import functions as F
+
+    active = snapshot_actions(table_dir)
+    version = _next_version(table_dir)
+    rel = f"minus_{version:08d}"
+    new = read_snapshot(spark, table_dir).join(
+        F.broadcast(gone), F.col(id_col) == F.col(gone_col), "left_anti"
+    )
+    new.write.parquet(os.path.join(table_dir, rel))
+    commit(
+        table_dir,
+        version,
+        [{"remove": r} for r in active] + [{"add": rel}],
+    )
+    return {"version": version, "rel": rel}
+
+
 def find_orphans(table_dir: str) -> list[str]:
     """Data entries on disk that NO commit in the whole log has ever
     referenced (failed/retried writer debris — e.g. the files a
@@ -2287,9 +2331,12 @@ def find_orphans(table_dir: str) -> list[str]:
             rel = prefix + entry
             if prefix == "" and entry in ("_log", "_dv", "_cdc"):
                 continue
-            if entry.startswith((".", "_")):
-                # Hadoop-invisible markers (_SUCCESS, .crc): writer
-                # metadata inside a rel's parent, never orphan data
+            if prefix != "" and entry.startswith((".", "_")):
+                # Hadoop-invisible markers (_SUCCESS, .crc) inside a
+                # rel's parent: writer metadata, never orphan data.
+                # At the TABLE ROOT the old semantics stand — an
+                # unreferenced _tmp_stage1 is writer debris and must
+                # still be reclaimed (round-10 review fix)
                 continue
             if entry.endswith((".purge_tmp", ".old")):
                 # GDPR-purge swap artifacts, never writer debris:

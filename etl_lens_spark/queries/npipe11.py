@@ -514,24 +514,35 @@ class _LshLiveState:
     shape; this class is the bounded in-session analog."""
 
     def __init__(self) -> None:
-        self.index_parts: list[DataFrame] = []
-        self.tombstones: list[DataFrame] = []
+        # ORDERED event list: ("part", banded_frame) for inserts,
+        # ("gone", tombstone_frame) for deletes. A tombstone folds
+        # over only the parts that PRECEDE it (round-10 review fix:
+        # applying every tombstone to the whole union also stripped
+        # docs re-inserted AFTER their delete — routine on a CDF
+        # stream where keys come back — and compaction made the loss
+        # permanent).
+        self.events: list[tuple[str, DataFrame]] = []
         self.pairs: DataFrame | None = None
 
-    def index_view(self) -> DataFrame | None:
-        import functools
+    @property
+    def index_parts(self) -> list[DataFrame]:
+        return [f for kind, f in self.events if kind == "part"]
 
-        if not self.index_parts:
-            return None
-        view = functools.reduce(
-            lambda a, b: a.unionByName(b), self.index_parts
-        )
-        for gone in self.tombstones:
-            view = view.join(
-                F.broadcast(gone),
-                F.col("__id") == F.col("__gone"),
-                "left_anti",
-            )
+    @property
+    def tombstones(self) -> list[DataFrame]:
+        return [f for kind, f in self.events if kind == "gone"]
+
+    def index_view(self) -> DataFrame | None:
+        view: DataFrame | None = None
+        for kind, frame in self.events:
+            if kind == "part":
+                view = frame if view is None else view.unionByName(frame)
+            elif view is not None:
+                view = view.join(
+                    F.broadcast(frame),
+                    F.col("__id") == F.col("__gone"),
+                    "left_anti",
+                )
         return view
 
     def apply_inserts(self, ins: DataFrame) -> None:
@@ -540,7 +551,7 @@ class _LshLiveState:
         delta_banded = _lsh_banded(ins).localCheckpoint()
         deltas = _lsh_insert_deltas(delta_banded, self.index_view())
         self.pairs = merge_support(self.pairs, deltas).localCheckpoint()
-        self.index_parts.append(delta_banded)
+        self.events.append(("part", delta_banded))
         self._maybe_compact()
 
     def apply_deletes(self, gone_rows: DataFrame) -> None:
@@ -561,16 +572,15 @@ class _LshLiveState:
             else None
         )
         self.pairs = merge_support(dropped, regrants).localCheckpoint()
-        self.tombstones.append(gone)
+        self.events.append(("gone", gone))
         self._maybe_compact()
 
     def _maybe_compact(self) -> None:
-        if (
-            len(self.index_parts) + len(self.tombstones)
-            > _LSH_COMPACT_EVERY
-        ):
-            self.index_parts = [self.index_view().localCheckpoint()]
-            self.tombstones = []
+        if len(self.events) > _LSH_COMPACT_EVERY:
+            view = self.index_view()
+            self.events = (
+                [("part", view.localCheckpoint())] if view is not None else []
+            )
 
 
 @query(
@@ -696,16 +706,7 @@ def dedup_incremental_lsh_cdf(
     pairs = merge_support(
         _lsh_drop_pairs(pairs, dels), regrants
     ).localCheckpoint()
-    idx_old = lakelog.snapshot_actions(bt)
-    idx_new = lakelog.read_snapshot(spark, bt).join(
-        F.broadcast(dels), F.col("__id") == F.col("__gone"), "left_anti"
-    )
-    idx_new.write.parquet(f"{bt}/s2")
-    lakelog.commit(
-        bt,
-        2,
-        [{"remove": r} for r in idx_old] + [{"add": "s2"}],
-    )
+    lakelog.rewrite_minus_ids(spark, bt, dels, "__id")
 
     # --- proof: from-scratch GUARDED LSH over the head snapshot
     # (read ONCE; the count rides the same checkpointed frame —
@@ -781,14 +782,22 @@ def _bench_dedup_incremental(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
 
+    cached: list[DataFrame] = []
+
     def _maintained() -> DataFrame:
         # the two epochs' support deltas compose ADDITIVELY, so the
         # nightly batch folds them into ONE state merge (the drop
         # rule commutes with the merge: it is a row filter on pair
         # keys and regrant pairs never touch a gone id) — one
         # full-outer join over the pair state per maintenance run,
-        # not one per epoch
+        # not one per epoch. The previous invocation's cache is
+        # released first (review fix: min-of-N bench iterations must
+        # not accumulate persisted copies).
+        for df in cached:
+            df.unpersist()
+        cached.clear()
         delta_banded = _lsh_banded(ins).persist()
+        cached.append(delta_banded)
         ins_deltas = _lsh_insert_deltas(delta_banded, seed_banded)
         pre_index = seed_banded.unionByName(delta_banded)
         regrants = _lsh_delete_deltas(

@@ -182,12 +182,7 @@ def sim_ann_incremental_cdf(
 
     # --- v2 deletes: index rows leave by one anti-join rewrite
     dels = dels.localCheckpoint()
-    idx_old = lakelog.snapshot_actions(it)
-    idx_new = lakelog.read_snapshot(spark, it).join(
-        F.broadcast(dels), F.col("vec_id") == F.col("__gone"), "left_anti"
-    )
-    idx_new.write.parquet(f"{it}/s2")
-    lakelog.commit(it, 2, [{"remove": r} for r in idx_old] + [{"add": "s2"}])
+    lakelog.rewrite_minus_ids(spark, it, dels, "vec_id")
 
     maintained = lakelog.read_snapshot(spark, it).localCheckpoint()
     head = lakelog.read_snapshot(spark, et).localCheckpoint()
@@ -344,12 +339,7 @@ def sim_srp_incremental_cdf(
     knn.srp_bucket_index(ins, planes).write.parquet(f"{it}/s1")
     lakelog.commit(it, 1, [{"add": "s1"}])
     dels = dels.localCheckpoint()
-    idx_old = lakelog.snapshot_actions(it)
-    idx_new = lakelog.read_snapshot(spark, it).join(
-        F.broadcast(dels), F.col("vec_id") == F.col("__gone"), "left_anti"
-    )
-    idx_new.write.parquet(f"{it}/s2")
-    lakelog.commit(it, 2, [{"remove": r} for r in idx_old] + [{"add": "s2"}])
+    lakelog.rewrite_minus_ids(spark, it, dels, "vec_id")
 
     maintained = lakelog.read_snapshot(spark, it).localCheckpoint()
     head = lakelog.read_snapshot(spark, et).localCheckpoint()

@@ -97,24 +97,11 @@ def train_centroids(
         .toPandas()[vec_col]
     )
     centroids = _normalized_matrix(init)
-    dim = centroids.shape[1]
-
     for _ in range(iters):
-        sums = (
-            _partial_cell_sums(emb, centroids, vec_col)
-            .groupBy("cell", "dim_i")
-            .agg(F.sum("s").alias("s"))
-            .toPandas()
-        )
-        new = centroids.copy()
-        acc = np.zeros((k, dim), dtype=np.float64)
-        acc[sums["cell"].to_numpy(), sums["dim_i"].to_numpy()] = sums[
-            "s"
-        ].to_numpy()
-        norms = np.linalg.norm(acc, axis=1)
-        live = norms > 0
-        new[live] = acc[live] / norms[live, None]
-        centroids = new
+        # ONE definition of the Lloyd step (refine_centroids), shared
+        # with the maintained-index staleness dial so training and
+        # re-train candidates cannot diverge (round-10 review fix)
+        centroids = refine_centroids(emb, centroids, vec_col)
     return centroids
 
 

@@ -533,3 +533,45 @@ def test_optimize_index_table_invisible_to_maintainer(spark, tmp_path):
     # reads the SAME logical content (snapshot isolation held)
     pre = lakelog.read_snapshot(spark, bt, ov - 1)
     assert pre.count() == before.count()
+
+
+def test_lsh_live_state_reinsert_after_delete(spark):
+    """Round-10 review regression: a tombstone must fold over only
+    the index parts that PRECEDE it — the old view anti-joined every
+    tombstone against the whole union, so a doc deleted and later
+    re-inserted (routine on a CDF stream) vanished from the index,
+    its pairs were never found again, and compaction made the loss
+    permanent. Drive delete→re-insert ACROSS a compaction boundary
+    and pin equality with from-scratch guarded LSH."""
+    from etl_lens_spark.queries.npipe11 import (
+        _LSH_COMPACT_EVERY,
+        _LSH_MAX_BUCKET,
+        _LSH_THETA,
+        _lsh_banded,
+        _LshLiveState,
+    )
+
+    text_a = "a document body with plenty of shared phrasing " * 3
+    text_b = text_a.replace("plenty", "lots")
+    state = _LshLiveState()
+    state.apply_inserts(_mk_docs(spark, [(1, text_a), (2, text_b)]))
+    state.apply_deletes(_mk_docs(spark, [(1, text_a)]))
+    # re-insert doc 1 with the SAME id after its delete
+    state.apply_inserts(_mk_docs(spark, [(1, text_a)]))
+    live = [(1, text_a), (2, text_b)]
+    # ... and survive a compaction (fold to one part, tombstones gone)
+    for i in range(_LSH_COMPACT_EVERY):
+        doc = (100 + i, f"filler body number {i} with its own words " * 3)
+        state.apply_inserts(_mk_docs(spark, [doc]))
+        live.append(doc)
+    assert len(state.events) <= _LSH_COMPACT_EVERY + 1
+    view = state.index_view()
+    assert view.filter(F.col("__id") == 1).count() == 16  # all bands
+    scratch = mh.pairs_from_bands(
+        mh.guard_banded(_lsh_banded(_mk_docs(spark, live)), _LSH_MAX_BUCKET),
+        min_est_jaccard=_LSH_THETA,
+    )
+    want = {(r["doc_a"], r["doc_b"]) for r in scratch.collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in state.pairs.collect()}
+    assert (1, 2) in want  # the near-dup pair exists again
+    assert got == want

@@ -2749,3 +2749,67 @@ def test_gdpr_erasure_end_to_end_zero_subject_bytes(spark, tmp_path):
     served = lakelog.table_changes(spark, base, 4, 6)
     assert served.filter(subj).count() == 0
     assert served.count() > 0
+
+
+def test_purge_crash_then_publish_still_recovers_nested_rel(
+    spark, tmp_path
+):
+    """Round-10 review regression (second order): a purge crashes
+    mid-swap on a nested STAGED rel, then publish_staged commits the
+    batch and deletes the tag. Tag-only recovery coverage would
+    strand the committed rel's only copy as .old forever (every
+    snapshot read failing); recovery must also derive parents from
+    the HEAD SNAPSHOT's referenced nested rels."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "crash_then_publish")
+    spark.createDataFrame(
+        [(k, k) for k in range(4)], "k long, c long"
+    ).coalesce(1).write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    rel = f"{base}/era/part=1"
+    spark.createDataFrame(
+        [(1, 11), (5, 55)], "k long, c long"
+    ).coalesce(1).write.parquet(rel)
+    lakelog.stage(base, "t_pub", [{"add": "era/part=1"}])
+    # crash window: original parked as .old, base gone
+    spark.read.parquet(rel).filter(F.col("k") != 1).write.parquet(
+        rel + ".purge_tmp"
+    )
+    _os.rename(rel, rel + ".old")
+    # the operator publishes anyway — tag deleted, actions committed
+    lakelog.publish_staged(base, "t_pub")
+    assert not _os.path.exists(rel)
+    # vacuum's recovery pass must restore the committed rel from the
+    # head snapshot's reference, not from the (gone) staged tag
+    lakelog.vacuum(base, retain_versions=1)
+    assert _os.path.isdir(rel)
+    assert not _os.path.exists(rel + ".old")
+    got = sorted(
+        tuple(r)
+        for r in lakelog.read_snapshot(spark, base)
+        .filter(F.col("k") >= 1)
+        .collect()
+    )
+    assert (5, 55) in got and (1, 11) in got  # nothing lost
+
+
+def test_find_orphans_still_reclaims_root_underscore_debris(
+    spark, tmp_path
+):
+    """Round-10 review regression: the Hadoop-marker skip must not
+    shadow TABLE-ROOT underscore debris — an unreferenced _tmp_stage1
+    at the root is writer debris the old code reclaimed and the new
+    nested walk must keep reclaiming."""
+    import os as _os
+
+    base = str(tmp_path / "root_underscore")
+    one = spark.createDataFrame([(1,)], "k long").coalesce(1)
+    one.write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    one.write.parquet(f"{base}/_tmp_stage1")
+    assert lakelog.find_orphans(base) == ["_tmp_stage1"]
+    lakelog.remove_orphans(base)
+    assert not _os.path.exists(f"{base}/_tmp_stage1")
