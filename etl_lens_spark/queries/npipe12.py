@@ -688,3 +688,116 @@ def warehouse_ivm_restartable_topk(
     for d in (ot, pt, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+_MT_ORACLE = """
+    WITH head AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_head_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_index_rows,
+           CAST(0 AS BIGINT) AS idx_missing,
+           CAST(0 AS BIGINT) AS idx_extra,
+           CAST(0 AS BIGINT) AS topk_missing,
+           CAST(0 AS BIGINT) AS topk_extra,
+           CAST(1 AS BIGINT) AS recall_ge_single
+    FROM head
+"""
+
+
+@query("sim_multitable_incremental_cdf", oracle=_MT_ORACLE)
+def sim_multitable_incremental_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-TABLE retriever twin of sim_ann_incremental_cdf — the
+    last build-once similarity structure (sim_ann_lsh_multitable's
+    L independent hyperplane tables) becomes ONE maintained lake
+    table carrying all L bucket columns (knn.srp_multitable_index):
+    an appended vector computes its L buckets from the delta alone
+    in one pass, a deleted one leaves by the shared
+    lakelog.rewrite_minus_ids anti-join, and — like the single-table
+    SRP twin — no geometry can ever go stale (planes immutable).
+
+    Pinned: index equality with a from-scratch rebuild on
+    (vec_id, b0..b3); top-10 served from the maintained index
+    (knn.multitable_probe_topk — per-table candidate union, pair
+    dedup BEFORE scoring, shared with the build-once sweep) equals
+    rebuilt-index top-10 exactly; and the retriever's reason to
+    exist re-checked on the maintained index — L=4 recall@10 vs
+    exact brute force >= L=1 recall (candidate sets are prefix
+    unions, so the lift the operating curve recorded must survive
+    maintenance).
+
+    100 TB posture: maintenance hashes the delta once for ALL L
+    geometries (the sweep discipline as a maintenance property);
+    the L-axis costs nothing extra at write time beyond L bucket
+    columns; probes read only matching buckets per table."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.similarity import knn
+
+    K, NQ, BITS, PROBES, L = 10, 20, 4, 5, 4
+    planes_list = [knn.make_planes(64, BITS, seed=42 + t) for t in range(L)]
+    et = _ann_build(spark, sf_dir, "imt_emb")
+    it = sinks.scratch_path("imt_index")
+    shutil.rmtree(it, ignore_errors=True)
+
+    seed = lakelog.read_snapshot(spark, et, 0)
+    knn.srp_multitable_index(seed, planes_list).write.parquet(f"{it}/s0")
+    lakelog.commit(it, 0, [{"add": "s0"}])
+    ins, dels = _ann_feeds(spark, et)
+    knn.srp_multitable_index(ins, planes_list).write.parquet(f"{it}/s1")
+    lakelog.commit(it, 1, [{"add": "s1"}])
+    dels = dels.localCheckpoint()
+    lakelog.rewrite_minus_ids(spark, it, dels, "vec_id")
+
+    maintained = lakelog.read_snapshot(spark, it).localCheckpoint()
+    head = lakelog.read_snapshot(spark, et).localCheckpoint()
+    queries = head.filter(F.col("vec_id") < NQ).localCheckpoint()
+
+    rebuilt = knn.srp_multitable_index(head, planes_list).localCheckpoint()
+    bcols = [f"b{t}" for t in range(L)]
+    idx_missing, idx_extra = _ann_key_diff(
+        maintained, rebuilt, ["vec_id"] + bcols
+    )
+    m_topk = knn.multitable_probe_topk(
+        maintained, queries, planes_list, k=K, probes=PROBES
+    ).localCheckpoint()
+    r_topk = knn.multitable_probe_topk(
+        rebuilt, queries, planes_list, k=K, probes=PROBES
+    )
+    topk_missing, topk_extra = _ann_key_diff(
+        m_topk, r_topk, ["qid", "neighbor_id", "rank_n"]
+    )
+    bf = knn.brute_force_topk(head, queries, k=K).localCheckpoint()
+    m4 = m_topk.join(bf, ["qid", "neighbor_id"], "left_semi").count()
+    m1 = (
+        knn.multitable_probe_topk(
+            maintained, queries, planes_list, k=K, probes=PROBES,
+            n_tables=1,
+        )
+        .join(bf, ["qid", "neighbor_id"], "left_semi")
+        .count()
+    )
+
+    out = spark.createDataFrame(
+        [
+            (
+                int(head.count()),
+                int(maintained.count()),
+                int(idx_missing),
+                int(idx_extra),
+                int(topk_missing),
+                int(topk_extra),
+                int(m4 >= m1 and bf.count() > 0),
+            )
+        ],
+        "n_head_vecs long, n_index_rows long, idx_missing long, "
+        "idx_extra long, topk_missing long, topk_extra long, "
+        "recall_ge_single long",
+    )
+    rows = out.collect()
+    shutil.rmtree(et, ignore_errors=True)
+    shutil.rmtree(it, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

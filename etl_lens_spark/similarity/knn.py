@@ -302,3 +302,94 @@ def lsh_probe_topk(
         .filter(F.col("rank_n") <= k)
         .select(query_id_col, "neighbor_id", "rank_n", "cos_sim")
     )
+
+
+def srp_multitable_index(
+    corpus: DataFrame,
+    planes_list: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The MULTI-TABLE SRP index rows (id, vector, b0..b{L-1}) — one
+    bucket column per independent hyperplane table, all hashed in
+    ONE pass over the corpus (the sim_ann_lsh_multitable sweep
+    discipline), which is exactly what a maintained lake table
+    stores: an appended vector computes its L buckets from the delta
+    alone, a deleted one anti-joins out, and no geometry ever goes
+    stale (planes immutable, like the single-table index)."""
+    out = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias(vec_col)
+    )
+    for t, planes in enumerate(planes_list):
+        out = out.withColumn(
+            f"b{t}", _srp_bits(F.col(vec_col), planes)
+        )
+    return out
+
+
+def multitable_probe_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    planes_list: list[list[list[float]]],
+    k: int = 10,
+    probes: int = 5,
+    n_tables: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Top-k from a multi-table SRP index (srp_multitable_index
+    rows): per-table candidate sets union, (query, neighbor) pairs
+    deduplicate BEFORE scoring, exact cosine ranks the survivors.
+    One definition shared by the build-once sweep and the maintained
+    lake-table path, so the two cannot score differently.
+    ``n_tables`` probes a prefix of the tables (the L-axis of the
+    operating curve); default all."""
+    from pyspark.sql import Window
+
+    L = n_tables if n_tables is not None else len(planes_list)
+    c = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
+        *[F.col(f"b{t}") for t in range(L)],
+    ).withColumn("__cnorm", norm(F.col("__cvec")))
+    qbase = queries.select(
+        F.col(id_col).alias(query_id_col),
+        _as_double(F.col(vec_col)).alias("__qvec"),
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    parts = []
+    for t in range(L):
+        qt = qbase.withColumn(
+            "__b",
+            F.explode(
+                _probe_buckets(F.col("__qvec"), planes_list[t], probes)
+            ),
+        )
+        parts.append(
+            c.join(F.broadcast(qt), c[f"b{t}"] == qt["__b"])
+            .filter(F.col("neighbor_id") != F.col(query_id_col))
+            .select(
+                query_id_col,
+                "neighbor_id",
+                "__qvec",
+                "__qnorm",
+                "__cvec",
+                "__cnorm",
+            )
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+    scored = cands.dropDuplicates([query_id_col, "neighbor_id"]).withColumn(
+        "cos_sim",
+        dot(F.col("__cvec"), F.col("__qvec"))
+        / (F.col("__cnorm") * F.col("__qnorm")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_n") <= k)
+        .select(query_id_col, "neighbor_id", "rank_n", "cos_sim")
+    )
