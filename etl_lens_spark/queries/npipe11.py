@@ -514,36 +514,32 @@ class _LshLiveState:
     shape; this class is the bounded in-session analog."""
 
     def __init__(self) -> None:
-        # ORDERED event list: ("part", banded_frame) for inserts,
-        # ("gone", tombstone_frame) for deletes. A tombstone folds
-        # over only the parts that PRECEDE it (round-10 review fix:
-        # applying every tombstone to the whole union also stripped
-        # docs re-inserted AFTER their delete — routine on a CDF
-        # stream where keys come back — and compaction made the loss
-        # permanent).
-        self.events: list[tuple[str, DataFrame]] = []
+        # index bookkeeping delegates to the shared LiveIndexState
+        # (ordered parts/tombstones — a tombstone folds over only the
+        # parts that PRECEDE it, so a re-inserted key survives — plus
+        # K-bounded compaction); only the pair-support algebra lives
+        # here
+        from etl_lens_spark.streaming.live_index import LiveIndexState
+
+        self.idx = LiveIndexState(
+            "__id", compact_every=_LSH_COMPACT_EVERY
+        )
         self.pairs: DataFrame | None = None
 
     @property
+    def events(self) -> list[tuple[str, DataFrame]]:
+        return self.idx.events
+
+    @property
     def index_parts(self) -> list[DataFrame]:
-        return [f for kind, f in self.events if kind == "part"]
+        return self.idx.index_parts
 
     @property
     def tombstones(self) -> list[DataFrame]:
-        return [f for kind, f in self.events if kind == "gone"]
+        return self.idx.tombstones
 
     def index_view(self) -> DataFrame | None:
-        view: DataFrame | None = None
-        for kind, frame in self.events:
-            if kind == "part":
-                view = frame if view is None else view.unionByName(frame)
-            elif view is not None:
-                view = view.join(
-                    F.broadcast(frame),
-                    F.col("__id") == F.col("__gone"),
-                    "left_anti",
-                )
-        return view
+        return self.idx.view()
 
     def apply_inserts(self, ins: DataFrame) -> None:
         from etl_lens_spark.dedup.minhash import merge_support
@@ -551,8 +547,7 @@ class _LshLiveState:
         delta_banded = _lsh_banded(ins).localCheckpoint()
         deltas = _lsh_insert_deltas(delta_banded, self.index_view())
         self.pairs = merge_support(self.pairs, deltas).localCheckpoint()
-        self.events.append(("part", delta_banded))
-        self._maybe_compact()
+        self.idx.append(delta_banded)
 
     def apply_deletes(self, gone_rows: DataFrame) -> None:
         from etl_lens_spark.dedup.minhash import merge_support
@@ -572,15 +567,7 @@ class _LshLiveState:
             else None
         )
         self.pairs = merge_support(dropped, regrants).localCheckpoint()
-        self.events.append(("gone", gone))
-        self._maybe_compact()
-
-    def _maybe_compact(self) -> None:
-        if len(self.events) > _LSH_COMPACT_EVERY:
-            view = self.index_view()
-            self.events = (
-                [("part", view.localCheckpoint())] if view is not None else []
-            )
+        self.idx.delete(gone)
 
 
 @query(

@@ -801,3 +801,282 @@ def sim_multitable_incremental_cdf(
     shutil.rmtree(et, ignore_errors=True)
     shutil.rmtree(it, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+_PQ_ORACLE = """
+    WITH head AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_head_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_index_rows,
+           CAST(0 AS BIGINT) AS idx_missing,
+           CAST(0 AS BIGINT) AS idx_extra,
+           CAST(0 AS BIGINT) AS topk_missing,
+           CAST(0 AS BIGINT) AS topk_extra,
+           CAST(1 AS BIGINT) AS recall_ok,
+           CAST(1 AS BIGINT) AS stale_candidate_ok
+    FROM head
+"""
+
+
+@query("sim_pq_incremental_cdf", oracle=_PQ_ORACLE)
+def sim_pq_incremental_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ twin of sim_ann_incremental_cdf, completing the ANN family
+    (IVF + SRP + multi-table + PQ all maintained): the CODES table —
+    the 32×-compressed corpus replacement PQ exists for — becomes
+    the maintained lake table. Codebooks train once on the seed and
+    stay FIXED between re-trains, so encoding is a pure function of
+    the vector: v1 inserts encode from the delta alone and append,
+    v2 deletes leave via the shared lakelog.rewrite_minus_ids. The
+    float corpus needs NO second copy — the exact re-rank joins the
+    source embeddings table itself, touching only queries × rerank·k
+    vectors.
+
+    Pinned: maintained codes ≡ re-encoding the head snapshot on
+    (vec_id, codes) — which IS the serving-staleness-zero statement
+    for PQ (purity of encode under fixed books); top-5 served from
+    the maintained codes (pq.pq_probe_topk, the ADC+re-rank half of
+    pq_topk, shared code) ≡ rebuilt-codes top-5; recall >= 0.6 vs
+    exact brute force RE-CHECKED on the maintained codes; and the
+    re-train dial — the per-(vector, subspace) fraction of
+    assignments that flip under CANDIDATE codebooks one id-aligned
+    Lloyd step ahead (pq.refine_codebooks, shared with training) —
+    a sane fraction (0 <= frac <= 0.5).
+
+    100 TB posture: maintenance is O(delta) — one vectorized encode
+    pass against the broadcast (m × k × dsub) codebooks + append +
+    one anti-join; the ADC scan reads only the codes table (bytes,
+    not floats); re-rank is queries × rerank·k source-row lookups."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.similarity import knn, pq
+
+    K, M, K_CODES, ITERS, RERANK = 5, 16, 32, 3, 10
+    et = _ann_build(spark, sf_dir, "ipq_emb")
+    it = sinks.scratch_path("ipq_index")
+    shutil.rmtree(it, ignore_errors=True)
+
+    seed = lakelog.read_snapshot(spark, et, 0)
+    books = pq.train_codebooks(seed, 64, m=M, k_codes=K_CODES, iters=ITERS)
+
+    pq.encode(seed, books).write.parquet(f"{it}/s0")
+    lakelog.commit(it, 0, [{"add": "s0"}])
+    ins, dels = _ann_feeds(spark, et)
+    pq.encode(ins, books).write.parquet(f"{it}/s1")
+    lakelog.commit(it, 1, [{"add": "s1"}])
+    dels = dels.localCheckpoint()
+    lakelog.rewrite_minus_ids(spark, it, dels, "vec_id")
+
+    maintained = lakelog.read_snapshot(spark, it).localCheckpoint()
+    head = lakelog.read_snapshot(spark, et).localCheckpoint()
+    queries = head.filter(F.col("vec_id") < _ANN_QUERIES)
+
+    rebuilt = pq.encode(head, books).localCheckpoint()
+    idx_missing, idx_extra = _ann_key_diff(
+        maintained, rebuilt, ["vec_id", "codes"]
+    )
+    m_topk = pq.pq_probe_topk(
+        maintained, head, queries, books, k=K, rerank=RERANK
+    ).localCheckpoint()
+    r_topk = pq.pq_probe_topk(
+        rebuilt, head, queries, books, k=K, rerank=RERANK
+    )
+    topk_missing, topk_extra = _ann_key_diff(
+        m_topk, r_topk, ["qid", "neighbor_id", "rank_n"]
+    )
+    bf = knn.brute_force_topk(head, queries, k=K).localCheckpoint()
+    hits = m_topk.join(bf, ["qid", "neighbor_id"], "left_semi").count()
+    recall = hits / max(bf.count(), 1)
+    candidate = pq.refine_codebooks(head, books)
+    cand_codes = pq.encode(head, candidate)
+    flips = (
+        maintained.alias("a")
+        .join(cand_codes.alias("b"), "vec_id")
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("a.codes"),
+                        F.col("b.codes"),
+                        lambda x, y: x != y,
+                    ),
+                    lambda t: t,
+                )
+            ).alias("n_flip")
+        )
+        .agg(
+            F.sum("n_flip").cast("long").alias("flips"),
+            F.count(F.lit(1)).cast("long").alias("rows"),
+        )
+        .first()
+    )
+    cand_frac = flips["flips"] / max(flips["rows"] * M, 1)
+
+    out = spark.createDataFrame(
+        [
+            (
+                int(head.count()),
+                int(maintained.count()),
+                int(idx_missing),
+                int(idx_extra),
+                int(topk_missing),
+                int(topk_extra),
+                int(recall >= 0.6),
+                int(0.0 <= cand_frac <= 0.5),
+            )
+        ],
+        "n_head_vecs long, n_index_rows long, idx_missing long, "
+        "idx_extra long, topk_missing long, topk_extra long, "
+        "recall_ok long, stale_candidate_ok long",
+    )
+    rows = out.collect()
+    shutil.rmtree(et, ignore_errors=True)
+    shutil.rmtree(it, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SANN_ORACLE = """
+    WITH head AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_head_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_index_rows,
+           CAST(0 AS BIGINT) AS idx_missing,
+           CAST(0 AS BIGINT) AS idx_extra,
+           CAST(0 AS BIGINT) AS topk_missing,
+           CAST(0 AS BIGINT) AS topk_extra,
+           CAST(1 AS BIGINT) AS recall_ok
+    FROM head
+"""
+
+
+@query("streaming_ann_live", oracle=_SANN_ORACLE)
+def streaming_ann_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE twin of sim_ann_incremental_cdf — the IVF cell index
+    maintained FROM BIRTH by the ``lakelog_cdf`` STREAMING source,
+    the same batch/streaming symmetry the dedup loop has
+    (streaming_dedup_lsh_live): the maintainer starts with an EMPTY
+    index and every commit's changes — v0's seed inserts included —
+    flow through the two rules in commit order (inserts: assign the
+    delta by the fixed centroids, append; deletes: the ids'
+    tombstone). One bootstrap step precedes the stream, documented
+    as part of the drift contract: the coarse quantizer must be
+    trained on SOME corpus before any assignment, so centroids come
+    from the v0 snapshot and stay fixed — exactly the state a real
+    deployment ships to its streaming maintainer.
+
+    In-session state is the shared streaming.live_index
+    .LiveIndexState — ordered parts/tombstones (a re-inserted key
+    survives), compacted every K epochs, plan depth bounded for any
+    stream length (the machinery the LSH live twin delegates to, so
+    the two live maintainers cannot drift).
+
+    Same structural proof as the batch twin: the stream-maintained
+    index equals a from-scratch reassignment of the head snapshot on
+    (vec_id, cell), top-5 served from it (ivf_probe_topk, shared
+    code) equals rebuilt-index top-5, recall vs brute force >= 0.6
+    re-checked on the maintained index."""
+    import shutil
+    import uuid
+
+    from etl_lens_spark.config import ivf_params
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.similarity import ivf, knn
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamDataSource
+    from etl_lens_spark.streaming.live_index import LiveIndexState
+
+    n_cells, nprobe, train_iters = ivf_params(spark)
+    et = _ann_build(spark, sf_dir, "sann_emb")
+    try:
+        spark.dataSource.register(LakeLogCDFStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    centroids = ivf.train_centroids(
+        lakelog.read_snapshot(spark, et, 0),
+        k=n_cells,
+        iters=train_iters,
+    )
+    state = LiveIndexState("vec_id")
+
+    def _apply_version(vdf) -> None:
+        ins = vdf.filter(F.col("_change_type") == "insert").select(
+            "vec_id", "embedding"
+        )
+        if not ins.isEmpty():
+            state.append(
+                ivf.assign_cells(ins, centroids).localCheckpoint()
+            )
+        gone = (
+            vdf.filter(F.col("_change_type") == "delete")
+            .select(F.col("vec_id").alias("__gone"))
+            .distinct()
+        )
+        if not gone.isEmpty():
+            state.delete(gone.localCheckpoint())
+
+    def sink(batch_df, epoch_id):
+        b = batch_df.localCheckpoint()
+        versions = sorted(
+            r[0]
+            for r in b.select("_commit_version").distinct().collect()
+        )
+        for v in versions:  # commit order inside the micro-batch
+            _apply_version(b.filter(F.col("_commit_version") == v))
+
+    ckpt = sinks.scratch_path(f"ckpt_sann_{uuid.uuid4().hex}")
+    q = (
+        spark.readStream.format("lakelog_cdf")
+        .option("path", et)
+        .option("schema_ddl", "vec_id long, embedding array<float>")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = state.view().localCheckpoint()
+    head = lakelog.read_snapshot(spark, et).localCheckpoint()
+    queries = head.filter(F.col("vec_id") < _ANN_QUERIES)
+    rebuilt = ivf.assign_cells(head, centroids).localCheckpoint()
+    idx_missing, idx_extra = _ann_key_diff(
+        maintained, rebuilt, ["vec_id", "cell"]
+    )
+    m_topk = ivf.ivf_probe_topk(
+        maintained, queries, centroids, k=_ANN_K, nprobe=nprobe
+    ).localCheckpoint()
+    r_topk = ivf.ivf_probe_topk(
+        rebuilt, queries, centroids, k=_ANN_K, nprobe=nprobe
+    )
+    topk_missing, topk_extra = _ann_key_diff(
+        m_topk, r_topk, ["qid", "neighbor_id", "rank_n"]
+    )
+    bf = knn.brute_force_topk(head, queries, k=_ANN_K)
+    hits = m_topk.join(bf, ["qid", "neighbor_id"], "left_semi").count()
+    recall = hits / max(bf.count(), 1)
+
+    out = spark.createDataFrame(
+        [
+            (
+                int(head.count()),
+                int(maintained.count()),
+                int(idx_missing),
+                int(idx_extra),
+                int(topk_missing),
+                int(topk_extra),
+                int(recall >= 0.6),
+            )
+        ],
+        "n_head_vecs long, n_index_rows long, idx_missing long, "
+        "idx_extra long, topk_missing long, topk_extra long, "
+        "recall_ok long",
+    )
+    rows = out.collect()
+    shutil.rmtree(et, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -77,63 +77,84 @@ def train_codebooks(
     books = np.stack([init[:, a:b].copy() for a, b in bounds])  # (m,k,dsub)
 
     for _ in range(iters):
-        cb = books
-
-        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc = np.zeros((len(bounds), k_codes, dsub), dtype=np.float64)
-            cnt = np.zeros((len(bounds), k_codes), dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                x = _normalized(pdf[vec_col])
-                for mi, (a, b) in enumerate(bounds):
-                    xs = x[:, a:b]  # (rows, dsub)
-                    # L2 argmin == argmax(2<x,c> - |c|^2) per row
-                    d2 = (
-                        2.0 * (xs @ cb[mi].T)
-                        - (cb[mi] ** 2).sum(axis=1)[None, :]
-                    )
-                    codes = np.argmax(d2, axis=1)
-                    np.add.at(acc[mi], codes, xs)
-                    cnt[mi] += np.bincount(codes, minlength=k_codes)
-            mi_idx, code_idx = np.nonzero(cnt)
-            if len(mi_idx) == 0:
-                return
-            rows = []
-            for mi, ci in zip(mi_idx, code_idx):
-                rows.append(
-                    {
-                        "sub": int(mi),
-                        "code": int(ci),
-                        "s": acc[mi, ci].tolist(),
-                        "n": int(cnt[mi, ci]),
-                    }
-                )
-            yield pd.DataFrame(rows)
-
-        sums = (
-            emb.select(vec_col)
-            .mapInPandas(part, "sub int, code int, s array<double>, n long")
-            .groupBy("sub", "code")
-            .agg(
-                F.array(
-                    *[
-                        F.sum(F.col("s").getItem(i)).alias(f"s{i}")
-                        for i in range(dsub)
-                    ]
-                ).alias("s"),
-                F.sum("n").alias("n"),
-            )
-            .toPandas()
-        )
-        new = books.copy()
-        for _, r in sums.iterrows():
-            if r["n"] > 0:
-                new[int(r["sub"]), int(r["code"])] = (
-                    np.asarray(r["s"], dtype=np.float64) / r["n"]
-                )
-        books = new
+        # ONE definition of the Lloyd step (refine_codebooks), shared
+        # with the maintained-index staleness dial so training and
+        # re-train candidates cannot diverge (the ivf.py round-10
+        # discipline)
+        books = refine_codebooks(emb, books, vec_col)
     return books
+
+
+def refine_codebooks(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """One Lloyd step from EXISTING codebooks over the current
+    corpus — code ids keep their identity (each centroid moves
+    toward the mean of its current members; a code that lost all
+    members keeps its old position), which is what makes the
+    maintained-codes staleness comparison well-defined. Same
+    distributed partial-sums pass as training; only m × k × dsub
+    floats return to the driver."""
+    cb = codebooks
+    n_sub, k_codes, dsub = cb.shape
+    bounds = [(i * dsub, (i + 1) * dsub) for i in range(n_sub)]
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((n_sub, k_codes, dsub), dtype=np.float64)
+        cnt = np.zeros((n_sub, k_codes), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = _normalized(pdf[vec_col])
+            for mi, (a, b) in enumerate(bounds):
+                xs = x[:, a:b]  # (rows, dsub)
+                # L2 argmin == argmax(2<x,c> - |c|^2) per row
+                d2 = (
+                    2.0 * (xs @ cb[mi].T)
+                    - (cb[mi] ** 2).sum(axis=1)[None, :]
+                )
+                codes = np.argmax(d2, axis=1)
+                np.add.at(acc[mi], codes, xs)
+                cnt[mi] += np.bincount(codes, minlength=k_codes)
+        mi_idx, code_idx = np.nonzero(cnt)
+        if len(mi_idx) == 0:
+            return
+        rows = []
+        for mi, ci in zip(mi_idx, code_idx):
+            rows.append(
+                {
+                    "sub": int(mi),
+                    "code": int(ci),
+                    "s": acc[mi, ci].tolist(),
+                    "n": int(cnt[mi, ci]),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+    sums = (
+        emb.select(vec_col)
+        .mapInPandas(part, "sub int, code int, s array<double>, n long")
+        .groupBy("sub", "code")
+        .agg(
+            F.array(
+                *[
+                    F.sum(F.col("s").getItem(i)).alias(f"s{i}")
+                    for i in range(dsub)
+                ]
+            ).alias("s"),
+            F.sum("n").alias("n"),
+        )
+        .toPandas()
+    )
+    new = cb.copy()
+    for _, r in sums.iterrows():
+        if r["n"] > 0:
+            new[int(r["sub"]), int(r["code"])] = (
+                np.asarray(r["s"], dtype=np.float64) / r["n"]
+            )
+    return new
 
 
 def encode(
@@ -197,6 +218,45 @@ def pq_topk(
     tops out near recall 0.6; shortlist-50 + exact re-rank measures
     0.98 (tests/test_knn.py).
     """
+    books = train_codebooks(
+        corpus, dim, m=m, k_codes=k_codes, iters=train_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = encode(corpus, books, id_col, vec_col)
+    return pq_probe_topk(
+        codes,
+        corpus,
+        queries,
+        books,
+        k=k,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        max_queries=max_queries,
+    )
+
+
+def pq_probe_topk(
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """The ADC + shortlist + exact-re-rank half of pq_topk, factored
+    so a MAINTAINED codes lake table serves queries without
+    re-encoding the corpus (sim_pq_incremental_cdf): the codes table
+    replaces the float corpus for the scan; ``corpus`` (the source
+    embeddings table itself — no extra maintained state) is touched
+    only for the queries × rerank·k exact re-rank. One definition
+    shared with the build-once path, so the two cannot score
+    differently."""
     if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"pq_topk broadcasts the query block and got more than "
@@ -205,11 +265,9 @@ def pq_topk(
         )
     from pyspark.sql import Window
 
-    books = train_codebooks(
-        corpus, dim, m=m, k_codes=k_codes, iters=train_iters,
-        id_col=id_col, vec_col=vec_col,
-    )
-    codes = encode(corpus, books, id_col, vec_col)
+    books = codebooks
+    m = books.shape[0]
+    dim = m * books.shape[2]
 
     qpdf = queries.select(id_col, vec_col).toPandas()
     qids = qpdf[id_col].to_numpy()
