@@ -445,23 +445,24 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap between tables is free) and exact-ground-truth recall@10.
 
     Sweep discipline (the 100 TB posture): ALL max-L bucket columns
-    are hashed onto the corpus in ONE pass and localCheckpointed once
-    — at scale the corpus shuffle is the whole cost, and the L-axis
-    sweep re-probes only the 20-query side; candidate sets are
+    are hashed onto the corpus in ONE pass
+    (knn.srp_multitable_index) and localCheckpointed once — at scale
+    the corpus shuffle is the whole cost, and the L-axis sweep
+    re-probes only the 20-query side; candidate sets are
     PREFIX-UNIONS (tables 0..L−1), so recall and candidates are
     monotone in L by construction — contract-tested with the L=1
     point pinned ≡ the single-table curve's plateau point (same seed,
-    same probes). Rows-only by design (probe internals are not
-    SQL-expressible); contracts in tests/test_npipe9.py."""
+    same probes). As of round 10 the sweep is REBUILT on the shared
+    helpers (srp_multitable_index / multitable_candidates) that the
+    maintained-lake-table path (sim_multitable_incremental_cdf) and
+    its top-k serve from — one definition, so the recorded curve and
+    the maintained-index scoring cannot drift. Rows-only by design
+    (probe internals are not SQL-expressible); contracts in
+    tests/test_npipe9.py."""
+    from pyspark.sql import Window
+
     from etl_lens_spark.similarity import knn
-    from etl_lens_spark.similarity.knn import (
-        _as_double,
-        _probe_buckets,
-        _srp_bits,
-        dot,
-        make_planes,
-        norm,
-    )
+    from etl_lens_spark.similarity.knn import make_planes
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _MT_NQ)
@@ -475,54 +476,19 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = [
         make_planes(_MT_DIM, _MT_BITS, seed=42 + t) for t in range(max_l)
     ]
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        _as_double(F.col("embedding")).alias("__cvec"),
-    )
-    for t in range(max_l):
-        corpus = corpus.withColumn(
-            f"__b{t}", _srp_bits(F.col("__cvec"), planes[t])
-        )
-    corpus = corpus.withColumn(
-        "__cnorm", norm(F.col("__cvec"))
+    index = knn.srp_multitable_index(
+        emb, planes
     ).localCheckpoint()  # hashed ONCE for every table and every L
 
-    qbase = queries_df.select(
-        F.col("vec_id").alias("qid"),
-        _as_double(F.col("embedding")).alias("__qvec"),
-    ).withColumn("__qnorm", norm(F.col("__qvec")))
-
-    from pyspark.sql import Window
-
-    per_table = []
-    for t in range(max_l):
-        qt = qbase.withColumn(
-            "__b",
-            F.explode(
-                _probe_buckets(F.col("__qvec"), planes[t], _MT_PROBES)
-            ),
-        )
-        per_table.append(
-            corpus.join(
-                F.broadcast(qt), corpus[f"__b{t}"] == qt["__b"]
-            )
-            .filter(F.col("neighbor_id") != F.col("qid"))
-            .select(
-                "qid", "neighbor_id", "__qvec", "__qnorm",
-                "__cvec", "__cnorm",
-            )
-        )
     out_rows = []
     denom = len(truth)
     for n_tables in _MT_TABLES:
-        cands = per_table[0]
-        for t in range(1, n_tables):
-            cands = cands.unionByName(per_table[t])
-        deduped = cands.dropDuplicates(["qid", "neighbor_id"])
-        scored = deduped.withColumn(
-            "cos_sim",
-            dot(F.col("__cvec"), F.col("__qvec"))
-            / (F.col("__cnorm") * F.col("__qnorm")),
+        scored = knn.multitable_candidates(
+            index,
+            queries_df,
+            planes,
+            probes=_MT_PROBES,
+            n_tables=n_tables,
         )
         w = Window.partitionBy("qid").orderBy(
             F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -530,9 +496,7 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = scored.withColumn("rn", F.row_number().over(w)).filter(
             F.col("rn") <= _MT_K
         )
-        agg = scored.agg(
-            F.count(F.lit(1)).alias("n_cand")
-        ).collect()[0]
+        n_cand = scored.count()
         got = {
             (r["qid"], r["neighbor_id"])
             for r in top.select("qid", "neighbor_id").collect()
@@ -540,8 +504,8 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows.append(
             (
                 n_tables,
-                int(agg["n_cand"]),
-                float(agg["n_cand"]) / _MT_NQ,
+                int(n_cand),
+                float(n_cand) / _MT_NQ,
                 len(got & truth) / denom,
             )
         )

@@ -327,27 +327,31 @@ def srp_multitable_index(
     return out
 
 
-def multitable_probe_topk(
+def multitable_candidates(
     index: DataFrame,
     queries: DataFrame,
     planes_list: list[list[list[float]]],
-    k: int = 10,
     probes: int = 5,
     n_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
 ) -> DataFrame:
-    """Top-k from a multi-table SRP index (srp_multitable_index
-    rows): per-table candidate sets union, (query, neighbor) pairs
-    deduplicate BEFORE scoring, exact cosine ranks the survivors.
-    One definition shared by the build-once sweep and the maintained
-    lake-table path, so the two cannot score differently.
-    ``n_tables`` probes a prefix of the tables (the L-axis of the
-    operating curve); default all."""
-    from pyspark.sql import Window
-
+    """The DEDUPED scored candidate set (qid, neighbor_id, cos_sim)
+    from a multi-table SRP index: per-table candidate sets union,
+    (query, neighbor) pairs deduplicate BEFORE scoring. This is the
+    per-L unit of the operating-curve sweep (sim_ann_lsh_multitable
+    counts exactly these rows as its honest scan cost) AND the
+    scoring half of multitable_probe_topk — one definition, so the
+    sweep's recorded curve and the maintained-index serving path
+    cannot drift. ``n_tables`` probes a prefix of the tables (the
+    L-axis); default all."""
     L = n_tables if n_tables is not None else len(planes_list)
+    if L < 1 or L > len(planes_list):
+        raise ValueError(
+            f"n_tables={L} out of range for {len(planes_list)} "
+            "hyperplane tables"
+        )
     c = index.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cvec"),
@@ -380,10 +384,43 @@ def multitable_probe_topk(
     cands = parts[0]
     for p in parts[1:]:
         cands = cands.unionByName(p)
-    scored = cands.dropDuplicates([query_id_col, "neighbor_id"]).withColumn(
-        "cos_sim",
-        dot(F.col("__cvec"), F.col("__qvec"))
-        / (F.col("__cnorm") * F.col("__qnorm")),
+    return (
+        cands.dropDuplicates([query_id_col, "neighbor_id"])
+        .withColumn(
+            "cos_sim",
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
+        )
+        .select(query_id_col, "neighbor_id", "cos_sim")
+    )
+
+
+def multitable_probe_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    planes_list: list[list[list[float]]],
+    k: int = 10,
+    probes: int = 5,
+    n_tables: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Top-k from a multi-table SRP index (srp_multitable_index
+    rows): rank multitable_candidates by exact cosine. One
+    definition shared by the build-once sweep and the maintained
+    lake-table path, so the two cannot score differently."""
+    from pyspark.sql import Window
+
+    scored = multitable_candidates(
+        index,
+        queries,
+        planes_list,
+        probes=probes,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

@@ -218,6 +218,15 @@ def pq_topk(
     tops out near recall 0.6; shortlist-50 + exact re-rank measures
     0.98 (tests/test_knn.py).
     """
+    # fail fast BEFORE the eager codebook training pays iters full
+    # distributed passes (round-10 review fix — the guard also runs
+    # inside pq_probe_topk for direct maintained-index callers)
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"pq_topk broadcasts the query block and got more than "
+            f"max_queries={max_queries} queries; raise max_queries "
+            "explicitly if you mean it"
+        )
     books = train_codebooks(
         corpus, dim, m=m, k_codes=k_codes, iters=train_iters,
         id_col=id_col, vec_col=vec_col,
