@@ -459,8 +459,6 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the maintained-index scoring cannot drift. Rows-only by design
     (probe internals are not SQL-expressible); contracts in
     tests/test_npipe9.py."""
-    from pyspark.sql import Window
-
     from etl_lens_spark.similarity import knn
     from etl_lens_spark.similarity.knn import make_planes
 
@@ -476,9 +474,16 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = [
         make_planes(_MT_DIM, _MT_BITS, seed=42 + t) for t in range(max_l)
     ]
-    index = knn.srp_multitable_index(
-        emb, planes
-    ).localCheckpoint()  # hashed ONCE for every table and every L
+    from etl_lens_spark.similarity.knn import norm
+
+    # hashed ONCE for every table and every L, norms materialized
+    # into the checkpoint (multitable_candidates reuses a present
+    # __cnorm instead of recomputing it per sweep action)
+    index = (
+        knn.srp_multitable_index(emb, planes)
+        .withColumn("__cnorm", norm(F.col("embedding")))
+        .localCheckpoint()
+    )
 
     out_rows = []
     denom = len(truth)
@@ -490,11 +495,15 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             probes=_MT_PROBES,
             n_tables=n_tables,
         )
-        w = Window.partitionBy("qid").orderBy(
-            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-        )
-        top = scored.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= _MT_K
+        # ranking delegates to the SAME function the maintained-index
+        # path serves with — the anti-drift claim covers ranking too
+        top = knn.multitable_probe_topk(
+            index,
+            queries_df,
+            planes,
+            k=_MT_K,
+            probes=_MT_PROBES,
+            n_tables=n_tables,
         )
         n_cand = scored.count()
         got = {

@@ -352,11 +352,17 @@ def multitable_candidates(
             f"n_tables={L} out of range for {len(planes_list)} "
             "hyperplane tables"
         )
+    keep_norm = "__cnorm" in index.columns
     c = index.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cvec"),
         *[F.col(f"b{t}") for t in range(L)],
-    ).withColumn("__cnorm", norm(F.col("__cvec")))
+        *(["__cnorm"] if keep_norm else []),
+    )
+    if not keep_norm:
+        # a sweep that probes the same index many times materializes
+        # __cnorm into its checkpoint; a one-shot probe computes it
+        c = c.withColumn("__cnorm", norm(F.col("__cvec")))
     qbase = queries.select(
         F.col(id_col).alias(query_id_col),
         _as_double(F.col(vec_col)).alias("__qvec"),

@@ -219,8 +219,8 @@ def pq_topk(
     0.98 (tests/test_knn.py).
     """
     # fail fast BEFORE the eager codebook training pays iters full
-    # distributed passes (round-10 review fix — the guard also runs
-    # inside pq_probe_topk for direct maintained-index callers)
+    # distributed passes (round-10 review fix); the delegation below
+    # passes max_queries=None so the guard's count job runs ONCE
     if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"pq_topk broadcasts the query block and got more than "
@@ -242,7 +242,7 @@ def pq_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
-        max_queries=max_queries,
+        max_queries=None,
     )
 
 
@@ -256,7 +256,7 @@ def pq_probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
-    max_queries: int = 10_000,
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """The ADC + shortlist + exact-re-rank half of pq_topk, factored
     so a MAINTAINED codes lake table serves queries without
@@ -265,8 +265,12 @@ def pq_probe_topk(
     embeddings table itself — no extra maintained state) is touched
     only for the queries × rerank·k exact re-rank. One definition
     shared with the build-once path, so the two cannot score
-    differently."""
-    if queries.limit(max_queries + 1).count() > max_queries:
+    differently. ``max_queries=None`` skips the size guard — for
+    callers (pq_topk) that already validated the same frame, so the
+    guard's count job runs once per call chain."""
+    if max_queries is not None and (
+        queries.limit(max_queries + 1).count() > max_queries
+    ):
         raise ValueError(
             f"pq_topk broadcasts the query block and got more than "
             f"max_queries={max_queries} queries; raise max_queries "
