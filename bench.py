@@ -124,6 +124,20 @@ def main() -> None:
         all_runs[name] = runs
         timings[name] = min(runs)
 
+    # END-of-run calibration (round-10 judge item): in-run box
+    # degradation poisoned BENCH_r10 invisibly because the anchor ran
+    # only at the start. Re-running the pinned anchor after the last
+    # headliner makes a degrading box readable from the JSON alone; a
+    # start/end divergence > 1.3× marks the run self-invalidating.
+    cal_end_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_full(_calibration_df(spark))
+        cal_end_runs.append(round(time.perf_counter() - t0, 3))
+    cal_start = min(cal_runs)
+    cal_end = min(cal_end_runs)
+    drift = round(max(cal_start, cal_end) / min(cal_start, cal_end), 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -135,8 +149,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": all_runs,
-        "calibration_sec": min(cal_runs),
+        "calibration_sec": cal_start,
         "calibration_runs": cal_runs,
+        "calibration_end_sec": cal_end,
+        "calibration_end_runs": cal_end_runs,
+        "calibration_drift": drift,
+        "self_invalidating": drift > 1.3,
         "split_queries": sorted(BENCH_SETUP),
         "untimed_setup_sec": setup_secs,
         "sf": sf_val,

@@ -2267,22 +2267,44 @@ def rewrite_minus_ids(
     copy-pasted per index). O(index) rewrite, O(changes) join
     build-side; at 100 TB you'd shard this by the index's bucket
     column — the anti-join itself already prunes to matching
-    partitions when the index is bucketed by id."""
+    partitions when the index is bucketed by id.
+
+    Concurrency: a lost O_EXCL race re-reads the snapshot and
+    REDOES the rewrite against the winner's state (the delete must
+    subtract from whatever the concurrent committer landed, not
+    from the stale snapshot), cleaning up the stranded rel — the
+    same retry discipline as commit_idempotent, because a silently
+    lost delete is a correctness bug, not a perf nit."""
+    import shutil
+
     from pyspark.sql import functions as F
 
-    active = snapshot_actions(table_dir)
-    version = _next_version(table_dir)
-    rel = f"minus_{version:08d}"
-    new = read_snapshot(spark, table_dir).join(
-        F.broadcast(gone), F.col(id_col) == F.col(gone_col), "left_anti"
-    )
-    new.write.parquet(os.path.join(table_dir, rel))
-    commit(
-        table_dir,
-        version,
-        [{"remove": r} for r in active] + [{"add": rel}],
-    )
-    return {"version": version, "rel": rel}
+    while True:
+        active = snapshot_actions(table_dir)
+        version = _next_version(table_dir)
+        rel = f"minus_{version:08d}"
+        new = read_snapshot(spark, table_dir).join(
+            F.broadcast(gone),
+            F.col(id_col) == F.col(gone_col),
+            "left_anti",
+        )
+        new.write.mode("overwrite").parquet(
+            os.path.join(table_dir, rel)
+        )
+        try:
+            commit(
+                table_dir,
+                version,
+                [{"remove": r} for r in active] + [{"add": rel}],
+            )
+            return {"version": version, "rel": rel}
+        except CommitConflict:
+            # lost the race: the written rel reflects a stale
+            # snapshot — remove it and rebuild on the new head
+            shutil.rmtree(
+                os.path.join(table_dir, rel), ignore_errors=True
+            )
+            continue
 
 
 def find_orphans(table_dir: str) -> list[str]:

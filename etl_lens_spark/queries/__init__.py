@@ -121,6 +121,7 @@ def _load() -> None:
         npipe10,
         npipe11,
         npipe12,
+        npipe13,
         pca_q,
         quality_q,
         quant_q,

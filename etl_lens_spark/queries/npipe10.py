@@ -488,13 +488,15 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_rows = []
     denom = len(truth)
     for n_tables in _MT_TABLES:
+        # scored once per L: the count (the sweep's honest scan
+        # cost) and the ranking ride the SAME checkpointed frame
         scored = knn.multitable_candidates(
             index,
             queries_df,
             planes,
             probes=_MT_PROBES,
             n_tables=n_tables,
-        )
+        ).localCheckpoint()
         # ranking delegates to the SAME function the maintained-index
         # path serves with — the anti-drift claim covers ranking too
         top = knn.multitable_probe_topk(
@@ -504,6 +506,7 @@ def sim_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_MT_K,
             probes=_MT_PROBES,
             n_tables=n_tables,
+            candidates=scored,
         )
         n_cand = scored.count()
         got = {

@@ -876,16 +876,17 @@ def streaming_dedup_lsh_live(
     state = _LshLiveState()
 
     def _apply_version(vdf) -> None:
-        ins = vdf.filter(F.col("_change_type") == "insert").select(
-            "doc_id", "text"
-        )
-        if not ins.isEmpty():
-            state.apply_inserts(ins)
-        gone_rows = vdf.filter(F.col("_change_type") == "delete").select(
-            "doc_id", "text"
-        )
+        # Deletes BEFORE inserts within a version, upsert pre/post
+        # images folded into the same two rules (live_index rules).
+        from etl_lens_spark.streaming import live_index
+
+        dels, ins_rows = live_index.split_version_changes(vdf)
+        gone_rows = dels.select("doc_id", "text")
         if not gone_rows.isEmpty():
             state.apply_deletes(gone_rows)
+        ins = ins_rows.select("doc_id", "text")
+        if not ins.isEmpty():
+            state.apply_inserts(ins)
 
     def sink(batch_df, epoch_id):
         b = batch_df.localCheckpoint()

@@ -986,6 +986,7 @@ def streaming_ann_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lens_spark.operators import lakelog
     from etl_lens_spark.similarity import ivf, knn
     from etl_lens_spark.sources.pyds import LakeLogCDFStreamDataSource
+    from etl_lens_spark.streaming import live_index
     from etl_lens_spark.streaming.live_index import LiveIndexState
 
     n_cells, nprobe, train_iters = ivf_params(spark)
@@ -1003,20 +1004,19 @@ def streaming_ann_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = LiveIndexState("vec_id")
 
     def _apply_version(vdf) -> None:
-        ins = vdf.filter(F.col("_change_type") == "insert").select(
-            "vec_id", "embedding"
-        )
+        # Deletes BEFORE inserts within a version, upsert pre/post
+        # images folded into the same two rules (live_index rules).
+        dels, ins_rows = live_index.split_version_changes(vdf)
+        gone = dels.select(
+            F.col("vec_id").alias("__gone")
+        ).distinct()
+        if not gone.isEmpty():
+            state.delete(gone.localCheckpoint())
+        ins = ins_rows.select("vec_id", "embedding")
         if not ins.isEmpty():
             state.append(
                 ivf.assign_cells(ins, centroids).localCheckpoint()
             )
-        gone = (
-            vdf.filter(F.col("_change_type") == "delete")
-            .select(F.col("vec_id").alias("__gone"))
-            .distinct()
-        )
-        if not gone.isEmpty():
-            state.delete(gone.localCheckpoint())
 
     def sink(batch_df, epoch_id):
         b = batch_df.localCheckpoint()

@@ -249,8 +249,11 @@ def stale_fraction(
     )
     return re.agg(
         F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.sum(
-            (F.col("cell") != F.col("cell_stored")).cast("long")
+        F.coalesce(
+            F.sum(
+                (F.col("cell") != F.col("cell_stored")).cast("long")
+            ),
+            F.lit(0).cast("long"),
         ).alias("n_stale"),
     )
 

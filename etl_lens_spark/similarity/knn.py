@@ -411,22 +411,32 @@ def multitable_probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "qid",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k from a multi-table SRP index (srp_multitable_index
     rows): rank multitable_candidates by exact cosine. One
     definition shared by the build-once sweep and the maintained
-    lake-table path, so the two cannot score differently."""
+    lake-table path, so the two cannot score differently.
+    ``candidates`` lets a caller that already materialized the
+    scored candidate frame (the operating-curve sweep counts it as
+    its honest scan cost) rank it directly instead of probing and
+    scoring a second time; it must be a multitable_candidates result
+    for the SAME (index, queries, planes, probes, n_tables)."""
     from pyspark.sql import Window
 
-    scored = multitable_candidates(
-        index,
-        queries,
-        planes_list,
-        probes=probes,
-        n_tables=n_tables,
-        id_col=id_col,
-        vec_col=vec_col,
-        query_id_col=query_id_col,
+    scored = (
+        candidates
+        if candidates is not None
+        else multitable_candidates(
+            index,
+            queries,
+            planes_list,
+            probes=probes,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

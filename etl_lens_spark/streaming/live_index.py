@@ -23,6 +23,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The CDF → index-maintenance rule mapping every maintainer shares:
+# an upsert's postimage row is an insert of the new value and its
+# preimage a delete of the old one, so a maintainer that handles
+# (insert, delete) handles the full merge_upsert(cdf=True) surface
+# by this fold. Anything else is a protocol we don't know — raise,
+# never silently drop change rows.
+_DELETE_TYPES = ("delete", "update_preimage")
+_INSERT_TYPES = ("insert", "update_postimage")
+
+
+def split_version_changes(
+    vdf: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(deletes, inserts) for ONE commit version of a CDF frame.
+
+    Deletes come FIRST in the tuple because they must be applied
+    before the version's inserts: a same-key replace expressed as
+    delete+insert inside one commit must tombstone only the rows
+    that preceded the commit, never the rows the same commit is
+    appending (LiveIndexState folds a tombstone over all preceding
+    parts, so insert-then-delete would eat the fresh rows).
+    Unknown ``_change_type`` values raise instead of being filtered
+    away — a maintainer that silently drops change rows corrupts
+    its index without any test noticing.
+    """
+    kinds = {
+        r[0] for r in vdf.select("_change_type").distinct().collect()
+    }
+    unknown = kinds - set(_DELETE_TYPES) - set(_INSERT_TYPES)
+    if unknown:
+        raise ValueError(
+            "unexpected _change_type values "
+            f"{sorted(unknown)}; maintainers understand "
+            f"{sorted(_DELETE_TYPES + _INSERT_TYPES)} only"
+        )
+    dels = vdf.filter(F.col("_change_type").isin(*_DELETE_TYPES))
+    ins = vdf.filter(F.col("_change_type").isin(*_INSERT_TYPES))
+    return dels, ins
+
 
 class LiveIndexState:
     """Ordered parts + tombstones with bounded plan depth.
