@@ -258,6 +258,46 @@ def stale_fraction(
     )
 
 
+def centroids_to_df(spark, centroids: np.ndarray, epoch: int):
+    """The centroid matrix as rows ``(cell, dim_i, val, epoch)`` —
+    the persistence format that lets the quantizer live as a MEMBER
+    REL of the index's own lake table, so one atomic multi-table
+    commit swaps (cells, centroids) together and a reader resolving
+    any version gets a matched pair (the sim_ann_retrain_swap
+    zero-downtime contract). k × dim rows — driver-sized."""
+    k, dim = centroids.shape
+    rows = [
+        (int(c), int(j), float(centroids[c, j]), int(epoch))
+        for c in range(k)
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, dim_i int, val double, epoch int"
+    )
+
+
+def centroids_from_df(cent_df) -> tuple[np.ndarray, int]:
+    """Inverse of centroids_to_df: ``(matrix, epoch)`` from the cent
+    member rel at one version. RAISES if the rows carry more than
+    one epoch — a mixed-epoch centroid read IS a torn index state,
+    which the atomic-swap commit makes impossible; raising turns any
+    future regression into a loud failure instead of silently
+    serving with a Frankenstein quantizer."""
+    rows = cent_df.collect()
+    epochs = {r["epoch"] for r in rows}
+    if len(epochs) != 1:
+        raise ValueError(
+            f"torn centroid state: epochs {sorted(epochs)} in one "
+            "snapshot (the atomic swap contract is broken)"
+        )
+    k = max(r["cell"] for r in rows) + 1
+    dim = max(r["dim_i"] for r in rows) + 1
+    m = np.zeros((k, dim), dtype=np.float64)
+    for r in rows:
+        m[r["cell"], r["dim_i"]] = r["val"]
+    return m, epochs.pop()
+
+
 def refine_centroids(
     emb: DataFrame,
     centroids: np.ndarray,

@@ -345,6 +345,16 @@ HEADLINE_PINS = {
     # the exact-equality oracle columns and the bench_setup split
     # times exactly the incremental path + maintained-index serving
     "sim_ann_incremental_cdf": (0, set(), set()),
+    # --- round-11 headliners ---
+    # incremental BM25 postings index / hybrid retrieval from two
+    # maintained indexes: collected proof rows (LocalTableScan); the
+    # maintenance plans (delta-only tokenize+append, broadcast
+    # anti-join deletes, query-vocabulary postings filter before any
+    # shuffle) are pinned by the exact-equality oracle columns and
+    # the bench_setup splits time exactly the incremental +
+    # maintained-serving paths, same convention as lake_merge_upsert
+    "text_bm25_incremental_cdf": (0, set(), set()),
+    "rank_rrf_incremental_cdf": (0, set(), set()),
 }
 
 
