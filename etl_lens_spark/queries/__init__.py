@@ -122,6 +122,7 @@ def _load() -> None:
         npipe11,
         npipe12,
         npipe13,
+        npipe14,
         pca_q,
         quality_q,
         quant_q,

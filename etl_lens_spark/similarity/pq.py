@@ -356,3 +356,46 @@ def pq_probe_topk(
         .filter(F.col("rank_n") <= k)
         .select(query_id_col, "neighbor_id", "rank_n", "cos_sim", "approx_sim")
     )
+
+
+def codebooks_to_df(spark, codebooks: np.ndarray, epoch: int):
+    """The (m, k, dsub) codebook tensor as rows ``(sub, code, dim_i,
+    val, epoch)`` — the persistence format that lets the quantizer
+    live as a MEMBER REL of the codes table's own lake log, so one
+    atomic multi-table commit swaps (codes, codebooks) together and
+    a reader resolving any version decodes with a matched pair (the
+    sim_pq_retrain_swap zero-downtime contract; the PQ analog of
+    ivf.centroids_to_df). m·k·dsub = m·k·(dim/m) = k·dim rows —
+    driver-sized."""
+    m, k, dsub = codebooks.shape
+    rows = [
+        (int(mi), int(ci), int(j), float(codebooks[mi, ci, j]), int(epoch))
+        for mi in range(m)
+        for ci in range(k)
+        for j in range(dsub)
+    ]
+    return spark.createDataFrame(
+        rows, "sub int, code int, dim_i int, val double, epoch int"
+    )
+
+
+def codebooks_from_df(books_df) -> tuple[np.ndarray, int]:
+    """Inverse of codebooks_to_df: ``(tensor, epoch)`` from the
+    books member rel at one version. RAISES on a mixed-epoch read —
+    ADC lookup tables built from a Frankenstein codebook mis-rank
+    silently, so a torn state must not even deserialize (the
+    centroids_from_df discipline)."""
+    rows = books_df.collect()
+    epochs = {r["epoch"] for r in rows}
+    if len(epochs) != 1:
+        raise ValueError(
+            f"torn codebook state: epochs {sorted(epochs)} in one "
+            "snapshot (the atomic swap contract is broken)"
+        )
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    dsub = max(r["dim_i"] for r in rows) + 1
+    t = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in rows:
+        t[r["sub"], r["code"], r["dim_i"]] = r["val"]
+    return t, epochs.pop()

@@ -198,3 +198,52 @@ def phrase_hits(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.min("start_pos").cast("long").alias("first_pos"),
     )
+
+
+def stats_to_df(
+    spark, n_docs: int, avgdl: float, df_map: dict[str, int], epoch: int
+) -> DataFrame:
+    """The frozen BM25 statistics as rows ``(kind, term, val,
+    epoch)`` — the persistence format that lets the statistics live
+    as a MEMBER REL of the postings table's own lake log, so one
+    atomic multi-table commit swaps them and a reader resolving any
+    version serves under exactly one statistics epoch (the
+    text_bm25_restats_swap zero-downtime contract; the lexical
+    analog of ivf.centroids_to_df). 2 + |vocabulary| rows —
+    driver-sized."""
+    rows = [
+        ("n_docs", "", float(n_docs), int(epoch)),
+        ("avgdl", "", float(avgdl), int(epoch)),
+    ] + [
+        ("df", t, float(d), int(epoch))
+        for t, d in sorted(df_map.items())
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, term string, val double, epoch int"
+    )
+
+
+def stats_from_df(
+    stats_df: DataFrame,
+) -> tuple[int, float, dict[str, int], int]:
+    """Inverse of stats_to_df: ``(n_docs, avgdl, df_map, epoch)``
+    from the stats member rel at one version. RAISES if the rows
+    carry more than one epoch — mixed-epoch statistics ARE a torn
+    index state (scores under n_docs from one epoch and df from
+    another are meaningless), which the atomic swap makes
+    impossible; raising turns any regression into a loud failure
+    instead of silently mis-ranking."""
+    rows = stats_df.collect()
+    epochs = {r["epoch"] for r in rows}
+    if len(epochs) != 1:
+        raise ValueError(
+            f"torn statistics state: epochs {sorted(epochs)} in one "
+            "snapshot (the atomic swap contract is broken)"
+        )
+    kv = {(r["kind"], r["term"]): r["val"] for r in rows}
+    n_docs = int(kv[("n_docs", "")])
+    avgdl = float(kv[("avgdl", "")])
+    df_map = {
+        t: int(v) for (k, t), v in kv.items() if k == "df"
+    }
+    return n_docs, avgdl, df_map, epochs.pop()

@@ -1,0 +1,125 @@
+"""Round-11 tranche-3 tests: statistics / codebook persistence
+round-trips and their torn-read raises, and the stats-member atomic
+swap observed through the multi-table log.
+
+The registry queries (npipe14) pin the end-to-end loops against
+DuckDB; these pin the raise paths and the version-resolution edge
+the oracles can't reach.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lens_spark.sources import sinks
+
+
+def test_lexical_stats_roundtrip_and_torn_raise(spark):
+    from etl_lens_spark.text import lexical
+
+    df = lexical.stats_to_df(
+        spark, 120, 34.5, {"spark": 40, "join": 7}, epoch=1
+    )
+    n, avgdl, dfm, epoch = lexical.stats_from_df(df)
+    assert (n, avgdl, epoch) == (120, 34.5, 1)
+    assert dfm == {"spark": 40, "join": 7}
+    torn = df.union(
+        lexical.stats_to_df(spark, 300, 34.5, {"spark": 90}, epoch=2)
+    )
+    with pytest.raises(ValueError, match="torn"):
+        lexical.stats_from_df(torn)
+
+
+def test_pq_codebooks_roundtrip_and_torn_raise(spark):
+    import numpy as np
+
+    from etl_lens_spark.similarity import pq
+
+    t = np.arange(2 * 3 * 4, dtype=np.float64).reshape(2, 3, 4)
+    df = pq.codebooks_to_df(spark, t, epoch=5)
+    back, epoch = pq.codebooks_from_df(df)
+    assert epoch == 5 and np.array_equal(back, t)
+    torn = df.union(pq.codebooks_to_df(spark, t, epoch=6))
+    with pytest.raises(ValueError, match="torn"):
+        pq.codebooks_from_df(torn)
+
+
+def test_stats_member_swap_is_atomic_and_replayable(spark):
+    """The re-stat commit swaps ONLY the stats member: the postings
+    member is byte-identical across the swap, a reader at the old
+    version still deserializes epoch-0 statistics after the swap
+    landed, and the new version serves epoch-1 — the
+    text_bm25_restats_swap contract at the log level."""
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.text import lexical
+
+    t = sinks.scratch_path("rstat_unit")
+    shutil.rmtree(t, ignore_errors=True)
+    docs = spark.createDataFrame(
+        [(1, "spark join"), (2, "join join filter")],
+        "doc_id long, text string",
+    )
+    lexical.postings(docs).write.parquet(f"{t}/post/s0")
+    lexical.stats_to_df(spark, 2, 2.5, {"join": 2}, epoch=0).coalesce(
+        1
+    ).write.parquet(f"{t}/stats/c0")
+    lakelog.commit(t, 0, [{"add": "post/s0"}, {"add": "stats/c0"}])
+
+    lexical.stats_to_df(spark, 9, 4.0, {"join": 5}, epoch=1).coalesce(
+        1
+    ).write.parquet(f"{t}/stats/c1")
+    lakelog.commit(
+        t, 1, [{"remove": "stats/c0"}, {"add": "stats/c1"}]
+    )
+
+    n0, _a0, dfm0, e0 = lexical.stats_from_df(
+        lakelog.read_table_snapshot(spark, t, "stats", 0)
+    )
+    n1, _a1, dfm1, e1 = lexical.stats_from_df(
+        lakelog.read_table_snapshot(spark, t, "stats", 1)
+    )
+    assert (n0, e0, dfm0["join"]) == (2, 0, 2)
+    assert (n1, e1, dfm1["join"]) == (9, 1, 5)
+    p0 = lakelog.read_table_snapshot(spark, t, "post", 0)
+    p1 = lakelog.read_table_snapshot(spark, t, "post", 1)
+    assert p0.exceptAll(p1).isEmpty() and p1.exceptAll(p0).isEmpty()
+    shutil.rmtree(t, ignore_errors=True)
+
+
+def test_live_postings_delete_then_reinsert_survives(spark):
+    """The live lexical maintainer's state transitions: a document
+    deleted in one epoch and re-inserted (new text) in a later one
+    serves the NEW postings — the ordered-tombstone property on
+    postings rows keyed by doc_id."""
+    from etl_lens_spark.streaming.live_index import LiveIndexState
+    from etl_lens_spark.text import lexical
+
+    state = LiveIndexState("doc_id")
+    state.append(
+        lexical.postings(
+            spark.createDataFrame(
+                [(1, "spark spark"), (2, "join")],
+                "doc_id long, text string",
+            )
+        ).localCheckpoint()
+    )
+    state.delete(
+        spark.createDataFrame([(1,)], "g long")
+        .select(F.col("g").alias("__gone"))
+        .localCheckpoint()
+    )
+    state.append(
+        lexical.postings(
+            spark.createDataFrame(
+                [(1, "filter")], "doc_id long, text string"
+            )
+        ).localCheckpoint()
+    )
+    got = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in state.view().collect()
+    }
+    assert got == {(1, "filter", 1), (2, "join", 1)}
