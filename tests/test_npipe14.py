@@ -123,3 +123,75 @@ def test_live_postings_delete_then_reinsert_survives(spark):
         for r in state.view().collect()
     }
     assert got == {(1, "filter", 1), (2, "join", 1)}
+
+
+def test_curation_insert_replacement_path(spark):
+    """A delta doc with a SMALLER id than the standing keeper must
+    evict it (the rule is total even though the registry fixture's
+    planted copies all carry larger ids)."""
+    from etl_lens_spark.text import curation
+
+    curated = spark.createDataFrame(
+        [("h1", 50, 30), ("h2", 7, 40)],
+        "fp string, doc_id long, n_tokens long",
+    )
+    delta = spark.createDataFrame(
+        [("h1", 12, 30), ("h1", 90, 30), ("h3", 3, 25)],
+        "fp string, doc_id long, n_tokens long",
+    )
+    adds, replaced = curation.insert_deltas(delta, curated)
+    assert {(r["fp"], r["doc_id"]) for r in adds.collect()} == {
+        ("h1", 12),
+        ("h3", 3),
+    }
+    assert {(r["fp"], r["doc_id"]) for r in replaced.collect()} == {
+        ("h1", 50)
+    }
+
+
+def test_curation_delete_promotion_and_extinction(spark):
+    """Deleting a keeper promotes the next-smallest SURVIVING
+    duplicate; deleting the last copy removes the fingerprint with
+    no promotion."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.text import curation
+
+    support = spark.createDataFrame(
+        [("h1", 1, 30), ("h1", 9, 30), ("h1", 4, 30), ("h2", 2, 40)],
+        "fp string, doc_id long, n_tokens long",
+    )
+    curated = curation.elect_keepers(support)
+    gone = spark.createDataFrame([(1,), (2,)], "g long").select(
+        F.col("g").alias("__gone")
+    )
+    support_after = support.join(
+        gone, F.col("doc_id") == F.col("__gone"), "left_anti"
+    )
+    removed, promoted = curation.delete_deltas(
+        support_after, curated, gone
+    )
+    assert {(r["fp"], r["doc_id"]) for r in removed.collect()} == {
+        ("h1", 1),
+        ("h2", 2),
+    }
+    # h1 re-elects its smallest survivor; h2 went extinct
+    assert {(r["fp"], r["doc_id"]) for r in promoted.collect()} == {
+        ("h1", 4)
+    }
+
+
+def test_curation_gate_is_text_deterministic(spark):
+    """Exact duplicates agree on the gate (it is a pure function of
+    the text) — the property that keeps the keeper rule total."""
+    from etl_lens_spark.text import curation
+
+    good = " ".join(f"w{i}" for i in range(30))  # 30 unique tokens
+    docs = spark.createDataFrame(
+        [(1, good), (1_000_001, good), (2, "too short")],
+        "doc_id long, text string",
+    )
+    got = curation.gate(docs).collect()
+    assert {r["doc_id"] for r in got} == {1, 1_000_001}
+    fps = {r["fp"] for r in got}
+    assert len(fps) == 1  # identical text, identical fingerprint

@@ -355,6 +355,12 @@ HEADLINE_PINS = {
     # maintained-serving paths, same convention as lake_merge_upsert
     "text_bm25_incremental_cdf": (0, set(), set()),
     "rank_rrf_incremental_cdf": (0, set(), set()),
+    # curated-corpus IVM: collected proof rows (LocalTableScan); the
+    # maintenance plans (delta-only gate, fp-probe join, broadcast
+    # anti-join deletes, affected-fp-pruned re-election) are pinned
+    # by the exact-equality oracle columns and the bench_setup split
+    # times exactly the incremental maintenance path
+    "pipeline_incremental_curation_cdf": (0, set(), set()),
 }
 
 
