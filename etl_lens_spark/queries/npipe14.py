@@ -24,6 +24,13 @@ that re-train:
   batch/live symmetry the IVF and LSH families already have
   (streaming_ann_live / streaming_dedup_lsh_live).
 
+Tranche 4 then applies the maintained-table program to the CURATION
+OUTPUT itself (``pipeline_incremental_curation_cdf`` — the gated,
+exact-deduped corpus manifest as a support/ + curated/ multi-table
+log with keeper promotion on delete, text/curation.py) and gives it
+the live twin too (``streaming_curation_live`` — support as the
+live state, the curated manifest served by election over it).
+
 Shared algebra: text/lexical.py and similarity/pq.py only — the
 build-once, batch-incremental, swap, and live paths all score
 through the same functions, so the equality pins are pins on the
@@ -1034,3 +1041,152 @@ def _bench_incremental_curation(spark: SparkSession, sf_dir: str):
         )
 
     return _maintained
+
+
+_SCUR_ORACLE = f"""
+    WITH copies AS (
+        SELECT doc_id + {_CUR_OFFSET} AS doc_id, text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM copies
+    ),
+    head AS (SELECT * FROM all_docs WHERE doc_id % 15 <> 0),
+    gated AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS fp,
+               doc_id
+        FROM head
+        WHERE len(string_split(text, ' ')) BETWEEN 25 AND 5000
+          AND len(list_distinct(string_split(lower(text), ' '))) * 1.0
+                / len(string_split(text, ' ')) >= 0.35
+    ),
+    keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp)
+    SELECT CAST((SELECT COUNT(*) FROM gated) AS BIGINT) AS n_support,
+           CAST(COUNT(*) AS BIGINT) AS n_curated,
+           CAST((SELECT COUNT(*) FROM keepers
+                 WHERE doc_id >= {_CUR_OFFSET}) AS BIGINT)
+             AS n_promoted,
+           CAST(0 AS BIGINT) AS support_missing,
+           CAST(0 AS BIGINT) AS support_extra,
+           CAST(0 AS BIGINT) AS curated_missing,
+           CAST(0 AS BIGINT) AS curated_extra
+    FROM keepers
+"""
+
+
+@query("streaming_curation_live", oracle=_SCUR_ORACLE)
+def streaming_curation_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE twin of pipeline_incremental_curation_cdf — the curated
+    corpus maintained FROM BIRTH by the ``lakelog_cdf`` STREAMING
+    source, completing the batch/live symmetry for the curation
+    pipeline (the fourth live maintainer, after LSH / IVF / BM25 —
+    all through the same LiveIndexState + split_version_changes
+    machinery, so none can drift from the others).
+
+    The live state is the SUPPORT relation (every gated doc, keyed
+    by doc_id — inserts gate the delta alone and append; deletes
+    tombstone), and the curated manifest is SERVED by electing
+    keepers over the live support view (curation.elect_keepers, the
+    shared one-shuffle algebraic min_by). This is the
+    promotion-correct-by-construction formulation: a departed
+    keeper's fingerprint re-elects automatically at the next
+    election because the survivors are still in support — the
+    support-is-the-state insight the batch twin materializes
+    explicitly. (The batch twin's curated/ member is the
+    incremental materialization of THIS election; the equality of
+    the two paths is exactly what both queries' from-scratch pins
+    certify.)
+
+    Pins: live support ≡ gated head snapshot on (fp, doc_id,
+    n_tokens); curated-served ≡ from-scratch curation on (fp,
+    doc_id); n_support / n_curated / n_promoted value-matched by
+    the DuckDB oracle's independent from-scratch curation."""
+    import shutil
+    import uuid
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.queries.npipe12 import _ann_key_diff
+    from etl_lens_spark.sources.pyds import LakeLogCDFStreamDataSource
+    from etl_lens_spark.streaming import live_index
+    from etl_lens_spark.streaming.live_index import LiveIndexState
+    from etl_lens_spark.text import curation
+
+    dt = _curation_source(spark, sf_dir, "scur_docs")
+    try:
+        spark.dataSource.register(LakeLogCDFStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+    state = LiveIndexState("doc_id")
+
+    def _apply_version(vdf) -> None:
+        dels, ins_rows = live_index.split_version_changes(vdf)
+        gone = dels.select(F.col("doc_id").alias("__gone")).distinct()
+        if not gone.isEmpty():
+            state.delete(gone.localCheckpoint())
+        ins = ins_rows.select("doc_id", "text")
+        if not ins.isEmpty():
+            state.append(curation.gate(ins).localCheckpoint())
+
+    def sink(batch_df, epoch_id):
+        b = batch_df.localCheckpoint()
+        versions = sorted(
+            r[0]
+            for r in b.select("_commit_version").distinct().collect()
+        )
+        for v in versions:  # commit order inside the micro-batch
+            _apply_version(b.filter(F.col("_commit_version") == v))
+
+    ckpt = sinks.scratch_path(f"ckpt_scur_{uuid.uuid4().hex}")
+    q = (
+        spark.readStream.format("lakelog_cdf")
+        .option("path", dt)
+        .option("schema_ddl", "doc_id long, text string")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    support = state.view().localCheckpoint()
+    curated = curation.elect_keepers(support).localCheckpoint()
+    head = lakelog.read_snapshot(spark, dt)
+    ref_support = curation.gate(head).localCheckpoint()
+    ref_curated = curation.elect_keepers(ref_support)
+    support_missing, support_extra = _ann_key_diff(
+        support, ref_support, ["fp", "doc_id", "n_tokens"]
+    )
+    curated_missing, curated_extra = _ann_key_diff(
+        curated, ref_curated, ["fp", "doc_id"]
+    )
+
+    out = spark.createDataFrame(
+        [
+            (
+                int(support.count()),
+                int(curated.count()),
+                int(
+                    curated.filter(
+                        F.col("doc_id") >= _CUR_OFFSET
+                    ).count()
+                ),
+                int(support_missing),
+                int(support_extra),
+                int(curated_missing),
+                int(curated_extra),
+            )
+        ],
+        "n_support long, n_curated long, n_promoted long, "
+        "support_missing long, support_extra long, curated_missing "
+        "long, curated_extra long",
+    )
+    rows = out.collect()
+    shutil.rmtree(dt, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
