@@ -1190,3 +1190,383 @@ def streaming_curation_live(
     shutil.rmtree(dt, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup curation maintained from the CDF: exact Jaccard pairs + CC
+# ---------------------------------------------------------------------------
+
+_ND_T = 0.5  # trigram-set Jaccard threshold (integer-exact alpha)
+
+_ND_ORACLE = f"""
+    WITH RECURSIVE copies AS (
+        SELECT doc_id + {_CUR_OFFSET} AS doc_id,
+               text || ' zq1 zq2 zq3' AS text
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM copies
+    ),
+    head AS (SELECT * FROM all_docs WHERE doc_id % 15 <> 0),
+    gated AS (
+        SELECT doc_id, text FROM head
+        WHERE len(string_split(text, ' ')) BETWEEN 25 AND 5000
+          AND len(list_distinct(string_split(lower(text), ' '))) * 1.0
+                / len(string_split(text, ' ')) >= 0.35
+    ),
+    tt AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+',
+                                                ' ', 'g')), ' ') AS toks
+        FROM gated
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS w
+        FROM tt, LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) u
+        WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 2 * i >= sa.n + sb.n - i
+    ),
+    e2 AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    r(s, d) AS (
+        SELECT s, d FROM e2
+        UNION
+        SELECT r.s, e.d FROM r JOIN e2 e ON r.d = e.s
+    ),
+    lab AS (
+        SELECT s AS node, LEAST(s, MIN(d)) AS component
+        FROM r GROUP BY s
+    ),
+    singles AS (
+        SELECT g.doc_id AS node, g.doc_id AS component FROM gated g
+        WHERE g.doc_id NOT IN (SELECT s FROM e2)
+    ),
+    comp AS (SELECT * FROM lab UNION ALL SELECT * FROM singles),
+    keepers AS (
+        SELECT component AS doc_id, CAST(COUNT(*) AS BIGINT)
+                 AS n_members
+        FROM comp GROUP BY component
+    ),
+    pins AS (
+        SELECT
+          CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_pairs,
+          CAST((SELECT COUNT(*) FROM keepers
+                WHERE doc_id >= {_CUR_OFFSET}) AS BIGINT)
+            AS n_promoted,
+          CAST((SELECT MAX(n_members) FROM keepers) AS BIGINT)
+            AS max_component
+    )
+    SELECT CAST(doc_id % 10 AS INT) AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_curated,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_members) AS BIGINT) AS member_sum,
+           pins.n_pairs,
+           pins.n_promoted,
+           pins.max_component,
+           CAST(0 AS BIGINT) AS tok_missing,
+           CAST(0 AS BIGINT) AS tok_extra,
+           CAST(0 AS BIGINT) AS pairs_missing,
+           CAST(0 AS BIGINT) AS pairs_extra,
+           CAST(0 AS BIGINT) AS curated_missing,
+           CAST(0 AS BIGINT) AS curated_extra
+    FROM keepers CROSS JOIN pins
+    GROUP BY doc_id % 10, pins.n_pairs, pins.n_promoted,
+             pins.max_component
+    ORDER BY key_mod
+"""
+
+
+def _neardup_source(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Documents lake with planted NEAR-duplicates: v1's copies carry
+    a 3-token suffix, so they are NOT exact duplicates (different
+    fingerprint) but their trigram sets overlap at Jaccard ~0.9 —
+    strictly above the 0.5 pair threshold, strictly below 1."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base = sinks.scratch_path(tag)
+    shutil.rmtree(base, ignore_errors=True)
+    docs.write.parquet(f"{base}/s0")
+    lakelog.commit(base, 0, [{"add": "s0"}])
+    docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _CUR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq1 zq2 zq3")).alias("text"),
+    ).write.parquet(f"{base}/s1")
+    lakelog.commit(base, 1, [{"add": "s1"}])
+    lakelog.delete_where(
+        spark, base, F.col("doc_id") % 15 == 0, cdf=True
+    )
+    return base
+
+
+@query("pipeline_incremental_neardup_curation_cdf", oracle=_ND_ORACLE)
+def pipeline_incremental_neardup_curation_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NEAR-DUP curation maintained from the CDF — the curation
+    capstone extended past exact duplicates: the keep-list groups by
+    EXACT trigram-set Jaccard >= 0.5 (setsim.py's PPJoin family —
+    provably lossless prefix/positional filters, so unlike a
+    MinHash keep-list this one has a true relational oracle) and
+    keeps the min-id representative per CONNECTED COMPONENT of the
+    pair graph.
+
+    Why this maintains O(delta): a qualifying pair is a PAIRWISE
+    property — inserts can only create pairs that touch the delta
+    (delta-self via jaccard_self_join + delta-vs-standing via
+    jaccard_rs_join, the module's documented nightly shape), and
+    deletes can only remove pairs touching departed ids; no
+    surviving pair's status ever changes. The COMPONENT structure is
+    not pairwise (a new doc can MERGE two components; a departed doc
+    can SPLIT one), so the curated member re-derives per epoch by
+    connected components over the MAINTAINED PAIR SET — which is
+    delta-sized relative to the corpus (pairs ≪ docs on a deduped
+    corpus), the support-member insight again one level up.
+
+    Index: three member rels of ONE log, committed atomically per
+    epoch — tok/ (doc_id, w: gated docs' distinct trigrams — the
+    probe index for future deltas AND the verify sets), pairs/
+    (doc_a, doc_b), curated/ (doc_id = component-min keeper,
+    n_members). The fixture's near-copies (3-token suffix, Jaccard
+    ~0.9, fingerprint ≠) arrive as v1 inserts; v2 deletes every
+    %15==0 original, splitting/shrinking components and promoting
+    copy-range keepers.
+
+    Pins, in-output: maintained tok ≡ from-scratch trigram sets of
+    the gated head (tok_missing/extra = 0); maintained pairs ≡
+    from-scratch jaccard_self_join of the head (pairs_missing/extra
+    = 0 — the PPJoin exactness statement under maintenance);
+    maintained curated ≡ from-scratch CC + election
+    (curated_missing/extra = 0 on (doc_id, n_members)); n_pairs,
+    n_promoted, max_component, and the per-bucket keeper summary all
+    value-matched by the DuckDB oracle's independent quadratic
+    recomputation with a RECURSIVE-CTE transitive closure.
+
+    100 TB posture: delta work is the rs-join (prefix-filtered
+    against the standing tok index — candidates near the true-pair
+    count, never quadratic) plus a delta self-join; deletes are two
+    anti-joins; CC runs over pairs only (O(log diameter) iterations,
+    dedup/embedding.py pointer jumping); the quadratic oracle exists
+    ONLY on the DuckDB side at test sf."""
+    import shutil
+
+    from etl_lens_spark.dedup.embedding import connected_components
+    from etl_lens_spark.operators import lakelog, setsim
+    from etl_lens_spark.queries.npipe4 import _trigram_sets
+    from etl_lens_spark.queries.npipe12 import _ann_key_diff
+    from etl_lens_spark.text import curation
+
+    dt = _neardup_source(spark, sf_dir, "ind_docs")
+    ct = sinks.scratch_path("ind_index")
+    shutil.rmtree(ct, ignore_errors=True)
+
+    def _gated_docs(docs: DataFrame) -> DataFrame:
+        ids = curation.gate(docs).select("doc_id")
+        return docs.join(ids, "doc_id", "left_semi")
+
+    def _elect(pairs: DataFrame, tok: DataFrame) -> DataFrame:
+        """Curated keepers from the maintained (pairs, tok) state:
+        CC over the pair graph + gated singletons."""
+        nodes = (
+            pairs.select(F.col("doc_a").alias("node"))
+            .unionByName(pairs.select(F.col("doc_b").alias("node")))
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        cc = connected_components(nodes, edges)
+        singles = (
+            tok.select("doc_id")
+            .distinct()
+            .join(nodes, F.col("doc_id") == F.col("node"), "left_anti")
+            .select(
+                F.col("doc_id").alias("node"),
+                F.col("doc_id").alias("component"),
+            )
+        )
+        return (
+            cc.select("node", "component")
+            .unionByName(singles)
+            .groupBy(F.col("component").alias("doc_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        )
+
+    # --- seed: tok + pairs + curated in ONE commit
+    g0 = _gated_docs(lakelog.read_snapshot(spark, dt, 0))
+    _trigram_sets(g0).write.parquet(f"{ct}/tok/t0")
+    tok0 = spark.read.parquet(f"{ct}/tok/t0")
+    setsim.jaccard_self_join(tok0, _ND_T).select(
+        "doc_a", "doc_b"
+    ).write.parquet(f"{ct}/pairs/p0")
+    p0 = spark.read.parquet(f"{ct}/pairs/p0")
+    _elect(p0, tok0).write.parquet(f"{ct}/curated/c0")
+    lakelog.commit(
+        ct,
+        0,
+        [{"add": "tok/t0"}, {"add": "pairs/p0"}, {"add": "curated/c0"}],
+    )
+
+    # --- epoch 1: delta-only pair discovery (self + rs), re-elect
+    ins = (
+        lakelog.table_changes(spark, dt, 0, 1)
+        .filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    tokd = _trigram_sets(_gated_docs(ins)).localCheckpoint()
+    tokd.write.parquet(f"{ct}/tok/t1")
+    tokd = spark.read.parquet(f"{ct}/tok/t1")
+    standing = lakelog.read_table_snapshot(spark, ct, "tok")
+    new_pairs = (
+        setsim.jaccard_self_join(tokd, _ND_T)
+        .select("doc_a", "doc_b")
+        .unionByName(
+            setsim.jaccard_rs_join(tokd, standing, _ND_T).select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+        )
+    )
+    new_pairs.write.parquet(f"{ct}/pairs/p1")
+    all_tok = standing.unionByName(tokd)
+    all_pairs = lakelog.read_table_snapshot(
+        spark, ct, "pairs"
+    ).unionByName(spark.read.parquet(f"{ct}/pairs/p1"))
+    _elect(all_pairs, all_tok).write.parquet(f"{ct}/curated/c1")
+    lakelog.commit(
+        ct,
+        lakelog.latest_version(ct) + 1,
+        [
+            {"remove": "curated/c0"},
+            {"add": "tok/t1"},
+            {"add": "pairs/p1"},
+            {"add": "curated/c1"},
+        ],
+    )
+
+    # --- epoch 2: departed ids leave tok + pairs; re-elect
+    gone = (
+        lakelog.table_changes(spark, dt, 1, 2)
+        .filter(F.col("_change_type") == "delete")
+        .select(F.col("doc_id").alias("__gone"))
+        .distinct()
+        .localCheckpoint()
+    )
+    tok_cur = lakelog.read_table_snapshot(spark, ct, "tok")
+    tok_new = tok_cur.join(
+        F.broadcast(gone),
+        F.col("doc_id") == F.col("__gone"),
+        "left_anti",
+    )
+    pairs_cur = lakelog.read_table_snapshot(spark, ct, "pairs")
+    pairs_new = pairs_cur.join(
+        F.broadcast(gone),
+        F.col("doc_a") == F.col("__gone"),
+        "left_anti",
+    ).join(
+        F.broadcast(gone),
+        F.col("doc_b") == F.col("__gone"),
+        "left_anti",
+    )
+    tok_new.write.parquet(f"{ct}/tok/t2")
+    pairs_new.write.parquet(f"{ct}/pairs/p2")
+    tok_new = spark.read.parquet(f"{ct}/tok/t2")
+    pairs_new = spark.read.parquet(f"{ct}/pairs/p2")
+    _elect(pairs_new, tok_new).write.parquet(f"{ct}/curated/c2")
+    old = list(lakelog.snapshot_actions(ct))
+    lakelog.commit(
+        ct,
+        lakelog.latest_version(ct) + 1,
+        [{"remove": r} for r in old]
+        + [{"add": "tok/t2"}, {"add": "pairs/p2"}, {"add": "curated/c2"}],
+    )
+
+    # --- audits: from-scratch on the head snapshot
+    m_tok = lakelog.read_table_snapshot(spark, ct, "tok").localCheckpoint()
+    m_pairs = lakelog.read_table_snapshot(
+        spark, ct, "pairs"
+    ).localCheckpoint()
+    m_curated = lakelog.read_table_snapshot(
+        spark, ct, "curated"
+    ).localCheckpoint()
+    head_g = _gated_docs(lakelog.read_snapshot(spark, dt))
+    ref_tok = _trigram_sets(head_g).localCheckpoint()
+    ref_pairs = (
+        setsim.jaccard_self_join(ref_tok, _ND_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    ref_curated = _elect(ref_pairs, ref_tok)
+    tok_missing, tok_extra = _ann_key_diff(
+        m_tok, ref_tok, ["doc_id", "w"]
+    )
+    pairs_missing, pairs_extra = _ann_key_diff(
+        m_pairs, ref_pairs, ["doc_a", "doc_b"]
+    )
+    curated_missing, curated_extra = _ann_key_diff(
+        m_curated, ref_curated, ["doc_id", "n_members"]
+    )
+    n_pairs = m_pairs.count()
+    n_promoted = m_curated.filter(
+        F.col("doc_id") >= _CUR_OFFSET
+    ).count()
+    max_component = m_curated.agg(F.max("n_members")).first()[0]
+
+    out = (
+        m_curated.groupBy(
+            (F.col("doc_id") % 10).cast("int").alias("key_mod")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_curated"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("n_members").cast("long").alias("member_sum"),
+        )
+        .select(
+            "key_mod",
+            "n_curated",
+            "id_sum",
+            "member_sum",
+            F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
+            F.lit(int(n_promoted)).cast("long").alias("n_promoted"),
+            F.lit(int(max_component))
+            .cast("long")
+            .alias("max_component"),
+            F.lit(int(tok_missing)).cast("long").alias("tok_missing"),
+            F.lit(int(tok_extra)).cast("long").alias("tok_extra"),
+            F.lit(int(pairs_missing))
+            .cast("long")
+            .alias("pairs_missing"),
+            F.lit(int(pairs_extra)).cast("long").alias("pairs_extra"),
+            F.lit(int(curated_missing))
+            .cast("long")
+            .alias("curated_missing"),
+            F.lit(int(curated_extra))
+            .cast("long")
+            .alias("curated_extra"),
+        )
+        .orderBy("key_mod")
+    )
+    rows = out.collect()
+    shutil.rmtree(dt, ignore_errors=True)
+    shutil.rmtree(ct, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

@@ -195,3 +195,54 @@ def test_curation_gate_is_text_deterministic(spark):
     assert {r["doc_id"] for r in got} == {1, 1_000_001}
     fps = {r["fp"] for r in got}
     assert len(fps) == 1  # identical text, identical fingerprint
+
+
+def test_neardup_component_merge_and_split(spark):
+    """The component structure is NOT pairwise: an arriving doc can
+    MERGE two components and a departing doc can SPLIT one — the
+    reason the curated member re-derives from the maintained pair
+    set instead of being delta-patched."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.dedup.embedding import connected_components
+
+    def elect(pairs_rows, gated_ids):
+        pairs = spark.createDataFrame(
+            pairs_rows, "doc_a long, doc_b long"
+        )
+        nodes = (
+            pairs.select(F.col("doc_a").alias("node"))
+            .unionByName(pairs.select(F.col("doc_b").alias("node")))
+            .distinct()
+        )
+        cc = connected_components(
+            nodes,
+            pairs.select(
+                F.col("doc_a").alias("src"),
+                F.col("doc_b").alias("dst"),
+            ),
+        )
+        singles = spark.createDataFrame(
+            [(i,) for i in gated_ids], "node long"
+        ).join(nodes, "node", "left_anti")
+        comp = cc.select("node", "component").unionByName(
+            singles.select(
+                "node", F.col("node").alias("component")
+            )
+        )
+        return {
+            (r["doc_id"], r["n_members"])
+            for r in comp.groupBy(
+                F.col("component").alias("doc_id")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .collect()
+        }
+
+    ids = [1, 2, 3, 4, 9]
+    # two components {1,2} and {3,4} plus singleton 9
+    assert elect([(1, 2), (3, 4)], ids) == {(1, 2), (3, 2), (9, 1)}
+    # doc 9's pairs MERGE them into one component of 5
+    assert elect([(1, 2), (3, 4), (2, 9), (9, 3)], ids) == {(1, 5)}
+    # deleting doc 9 (and its pairs) SPLITS back into two + no 9
+    assert elect([(1, 2), (3, 4)], [1, 2, 3, 4]) == {(1, 2), (3, 2)}
