@@ -1570,3 +1570,270 @@ def pipeline_incremental_neardup_curation_cdf(
     shutil.rmtree(dt, ignore_errors=True)
     shutil.rmtree(ct, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Training-run manifest: provenance committed atomically with the data
+# ---------------------------------------------------------------------------
+
+def _epoch_state_sql(docs_cte: str) -> str:
+    """Oracle fragment: curation of one epoch's document state →
+    (n_curated, n_support, digest) — digest is the order-independent
+    bit_xor of a 60-bit md5 slice of each curated row, the same
+    arithmetic the Spark side uses (verified identical literal by
+    literal)."""
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_curated,
+               CAST(MAX(ns) AS BIGINT) AS n_support,
+               CAST(bit_xor(CAST(concat('0x',
+                    substr(md5(fp || '|' || CAST(doc_id AS VARCHAR)
+                           || '|' || CAST(n_tokens AS VARCHAR)), 1, 15))
+                    AS BIGINT)) AS BIGINT) AS digest
+        FROM (
+            WITH docs AS ({docs_cte}),
+            gated AS (
+                SELECT md5(trim(regexp_replace(lower(text), '\\s+',
+                                               ' ', 'g'))) AS fp,
+                       doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_tokens
+                FROM docs
+                WHERE len(string_split(text, ' ')) BETWEEN 25 AND 5000
+                  AND len(list_distinct(string_split(lower(text), ' ')))
+                        * 1.0 / len(string_split(text, ' ')) >= 0.35
+            ),
+            keepers AS (
+                SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+            )
+            SELECT k.fp, k.doc_id, g.n_tokens,
+                   (SELECT COUNT(*) FROM gated) AS ns
+            FROM keepers k
+            JOIN gated g ON k.fp = g.fp AND k.doc_id = g.doc_id
+        )
+    """
+
+
+_MANIF_ORACLE = f"""
+    WITH e0 AS ({_epoch_state_sql(
+        "SELECT doc_id, text FROM documents")}),
+    e1 AS ({_epoch_state_sql(
+        "SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {_CUR_OFFSET}, text "
+        "FROM documents WHERE doc_id % 5 = 0")}),
+    e2 AS ({_epoch_state_sql(
+        "SELECT * FROM (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {_CUR_OFFSET}, text "
+        "FROM documents WHERE doc_id % 5 = 0) "
+        "WHERE doc_id % 15 <> 0")})
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS epoch,
+               CAST(0 AS BIGINT) AS src_version,
+               n_curated, n_support, digest,
+               CAST(1 AS BIGINT) AS lockstep_ok,
+               CAST(0 AS BIGINT) AS replay_mismatch,
+               CAST(0 AS BIGINT) AS curated_missing,
+               CAST(0 AS BIGINT) AS curated_extra
+        FROM e0
+        UNION ALL
+        SELECT 1, 1, n_curated, n_support, digest, 1, 0, 0, 0 FROM e1
+        UNION ALL
+        SELECT 2, 2, n_curated, n_support, digest, 1, 0, 0, 0 FROM e2
+    ) ORDER BY epoch
+"""
+
+
+def _curated_digest(curated: DataFrame):
+    """Order-independent 60-bit content digest of a curated frame —
+    the manifest's reproducibility token. bit_xor of a per-row md5
+    slice: any row added, dropped, or changed flips it; row order
+    and partitioning cannot."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "fp", "doc_id", "n_tokens")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    r = curated.select(h.alias("h")).agg(
+        F.expr("bit_xor(h)").alias("d")
+    ).first()
+    return int(r["d"]) if r["d"] is not None else 0
+
+
+@query("lake_training_manifest", oracle=_MANIF_ORACLE)
+def lake_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-RUN PROVENANCE, COMMITTED WITH THE DATA — the
+    reproducibility layer over the curation IVM: every maintenance
+    epoch commits a MANIFEST row (epoch, source version, curated
+    count, support count, content digest) as a member rel of the
+    SAME atomic commit that changes the data, so provenance can
+    never desync from the state it describes — there is no version
+    at which the manifest claims a state the table does not hold
+    (the lockstep pin reads every version and checks both the row
+    count AND that the digest of the curated member AT that version
+    equals the manifest row shipped WITH that version).
+
+    The digest is an order-independent bit_xor of a 60-bit md5 slice
+    per curated row — cheap (one aggregate), deterministic across
+    engines, and sensitive to any row change. Two proofs ride it:
+
+    - REPLAY (the reproducibility contract a training run needs):
+      for every manifest row, re-derive the curation FROM SCRATCH
+      against the SOURCE lake time-traveled to the recorded
+      src_version — the digest must reproduce exactly. Anyone
+      holding the manifest can rebuild the exact corpus any
+      historical run trained on, from the pinned source version.
+    - The DuckDB oracle independently recomputes all three epoch
+      states (seed / +copies / post-delete) and value-matches
+      n_curated, n_support, AND the digest itself — the digest
+      arithmetic is cross-engine pinned, not just self-consistent.
+
+    100 TB posture: the manifest row is O(1) per epoch inside the
+    commit that already happens; the digest is one map + one
+    algebraic aggregate over the curated member (map-side partial);
+    replay cost is the from-scratch curation — paid only by audits,
+    never by the maintenance loop."""
+    import shutil
+
+    from etl_lens_spark.operators import lakelog
+    from etl_lens_spark.queries.npipe12 import _ann_key_diff
+    from etl_lens_spark.text import curation
+
+    dt = _curation_source(spark, sf_dir, "manif_docs")
+    ct = sinks.scratch_path("manif_index")
+    shutil.rmtree(ct, ignore_errors=True)
+
+    def _manifest_row(epoch, src_v, idx_v, curated_df, n_support):
+        d = _curated_digest(curated_df)
+        spark.createDataFrame(
+            [(int(epoch), int(src_v), int(idx_v), int(curated_df.count()),
+              int(n_support), int(d))],
+            "epoch long, src_version long, idx_version long, "
+            "n_curated long, n_support long, digest long",
+        ).coalesce(1).write.parquet(f"{ct}/manifest/m{epoch}")
+
+    # --- epoch 0
+    g0 = curation.gate(lakelog.read_snapshot(spark, dt, 0))
+    g0.write.parquet(f"{ct}/support/s0")
+    g0 = spark.read.parquet(f"{ct}/support/s0")
+    c0 = curation.elect_keepers(g0).localCheckpoint()
+    c0.write.parquet(f"{ct}/curated/c0")
+    _manifest_row(0, 0, 0, c0, g0.count())
+    lakelog.commit(
+        ct,
+        0,
+        [{"add": "support/s0"}, {"add": "curated/c0"},
+         {"add": "manifest/m0"}],
+    )
+
+    # --- epoch 1: inserts
+    ins = (
+        lakelog.table_changes(spark, dt, 0, 1)
+        .filter(F.col("_change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    gd = curation.gate(ins)
+    gd.write.parquet(f"{ct}/support/s1")
+    gd = spark.read.parquet(f"{ct}/support/s1")
+    adds, _repl = curation.insert_deltas(gd, c0)
+    adds.write.parquet(f"{ct}/curated/c1")
+    c1 = c0.unionByName(spark.read.parquet(f"{ct}/curated/c1"))
+    _manifest_row(1, 1, 1, c1, g0.count() + gd.count())
+    lakelog.commit(
+        ct,
+        1,
+        [{"add": "support/s1"}, {"add": "curated/c1"},
+         {"add": "manifest/m1"}],
+    )
+
+    # --- epoch 2: deletes with promotion
+    gone = (
+        lakelog.table_changes(spark, dt, 1, 2)
+        .filter(F.col("_change_type") == "delete")
+        .select(F.col("doc_id").alias("__gone"))
+        .distinct()
+        .localCheckpoint()
+    )
+    support_cur = lakelog.read_table_snapshot(spark, ct, "support")
+    support_new = support_cur.join(
+        F.broadcast(gone),
+        F.col("doc_id") == F.col("__gone"),
+        "left_anti",
+    ).localCheckpoint()
+    curated_cur = lakelog.read_table_snapshot(spark, ct, "curated")
+    removed, promoted = curation.delete_deltas(
+        support_new, curated_cur, gone
+    )
+    c2 = curated_cur.join(
+        removed.select("fp"), "fp", "left_anti"
+    ).unionByName(promoted).localCheckpoint()
+    support_new.write.parquet(f"{ct}/support/s2")
+    c2.write.parquet(f"{ct}/curated/c2")
+    _manifest_row(2, 2, 2, c2, support_new.count())
+    old = [
+        r
+        for r in lakelog.snapshot_actions(ct)
+        if not r.startswith("manifest/")
+    ]
+    lakelog.commit(
+        ct,
+        2,
+        [{"remove": r} for r in old]
+        + [{"add": "support/s2"}, {"add": "curated/c2"},
+           {"add": "manifest/m2"}],
+    )
+
+    # --- lockstep: at every version, the manifest has exactly one
+    # row per shipped epoch AND its digest matches the curated
+    # member AT THAT VERSION
+    lockstep_ok = 1
+    for v in (0, 1, 2):
+        man_v = lakelog.read_table_snapshot(
+            spark, ct, "manifest", v
+        ).localCheckpoint()
+        if man_v.count() != v + 1:
+            lockstep_ok = 0
+        rec = man_v.filter(F.col("epoch") == v).first()
+        cur_v = lakelog.read_table_snapshot(spark, ct, "curated", v)
+        if rec is None or _curated_digest(cur_v) != rec["digest"]:
+            lockstep_ok = 0
+
+    # --- replay: every manifest row reproduces from its pinned
+    # source version, from scratch
+    manifest = lakelog.read_table_snapshot(
+        spark, ct, "manifest"
+    ).localCheckpoint()
+    replay_mismatch = 0
+    for rec in manifest.collect():
+        src = lakelog.read_snapshot(spark, dt, int(rec["src_version"]))
+        rebuilt = curation.elect_keepers(curation.gate(src))
+        if _curated_digest(rebuilt) != rec["digest"]:
+            replay_mismatch += 1
+
+    # --- final equality vs from-scratch
+    m_curated = lakelog.read_table_snapshot(spark, ct, "curated")
+    head = lakelog.read_snapshot(spark, dt)
+    ref_curated = curation.elect_keepers(curation.gate(head))
+    curated_missing, curated_extra = _ann_key_diff(
+        m_curated, ref_curated, ["fp", "doc_id", "n_tokens"]
+    )
+
+    out = manifest.select(
+        "epoch",
+        "src_version",
+        "n_curated",
+        "n_support",
+        "digest",
+        F.lit(int(lockstep_ok)).cast("long").alias("lockstep_ok"),
+        F.lit(int(replay_mismatch))
+        .cast("long")
+        .alias("replay_mismatch"),
+        F.lit(int(curated_missing))
+        .cast("long")
+        .alias("curated_missing"),
+        F.lit(int(curated_extra)).cast("long").alias("curated_extra"),
+    ).orderBy("epoch")
+    rows = out.collect()
+    shutil.rmtree(dt, ignore_errors=True)
+    shutil.rmtree(ct, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
