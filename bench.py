@@ -127,8 +127,13 @@ def main() -> None:
     # END-of-run calibration (round-10 judge item): in-run box
     # degradation poisoned BENCH_r10 invisibly because the anchor ran
     # only at the start. Re-running the pinned anchor after the last
-    # headliner makes a degrading box readable from the JSON alone; a
-    # start/end divergence > 1.3× marks the run self-invalidating.
+    # headliner makes a degrading box readable from the JSON alone.
+    # The invalidation test is ONE-SIDED (end slower than start by
+    # >1.3x): a faster end anchor is routine JIT/codegen warm-in on
+    # the anchor's own paths — measured ~0.70 start vs ~0.53 end on
+    # a quiet box — while a SLOWER end anchor is the degradation
+    # signature that poisoned r10. The start anchor stays unwarmed
+    # so cross-round anchor ratios remain comparable with r9/r10.
     cal_end_runs: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -154,7 +159,7 @@ def main() -> None:
         "calibration_end_sec": cal_end,
         "calibration_end_runs": cal_end_runs,
         "calibration_drift": drift,
-        "self_invalidating": drift > 1.3,
+        "self_invalidating": cal_end > cal_start * 1.3,
         "split_queries": sorted(BENCH_SETUP),
         "untimed_setup_sec": setup_secs,
         "sf": sf_val,
