@@ -1837,3 +1837,228 @@ def lake_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(dt, ignore_errors=True)
     shutil.rmtree(ct, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch maintained from the CDF: merge on insert, rebuild
+# dial on delete
+# ---------------------------------------------------------------------------
+
+_SKI_K = 64
+
+_SKI_V_SQL = """
+    list_reduce(list_transform(range(1, 14),
+      i -> CAST(strpos('0123456789abcdef',
+             substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1
+           AS BIGINT)),
+      (a, b) -> a * 16 + b)
+"""
+
+_SKI_ORACLE = f"""
+    WITH hv_all AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+             {_SKI_V_SQL} AS v
+      FROM orders
+    ),
+    hv_head AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+             {_SKI_V_SQL} AS v
+      FROM orders WHERE o_orderkey % 17 <> 3
+    ),
+    sk_all AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS r
+      FROM (SELECT DISTINCT grp, v FROM hv_all)
+    ),
+    gone_keys AS (
+      SELECT grp, v FROM hv_all
+      EXCEPT SELECT grp, v FROM hv_head
+    ),
+    contaminated AS (
+      SELECT COUNT(*) AS n FROM sk_all s
+      JOIN gone_keys g ON s.grp = g.grp AND s.v = g.v
+      WHERE s.r <= {_SKI_K}
+    ),
+    sk_head AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS r
+      FROM (SELECT DISTINCT grp, v FROM hv_head)
+    ),
+    sk AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n_sk,
+             MAX(CASE WHEN r = {_SKI_K} THEN v END) AS kth
+      FROM sk_head WHERE r <= {_SKI_K} GROUP BY grp
+    ),
+    ex AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+      FROM orders WHERE o_orderkey % 17 <> 3 GROUP BY o_orderpriority
+    )
+    SELECT s.grp,
+           CASE WHEN s.n_sk < {_SKI_K} THEN CAST(s.n_sk AS DOUBLE)
+                ELSE {float(_SKI_K - 1)} /
+                     (CAST(s.kth AS DOUBLE) / 4503599627370496.0)
+           END AS est_custs,
+           e.exact_custs,
+           CAST(c.n AS BIGINT) AS contaminated_n,
+           CAST(1 AS BIGINT) AS rebuild_triggered,
+           CAST(0 AS BIGINT) AS merge_missing,
+           CAST(0 AS BIGINT) AS merge_extra,
+           CAST(0 AS BIGINT) AS post_missing,
+           CAST(0 AS BIGINT) AS post_extra
+    FROM sk s JOIN ex e USING (grp) CROSS JOIN contaminated c
+    ORDER BY s.grp
+"""
+
+
+@query("sketch_kmv_incremental_cdf", oracle=_SKI_ORACLE)
+def sketch_kmv_incremental_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE MERGEABLE SKETCH JOINS THE MAINTAINED LOOP — the last
+    artifact family still build-per-query gets the CDF pattern, with
+    the asymmetry that DEFINES sketches driving the design: inserts
+    MERGE in O(delta + k·groups) (bottom-k of the union — the
+    mergeability that justifies sketches at 100 TB), but a KMV
+    cannot subtract, so deletes drive a CONTAMINATION DIAL and a
+    REBUILD — the sketch family's instance of the round's
+    dial → re-train → swap contract.
+
+    The maintained artifact is a per-group bottom-64 KMV sketch of
+    distinct o_custkey per o_orderpriority, one member rel of a lake
+    log (k·groups rows — the 100 TB point is precisely that this
+    table is tiny while the corpus is not). Epochs:
+
+    - insert commit: the delta's (grp, hash) set unions with the
+      standing sketch and re-ranks — the standing CORPUS is never
+      rescanned. Pinned: merged sketch ≡ from-scratch sketch of the
+      post-insert snapshot EXACTLY on (grp, v) — KMV merge is
+      lossless by construction, and because kmv_value is md5-based
+      the DuckDB oracle reproduces the sketch BIT-FOR-BIT.
+    - delete commit: contamination = sketch rows whose hash belongs
+      to a key that FULLY left its group (a customer with other
+      surviving orders in the group does not contaminate — the dial
+      is exact, computed by one distinct-key anti-join, and
+      value-matched by the oracle's EXCEPT). Any contamination
+      over-estimates distincts, so contaminated_n > 0 triggers the
+      rebuild: one from-scratch sketch of the head snapshot, one
+      commit. Pinned: rebuilt sketch ≡ the oracle's head sketch,
+      and the estimate lands within KMV error of the exact count
+      (est and exact both value-matched columns).
+
+    100 TB posture: the merge epoch touches delta + k·groups rows
+    only; the contamination audit is one anti-join over distinct
+    (group, key) sets (the price of DELETE-correctness for any
+    non-subtractable summary — cheaper than the rebuild it gates);
+    the rebuild is the same one-pass bottom-k as the seed build,
+    paid only when the dial fires."""
+    import shutil
+
+    from etl_lens_spark.operators import kmv, lakelog
+    from etl_lens_spark.queries.npipe12 import _ann_key_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        "o_custkey",
+    )
+    dt = sinks.scratch_path("ski_orders")
+    it = sinks.scratch_path("ski_sketch")
+    shutil.rmtree(dt, ignore_errors=True)
+    shutil.rmtree(it, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 10 < 8).write.parquet(
+        f"{dt}/s0"
+    )
+    lakelog.commit(dt, 0, [{"add": "s0"}])
+    orders.filter(F.col("o_orderkey") % 10 >= 8).write.parquet(
+        f"{dt}/s1"
+    )
+    lakelog.commit(dt, 1, [{"add": "s1"}])
+    lakelog.delete_where(
+        spark, dt, F.col("o_orderkey") % 17 == 3, cdf=True
+    )
+
+    def _hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            "grp", kmv.kmv_value(F.col("o_custkey")).alias("v")
+        ).distinct()
+
+    # --- seed sketch
+    seed = lakelog.read_snapshot(spark, dt, 0)
+    kmv.kmv_topk(_hashes(seed), ["grp"], _SKI_K).write.parquet(
+        f"{it}/sketch/s0"
+    )
+    lakelog.commit(it, 0, [{"add": "sketch/s0"}])
+
+    # --- insert epoch: merge = bottom-k of (standing sketch ∪ delta)
+    ins = (
+        lakelog.table_changes(spark, dt, 0, 1)
+        .filter(F.col("_change_type") == "insert")
+        .select("grp", "o_custkey")
+    )
+    standing = lakelog.read_table_snapshot(spark, it, "sketch")
+    kmv.kmv_topk(
+        standing.select("grp", "v").unionByName(_hashes(ins)),
+        ["grp"],
+        _SKI_K,
+    ).write.parquet(f"{it}/sketch/s1")
+    lakelog.commit(
+        it, 1, [{"remove": "sketch/s0"}, {"add": "sketch/s1"}]
+    )
+    merged = lakelog.read_table_snapshot(
+        spark, it, "sketch"
+    ).localCheckpoint()
+    v1_state = lakelog.read_snapshot(spark, dt, 1)
+    merge_ref = kmv.kmv_topk(_hashes(v1_state), ["grp"], _SKI_K)
+    merge_missing, merge_extra = _ann_key_diff(
+        merged, merge_ref, ["grp", "v"]
+    )
+
+    # --- delete epoch: the contamination dial, then the rebuild
+    head = lakelog.read_snapshot(spark, dt).localCheckpoint()
+    gone_keys = _hashes(v1_state).exceptAll(_hashes(head))
+    contaminated_n = merged.join(
+        gone_keys, ["grp", "v"], "left_semi"
+    ).count()
+    rebuild_triggered = int(contaminated_n > 0)
+    rebuilt = kmv.kmv_topk(_hashes(head), ["grp"], _SKI_K)
+    rebuilt.write.parquet(f"{it}/sketch/s2")
+    lakelog.commit(
+        it, 2, [{"remove": "sketch/s1"}, {"add": "sketch/s2"}]
+    )
+    post = lakelog.read_table_snapshot(
+        spark, it, "sketch"
+    ).localCheckpoint()
+    post_ref_sql_equiv = kmv.kmv_topk(_hashes(head), ["grp"], _SKI_K)
+    post_missing, post_extra = _ann_key_diff(
+        post, post_ref_sql_equiv, ["grp", "v"]
+    )
+
+    est = kmv.kmv_estimate(post, ["grp"], _SKI_K)
+    exact = head.groupBy("grp").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_custs")
+    )
+    out = (
+        est.join(exact, "grp")
+        .select(
+            "grp",
+            F.col("est").alias("est_custs"),
+            "exact_custs",
+            F.lit(int(contaminated_n))
+            .cast("long")
+            .alias("contaminated_n"),
+            F.lit(int(rebuild_triggered))
+            .cast("long")
+            .alias("rebuild_triggered"),
+            F.lit(int(merge_missing)).cast("long").alias("merge_missing"),
+            F.lit(int(merge_extra)).cast("long").alias("merge_extra"),
+            F.lit(int(post_missing)).cast("long").alias("post_missing"),
+            F.lit(int(post_extra)).cast("long").alias("post_extra"),
+        )
+        .orderBy("grp")
+    )
+    rows = out.collect()
+    shutil.rmtree(dt, ignore_errors=True)
+    shutil.rmtree(it, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
