@@ -246,3 +246,31 @@ def test_neardup_component_merge_and_split(spark):
     assert elect([(1, 2), (3, 4), (2, 9), (9, 3)], ids) == {(1, 5)}
     # deleting doc 9 (and its pairs) SPLITS back into two + no 9
     assert elect([(1, 2), (3, 4)], [1, 2, 3, 4]) == {(1, 2), (3, 2)}
+
+
+def test_kmv_contamination_dial_is_exact(spark):
+    """A deleted ORDER whose customer still has surviving orders in
+    the same group does NOT contaminate the sketch (the distinct-key
+    universe did not change); only a key that FULLY left its group
+    does. The dial = sketch ∩ (v1-keys EXCEPT head-keys)."""
+    from pyspark.sql import functions as F
+
+    from etl_lens_spark.operators import kmv
+
+    def hashes(rows):
+        df = spark.createDataFrame(rows, "grp string, o_custkey long")
+        return df.select(
+            "grp", kmv.kmv_value(F.col("o_custkey")).alias("v")
+        ).distinct()
+
+    # v1 state: group A holds customers 1, 2 (cust 1 via two orders)
+    v1 = hashes([("A", 1), ("A", 1), ("A", 2)])
+    sketch = kmv.kmv_topk(v1, ["grp"], 64).localCheckpoint()
+    # delete ONE of cust 1's orders: cust 1 survives, universe same
+    head_same = hashes([("A", 1), ("A", 2)])
+    gone = v1.exceptAll(head_same)
+    assert sketch.join(gone, ["grp", "v"], "left_semi").count() == 0
+    # delete BOTH of cust 1's orders: cust 1 fully left -> 1 row
+    head_less = hashes([("A", 2)])
+    gone2 = v1.exceptAll(head_less)
+    assert sketch.join(gone2, ["grp", "v"], "left_semi").count() == 1
