@@ -280,6 +280,14 @@ def guarded_insert_support(
         )
         .filter(F.col("__cls") != 0)  # already-over: contributes 0
         .drop("__dn", "__on")
+        # materialize before the self-join: the join references this
+        # frame on BOTH sides, and the planner broadcasts one side —
+        # which would otherwise re-run the whole probe + window
+        # subtree a second time (the intended ReusedExchange never
+        # fires under broadcast promotion). The frame is O(delta ×
+        # bands + probed index rows) — bounded at any scale by the
+        # delta, exactly what a maintenance job would stage.
+        .localCheckpoint(eager=False)
     )
     left = tagged.select(
         *key,
@@ -375,6 +383,9 @@ def guarded_delete_support(
             & (F.col("__going") == 0)
         )
         .select("__id", "__sig", *key)
+        # bucket_pairs self-joins this frame (both sides) — stage it
+        # once; bounded by max_bucket × newly-small buckets
+        .localCheckpoint(eager=False)
     )
     return bucket_pairs(remaining, None, min_est_jaccard).groupBy(
         "doc_a", "doc_b"

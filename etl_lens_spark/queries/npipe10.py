@@ -1172,9 +1172,14 @@ def _ivm_maintained_view(spark, ot: str, ct: str, o0, c0, view0):
         )
     )
     delta = ivm.delta_join(o0, dz_o, c0, dz_c, ["custkey"])
+    # the maintained view is consumed TWICE by every caller — once by
+    # the recompute audit's full-outer count and once as the query
+    # output — so materialize it here (it is O(groups) rows) instead
+    # of re-running the CDF reads + trilinear delta join per consumer
+    # (guide §5: reused and expensive to recompute)
     return ivm.maintain_agg(
         view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _ivm_audit(

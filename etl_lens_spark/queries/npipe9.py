@@ -96,34 +96,46 @@ def _scd2_incremental_answer(
     o = v0.select("k", F.col("price_cents").alias("__p0"))
     n = v1.select("k", F.col("price_cents").alias("__p1"))
     both = o.join(n, "k", "full_outer")
-    scratch_v0 = both.filter(F.col("__p0").isNotNull()).select(
-        "k",
-        F.lit(1).cast("long").alias("version_seq"),
-        F.col("__p0").alias("price_cents"),
-        F.lit(_SCD2_T0).cast("long").alias("valid_from_us"),
-        F.when(
-            F.col("__p1").isNull() | (F.col("__p1") != F.col("__p0")),
-            F.lit(_SCD2_T1).cast("long"),
-        ).alias("valid_to_us"),
-        (F.col("__p1").isNotNull() & (F.col("__p1") == F.col("__p0")))
-        .cast("long")
-        .alias("is_current"),
+    # ONE pass over the full-outer join: each key emits its 0-2 SCD2
+    # rows (the surviving v0 version and/or the newly-opened version)
+    # as conditional structs exploded in place. The previous
+    # two-filter union referenced ``both`` twice, so the join — a
+    # full-table shuffle at scale — was computed twice per audit
+    # (guide §2.4: one exchange, not two identical ones).
+    closed = F.col("__p1").isNull() | (F.col("__p1") != F.col("__p0"))
+    opened = F.col("__p1").isNotNull() & (
+        F.col("__p0").isNull() | (F.col("__p0") != F.col("__p1"))
     )
-    scratch_new = both.filter(
-        F.col("__p1").isNotNull()
-        & (F.col("__p0").isNull() | (F.col("__p0") != F.col("__p1")))
-    ).select(
-        "k",
-        F.when(F.col("__p0").isNotNull(), F.lit(2))
-        .otherwise(F.lit(1))
-        .cast("long")
-        .alias("version_seq"),
-        F.col("__p1").alias("price_cents"),
-        F.lit(_SCD2_T1).cast("long").alias("valid_from_us"),
-        F.lit(None).cast("long").alias("valid_to_us"),
-        F.lit(1).cast("long").alias("is_current"),
+    row_v0 = F.when(
+        F.col("__p0").isNotNull(),
+        F.struct(
+            F.lit(1).cast("long").alias("version_seq"),
+            F.col("__p0").alias("price_cents"),
+            F.lit(_SCD2_T0).cast("long").alias("valid_from_us"),
+            F.when(closed, F.lit(_SCD2_T1).cast("long")).alias(
+                "valid_to_us"
+            ),
+            (~closed).cast("long").alias("is_current"),
+        ),
     )
-    scratch = scratch_v0.unionByName(scratch_new)
+    row_new = F.when(
+        opened,
+        F.struct(
+            F.when(F.col("__p0").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("version_seq"),
+            F.col("__p1").alias("price_cents"),
+            F.lit(_SCD2_T1).cast("long").alias("valid_from_us"),
+            F.lit(None).cast("long").alias("valid_to_us"),
+            F.lit(1).cast("long").alias("is_current"),
+        ),
+    )
+    scratch = (
+        both.select("k", F.explode(F.array(row_v0, row_new)).alias("__r"))
+        .filter(F.col("__r").isNotNull())
+        .select("k", "__r.*")
+    )
     # multiset equality in ONE pass: tag each side ±1, sum per full
     # row; any nonzero sum is a disagreement. Cheaper than a double
     # exceptAll, which would recompute both lineages (each rooted in

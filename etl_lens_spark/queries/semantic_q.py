@@ -156,6 +156,13 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).join(a, "vec_id")
+    # (vec_id, v, cluster) feeds BOTH the per-cluster pair sweep and
+    # the final keep-join — materialize the assignment once instead of
+    # running the argmin pandas_udf over the corpus twice (guide §5;
+    # this is the corpus projected to the vectors, the natural
+    # intermediate a real deployment would persist between the
+    # clustering and sweep phases)
+    v = v.localCheckpoint(eager=False)
 
     tau = SEM_TAU
     # degenerate-cluster guard: SemDeDup's quadratic term is bounded

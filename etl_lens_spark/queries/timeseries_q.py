@@ -1310,6 +1310,13 @@ def ts_holt_winters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("y")
         )
+        # referenced THREE times below (dmax scan, distinct series, and
+        # the dense-grid fill) — materialize the (series, day) rollup
+        # once instead of re-running the orders⋈customer aggregate per
+        # reference (guide §5: persist only what is reused AND
+        # expensive to recompute; this is O(series × days), tiny next
+        # to the corpus at any scale)
+        .localCheckpoint(eager=False)
     )
     mx = base.agg(F.max("t").alias("dmax"))
     nks = base.select("nk").distinct()
