@@ -665,6 +665,9 @@ def _bench_rrf_incremental(spark: SparkSession, sf_dir: str):
             F.col("vec_id") == F.col("__gone"),
             "left_anti",
         )
+        # the maintained cell index feeds both the query-vector pull
+        # and the scored scan — stage it once per serve
+        ann = ann.localCheckpoint(eager=False)
         tr = lexical.bm25_topk(
             lex, _LEX_TERMS, n_docs, avgdl, df_map, k=_RRF_TOPN
         ).select("doc_id", "rank")

@@ -123,7 +123,14 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower("text"), " ")).alias("w"),
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # per-doc lengths feed BOTH the corpus stats and the score join —
+    # stage the O(docs) rollup once so the tokenize+explode pass over
+    # the corpus runs twice (dl, tf) instead of four times
+    dl = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dlen"))
+        .localCheckpoint(eager=False)
+    )
     g = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
     )

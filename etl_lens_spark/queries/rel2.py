@@ -308,12 +308,18 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        terms.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # stage the (doc, term) counts once: they feed the score join AND
+    # the document-frequency rollup. df is derived FROM tf — tf's rows
+    # are exactly the distinct (doc, term) pairs, so grouping them by
+    # term equals the old explode→distinct→count pipeline while
+    # skipping a second tokenize pass and its shuffle (2 Exchanges on
+    # exploded terms → 1).
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n))

@@ -831,6 +831,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_c"),
     )
+    # the per-customer rollup feeds the anchor scan AND the scoring
+    # pass(es) — stage the O(customers) reduce once instead of
+    # re-aggregating orders per consumer
+    base = base.localCheckpoint(eager=False)
     anchor = base.agg(F.max("last_d").alias("d0"))
     b = base.crossJoin(F.broadcast(anchor)).withColumn(
         "recency_days", F.datediff("d0", "last_d")
@@ -940,6 +944,10 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_c"),
     )
+    # the per-customer rollup feeds the anchor scan AND the scoring
+    # pass(es) — stage the O(customers) reduce once instead of
+    # re-aggregating orders per consumer
+    base = base.localCheckpoint(eager=False)
     anchor = base.agg(F.max("last_d").alias("d0"))
     b = base.crossJoin(F.broadcast(anchor)).select(
         "custkey",

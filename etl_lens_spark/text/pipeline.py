@@ -246,6 +246,12 @@ def segment_dedup(
     starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(seg_tokens))
     segs = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, seg_tokens)))
     base = df.select(F.col(id_col), segs.alias("__segs"))
+    # ``base`` feeds both the fingerprint election (via the explode)
+    # and the reassembly join — stage the segmented corpus once so
+    # tokenization + segment concat run a single pass (guide §5;
+    # MEMORY_AND_DISK-style local checkpoint spills rather than OOMs
+    # at scale, and the alternative is re-tokenizing the corpus)
+    base = base.localCheckpoint(eager=False)
 
     exploded = base.select(
         id_col, F.posexplode("__segs").alias("seg_idx", "__seg")
