@@ -177,13 +177,19 @@ HEADLINE_PINS = {
     "dedup_exact_groups": (2, set(), set()),
     "dedup_incremental_batch": (4, {"BroadcastHashJoin"}, set()),
     "dedup_minhash_lsh": (9, {"BroadcastHashJoin"}, set()),
-    "dedup_segment_corpus": (6, {"BroadcastHashJoin"}, set()),
+    # re-audited round 11: the segmented corpus is staged once (was
+    # re-tokenized for the reassembly join) — 6 exchanges → 4
+    "dedup_segment_corpus": (4, {"BroadcastHashJoin"}, set()),
     # SemDeDup: the FlatMapGroupsInPandas node IS the operator (per-
-    # cluster dense Gram sweep); ArrowEval is the k-means assignment
+    # cluster dense Gram sweep). Re-audited round 11: the k-means
+    # assignment (ArrowEval) now runs ONCE into the staged
+    # (vec_id, v, cluster) frame instead of twice (sweep + keep-join
+    # each re-ran it), so it no longer appears in the returned plan —
+    # 10 exchanges → 4
     "dedup_semantic_semdedup": (
-        10,
-        {"BroadcastHashJoin", "SortMergeJoin"},
-        {"ArrowEval", "FlatMapGroupsInPandas"},
+        4,
+        {"SortMergeJoin"},
+        {"FlatMapGroupsInPandas"},
     ),
     "mm_real_image_pipeline": (1, set(), {"MapInPandas"}),
     "q18_large_orders": (5, {"BroadcastHashJoin"}, set()),
@@ -221,9 +227,12 @@ HEADLINE_PINS = {
     "sketch_kmv_distinct_merge": (8, {"BroadcastHashJoin"}, set()),
     # Holt-Winters: dense-calendar build (dims broadcast; the BNLJ is
     # the 1-row dmax cross join) around exactly ONE grouped-map
-    # pandas stage — the per-series sequential fit
+    # pandas stage — the per-series sequential fit. Re-audited round
+    # 11: the (series, day) rollup is staged once (was re-running the
+    # orders⋈customer aggregate for dmax, the series list AND the
+    # dense fill) — 10 exchanges → 6
     "ts_holt_winters_fit": (
-        10,
+        6,
         {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
         {"FlatMapGroupsInPandas"},
     ),
@@ -234,8 +243,11 @@ HEADLINE_PINS = {
     # 1-row aggregate (the BNLJ node + its broadcast/agg exchanges)
     # replacing the driver-side docs.count() job — isolated A/B
     # measured 1.12 s → 0.63 s (PLANS.md round-5 note)
+    # re-audited round 11: df derived from the staged tf counts
+    # (second tokenize pass + its distinct shuffle removed) — 8
+    # exchanges → 6
     "text_tfidf_topterms": (
-        8,
+        6,
         {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
         set(),
     ),
@@ -255,8 +267,11 @@ HEADLINE_PINS = {
     # sketch path is bench- and plan-pinned alongside its exact
     # anchor: one approx_percentile partial-agg shuffle each; the
     # RFM nested-loop node is the 1-row cutpoints cross join
+    # re-audited round 11: the per-customer rollup is staged once
+    # (anchor scan, cutpoint sketch and binning pass re-ran the
+    # orders aggregate) — 12 exchanges → 8
     "customer_rfm_segments_approx": (
-        12,
+        8,
         {"BroadcastNestedLoopJoin"},
         set(),
     ),
@@ -292,9 +307,11 @@ HEADLINE_PINS = {
     # cosine) then a 50-row fusion; the full-outer of the two tiny
     # lists is SMJ (Spark cannot broadcast full-outer), scalar
     # subqueries ride BNLJ — both bounded frames
-    "rank_rrf_fusion": (11, {"BroadcastHashJoin",
-                             "BroadcastNestedLoopJoin",
-                             "SortMergeJoin"}, set()),
+    # re-audited round 11: per-doc lengths staged once (tokenize+
+    # explode ran 4x, now 2x) — 11 exchanges → 9
+    "rank_rrf_fusion": (9, {"BroadcastHashJoin",
+                            "BroadcastNestedLoopJoin",
+                            "SortMergeJoin"}, set()),
     # theta set-ops: per-type sketch checkpointed once, pair joins
     # over O(k) state; the OR-membership pair fan-out is BNLJ over
     # the broadcast 10-pair frame, anchors join SMJ at O(k) rows
@@ -319,17 +336,16 @@ HEADLINE_PINS = {
     # the oracle and the per-commit classification unit tests, same
     # convention as lake_merge_upsert
     "lake_cdf_table_changes": (0, set(), set()),
-    # IVM delta rules: both change feeds broadcast into the old
-    # states (BHJ), the delta aggregate shuffles O(groups touched)
-    # rows, and the view merge is a full-outer on the 25-row nation
-    # frames — SMJ because Spark cannot broadcast full-outer (the
-    # rank_rrf_fusion precedent); recompute/audit jobs run eagerly
-    # and are not part of the returned plan. No Python anywhere.
-    "warehouse_ivm_join_view": (
-        10,
-        {"BroadcastHashJoin", "SortMergeJoin"},
-        set(),
-    ),
+    # IVM delta rules: re-audited round 11 — the maintained view is
+    # staged once (it feeds BOTH the recompute audit's count and the
+    # query output, and was re-running the CDF reads + trilinear
+    # delta join per consumer), so the returned plan is the final
+    # sort over the staged 25-row view. The maintenance plan itself
+    # (change feeds broadcast into old states, delta aggregate
+    # shuffling O(groups touched), full-outer view merge) stays
+    # pinned by the oracle hash + the in-output audit_mismatch=0,
+    # same convention as dedup_incremental_lsh_cdf. No Python.
+    "warehouse_ivm_join_view": (1, set(), set()),
     # --- round-9 headliners ---
     # incremental LSH dedup from the CDF: the returned frame is the
     # collected proof row (LocalTableScan) — the maintenance plan
