@@ -23,6 +23,9 @@ small relative to the corpus because the text itself never shuffles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,13 +35,111 @@ from etl_lens_spark.dedup.exact import normalized_text
 def add_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
-    """Word n-gram shingles as an array column (distinct, row-local)."""
+    """Word n-gram shingles as an array column (distinct, row-local).
+
+    Formulation matters: shingle j is ``concat_ws(' ', words[j+1 ..
+    j+n])``, and the obvious per-shingle ``slice`` allocates a fresh
+    sub-array per element inside an interpreted higher-order loop —
+    measured 3.9 s over the sf0.1 corpus. Zipping ``n`` whole-array
+    slices once and concatenating struct fields per element produces
+    the IDENTICAL shingle strings (trailing shingles shorter than
+    ``n`` truncate the same way: out-of-range zip fields are NULL and
+    ``concat_ws`` skips them) at 0.68 s — one array copy per offset
+    instead of one per shingle."""
     words = F.split(normalized_text(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    m = F.greatest(F.size(words) - n, F.lit(0)) + 1  # shingle count
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, m).alias(f"c{i}") for i in range(n)]
+    )
     shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+        zipped,
+        lambda s: F.concat_ws(" ", *[s[f"c{i}"] for i in range(n)]),
     )
     return df.withColumn(out_col, F.array_distinct(shingles))
+
+
+# Spark's XXH64 constants/closed forms for fixed-width inputs —
+# bit-identical to org.apache.spark.sql.catalyst.expressions.XxHash64
+# over (long) and (long, int) inputs (unit-pinned against F.xxhash64
+# in tests/test_dedup.py). Vectorized over numpy uint64 so the
+# k-component fold runs as array arithmetic instead of an interpreted
+# per-shingle expression walk (guide §4.2 — Arrow batches + native
+# vectorized kernels for the hot per-row math).
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_fold_udf(num_hashes: int):
+    """pandas_udf: array<long> base shingle hashes -> array<long>
+    k-component MinHash signature. Identity per component:
+    ``min over shingles of xxhash64(base_hash, i)`` where
+    ``xxhash64(h, i) = hashInt(i, hashLong(h, 42))`` — exactly the
+    chain Spark's two-argument xxhash64 expression computes."""
+    u64 = np.uint64
+    P1, P2, P3, P4, P5 = (
+        u64(_XXH_P1), u64(_XXH_P2), u64(_XXH_P3), u64(_XXH_P4), u64(_XXH_P5)
+    )
+
+    def rotl(x, r):
+        r = u64(r)
+        return (x << r) | (x >> (u64(64) - r))
+
+    def fmix(h):
+        h = h ^ (h >> u64(33))
+        h = h * P2
+        h = h ^ (h >> u64(29))
+        h = h * P3
+        h = h ^ (h >> u64(32))
+        return h
+
+    def hash_long(l, seed):
+        h = seed + P5 + u64(8)
+        h = h ^ (rotl(l * P2, 31) * P1)
+        h = rotl(h, 27) * P1 + P4
+        return fmix(h)
+
+    def hash_int(i, seed):
+        h = seed + P5 + u64(4)
+        h = h ^ ((u64(i) & u64(0xFFFFFFFF)) * P1)
+        h = rotl(h, 23) * P2 + P3
+        return fmix(h)
+
+    empty_sig = np.full(num_hashes, (1 << 63) - 1, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def fold(base: pd.Series) -> pd.Series:
+        old = np.seterr(over="ignore")  # uint64 wraparound is the math
+        try:
+            lens = np.fromiter(
+                (0 if b is None else len(b) for b in base),
+                dtype=np.int64,
+                count=len(base),
+            )
+            if lens.sum() == 0:
+                return pd.Series([empty_sig.copy() for _ in lens])
+            flat = np.concatenate(
+                [np.asarray(b, dtype=np.int64) for b in base if b is not None and len(b)]
+            ).view(np.uint64)
+            t = hash_long(flat, u64(42))  # seed-42 prefix, i-independent
+            nz = lens > 0
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            sigs = np.empty((len(base), num_hashes), dtype=np.int64)
+            sigs[~nz] = empty_sig
+            mins_nz = np.empty((int(nz.sum()), num_hashes), dtype=np.uint64)
+            for i in range(num_hashes):
+                mins_nz[:, i] = np.minimum.reduceat(
+                    hash_int(i, t).view(np.int64), starts
+                ).view(np.uint64)
+            sigs[nz] = mins_nz.view(np.int64)
+            return pd.Series(list(sigs))
+        finally:
+            np.seterr(**old)
+
+    return fold
 
 
 def add_minhash_signature(
@@ -48,29 +149,20 @@ def add_minhash_signature(
     out_col: str = "minhash",
 ) -> DataFrame:
     """k-component MinHash signature as array<long>; deterministic
-    (seeded xxhash64), computed entirely in codegen'd expressions.
+    (seeded xxhash64), bit-identical to the original all-expression
+    formulation (pinned by test_dedup.py's expression-vs-vectorized
+    equality).
 
     Cost structure matters at scale: each shingle *string* is hashed
-    exactly once (``xxhash64(s)``); the k components then re-hash that
-    8-byte base value (``xxhash64(base, i)``) — k cheap fixed-width
-    hashes instead of k string hashes. The k mins accumulate in a
-    single ``aggregate`` pass over the shingle array (one traversal,
-    not k)."""
+    exactly once (JVM ``xxhash64(s)`` — variable-length hashing stays
+    in codegen); the k fixed-width component hashes + mins then run
+    as ONE vectorized numpy kernel per Arrow batch. The previous
+    all-expression fold (``aggregate``/``zip_with``/``transform``)
+    ran interpreted per shingle per component — measured 3.6 s of a
+    7.5 s signature pass over the sf0.1 corpus vs ~0.2 s vectorized
+    (plans/r11, OPTIMIZATION_r11.md)."""
     base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
-    init = F.array_repeat(F.lit((1 << 63) - 1), num_hashes)
-    sig = F.aggregate(
-        base,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(h, i),
-            ),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return df.withColumn(out_col, sig)
+    return df.withColumn(out_col, _xxh64_fold_udf(num_hashes)(base))
 
 
 def banded_rows(

@@ -575,3 +575,74 @@ def test_lsh_live_state_reinsert_after_delete(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in state.pairs.collect()}
     assert (1, 2) in want  # the near-dup pair exists again
     assert got == want
+
+
+def test_minhash_vectorized_fold_matches_expression(spark, sf_dir):
+    """Round-11 optimization pin: the numpy XXH64 fold inside
+    add_minhash_signature and the arrays_zip shingle build are
+    BIT-IDENTICAL to the original all-expression formulations
+    (aggregate/zip_with fold, per-shingle slice+concat) on fixture
+    docs plus degenerate shapes (empty text, fewer words than n,
+    repeated shingles). A mismatch here means the vectorized XXH64
+    closed forms drifted from Spark's xxhash64 — which would silently
+    move every LSH bucket."""
+    from etl_lens_spark.sources.tables import load_table
+
+    n, k = 3, 64
+    fixture = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    edges = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "one"),
+            (100003, "one two"),
+            (100004, "one two three"),
+            (100005, "one two three four"),
+            (100006, "  spaced   out   words  "),
+            (100007, "dup dup dup dup dup dup"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = fixture.unionByName(edges)
+
+    # original shingle formulation (pre round-11), verbatim
+    words = F.split(
+        __import__(
+            "etl_lens_spark.dedup.exact", fromlist=["normalized_text"]
+        ).normalized_text(F.col("text")),
+        " ",
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    old_shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+    old_sh = docs.withColumn("shingles", old_shingles)
+
+    # original signature formulation (pre round-11), verbatim
+    base = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit((1 << 63) - 1), k)
+    old_sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.xxhash64(h, i),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    old = old_sh.select("doc_id", F.col("shingles").alias("sh_a"),
+                        old_sig.alias("sig_a"))
+
+    new_df = mh.add_minhash_signature(
+        mh.add_shingles(docs, n=n), num_hashes=k
+    ).select("doc_id", F.col("shingles").alias("sh_b"),
+             F.col("minhash").alias("sig_b"))
+
+    joined = old.join(new_df, "doc_id")
+    assert joined.filter(F.col("sh_a") != F.col("sh_b")).count() == 0
+    assert joined.filter(F.col("sig_a") != F.col("sig_b")).count() == 0
+    assert joined.count() == docs.count()

@@ -176,7 +176,12 @@ HEADLINE_PINS = {
     "decontaminate_corpus_pipeline": (8, {"BroadcastHashJoin"}, set()),
     "dedup_exact_groups": (2, set(), set()),
     "dedup_incremental_batch": (4, {"BroadcastHashJoin"}, set()),
-    "dedup_minhash_lsh": (9, {"BroadcastHashJoin"}, set()),
+    # re-audited round 11: the k-component MinHash fold runs as a
+    # vectorized numpy kernel (ArrowEval) instead of an interpreted
+    # aggregate/zip_with expression walk — bit-identical signatures
+    # (test_minhash_vectorized_fold_matches_expression), 3.6 s → 0.2 s
+    # on the sf0.1 corpus; exchanges and joins unchanged
+    "dedup_minhash_lsh": (9, {"BroadcastHashJoin"}, {"ArrowEval"}),
     # re-audited round 11: the segmented corpus is staged once (was
     # re-tokenized for the reassembly join) — 6 exchanges → 4
     "dedup_segment_corpus": (4, {"BroadcastHashJoin"}, set()),
