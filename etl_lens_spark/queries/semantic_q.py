@@ -194,12 +194,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = v.groupBy("cluster").applyInPandas(
         find_dups, "vec_id long"
     ).withColumn("is_dup", F.lit(1))
-    return (
-        v.join(dup, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("is_dup").isNull().alias("keep"),
-        )
-        .orderBy("vec_id")
+    keep = v.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("is_dup").isNull().alias("keep"),
     )
+    # materialize before the global sort: the range exchange's
+    # sampling pass otherwise re-executes the per-cluster Gram sweep
+    # (FlatMapGroupsInPandas) a second time
+    return keep.localCheckpoint(eager=False).orderBy("vec_id")

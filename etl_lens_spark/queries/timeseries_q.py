@@ -1380,6 +1380,10 @@ def ts_holt_winters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nk int, n_days long, level double, trend double, "
         "rmse double, forecast_next double",
     )
+    # materialize the 25-row fit result before the name join + global
+    # sort: the range exchange's sampling pass otherwise re-executes
+    # the per-series pandas fit stage a second time
+    out = out.localCheckpoint(eager=False)
     return (
         out.join(
             F.broadcast(nation), out.nk == nation.n_nationkey
