@@ -138,9 +138,11 @@ def mm_real_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses so blobs never cross an exchange."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     with_payload = docs.mapInPandas(_synth_ppm_batches, _IMG_SCHEMA)
-    return with_payload.mapInPandas(_decode_ppm_batches, _IMG_OUT).orderBy(
-        "doc_id"
-    )
+    stats = with_payload.mapInPandas(_decode_ppm_batches, _IMG_OUT)
+    # materialize the per-doc stats before the global sort: the range
+    # exchange's sampling pass otherwise re-runs BOTH mapInPandas
+    # stages (encode + decode of every payload) a second time
+    return stats.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _WAV_SCHEMA = T.StructType(

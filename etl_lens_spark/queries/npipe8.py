@@ -773,13 +773,21 @@ def sketch_kmv_set_operations(
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull())
-        .select(
-            "event_type",
-            "user_id",
-            kmv.kmv_value(F.col("user_id")).alias("v"),
-        )
+        .select("event_type", "user_id")
     )
-    hv = ev.dropDuplicates(["event_type", "v"])
+    # ONE corpus pass: the exact-anchor distinct (type, user) frame is
+    # computed first and checkpointed; the KMV value is a pure
+    # function of user_id, so distinct (type, v) over raw events ==
+    # distinct (type, v) over this already-deduped frame — the md5
+    # hashing and the second dedup now run on O(distinct pairs) rows
+    # instead of the whole event stream (was two separate corpus
+    # scans + dedups)
+    du = ev.dropDuplicates(["event_type", "user_id"]).localCheckpoint(
+        eager=False
+    )
+    hv = du.select(
+        "event_type", kmv.kmv_value(F.col("user_id")).alias("v")
+    ).dropDuplicates(["event_type", "v"])
     # the per-type sketch is referenced THREE times (union build +
     # both membership marks) and the distinct pair set twice more —
     # materialize each once (O(types*k) and O(distinct pairs) rows)
@@ -843,11 +851,8 @@ def sketch_kmv_set_operations(
         "ta", "tb", "n_u", "n_both", est_union.alias("est_union")
     )
     # exact anchors
-    du = (
-        ev.select("event_type", "user_id")
-        .dropDuplicates()
-        .localCheckpoint(eager=False)
-    )
+    # exact anchors ride the SAME checkpointed distinct frame the
+    # sketches were built from (one corpus dedup, not two)
     da = du.select(F.col("event_type").alias("ta"), "user_id")
     db = du.select(F.col("event_type").alias("tb"), "user_id")
     # left joins + conditional count so ZERO-overlap pairs survive

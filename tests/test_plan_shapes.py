@@ -193,7 +193,11 @@ HEADLINE_PINS = {
     # the cluster-key shuffle + single-FMGIP sweep shape is pinned by
     # test_semantic.py and the oracle hash
     "dedup_semantic_semdedup": (1, set(), set()),
-    "mm_real_image_pipeline": (1, set(), {"MapInPandas"}),
+    # re-audited round 11: stats staged before the global sort (the
+    # range sampling pass re-ran BOTH mapInPandas codec stages);
+    # returned plan is the sort — the two-stage no-shuffle codec
+    # chain stays pinned by the oracle's exact-integer checksums
+    "mm_real_image_pipeline": (1, set(), set()),
     "q18_large_orders": (5, {"BroadcastHashJoin"}, set()),
     "q1_pricing_summary": (2, set(), set()),
     "q3_shipping_priority": (3, {"BroadcastHashJoin"}, set()),
