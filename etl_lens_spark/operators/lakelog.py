@@ -605,7 +605,12 @@ def merge_upsert(
             table_dir, [os.path.relpath(f, table_dir) for f in files]
         ),
     )
-    keys = source.select(*key_cols).distinct()
+    # the distinct source keys feed the prune semi-join, the rewrite
+    # anti-join and (under cdf) both change-classification joins —
+    # stage them once instead of re-running the source's distinct per
+    # broadcast (they are O(|source keys|), already required to fit
+    # as a broadcast)
+    keys = source.select(*key_cols).distinct().localCheckpoint(eager=False)
     touched = [
         r[0]
         for r in snap.join(F.broadcast(keys), key_cols, "left_semi")
