@@ -45,8 +45,19 @@ def add_shingles(
     the IDENTICAL shingle strings (trailing shingles shorter than
     ``n`` truncate the same way: out-of-range zip fields are NULL and
     ``concat_ws`` skips them) at 0.68 s — one array copy per offset
-    instead of one per shingle."""
-    words = F.split(normalized_text(F.col(text_col)), " ")
+    instead of one per shingle.
+
+    NULL text coalesces to the empty word list, matching the original
+    per-index formulation bit-for-bit: there ``transform`` over
+    ``sequence(0, 0)`` emitted ``concat_ws(' ', slice(NULL,..)) = ''``
+    for NULL words, i.e. NULL-text docs shingle as ``['']`` exactly
+    like empty-text docs. The zip formulation without the coalesce
+    propagated NULL instead (ADVICE r11) — silently moving NULL-text
+    docs out of the empty-text LSH bucket."""
+    words = F.coalesce(
+        F.split(normalized_text(F.col(text_col)), " "),
+        F.array(F.lit("")),
+    )
     m = F.greatest(F.size(words) - n, F.lit(0)) + 1  # shingle count
     zipped = F.arrays_zip(
         *[F.slice(words, i + 1, m).alias(f"c{i}") for i in range(n)]
@@ -113,13 +124,23 @@ def _xxh64_fold_udf(num_hashes: int):
     def fold(base: pd.Series) -> pd.Series:
         old = np.seterr(over="ignore")  # uint64 wraparound is the math
         try:
+            # NULL propagation matters: the original expression fold
+            # (aggregate over a NULL array) returns NULL, and the LSH
+            # consumers rely on NULL signatures dropping out of the
+            # banding join — a sentinel here would instead bucket all
+            # NULL-text docs together as est_jaccard=1.0 candidates.
+            isnull = np.fromiter(
+                (b is None for b in base), dtype=bool, count=len(base)
+            )
             lens = np.fromiter(
                 (0 if b is None else len(b) for b in base),
                 dtype=np.int64,
                 count=len(base),
             )
             if lens.sum() == 0:
-                return pd.Series([empty_sig.copy() for _ in lens])
+                return pd.Series(
+                    [None if n else empty_sig.copy() for n in isnull]
+                )
             flat = np.concatenate(
                 [np.asarray(b, dtype=np.int64) for b in base if b is not None and len(b)]
             ).view(np.uint64)
@@ -135,7 +156,9 @@ def _xxh64_fold_udf(num_hashes: int):
                     hash_int(i, t).view(np.int64), starts
                 ).view(np.uint64)
             sigs[nz] = mins_nz.view(np.int64)
-            return pd.Series(list(sigs))
+            return pd.Series(
+                [None if n else s for n, s in zip(isnull, sigs)]
+            )
         finally:
             np.seterr(**old)
 

@@ -582,10 +582,14 @@ def test_minhash_vectorized_fold_matches_expression(spark, sf_dir):
     add_minhash_signature and the arrays_zip shingle build are
     BIT-IDENTICAL to the original all-expression formulations
     (aggregate/zip_with fold, per-shingle slice+concat) on fixture
-    docs plus degenerate shapes (empty text, fewer words than n,
-    repeated shingles). A mismatch here means the vectorized XXH64
-    closed forms drifted from Spark's xxhash64 — which would silently
-    move every LSH bucket."""
+    docs plus degenerate shapes (NULL text, empty text, fewer words
+    than n, repeated shingles). A mismatch here means the vectorized
+    XXH64 closed forms drifted from Spark's xxhash64 — which would
+    silently move every LSH bucket. NULL text is load-bearing: the
+    expression fold propagates NULL (NULL signatures drop out of the
+    banding join), and round 11's vectorized fold initially emitted
+    the all-MaxValue sentinel instead — pairing every NULL-text doc
+    with every other at est_jaccard 1.0 (ADVICE r11, fixed r12)."""
     from etl_lens_spark.sources.tables import load_table
 
     n, k = 3, 64
@@ -601,6 +605,7 @@ def test_minhash_vectorized_fold_matches_expression(spark, sf_dir):
             (100005, "one two three four"),
             (100006, "  spaced   out   words  "),
             (100007, "dup dup dup dup dup dup"),
+            (100008, None),
         ],
         "doc_id long, text string",
     )
@@ -643,6 +648,36 @@ def test_minhash_vectorized_fold_matches_expression(spark, sf_dir):
              F.col("minhash").alias("sig_b"))
 
     joined = old.join(new_df, "doc_id")
-    assert joined.filter(F.col("sh_a") != F.col("sh_b")).count() == 0
-    assert joined.filter(F.col("sig_a") != F.col("sig_b")).count() == 0
+    # NULL-safe comparison: plain != is NULL for NULL operands, which
+    # would silently pass a NULL-vs-sentinel divergence
+    assert joined.filter(
+        ~F.col("sh_a").eqNullSafe(F.col("sh_b"))
+    ).count() == 0
+    assert joined.filter(
+        ~F.col("sig_a").eqNullSafe(F.col("sig_b"))
+    ).count() == 0
+    # NULL text shingles as [''] exactly like empty text (the original
+    # per-index formulation's behavior), so both share one signature
+    rows = {
+        r["doc_id"]: r
+        for r in joined.filter(
+            F.col("doc_id").isin(100001, 100008)
+        ).collect()
+    }
+    assert rows[100008]["sh_b"] == [""]
+    assert rows[100008]["sig_b"] == rows[100001]["sig_b"]
     assert joined.count() == docs.count()
+
+    # and the vectorized fold itself propagates NULL arrays like the
+    # expression fold does (aggregate over NULL is NULL) — reachable
+    # by callers that hand add_minhash_signature a NULL shingle column
+    null_arr = spark.createDataFrame(
+        [(1, None), (2, ["a b c"])],
+        "doc_id long, shingles array<string>",
+    )
+    got = {
+        r["doc_id"]: r["minhash"]
+        for r in mh.add_minhash_signature(null_arr, num_hashes=k).collect()
+    }
+    assert got[1] is None
+    assert got[2] is not None and len(got[2]) == k
