@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_lens_spark.dedup.exact import normalized_text
+from etl_lens_spark.operators.staging import stage
 
 
 def add_shingles(
@@ -199,7 +200,21 @@ def banded_rows(
     band_hash) rows. Factored out of minhash_lsh_candidates so an
     INCREMENTAL consumer (a maintained band-index table probed by
     delta documents) shares the exact banding definition with the
-    batch path and the two can never hash into different buckets."""
+    batch path and the two can never hash into different buckets.
+
+    Formulation note (round 12, verdict item 4): two codegen'd
+    static-index replacements for the interpreted ``transform``/
+    ``slice`` walk were built, pinned bit-identical, and MEASURED
+    against this form with the interleaved anchor-paired protocol —
+    an all-bands array-of-structs projection ran 1.2-1.3x SLOWER
+    (generated-code blowup: 16 structs x r GetArrayItems x string
+    xxhash64 in one projection) and a post-explode per-band static
+    projection was a wash to 1.09x slower
+    (plans/r12/ab_banding_structarray.jsonl, ab_banding_postexplode
+    .jsonl). The interpreted HOF walk stays: per-row work here is
+    16 slices + 16 string hashes per document — small next to the
+    signature fold — and the Generate-then-project shapes pay more
+    in codegen size than they save in interpretation."""
     rows_per_band = F.size(F.col(sig_col)) / bands
     return df.select(
         F.col(id_col).alias("__id"),
@@ -386,7 +401,7 @@ def guarded_insert_support(
     over = (F.col("__on") <= max_bucket) & (
         F.col("__on") + F.col("__dn") > max_bucket
     )
-    tagged = (
+    tagged = stage(
         tagged.withColumn(
             "__cls",
             F.when(stay, F.lit(1)).when(over, F.lit(-1)).otherwise(
@@ -394,7 +409,7 @@ def guarded_insert_support(
             ),
         )
         .filter(F.col("__cls") != 0)  # already-over: contributes 0
-        .drop("__dn", "__on")
+        .drop("__dn", "__on"),
         # materialize before the self-join: the join references this
         # frame on BOTH sides, and the planner broadcasts one side —
         # which would otherwise re-run the whole probe + window
@@ -402,7 +417,7 @@ def guarded_insert_support(
         # fires under broadcast promotion). The frame is O(delta ×
         # bands + probed index rows) — bounded at any scale by the
         # delta, exactly what a maintenance job would stage.
-        .localCheckpoint(eager=False)
+        "lsh_insert_tagged",
     )
     left = tagged.select(
         *key,
@@ -491,16 +506,16 @@ def guarded_delete_support(
     tagged = members.withColumn(
         "__on", F.count(F.lit(1)).over(w)
     ).withColumn("__gn", F.sum("__going").over(w))
-    remaining = (
+    remaining = stage(
         tagged.filter(
             (F.col("__on") > max_bucket)
             & (F.col("__on") - F.col("__gn") <= max_bucket)
             & (F.col("__going") == 0)
         )
-        .select("__id", "__sig", *key)
+        .select("__id", "__sig", *key),
         # bucket_pairs self-joins this frame (both sides) — stage it
         # once; bounded by max_bucket × newly-small buckets
-        .localCheckpoint(eager=False)
+        "lsh_delete_remaining",
     )
     return bucket_pairs(remaining, None, min_est_jaccard).groupBy(
         "doc_a", "doc_b"

@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from etl_lens_spark.operators.staging import stage
 
 
 def row_digest(cols: Sequence[Column]) -> Column:
@@ -225,9 +226,10 @@ def scd2_apply_changes(
         # projection ONCE instead of recomputing the upstream CDF
         # lineage per broadcast; it is small by the same assumption
         # that makes broadcasting it correct
-        feed = feed.select(
-            *keys, *attr_cols, "_change_type"
-        ).localCheckpoint(eager=False)
+        feed = stage(
+            feed.select(*keys, *attr_cols, "_change_type"),
+            "cdc_feed",
+        )
     closers = (
         feed.filter(F.col("_change_type").isin("delete", "update_preimage"))
         .select(*keys)

@@ -33,6 +33,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from etl_lens_spark.operators.staging import stage as stage_frame
 
 
 class CommitConflict(Exception):
@@ -610,7 +611,9 @@ def merge_upsert(
     # stage them once instead of re-running the source's distinct per
     # broadcast (they are O(|source keys|), already required to fit
     # as a broadcast)
-    keys = source.select(*key_cols).distinct().localCheckpoint(eager=False)
+    keys = stage_frame(
+        source.select(*key_cols).distinct(), "merge_source_keys"
+    )
     touched = [
         r[0]
         for r in snap.join(F.broadcast(keys), key_cols, "left_semi")

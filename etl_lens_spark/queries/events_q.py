@@ -22,6 +22,7 @@ from etl_lens_spark import catalog as cat
 from etl_lens_spark.functions.numeric import exact_sum
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +563,7 @@ def events_match_recognize_vshape(
     # exchange's sampling pass otherwise re-executes the whole
     # FlatMapGroupsInPandas stage a second time (measured 2.34 s →
     # 0.99 s at sf0.1; guide §2.4 — one pass, not two)
-    return matches.localCheckpoint(eager=False).orderBy(
+    return stage(matches, "vshape_matches").orderBy(
         "user_id", "strt_us"
     )
 

@@ -291,8 +291,21 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 analog: IN-subquery on an aggregate (semi join after
-    Catalyst rewrite) feeding a star join + top-k."""
+    """TPC-H Q18 analog: IN-subquery on an aggregate feeding a star
+    join + top-k.
+
+    ONE lineitem pass (round 12; was two): the classic shape
+    re-joins lineitem against the qualifying orderkeys and
+    re-aggregates, but the final group (c_custkey, c_name,
+    o_orderkey, o_totalprice) is per-ORDER — o_orderkey and
+    c_custkey are keys — so the re-aggregated sum is exactly the
+    subquery's ``__q``. Algebraically identical (decimal sums are
+    exact, so grouping order cannot move the value; inner joins drop
+    the same rows either way), oracle-hash-verified. The surviving
+    plan is the partial-aggregated (l_orderkey, qty) shuffle, the
+    selective filter, and broadcast joins — the fact table crosses
+    the wire once as ~16 bytes/row of partial aggregates (guide
+    §2.3/§2.4)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -301,14 +314,17 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("__q"))
         .filter(F.col("__q") > 120)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("__q").cast("double").alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )

@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 from etl_lens_spark.operators.partitioning import parallelize_compute
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 _IMG_SCHEMA = T.StructType(
     [
@@ -142,7 +143,7 @@ def mm_real_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the per-doc stats before the global sort: the range
     # exchange's sampling pass otherwise re-runs BOTH mapInPandas
     # stages (encode + decode of every payload) a second time
-    return stats.localCheckpoint(eager=False).orderBy("doc_id")
+    return stage(stats, "mm_doc_stats").orderBy("doc_id")
 
 
 _WAV_SCHEMA = T.StructType(

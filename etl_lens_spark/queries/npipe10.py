@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from etl_lens_spark.queries import bench_setup, query
 from etl_lens_spark.sources import sinks
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 # ---------------------------------------------------------------------------
 # CDF per commit: the canonical four-commit lake fixture
@@ -1177,9 +1178,12 @@ def _ivm_maintained_view(spark, ot: str, ct: str, o0, c0, view0):
     # output — so materialize it here (it is O(groups) rows) instead
     # of re-running the CDF reads + trilinear delta join per consumer
     # (guide §5: reused and expensive to recompute)
-    return ivm.maintain_agg(
-        view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
-    ).localCheckpoint(eager=False)
+    return stage(
+        ivm.maintain_agg(
+            view0, delta, ["nk"], "n_orders", {"cents_sum": F.col("cents")}
+        ),
+        "ivm_maintained_view",
+    )
 
 
 def _ivm_audit(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from etl_lens_spark.queries import bench_setup, query
 from etl_lens_spark.sources import sinks
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 # ---------------------------------------------------------------------------
 # Maintained BM25 postings index from the CDF
@@ -667,7 +668,7 @@ def _bench_rrf_incremental(spark: SparkSession, sf_dir: str):
         )
         # the maintained cell index feeds both the query-vector pull
         # and the scored scan — stage it once per serve
-        ann = ann.localCheckpoint(eager=False)
+        ann = stage(ann, "rrf_cell_index")
         tr = lexical.bm25_topk(
             lex, _LEX_TERMS, n_docs, avgdl, df_map, k=_RRF_TOPN
         ).select("doc_id", "rank")

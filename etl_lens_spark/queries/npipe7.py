@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from etl_lens_spark.queries import query
 from etl_lens_spark.similarity.knn import dot as _dot
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 # ---------------------------------------------------------------------------
 # Uniform-k negative sampling with positive exclusion
@@ -259,10 +260,9 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lens_spark.text import bpe, unigram
 
     docs = load_table(spark, sf_dir, "documents")
-    wf = (
-        bpe.word_freqs(docs)
-        .filter(F.length("word") <= _WP_MAXW)
-        .localCheckpoint(eager=False)
+    wf = stage(
+        bpe.word_freqs(docs).filter(F.length("word") <= _WP_MAXW),
+        "wordpiece_word_freqs",
     )
 
     def summarize(per_word: DataFrame, name: str) -> DataFrame:
@@ -426,10 +426,10 @@ def emb_matryoshka_truncation_audit(
 
     a = emb.select(F.col("vec_id").alias("aid"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("bid"), F.col("e").alias("eb"))
-    scored = (
+    scored = stage(
         a.join(F.broadcast(b), F.col("aid") != F.col("bid"))
-        .select("aid", "bid", cos(64), cos(32), cos(16), cos(8))
-        .localCheckpoint(eager=False)
+        .select("aid", "bid", cos(64), cos(32), cos(16), cos(8)),
+        "mrl_scored_pairs",
     )
     nn = scored.groupBy("aid").agg(
         *[
@@ -543,7 +543,8 @@ def dataset_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "difficulty",
         F.col("n_word_chars").cast("double") / F.col("n_tokens"),
-    ).localCheckpoint(eager=False)  # branched into rank + count below
+    )  # branched into rank + count below
+    d = stage(d, "difficulty_per_doc")
     from etl_lens_spark.operators.prefix import ordered_global_rank
 
     ranked = ordered_global_rank(

@@ -9,12 +9,13 @@ rows-only + pinned invariant tests where it is not.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_lens_spark.queries import query
 from etl_lens_spark.similarity.knn import dot as _dot
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 # ---------------------------------------------------------------------------
 # Reciprocal-rank fusion of BM25 and embedding retrieval
@@ -119,30 +120,53 @@ def rank_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lens_spark.similarity.fusion import rrf_fuse
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # The probe vocabulary is a 3-term literal list, so the whole
+    # BM25 side is ROW-LOCAL: dlen = size(words) and per-term tf =
+    # size(filter(words, = term)) — the token stream never explodes
+    # and never shuffles (round 11 staged the exploded dl rollup,
+    # which the round-12 interleaved A/B measured 1.33× SLOWER than
+    # the unstaged original: the checkpoint serialized two corpus
+    # passes that previously overlapped inside one job; this
+    # formulation needs only this one O(docs)-wide pass, no barrier).
+    # Identical algebra: a NULL-text doc contributed no toks rows,
+    # hence no dl row — the isNotNull filter reproduces that; explode
+    # counted every split element including empty strings, as size
+    # does; per-(doc, term) groups existed only where tf >= 1, hence
+    # the tf > 0 filter after the stack unpivot.
+    words = F.split(F.lower("text"), " ")
+
+    def _tf_count(term: str) -> Column:
+        # closure factory, NOT a two-arg lambda: pyspark treats a
+        # 2-parameter lambda in F.filter as (element, index)
+        return F.size(F.filter(words, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), " ")).alias("w"),
-    )
-    # per-doc lengths feed BOTH the corpus stats and the score join —
-    # stage the O(docs) rollup once so the tokenize+explode pass over
-    # the corpus runs twice (dl, tf) instead of four times
-    dl = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dlen"))
-        .localCheckpoint(eager=False)
-    )
-    g = dl.agg(
+        F.size(words).alias("dlen"),
+        *[
+            _tf_count(t).alias(f"__tf{i}")
+            for i, t in enumerate(_RRF_TERMS)
+        ],
+    ).filter(F.col("dlen").isNotNull())
+    # O(docs) narrow rollup consumed by the corpus stats, the df
+    # counts and the score join — stage it once (guide §5)
+    per_doc = stage(per_doc, "rrf_per_doc")
+    g = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("w").isin(_RRF_TERMS))
-        .groupBy("doc_id", F.col("w").alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stack_expr = ", ".join(
+        f"'{t}', __tf{i}" for i, t in enumerate(_RRF_TERMS)
     )
+    tf = per_doc.select(
+        "doc_id",
+        "dlen",
+        F.expr(
+            f"stack({len(_RRF_TERMS)}, {stack_expr}) AS (term, tf)"
+        ),
+    ).filter(F.col("tf") > 0)
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))
         .groupBy("doc_id")
         .agg(

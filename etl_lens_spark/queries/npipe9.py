@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from etl_lens_spark.queries import bench_setup, query
 from etl_lens_spark.sources import sinks
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 # ---------------------------------------------------------------------------
 # Incremental SCD2 maintenance from the change data feed
@@ -88,7 +89,7 @@ def _scd2_incremental_answer(
     )
     # the maintained dimension feeds BOTH the rollup and the audit —
     # materialize it once instead of re-running the apply per consumer
-    dim1 = dim1.localCheckpoint(eager=False)
+    dim1 = stage(dim1, "scd2_dim1")
     # from-scratch rebuild on the SAME two snapshots, CDF-free:
     # v0 rows close iff their key's value changed or vanished in v1;
     # v1 rows open a new version iff their key is new or changed

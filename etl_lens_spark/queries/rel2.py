@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 
 @query(
@@ -314,10 +315,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term equals the old explode→distinct→count pipeline while
     # skipping a second tokenize pass and its shuffle (2 Exchanges on
     # exploded terms → 1).
-    tf = (
-        terms.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = stage(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        "tfidf_tf",
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (

@@ -30,6 +30,7 @@ from etl_lens_spark.operators.partitioning import parallelize_compute
 from etl_lens_spark.queries import query
 from etl_lens_spark.similarity.kmeans import kmeans_assign, kmeans_oracle_sql
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 K = 8
 ITERS = 3
@@ -162,7 +163,7 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is the corpus projected to the vectors, the natural
     # intermediate a real deployment would persist between the
     # clustering and sweep phases)
-    v = v.localCheckpoint(eager=False)
+    v = stage(v, "semdedup_vectors")
 
     tau = SEM_TAU
     # degenerate-cluster guard: SemDeDup's quadratic term is bounded
@@ -202,4 +203,4 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize before the global sort: the range exchange's
     # sampling pass otherwise re-executes the per-cluster Gram sweep
     # (FlatMapGroupsInPandas) a second time
-    return keep.localCheckpoint(eager=False).orderBy("vec_id")
+    return stage(keep, "semdedup_keep").orderBy("vec_id")

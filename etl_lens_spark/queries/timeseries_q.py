@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 
 def _floor_div_us(col: str, divisor_us: int):
@@ -1316,8 +1317,8 @@ def ts_holt_winters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reference (guide §5: persist only what is reused AND
         # expensive to recompute; this is O(series × days), tiny next
         # to the corpus at any scale)
-        .localCheckpoint(eager=False)
     )
+    base = stage(base, "hw_series_day_rollup")
     mx = base.agg(F.max("t").alias("dmax"))
     nks = base.select("nk").distinct()
     cal = (
@@ -1383,7 +1384,7 @@ def ts_holt_winters_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the 25-row fit result before the name join + global
     # sort: the range exchange's sampling pass otherwise re-executes
     # the per-series pandas fit stage a second time
-    out = out.localCheckpoint(eager=False)
+    out = stage(out, "hw_fit")
     return (
         out.join(
             F.broadcast(nation), out.nk == nation.n_nationkey

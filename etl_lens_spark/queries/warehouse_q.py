@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from etl_lens_spark.queries import query
 from etl_lens_spark.sources.tables import load_table
+from etl_lens_spark.operators.staging import stage
 
 
 @query(
@@ -834,7 +835,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-customer rollup feeds the anchor scan AND the scoring
     # pass(es) — stage the O(customers) reduce once instead of
     # re-aggregating orders per consumer
-    base = base.localCheckpoint(eager=False)
+    base = stage(base, "rfm_customer_rollup")
     anchor = base.agg(F.max("last_d").alias("d0"))
     b = base.crossJoin(F.broadcast(anchor)).withColumn(
         "recency_days", F.datediff("d0", "last_d")
@@ -947,7 +948,7 @@ def customer_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-customer rollup feeds the anchor scan AND the scoring
     # pass(es) — stage the O(customers) reduce once instead of
     # re-aggregating orders per consumer
-    base = base.localCheckpoint(eager=False)
+    base = stage(base, "rfm_customer_rollup")
     anchor = base.agg(F.max("last_d").alias("d0"))
     b = base.crossJoin(F.broadcast(anchor)).select(
         "custkey",

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def ws_tokens(col: Column) -> Column:
@@ -247,11 +248,16 @@ def segment_dedup(
     segs = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, seg_tokens)))
     base = df.select(F.col(id_col), segs.alias("__segs"))
     # ``base`` feeds both the fingerprint election (via the explode)
-    # and the reassembly join — stage the segmented corpus once so
-    # tokenization + segment concat run a single pass (guide §5;
-    # MEMORY_AND_DISK-style local checkpoint spills rather than OOMs
-    # at scale, and the alternative is re-tokenizing the corpus)
-    base = base.localCheckpoint(eager=False)
+    # and the reassembly join — materialize the segmented corpus once
+    # so tokenization + segment concat run a single pass (guide §5).
+    # This is the one CORPUS-sized intermediate in the library, so it
+    # uses persist(MEMORY_AND_DISK), NOT localCheckpoint: persist
+    # keeps the lineage, so an executor loss at 100 TB recomputes the
+    # lost blocks instead of killing the job (localCheckpoint blocks
+    # are non-replicated and unrecoverable — ADVICE r11), and
+    # MEMORY_AND_DISK spills rather than OOMs. The alternative is
+    # re-tokenizing the corpus per consumer.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     exploded = base.select(
         id_col, F.posexplode("__segs").alias("seg_idx", "__seg")

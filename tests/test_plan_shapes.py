@@ -198,7 +198,11 @@ HEADLINE_PINS = {
     # returned plan is the sort — the two-stage no-shuffle codec
     # chain stays pinned by the oracle's exact-integer checksums
     "mm_real_image_pipeline": (1, set(), set()),
-    "q18_large_orders": (5, {"BroadcastHashJoin"}, set()),
+    # re-audited round 12: the re-join + re-aggregation of lineitem
+    # was redundant (the final group key is per-order, so the
+    # subquery's own sum IS total_qty) — one lineitem scan, 5
+    # exchanges -> 3 (the partial-agg shuffle + two broadcasts)
+    "q18_large_orders": (3, {"BroadcastHashJoin"}, set()),
     "q1_pricing_summary": (2, set(), set()),
     "q3_shipping_priority": (3, {"BroadcastHashJoin"}, set()),
     "q5_local_supplier_volume": (7, {"BroadcastHashJoin"}, set()),
@@ -314,9 +318,12 @@ HEADLINE_PINS = {
     # cosine) then a 50-row fusion; the full-outer of the two tiny
     # lists is SMJ (Spark cannot broadcast full-outer), scalar
     # subqueries ride BNLJ — both bounded frames
-    # re-audited round 11: per-doc lengths staged once (tokenize+
-    # explode ran 4x, now 2x) — 11 exchanges → 9
-    "rank_rrf_fusion": (9, {"BroadcastHashJoin",
+    # re-audited round 12: the BM25 side is row-local (dlen/tf via
+    # size/filter over the words array, stack unpivot) — the token
+    # stream never explodes and never shuffles; the round-11 staged
+    # exploded rollup measured 1.33x SLOWER and is gone. 9
+    # exchanges → 6
+    "rank_rrf_fusion": (6, {"BroadcastHashJoin",
                             "BroadcastNestedLoopJoin",
                             "SortMergeJoin"}, set()),
     # theta set-ops: per-type sketch checkpointed once, pair joins
@@ -452,3 +459,107 @@ def test_join_hints_flip_strategy(spark, sf_dir):
         .toString()
     )
     assert "SortMergeJoin" in smj, smj
+
+
+# ------------------------------------------------------------------
+# Interior plan pins for STAGED frames (round-12 verdict item 10):
+# stage() truncates the returned plan at a Scan ExistingRDD, which
+# round 11's weakened pins could no longer see past — an Exchange
+# regression or a lost broadcast UPSTREAM of the checkpoint was
+# invisible. staging.capture() records every stage()'d frame
+# pre-materialization, so the interior shape (between stage points)
+# is pinned here with the same (exchanges, join set, python-eval
+# set) convention as HEADLINE_PINS. Same escape hatch:
+# SPARK_GRAFT_ACCEPT_PLANS=1 skips for one run while re-auditing.
+# ------------------------------------------------------------------
+
+# query -> {stage label -> (exchanges, {joins}, {python nodes})}
+STAGED_INTERIOR_PINS = {
+    # k-means assignment ArrowEval runs ONCE into the staged
+    # (vec_id, v, cluster) frame; the keep-frame holds the single
+    # FlatMapGroupsInPandas Gram sweep + the keep-join
+    "dedup_semantic_semdedup": {
+        "semdedup_vectors": (7, {"BroadcastHashJoin"}, {"ArrowEval"}),
+        "semdedup_keep": (
+            6,
+            {"BroadcastHashJoin", "SortMergeJoin"},
+            {"FlatMapGroupsInPandas"},
+        ),
+    },
+    # (series, day) rollup: orders⋈customer broadcast + two agg
+    # exchanges; the fit frame holds the dense-grid build + ONE
+    # per-series pandas fit
+    "ts_holt_winters_fit": {
+        "hw_series_day_rollup": (4, {"BroadcastHashJoin"}, set()),
+        "hw_fit": (
+            8,
+            {"BroadcastHashJoin", "BroadcastNestedLoopJoin"},
+            {"FlatMapGroupsInPandas"},
+        ),
+    },
+    # bucket shuffle + ONE FlatMapGroupsInPandas matcher — the
+    # pre-round-11 2-exchange shape, now pinned on the staged frame
+    "events_match_recognize_vshape": {
+        "vshape_matches": (2, set(), {"FlatMapGroupsInPandas"}),
+    },
+    # per-customer rollup: one partial/final agg pair, no joins, no
+    # Python — the orders aggregate that round 11 de-duplicated
+    "customer_rfm_segments_approx": {
+        "rfm_customer_rollup": (2, set(), set()),
+    },
+    # the two mapInPandas codec stages are row-local — zero
+    # exchanges upstream of the staged stats
+    "mm_real_image_pipeline": {
+        "mm_doc_stats": (0, set(), {"MapInPandas"}),
+    },
+    # round-12 row-local BM25 side: the per-doc rollup has NO
+    # exchange and NO explode — the token stream never shuffles
+    "rank_rrf_fusion": {
+        "rrf_per_doc": (0, set(), set()),
+    },
+    # tf counts: tokenize+explode into one partial/final agg pair
+    "text_tfidf_topterms": {
+        "tfidf_tf": (2, set(), set()),
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_INTERIOR_PINS))
+def test_staged_interior_plan_pin(spark, sf_dir, name):
+    import os
+    import re
+
+    if os.environ.get("SPARK_GRAFT_ACCEPT_PLANS"):
+        pytest.skip("plan pins explicitly bypassed for this run")
+    from etl_lens_spark.operators import staging
+
+    with staging.capture() as cap:
+        REGISTRY[name].fn(spark, sf_dir)
+        frames = dict(cap)
+    pins = STAGED_INTERIOR_PINS[name]
+    missing = set(pins) - set(frames)
+    assert not missing, (
+        f"{name}: staged frames {sorted(missing)} not captured — "
+        f"got {sorted(frames)}"
+    )
+    for label, (want_ex, want_joins, want_py) in pins.items():
+        plan = frames[label]._jdf.queryExecution().executedPlan().toString()
+        got_ex = plan.count("Exchange ")
+        got_joins = set(re.findall(r"(\w*Join\w*)", plan))
+        got_py = set(
+            re.findall(
+                r"(ArrowEval|BatchEvalPython|MapInPandas|"
+                r"FlatMapGroupsInPandas)",
+                plan,
+            )
+        )
+        assert (got_ex, got_joins, got_py) == (
+            want_ex,
+            want_joins,
+            want_py,
+        ), (
+            f"{name}/{label} interior plan moved: exchanges {got_ex} "
+            f"(pinned {want_ex}), joins {sorted(got_joins)} (pinned "
+            f"{sorted(want_joins)}), python {sorted(got_py)} (pinned "
+            f"{sorted(want_py)}). Re-audit if intentional.\n{plan}"
+        )

@@ -1,6 +1,6 @@
 """Capture .explain("formatted") for every headline query.
 
-Writes ``plans/r11/<name>_<tag>.txt`` for each headline query (tag =
+Writes ``plans/r12/<name>_<tag>.txt`` for each headline query (tag =
 ``before``/``after`` via argv). Split queries (queries.BENCH_SETUP)
 run their untimed setup first and the plan captured is the TIMED
 thunk's — the operator the bench measures. Optionally restrict to a
@@ -25,7 +25,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r11",
+        "r12",
     )
     os.makedirs(out_dir, exist_ok=True)
 
